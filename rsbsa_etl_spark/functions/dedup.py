@@ -1,0 +1,291 @@
+"""Deduplication operators (extension surface, SURVEY north star).
+
+Five families over the ``documents`` table:
+
+- **exact**: hash-groupBy on a normalized-content fingerprint.
+- **MinHash + LSH**: word-shingles → md5-based minhash signature →
+  banding → candidate pairs via band-bucket self-join. The classic
+  shingle/minhash/band pipeline (Broder '97) expressed as pure
+  DataFrame ops — no UDFs, the signature is built with
+  ``F.transform``/``F.array_min`` lambda expressions that run inside
+  codegen.
+- **SimHash**: per-token hash bit-votes → 16-bit signature
+  (Charikar '02); near-dup pairs by Hamming distance
+  (``bit_count(a ^ b)``).
+- **n-gram Jaccard**: exact pairwise Jaccard over distinct shingles
+  via explode + self-join + count ratio.
+- **embedding cosine**: near-dup pairs above a cosine threshold over
+  ``embeddings.embedding`` (see ``similarity.py`` for the shared
+  kernel).
+
+Portability note: every hash is md5-of-string (identical in DuckDB),
+so each operator has a *bit-exact* SQL oracle — the md5-minhash
+construction ``min_s md5(f"{perm}|{shingle}")`` replaces the usual
+``(a*h+b) mod p`` permutations precisely so the oracle can replicate
+it.
+
+Scale notes: minhash-LSH is the 100 TB path — cost is
+O(docs × shingles) for signatures plus a self-join on
+(band_idx, band_hash) whose shuffle only carries
+(doc_id, band_hash) pairs; banding keeps bucket sizes small so the
+pair blow-up is bounded. Exact Jaccard / brute-force cosine are the
+correctness oracles and small-data baselines; at scale they run
+*after* LSH candidate generation, never on the full cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from rsbsa_etl_spark.functions.numeric import dec_round
+
+from rsbsa_etl_spark.params import (
+    JACCARD_THRESHOLD,
+    MINHASH_BANDS,
+    MINHASH_PERMS,
+    SHINGLE_K,
+    SIMHASH_BITS,
+    SIMHASH_MAX_HAMMING,
+)
+
+# --------------------------------------------------------------- shingling
+
+HEX_DIGITS = "0123456789abcdef"
+
+
+def normalized_text(col: Column) -> Column:
+    """lower + collapse whitespace — shared normalization for every
+    text-dedup family (and ``doc_fingerprint`` in textstats)."""
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def tokens_col(col: Column) -> Column:
+    """whitespace tokens of normalized text."""
+    return F.split(normalized_text(col), " ")
+
+
+def shingle_windows(col: Column, k: int = SHINGLE_K) -> Column:
+    """k-word shingles (with duplicates); docs shorter than k words
+    yield one whole-text shingle (keeps every doc representable)."""
+    toks = tokens_col(col)
+    n = F.size(toks)
+    windows = F.transform(
+        F.sequence(F.lit(1), n - F.lit(k - 1)),
+        lambda i: F.array_join(F.slice(toks, i, k), " "),
+    )
+    return F.when(n >= k, windows).otherwise(F.array(F.array_join(toks, " ")))
+
+
+def shingles_col(col: Column, k: int = SHINGLE_K) -> Column:
+    """distinct k-word shingles as an array column. NOTE:
+    ``array_distinct`` is O(n²) per row — fine for bounded docs; the
+    set-building operators below use the exploded+shuffle form
+    (``shingle_rows``) instead, which partial-aggregates and scales."""
+    return F.array_distinct(shingle_windows(col, k))
+
+
+def shingle_rows(docs: DataFrame, text_col: str = "text", k: int = SHINGLE_K) -> DataFrame:
+    """(doc_id, shingle) exploded rows, duplicates retained — the
+    scalable base for minhash (min ignores duplicates) and, after
+    ``.distinct()``, for exact Jaccard."""
+    return docs.select(
+        "doc_id", F.explode(shingle_windows(F.col(text_col), k)).alias("shingle")
+    )
+
+
+# ------------------------------------------------------------- exact dedup
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup via content fingerprint: one hash-groupBy, keep
+    the smallest doc_id per fingerprint (deterministic canonical
+    representative). Map-side partial agg makes this one shuffle of
+    (fingerprint, partial-min/count) pairs — the cheapest possible
+    exact dedup at any scale."""
+    return (
+        docs.select(
+            F.md5(normalized_text(F.col(text_col))).alias("fingerprint"),
+            F.col("doc_id"),
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").cast("long").alias("n_copies"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- minhash
+
+
+def minhash_signature(
+    docs: DataFrame, text_col: str = "text", perms: int = MINHASH_PERMS
+) -> DataFrame:
+    """(doc_id, sig: array<string>) — md5-based minhash.
+
+    sig[p] = min over shingles of md5("{p}|" + shingle). Shingles are
+    exploded once and the 16 mins are one grouped aggregation:
+    partial (map-side) min means the shuffle carries one 16-hash row
+    per doc per partition — no O(n²) array_distinct, no per-perm
+    recompute of the shingle array. (Duplicate shingles need no
+    dedup: min is idempotent under duplicates.)
+
+    Careful with PySpark lambda arity here: a two-parameter lambda in
+    ``F.transform`` binds (element, index) — an earlier version used
+    ``lambda s, p=p`` and silently hashed with the stringified index
+    column as the prefix.
+    """
+    rows = shingle_rows(docs, text_col)
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"{p}|"), F.col("shingle")))).alias(f"m{p}")
+        for p in range(perms)
+    ]
+    agg = rows.groupBy("doc_id").agg(*mins)
+    return agg.select(
+        "doc_id", F.array(*[F.col(f"m{p}") for p in range(perms)]).alias("sig")
+    )
+
+
+def minhash_bands(sig_df: DataFrame, bands: int = MINHASH_BANDS) -> DataFrame:
+    """(doc_id, band, band_hash) — concatenate each band's rows and
+    re-hash. rows-per-band = perms / bands."""
+    n_sig = MINHASH_PERMS
+    rows = n_sig // bands
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|", *[F.col("sig").getItem(b * rows + r) for r in range(rows)]
+            )
+        )
+        for b in range(bands)
+    ]
+    return sig_df.select(
+        "doc_id", F.posexplode(F.array(*band_cols)).alias("band", "band_hash")
+    )
+
+
+def minhash_candidate_pairs(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing ≥1 band bucket.
+
+    The self-join shuffles only (band, band_hash, doc_id) triples —
+    at 100 TB the fact table never re-reads; skewed buckets (a
+    boilerplate shingle shared by millions of docs) are the risk, so
+    production adds a bucket-size cap; AQE skew-join splitting
+    handles moderate skew here.
+    """
+    b = minhash_bands(minhash_signature(docs, text_col))
+    left = b.alias("a")
+    right = b.alias("b")
+    return (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+# ----------------------------------------------------------------- simhash
+
+
+def simhash_signature(
+    docs: DataFrame, text_col: str = "text", bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """(doc_id, simhash) — SimHash over distinct tokens.
+
+    bit j of md5(token) votes ±1; signature bit = majority. Uses the
+    first bits/4 hex chars of the token md5. Explode + one grouped
+    aggregation (bits sum-columns) — partial aggregation keeps the
+    shuffle at (doc_id, 16 ints).
+    """
+    tok = (
+        docs.select("doc_id", F.explode(tokens_col(F.col(text_col))).alias("tok"))
+        .distinct()  # shuffle-dedup scales; array_distinct is O(n²)/row
+        .withColumn("h", F.md5(F.col("tok")))
+    )
+    votes = []
+    for j in range(bits):
+        ch = F.substring(F.col("h"), 1 + j // 4, 1)
+        val = F.instr(F.lit(HEX_DIGITS), ch) - F.lit(1)
+        bit = F.floor(val / (2 ** (3 - j % 4))) % 2
+        votes.append(F.sum(bit * 2 - 1).alias(f"v{j}"))
+    agg = tok.groupBy("doc_id").agg(*votes)
+    sim = None
+    for j in range(bits):
+        term = F.when(F.col(f"v{j}") > 0, F.lit(1 << (bits - 1 - j))).otherwise(F.lit(0))
+        sim = term if sim is None else (sim + term)
+    return agg.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+) -> DataFrame:
+    """near-dup pairs by signature Hamming distance.
+
+    Brute-force pairing here (fixture scale); the scale path blocks
+    on signature bytes (split the 16 bits into 2 bands of 8 — any
+    pair within Hamming ≤ k shares a band for k < bands) and joins
+    per band, same shape as minhash banding.
+    """
+    s = simhash_signature(docs, text_col)
+    a, b = s.alias("a"), s.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .where(ham <= max_hamming)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.cast("int").alias("hamming"),
+        )
+    )
+
+
+# ---------------------------------------------------------- exact jaccard
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    """exact pairwise Jaccard over distinct k-shingles.
+
+    explode → self-join on shingle → |A∩B| counts → ratio against
+    per-doc set sizes. Quadratic in docs sharing a shingle — the
+    correctness baseline; at scale run it only on LSH candidates.
+    """
+    sh = shingle_rows(docs, text_col).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(jac >= threshold)
+        .select(
+            "doc_a",
+            "doc_b",
+            dec_round(jac, 4).alias("jaccard"),
+        )
+    )

@@ -1,0 +1,44 @@
+"""Filters and validity routing (SURVEY §2.2).
+
+- P2 not-null conjunction — ``models/EtlLogger.js:10-11``
+- P4 row-validity split (valid → process, invalid → warnings) —
+  ``services/etlService.js:612-619``
+- P6 non-empty-line filter — ``index.js:228``
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Column, functions as F
+
+
+def not_null_filter(df: DataFrame, *cols: str) -> DataFrame:
+    """P2: keep rows where every listed column is non-null."""
+    cond = F.lit(True)
+    for c in cols:
+        cond = cond & F.col(c).isNotNull()
+    return df.where(cond)
+
+
+def validity_split(df: DataFrame, cond: Column) -> tuple[DataFrame, DataFrame]:
+    """P4: route rows into (valid, invalid) sides.
+
+    The reference drops invalid rows into a warnings list
+    (``etlService.js:612-619``); here both sides stay DataFrames so
+    the rejects can flow to a quarantine sink. One scan serves both
+    sides (Spark reuses the cached scan across the two filters when
+    the plan is materialized together, e.g. via the tagged union in
+    ``validity_tag``).
+    """
+    return df.where(cond), df.where(~cond)
+
+
+def validity_tag(df: DataFrame, cond: Column, tag_col: str = "validity") -> DataFrame:
+    """P4 as a single plan: tag rows valid/invalid instead of
+    splitting — one scan, no union, and ``groupBy(tag)`` gives the
+    processed/skipped accounting (``etlService.js:604-607``)."""
+    return df.withColumn(tag_col, F.when(cond, F.lit("valid")).otherwise(F.lit("invalid")))
+
+
+def non_empty_lines(df: DataFrame, col: str = "value") -> DataFrame:
+    """P6: drop blank lines (``index.js:228``)."""
+    return df.where(F.length(F.trim(F.col(col))) > 0)

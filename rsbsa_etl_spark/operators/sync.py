@@ -1,0 +1,70 @@
+"""Write-path semantics: upsert, keyed overwrite, union recombination
+(SURVEY §2.1 K2/K3, §2.6 E1).
+
+The reference's two load paths:
+- K2 upsert  — ``INSERT … ON DUPLICATE KEY UPDATE`` for one-to-one
+  tables (``services/etlService.js:117-130``), fed by a semi/anti
+  split of the batch (``etlService.js:60-67``).
+- K3 delete-then-insert — keyed overwrite for one-to-many tables
+  (``etlService.js:85-115``).
+
+Spark has no in-place mutation; both become *last-write-wins merge
+plans* over (target, updates) that produce the post-write table
+state. Against real storage the same plan feeds Delta/Iceberg
+``MERGE INTO`` or a dynamic-partition overwrite (SURVEY §7.3.1);
+expressing the semantics as a pure DataFrame transform keeps them
+storage-agnostic and oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def upsert_merge(target: DataFrame, updates: DataFrame, key: str) -> DataFrame:
+    """K2: last-write-wins merge keyed on ``key``.
+
+    Result = updates ∪ (target rows whose key has no update) — the
+    exact post-state of ``ON DUPLICATE KEY UPDATE``
+    (``etlService.js:120-127``). The anti-join broadcasts the update
+    key set when small (the common CDC shape: small batch vs huge
+    target), so the target is never shuffled.
+    """
+    untouched = target.join(updates.select(key), key, "left_anti")
+    return updates.unionByName(untouched)
+
+
+def overwrite_by_key(target: DataFrame, incoming: DataFrame, key: str) -> DataFrame:
+    """K3: delete-then-insert per key (``etlService.js:90-106``).
+
+    All target rows whose key appears in the incoming batch are
+    replaced by the batch (one-to-many: the new row *set* for the
+    key wins, old rows for that key vanish). Identical plan shape to
+    upsert — the semantic difference is that ``incoming`` may carry
+    multiple rows per key and target rows are deleted even when the
+    batch has fewer rows. On Delta this is ``replaceWhere``/MERGE
+    with DELETE; at scale, partition the target by key-bucket so the
+    overwrite touches only affected partitions.
+    """
+    untouched = target.join(incoming.select(key).distinct(), key, "left_anti")
+    return incoming.unionByName(untouched)
+
+
+def split_update_insert(
+    batch: DataFrame, target: DataFrame, key: str
+) -> tuple[DataFrame, DataFrame]:
+    """P5/J2/J3: partition a batch into (updates, inserts) by target
+    key existence (``etlService.js:60-67``)."""
+    existing_keys = target.select(key).distinct()
+    updates = batch.join(F.broadcast(existing_keys), key, "left_semi")
+    inserts = batch.join(F.broadcast(existing_keys), key, "left_anti")
+    return updates, inserts
+
+
+def union_paths(updates: DataFrame, inserts: DataFrame, path_col: str = "path") -> DataFrame:
+    """E1: recombine the two write paths, tagged by provenance
+    (``etlService.js:66-74``). ``unionByName`` keeps the plan
+    column-order-safe."""
+    return updates.withColumn(path_col, F.lit("update")).unionByName(
+        inserts.withColumn(path_col, F.lit("insert"))
+    )

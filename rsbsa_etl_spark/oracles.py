@@ -1,0 +1,556 @@
+"""DuckDB oracle SQL for every oracle-checkable query in
+``registry.QUERIES``.
+
+Built from the same ``params`` constants as the Spark queries so the
+two sides cannot drift. Portability rules mirrored here:
+
+- fixed-point rounding is ``CAST(CAST(x AS DECIMAL(18,n)) AS DOUBLE)``
+  (see ``functions/numeric.py`` for why not ``round()``);
+- epoch seconds are ``epoch_ms(ts) // 1000`` (truncating, matching
+  Spark ``unix_seconds``);
+- DuckDB ``regexp_replace`` needs the ``'g'`` flag to match Spark's
+  global-by-default semantics;
+- DuckDB replacement backrefs are ``\\1`` where Spark uses ``$1``;
+- md5() of a VARCHAR hashes its UTF-8 bytes in both engines.
+
+Keys absent from this dict (``stream_tail``, ``multimodal_features``)
+are intentionally rows-only: custom streaming / Arrow-batched UDF
+paths that ANSI SQL cannot express; pytest covers their values.
+"""
+
+from __future__ import annotations
+
+from rsbsa_etl_spark import params as P
+from rsbsa_etl_spark.functions.numeric import sql_round, sql_sum_fixed
+from rsbsa_etl_spark.params import sql_in_list
+
+# ---------------------------------------------------------- shared fragments
+
+#: normalized text (lower + collapse whitespace) — mirrors
+#: ``dedup.normalized_text``
+NORM = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+
+#: whitespace tokens of normalized text
+TOKS = f"string_split({NORM}, ' ')"
+
+_K = P.SHINGLE_K
+
+#: distinct k-word shingles — mirrors ``dedup.shingles_col``
+SHINGLES_CTE = f"""
+toks AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(
+           CASE WHEN len(toks) >= {_K}
+                THEN list_transform(range(1, len(toks) - {_K} + 2),
+                                    i -> array_to_string(toks[i:i+{_K - 1}], ' '))
+                ELSE [array_to_string(toks, ' ')] END) AS shingles
+  FROM toks
+)"""
+
+
+def _dec(expr: str, scale: int) -> str:
+    """portable round-half-up — mirrors ``numeric.dec_round``."""
+    return sql_round(expr, scale)
+
+
+def _minhash_sql() -> str:
+    """md5-minhash signature + banding + candidate pairs — the exact
+    construction of ``dedup.minhash_signature``/``minhash_bands``."""
+    sig_items = ", ".join(
+        f"list_min(list_transform(shingles, s -> md5('{p}|' || s)))"
+        for p in range(P.MINHASH_PERMS)
+    )
+    rows = P.MINHASH_PERMS // P.MINHASH_BANDS
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({parts}) AS band_hash FROM sig".format(
+            b=b,
+            parts=" || '|' || ".join(
+                f"sig[{b * rows + r + 1}]" for r in range(rows)
+            ),
+        )
+        for b in range(P.MINHASH_BANDS)
+    )
+    return f"""
+WITH {SHINGLES_CTE},
+sig AS (SELECT doc_id, [{sig_items}] AS sig FROM sh),
+bands AS ({band_selects})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+"""
+
+
+def _simhash_sql(bits: int = P.SIMHASH_BITS) -> str:
+    """simhash votes — the exact construction of
+    ``dedup.simhash_signature`` (hex-char probe + integer bit math)."""
+    votes = []
+    for j in range(bits):
+        power = 2 ** (3 - j % 4)
+        votes.append(
+            f"CAST(sum((((strpos('0123456789abcdef', substr(h, {1 + j // 4}, 1)) - 1)"
+            f" // {power}) % 2) * 2 - 1) AS BIGINT) AS v{j}"
+        )
+    sim_terms = " + ".join(
+        f"CASE WHEN v{j} > 0 THEN {1 << (bits - 1 - j)} ELSE 0 END"
+        for j in range(bits)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+tok AS (SELECT doc_id, md5(unnest(list_distinct(toks))) AS h FROM toks),
+votes AS (SELECT doc_id, {", ".join(votes)} FROM tok GROUP BY doc_id),
+sig AS (SELECT doc_id, CAST({sim_terms} AS BIGINT) AS simhash FROM votes)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {P.SIMHASH_MAX_HAMMING}
+"""
+
+
+#: embedding vectors as double + L2 norm — mirrors ``similarity.with_norm``
+_EMB_CTE = """
+e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)"""
+
+_DOT = "list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))"
+
+
+def _ann_sql(bucketed: bool) -> str:
+    qids = sql_in_list(P.ANN_QUERY_IDS)
+    bucket_expr = " + ".join(
+        f"CASE WHEN embedding[{i + 1}] > 0 THEN {1 << i} ELSE 0 END"
+        for i in range(P.LSH_SIGN_DIMS)
+    )
+    bucket_cte = (
+        f",\nbk AS (SELECT vec_id, CAST({bucket_expr} AS INT) AS bucket FROM embeddings)"
+        if bucketed
+        else ""
+    )
+    joins = (
+        "JOIN bk ba ON ba.vec_id = a.vec_id JOIN bk bb ON bb.vec_id = b.vec_id"
+        "\n       AND ba.bucket = bb.bucket"
+        if bucketed
+        else ""
+    )
+    sim6 = _dec(f"{_DOT} / (a.nrm * b.nrm)", 6)
+    return f"""
+WITH {_EMB_CTE.strip()}{bucket_cte},
+scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {sim6} AS cosine
+  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+  {joins}
+  WHERE a.vec_id IN ({qids})
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, {_dec("cosine", 4)} AS cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {P.ANN_TOP_K}
+"""
+
+
+# --------------------------------------------------------------- the oracle
+
+LINEITEM_COLS = (
+    "l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, "
+    "l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus"
+)
+
+ORACLES: dict[str, str] = {}
+
+ORACLES["scan_filter_in"] = f"""
+SELECT {LINEITEM_COLS}, epoch_ms(l_shipdate) // 1000 AS l_shipdate
+FROM lineitem WHERE l_orderkey IN ({sql_in_list(P.ORDER_KEYS)})
+"""
+
+ORACLES["scan_project"] = f"""
+SELECT l_orderkey, l_extendedprice
+FROM lineitem WHERE l_orderkey IN ({sql_in_list(P.ORDER_KEYS)})
+"""
+
+ORACLES["scan_incremental"] = f"""
+SELECT event_id, user_id, event_type, value
+FROM events WHERE event_id > {P.WATERMARK_EVENT_ID}
+"""
+
+ORACLES["agg_count_filtered"] = """
+SELECT count(*) AS n_records FROM events
+WHERE nullif(event_type, 'error') IS NOT NULL AND user_id IS NOT NULL
+"""
+
+ORACLES["filter_notnull"] = """
+SELECT event_id,
+       nullif(event_type, 'error') AS maybe_type,
+       CASE WHEN value > 5.0 THEN value END AS maybe_value
+FROM events
+WHERE nullif(event_type, 'error') IS NOT NULL
+  AND (CASE WHEN value > 5.0 THEN value END) IS NOT NULL
+"""
+
+ORACLES["filter_split_valid"] = """
+SELECT CASE WHEN event_type <> 'error' AND value > 1.0
+            THEN 'valid' ELSE 'invalid' END AS validity,
+       count(*) AS n_records
+FROM events GROUP BY 1
+"""
+
+_HVO = (
+    f"SELECT o_custkey FROM orders WHERE o_totalprice > {P.TARGET_PRICE_MIN}"
+    f" AND o_orderstatus = '{P.TARGET_STATUS}'"
+)
+
+ORACLES["join_semi"] = f"""
+SELECT c_custkey, c_name FROM customer WHERE c_custkey IN ({_HVO})
+"""
+
+ORACLES["join_anti"] = f"""
+SELECT c_custkey, c_name FROM customer WHERE c_custkey NOT IN ({_HVO})
+"""
+
+ORACLES["join_bridge_2step"] = f"""
+SELECT DISTINCT o.o_orderkey, l.l_partkey AS p_partkey, p.p_name
+FROM orders o
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE o.o_custkey IN ({sql_in_list(P.CUST_KEYS)})
+"""
+
+ORACLES["join_dependent"] = f"""
+SELECT p_partkey, p_name, p_retailprice FROM part
+WHERE p_partkey IN (SELECT DISTINCT l_partkey FROM lineitem
+                    WHERE l_orderkey IN ({sql_in_list(P.ORDER_KEYS)}))
+"""
+
+ORACLES["groupby_collect"] = """
+SELECT event_type, user_id, count(*) AS n_records
+FROM events GROUP BY 1, 2
+"""
+
+ORACLES["distinct_keys"] = f"""
+SELECT DISTINCT o_custkey FROM orders
+WHERE o_totalprice > {P.TARGET_PRICE_MIN} AND o_orderstatus = '{P.TARGET_STATUS}'
+"""
+
+ORACLES["agg_sum_groups"] = f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_sum_fixed("l_quantity", 2)} AS sum_qty,
+       {sql_sum_fixed("l_extendedprice", 2)} AS sum_base_price,
+       {sql_sum_fixed("l_extendedprice * (1 - l_discount)", 6)} AS sum_disc_price,
+       {_dec(f'({sql_sum_fixed("l_quantity", 2)}) / count(*)', 4)} AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY 1, 2
+"""
+
+ORACLES["sort_order"] = """
+SELECT event_id, epoch_ms(ts) AS ts_ms FROM events ORDER BY event_id
+"""
+
+ORACLES["limit_offset"] = f"""
+SELECT event_id, event_type FROM events
+ORDER BY event_id LIMIT {P.PAGE_SIZE} OFFSET {P.PAGE_OFFSET}
+"""
+
+ORACLES["topk_recent"] = f"""
+SELECT event_id, epoch_ms(ts) AS ts_ms, event_type FROM events
+ORDER BY ts DESC, event_id DESC LIMIT {P.TOPK_N}
+"""
+
+ORACLES["union_paths"] = f"""
+SELECT c_custkey, c_name, 'update' AS path FROM customer
+WHERE c_custkey IN ({_HVO})
+UNION ALL
+SELECT c_custkey, c_name, 'insert' AS path FROM customer
+WHERE c_custkey NOT IN ({_HVO})
+"""
+
+ORACLES["upsert_merge"] = f"""
+WITH target AS (
+  SELECT o_orderkey, {_dec("o_totalprice", 2)} AS o_totalprice
+  FROM orders
+  WHERE o_totalprice > {P.TARGET_PRICE_MIN} AND o_orderstatus = '{P.TARGET_STATUS}'
+),
+updates AS (
+  SELECT o_orderkey, {_dec("o_totalprice * 1.1", 2)} AS o_totalprice
+  FROM orders WHERE o_orderkey % {P.UPSERT_KEY_MOD} = 0
+)
+SELECT * FROM updates
+UNION ALL
+SELECT t.* FROM target t
+WHERE t.o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+"""
+
+ORACLES["overwrite_by_key"] = f"""
+WITH target AS (
+  SELECT l_orderkey, l_linenumber, {_dec("l_quantity", 2)} AS l_quantity
+  FROM lineitem WHERE l_orderkey < 1000
+),
+incoming AS (
+  SELECT l_orderkey, l_linenumber, {_dec("l_quantity + 100", 2)} AS l_quantity
+  FROM lineitem
+  WHERE l_orderkey IN ({sql_in_list(P.ORDER_KEYS)}) AND l_linenumber <= 2
+)
+SELECT * FROM incoming
+UNION ALL
+SELECT t.* FROM target t
+WHERE t.l_orderkey NOT IN (SELECT DISTINCT l_orderkey FROM incoming)
+"""
+
+ORACLES["string_upper_multi"] = """
+SELECT c_custkey, upper(c_name) AS c_name, upper(c_mktsegment) AS c_mktsegment
+FROM customer
+"""
+
+ORACLES["string_concat_split"] = """
+SELECT event_id,
+       event_type || ':' || CAST(user_id AS VARCHAR) AS composite_key,
+       split_part(event_type || ':' || CAST(user_id AS VARCHAR), ':', 2) AS key_part
+FROM events
+"""
+
+ORACLES["cond_coalesce"] = """
+SELECT event_id,
+       coalesce(nullif(event_type, 'error'), 'unknown') AS type_nz,
+       CASE WHEN value > 50.0 THEN 'high' ELSE 'low' END AS band
+FROM events
+"""
+
+ORACLES["ts_format_tz"] = """
+SELECT event_id,
+       strftime(ts + INTERVAL 8 HOUR, '%Y-%m-%dT%H:%M:%S') AS ts_manila
+FROM events
+"""
+
+ORACLES["math_duration"] = """
+WITH s AS (
+  SELECT user_id, epoch_ms(max(ts)) - epoch_ms(min(ts)) AS duration_ms
+  FROM events GROUP BY user_id
+)
+SELECT user_id, duration_ms,
+       printf('%dh %dm %ds',
+              duration_ms // 3600000,
+              (duration_ms % 3600000) // 60000,
+              (duration_ms % 60000) // 1000) AS duration_hms
+FROM s
+"""
+
+ORACLES["text_parse_log"] = r"""
+WITH lines AS (
+  SELECT CASE
+           WHEN event_id % 101 = 0 THEN ''
+           WHEN event_id % 50 = 0 THEN event_type
+           ELSE '[' || strftime(ts, '%Y-%m-%d %H:%M:%S') || '] ' || event_type
+         END AS line
+  FROM events
+)
+SELECT coalesce(nullif(regexp_extract(line, '^\[([^\]]*)\]', 1), ''), '__missing__')
+         AS ts_raw,
+       trim(regexp_replace(line, '^\[([^\]]*)\]', '')) AS message
+FROM lines WHERE length(trim(line)) > 0
+"""
+
+ORACLES["json_roundtrip"] = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+       CAST(to_json({'event_id': event_id, 'event_type': event_type}) AS VARCHAR) AS j
+FROM events
+"""
+
+ORACLES["window_tumbling"] = f"""
+SELECT epoch_ms(time_bucket(INTERVAL 1 HOUR, ts)) // 1000 AS window_start,
+       event_type,
+       count(*) AS n_events,
+       {sql_sum_fixed("value", 2)} AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+ORACLES["window_sliding"] = """
+WITH starts AS (
+  SELECT event_type, unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+                             time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE])
+           AS window_start
+  FROM events
+)
+SELECT epoch_ms(window_start) // 1000 AS window_start, event_type,
+       count(*) AS n_events
+FROM starts GROUP BY 1, 2
+"""
+
+ORACLES["window_session"] = f"""
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_ms(ts) // 1000 - epoch_ms(lag(ts) OVER w) // 1000
+                   > {P.SESSION_GAP_S}
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM g
+)
+SELECT user_id, session_seq,
+       min(epoch_ms(ts) // 1000) AS session_start,
+       max(epoch_ms(ts) // 1000) AS session_end,
+       count(*) AS n_events
+FROM s GROUP BY 1, 2
+"""
+
+ORACLES["dedup_exact"] = f"""
+SELECT md5({NORM}) AS fingerprint,
+       min(doc_id) AS keep_doc_id,
+       count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+ORACLES["dedup_minhash"] = _minhash_sql()
+
+ORACLES["dedup_simhash"] = _simhash_sql()
+
+ORACLES["dedup_ngram_jaccard"] = f"""
+WITH {SHINGLES_CTE},
+exploded AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM exploded a JOIN exploded b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       {_dec("n_inter / (sa.sz + sb.sz - n_inter)", 4)} AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_inter / (sa.sz + sb.sz - n_inter) >= {P.JACCARD_THRESHOLD}
+"""
+
+ORACLES["dedup_embedding"] = f"""
+WITH {_EMB_CTE.strip()},
+p AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         {_dec(f"{_DOT} / (a.nrm * b.nrm)", 4)} AS cosine
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, cosine FROM p WHERE cosine >= {P.COSINE_THRESHOLD}
+"""
+
+ORACLES["ann_bruteforce"] = _ann_sql(bucketed=False)
+
+ORACLES["ann_lsh"] = _ann_sql(bucketed=True)
+
+
+def _occ(hay: str, needle: str) -> str:
+    n = needle.replace("'", "''")
+    return (
+        f"CAST((length({hay}) - length(replace({hay}, '{n}', ''))) // {len(needle)}"
+        " AS BIGINT)"
+    )
+
+
+def _lang_sql() -> str:
+    from rsbsa_etl_spark.functions.textstats import LANG_MARKERS
+
+    pad = f"' ' || {NORM} || ' '"
+    scores = {
+        lang: " + ".join(_occ("p", f" {m} ") for m in markers)
+        for lang, markers in LANG_MARKERS.items()
+    }
+    score_cols = ", ".join(f"{expr} AS score_{lang}" for lang, expr in scores.items())
+    langs = list(LANG_MARKERS)
+    mx = f"greatest({', '.join(f'score_{lang}' for lang in langs)})"
+    case = " ".join(
+        f"WHEN score_{lang} = mx AND mx > 0 THEN '{lang}'" for lang in langs
+    )
+    return f"""
+WITH padded AS (SELECT doc_id, {pad} AS p FROM documents),
+scores AS (SELECT doc_id, {score_cols} FROM padded),
+m AS (SELECT *, {mx} AS mx FROM scores)
+SELECT doc_id, {', '.join(f'score_{lang}' for lang in langs)},
+       CASE {case} ELSE 'und' END AS lang_pred
+FROM m
+"""
+
+
+ORACLES["lang_id"] = _lang_sql()
+
+
+def _quality_sql() -> str:
+    from rsbsa_etl_spark.functions.textstats import STOPWORDS
+
+    stop_hits = " + ".join(_occ("p", f" {w} ") for w in STOPWORDS)
+    return rf"""
+WITH base AS (
+  SELECT doc_id, {NORM} AS t, ' ' || {NORM} || ' ' AS p FROM documents
+),
+feat AS (
+  SELECT doc_id,
+         CAST(length(t) AS BIGINT) AS n_chars_norm,
+         CAST(len(string_split(t, ' ')) AS BIGINT) AS n_tokens,
+         {stop_hits} AS stop_hits,
+         CAST(length(t) - length(regexp_replace(t, '[^\w\s]', '', 'g')) AS BIGINT)
+           AS n_punct,
+         CAST(length(t) - length(regexp_replace(t, '[0-9]', '', 'g')) AS BIGINT)
+           AS n_digit,
+         CAST(length(replace(t, ' ', '')) AS BIGINT) AS alpha_len
+  FROM base
+),
+r AS (
+  SELECT doc_id, n_chars_norm, n_tokens,
+         {_dec("stop_hits / n_tokens", 4)} AS stop_ratio,
+         {_dec("n_punct / greatest(n_chars_norm, 1)", 4)} AS punct_ratio,
+         {_dec("n_digit / greatest(n_chars_norm, 1)", 4)} AS digit_ratio,
+         {_dec("alpha_len / n_tokens", 4)} AS mean_tok_len
+  FROM feat
+)
+SELECT doc_id, n_chars_norm, n_tokens, stop_ratio, punct_ratio, digit_ratio,
+       mean_tok_len,
+       {_dec(
+           "(CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 0.25 ELSE 0.0 END"
+           " + CASE WHEN mean_tok_len >= 3 AND mean_tok_len <= 12 THEN 0.25 ELSE 0.0 END"
+           " + CASE WHEN stop_ratio >= 0.05 THEN 0.25 ELSE 0.0 END"
+           " + CASE WHEN punct_ratio <= 0.2 THEN 0.25 ELSE 0.0 END)", 2)} AS quality
+FROM r
+"""
+
+
+ORACLES["quality_score"] = _quality_sql()
+
+ORACLES["token_count"] = rf"""
+WITH base AS (SELECT doc_id, {NORM} AS t FROM documents),
+pieces AS (
+  SELECT doc_id, t,
+         trim(regexp_replace(
+           regexp_replace(t, '([0-9]+|[^\w\s])', ' \1 ', 'g'),
+           '\s+', ' ', 'g')) AS pc
+  FROM base
+)
+SELECT doc_id,
+       CAST(len(string_split(t, ' ')) AS BIGINT) AS ws_tokens,
+       CAST(len(string_split(pc, ' ')) AS BIGINT) AS pieces,
+       CAST(list_sum(list_transform(string_split(pc, ' '),
+                                    s -> CAST(ceil(length(s) / 4.0) AS BIGINT)))
+            AS BIGINT) AS bpe_est
+FROM pieces
+"""
+
+ORACLES["doc_fingerprint"] = f"""
+SELECT doc_id,
+       md5({NORM}) AS content_md5,
+       md5(array_to_string(list_sort(list_distinct({TOKS})), ' ')) AS bag_md5
+FROM documents
+"""
+
+ORACLES["multimodal_meta"] = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       md5(text) AS checksum
+FROM documents
+"""

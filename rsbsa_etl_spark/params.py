@@ -1,0 +1,68 @@
+"""Shared, deterministic query parameters.
+
+Both the PySpark queries and the DuckDB oracle SQL strings are built
+from these constants, so the two sides can never drift. Keys are
+chosen to exist at every fixture scale factor (keys are dense,
+0-based at all SFs — verified in TESTDATA).
+"""
+
+from __future__ import annotations
+
+#: IN-list of order keys for keyed scans (S1/P3) — mirrors the
+#: reference's driver-collected key-list pattern
+#: (``services/etlService.js:29,35``: ``WHERE rsbsa_no IN (?)``).
+ORDER_KEYS = tuple(range(10, 910, 9))  # 100 keys, present at sf0.001+
+
+#: customer keys driving the bridge two-step join (J1).
+CUST_KEYS = tuple(range(5, 505, 5))  # 100 keys
+
+#: change-log watermark analog: process events with event_id > this
+#: (``log_id > last_watermark``, SURVEY §3.1). Half the sf0.001
+#: events table, so the incremental scan is non-trivial at every SF.
+WATERMARK_EVENT_ID = 500
+
+#: pagination window (O2): page 3 of 100 rows, ordered by event_id.
+PAGE_SIZE = 100
+PAGE_OFFSET = 200
+
+#: top-k recency (O3): last N events, newest first (``index.js:237``).
+TOPK_N = 100
+
+#: orders subset treated as the "existing target" for semi/anti/upsert
+#: (K2/K3): high-value finished orders. The conjunction makes ~30% of
+#: customers "existing" — both semi and anti sides are non-trivial at
+#: every SF (verified: 45/105 at sf0.001, 416/1084 at sf0.01).
+TARGET_PRICE_MIN = 450_000.0
+TARGET_STATUS = "F"
+
+#: updates side for upsert: even order keys (deterministic).
+UPSERT_KEY_MOD = 2
+
+#: session gap for sessionization (extension surface), seconds.
+SESSION_GAP_S = 1_800
+
+#: near-dup thresholds. Cosine: fixture embeddings are near-uniform
+#: (max pairwise sim ≈ 0.51), so the near-dup bar sits at the top of
+#: the observed distribution. SimHash: the word-soup corpus shares
+#: one small vocabulary, so token-set signatures are genuinely close;
+#: 32 bits + Hamming ≤ 2 keeps the pair set selective (~9 k pairs).
+JACCARD_THRESHOLD = 0.6
+COSINE_THRESHOLD = 0.42
+SIMHASH_BITS = 32
+SIMHASH_MAX_HAMMING = 2
+
+#: MinHash parameters (portable md5-based construction — same
+#: algorithm expressible in DuckDB SQL for the oracle).
+MINHASH_PERMS = 16
+MINHASH_BANDS = 4  # 4 rows per band
+SHINGLE_K = 3  # word shingles
+
+#: ANN parameters
+ANN_QUERY_IDS = (0, 1, 2, 3, 4)
+ANN_TOP_K = 10
+LSH_SIGN_DIMS = 6  # sign-LSH on first N dimensions → 2^N buckets
+
+
+def sql_in_list(values) -> str:
+    """Render an IN-list for oracle SQL."""
+    return ", ".join(str(v) for v in values)

@@ -1,0 +1,511 @@
+"""The driver contract: named queries, one per implemented operator
+(SURVEY.md §2 keys + extension surface).
+
+Every function takes ``(spark, sf_dir)`` and returns a DataFrame;
+``oracles.ORACLES`` holds the matching DuckDB SQL built from the same
+``params`` constants. Output discipline (SURVEY §7.3.4/§7.3.7):
+
+- no raw timestamp columns — epochs (bigint) or formatted strings;
+- money/double aggregates go through DECIMAL and come back as
+  double, identically in the oracle;
+- every computed column aliased the same on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from rsbsa_etl_spark import params as P
+from rsbsa_etl_spark.functions import dedup, multimodal, similarity, textstats
+from rsbsa_etl_spark.functions.numeric import dec_round, fixed_sum
+from rsbsa_etl_spark.functions.strings import apply_table_rules
+from rsbsa_etl_spark.functions.temporal import duration_hms, format_manila
+from rsbsa_etl_spark.functions.textparse import parse_log_lines, render_log_lines
+from rsbsa_etl_spark.operators import aggregates, filters, joins, scans, sorts, sync
+from rsbsa_etl_spark.operators.aggregates import decimal_sum
+from rsbsa_etl_spark.sources.fixtures import load
+from rsbsa_etl_spark.streaming import windows as win
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# --------------------------------------------------------------------- scans
+
+
+def scan_filter_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: keyed full-row scan of lineitem (IN-list pushed to parquet)."""
+    df = scans.keyed_scan(load(spark, sf_dir, "lineitem"), "l_orderkey", P.ORDER_KEYS)
+    return df.withColumn("l_shipdate", F.unix_seconds("l_shipdate"))
+
+
+def scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/P1: projected keyed scan — only two column chunks read."""
+    return scans.projected_scan(
+        load(spark, sf_dir, "lineitem"),
+        ["l_orderkey", "l_extendedprice"],
+        "l_orderkey",
+        P.ORDER_KEYS,
+    )
+
+
+def scan_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/T2: watermark scan of the change-log analog (events)."""
+    df = scans.incremental_scan(
+        load(spark, sf_dir, "events"), "event_id", P.WATERMARK_EVENT_ID
+    )
+    return df.select("event_id", "user_id", "event_type", "value")
+
+
+def agg_count_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4/A1: filtered COUNT(*). Null-ness synthesized via nullif so
+    the predicate actually rejects rows (fixture has no NULLs)."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "maybe_type", F.nullif("event_type", F.lit("error"))
+    )
+    return scans.count_scan(ev, "maybe_type", "user_id")
+
+
+# ------------------------------------------------------------------- filters
+
+
+def filter_notnull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: not-null conjunction over synthesized-null columns."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .withColumn("maybe_type", F.nullif("event_type", F.lit("error")))
+        .withColumn("maybe_value", F.when(F.col("value") > 5.0, F.col("value")))
+    )
+    return filters.not_null_filter(ev, "maybe_type", "maybe_value").select(
+        "event_id", "maybe_type", "maybe_value"
+    )
+
+
+def filter_split_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: validity routing as a tagged single plan + per-side counts
+    (the processed/skipped accounting of ``etlService.js:604-607``)."""
+    ev = load(spark, sf_dir, "events")
+    cond = (F.col("event_type") != F.lit("error")) & (F.col("value") > 1.0)
+    tagged = filters.validity_tag(ev, cond)
+    return tagged.groupBy("validity").agg(F.count("*").alias("n_records"))
+
+
+# --------------------------------------------------------------------- joins
+
+
+def _high_value_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "orders").where(
+        (F.col("o_totalprice") > P.TARGET_PRICE_MIN)
+        & (F.col("o_orderstatus") == P.TARGET_STATUS)
+    )
+
+
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: customers with ≥1 high-value order (the 'updates' side)."""
+    cust = load(spark, sf_dir, "customer")
+    keys = _high_value_orders(spark, sf_dir).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return joins.semi_join(cust, keys, "c_custkey").select("c_custkey", "c_name")
+
+
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: customers with none (the 'inserts' side)."""
+    cust = load(spark, sf_dir, "customer")
+    keys = _high_value_orders(spark, sf_dir).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return joins.anti_join(cust, keys, "c_custkey").select("c_custkey", "c_name")
+
+
+def join_bridge_2step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: customer-keys → orders → lineitem(bridge) → part, as one
+    declared 3-way join (vs the reference's two SQL round-trips)."""
+    orders = scans.keyed_scan(
+        load(spark, sf_dir, "orders"), "o_custkey", P.CUST_KEYS
+    ).select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), F.col("l_partkey").alias("p_partkey")
+    )
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_name")
+    return (
+        joins.bridge_join(orders, li, part, "o_orderkey", "p_partkey")
+        .select("o_orderkey", "p_partkey", "p_name")
+        .distinct()
+    )
+
+
+def join_dependent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: distinct referenced keys from a loaded bridge batch →
+    fetch dim rows (``etlService.js:642-654``)."""
+    li = scans.keyed_scan(load(spark, sf_dir, "lineitem"), "l_orderkey", P.ORDER_KEYS)
+    bridge = li.select(F.col("l_partkey").alias("p_partkey"))
+    part = load(spark, sf_dir, "part")
+    return joins.dependent_join(bridge, part, "p_partkey").select(
+        "p_partkey", "p_name", "p_retailprice"
+    )
+
+
+# ---------------------------------------------------------------- aggregates
+
+
+def groupby_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/J5: the nested {table→{key→records}} build as a hash agg."""
+    return aggregates.grouped_counts(
+        load(spark, sf_dir, "events"), "event_type", "user_id"
+    )
+
+
+def distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: Set-dedup of keys."""
+    return aggregates.distinct_keys(
+        _high_value_orders(spark, sf_dir), "o_custkey"
+    )
+
+
+def agg_sum_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 + flagship (TPC-H-Q1-shaped pricing summary): two-key hash
+    agg with decimal-exact sums; partial aggregation means the
+    shuffle carries 6 groups, not 600 k rows."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            decimal_sum("l_quantity", 2, "sum_qty"),
+            decimal_sum("l_extendedprice", 2, "sum_base_price"),
+            fixed_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                6,
+                "sum_disc_price",
+            ),
+            dec_round(
+                fixed_sum(F.col("l_quantity"), 2) / F.count("*"), 4
+            ).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# ------------------------------------------------------------- sorts / pages
+
+
+def sort_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1: total order by unique key."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", F.unix_millis("ts").alias("ts_ms")
+    )
+    return sorts.ordered(ev, "event_id")
+
+
+def limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2: deterministic page under total order (row_number)."""
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type")
+    return sorts.page(ev, "event_id", P.PAGE_OFFSET, P.PAGE_SIZE)
+
+
+def topk_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3: tail-N newest first → TakeOrderedAndProject, no global sort."""
+    ev = load(spark, sf_dir, "events")
+    out = sorts.top_k_recent(ev, "ts", "event_id", P.TOPK_N)
+    return out.select("event_id", F.unix_millis("ts").alias("ts_ms"), "event_type")
+
+
+# ------------------------------------------------------------------ set ops
+
+
+def union_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1/P5: update/insert split + tagged recombination."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    target = _high_value_orders(spark, sf_dir).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    updates, inserts = sync.split_update_insert(cust, target, "c_custkey")
+    return sync.union_paths(updates, inserts)
+
+
+# -------------------------------------------------------------- write paths
+
+
+def upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2: last-write-wins merge — updates (even keys, +10% price)
+    over the high-value target set."""
+    orders = load(spark, sf_dir, "orders")
+    target = _high_value_orders(spark, sf_dir).select(
+        "o_orderkey", dec_round(F.col("o_totalprice"), 2).alias("o_totalprice")
+    )
+    updates = (
+        orders.where(F.col("o_orderkey") % P.UPSERT_KEY_MOD == 0)
+        .select(
+            "o_orderkey",
+            dec_round(F.col("o_totalprice") * 1.1, 2).alias("o_totalprice"),
+        )
+    )
+    return sync.upsert_merge(target, updates, "o_orderkey")
+
+
+def overwrite_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3: delete-then-insert per key on a one-to-many table — the
+    incoming batch carries fewer rows per key (linenumber ≤ 2), so
+    surviving row-count per key actually shrinks (real delete)."""
+    li = load(spark, sf_dir, "lineitem")
+    target = li.where(F.col("l_orderkey") < 1000).select(
+        "l_orderkey", "l_linenumber", dec_round(F.col("l_quantity"), 2).alias("l_quantity")
+    )
+    incoming = (
+        li.where(F.col("l_orderkey").isin(list(P.ORDER_KEYS)))
+        .where(F.col("l_linenumber") <= 2)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            dec_round(F.col("l_quantity") + 100, 2).alias("l_quantity"),
+        )
+    )
+    return sync.overwrite_by_key(target, incoming, "l_orderkey")
+
+
+# ------------------------------------------------------------------ scalars
+
+
+def string_upper_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2: per-table uppercase rule application."""
+    cust = load(spark, sf_dir, "customer")
+    return apply_table_rules(cust, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+def string_concat_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8: composite key build + split (`${table}:${key}`)."""
+    ev = load(spark, sf_dir, "events")
+    ck = F.concat_ws(":", F.col("event_type"), F.col("user_id"))
+    return ev.select(
+        "event_id",
+        ck.alias("composite_key"),
+        F.split(ck, ":").getItem(1).alias("key_part"),
+    )
+
+
+def cond_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9: coalesce defaulting + conditional banding."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.coalesce(F.nullif("event_type", F.lit("error")), F.lit("unknown")).alias(
+            "type_nz"
+        ),
+        F.when(F.col("value") > 50.0, F.lit("high")).otherwise(F.lit("low")).alias(
+            "band"
+        ),
+    )
+
+
+def ts_format_tz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4: Asia/Manila rendering at the output edge (session stays UTC)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select("event_id", format_manila(F.col("ts")).alias("ts_manila"))
+
+
+def math_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5/F10: per-user activity span, decomposed h/m/s."""
+    ev = load(spark, sf_dir, "events")
+    span = ev.groupBy("user_id").agg(
+        (F.unix_millis(F.max("ts")) - F.unix_millis(F.min("ts"))).alias("duration_ms")
+    )
+    return span.select(
+        "user_id", "duration_ms", duration_hms(F.col("duration_ms")).alias("duration_hms")
+    )
+
+
+def text_parse_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7/F6/P6: render events as reference-format log lines (with
+    malformed + blank lines injected), then parse back."""
+    ev = load(spark, sf_dir, "events")
+    line = (
+        F.when(F.col("event_id") % 101 == 0, F.lit(""))  # blank → filtered (P6)
+        .when(F.col("event_id") % 50 == 0, F.col("event_type"))  # malformed (F9)
+        .otherwise(
+            F.concat(
+                F.lit("["),
+                F.date_format("ts", "yyyy-MM-dd HH:mm:ss"),
+                F.lit("] "),
+                F.col("event_type"),
+            )
+        )
+    )
+    lines = ev.select(line.alias("value"))
+    return parse_log_lines(lines)
+
+
+def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11: parse the props JSON column + serialize a struct back."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_val"),
+        F.to_json(F.struct(F.col("event_id"), F.col("event_type"))).alias("j"),
+    )
+
+
+# ------------------------------------------------------- event-time windows
+
+
+def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return win.tumbling_counts(load(spark, sf_dir, "events"))
+
+
+def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return win.sliding_counts(load(spark, sf_dir, "events"))
+
+
+def window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return win.sessionize(load(spark, sf_dir, "events"), P.SESSION_GAP_S)
+
+
+# ----------------------------------------------------------------- dedup ops
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(load(spark, sf_dir, "documents"))
+
+
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_candidate_pairs(load(spark, sf_dir, "documents"))
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_pairs(load(spark, sf_dir, "documents"))
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(load(spark, sf_dir, "documents"))
+
+
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cosine_pairs(load(spark, sf_dir, "embeddings"))
+
+
+# ------------------------------------------------------------------ ANN ops
+
+
+def ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.brute_force_topk(load(spark, sf_dir, "embeddings"))
+
+
+def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.lsh_topk(load(spark, sf_dir, "embeddings"))
+
+
+# ------------------------------------------------------------ text analysis
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.lang_id(load(spark, sf_dir, "documents"))
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.quality_score(load(spark, sf_dir, "documents"))
+
+
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.token_counts(load(spark, sf_dir, "documents"))
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.fingerprint(load(spark, sf_dir, "documents"))
+
+
+# -------------------------------------------------------------- multimodal
+
+
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.multimodal_meta(load(spark, sf_dir, "documents"))
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only: Arrow-batched stub decode over binary payloads —
+    feature vector correctness is pinned by pytest golden values."""
+    frames = multimodal.attach_binary(load(spark, sf_dir, "documents"))
+    feats = multimodal.extract_features(frames)
+    return feats.select(
+        "doc_id",
+        "byte_len",
+        "content_md5",
+        dec_round(
+            F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 4
+        ).alias("feature_sum"),
+    )
+
+
+# --------------------------------------------------------------- streaming
+
+
+def stream_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8/T3: rows-only — drives the real Structured Streaming engine
+    (text file source → parse → AvailableNow → memory sink) over log
+    lines rendered from the events fixture."""
+    import os
+    import tempfile
+
+    from rsbsa_etl_spark.streaming.tail import run_tail_once
+
+    ev = load(spark, sf_dir, "events")
+    lines = render_log_lines(
+        ev.select(
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"), "event_type"
+        ),
+        "ts_s",
+        "event_type",
+    )
+    log_dir = os.path.join(tempfile.mkdtemp(prefix="rsbsa_tail_"), "logs")
+    lines.coalesce(1).write.mode("overwrite").text(log_dir)
+    return run_tail_once(spark, log_dir, query_name="stream_tail_out")
+
+
+# ------------------------------------------------------------------ registry
+
+QUERIES: dict[str, QueryFn] = {
+    "scan_filter_in": scan_filter_in,
+    "scan_project": scan_project,
+    "scan_incremental": scan_incremental,
+    "agg_count_filtered": agg_count_filtered,
+    "filter_notnull": filter_notnull,
+    "filter_split_valid": filter_split_valid,
+    "join_semi": join_semi,
+    "join_anti": join_anti,
+    "join_bridge_2step": join_bridge_2step,
+    "join_dependent": join_dependent,
+    "groupby_collect": groupby_collect,
+    "distinct_keys": distinct_keys,
+    "agg_sum_groups": agg_sum_groups,
+    "sort_order": sort_order,
+    "limit_offset": limit_offset,
+    "topk_recent": topk_recent,
+    "union_paths": union_paths,
+    "upsert_merge": upsert_merge,
+    "overwrite_by_key": overwrite_by_key,
+    "string_upper_multi": string_upper_multi,
+    "string_concat_split": string_concat_split,
+    "cond_coalesce": cond_coalesce,
+    "ts_format_tz": ts_format_tz,
+    "math_duration": math_duration,
+    "text_parse_log": text_parse_log,
+    "json_roundtrip": json_roundtrip,
+    "window_tumbling": window_tumbling,
+    "window_sliding": window_sliding,
+    "window_session": window_session,
+    "dedup_exact": dedup_exact,
+    "dedup_minhash": dedup_minhash,
+    "dedup_simhash": dedup_simhash,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_embedding": dedup_embedding,
+    "ann_bruteforce": ann_bruteforce,
+    "ann_lsh": ann_lsh,
+    "lang_id": lang_id,
+    "quality_score": quality_score,
+    "token_count": token_count,
+    "doc_fingerprint": doc_fingerprint,
+    "multimodal_meta": multimodal_meta,
+    "multimodal_features": multimodal_features,
+    "stream_tail": stream_tail,
+}

@@ -1,0 +1,64 @@
+"""SparkSession factory.
+
+Centralizes the configuration knobs that matter at scale so every
+entry point (tests, bench, driver harness) gets the same tuned
+session:
+
+- AQE on (runtime re-plan: skew joins, dynamic coalescing, runtime
+  broadcast conversion) — replaces all of the reference's hand-tuned
+  batching (``services/etlService.js:14`` batchSize=50000).
+- ``spark.sql.session.timeZone=UTC`` — parquet timestamps are naive;
+  pinning UTC makes Spark and the DuckDB oracle read identical
+  instants (SURVEY §7.3.4).
+- Arrow enabled for any Pandas-UDF path.
+- shuffle partitions sized to cores for local mode; on a real cluster
+  AQE coalescing makes the initial number less critical.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "rsbsa_etl_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for this engine.
+
+    ``cpus`` defaults to ``$SPARK_GRAFT_CPUS`` or all cores; shuffle
+    partitions default to the core count (never the 200 default,
+    which over-parallelizes local runs and tiny fixtures).
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 4)
+
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # fixture events.parquet stores TIMESTAMP(NANOS), which the
+        # parquet reader rejects; read as long ns and convert in the
+        # loader (sources/fixtures.py) — truncation to micros matches
+        # DuckDB's nanos handling.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

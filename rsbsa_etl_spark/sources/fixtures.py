@@ -1,0 +1,71 @@
+"""Parquet fixture readers (the engine's "source database").
+
+The reference extracts with ``SELECT *`` over JDBC
+(``services/etlService.js:29,35,646``) and lets the driver infer
+schemas from the first row (``etlService.js:119,134``). Here every
+table has a *declared* StructType (see ``schemas.py``) and reads go
+through the columnar parquet scanner, so Catalyst gets pushdown +
+pruning for free (SURVEY §4).
+
+At 100 TB the same call shape works: parquet/Delta directories are
+already partition-parallel, scans prune partitions and row groups,
+and the declared schema prevents costly footer-based inference over
+millions of files (``spark.read.schema(...)`` skips inference
+entirely).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from rsbsa_etl_spark.schemas import FIXTURE_SCHEMAS
+
+FIXTURE_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Read one fixture table with its declared schema.
+
+    Declaring the schema (instead of trusting footer inference)
+    pins column types for the oracle comparison and skips schema
+    inference I/O — at cluster scale inference over a large file
+    listing is a real driver-side cost.
+    """
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    schema = FIXTURE_SCHEMAS.get(table)
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.parquet(path)
+    if table == "events":
+        # ts is TIMESTAMP(NANOS) on disk, surfaced as raw ns via
+        # nanosAsLong (session.py). Integer `div` truncation to
+        # micros matches DuckDB's nanos→micros read exactly; a
+        # double division would lose precision (ns epoch ≈ 1.7e18
+        # > 2^53).
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every fixture table (lazy — nothing is scanned yet)."""
+    return {t: load(spark, sf_dir, t) for t in FIXTURE_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all fixture tables as temp views for the SQL API."""
+    for t, df in load_all(spark, sf_dir).items():
+        df.createOrReplaceTempView(t)

@@ -1,0 +1,111 @@
+"""Event-time windowing (extension surface — SURVEY §2.8 notes the
+reference has no event-time semantics; these go beyond parity).
+
+Batch and streaming share the same expressions: ``F.window`` /
+``F.session_window`` group identically over a static or streaming
+DataFrame, so each operator here has a batch form (oracle-checkable
+against DuckDB ``time_bucket``/window SQL) and a streaming form with
+a watermark (tested with AvailableNow in pytest).
+
+Scale notes: tumbling/sliding aggs are partial-aggregated before the
+shuffle; session windows in streaming keep per-key state bounded by
+the watermark. Late data beyond the watermark is dropped — the
+knob a 100 TB stream needs to cap state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from rsbsa_etl_spark.operators.aggregates import decimal_sum
+
+
+def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """tumbling-window count+sum per event_type (batch form)."""
+    return (
+        events.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), decimal_sum("value", 2, "total_value"))
+        .select(
+            F.unix_seconds(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame, width: str = "1 hour", slide: str = "30 minutes"
+) -> DataFrame:
+    """sliding-window counts — each event lands in width/slide
+    windows (duplication happens at the grouping expression, no
+    self-join)."""
+    return (
+        events.groupBy(F.window("ts", width, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.unix_seconds(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def sessionize(events: DataFrame, gap_s: int) -> DataFrame:
+    """batch sessionization: per-user sessions split at inactivity
+    gaps > gap_s (lag + cumulative-sum-of-breaks — the standard
+    window-function formulation, identical in the SQL oracle).
+
+    Output: one row per session with bounds and size. The streaming
+    twin is ``session_window_stream``.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_seconds(F.col("ts")) - F.unix_seconds(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap > gap_s), F.lit(1)).otherwise(F.lit(0))
+    sess = (
+        events.withColumn("_new", new_sess)
+        .withColumn(
+            "session_seq",
+            F.sum("_new").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    return (
+        sess.groupBy("user_id", "session_seq")
+        .agg(
+            F.unix_seconds(F.min("ts")).alias("session_start"),
+            F.unix_seconds(F.max("ts")).alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+        .withColumn("session_seq", F.col("session_seq").cast("long"))
+    )
+
+
+def tumbling_stream(events: DataFrame, width: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """streaming form of ``tumbling_counts``: watermark bounds state
+    and defines late-data drop."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+def session_window_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """streaming sessionization via the native session_window —
+    state per (user, open session), closed by the watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
