@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is materialized with ``df.count()`` after a warm-up of the
+input file listing — we time the engine, not the JVM cold start.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HEADLINE = [
+    # relational core
+    "agg_sum_groups",      # TPC-H-Q1-shaped flagship
+    "join_bridge_2step",   # 3-way join
+    "join_semi",
+    "upsert_merge",        # CDC merge semantics
+    "overwrite_by_key",
+    "window_session",      # sessionization (window functions)
+    "window_tumbling",
+    "topk_recent",
+    # extension surface
+    "dedup_exact",
+    "dedup_minhash",       # LSH candidate generation
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_embedding",
+    "ann_bruteforce",
+    "ann_lsh",
+    "lang_id",
+    "token_count",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    from rsbsa_etl_spark.registry import QUERIES
+    from rsbsa_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="rsbsa_bench")
+
+    # warm-up: JVM + file listing + parquet footers, not query work
+    QUERIES["scan_project"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else None,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

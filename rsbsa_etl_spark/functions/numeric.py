@@ -43,15 +43,21 @@ def fixed_sum(col: Column, scale: int, alias: str | None = None) -> Column:
 
 
 def sql_round(expr: str, scale: int) -> str:
-    """DuckDB mirror of ``dec_round``."""
+    """DuckDB mirror of ``dec_round``.
+
+    The expr is force-cast to DOUBLE: DuckDB parses bare numeric
+    literals as DECIMAL, and DECIMAL×DECIMAL arithmetic both widens
+    differently and can overflow (DECIMAL(18) × 100) — the whole
+    portability contract relies on every op being IEEE-754 double.
+    """
     q = float(10**scale)
-    return f"floor(({expr}) * {q!r} + 0.5) / {q!r}"
+    return f"floor(CAST(({expr}) AS DOUBLE) * {q!r} + 0.5) / {q!r}"
 
 
 def sql_sum_fixed(expr: str, scale: int) -> str:
     """DuckDB mirror of ``fixed_sum``."""
     q = float(10**scale)
     return (
-        f"CAST(sum(CAST(floor(({expr}) * {q!r} + 0.5) AS BIGINT)) AS DOUBLE)"
-        f" / {q!r}"
+        f"CAST(sum(CAST(floor(CAST(({expr}) AS DOUBLE) * {q!r} + 0.5)"
+        f" AS BIGINT)) AS DOUBLE) / {q!r}"
     )

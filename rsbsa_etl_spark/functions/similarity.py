@@ -49,13 +49,13 @@ def dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
 
 
-def cosine_pairs(
+def cosine_pairs_hof(
     emb: DataFrame, threshold: float = COSINE_THRESHOLD
 ) -> DataFrame:
-    """all (a < b) pairs with cosine ≥ threshold.
-
-    Brute force — the correctness baseline and the final verify step
-    after LSH candidate generation at scale.
+    """all (a < b) pairs with cosine ≥ threshold — pure column-lambda
+    form. Kept as the no-Python reference implementation; the
+    higher-order-function fold evaluates per element and is ~20×
+    slower than the BLAS kernel below on dense vectors.
     """
     e = with_norm(emb)
     a = e.select(
@@ -69,6 +69,62 @@ def cosine_pairs(
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b", dec_round(sim, 4).alias("cosine"))
         .where(F.col("cosine") >= threshold)
+    )
+
+
+def _collect_matrix(emb: DataFrame, vec_col: str = "embedding"):
+    """corpus → (ids, float64 matrix, norms). The corpus side of a
+    block-matmul broadcast: at fixture scale the whole table; at
+    cluster scale this is the build side you broadcast (bounded), or
+    you tile both sides — the batch-side streaming below is already
+    the general shape."""
+    import numpy as np
+
+    pdf = emb.select("vec_id", vec_col).toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    M = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    norms = np.sqrt((M * M).sum(axis=1))
+    return ids, M, norms
+
+
+def cosine_pairs(
+    emb: DataFrame, threshold: float = COSINE_THRESHOLD
+) -> DataFrame:
+    """all (a < b) pairs with cosine ≥ threshold — Arrow-batched
+    BLAS kernel.
+
+    The corpus matrix is broadcast once; each Arrow batch of rows
+    does one ``A @ M.T`` block multiply and emits only the
+    above-threshold pairs, so the shuffle-free plan moves ~0 data.
+    Quantization mirrors ``numeric.dec_round`` (floor(x·10⁴+0.5)/10⁴)
+    so results stay oracle-exact.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = emb.sparkSession
+    bc = spark.sparkContext.broadcast(_collect_matrix(emb))
+
+    def run(batches):
+        ids, M, norms = bc.value
+        for pdf in batches:
+            A = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            na = np.sqrt((A * A).sum(axis=1))
+            sims = (A @ M.T) / np.outer(na, norms)
+            q = np.floor(sims * 1e4 + 0.5) / 1e4
+            aid = pdf["vec_id"].to_numpy()
+            ia, ib = np.where(q >= threshold)
+            keep = aid[ia] < ids[ib]
+            yield pd.DataFrame(
+                {
+                    "vec_a": aid[ia][keep],
+                    "vec_b": ids[ib][keep],
+                    "cosine": q[ia, ib][keep],
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        run, "vec_a bigint, vec_b bigint, cosine double"
     )
 
 

@@ -1,0 +1,123 @@
+"""Property-based invariants (SURVEY §5.2.3) — hypothesis drives the
+semantics that must hold for any input, cross-checked against DuckDB
+where the portability layer is the thing under test.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from rsbsa_etl_spark.functions.numeric import sql_round, sql_sum_fixed
+from rsbsa_etl_spark.operators.sync import overwrite_by_key, upsert_merge
+from rsbsa_etl_spark.functions.strings import uppercase_fields
+
+finite_doubles = st.floats(
+    min_value=-1e9, max_value=1e9, allow_nan=False, allow_infinity=False
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(finite_doubles, min_size=1, max_size=50), st.integers(0, 6))
+def test_portable_round_matches_duckdb(xs, scale):
+    """the floor-quantize formula gives bit-identical results in
+    DuckDB — the cross-engine contract every oracle relies on."""
+    con = duckdb.connect()
+    q = float(10**scale)
+    for x in xs:
+        (d,) = con.execute(f"SELECT {sql_round(repr(x), scale)}").fetchone()
+        import math
+
+        py = math.floor(x * q + 0.5) / q
+        assert d == py or (d != d and py != py), (x, scale, d, py)
+    con.close()
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(finite_doubles, min_size=1, max_size=100))
+def test_portable_sum_is_order_independent(xs):
+    """scaled-integer sums are associative: any permutation gives
+    the same result (double sums would not)."""
+    import math
+
+    q = 100.0
+    total = sum(int(math.floor(x * q + 0.5)) for x in xs)
+    rev = sum(int(math.floor(x * q + 0.5)) for x in reversed(xs))
+    assert total == rev
+    con = duckdb.connect()
+    vals = ", ".join(f"({x!r})" for x in xs)
+    (d,) = con.execute(
+        f"SELECT {sql_sum_fixed('x', 2)} FROM (VALUES {vals}) t(x)"
+    ).fetchone()
+    assert d == total / q
+    con.close()
+
+
+names = st.one_of(st.none(), st.text(min_size=0, max_size=20))
+
+
+@pytest.fixture(scope="module")
+def sp(spark):
+    return spark
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 100), names), min_size=1, max_size=20))
+def test_uppercase_idempotent_and_null_preserving(sp, rows):
+    """F1: upper∘upper ≡ upper; nulls pass through untouched
+    (``etlService.js:193-201`` guard semantics)."""
+    df = sp.createDataFrame(rows, "id int, name string")
+    once = uppercase_fields(df, ["name"])
+    twice = uppercase_fields(once, ["name"])
+    key = lambda t: (t[0], t[1] is not None, t[1] or "")
+    a = sorted(map(tuple, once.collect()), key=key)
+    b = sorted(map(tuple, twice.collect()), key=key)
+    assert a == b
+    for (_, orig), (_, up) in zip(sorted(rows, key=key), a):
+        assert (orig is None) == (up is None)
+
+
+kv = st.lists(
+    st.tuples(st.integers(0, 20), st.integers(0, 1000)), min_size=0, max_size=30
+)
+
+
+@settings(max_examples=20, deadline=None)
+@given(kv, kv)
+def test_upsert_idempotent_and_last_write_wins(sp, target_rows, update_rows):
+    """K2: upsert(t, u) applied twice ≡ once; every update key holds
+    the update's value; non-updated target keys survive."""
+    # one row per key on each side (one-to-one table semantics)
+    t = {k: v for k, v in target_rows}
+    u = {k: v for k, v in update_rows}
+    target = sp.createDataFrame(list(t.items()) or [(None, None)], "k int, v int").where(
+        "k is not null"
+    )
+    updates = sp.createDataFrame(list(u.items()) or [(None, None)], "k int, v int").where(
+        "k is not null"
+    )
+    once = upsert_merge(target, updates, "k")
+    twice = upsert_merge(once, updates, "k")
+    got_once = dict(map(tuple, once.collect()))
+    got_twice = dict(map(tuple, twice.collect()))
+    assert got_once == got_twice
+    assert got_once == {**t, **u}
+
+
+@settings(max_examples=20, deadline=None)
+@given(kv, kv)
+def test_overwrite_replaces_whole_key_groups(sp, target_rows, incoming_rows):
+    """K3: delete-then-insert — for every incoming key, exactly the
+    incoming rows remain; untouched keys keep all their rows."""
+    target = sp.createDataFrame(target_rows or [(0, 0)], "k int, v int")
+    incoming = sp.createDataFrame(incoming_rows or [(0, 0)], "k int, v int")
+    if not target_rows:
+        target = target.where("false")
+    if not incoming_rows:
+        incoming = incoming.where("false")
+    out = overwrite_by_key(target, incoming, "k")
+    got = sorted(map(tuple, out.collect()))
+    in_keys = {k for k, _ in incoming_rows}
+    want = sorted(incoming_rows + [(k, v) for k, v in target_rows if k not in in_keys])
+    assert got == want
