@@ -50,8 +50,13 @@ def main() -> None:
 
     spark = get_spark(app_name="rsbsa_bench")
 
-    # warm-up: JVM + file listing + parquet footers, not query work
+    # warm-up: JVM + file listing + parquet footers + Python worker
+    # pool (mapInPandas paths fork one worker per core on first use —
+    # process spawn, not query work), none of which is engine time
     QUERIES["scan_project"](spark, sf_dir).count()
+    spark.range(1024).repartition(64).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -374,7 +374,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.simhash_pairs(load(spark, sf_dir, "documents"))
+    return dedup.simhash_pairs_banded(load(spark, sf_dir, "documents"))
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:

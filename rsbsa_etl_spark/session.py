@@ -49,6 +49,13 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # small parquet fixtures collapse to ONE input partition with
+        # the 4 MiB default openCostInBytes (maxSplitBytes floors at
+        # it), serializing all downstream per-row work onto one core.
+        # Lowering it lets minPartitionNum (= defaultParallelism)
+        # actually split small files; irrelevant at real scale where
+        # files exceed maxPartitionBytes anyway.
+        .config("spark.sql.files.openCostInBytes", "65536")
         # fixture events.parquet stores TIMESTAMP(NANOS), which the
         # parquet reader rejects; read as long ns and convert in the
         # loader (sources/fixtures.py) — truncation to micros matches
