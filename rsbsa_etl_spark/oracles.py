@@ -300,6 +300,46 @@ SELECT t.* FROM target t
 WHERE t.l_orderkey NOT IN (SELECT DISTINCT l_orderkey FROM incoming)
 """
 
+ORACLES["sync_pipeline_o2o"] = f"""
+WITH keys AS (
+  SELECT DISTINCT user_id AS k FROM events
+  WHERE event_id > {P.WATERMARK_EVENT_ID}
+    AND user_id % 3 = 0 AND nullif(user_id, 0) IS NOT NULL
+),
+batch AS (
+  SELECT c_custkey, upper(c_name) AS c_name, upper(c_mktsegment) AS c_mktsegment
+  FROM customer WHERE c_custkey IN (SELECT k FROM keys)
+),
+tgt AS (
+  SELECT c_custkey, lower(c_name) AS c_name, c_mktsegment
+  FROM customer WHERE c_custkey % 2 = 0
+)
+SELECT * FROM batch
+UNION ALL
+SELECT t.* FROM tgt t
+WHERE t.c_custkey NOT IN (SELECT c_custkey FROM batch)
+"""
+
+ORACLES["sync_pipeline_o2m"] = f"""
+WITH keys AS (
+  SELECT DISTINCT user_id AS k FROM events
+  WHERE event_id > {P.WATERMARK_EVENT_ID}
+    AND user_id % 3 = 1 AND nullif(user_id, 0) IS NOT NULL
+),
+batch AS (
+  SELECT l_orderkey, l_linenumber, {_dec("l_quantity", 2)} AS l_quantity
+  FROM lineitem WHERE l_orderkey IN (SELECT k FROM keys)
+),
+tgt AS (
+  SELECT l_orderkey, l_linenumber, {_dec("l_quantity", 2)} AS l_quantity
+  FROM lineitem WHERE l_orderkey % 2 = 1
+)
+SELECT * FROM batch
+UNION ALL
+SELECT t.* FROM tgt t
+WHERE t.l_orderkey NOT IN (SELECT DISTINCT l_orderkey FROM batch)
+"""
+
 ORACLES["string_upper_multi"] = """
 SELECT c_custkey, upper(c_name) AS c_name, upper(c_mktsegment) AS c_mktsegment
 FROM customer

@@ -264,6 +264,76 @@ def overwrite_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sync.overwrite_by_key(target, incoming, "l_orderkey")
 
 
+# -------------------------------------------------------- pipeline (§3.1 e2e)
+
+
+def _sync_fixture_state(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """the FULL incremental-sync pipeline (``plans.etl_pipeline``,
+    SURVEY §3.1) over a fixture-derived change log, returning the
+    post-sync state of one table.
+
+    Change-log analog: events beyond the watermark, routed to
+    'customer' (one-to-one → upsert) or 'lineitem' (one-to-many →
+    keyed overwrite) by ``user_id % 3``; key 0 is nulled so the
+    validity filter (P4) actually drops rows. Pre-existing targets
+    diverge from the sources (lower-cased names / odd keys only) so
+    both merge paths do real work.
+    """
+    from rsbsa_etl_spark.plans.etl_pipeline import run_incremental_sync
+
+    ev = load(spark, sf_dir, "events")
+    changelog = ev.select(
+        F.col("event_id").alias("log_id"),
+        F.nullif(F.col("user_id"), F.lit(0)).alias("rsbsa_no"),
+        F.when(F.col("user_id") % 3 == 0, F.lit("customer"))
+        .when(F.col("user_id") % 3 == 1, F.lit("lineitem"))
+        .alias("table"),
+    )
+    cust = load(spark, sf_dir, "customer")
+    src_cust = cust.select(
+        F.col("c_custkey").alias("rsbsa_no"), "c_name", "c_mktsegment"
+    )
+    tgt_cust = cust.where(F.col("c_custkey") % 2 == 0).select(
+        F.col("c_custkey").alias("rsbsa_no"),
+        F.lower(F.col("c_name")).alias("c_name"),
+        "c_mktsegment",
+    )
+    li = load(spark, sf_dir, "lineitem")
+    li_proj = li.select(
+        F.col("l_orderkey").alias("rsbsa_no"),
+        "l_linenumber",
+        dec_round(F.col("l_quantity"), 2).alias("l_quantity"),
+    )
+    src_li = li_proj
+    tgt_li = li_proj.where(F.col("rsbsa_no") % 2 == 1)
+    res = run_incremental_sync(
+        changelog,
+        sources={"customer": src_cust, "lineitem": src_li},
+        targets={"customer": tgt_cust, "lineitem": tgt_li},
+        since_log_id=P.WATERMARK_EVENT_ID,
+    )
+    return res.targets[table]
+
+
+def sync_pipeline_o2o(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.1 end-to-end, one-to-one branch: watermark scan → validity
+    filter → per-table keys → keyed re-fetch → uppercase transform →
+    upsert merge. Returns the final customer state."""
+    out = _sync_fixture_state(spark, sf_dir, "customer")
+    return out.select(
+        F.col("rsbsa_no").alias("c_custkey"), "c_name", "c_mktsegment"
+    )
+
+
+def sync_pipeline_o2m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.1 end-to-end, one-to-many branch: same pipeline, keyed
+    delete-then-insert. Returns the final lineitem state."""
+    out = _sync_fixture_state(spark, sf_dir, "lineitem")
+    return out.select(
+        F.col("rsbsa_no").alias("l_orderkey"), "l_linenumber", "l_quantity"
+    )
+
+
 # ------------------------------------------------------------------ scalars
 
 
@@ -484,6 +554,8 @@ QUERIES: dict[str, QueryFn] = {
     "union_paths": union_paths,
     "upsert_merge": upsert_merge,
     "overwrite_by_key": overwrite_by_key,
+    "sync_pipeline_o2o": sync_pipeline_o2o,
+    "sync_pipeline_o2m": sync_pipeline_o2m,
     "string_upper_multi": string_upper_multi,
     "string_concat_split": string_concat_split,
     "cond_coalesce": cond_coalesce,
