@@ -17,7 +17,6 @@ task, and the metadata struct supports predicate pushdown (e.g.
 
 from __future__ import annotations
 
-import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -51,16 +50,30 @@ def attach_binary(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def decode_stub(payload: bytes) -> list[float]:
-    """STUB for the real media decode (no image/audio libs in this
-    container). Deterministic fake: FEATURE_DIM doubles derived from
-    the sha256 of the payload, each in [0, 1). A real deployment
-    swaps this single function for PIL/torchaudio/ffmpeg decode +
-    model features; the Spark plumbing does not change."""
-    h = hashlib.sha256(payload).digest()
-    return [
-        int.from_bytes(h[4 * i : 4 * i + 4], "big") / 2**32 for i in range(FEATURE_DIM)
-    ]
+def _make_decoder(dim: int):
+    """factory so the decoder pickles *by value* into Python workers
+    (a module-level function would pickle by reference and require
+    this package on the workers' sys.path)."""
+
+    def decode_stub(payload: bytes) -> list[float]:
+        """STUB for the real media decode (no image/audio libs in
+        this container). Deterministic fake: ``dim`` doubles derived
+        from the sha256 of the payload, each in [0, 1). A real
+        deployment swaps this single function for
+        PIL/torchaudio/ffmpeg decode + model features; the Spark
+        plumbing does not change."""
+        import hashlib as _hashlib
+
+        h = _hashlib.sha256(payload).digest()
+        return [
+            int.from_bytes(h[4 * i : 4 * i + 4], "big") / 2**32 for i in range(dim)
+        ]
+
+    return decode_stub
+
+
+#: public stub instance (tests and callers use this)
+decode_stub = _make_decoder(FEATURE_DIM)
 
 
 def extract_features(frames: DataFrame) -> DataFrame:
@@ -71,7 +84,11 @@ def extract_features(frames: DataFrame) -> DataFrame:
     a real decoder) run vectorized per batch.
     """
 
+    stub = _make_decoder(FEATURE_DIM)  # by-value copy for the workers
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
         for pdf in batches:
             payloads = pdf["payload"]
             yield pd.DataFrame(
@@ -79,9 +96,9 @@ def extract_features(frames: DataFrame) -> DataFrame:
                     "doc_id": pdf["doc_id"],
                     "byte_len": payloads.map(len),
                     "content_md5": payloads.map(
-                        lambda b: hashlib.md5(bytes(b)).hexdigest()
+                        lambda b: _hashlib.md5(bytes(b)).hexdigest()
                     ),
-                    "feature": payloads.map(lambda b: decode_stub(bytes(b))),
+                    "feature": payloads.map(lambda b: stub(bytes(b))),
                 }
             )
 

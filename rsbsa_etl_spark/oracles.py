@@ -443,6 +443,47 @@ SELECT user_id, session_seq,
 FROM s GROUP BY 1, 2
 """
 
+# Streaming semantics as SQL (see streaming/windows.py and
+# streaming/stateful.py for why these are deterministic): all window
+# math in integer microseconds, matching Spark's UTC-aligned
+# F.window and microsecond timestamps.
+_HOUR_US = 3_600_000_000
+_WM_US = P.STREAM_WM_DELAY_HOURS * _HOUR_US
+_ONTIME = (
+    f"ts <= TIMESTAMP '{P.STREAM_SPLIT_TS}'"
+    f" AND event_id % {P.STREAM_STRAGGLER_MOD} <> 0"
+)
+
+ORACLES["stream_late_drop"] = f"""
+WITH f1 AS (
+  SELECT epoch_us(ts) AS us, event_type FROM events WHERE {_ONTIME}
+),
+f2 AS (
+  SELECT epoch_us(ts) AS us, event_type FROM events WHERE NOT ({_ONTIME})
+),
+w1 AS (SELECT max(us) - {_WM_US} AS wm FROM f1),
+w2 AS (SELECT max(epoch_us(ts)) - {_WM_US} AS wm FROM events),
+contrib AS (
+  SELECT us, event_type FROM f1
+  UNION ALL
+  SELECT us, event_type FROM f2
+  WHERE (us - us % {_HOUR_US} + {_HOUR_US}) > (SELECT wm FROM w1)
+)
+SELECT (us - us % {_HOUR_US}) // 1000000 AS window_start,
+       event_type,
+       count(*) AS n_events
+FROM contrib
+WHERE (us - us % {_HOUR_US} + {_HOUR_US}) <= (SELECT wm FROM w2)
+GROUP BY 1, 2
+"""
+
+ORACLES["stream_stateful_totals"] = f"""
+SELECT user_id,
+       count(*) AS n_events,
+       {sql_sum_fixed("value", 2)} AS total_value
+FROM events GROUP BY user_id
+"""
+
 ORACLES["dedup_exact"] = f"""
 SELECT md5({NORM}) AS fingerprint,
        min(doc_id) AS keep_doc_id,

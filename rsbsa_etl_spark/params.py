@@ -57,6 +57,13 @@ MINHASH_PERMS = 16
 MINHASH_BANDS = 4  # 4 rows per band
 SHINGLE_K = 3  # word shingles
 
+#: watermark / late-data replay (stream_late_drop): phase-1 ends at
+#: the split; stragglers (event_id % mod == 0, ts ≤ split) arrive in
+#: phase 2, out of order. Events span 2024-01-01..30 at every SF.
+STREAM_SPLIT_TS = "2024-01-16 00:00:00"
+STREAM_STRAGGLER_MOD = 11
+STREAM_WM_DELAY_HOURS = 48
+
 #: ANN parameters
 ANN_QUERY_IDS = (0, 1, 2, 3, 4)
 ANN_TOP_K = 10

@@ -432,6 +432,30 @@ def window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     return win.sessionize(load(spark, sf_dir, "events"), P.SESSION_GAP_S)
 
 
+def stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """watermark late-data semantics through the real streaming
+    engine (two checkpointed AvailableNow phases) — oracle-checked:
+    the emitted window set is a pure function of data + split +
+    delay (see ``streaming.windows.late_data_replay``)."""
+    return win.late_data_replay(
+        load(spark, sf_dir, "events"),
+        split_ts=P.STREAM_SPLIT_TS,
+        straggler_mod=P.STREAM_STRAGGLER_MOD,
+        delay=f"{P.STREAM_WM_DELAY_HOURS} hours",
+    )
+
+
+def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """custom stateful operator (applyInPandasWithState): per-user
+    running totals across two checkpointed micro-batches; the final
+    state per user equals one grouped aggregation, which is the
+    oracle. Values are fixed-point-quantized inside the state so
+    accumulation order cannot drift the double sum."""
+    from rsbsa_etl_spark.streaming.stateful import run_totals_replay
+
+    return run_totals_replay(load(spark, sf_dir, "events"))
+
+
 # ----------------------------------------------------------------- dedup ops
 
 
@@ -566,6 +590,8 @@ QUERIES: dict[str, QueryFn] = {
     "window_tumbling": window_tumbling,
     "window_sliding": window_sliding,
     "window_session": window_session,
+    "stream_late_drop": stream_late_drop,
+    "stream_stateful_totals": stream_stateful_totals,
     "dedup_exact": dedup_exact,
     "dedup_minhash": dedup_minhash,
     "dedup_simhash": dedup_simhash,

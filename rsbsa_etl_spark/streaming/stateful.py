@@ -1,0 +1,183 @@
+"""Custom stateful streaming operators (SURVEY §2.9 U2/U3 streaming
+twin; extension surface).
+
+The reference keeps run-level state in module globals
+(``isEtlRunning``/``totalProcessed`` — ``index.js:24-28``,
+``services/etlService.js:723-725``). The engine-side equivalent is
+explicit keyed state in the state store: ``applyInPandasWithState``
+gives a per-key Arrow-batched hook with fault-tolerant state — the
+Spark-native form for operators the built-in aggregations can't
+express.
+
+Operators:
+
+- ``running_user_totals`` — per-user cumulative (n_events, total)
+  emitted on every micro-batch (A5 running totals as keyed state
+  rather than a driver-side fold). Values are quantized to integer
+  cents *inside the state* so accumulation order can never drift the
+  double sum — the same fixed-point discipline as
+  ``functions.numeric``.
+- ``streaming_first_seen`` — streaming exact dedup: the first row
+  per key ever seen is emitted, later duplicates (same batch or any
+  later batch) are dropped. State is one flag per key; at 100 TB a
+  GroupStateTimeout bounds it — kept eternal here for determinism.
+
+``run_totals_replay`` drives the totals operator through two
+checkpointed AvailableNow phases and reduces the update stream to
+the final per-user state, which equals one grouped aggregation —
+making a *custom stateful streaming operator* oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+TOTALS_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+TOTALS_STATE = StructType(
+    [StructField("n", LongType()), StructField("cents", LongType())]
+)
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """streaming: per-user running (count, fixed-point sum) via keyed
+    state; each micro-batch emits the updated cumulative row for
+    every user present in that batch.
+
+    The state function is defined *nested* on purpose: cloudpickle
+    serializes module-level functions by reference (workers would
+    need this package importable), nested ones by value — so the
+    operator works regardless of the workers' sys.path.
+    """
+
+    def totals_fn(key, pdfs, state: GroupState):
+        import numpy as np
+        import pandas as pd
+
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int(np.floor(pdf["value"].to_numpy() * 100.0 + 0.5).sum())
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [cents / 100.0]}
+        )
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            totals_fn,
+            outputStructType=TOTALS_OUTPUT,
+            stateStructType=TOTALS_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+FIRST_SEEN_OUTPUT = StructType(
+    [
+        StructField("dedup_key", LongType()),
+        StructField("event_id", LongType()),
+    ]
+)
+
+FIRST_SEEN_STATE = StructType([StructField("seen", LongType())])
+
+
+def streaming_first_seen(events: DataFrame, key_col: str = "dedup_key") -> DataFrame:
+    """streaming exact dedup: emit the first (lowest event_id) row
+    per key; every later occurrence is dropped via one state entry
+    per key. (Nested state fn: see ``running_user_totals``.)"""
+
+    def first_seen_fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        first_id = None
+        for pdf in pdfs:
+            if len(pdf):
+                m = int(pdf["event_id"].min())
+                first_id = m if first_id is None else min(first_id, m)
+        if state.exists or first_id is None:
+            return  # duplicate from a later batch (or empty group): drop
+        state.update((1,))
+        yield pd.DataFrame({"dedup_key": [key[0]], "event_id": [first_id]})
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        first_seen_fn,
+        outputStructType=FIRST_SEEN_OUTPUT,
+        stateStructType=FIRST_SEEN_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_totals_replay(events: DataFrame) -> DataFrame:
+    """drive ``running_user_totals`` through two checkpointed
+    AvailableNow phases (split by event_id parity, so both phases
+    touch most users and state genuinely carries across batches),
+    then reduce the update stream to the final per-user state.
+
+    n_events and total_value are monotone per user, so the final
+    state is ``max`` over the emitted updates — and equals the plain
+    batch aggregation, which is the DuckDB oracle.
+    """
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    spark = events.sparkSession
+    base = tempfile.mkdtemp(prefix="rsbsa_stateful_")
+    src, ckpt, out = f"{base}/src", f"{base}/ckpt", f"{base}/out"
+    os.makedirs(src)
+    os.makedirs(out)
+
+    proj = events.select("event_id", "user_id", "value")
+    schema = "event_id bigint, user_id bigint, value double"
+
+    def dump(df: DataFrame, name: str) -> None:
+        tmp = f"{base}/_tmp"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        shutil.move(glob.glob(f"{tmp}/part-*.parquet")[0], f"{src}/{name}")
+        shutil.rmtree(tmp)
+
+    def run_phase() -> None:
+        stream = spark.readStream.schema(schema).parquet(src)
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.write.mode("append").parquet(out)
+
+        q = (
+            running_user_totals(stream)
+            .writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    dump(proj.where(F.col("event_id") % 2 == 0), "f1.parquet")
+    run_phase()
+    dump(proj.where(F.col("event_id") % 2 != 0), "f2.parquet")
+    run_phase()
+    updates = spark.read.parquet(out)
+    return updates.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("total_value").alias("total_value"),
+    )

@@ -73,6 +73,67 @@ def test_tumbling_stream_matches_batch(spark, tmp_path):
     assert got == want
 
 
+def test_streaming_first_seen_dedups_across_batches(spark, tmp_path):
+    """stateful exact dedup: first occurrence wins, duplicates in the
+    same batch AND in later batches are dropped via keyed state."""
+    import glob
+    import shutil
+
+    from rsbsa_etl_spark.streaming.stateful import streaming_first_seen
+
+    src = str(tmp_path / "dedup_src")
+    out = str(tmp_path / "dedup_out")
+    ckpt = str(tmp_path / "dedup_ckpt")
+    os.makedirs(src)
+    os.makedirs(out)
+
+    def dump(rows, name):
+        df = spark.createDataFrame(rows, "dedup_key bigint, event_id bigint")
+        tmp = str(tmp_path / "_tmp")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        shutil.move(glob.glob(tmp + "/part-*.parquet")[0], f"{src}/{name}")
+
+    def run_phase():
+        stream = spark.readStream.schema("dedup_key bigint, event_id bigint").parquet(src)
+        q = (
+            streaming_first_seen(stream)
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda b, _i: b.write.mode("append").parquet(out))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    dump([(1, 10), (1, 11), (2, 20)], "f1.parquet")  # in-batch dup on key 1
+    run_phase()
+    dump([(1, 12), (2, 21), (3, 30)], "f2.parquet")  # cross-batch dups
+    run_phase()
+    got = {r["dedup_key"]: r["event_id"] for r in spark.read.parquet(out).collect()}
+    assert got == {1: 10, 2: 20, 3: 30}
+
+
+def test_late_data_replay_drops_stragglers(spark):
+    """the two-phase watermark replay really exercises the drop path:
+    pre-split stragglers outside the delay horizon never appear in
+    the emitted windows (their windows were closed in phase 1)."""
+    from rsbsa_etl_spark import params as P
+    from rsbsa_etl_spark.streaming.windows import late_data_replay
+
+    ev = load(spark, SF_DIR, "events")
+    got = late_data_replay(
+        ev,
+        split_ts=P.STREAM_SPLIT_TS,
+        straggler_mod=P.STREAM_STRAGGLER_MOD,
+        delay=f"{P.STREAM_WM_DELAY_HOURS} hours",
+    )
+    emitted = got.agg(F.sum("n_events")).collect()[0][0]
+    total = ev.count()
+    # something was emitted, and something was withheld (dropped
+    # stragglers + still-open windows)
+    assert 0 < emitted < total
+
+
 def test_session_window_stream_runs(spark, tmp_path):
     batch, schema = _events_stream(spark)
     src = str(tmp_path / "events_sess")
