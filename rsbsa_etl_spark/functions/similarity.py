@@ -27,6 +27,8 @@ from rsbsa_etl_spark.params import (
     ANN_QUERY_IDS,
     ANN_TOP_K,
     COSINE_THRESHOLD,
+    IVF_CENTROIDS,
+    IVF_NPROBE,
     LSH_SIGN_DIMS,
 )
 
@@ -153,6 +155,93 @@ def brute_force_topk(
     sim = dec_round(dot(F.col("vq"), F.col("vn")) / (F.col("nq") * F.col("nn")), 6)
     scored = (
         corpus.join(F.broadcast(queries), F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            dec_round(F.col("cosine"), 4).alias("cosine"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_ids: Sequence[int] = ANN_QUERY_IDS,
+    k: int = ANN_TOP_K,
+    n_centroids: int = IVF_CENTROIDS,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: partition the corpus into Voronoi
+    cells around centroids, probe only the query's ``nprobe`` nearest
+    cells, exact cosine rank within the probed candidates.
+
+    Centroid init is deterministic — the first ``n_centroids``
+    vectors by vec_id (k-means iteration 0; a production deployment
+    runs Lloyd iterations on a sample, which only changes the
+    centroid table, not this plan). Determinism is what makes an
+    *approximate* index oracle-checkable: cell assignment, probe
+    set, and ranking are all pure functions of the data.
+
+    Scale shape: the centroid table is tiny → broadcast; assignment
+    is one narrow pass over the corpus; the cell id becomes a
+    partition/cluster key so each query touches ~nprobe/n_centroids
+    of the data. All distances are sequential-fold expressions
+    (``F.aggregate``), matching DuckDB's ``list_sum`` accumulation
+    order bit-for-bit.
+    """
+    e = with_norm(emb)
+    cents = e.where(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cid"),
+        F.col("_vd").alias("vc"),
+        F.col("_norm").alias("nc"),
+    )
+    # L2² distance, sequential fold (same order as the SQL oracle)
+    def l2sq(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def nearest_cells(side: DataFrame, vcol: str, idcol: str, n: int) -> DataFrame:
+        scored = side.join(F.broadcast(cents), F.lit(True)).select(
+            idcol, "cid", l2sq(F.col(vcol), F.col("vc")).alias("d2")
+        )
+        w = Window.partitionBy(idcol).orderBy(F.col("d2").asc(), F.col("cid").asc())
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= n)
+            .select(idcol, "cid")
+        )
+
+    corpus = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("_vd").alias("vn"),
+        F.col("_norm").alias("nn"),
+    )
+    cells = nearest_cells(corpus, "vn", "neighbor_id", 1)
+    corpus_cells = corpus.join(cells, "neighbor_id")
+
+    queries = e.where(F.col("vec_id").isin(list(query_ids))).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("_vd").alias("vq"),
+        F.col("_norm").alias("nq"),
+    )
+    probes = nearest_cells(queries, "vq", "query_id", nprobe)
+    q_probe = queries.join(probes, "query_id")
+
+    sim = dec_round(dot(F.col("vq"), F.col("vn")) / (F.col("nq") * F.col("nn")), 6)
+    scored = (
+        corpus_cells.join(F.broadcast(q_probe), "cid")
+        .where(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", sim.alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(

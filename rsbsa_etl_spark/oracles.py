@@ -152,6 +152,55 @@ FROM ranked WHERE rank <= {P.ANN_TOP_K}
 """
 
 
+def _ivf_sql() -> str:
+    """IVF ANN — mirrors ``similarity.ivf_topk``: deterministic
+    centroids (vec_id < n), argmin-L2² cell assignment, nprobe
+    nearest cells per query, exact cosine rank within candidates.
+    All folds are sequential list_sum, matching F.aggregate."""
+    qids = sql_in_list(P.ANN_QUERY_IDS)
+    d2 = "list_sum(list_transform(range(1, 65), i -> (a.v[i] - c.vc[i]) * (a.v[i] - c.vc[i])))"
+    sim6 = _dec(f"{_DOT} / (a.nrm * b.nrm)", 6)
+    return f"""
+WITH {_EMB_CTE.strip()},
+cents AS (SELECT vec_id AS cid, v AS vc FROM n WHERE vec_id < {P.IVF_CENTROIDS}),
+corp_d AS (
+  SELECT a.vec_id AS nid, c.cid, {d2} AS d2 FROM n a, cents c
+),
+cells AS (
+  SELECT nid, cid FROM (
+    SELECT nid, cid,
+           row_number() OVER (PARTITION BY nid ORDER BY d2 ASC, cid ASC) AS rn
+    FROM corp_d) WHERE rn = 1
+),
+q_d AS (
+  SELECT a.vec_id AS qid, c.cid, {d2} AS d2 FROM n a, cents c
+  WHERE a.vec_id IN ({qids})
+),
+probes AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid,
+           row_number() OVER (PARTITION BY qid ORDER BY d2 ASC, cid ASC) AS rn
+    FROM q_d) WHERE rn <= {P.IVF_NPROBE}
+),
+scored AS (
+  SELECT q.qid AS query_id, x.nid AS neighbor_id, {sim6} AS cosine
+  FROM probes q
+  JOIN cells x ON x.cid = q.cid
+  JOIN n a ON a.vec_id = q.qid
+  JOIN n b ON b.vec_id = x.nid
+  WHERE q.qid <> x.nid
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, {_dec("cosine", 4)} AS cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {P.ANN_TOP_K}
+"""
+
+
 # --------------------------------------------------------------- the oracle
 
 LINEITEM_COLS = (
@@ -526,6 +575,8 @@ SELECT vec_a, vec_b, cosine FROM p WHERE cosine >= {P.COSINE_THRESHOLD}
 ORACLES["ann_bruteforce"] = _ann_sql(bucketed=False)
 
 ORACLES["ann_lsh"] = _ann_sql(bucketed=True)
+
+ORACLES["ann_ivf"] = _ivf_sql()
 
 
 def _occ(hay: str, needle: str) -> str:

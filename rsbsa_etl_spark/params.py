@@ -68,6 +68,8 @@ STREAM_WM_DELAY_HOURS = 48
 ANN_QUERY_IDS = (0, 1, 2, 3, 4)
 ANN_TOP_K = 10
 LSH_SIGN_DIMS = 6  # sign-LSH on first N dimensions → 2^N buckets
+IVF_CENTROIDS = 16  # IVF cells (deterministic init: first N vec_ids)
+IVF_NPROBE = 4  # cells probed per query
 
 
 def sql_in_list(values) -> str:

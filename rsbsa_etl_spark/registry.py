@@ -490,6 +490,10 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(load(spark, sf_dir, "embeddings"))
 
 
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ivf_topk(load(spark, sf_dir, "embeddings"))
+
+
 # ------------------------------------------------------------ text analysis
 
 
@@ -599,6 +603,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_embedding": dedup_embedding,
     "ann_bruteforce": ann_bruteforce,
     "ann_lsh": ann_lsh,
+    "ann_ivf": ann_ivf,
     "lang_id": lang_id,
     "quality_score": quality_score,
     "token_count": token_count,
