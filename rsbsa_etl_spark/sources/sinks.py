@@ -1,0 +1,111 @@
+"""Keyed storage sinks: the write paths' storage-level form
+(SURVEY §2.1 K1/K2/K3, §7.3.1).
+
+``operators.sync`` expresses merge *semantics* as pure plans; this
+module lands them on parquet storage the way a 100 TB deployment
+would:
+
+- the target is partitioned by a stable key bucket
+  (``pmod(hash(key), n_buckets)`` — Murmur3, stable across runs and
+  engines' lifetimes), so any keyed write touches a bounded,
+  pruned set of partition directories;
+- incremental writes use **dynamic partition overwrite**
+  (``spark.sql.sources.partitionOverwriteMode=dynamic``): only the
+  buckets containing incoming keys are rewritten; untouched buckets'
+  files are left byte-identical (asserted in tests);
+- K1 append is a plain partitioned append.
+
+Delta/Iceberg MERGE replaces the read-merge-rewrite of touched
+buckets with a transactional commit; the plan shape (bucket pruning,
+anti-join of survivors, partition-local rewrite) is identical —
+which is why the semantics layer stays storage-agnostic.
+
+Cite: reference load paths ``services/etlService.js:85-146``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+BUCKET_COL = "key_bucket"
+
+
+def bucket_of(key_col: str, n_buckets: int) -> F.Column:
+    return F.pmod(F.hash(F.col(key_col)), F.lit(n_buckets))
+
+
+def write_keyed_target(
+    df: DataFrame, path: str, key_col: str, n_buckets: int = 64
+) -> None:
+    """materialize a key-bucketed target table (initial load / K1)."""
+    (
+        df.withColumn(BUCKET_COL, bucket_of(key_col, n_buckets))
+        .repartition(BUCKET_COL)
+        .write.mode("overwrite")
+        .partitionBy(BUCKET_COL)
+        .parquet(path)
+    )
+
+
+def read_keyed_target(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def overwrite_by_key_into(
+    incoming: DataFrame,
+    path: str,
+    key_col: str,
+    n_buckets: int = 64,
+) -> None:
+    """K3 (delete-then-insert per key) against parquet storage.
+
+    1. bucket-prune: only buckets containing incoming keys are read
+       back (partition filter on ``key_bucket``);
+    2. survivors: rows of those buckets whose key is NOT incoming
+       (broadcast anti-join against the incoming key set);
+    3. dynamic partition overwrite writes incoming ∪ survivors —
+       rewriting exactly the touched buckets, no others.
+
+    The result equals ``operators.sync.overwrite_by_key`` applied to
+    the stored table (pinned in tests), but the I/O is proportional
+    to the touched buckets, not the table.
+    """
+    spark = incoming.sparkSession
+    inc = incoming.withColumn(BUCKET_COL, bucket_of(key_col, n_buckets))
+    touched = [
+        r[BUCKET_COL] for r in inc.select(BUCKET_COL).distinct().collect()
+    ]
+    existing = read_keyed_target(spark, path).where(
+        F.col(BUCKET_COL).isin(touched)
+    )
+    survivors = existing.join(
+        F.broadcast(inc.select(key_col).distinct()), key_col, "left_anti"
+    )
+    out = inc.unionByName(survivors)
+    (
+        out.repartition(BUCKET_COL)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(BUCKET_COL)
+        .parquet(path)
+    )
+
+
+def upsert_into(
+    updates: DataFrame, path: str, key_col: str, n_buckets: int = 64
+) -> None:
+    """K2 (last-write-wins upsert) against parquet storage: the same
+    bucket-pruned rewrite — an upsert IS a keyed overwrite whose
+    incoming batch carries exactly one row per key."""
+    overwrite_by_key_into(updates, path, key_col, n_buckets)
+
+
+def append_into(df: DataFrame, path: str, key_col: str, n_buckets: int = 64) -> None:
+    """K1 bulk append into the bucketed layout."""
+    (
+        df.withColumn(BUCKET_COL, bucket_of(key_col, n_buckets))
+        .repartition(BUCKET_COL)
+        .write.mode("append")
+        .partitionBy(BUCKET_COL)
+        .parquet(path)
+    )

@@ -1,0 +1,103 @@
+"""Storage-level keyed sinks: dynamic-partition-overwrite semantics
+must equal the pure-plan merge semantics, and untouched partitions
+must not be rewritten (the I/O-proportionality claim)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from rsbsa_etl_spark.operators.sync import overwrite_by_key, upsert_merge
+from rsbsa_etl_spark.sources import sinks
+from rsbsa_etl_spark.sources.fixtures import load
+
+from tests.conftest import SF_DIR
+
+N_BUCKETS = 8
+
+
+def _snapshot_files(path):
+    return {
+        p: os.path.getmtime(p)
+        for p in glob.glob(f"{path}/{sinks.BUCKET_COL}=*/*.parquet")
+    }
+
+
+def test_overwrite_by_key_into_matches_plan_semantics(spark, tmp_path):
+    path = str(tmp_path / "target")
+    li = load(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    target = li.where(F.col("l_orderkey") < 400)
+    # a handful of keys (CDC-sized batch) so hash-bucketing leaves
+    # most of the 8 buckets untouched — the point of the layout
+    incoming = (
+        li.where(F.col("l_orderkey").isin([200, 201, 450, 590]))
+        .where(F.col("l_linenumber") <= 2)
+        .withColumn("l_quantity", F.col("l_quantity") + 1000)
+    )
+
+    sinks.write_keyed_target(target, path, "l_orderkey", N_BUCKETS)
+    before = _snapshot_files(path)
+    sinks.overwrite_by_key_into(incoming, path, "l_orderkey", N_BUCKETS)
+    after = _snapshot_files(path)
+
+    got = sorted(
+        map(
+            tuple,
+            sinks.read_keyed_target(spark, path)
+            .select("l_orderkey", "l_linenumber", "l_quantity")
+            .collect(),
+        )
+    )
+    want = sorted(
+        map(tuple, overwrite_by_key(target, incoming, "l_orderkey").collect())
+    )
+    assert got == want
+
+    # every untouched bucket keeps its original files byte-for-byte
+    # (same path, same mtime); at least one bucket was rewritten
+    touched_dirs = {
+        os.path.dirname(p) for p in after if p not in before
+    }
+    untouched = {p: t for p, t in before.items() if os.path.dirname(p) not in touched_dirs}
+    assert untouched, "expected some untouched buckets at 8 buckets"
+    for p, t in untouched.items():
+        assert os.path.exists(p) and os.path.getmtime(p) == t
+    assert touched_dirs, "expected some rewritten buckets"
+
+
+def test_upsert_into_matches_plan_semantics(spark, tmp_path):
+    path = str(tmp_path / "target_o2o")
+    cust = load(spark, SF_DIR, "customer").select("c_custkey", "c_name")
+    target = cust.where(F.col("c_custkey") % 2 == 0)
+    updates = cust.where(F.col("c_custkey") % 3 == 0).withColumn(
+        "c_name", F.upper(F.col("c_name"))
+    )
+    sinks.write_keyed_target(target, path, "c_custkey", N_BUCKETS)
+    sinks.upsert_into(updates, path, "c_custkey", N_BUCKETS)
+    got = sorted(
+        map(
+            tuple,
+            sinks.read_keyed_target(spark, path)
+            .select("c_custkey", "c_name")
+            .collect(),
+        )
+    )
+    want = sorted(map(tuple, upsert_merge(target, updates, "c_custkey").collect()))
+    assert got == want
+
+
+def test_upsert_into_is_idempotent(spark, tmp_path):
+    path = str(tmp_path / "target_idem")
+    cust = load(spark, SF_DIR, "customer").select("c_custkey", "c_name")
+    target = cust.where(F.col("c_custkey") % 2 == 0)
+    updates = cust.where(F.col("c_custkey") % 3 == 0)
+    sinks.write_keyed_target(target, path, "c_custkey", N_BUCKETS)
+    sinks.upsert_into(updates, path, "c_custkey", N_BUCKETS)
+    once = sorted(map(tuple, sinks.read_keyed_target(spark, path).collect()))
+    sinks.upsert_into(updates, path, "c_custkey", N_BUCKETS)
+    twice = sorted(map(tuple, sinks.read_keyed_target(spark, path).collect()))
+    assert once == twice
