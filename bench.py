@@ -25,6 +25,7 @@ HEADLINE = [
     "join_semi",
     "upsert_merge",        # CDC merge semantics
     "overwrite_by_key",
+    "sync_pipeline_o2m",   # full §3.1 pipeline end-to-end
     "window_session",      # sessionization (window functions)
     "window_tumbling",
     "topk_recent",
@@ -36,7 +37,9 @@ HEADLINE = [
     "dedup_embedding",
     "ann_bruteforce",
     "ann_lsh",
+    "ann_ivf",
     "lang_id",
+    "quality_score",
     "token_count",
 ]
 

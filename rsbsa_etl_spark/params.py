@@ -51,11 +51,25 @@ COSINE_THRESHOLD = 0.42
 SIMHASH_BITS = 32
 SIMHASH_MAX_HAMMING = 2
 
-#: MinHash parameters (portable md5-based construction — same
-#: algorithm expressible in DuckDB SQL for the oracle).
+#: MinHash parameters (portable construction — same algorithm
+#: expressible in DuckDB SQL for the oracle). One md5 per shingle
+#: supplies two 32-bit chunks (h1, h2); each permutation is the
+#: universal hash (h1·a + h2·b + c) mod M. Coefficients are fixed
+#: odd constants < 2^29 so every product stays < 2^61 — safe under
+#: ANSI (no silent wraparound, no overflow error) and identical in
+#: 64-bit integer SQL.
 MINHASH_PERMS = 16
 MINHASH_BANDS = 4  # 4 rows per band
 SHINGLE_K = 3  # word shingles
+MINHASH_MOD = (1 << 61) - 1  # Mersenne prime 2^61-1
+MINHASH_COEFFS = tuple(
+    (
+        ((p * 2654435761 + 1) % (1 << 29)) | 1,
+        ((p * 40503 + 2654435769) % (1 << 29)) | 1,
+        p * 97 + 13,
+    )
+    for p in range(MINHASH_PERMS)
+)
 
 #: watermark / late-data replay (stream_late_drop): phase-1 ends at
 #: the split; stragglers (event_id % mod == 0, ts ≤ split) arrive in
