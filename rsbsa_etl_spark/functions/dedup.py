@@ -259,6 +259,72 @@ def minhash_candidate_pairs(
     )
 
 
+# ------------------------------------------------------- cluster resolution
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = 20,
+) -> DataFrame:
+    """connected components over candidate pairs → canonical
+    representative per doc (cluster_id = min doc_id in component).
+
+    The step every dedup pipeline needs after pair generation: A≈B
+    and B≈C must collapse to one keeper even when A≉C directly.
+    Iterative min-label propagation over the (symmetrized) edge set —
+    each round is one join + min-aggregate; converges in O(component
+    diameter) rounds (a driver-side fixpoint check per round, which
+    is the idiomatic Spark shape for iterative graph algorithms;
+    GraphFrames/Pregel does the same with checkpointing). Label size
+    carried through the shuffle is one long per node.
+
+    Deterministic: min is order-independent, so the result is a pure
+    function of the pair set — the oracle replays it as a recursive
+    transitive-closure CTE (safe because near-dup components are
+    small; the *iterative* form here is the one that scales).
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = docs.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    ).persist()
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.node)
+            .select(F.col("dst").alias("node"), "label")
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+        new_labels = (
+            labels.unionByName(neighbor_min)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias(id_col), F.col("label").alias("cluster_id")
+    )
+
+
 # ----------------------------------------------------------------- simhash
 
 

@@ -157,3 +157,23 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.md5(t).alias("content_md5"),
         F.md5(bag).alias("bag_md5"),
     )
+
+
+def term_topk(docs: DataFrame, text_col: str = "text", k: int = 20) -> DataFrame:
+    """corpus-level term frequencies, top-k with deterministic
+    tiebreak (count desc, term asc).
+
+    explode → count is partial-aggregated before the shuffle (the
+    shuffle carries one (term, partial count) pair per term per
+    partition — vocabulary-sized, not corpus-sized), and the top-k
+    compiles to TakeOrderedAndProject, never a global sort."""
+    toks = docs.select(
+        F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias("term")
+    )
+    return (
+        toks.where(F.length("term") > 0)
+        .groupBy("term")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("term").asc())
+        .limit(k)
+    )

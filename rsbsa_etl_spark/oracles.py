@@ -587,6 +587,32 @@ p AS (
 SELECT vec_a, vec_b, cosine FROM p WHERE cosine >= {P.COSINE_THRESHOLD}
 """
 
+ORACLES["dedup_clusters"] = f"""
+WITH RECURSIVE pairs AS ({_minhash_sql()}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+r AS (
+  SELECT doc_id AS node, doc_id AS reach FROM documents
+  UNION
+  SELECT r.node, e.b AS reach FROM r JOIN edges e ON r.reach = e.a
+)
+SELECT node AS doc_id, min(reach) AS cluster_id FROM r GROUP BY node
+"""
+
+ORACLES["term_topk"] = f"""
+WITH toks AS (
+  SELECT unnest(string_split({NORM}, ' ')) AS term FROM documents
+)
+SELECT term, count(*) AS n_occurrences FROM toks
+WHERE length(term) > 0
+GROUP BY term
+ORDER BY n_occurrences DESC, term ASC
+LIMIT 20
+"""
+
 ORACLES["ann_bruteforce"] = _ann_sql(bucketed=False)
 
 ORACLES["ann_lsh"] = _ann_sql(bucketed=True)

@@ -479,6 +479,13 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_pairs(load(spark, sf_dir, "embeddings"))
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """duplicate-cluster resolution: connected components over the
+    minhash candidate pairs (iterative min-label propagation)."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup.dedup_clusters(docs, dedup.minhash_candidate_pairs(docs))
+
+
 # ------------------------------------------------------------------ ANN ops
 
 
@@ -511,6 +518,10 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.fingerprint(load(spark, sf_dir, "documents"))
+
+
+def term_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.term_topk(load(spark, sf_dir, "documents"))
 
 
 # -------------------------------------------------------------- multimodal
@@ -601,6 +612,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_embedding": dedup_embedding,
+    "dedup_clusters": dedup_clusters,
     "ann_bruteforce": ann_bruteforce,
     "ann_lsh": ann_lsh,
     "ann_ivf": ann_ivf,
@@ -608,6 +620,7 @@ QUERIES: dict[str, QueryFn] = {
     "quality_score": quality_score,
     "token_count": token_count,
     "doc_fingerprint": doc_fingerprint,
+    "term_topk": term_topk,
     "multimodal_meta": multimodal_meta,
     "multimodal_features": multimodal_features,
     "stream_tail": stream_tail,
