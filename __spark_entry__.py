@@ -38,7 +38,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB oracle SQL per query key. Keys intentionally absent
     (rows-only weaker check): ``stream_tail`` (Structured Streaming
-    path), ``multimodal_features`` (Arrow-batched stub decode)."""
+    path), ``multimodal_features`` / ``multimodal_chunks``
+    (Arrow-batched stub decode — value-pinned by pytest goldens in
+    tests/test_multimodal.py)."""
     from rsbsa_etl_spark.oracles import ORACLES
 
     return dict(ORACLES)

@@ -105,6 +105,40 @@ def extract_features(frames: DataFrame) -> DataFrame:
     return frames.mapInPandas(run, FEATURE_SCHEMA)
 
 
+CHUNK_SCHEMA = "doc_id bigint, chunk_idx int, chunk_len bigint, chunk_md5 string"
+
+
+def sample_chunks(
+    frames: DataFrame, chunk_bytes: int = 64, stride: int = 128
+) -> DataFrame:
+    """frame-sampling analog: emit every ``stride``-th window of
+    ``chunk_bytes`` from each payload (video frame extraction /
+    audio windowing have exactly this shape — byte-offset slicing of
+    an opaque payload into per-sample rows).
+
+    mapInPandas so a real decoder could decode-and-slice per Arrow
+    batch with bounded memory; the stub emits (offset window, md5)
+    which pytest pins against golden values.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        for pdf in batches:
+            out = {"doc_id": [], "chunk_idx": [], "chunk_len": [], "chunk_md5": []}
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                for idx, off in enumerate(range(0, len(raw), stride)):
+                    chunk = raw[off : off + chunk_bytes]
+                    out["doc_id"].append(did)
+                    out["chunk_idx"].append(idx)
+                    out["chunk_len"].append(len(chunk))
+                    out["chunk_md5"].append(_hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(out)
+
+    return frames.select("doc_id", "payload").mapInPandas(run, CHUNK_SCHEMA)
+
+
 def multimodal_meta(docs: DataFrame) -> DataFrame:
     """Metadata projection — the oracle-checkable slice of the
     multimodal path (byte length + checksum are portable SQL;

@@ -546,6 +546,13 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only: frame-sampling analog — byte-offset chunk windows
+    per payload; values pinned by pytest goldens."""
+    frames = multimodal.attach_binary(load(spark, sf_dir, "documents"))
+    return multimodal.sample_chunks(frames)
+
+
 # --------------------------------------------------------------- streaming
 
 
@@ -623,5 +630,6 @@ QUERIES: dict[str, QueryFn] = {
     "term_topk": term_topk,
     "multimodal_meta": multimodal_meta,
     "multimodal_features": multimodal_features,
+    "multimodal_chunks": multimodal_chunks,
     "stream_tail": stream_tail,
 }
