@@ -293,9 +293,14 @@ def dedup_clusters(
         .distinct()
         .persist()
     )
-    labels = docs.select(
-        F.col(id_col).alias("node"), F.col(id_col).alias("label")
-    ).persist()
+    # iterate only over nodes that appear in an edge — components
+    # cannot span isolated docs; singletons rejoin at the end
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges.src == labels.node)
@@ -303,11 +308,27 @@ def dedup_clusters(
             .groupBy("node")
             .agg(F.min("label").alias("label"))
         )
-        new_labels = (
+        propagated = (
             labels.unionByName(neighbor_min)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .persist()
+        )
+        # pointer jumping: also adopt the label of one's current
+        # label-node — doubles the propagation distance per round,
+        # so convergence is O(log diameter) instead of O(diameter)
+        parent = propagated.select(
+            F.col("node").alias("label"), F.col("label").alias("grand")
+        )
+        # localCheckpoint (not persist): the self-join doubles the
+        # logical plan every round, and Catalyst re-analyzes the FULL
+        # lineage per iteration — measured 2.7s → 9s → 108s per round
+        # with persist alone. Truncating lineage keeps every round's
+        # plan constant-size (on a cluster, use reliable checkpoint()
+        # — localCheckpoint does not survive executor loss).
+        new_labels = (
+            propagated.join(parent, "label")
+            .select("node", F.least("label", "grand").alias("label"))
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -320,8 +341,13 @@ def dedup_clusters(
         if changed == 0:
             break
     edges.unpersist()
-    return labels.select(
-        F.col("node").alias(id_col), F.col("label").alias("cluster_id")
+    return (
+        docs.select(F.col(id_col).alias("node"))
+        .join(labels, "node", "left")
+        .select(
+            F.col("node").alias(id_col),
+            F.coalesce("label", "node").alias("cluster_id"),
+        )
     )
 
 
