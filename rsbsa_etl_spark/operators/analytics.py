@@ -1,0 +1,87 @@
+"""Windowed / multi-level analytics (extension surface — the
+reference has no window functions or grouping sets; SURVEY §2.5
+notes O3 as its only windowed access).
+
+- moving aggregates + lag deltas over per-key ordered frames
+- ROLLUP multi-level totals
+- exact interpolated percentiles
+
+All deterministic: frames are totally ordered by (ts, event_id), so
+windowed sums accumulate in identical order in Spark and the DuckDB
+oracle; percentile uses the continuous-interpolation definition both
+engines share (`percentile` / `quantile_cont`).
+
+Scale notes: a per-key window is one shuffle on the key then a
+partition-local sort — at 100 TB the key cardinality (users) spreads
+evenly; ROLLUP expands each input row into (levels+1) grouping rows
+before the partial aggregate, so the shuffle still carries only
+group-level partials; exact percentile requires a sort per group —
+use approx_percentile when the group is a hot key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from rsbsa_etl_spark.functions.numeric import dec_round
+from rsbsa_etl_spark.operators.aggregates import decimal_sum
+
+
+def moving_stats(
+    events: DataFrame, frame_rows: int = 5
+) -> DataFrame:
+    """per-user moving average over the last ``frame_rows`` events
+    plus the delta from the previous event — the classic feature-
+    engineering window pair."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(-(frame_rows - 1), Window.currentRow)
+    return events.select(
+        "event_id",
+        "user_id",
+        dec_round(F.avg("value").over(frame), 6).alias("moving_avg"),
+        dec_round(
+            F.col("value") - F.coalesce(F.lag("value").over(w), F.col("value")),
+            6,
+        ).alias("delta_prev"),
+    )
+
+
+def rollup_totals(lineitem: DataFrame) -> DataFrame:
+    """multi-level totals: (returnflag, linestatus), per-flag, and
+    grand total in one pass — ROLLUP grouping sets with fixed-point
+    sums; NULL level markers rendered as 'ALL' for portability."""
+    return (
+        lineitem.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            decimal_sum("l_quantity", 2, "sum_qty"),
+            F.count("*").alias("n_rows"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n_rows",
+        )
+    )
+
+
+def quantity_percentiles(lineitem: DataFrame) -> DataFrame:
+    """exact interpolated quartiles of quantity per return flag
+    (Spark ``percentile`` == DuckDB ``quantile_cont`` definition)."""
+    g = lineitem.groupBy("l_returnflag")
+    return g.agg(
+        *[
+            dec_round(F.percentile("l_quantity", F.lit(q)), 6).alias(f"p{int(q*100)}")
+            for q in (0.25, 0.5, 0.75)
+        ]
+    )
+
+
+def json_map_entries(events: DataFrame) -> DataFrame:
+    """props JSON parsed into a real MAP column, exploded to
+    (event_id, key, val) rows — the nested-type path the reference
+    never had (its rows are flat JS objects)."""
+    m = F.from_json("props", "map<string,bigint>")
+    return events.select(
+        "event_id", F.explode(m).alias("prop_key", "prop_val")
+    )

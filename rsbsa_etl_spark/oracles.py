@@ -464,6 +464,38 @@ SELECT event_id,
 FROM events
 """
 
+ORACLES["window_moving_avg"] = f"""
+SELECT event_id, user_id,
+       {_dec("avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id"
+             " ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)", 6)} AS moving_avg,
+       {_dec("value - coalesce(lag(value) OVER (PARTITION BY user_id"
+             " ORDER BY ts, event_id), value)", 6)} AS delta_prev
+FROM events
+"""
+
+ORACLES["agg_rollup"] = f"""
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       {sql_sum_fixed("l_quantity", 2)} AS sum_qty,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+ORACLES["agg_percentiles"] = f"""
+SELECT l_returnflag,
+       {_dec("quantile_cont(l_quantity, 0.25)", 6)} AS p25,
+       {_dec("quantile_cont(l_quantity, 0.50)", 6)} AS p50,
+       {_dec("quantile_cont(l_quantity, 0.75)", 6)} AS p75
+FROM lineitem GROUP BY l_returnflag
+"""
+
+ORACLES["json_map_extract"] = """
+SELECT event_id, k AS prop_key,
+       CAST(json_extract(props, '$."' || k || '"') AS BIGINT) AS prop_val
+FROM (SELECT event_id, props, unnest(json_keys(props)) AS k FROM events)
+"""
+
 ORACLES["window_tumbling"] = f"""
 SELECT epoch_ms(time_bucket(INTERVAL 1 HOUR, ts)) // 1000 AS window_start,
        event_type,

@@ -417,6 +417,33 @@ def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------ windowed analytics
+
+
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsbsa_etl_spark.operators.analytics import moving_stats
+
+    return moving_stats(load(spark, sf_dir, "events"))
+
+
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsbsa_etl_spark.operators.analytics import rollup_totals
+
+    return rollup_totals(load(spark, sf_dir, "lineitem"))
+
+
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsbsa_etl_spark.operators.analytics import quantity_percentiles
+
+    return quantity_percentiles(load(spark, sf_dir, "lineitem"))
+
+
+def json_map_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsbsa_etl_spark.operators.analytics import json_map_entries
+
+    return json_map_entries(load(spark, sf_dir, "events"))
+
+
 # ------------------------------------------------------- event-time windows
 
 
@@ -609,6 +636,10 @@ QUERIES: dict[str, QueryFn] = {
     "math_duration": math_duration,
     "text_parse_log": text_parse_log,
     "json_roundtrip": json_roundtrip,
+    "window_moving_avg": window_moving_avg,
+    "agg_rollup": agg_rollup,
+    "agg_percentiles": agg_percentiles,
+    "json_map_extract": json_map_extract,
     "window_tumbling": window_tumbling,
     "window_sliding": window_sliding,
     "window_session": window_session,
