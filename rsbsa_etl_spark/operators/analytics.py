@@ -85,3 +85,69 @@ def json_map_entries(events: DataFrame) -> DataFrame:
     return events.select(
         "event_id", F.explode(m).alias("prop_key", "prop_val")
     )
+
+
+def fuzzy_name_pairs(
+    customers: DataFrame, block_prefix: int = 14, max_distance: int = 1
+) -> DataFrame:
+    """record linkage: near-duplicate name pairs by edit distance,
+    with prefix blocking.
+
+    The RSBSA use case in miniature — finding the same farmer
+    registered twice with a typo'd name. All-pairs Levenshtein is
+    O(n²·len²); blocking on a name prefix turns it into an equi-join
+    whose buckets bound the quadratic term (production blocks on
+    several keys — phonetic code, name prefix, geography — and
+    unions the candidate sets). Levenshtein is exact integer edit
+    distance in both engines.
+    """
+    named = customers.select(
+        "c_custkey",
+        "c_name",
+        F.substring("c_name", 1, block_prefix).alias("block"),
+    )
+    a, b = named.alias("a"), named.alias("b")
+    dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .where(dist <= max_distance)
+        .select(
+            F.col("a.c_custkey").alias("custkey_a"),
+            F.col("b.c_custkey").alias("custkey_b"),
+            dist.cast("int").alias("edit_distance"),
+        )
+    )
+
+
+def embedding_centroids(emb: DataFrame, dims: int = 64) -> DataFrame:
+    """per-label centroid, one (label, dim, centroid) row per
+    dimension — the aggregation at the heart of k-means/IVF training.
+
+    posexplode → fixed-point per-dimension sums (scaled-integer
+    accumulation keeps the result independent of partition order,
+    which a plain double avg is not) → descale. The shuffle carries
+    (label, dim, partial sum) — labels × dims rows, not the corpus.
+    """
+    q = 1_000_000.0
+    exploded = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "x")
+    )
+    return (
+        exploded.groupBy("label", "dim")
+        .agg(
+            (
+                F.sum(F.floor(F.col("x").cast("double") * q + 0.5))
+                / q
+                / F.count("*")
+            ).alias("raw")
+        )
+        .select(
+            "label",
+            "dim",
+            dec_round(F.col("raw"), 6).alias("centroid"),
+        )
+    )

@@ -496,6 +496,25 @@ SELECT event_id, k AS prop_key,
 FROM (SELECT event_id, props, unnest(json_keys(props)) AS k FROM events)
 """
 
+ORACLES["fuzzy_match"] = """
+WITH named AS (
+  SELECT c_custkey, c_name, substr(c_name, 1, 14) AS block FROM customer
+)
+SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS INT) AS edit_distance
+FROM named a JOIN named b
+  ON a.block = b.block AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+"""
+
+ORACLES["embedding_centroids"] = f"""
+SELECT label, i - 1 AS dim,
+       {_dec("(CAST(sum(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0 + 0.5))"
+             " AS DOUBLE) / 1000000.0) / count(*)", 6)} AS centroid
+FROM embeddings, range(1, 65) t(i)
+GROUP BY label, i
+"""
+
 ORACLES["window_tumbling"] = f"""
 SELECT epoch_ms(time_bucket(INTERVAL 1 HOUR, ts)) // 1000 AS window_start,
        event_type,

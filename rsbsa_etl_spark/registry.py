@@ -444,6 +444,18 @@ def json_map_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return json_map_entries(load(spark, sf_dir, "events"))
 
 
+def fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsbsa_etl_spark.operators.analytics import fuzzy_name_pairs
+
+    return fuzzy_name_pairs(load(spark, sf_dir, "customer"))
+
+
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsbsa_etl_spark.operators.analytics import embedding_centroids as _ec
+
+    return _ec(load(spark, sf_dir, "embeddings"))
+
+
 # ------------------------------------------------------- event-time windows
 
 
@@ -640,6 +652,8 @@ QUERIES: dict[str, QueryFn] = {
     "agg_rollup": agg_rollup,
     "agg_percentiles": agg_percentiles,
     "json_map_extract": json_map_extract,
+    "fuzzy_match": fuzzy_match,
+    "embedding_centroids": embedding_centroids,
     "window_tumbling": window_tumbling,
     "window_sliding": window_sliding,
     "window_session": window_session,
