@@ -151,3 +151,48 @@ def embedding_centroids(emb: DataFrame, dims: int = 64) -> DataFrame:
             dec_round(F.col("raw"), 6).alias("centroid"),
         )
     )
+
+
+def kmv_distinct(
+    df: DataFrame, group_col: str, key_col: str, k: int = 1024
+) -> DataFrame:
+    """K-minimum-values distinct-count sketch per group.
+
+    SURVEY §2.4 notes the reference's exact JS ``Set`` distinct (A3,
+    services/etlService.js:99) needs an approximate replacement at
+    100 TB. Spark's ``approx_count_distinct`` (HLL++) is the
+    production answer but its estimate is engine-specific; KMV over a
+    shared md5-derived 32-bit hash is deterministic in any engine, so
+    the estimate itself is oracle-checkable. Estimator: with m = the
+    k-th smallest distinct hash in [0, 2^32), est = (k-1)·2^32/m;
+    groups with fewer than k distinct hashes report the exact count.
+
+    Scale: the distinct on (group, hash) partial-aggregates map-side,
+    so the shuffle carries distinct pairs only; the per-group sort is
+    partition-local after one hash shuffle. A production variant
+    would fold the k-smallest set inside a partial aggregate so state
+    stays O(k) per group — expressible via applyInPandas if the
+    distinct set itself ever dominates.
+    """
+    h = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+    )
+    hashed = df.select(F.col(group_col).alias("grp"), h.alias("h")).distinct()
+    ranked = hashed.select(
+        "grp",
+        "h",
+        F.row_number().over(Window.partitionBy("grp").orderBy("h")).alias("rn"),
+        F.count("*").over(Window.partitionBy("grp")).alias("n"),
+    )
+    est = F.when(F.col("n") < k, F.col("n").cast("double")).otherwise(
+        F.lit(float(k - 1)) * 4294967296.0 / F.col("h")
+    )
+    return (
+        ranked.where(F.col("rn") == F.least("n", F.lit(k)))
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("n").cast("long").alias("n_hashed"),
+            dec_round(est, 4).alias("est_distinct"),
+        )
+    )

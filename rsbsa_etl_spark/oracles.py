@@ -507,6 +507,24 @@ FROM named a JOIN named b
 WHERE levenshtein(a.c_name, b.c_name) <= 1
 """
 
+ORACLES["distinct_sketch"] = f"""
+WITH hashed AS (
+  SELECT DISTINCT o_orderpriority AS grp,
+         {_hexpoly("md5(CAST(o_custkey AS VARCHAR))", 1)} AS h
+  FROM orders
+),
+ranked AS (
+  SELECT grp, h,
+         row_number() OVER (PARTITION BY grp ORDER BY h) AS rn,
+         count(*) OVER (PARTITION BY grp) AS n
+  FROM hashed
+)
+SELECT grp AS o_orderpriority, CAST(n AS BIGINT) AS n_hashed,
+       {_dec("CASE WHEN n < 1024 THEN CAST(n AS DOUBLE)"
+             " ELSE 1023.0 * 4294967296.0 / h END", 4)} AS est_distinct
+FROM ranked WHERE rn = least(n, 1024)
+"""
+
 ORACLES["embedding_centroids"] = f"""
 SELECT label, i - 1 AS dim,
        {_dec("(CAST(sum(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0 + 0.5))"

@@ -450,6 +450,14 @@ def fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_name_pairs(load(spark, sf_dir, "customer"))
 
 
+def distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsbsa_etl_spark.operators.analytics import kmv_distinct
+
+    return kmv_distinct(
+        load(spark, sf_dir, "orders"), "o_orderpriority", "o_custkey"
+    )
+
+
 def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rsbsa_etl_spark.operators.analytics import embedding_centroids as _ec
 
@@ -654,6 +662,7 @@ QUERIES: dict[str, QueryFn] = {
     "json_map_extract": json_map_extract,
     "fuzzy_match": fuzzy_match,
     "embedding_centroids": embedding_centroids,
+    "distinct_sketch": distinct_sketch,
     "window_tumbling": window_tumbling,
     "window_sliding": window_sliding,
     "window_session": window_session,
