@@ -177,3 +177,55 @@ def term_topk(docs: DataFrame, text_col: str = "text", k: int = 20) -> DataFrame
         .orderBy(F.col("n_occurrences").desc(), F.col("term").asc())
         .limit(k)
     )
+
+
+def lm_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """bigram language-model fluency score per document.
+
+    The perplexity-style quality signal of LLM-data pipelines: train
+    bigram statistics on the corpus itself, then score each document
+    by its average transition probability P(w2|w1) = C(w1 w2)/C(w1 ·)
+    weighted by occurrence. Documents with <2 tokens have no bigrams
+    and are excluded (they carry no transition evidence).
+
+    Determinism: probabilities are quantized to 1e-9 fixed point
+    (floor(p·1e9+0.5)) and accumulated as integers, so the score is
+    independent of partition order and free of transcendentals (log
+    differs at the ulp level across libm implementations; an
+    arithmetic mean of transition probabilities ranks documents the
+    same way for filtering purposes).
+
+    Scale: per-doc bigram counts collapse the corpus-sized occurrence
+    stream before any join; the (w1,w2) and (w1) model tables are
+    vocabulary-bounded, so AQE broadcasts them for natural-language
+    vocabularies and falls back to shuffle joins beyond that.
+    """
+    toks = F.split(normalized_text(F.col(text_col)), " ")
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    occ = docs.select(
+        "doc_id", F.explode(bigrams).alias("bg")
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+
+    docbg = occ.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("n"))
+    pair = occ.groupBy("w1", "w2").agg(F.count("*").alias("c_bg"))
+    ctx = occ.groupBy("w1").agg(F.count("*").alias("c_ctx"))
+
+    q = F.floor(
+        F.col("c_bg").cast("double") / F.col("c_ctx") * 1e9 + 0.5
+    ).cast("long")
+    return (
+        docbg.join(pair, ["w1", "w2"])
+        .join(ctx, ["w1"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("long").alias("n_bigrams"),
+            dec_round(
+                F.sum(F.col("n") * q).cast("double") / 1e9 / F.sum("n"), 6
+            ).alias("avg_transition_p"),
+        )
+    )

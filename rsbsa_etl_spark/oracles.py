@@ -682,6 +682,24 @@ ORDER BY n_occurrences DESC, term ASC
 LIMIT 20
 """
 
+ORACLES["lm_score"] = f"""
+WITH toks AS (
+  SELECT doc_id, string_split({NORM}, ' ') AS t FROM documents
+),
+occ AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks)
+),
+docbg AS (SELECT doc_id, w1, w2, count(*) AS n FROM occ GROUP BY ALL),
+pair  AS (SELECT w1, w2, count(*) AS c_bg FROM occ GROUP BY ALL),
+ctx   AS (SELECT w1, count(*) AS c_ctx FROM occ GROUP BY ALL)
+SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+       {_dec("CAST(sum(n * CAST(floor(CAST(c_bg AS DOUBLE) / c_ctx * 1e9 + 0.5)"
+             " AS BIGINT)) AS DOUBLE) / 1e9 / sum(n)", 6)} AS avg_transition_p
+FROM docbg JOIN pair USING (w1, w2) JOIN ctx USING (w1)
+GROUP BY doc_id
+"""
+
 ORACLES["ann_bruteforce"] = _ann_sql(bucketed=False)
 
 ORACLES["ann_lsh"] = _ann_sql(bucketed=True)

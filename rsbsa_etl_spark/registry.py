@@ -450,6 +450,12 @@ def fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_name_pairs(load(spark, sf_dir, "customer"))
 
 
+def lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsbsa_etl_spark.functions.textstats import lm_score as _lm
+
+    return _lm(load(spark, sf_dir, "documents"))
+
+
 def distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rsbsa_etl_spark.operators.analytics import kmv_distinct
 
@@ -663,6 +669,7 @@ QUERIES: dict[str, QueryFn] = {
     "fuzzy_match": fuzzy_match,
     "embedding_centroids": embedding_centroids,
     "distinct_sketch": distinct_sketch,
+    "lm_score": lm_score,
     "window_tumbling": window_tumbling,
     "window_sliding": window_sliding,
     "window_session": window_session,
