@@ -93,3 +93,54 @@ def salted_join(
     dim_rep = dim.select("*", salts)
     out = salted.join(dim_rep, [key, "_salt"])
     return out.drop("_salt")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    payload: list[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """as-of join: for each left row, the latest right row with
+    ``right.ts <= left.ts`` for the same key (left-outer: unmatched
+    left rows keep nulls). SURVEY §2.3 lists as-of as absent from
+    both the reference and vanilla Spark — this is the custom-operator
+    path, built from a union + running ``last(ignorenulls)`` window
+    rather than a range join.
+
+    Scale: the naive formulation (range join + per-left-row max)
+    explodes to |L|·|R| per key before aggregating. The union-window
+    form is one shuffle on ``key`` and one partition-local sort over
+    |L|+|R| rows — the same plan shape whether right has 10 rows or
+    10 billion. Right rows sort before left rows at equal (key, ts),
+    giving the inclusive <= bound. Right-side ties on (key, ts) would
+    be resolved arbitrarily — callers needing that guarantee add a
+    tiebreak column to ``ts`` upstream.
+    """
+    from pyspark.sql import Window
+
+    lcols = left.columns
+    out_payload = [c + suffix for c in payload]
+    l2 = left.withColumn("_side", F.lit(1))
+    r2 = right.select(
+        F.col(key),
+        F.col(ts),
+        *[F.col(c).alias(c + suffix) for c in payload],
+    ).withColumn("_side", F.lit(0))
+    u = l2.unionByName(r2, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(ts, "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.select(
+        *lcols,
+        "_side",
+        *[
+            F.last(c, ignorenulls=True).over(w).alias(c)
+            for c in out_payload
+        ],
+    )
+    return filled.where(F.col("_side") == 1).drop("_side")

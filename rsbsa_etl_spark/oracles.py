@@ -682,6 +682,16 @@ ORDER BY n_occurrences DESC, term ASC
 LIMIT 20
 """
 
+ORACLES["join_asof"] = """
+WITH l AS (SELECT event_id, user_id, ts, value FROM events
+           WHERE event_type = 'click'),
+     r AS (SELECT user_id, ts, value FROM events
+           WHERE event_type = 'view')
+SELECT l.event_id, l.user_id, l.value AS v_click,
+       epoch_us(r.ts) AS view_ts_us, r.value AS v_view
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
 ORACLES["lm_score"] = f"""
 WITH toks AS (
   SELECT doc_id, string_split({NORM}, ' ') AS t FROM documents

@@ -450,6 +450,26 @@ def fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_name_pairs(load(spark, sf_dir, "customer"))
 
 
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsbsa_etl_spark.operators.joins import asof_join
+
+    events = load(spark, sf_dir, "events")
+    clicks = events.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = events.where(F.col("event_type") == "view").select(
+        "user_id", "ts", "value"
+    )
+    joined = asof_join(clicks, views, "user_id", "ts", ["ts", "value"])
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("value").alias("v_click"),
+        F.unix_micros("ts_asof").alias("view_ts_us"),
+        F.col("value_asof").alias("v_view"),
+    )
+
+
 def lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rsbsa_etl_spark.functions.textstats import lm_score as _lm
 
@@ -670,6 +690,7 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_centroids": embedding_centroids,
     "distinct_sketch": distinct_sketch,
     "lm_score": lm_score,
+    "join_asof": join_asof,
     "window_tumbling": window_tumbling,
     "window_sliding": window_sliding,
     "window_session": window_session,
