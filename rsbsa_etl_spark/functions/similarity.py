@@ -319,3 +319,35 @@ def lsh_topk(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def ivf_assignments(
+    emb: DataFrame, n_centroids: int = IVF_CENTROIDS
+) -> DataFrame:
+    """Voronoi cell assignment against the deterministic iteration-0
+    centroids (first ``n_centroids`` vectors by vec_id) — the E-step
+    of Lloyd's algorithm, shared by ``ivf_topk`` (which inlines the
+    same construction for its own probe side) and ``ivf_train``.
+
+    Returns the input rows plus their ``cid``. Centroids broadcast;
+    the argmin is a per-row fold over n_centroids candidates, so the
+    corpus is read once with no shuffle before the caller's next agg.
+    """
+    e = with_norm(emb)
+    cents = e.where(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cid"), F.col("_vd").alias("vc")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("_vd"), F.col("vc"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = e.join(F.broadcast(cents), F.lit(True)).select(
+        "vec_id", "embedding", "cid", d2.alias("d2")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cid").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cid")
+    )

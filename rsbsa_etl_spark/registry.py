@@ -450,6 +450,16 @@ def fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_name_pairs(load(spark, sf_dir, "customer"))
 
 
+def ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsbsa_etl_spark.functions.similarity import ivf_assignments
+    from rsbsa_etl_spark.operators.analytics import embedding_centroids as _ec
+
+    assigned = ivf_assignments(load(spark, sf_dir, "embeddings"))
+    return _ec(assigned.select(F.col("cid").alias("label"), "embedding")).select(
+        F.col("label").alias("cid"), "dim", "centroid"
+    )
+
+
 def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rsbsa_etl_spark.operators.joins import asof_join
 
@@ -691,6 +701,7 @@ QUERIES: dict[str, QueryFn] = {
     "distinct_sketch": distinct_sketch,
     "lm_score": lm_score,
     "join_asof": join_asof,
+    "ivf_train": ivf_train,
     "window_tumbling": window_tumbling,
     "window_sliding": window_sliding,
     "window_session": window_session,
