@@ -41,6 +41,12 @@ HEADLINE = [
     "lang_id",
     "quality_score",
     "token_count",
+    "lm_score",
+    "fuzzy_match",
+    "join_asof",
+    "distinct_sketch",
+    "embedding_centroids",
+    "ivf_train",
 ]
 
 

@@ -87,39 +87,59 @@ def json_map_entries(events: DataFrame) -> DataFrame:
     )
 
 
-def fuzzy_name_pairs(
-    customers: DataFrame, block_prefix: int = 14, max_distance: int = 1
-) -> DataFrame:
-    """record linkage: near-duplicate name pairs by edit distance,
-    with prefix blocking.
+def fuzzy_name_pairs(customers: DataFrame) -> DataFrame:
+    """record linkage: ALL name pairs within edit distance 1 (FastSS
+    deletion neighborhoods).
 
     The RSBSA use case in miniature — finding the same farmer
     registered twice with a typo'd name. All-pairs Levenshtein is
-    O(n²·len²); blocking on a name prefix turns it into an equi-join
-    whose buckets bound the quadratic term (production blocks on
-    several keys — phonetic code, name prefix, geography — and
-    unions the candidate sets). Levenshtein is exact integer edit
-    distance in both engines.
+    O(n²·len²) and prefix blocking degenerates when names share long
+    prefixes (every TPC-H c_name starts "Customer#0…", so one block
+    holds the whole table). Deletion neighborhoods fix recall AND
+    cost: two strings are within edit distance 1 iff their
+    {self} ∪ {one-char-deleted variants} sets intersect (substitution
+    at i → both del-at-i variants equal; insert/delete → one side's
+    identity equals the other's deletion), so candidates come from an
+    equi-join on variants — (len+1)× row expansion, bucket sizes
+    bounded by true near-duplicates — and an exact Levenshtein filter
+    removes the false positives that share a variant at distance 2.
     """
-    named = customers.select(
+    named = customers.select("c_custkey", "c_name")
+    n = F.length("c_name")
+    deletions = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.concat(
+            F.col("c_name").substr(F.lit(1), i - 1),
+            F.col("c_name").substr(i + 1, n),
+        ),
+    )
+    variants = named.select(
         "c_custkey",
         "c_name",
-        F.substring("c_name", 1, block_prefix).alias("block"),
+        F.explode(
+            F.array_union(F.array(F.col("c_name")), deletions)
+        ).alias("variant"),
     )
-    a, b = named.alias("a"), named.alias("b")
-    dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
-    return (
+    a, b = variants.alias("a"), variants.alias("b")
+    cand = (
         a.join(
             b,
-            (F.col("a.block") == F.col("b.block"))
+            (F.col("a.variant") == F.col("b.variant"))
             & (F.col("a.c_custkey") < F.col("b.c_custkey")),
         )
-        .where(dist <= max_distance)
         .select(
             F.col("a.c_custkey").alias("custkey_a"),
             F.col("b.c_custkey").alias("custkey_b"),
-            dist.cast("int").alias("edit_distance"),
+            F.col("a.c_name").alias("name_a"),
+            F.col("b.c_name").alias("name_b"),
         )
+        .distinct()
+    )
+    # thresholded levenshtein runs the banded O(len·k) DP and returns
+    # -1 beyond the bound — the exact value is still exact when <= 1
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"), 1)
+    return cand.where(dist >= 0).select(
+        "custkey_a", "custkey_b", dist.cast("int").alias("edit_distance")
     )
 
 

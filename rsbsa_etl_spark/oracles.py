@@ -497,13 +497,9 @@ FROM (SELECT event_id, props, unnest(json_keys(props)) AS k FROM events)
 """
 
 ORACLES["fuzzy_match"] = """
-WITH named AS (
-  SELECT c_custkey, c_name, substr(c_name, 1, 14) AS block FROM customer
-)
 SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
        CAST(levenshtein(a.c_name, b.c_name) AS INT) AS edit_distance
-FROM named a JOIN named b
-  ON a.block = b.block AND a.c_custkey < b.c_custkey
+FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
 WHERE levenshtein(a.c_name, b.c_name) <= 1
 """
 
