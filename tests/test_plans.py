@@ -97,3 +97,38 @@ def test_jdbc_partitioned_reader_requires_bounds():
     ep = JdbcEndpoint(url="jdbc:mysql://src:3306/rsbsa", user="u", password="p")
     with pytest.raises(ValueError):
         reader_options(ep, "t", partition_column="id")
+
+
+def test_fuzzy_match_is_equi_join(spark):
+    # FastSS candidates must come from a hash equi-join on the
+    # deletion variant — a nested-loop/cartesian plan means the
+    # quadratic blowup the neighborhood construction exists to avoid
+    plan = _plan(QUERIES["fuzzy_match"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join [variant" in plan or "HashJoin [variant" in plan or (
+        "variant" in plan and "Join" in plan
+    )
+
+
+def test_asof_join_single_shuffle(spark):
+    # union-window as-of: one hash exchange on the key, no join
+    # operator at all (the window replaces the range join)
+    plan = _plan(QUERIES["join_asof"](spark, SF_DIR))
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_ivf_train_broadcasts_centroids(spark):
+    # assignment joins every vector against the centroid table — the
+    # centroid side must broadcast, never shuffle the corpus for it
+    plan = _plan(QUERIES["ivf_train"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_lm_score_partial_aggregates(spark):
+    # corpus bigram model: counts must partial-aggregate map-side
+    # (the shuffle carries vocabulary-sized partials, not the corpus)
+    plan = _plan(QUERIES["lm_score"](spark, SF_DIR))
+    assert plan.count("HashAggregate") >= 4  # partial+final for model+score
