@@ -43,6 +43,7 @@ from rsbsa_etl_spark.functions.numeric import dec_round
 from rsbsa_etl_spark.params import (
     JACCARD_THRESHOLD,
     MINHASH_BANDS,
+    MINHASH_BUCKET_CAP,
     MINHASH_COEFFS,
     MINHASH_MOD,
     MINHASH_PERMS,
@@ -512,4 +513,46 @@ def ngram_jaccard_pairs(
             "doc_b",
             dec_round(jac, 4).alias("jaccard"),
         )
+    )
+
+
+def minhash_capped_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    cap: int = MINHASH_BUCKET_CAP,
+) -> DataFrame:
+    """LSH candidate pairs with a bucket-size cap — the production
+    skew guard ``minhash_candidate_pairs`` only documents.
+
+    A boilerplate band signature shared by millions of documents
+    creates one bucket whose self-join is quadratic in the bucket
+    size; those pairs are almost never true near-duplicates of each
+    other (they share template text, not content). Dropping buckets
+    over ``cap`` members bounds per-bucket work at cap² and is the
+    standard trade in web-scale dedup (recall for the capped docs is
+    carried by their other, selective bands).
+
+    Plan shape: bucket sizes come from a count window over
+    (band, band_hash), which shuffles the band table once; the
+    self-join then reuses that same hash partitioning, so the cap
+    costs no extra exchange.
+    """
+    from pyspark.sql import Window
+
+    b = minhash_bands(minhash_signature(docs, text_col)).persist()
+    sized = b.withColumn(
+        "bsz", F.count("*").over(Window.partitionBy("band", "band_hash"))
+    ).where(F.col("bsz") <= cap)
+    left, right = sized.alias("a"), sized.alias("b")
+    return (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
     )

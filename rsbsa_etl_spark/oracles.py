@@ -65,11 +65,13 @@ def _hexpoly(col: str, start: int) -> str:
     return f"CAST({terms} AS BIGINT)"
 
 
-def _minhash_sql() -> str:
+def _minhash_sql(cap: int | None = None) -> str:
     """universal-hash minhash signature + banding + candidate pairs —
     the exact construction of ``dedup.minhash_signature`` /
     ``minhash_bands``: one md5 per shingle → two 32-bit chunks →
-    ``(h1·a + h2·b + c) mod M`` per permutation."""
+    ``(h1·a + h2·b + c) mod M`` per permutation. With ``cap``, band
+    buckets over that size are dropped first (the skew guard of
+    ``dedup.minhash_capped_pairs``)."""
     perm_mins = ", ".join(
         f"min((h1 * {a} + h2 * {b} + {c}) % {P.MINHASH_MOD}) AS m{p}"
         for p, (a, b, c) in enumerate(P.MINHASH_COEFFS)
@@ -84,14 +86,23 @@ def _minhash_sql() -> str:
         )
         for b in range(P.MINHASH_BANDS)
     )
+    pair_src = "bands"
+    cap_cte = ""
+    if cap is not None:
+        cap_cte = f""",
+sized AS (SELECT doc_id, band, band_hash,
+                 count(*) OVER (PARTITION BY band, band_hash) AS bsz
+          FROM bands)
+, kept AS (SELECT doc_id, band, band_hash FROM sized WHERE bsz <= {cap})"""
+        pair_src = "kept"
     return f"""
 WITH {SHINGLES_CTE},
 hs AS (SELECT doc_id, md5(unnest(shingles)) AS h FROM sh),
 chunks AS (SELECT doc_id, {_hexpoly("h", 1)} AS h1, {_hexpoly("h", 9)} AS h2 FROM hs),
 sig AS (SELECT doc_id, {perm_mins} FROM chunks GROUP BY doc_id),
-bands AS ({band_selects})
+bands AS ({band_selects}){cap_cte}
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM bands a JOIN bands b
+FROM {pair_src} a JOIN {pair_src} b
   ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
 """
 
@@ -621,6 +632,8 @@ FROM documents GROUP BY 1
 """
 
 ORACLES["dedup_minhash"] = _minhash_sql()
+
+ORACLES["dedup_minhash_capped"] = _minhash_sql(cap=P.MINHASH_BUCKET_CAP)
 
 ORACLES["dedup_simhash"] = _simhash_sql()
 

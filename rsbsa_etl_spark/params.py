@@ -62,6 +62,12 @@ MINHASH_PERMS = 16
 MINHASH_BANDS = 4  # 4 rows per band
 SHINGLE_K = 3  # word shingles
 MINHASH_MOD = (1 << 61) - 1  # Mersenne prime 2^61-1
+#: skew guard for LSH: band buckets holding more than this many docs
+#: are dropped before pair generation (boilerplate superbuckets are
+#: pure noise and quadratic cost). 2 is tuned to the synthetic
+#: fixture's bucket distribution so tests exercise the drop path; a
+#: web-corpus deployment uses O(100-1000).
+MINHASH_BUCKET_CAP = 2
 MINHASH_COEFFS = tuple(
     (
         ((p * 2654435761 + 1) % (1 << 29)) | 1,

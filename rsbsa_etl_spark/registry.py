@@ -550,6 +550,10 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_candidate_pairs(load(spark, sf_dir, "documents"))
 
 
+def dedup_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_capped_pairs(load(spark, sf_dir, "documents"))
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs_banded(load(spark, sf_dir, "documents"))
 
@@ -709,6 +713,7 @@ QUERIES: dict[str, QueryFn] = {
     "stream_stateful_totals": stream_stateful_totals,
     "dedup_exact": dedup_exact,
     "dedup_minhash": dedup_minhash,
+    "dedup_minhash_capped": dedup_minhash_capped,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_embedding": dedup_embedding,
