@@ -229,3 +229,36 @@ def lm_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
             ).alias("avg_transition_p"),
         )
     )
+
+
+def split_assign(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 90,
+    salt: str = "v1",
+) -> DataFrame:
+    """deterministic train/test split by keyed hash — the stable
+    sampling primitive of training-data pipelines.
+
+    ``rand()``-based splits change membership on every run, partition
+    layout, and engine; hashing the document id (salted, so a new
+    ``salt`` re-deals the split) makes membership a pure function of
+    the key: reproducible across runs, engines, and re-shards, and
+    joinable — any table keyed by the same id lands on the same side.
+    Pure column expressions, zero shuffle, fully codegen'd.
+    """
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    return docs.select(
+        id_col,
+        bucket.cast("int").alias("bucket"),
+        F.when(bucket < train_pct, F.lit("train"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )

@@ -68,3 +68,28 @@ def union_paths(updates: DataFrame, inserts: DataFrame, path_col: str = "path") 
     return updates.withColumn(path_col, F.lit("update")).unionByName(
         inserts.withColumn(path_col, F.lit("insert"))
     )
+
+
+def merge_cdc(
+    target: DataFrame, changes: DataFrame, key: str, op_col: str = "op"
+) -> DataFrame:
+    """Three-action CDC merge — the full Delta/Iceberg ``MERGE INTO``
+    shape the reference's two sinks (K2 upsert + K3 delete-insert,
+    ``etlService.js:85-130``) only approximate pairwise:
+
+      WHEN MATCHED AND op = 'D'  THEN DELETE
+      WHEN MATCHED               THEN UPDATE SET *
+      WHEN NOT MATCHED AND op <> 'D' THEN INSERT *
+
+    ``changes`` carries one compacted row per key (CDC batches are
+    key-deduplicated upstream; last-write-wins compaction is
+    ``topk_recent``'s rn=1 pattern). Result = non-delete changes ∪
+    target rows whose key is untouched. Plan shape matches upsert:
+    one anti-join that broadcasts the (small) change key set — the
+    100 TB target is never shuffled, and on a partitioned/bucketed
+    sink only buckets containing change keys rewrite.
+    """
+    upserts = changes.where(F.col(op_col) != "D").drop(op_col)
+    touched = changes.select(key).distinct()
+    untouched = target.join(F.broadcast(touched), key, "left_anti")
+    return upserts.unionByName(untouched)

@@ -359,6 +359,24 @@ SELECT t.* FROM target t
 WHERE t.o_orderkey NOT IN (SELECT o_orderkey FROM updates)
 """
 
+ORACLES["merge_cdc"] = f"""
+WITH target AS (
+  SELECT o_orderkey, {_dec("o_totalprice", 2)} AS o_totalprice
+  FROM orders
+  WHERE o_totalprice > {P.TARGET_PRICE_MIN} AND o_orderstatus = '{P.TARGET_STATUS}'
+),
+changes AS (
+  SELECT o_orderkey, {_dec("o_totalprice * 1.1", 2)} AS o_totalprice,
+         CASE WHEN o_orderkey % 7 = 0 THEN 'D' ELSE 'U' END AS op
+  FROM orders
+  WHERE o_orderkey % 7 = 0 OR o_orderkey % {P.UPSERT_KEY_MOD} = 0
+)
+SELECT o_orderkey, o_totalprice FROM changes WHERE op <> 'D'
+UNION ALL
+SELECT t.* FROM target t
+WHERE t.o_orderkey NOT IN (SELECT o_orderkey FROM changes)
+"""
+
 ORACLES["overwrite_by_key"] = f"""
 WITH target AS (
   SELECT l_orderkey, l_linenumber, {_dec("l_quantity", 2)} AS l_quantity
@@ -699,6 +717,17 @@ WITH l AS (SELECT event_id, user_id, ts, value FROM events
 SELECT l.event_id, l.user_id, l.value AS v_click,
        epoch_us(r.ts) AS view_ts_us, r.value AS v_view
 FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+ORACLES["split_assign"] = f"""
+WITH h AS (
+  SELECT doc_id,
+         {_hexpoly("md5('v1' || '|' || CAST(doc_id AS VARCHAR))", 1)} % 100 AS bucket
+  FROM documents
+)
+SELECT doc_id, CAST(bucket AS INT) AS bucket,
+       CASE WHEN bucket < 90 THEN 'train' ELSE 'test' END AS split
+FROM h
 """
 
 ORACLES["lm_score"] = f"""

@@ -244,6 +244,25 @@ def upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sync.upsert_merge(target, updates, "o_orderkey")
 
 
+def merge_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """three-action MERGE: deletes (keys %7), upserts (other even
+    keys, +10% price) against the high-value target set."""
+    orders = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    target = _high_value_orders(spark, sf_dir).select(
+        "o_orderkey", dec_round(F.col("o_totalprice"), 2).alias("o_totalprice")
+    )
+    changes = (
+        orders.where((k % 7 == 0) | (k % P.UPSERT_KEY_MOD == 0))
+        .select(
+            "o_orderkey",
+            dec_round(F.col("o_totalprice") * 1.1, 2).alias("o_totalprice"),
+            F.when(k % 7 == 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        )
+    )
+    return sync.merge_cdc(target, changes, "o_orderkey")
+
+
 def overwrite_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K3: delete-then-insert per key on a one-to-many table — the
     incoming batch carries fewer rows per key (linenumber ≤ 2), so
@@ -480,6 +499,12 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsbsa_etl_spark.functions.textstats import split_assign as _sa
+
+    return _sa(load(spark, sf_dir, "documents"))
+
+
 def lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rsbsa_etl_spark.functions.textstats import lm_score as _lm
 
@@ -686,6 +711,7 @@ QUERIES: dict[str, QueryFn] = {
     "topk_recent": topk_recent,
     "union_paths": union_paths,
     "upsert_merge": upsert_merge,
+    "merge_cdc": merge_cdc,
     "overwrite_by_key": overwrite_by_key,
     "sync_pipeline_o2o": sync_pipeline_o2o,
     "sync_pipeline_o2m": sync_pipeline_o2m,
@@ -704,6 +730,7 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_centroids": embedding_centroids,
     "distinct_sketch": distinct_sketch,
     "lm_score": lm_score,
+    "split_assign": split_assign,
     "join_asof": join_asof,
     "ivf_train": ivf_train,
     "window_tumbling": window_tumbling,
