@@ -748,6 +748,14 @@ FROM docbg JOIN pair USING (w1, w2) JOIN ctx USING (w1)
 GROUP BY doc_id
 """
 
+ORACLES["stream_join"] = """
+SELECT c.event_id AS click_id, v.event_id AS view_id
+FROM events c JOIN events v
+  ON c.event_type = 'click' AND v.event_type = 'view'
+ AND c.user_id = v.user_id
+ AND v.ts BETWEEN c.ts - INTERVAL 1 HOUR AND c.ts
+"""
+
 ORACLES["ann_bruteforce"] = _ann_sql(bucketed=False)
 
 ORACLES["ann_lsh"] = _ann_sql(bucketed=True)

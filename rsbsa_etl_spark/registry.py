@@ -564,6 +564,16 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_totals_replay(load(spark, sf_dir, "events"))
 
 
+def stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stream-stream interval join through the real engine across a
+    checkpoint restart (phase 2 clicks join view rows recovered from
+    phase 1 state); with an un-evicting watermark the emitted pairs
+    equal the batch interval join, which is the oracle."""
+    from rsbsa_etl_spark.streaming.joins import click_view_join_replay
+
+    return click_view_join_replay(load(spark, sf_dir, "events"))
+
+
 # ----------------------------------------------------------------- dedup ops
 
 
@@ -738,6 +748,7 @@ QUERIES: dict[str, QueryFn] = {
     "window_session": window_session,
     "stream_late_drop": stream_late_drop,
     "stream_stateful_totals": stream_stateful_totals,
+    "stream_join": stream_join,
     "dedup_exact": dedup_exact,
     "dedup_minhash": dedup_minhash,
     "dedup_minhash_capped": dedup_minhash_capped,
