@@ -216,3 +216,25 @@ def kmv_distinct(
             dec_round(est, 4).alias("est_distinct"),
         )
     )
+
+
+def cube_totals(lineitem: DataFrame) -> DataFrame:
+    """all 2^n grouping combinations in one pass — CUBE over
+    (returnflag, linestatus) adds the per-linestatus marginals that
+    ROLLUP's hierarchy omits. Same shuffle economics as ROLLUP: each
+    input row expands to the grouping-set rows BEFORE the partial
+    aggregate, so the exchange carries group-level partials only.
+    """
+    return (
+        lineitem.cube("l_returnflag", "l_linestatus")
+        .agg(
+            decimal_sum("l_quantity", 2, "sum_qty"),
+            F.count("*").alias("n_rows"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n_rows",
+        )
+    )

@@ -511,6 +511,15 @@ FROM lineitem
 GROUP BY ROLLUP(l_returnflag, l_linestatus)
 """
 
+ORACLES["agg_cube"] = f"""
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       {sql_sum_fixed("l_quantity", 2)} AS sum_qty,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+"""
+
 ORACLES["agg_percentiles"] = f"""
 SELECT l_returnflag,
        {_dec("quantile_cont(l_quantity, 0.25)", 6)} AS p25,

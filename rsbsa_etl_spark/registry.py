@@ -451,6 +451,12 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rollup_totals(load(spark, sf_dir, "lineitem"))
 
 
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsbsa_etl_spark.operators.analytics import cube_totals
+
+    return cube_totals(load(spark, sf_dir, "lineitem"))
+
+
 def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rsbsa_etl_spark.operators.analytics import quantity_percentiles
 
@@ -734,6 +740,7 @@ QUERIES: dict[str, QueryFn] = {
     "json_roundtrip": json_roundtrip,
     "window_moving_avg": window_moving_avg,
     "agg_rollup": agg_rollup,
+    "agg_cube": agg_cube,
     "agg_percentiles": agg_percentiles,
     "json_map_extract": json_map_extract,
     "fuzzy_match": fuzzy_match,
