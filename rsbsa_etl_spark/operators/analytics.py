@@ -238,3 +238,31 @@ def cube_totals(lineitem: DataFrame) -> DataFrame:
             "n_rows",
         )
     )
+
+
+def trailing_time_stats(events: DataFrame, window_s: int = 3600) -> DataFrame:
+    """per-user trailing time-RANGE frame (count + fixed-point sum of
+    the last hour of activity per event) — the time-based sibling of
+    ``moving_stats``'s row frame. A rows frame counts events; a range
+    frame expresses "the last hour", which is what rate limits,
+    velocity features, and fraud windows actually mean.
+
+    The frame is ordered by integer epoch-µs (never engine-formatted
+    time), and the windowed sum accumulates quantized longs, so the
+    result is independent of within-frame evaluation order. One
+    shuffle on user_id, partition-local sort, same plan shape at any
+    scale.
+    """
+    us = F.unix_micros("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-window_s * 1_000_000, 0)
+    )
+    qsum = F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).over(w)
+    return events.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).cast("long").alias("n_1h"),
+        dec_round(qsum / 100.0, 2).alias("sum_1h"),
+    )

@@ -502,6 +502,16 @@ SELECT event_id, user_id,
 FROM events
 """
 
+ORACLES["window_time_range"] = f"""
+SELECT event_id, user_id,
+       CAST(count(*) OVER w AS BIGINT) AS n_1h,
+       {_dec("CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w"
+             " AS DOUBLE) / 100.0", 2)} AS sum_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
 ORACLES["agg_rollup"] = f"""
 SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
        coalesce(l_linestatus, 'ALL') AS linestatus,

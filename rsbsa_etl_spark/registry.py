@@ -445,6 +445,12 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return moving_stats(load(spark, sf_dir, "events"))
 
 
+def window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsbsa_etl_spark.operators.analytics import trailing_time_stats
+
+    return trailing_time_stats(load(spark, sf_dir, "events"))
+
+
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rsbsa_etl_spark.operators.analytics import rollup_totals
 
@@ -739,6 +745,7 @@ QUERIES: dict[str, QueryFn] = {
     "text_parse_log": text_parse_log,
     "json_roundtrip": json_roundtrip,
     "window_moving_avg": window_moving_avg,
+    "window_time_range": window_time_range,
     "agg_rollup": agg_rollup,
     "agg_cube": agg_cube,
     "agg_percentiles": agg_percentiles,
