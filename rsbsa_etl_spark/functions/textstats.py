@@ -21,6 +21,12 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from rsbsa_etl_spark.functions.dedup import normalized_text
 from rsbsa_etl_spark.functions.numeric import dec_round
+from rsbsa_etl_spark.params import (
+    CMS_DEPTH,
+    CMS_WIDTH,
+    MINHASH_COEFFS,
+    MINHASH_MOD,
+)
 
 #: marker words per language for the n-gram heuristic. Checked
 #: against padded normalized text (" text "), so markers match whole
@@ -261,4 +267,61 @@ def split_assign(
         F.when(bucket < train_pct, F.lit("train"))
         .otherwise(F.lit("test"))
         .alias("split"),
+    )
+
+
+def cms_term_estimates(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 20,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """count-min sketch frequency estimates for the top-k terms,
+    reported against their exact counts.
+
+    The heavy-hitter sketch of streaming/telemetry pipelines: d·w
+    integer counters (here 4x1024) replace a vocabulary-sized exact
+    count table; estimates only ever overcount (collisions add).
+    Like ``kmv_distinct``, the hashes are md5-derived universal
+    hashes shared with the DuckDB oracle (same Carter-Wegman coeffs
+    as minhash), so the estimate VALUES are cross-engine-checkable,
+    not just the sketch's error bound.
+
+    Scale: per-term counts partial-aggregate map-side; counters are
+    a depth·width table built from the vocabulary, not the corpus,
+    and broadcast back for the estimate join. At 100 TB the exact
+    ``tc`` table is the part that grows — a production CMS folds
+    counters directly in a partial aggregate over tokens, which this
+    construction reduces to once counts exist.
+    """
+    t = normalized_text(F.col(text_col))
+    tc = (
+        docs.select(F.explode(F.split(t, " ")).alias("term"))
+        .where(F.length("term") > 0)
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+    )
+    h = F.md5(F.col("term"))
+    ch = tc.select(
+        "term",
+        "n",
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint").alias("h1"),
+        F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint").alias("h2"),
+    )
+    buckets = [
+        ((F.col("h1") * a + F.col("h2") * b + F.lit(c)) % MINHASH_MOD) % width
+        for (a, b, c) in MINHASH_COEFFS[:depth]
+    ]
+    mel = ch.select(
+        "term", "n", F.posexplode(F.array(*buckets)).alias("j", "bucket")
+    )
+    counters = mel.groupBy("j", "bucket").agg(F.sum("n").alias("cnt"))
+    top = tc.orderBy(F.col("n").desc(), F.col("term").asc()).limit(k)
+    top_mel = mel.join(F.broadcast(top.select("term")), "term")
+    return (
+        top_mel.join(F.broadcast(counters), ["j", "bucket"])
+        .groupBy("term", "n")
+        .agg(F.min("cnt").cast("long").alias("n_cms"))
+        .select("term", F.col("n").cast("long").alias("n_exact"), "n_cms")
     )

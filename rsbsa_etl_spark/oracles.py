@@ -775,6 +775,32 @@ FROM events c JOIN events v
  AND v.ts BETWEEN c.ts - INTERVAL 1 HOUR AND c.ts
 """
 
+_CMS_MELT = " UNION ALL ".join(
+    f"SELECT term, n, {j} AS j,"
+    f" ((h1 * {a} + h2 * {b} + {c}) % {P.MINHASH_MOD}) % {P.CMS_WIDTH} AS bucket"
+    " FROM ch"
+    for j, (a, b, c) in enumerate(P.MINHASH_COEFFS[: P.CMS_DEPTH])
+)
+
+ORACLES["cms_topk"] = f"""
+WITH toks AS (
+  SELECT unnest(string_split({NORM}, ' ')) AS term FROM documents
+),
+tc AS (SELECT term, count(*) AS n FROM toks
+       WHERE length(term) > 0 GROUP BY term),
+hs AS (SELECT term, n, md5(term) AS h FROM tc),
+ch AS (SELECT term, n, {_hexpoly("h", 1)} AS h1, {_hexpoly("h", 9)} AS h2 FROM hs),
+mel AS ({_CMS_MELT}),
+counters AS (SELECT j, bucket, sum(n) AS cnt FROM mel GROUP BY j, bucket),
+top AS (SELECT term, n FROM tc ORDER BY n DESC, term ASC LIMIT 20)
+SELECT t.term, CAST(t.n AS BIGINT) AS n_exact,
+       CAST(min(c.cnt) AS BIGINT) AS n_cms
+FROM top t
+JOIN mel m ON m.term = t.term
+JOIN counters c ON c.j = m.j AND c.bucket = m.bucket
+GROUP BY t.term, t.n
+"""
+
 ORACLES["ann_bruteforce"] = _ann_sql(bucketed=False)
 
 ORACLES["ann_lsh"] = _ann_sql(bucketed=True)

@@ -95,3 +95,8 @@ IVF_NPROBE = 4  # cells probed per query
 def sql_in_list(values) -> str:
     """Render an IN-list for oracle SQL."""
     return ", ".join(str(v) for v in values)
+
+#: count-min sketch shape (depth reuses the first `depth` minhash
+#: Carter-Wegman coefficient triples so the oracle shares them).
+CMS_DEPTH = 4
+CMS_WIDTH = 1024

@@ -576,6 +576,10 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_totals_replay(load(spark, sf_dir, "events"))
 
 
+def cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.cms_term_estimates(load(spark, sf_dir, "documents"))
+
+
 def stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """stream-stream interval join through the real engine across a
     checkpoint restart (phase 2 clicks join view rows recovered from
@@ -778,6 +782,7 @@ QUERIES: dict[str, QueryFn] = {
     "token_count": token_count,
     "doc_fingerprint": doc_fingerprint,
     "term_topk": term_topk,
+    "cms_topk": cms_topk,
     "multimodal_meta": multimodal_meta,
     "multimodal_features": multimodal_features,
     "multimodal_chunks": multimodal_chunks,
