@@ -325,3 +325,42 @@ def cms_term_estimates(
         .agg(F.min("cnt").cast("long").alias("n_cms"))
         .select("term", F.col("n").cast("long").alias("n_exact"), "n_cms")
     )
+
+
+def stratified_sample(
+    events: DataFrame,
+    strata_col: str = "event_type",
+    id_col: str = "event_id",
+    rates: dict[str, int] | None = None,
+    default_pct: int = 10,
+    salt: str = "v1",
+) -> DataFrame:
+    """deterministic per-stratum downsampling — class rebalancing by
+    keyed hash, the stratified companion of ``split_assign``.
+
+    Each stratum gets its own keep-rate (percent); membership is a
+    pure function of (salt, id), so the sample is reproducible across
+    runs/engines/shards and consistent for the same id across tables.
+    ``df.sampleBy`` has the same shape but draws from a seeded RNG
+    whose stream depends on partitioning — useless as a contract.
+    Pure column expressions: no shuffle, fully codegen'd.
+    """
+    rates = rates or {"error": 100, "click": 50}
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    pct = F.lit(default_pct)
+    for stratum, rate in sorted(rates.items()):
+        pct = F.when(F.col(strata_col) == stratum, F.lit(rate)).otherwise(pct)
+    return events.where(bucket < pct).select(
+        id_col, strata_col, bucket.cast("int").alias("bucket")
+    )

@@ -738,6 +738,18 @@ SELECT l.event_id, l.user_id, l.value AS v_click,
 FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
 """
 
+ORACLES["sample_stratified"] = f"""
+WITH h AS (
+  SELECT event_id, event_type,
+         {_hexpoly("md5('v1' || '|' || CAST(event_id AS VARCHAR))", 1)} % 100 AS bucket
+  FROM events
+)
+SELECT event_id, event_type, CAST(bucket AS INT) AS bucket
+FROM h
+WHERE bucket < CASE event_type WHEN 'error' THEN 100
+                               WHEN 'click' THEN 50 ELSE 10 END
+"""
+
 ORACLES["split_assign"] = f"""
 WITH h AS (
   SELECT doc_id,

@@ -511,6 +511,10 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.stratified_sample(load(spark, sf_dir, "events"))
+
+
 def split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rsbsa_etl_spark.functions.textstats import split_assign as _sa
 
@@ -759,6 +763,7 @@ QUERIES: dict[str, QueryFn] = {
     "distinct_sketch": distinct_sketch,
     "lm_score": lm_score,
     "split_assign": split_assign,
+    "sample_stratified": sample_stratified,
     "join_asof": join_asof,
     "ivf_train": ivf_train,
     "window_tumbling": window_tumbling,
