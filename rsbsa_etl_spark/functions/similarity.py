@@ -351,3 +351,26 @@ def ivf_assignments(
         .where(F.col("rn") == 1)
         .select("vec_id", "embedding", "cid")
     )
+
+
+def assign_to_centroids(emb: DataFrame, cvec: DataFrame) -> DataFrame:
+    """Voronoi assignment against an arbitrary centroid table
+    (cid, vc: array<double>) — the E-step against *trained*
+    centroids, vs ``ivf_assignments``'s iteration-0 seed. Same plan:
+    broadcast centroids, per-row argmin fold, no shuffle.
+    """
+    e = with_norm(emb)
+    d2 = F.aggregate(
+        F.zip_with(F.col("_vd"), F.col("vc"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = e.join(F.broadcast(cvec), F.lit(True)).select(
+        "vec_id", "embedding", "cid", d2.alias("d2")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cid").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cid")
+    )

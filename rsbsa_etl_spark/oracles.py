@@ -842,6 +842,50 @@ WHERE a.vec_id = x.nid
 GROUP BY x.cid, i
 """
 
+ORACLES["ivf_train2"] = f"""
+WITH {_EMB_CTE.strip()},
+cents AS (SELECT vec_id AS cid, v AS vc FROM n WHERE vec_id < {P.IVF_CENTROIDS}),
+corp_d AS (
+  SELECT a.vec_id AS nid, c.cid,
+         list_sum(list_transform(range(1, 65),
+                  i -> (a.v[i] - c.vc[i]) * (a.v[i] - c.vc[i]))) AS d2
+  FROM n a, cents c
+),
+cells AS (
+  SELECT nid, cid FROM (
+    SELECT nid, cid,
+           row_number() OVER (PARTITION BY nid ORDER BY d2 ASC, cid ASC) AS rn
+    FROM corp_d) WHERE rn = 1
+),
+c1 AS (
+  SELECT x.cid, i - 1 AS dim,
+         {_dec("(CAST(sum(floor(a.v[i] * 1000000.0 + 0.5)) AS DOUBLE)"
+               " / 1000000.0) / count(*)", 6)} AS centroid
+  FROM cells x, e a, range(1, 65) t(i)
+  WHERE a.vec_id = x.nid
+  GROUP BY x.cid, i
+),
+cv AS (SELECT cid, list(centroid ORDER BY dim) AS vc FROM c1 GROUP BY cid),
+d2b AS (
+  SELECT a.vec_id AS nid, c.cid,
+         list_sum(list_transform(range(1, 65),
+                  i -> (a.v[i] - c.vc[i]) * (a.v[i] - c.vc[i]))) AS d2
+  FROM n a, cv c
+),
+cells2 AS (
+  SELECT nid, cid FROM (
+    SELECT nid, cid,
+           row_number() OVER (PARTITION BY nid ORDER BY d2 ASC, cid ASC) AS rn
+    FROM d2b) WHERE rn = 1
+)
+SELECT x.cid, i - 1 AS dim,
+       {_dec("(CAST(sum(floor(a.v[i] * 1000000.0 + 0.5)) AS DOUBLE)"
+             " / 1000000.0) / count(*)", 6)} AS centroid
+FROM cells2 x, e a, range(1, 65) t(i)
+WHERE a.vec_id = x.nid
+GROUP BY x.cid, i
+"""
+
 
 def _occ(hay: str, needle: str) -> str:
     n = needle.replace("'", "''")

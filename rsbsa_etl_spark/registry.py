@@ -491,6 +491,30 @@ def ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ivf_train2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """second Lloyd iteration: re-assign every vector to the
+    iteration-1 centroids (rebuilt as vectors from the long table —
+    fixed-point values, so distances stay engine-exact), then
+    recompute per-cell means. Demonstrates the E/M loop composes;
+    round N is this same plan stacked N times with the centroid
+    table localCheckpointed between rounds."""
+    from rsbsa_etl_spark.functions.similarity import assign_to_centroids
+    from rsbsa_etl_spark.operators.analytics import embedding_centroids as _ec
+
+    emb = load(spark, sf_dir, "embeddings")
+    c1 = ivf_train(spark, sf_dir)
+    cvec = c1.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "centroid"))),
+            lambda s: s["centroid"],
+        ).alias("vc")
+    )
+    assigned = assign_to_centroids(emb, cvec)
+    return _ec(assigned.select(F.col("cid").alias("label"), "embedding")).select(
+        F.col("label").alias("cid"), "dim", "centroid"
+    )
+
+
 def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rsbsa_etl_spark.operators.joins import asof_join
 
@@ -766,6 +790,7 @@ QUERIES: dict[str, QueryFn] = {
     "sample_stratified": sample_stratified,
     "join_asof": join_asof,
     "ivf_train": ivf_train,
+    "ivf_train2": ivf_train2,
     "window_tumbling": window_tumbling,
     "window_sliding": window_sliding,
     "window_session": window_session,
