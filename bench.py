@@ -47,6 +47,14 @@ HEADLINE = [
     "distinct_sketch",
     "embedding_centroids",
     "ivf_train",
+    "ivf_train2",
+    "cms_topk",
+    "window_time_range",
+    "merge_cdc",
+    "sample_stratified",
+    "agg_cube",
+    "dedup_minhash_capped",
+    "split_assign",
 ]
 
 
