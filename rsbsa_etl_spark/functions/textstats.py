@@ -327,6 +327,58 @@ def cms_term_estimates(
     )
 
 
+def tfidf_topk(docs: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
+    """per-document top-k characteristic terms by TF-IDF.
+
+    The keyword-extraction primitive of document pipelines. The idf is
+    the BM25 rational form ``(N - df + 0.5) / (df + 0.5)`` — same
+    monotone ordering as the classic ``log(N/df)`` but free of
+    transcendentals, so the score is a pure rational function of
+    integer counts and bit-exact across engines (log differs at the
+    ulp level between libm implementations; see lm_score).
+
+    Scale: tf partial-aggregates map-side before its (doc_id, term)
+    shuffle; df is derived from tf (already one row per doc-term), is
+    vocabulary-bounded, and broadcasts back; N is a scalar. The only
+    corpus-sized shuffle is the per-doc rank window, partitioned by
+    doc_id — no skew (per-doc vocabulary is document-sized).
+    """
+    t = normalized_text(F.col(text_col))
+    tf = (
+        docs.select("doc_id", F.explode(F.split(t, " ")).alias("term"))
+        .where(F.length("term") > 0)
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.select(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            dec_round(
+                F.col("tf")
+                * ((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .drop("rnk")
+    )
+
+
 def stratified_sample(
     events: DataFrame,
     strata_col: str = "event_type",

@@ -728,6 +728,23 @@ ORDER BY n_occurrences DESC, term ASC
 LIMIT 20
 """
 
+ORACLES["tfidf_topk"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({NORM}, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE length(term) > 0 GROUP BY doc_id, term
+),
+idf AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       {_dec("tf * ((n_docs - df + 0.5) / (df + 0.5))", 6)} AS tfidf
+FROM tf JOIN idf USING (term), n
+QUALIFY row_number() OVER (
+  PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) <= 3
+"""
+
 ORACLES["join_asof"] = """
 WITH l AS (SELECT event_id, user_id, ts, value FROM events
            WHERE event_type = 'click'),

@@ -690,6 +690,10 @@ def term_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.term_topk(load(spark, sf_dir, "documents"))
 
 
+def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.tfidf_topk(load(spark, sf_dir, "documents"))
+
+
 # -------------------------------------------------------------- multimodal
 
 
@@ -812,6 +816,7 @@ QUERIES: dict[str, QueryFn] = {
     "token_count": token_count,
     "doc_fingerprint": doc_fingerprint,
     "term_topk": term_topk,
+    "tfidf_topk": tfidf_topk,
     "cms_topk": cms_topk,
     "multimodal_meta": multimodal_meta,
     "multimodal_features": multimodal_features,
