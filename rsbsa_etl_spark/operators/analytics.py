@@ -65,6 +65,54 @@ def rollup_totals(lineitem: DataFrame) -> DataFrame:
     )
 
 
+def pivot_status_totals(orders: DataFrame) -> DataFrame:
+    """long→wide reshaping: per-priority order totals pivoted by
+    status. The pivot values are DECLARED (not discovered) — an
+    undeclared ``pivot()`` runs an extra distinct-collect job on the
+    driver to learn the columns, a full pass over the table that a
+    100 TB scan cannot afford. One hash aggregate, map-side partial,
+    shuffle carries (priority × status) partial states only. Missing
+    cells surface as 0 on both engines (coalesce)."""
+    statuses = ("F", "O", "P")
+    wide = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", list(statuses))
+        .agg(decimal_sum("o_totalprice", 2, "total"))
+    )
+    return wide.select(
+        "o_orderpriority",
+        *[
+            dec_round(F.coalesce(F.col(s), F.lit(0.0)), 2).alias(f"total_{s.lower()}")
+            for s in statuses
+        ],
+    )
+
+
+def unpivot_lineitem_metrics(lineitem: DataFrame, keys) -> DataFrame:
+    """wide→long reshaping (melt): the four money/quantity measures
+    of a keyed lineitem slice as (metric, val) rows. ``unpivot`` is
+    a zero-shuffle narrow op — each input row expands to 4 output
+    rows in place; column pruning still reaches the scan (only the
+    6 referenced columns are read)."""
+    return (
+        lineitem.where(F.col("l_orderkey").isin(list(keys)))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            dec_round(F.col("l_quantity"), 2).alias("quantity"),
+            dec_round(F.col("l_extendedprice"), 2).alias("extendedprice"),
+            dec_round(F.col("l_discount"), 2).alias("discount"),
+            dec_round(F.col("l_tax"), 2).alias("tax"),
+        )
+        .unpivot(
+            ids=["l_orderkey", "l_linenumber"],
+            values=["quantity", "extendedprice", "discount", "tax"],
+            variableColumnName="metric",
+            valueColumnName="val",
+        )
+    )
+
+
 def quantity_percentiles(lineitem: DataFrame) -> DataFrame:
     """exact interpolated quartiles of quantity per return flag
     (Spark ``percentile`` == DuckDB ``quantile_cont`` definition)."""

@@ -530,6 +530,39 @@ FROM lineitem
 GROUP BY CUBE(l_returnflag, l_linestatus)
 """
 
+def _pivot_cell(status: str) -> str:
+    s = sql_sum_fixed(
+        f"CASE WHEN o_orderstatus = '{status}' THEN o_totalprice END", 2
+    )
+    return _dec(f"coalesce({s}, 0.0)", 2) + f" AS total_{status.lower()}"
+
+
+ORACLES["agg_pivot"] = f"""
+SELECT o_orderpriority,
+       {_pivot_cell("F")},
+       {_pivot_cell("O")},
+       {_pivot_cell("P")}
+FROM orders GROUP BY o_orderpriority
+"""
+
+ORACLES["agg_unpivot"] = f"""
+WITH k AS (
+  SELECT l_orderkey, l_linenumber,
+         {_dec("l_quantity", 2)} AS quantity,
+         {_dec("l_extendedprice", 2)} AS extendedprice,
+         {_dec("l_discount", 2)} AS discount,
+         {_dec("l_tax", 2)} AS tax
+  FROM lineitem WHERE l_orderkey IN ({sql_in_list(P.ORDER_KEYS)})
+)
+SELECT l_orderkey, l_linenumber, 'quantity' AS metric, quantity AS val FROM k
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'extendedprice', extendedprice FROM k
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'discount', discount FROM k
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'tax', tax FROM k
+"""
+
 ORACLES["agg_percentiles"] = f"""
 SELECT l_returnflag,
        {_dec("quantile_cont(l_quantity, 0.25)", 6)} AS p25,

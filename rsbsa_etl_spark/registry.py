@@ -463,6 +463,18 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cube_totals(load(spark, sf_dir, "lineitem"))
 
 
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsbsa_etl_spark.operators.analytics import pivot_status_totals
+
+    return pivot_status_totals(load(spark, sf_dir, "orders"))
+
+
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsbsa_etl_spark.operators.analytics import unpivot_lineitem_metrics
+
+    return unpivot_lineitem_metrics(load(spark, sf_dir, "lineitem"), P.ORDER_KEYS)
+
+
 def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rsbsa_etl_spark.operators.analytics import quantity_percentiles
 
@@ -785,6 +797,8 @@ QUERIES: dict[str, QueryFn] = {
     "agg_rollup": agg_rollup,
     "agg_cube": agg_cube,
     "agg_percentiles": agg_percentiles,
+    "agg_pivot": agg_pivot,
+    "agg_unpivot": agg_unpivot,
     "json_map_extract": json_map_extract,
     "fuzzy_match": fuzzy_match,
     "embedding_centroids": embedding_centroids,
