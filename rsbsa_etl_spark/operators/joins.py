@@ -95,6 +95,46 @@ def salted_join(
     return out.drop("_salt")
 
 
+def range_join(
+    fact: DataFrame,
+    bands: DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    bin_w: float = 16.0,
+) -> DataFrame:
+    """interval/range join (``lo <= value < hi``) as a bin-bucketed
+    EQUI join. SURVEY §2.3 lists range joins as absent from the
+    reference; vanilla Spark planizes a pure range predicate as
+    BroadcastNestedLoopJoin — O(|fact|·|bands|) comparisons, which is
+    fine for 5 bands but fatal when the band table is a million
+    tariff rows. The standard fix: quantize values into width-W bins,
+    explode each band to every bin it overlaps, hash-join on the bin,
+    then re-check the exact predicate. Comparisons drop to
+    O(|fact| · avg bands per bin).
+
+    Bands ship exploded (rows × ceil(width/W)) and broadcast; the
+    fact side computes its bin in codegen — no shuffle of fact rows
+    at all when bands broadcast.
+    """
+    binned = bands.withColumn(
+        "_bin_b",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / bin_w).cast("long"),
+                F.floor(F.col(hi_col) / bin_w).cast("long"),
+            )
+        ),
+    )
+    fact_b = fact.withColumn("_bin", F.floor(F.col(value_col) / bin_w).cast("long"))
+    v = F.col(value_col)
+    out = fact_b.join(
+        F.broadcast(binned),
+        (F.col("_bin") == F.col("_bin_b")) & (v >= F.col(lo_col)) & (v < F.col(hi_col)),
+    )
+    return out.drop("_bin", "_bin_b")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

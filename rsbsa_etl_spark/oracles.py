@@ -778,6 +778,31 @@ QUALIFY row_number() OVER (
   PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) <= 3
 """
 
+_BANDS_VALUES = ", ".join(
+    f"({bid}, {lo!r}, {hi!r})" for bid, lo, hi in P.VALUE_BANDS
+)
+
+ORACLES["join_range"] = f"""
+WITH bands(band_id, lo, hi) AS (VALUES {_BANDS_VALUES})
+SELECT e.event_id, {_dec("e.value", 2)} AS value, CAST(b.band_id AS INT) AS band_id
+FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+"""
+
+ORACLES["join_skew_salted"] = """
+WITH fact AS (
+  SELECT event_id,
+         CAST(CASE WHEN event_id % 4 <> 0 THEN 0
+                   ELSE user_id % 100 END AS BIGINT) AS skew_key
+  FROM events
+),
+dim AS (
+  SELECT CAST(c_custkey AS BIGINT) AS skew_key, c_mktsegment
+  FROM customer WHERE c_custkey < 100
+)
+SELECT f.event_id, f.skew_key, d.c_mktsegment
+FROM fact f JOIN dim d USING (skew_key)
+"""
+
 ORACLES["join_asof"] = """
 WITH l AS (SELECT event_id, user_id, ts, value FROM events
            WHERE event_type = 'click'),

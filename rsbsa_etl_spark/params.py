@@ -100,3 +100,16 @@ def sql_in_list(values) -> str:
 #: Carter-Wegman coefficient triples so the oracle shares them).
 CMS_DEPTH = 4
 CMS_WIDTH = 1024
+
+#: value bands for the range join: (band_id, lo, hi), lo ≤ v < hi.
+#: Deliberately non-uniform widths (so bin bucketing is exercised)
+#: and a gap above 200 (so some fact rows match no band).
+VALUE_BANDS = (
+    (0, 0.0, 10.0),
+    (1, 10.0, 25.0),
+    (2, 25.0, 60.0),
+    (3, 60.0, 120.0),
+    (4, 120.0, 200.0),
+)
+#: bin width for bucketing the range join into an equi join.
+RANGE_BIN_W = 16.0

@@ -527,6 +527,43 @@ def ivf_train2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """interval join of event values against declared bands — the
+    bin-bucketed equi-join form (see ``joins.range_join``)."""
+    from rsbsa_etl_spark.operators.joins import range_join
+
+    ev = load(spark, sf_dir, "events").select("event_id", "value")
+    bands = spark.createDataFrame(
+        list(P.VALUE_BANDS), schema="band_id INT, lo DOUBLE, hi DOUBLE"
+    )
+    out = range_join(ev, bands, "value", bin_w=P.RANGE_BIN_W)
+    return out.select(
+        "event_id", dec_round(F.col("value"), 2).alias("value"), "band_id"
+    )
+
+
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """salted equi-join on a deliberately skewed key (~75% of fact
+    rows share key 0): dim replicates ×16, fact salts randomly — the
+    output is salt-independent, so the plain join is the oracle."""
+    from rsbsa_etl_spark.operators.joins import salted_join
+
+    ev = load(spark, sf_dir, "events")
+    fact = ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 4 != 0, F.lit(0))
+        .otherwise(F.col("user_id") % 100)
+        .cast("long")
+        .alias("skew_key"),
+    )
+    dim = (
+        load(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") < 100)
+        .select(F.col("c_custkey").cast("long").alias("skew_key"), "c_mktsegment")
+    )
+    return salted_join(fact, dim, "skew_key")
+
+
 def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rsbsa_etl_spark.operators.joins import asof_join
 
@@ -807,6 +844,8 @@ QUERIES: dict[str, QueryFn] = {
     "split_assign": split_assign,
     "sample_stratified": sample_stratified,
     "join_asof": join_asof,
+    "join_range": join_range,
+    "join_skew_salted": join_skew_salted,
     "ivf_train": ivf_train,
     "ivf_train2": ivf_train2,
     "window_tumbling": window_tumbling,
