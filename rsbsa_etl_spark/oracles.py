@@ -962,6 +962,70 @@ GROUP BY x.cid, i
 """
 
 
+def _ivf_train_sql(n_iters: int) -> str:
+    """unrolled n-iteration Lloyd SQL — the same blocks as
+    ``ivf_train``/``ivf_train2``, generated for arbitrary depth
+    (fixed-point centroids keep every round engine-exact)."""
+    cent = _dec(
+        "(CAST(sum(floor(a.v[i] * 1000000.0 + 0.5)) AS DOUBLE)"
+        " / 1000000.0) / count(*)",
+        6,
+    )
+
+    def estep(src: str, dname: str, cellname: str) -> str:
+        return (
+            f"{dname} AS (\n"
+            "  SELECT a.vec_id AS nid, c.cid,\n"
+            "         list_sum(list_transform(range(1, 65),\n"
+            "                  i -> (a.v[i] - c.vc[i]) * (a.v[i] - c.vc[i]))) AS d2\n"
+            f"  FROM n a, {src} c\n"
+            "),\n"
+            f"{cellname} AS (\n"
+            "  SELECT nid, cid FROM (\n"
+            "    SELECT nid, cid,\n"
+            "           row_number() OVER (PARTITION BY nid"
+            " ORDER BY d2 ASC, cid ASC) AS rn\n"
+            f"    FROM {dname}) WHERE rn = 1\n"
+            ")"
+        )
+
+    def mstep(cells: str, name: str) -> str:
+        return (
+            f"{name} AS (\n"
+            f"  SELECT x.cid, i - 1 AS dim,\n"
+            f"         {cent} AS centroid\n"
+            f"  FROM {cells} x, e a, range(1, 65) t(i)\n"
+            "  WHERE a.vec_id = x.nid\n"
+            "  GROUP BY x.cid, i\n"
+            ")"
+        )
+
+    parts = [
+        _EMB_CTE.strip(),
+        f"cents AS (SELECT vec_id AS cid, v AS vc FROM n"
+        f" WHERE vec_id < {P.IVF_CENTROIDS})",
+        estep("cents", "d0", "cells0"),
+    ]
+    prev = "cells0"
+    for it in range(1, n_iters):
+        parts.append(mstep(prev, f"c{it}"))
+        parts.append(
+            f"cv{it} AS (SELECT cid, list(centroid ORDER BY dim) AS vc"
+            f" FROM c{it} GROUP BY cid)"
+        )
+        parts.append(estep(f"cv{it}", f"d{it}", f"cells{it}"))
+        prev = f"cells{it}"
+    final = (
+        f"SELECT x.cid, i - 1 AS dim,\n       {cent} AS centroid\n"
+        f"FROM {prev} x, e a, range(1, 65) t(i)\n"
+        "WHERE a.vec_id = x.nid\nGROUP BY x.cid, i"
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + final
+
+
+ORACLES["ivf_train3"] = _ivf_train_sql(3)
+
+
 def _occ(hay: str, needle: str) -> str:
     n = needle.replace("'", "''")
     return (

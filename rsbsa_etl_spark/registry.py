@@ -564,6 +564,44 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_join(fact, dim, "skew_key")
 
 
+def ivf_train3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """the general n-iteration Lloyd loop (n=3): E-step (broadcast
+    centroids, per-row argmin fold, zero shuffle) then M-step (one
+    hash agg) per round. The centroid table (k·d rows) is
+    localCheckpointed between rounds — per-round lineage cuts keep
+    Catalyst's analysis cost constant instead of exponential (same
+    discipline as ``dedup_clusters``); the corpus itself is never
+    checkpointed, only re-scanned, which is the right trade at 100 TB
+    (centroids are tiny, the corpus is not).
+
+    Centroid values are fixed-point (1e-6), so rebuilt vectors — and
+    therefore distances and cell assignments — are engine-exact and
+    the unrolled DuckDB SQL is a value oracle for the whole loop.
+    """
+    from rsbsa_etl_spark.functions.similarity import (
+        assign_to_centroids,
+        ivf_assignments,
+    )
+    from rsbsa_etl_spark.operators.analytics import embedding_centroids as _ec
+
+    def mstep(assigned: DataFrame) -> DataFrame:
+        out = _ec(assigned.select(F.col("cid").alias("label"), "embedding"))
+        return out.select(F.col("label").alias("cid"), "dim", "centroid")
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = mstep(ivf_assignments(emb))
+    for _ in range(2):  # iterations 2..3
+        cents = cents.localCheckpoint(eager=True)
+        cvec = cents.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "centroid"))),
+                lambda s: s["centroid"],
+            ).alias("vc")
+        )
+        cents = mstep(assign_to_centroids(emb, cvec))
+    return cents
+
+
 def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rsbsa_etl_spark.operators.joins import asof_join
 
@@ -848,6 +886,7 @@ QUERIES: dict[str, QueryFn] = {
     "join_skew_salted": join_skew_salted,
     "ivf_train": ivf_train,
     "ivf_train2": ivf_train2,
+    "ivf_train3": ivf_train3,
     "window_tumbling": window_tumbling,
     "window_sliding": window_sliding,
     "window_session": window_session,
