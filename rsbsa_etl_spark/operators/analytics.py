@@ -65,6 +65,60 @@ def rollup_totals(lineitem: DataFrame) -> DataFrame:
     )
 
 
+def lag_lead_deltas(events: DataFrame) -> DataFrame:
+    """row-offset window functions (lag/lead): per-user value delta
+    and inter-event gap. One shuffle on user_id + partition-local
+    sort serves all three offset functions (single Window exchange).
+    The sort key includes event_id so equal timestamps order
+    deterministically — offset functions over a tied sort are
+    engine-lottery otherwise."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_v = F.lag("value").over(w)
+    prev_ts = F.lag("ts").over(w)
+    return events.select(
+        "event_id",
+        "user_id",
+        dec_round(F.col("value") - prev_v, 2).alias("dvalue"),
+        (F.unix_millis(F.col("ts")) - F.unix_millis(prev_ts)).alias("gap_ms"),
+        F.lead("event_id").over(w).alias("next_event_id"),
+    )
+
+
+def quantile_sketch(events: DataFrame, width: float = 8.0) -> DataFrame:
+    """fixed-bin histogram quantile estimates (p50/p90/p99) per
+    group — the deterministic sketch alternative to exact
+    percentiles. Exact quantiles need a full sort per group;
+    ``approx_percentile``'s t-digest is engine- and merge-order-
+    dependent (useless as a cross-engine contract). Width-W binning
+    is a histogram sketch whose estimate is a pure function of the
+    data: the shuffle carries (group, bin) partial counts — bounded
+    by value-range/W per group, not row count — and the estimate is
+    the first bin whose cumulative count reaches q·n. Error ≤ W,
+    known in advance; at 100 TB the bin table is KBs."""
+    b = events.select(
+        "event_type",
+        F.floor(F.col("value") / width).cast("long").alias("bin"),
+    )
+    counts = b.groupBy("event_type", "bin").agg(F.count("*").alias("c"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = counts.withColumn("cum", F.sum("c").over(w)).withColumn(
+        "n", F.sum("c").over(Window.partitionBy("event_type"))
+    )
+    return cum.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_rows"),
+        *[
+            F.min(F.when(F.col("cum") >= q * F.col("n"), F.col("bin")))
+            .cast("long")
+            .alias(f"p{int(q * 100)}_bin")
+            for q in (0.5, 0.9, 0.99)
+        ],
+    )
+
+
 def pivot_status_totals(orders: DataFrame) -> DataFrame:
     """long→wide reshaping: per-priority order totals pivoted by
     status. The pivot values are DECLARED (not discovered) — an

@@ -70,6 +70,18 @@ def union_paths(updates: DataFrame, inserts: DataFrame, path_col: str = "path") 
     )
 
 
+def set_compare(a: DataFrame, b: DataFrame, tag_col: str = "membership") -> DataFrame:
+    """E2/E3: INTERSECT and EXCEPT in one tagged pass — the set-level
+    diff of two row sets (which rows are shared, which are only in
+    ``a``). Both compile to the same shuffle-on-all-columns as
+    DISTINCT; at scale prefer diffing on a key column (semi/anti
+    join) so the shuffle carries keys, not whole rows — this operator
+    is the whole-row form for when no key exists."""
+    both = a.intersect(b).withColumn(tag_col, F.lit("both"))
+    only_a = a.subtract(b).withColumn(tag_col, F.lit("a_only"))
+    return both.unionByName(only_a)
+
+
 def merge_cdc(
     target: DataFrame, changes: DataFrame, key: str, op_col: str = "op"
 ) -> DataFrame:

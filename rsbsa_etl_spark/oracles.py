@@ -778,6 +778,46 @@ QUALIFY row_number() OVER (
   PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) <= 3
 """
 
+ORACLES["set_except_intersect"] = """
+WITH a AS (SELECT c_custkey, c_name, c_mktsegment FROM customer
+           WHERE c_custkey % 3 <> 0),
+     b AS (SELECT c_custkey, c_name, c_mktsegment FROM customer
+           WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE'))
+SELECT *, 'both' AS membership FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+UNION ALL
+SELECT *, 'a_only' AS membership FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+"""
+
+ORACLES["window_lag_delta"] = f"""
+SELECT event_id, user_id,
+       {_dec("value - lag(value) OVER w", 2)} AS dvalue,
+       epoch_ms(ts) - epoch_ms(lag(ts) OVER w) AS gap_ms,
+       lead(event_id) OVER w AS next_event_id
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+ORACLES["quantile_sketch"] = f"""
+WITH b AS (
+  SELECT event_type,
+         CAST(floor(value / {P.QSKETCH_WIDTH!r}) AS BIGINT) AS bin
+  FROM events
+),
+counts AS (SELECT event_type, bin, count(*) AS c FROM b GROUP BY event_type, bin),
+cum AS (
+  SELECT event_type, bin, c,
+         sum(c) OVER (PARTITION BY event_type ORDER BY bin
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(c) OVER (PARTITION BY event_type) AS n
+  FROM counts
+)
+SELECT event_type, CAST(max(n) AS BIGINT) AS n_rows,
+       CAST(min(CASE WHEN cum >= 0.5 * n THEN bin END) AS BIGINT) AS p50_bin,
+       CAST(min(CASE WHEN cum >= 0.9 * n THEN bin END) AS BIGINT) AS p90_bin,
+       CAST(min(CASE WHEN cum >= 0.99 * n THEN bin END) AS BIGINT) AS p99_bin
+FROM cum GROUP BY event_type
+"""
+
 _BANDS_VALUES = ", ".join(
     f"({bid}, {lo!r}, {hi!r})" for bid, lo, hi in P.VALUE_BANDS
 )

@@ -113,3 +113,7 @@ VALUE_BANDS = (
 )
 #: bin width for bucketing the range join into an equi join.
 RANGE_BIN_W = 16.0
+
+#: histogram bin width for the quantile sketch (events.value spans
+#: ~0..500 → ~62 bins; estimate error ≤ width by construction).
+QSKETCH_WIDTH = 8.0

@@ -224,6 +224,28 @@ def union_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sync.union_paths(updates, inserts)
 
 
+def set_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2/E3: INTERSECT ∪ tagged EXCEPT of two customer slices."""
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    a = cust.where(F.col("c_custkey") % 3 != 0)
+    b = cust.where(F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+    return sync.set_compare(a, b)
+
+
+def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsbsa_etl_spark.operators.analytics import lag_lead_deltas
+
+    return lag_lead_deltas(load(spark, sf_dir, "events"))
+
+
+def quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsbsa_etl_spark.operators.analytics import quantile_sketch as _qs
+
+    return _qs(load(spark, sf_dir, "events"), width=P.QSKETCH_WIDTH)
+
+
 # -------------------------------------------------------------- write paths
 
 
@@ -855,6 +877,9 @@ QUERIES: dict[str, QueryFn] = {
     "limit_offset": limit_offset,
     "topk_recent": topk_recent,
     "union_paths": union_paths,
+    "set_except_intersect": set_except_intersect,
+    "window_lag_delta": window_lag_delta,
+    "quantile_sketch": quantile_sketch,
     "upsert_merge": upsert_merge,
     "merge_cdc": merge_cdc,
     "overwrite_by_key": overwrite_by_key,
