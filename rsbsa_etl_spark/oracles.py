@@ -902,6 +902,20 @@ FROM events c JOIN events v
  AND v.ts BETWEEN c.ts - INTERVAL 1 HOUR AND c.ts
 """
 
+ORACLES["stream_join_evicting"] = f"""
+WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+     v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+     wm AS (SELECT least(
+              (SELECT max(ts) FROM c WHERE event_id % {P.STREAM_EVICT_PHASE_MOD} = 0),
+              (SELECT max(ts) FROM v))
+            - INTERVAL {P.STREAM_EVICT_DELAY_DAYS} DAY AS w)
+SELECT c.event_id AS click_id, v.event_id AS view_id
+FROM c JOIN v ON c.user_id = v.user_id
+             AND v.ts BETWEEN c.ts - INTERVAL 1 HOUR AND c.ts
+CROSS JOIN wm
+WHERE c.event_id % {P.STREAM_EVICT_PHASE_MOD} = 0 OR c.ts >= wm.w
+"""
+
 _CMS_MELT = " UNION ALL ".join(
     f"SELECT term, n, {j} AS j,"
     f" ((h1 * {a} + h2 * {b} + {c}) % {P.MINHASH_MOD}) % {P.CMS_WIDTH} AS bucket"

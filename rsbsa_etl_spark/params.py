@@ -84,6 +84,13 @@ STREAM_SPLIT_TS = "2024-01-16 00:00:00"
 STREAM_STRAGGLER_MOD = 11
 STREAM_WM_DELAY_HOURS = 48
 
+#: eviction-mode stream-stream join (stream_join_evicting): phase-1
+#: clicks are ``event_id % mod == 0`` (spanning the whole fixture
+#: window, so the committed watermark lands inside the data span);
+#: the shrunk delay makes phase-2 late clicks actually drop.
+STREAM_EVICT_PHASE_MOD = 5
+STREAM_EVICT_DELAY_DAYS = 3
+
 #: ANN parameters
 ANN_QUERY_IDS = (0, 1, 2, 3, 4)
 ANN_TOP_K = 10

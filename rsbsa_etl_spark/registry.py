@@ -727,6 +727,20 @@ def stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return click_view_join_replay(load(spark, sf_dir, "events"))
 
 
+def stream_join_evicting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """the watermark-advancing variant: phase-2 clicks behind the
+    restored watermark are dropped as late input — the emitted set
+    is the batch join minus late-click pairs, stated by the oracle
+    (see ``streaming.joins.click_view_join_evicting``)."""
+    from rsbsa_etl_spark.streaming.joins import click_view_join_evicting
+
+    return click_view_join_evicting(
+        load(spark, sf_dir, "events"),
+        delay=f"{P.STREAM_EVICT_DELAY_DAYS} days",
+        phase_mod=P.STREAM_EVICT_PHASE_MOD,
+    )
+
+
 # ----------------------------------------------------------------- dedup ops
 
 
@@ -918,6 +932,7 @@ QUERIES: dict[str, QueryFn] = {
     "stream_late_drop": stream_late_drop,
     "stream_stateful_totals": stream_stateful_totals,
     "stream_join": stream_join,
+    "stream_join_evicting": stream_join_evicting,
     "dedup_exact": dedup_exact,
     "dedup_minhash": dedup_minhash,
     "dedup_minhash_capped": dedup_minhash_capped,

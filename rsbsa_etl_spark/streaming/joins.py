@@ -22,27 +22,15 @@ import tempfile
 from pyspark.sql import DataFrame, functions as F
 
 
-def click_view_join_replay(
+def _phased_join_replay(
     events: DataFrame,
-    lookback: str = "1 hour",
-    delay: str = "30 days",
+    lookback: str,
+    delay: str,
+    phase1_clicks,
 ) -> DataFrame:
-    """watermarked click↔view interval join across a restart.
-
-    Phase 1 streams only the views (clicks source dir exists but is
-    empty): the join emits nothing and commits the buffered view
-    rows to the checkpointed state store. Phase 2 adds the clicks
-    file and resumes from the same checkpoint — every emitted pair
-    (click, view by the same user within ``lookback`` before the
-    click) joins against state restored from phase 1.
-
-    With ``delay`` covering the fixture's whole time span no state
-    is evicted, so the emitted set equals the batch interval join —
-    a pure function of the data that the DuckDB oracle states
-    directly. (Shrinking ``delay`` turns on eviction: that behavior
-    is deterministic too but its oracle is the engine's eviction
-    rule, not a join — kept out of scope.)
-    """
+    """shared runner: dump views + phase-1 clicks, stream once;
+    add phase-2 clicks, resume from the same checkpoint; read the
+    union of emitted pairs."""
     spark = events.sparkSession
     base = tempfile.mkdtemp(prefix="rsbsa_ssj_")
     src_c, src_v = f"{base}/clicks", f"{base}/views"
@@ -92,16 +80,64 @@ def click_view_join_replay(
         )
         q.awaitTermination()
 
-    dump(
-        proj.where(F.col("event_type") == "view").drop("event_type"),
-        src_v,
-        "views.parquet",
-    )
+    views = proj.where(F.col("event_type") == "view").drop("event_type")
+    clicks = proj.where(F.col("event_type") == "click").drop("event_type")
+    dump(views, src_v, "views.parquet")
+    dump(clicks.where(phase1_clicks), src_c, "clicks_p1.parquet")
     run_phase()
-    dump(
-        proj.where(F.col("event_type") == "click").drop("event_type"),
-        src_c,
-        "clicks.parquet",
-    )
+    dump(clicks.where(~phase1_clicks), src_c, "clicks_p2.parquet")
     run_phase()
     return spark.read.parquet(out).select("click_id", "view_id")
+
+
+def click_view_join_replay(
+    events: DataFrame,
+    lookback: str = "1 hour",
+    delay: str = "30 days",
+) -> DataFrame:
+    """watermarked click↔view interval join across a restart.
+
+    Phase 1 streams only the views (clicks source dir exists but is
+    empty): the join emits nothing and commits the buffered view
+    rows to the checkpointed state store. Phase 2 adds the clicks
+    file and resumes from the same checkpoint — every emitted pair
+    (click, view by the same user within ``lookback`` before the
+    click) joins against state restored from phase 1.
+
+    With ``delay`` covering the fixture's whole time span no state
+    is evicted and no input is late, so the emitted set equals the
+    batch interval join — a pure function of the data that the
+    DuckDB oracle states directly (``click_view_join_evicting`` is
+    the shrunk-delay variant).
+    """
+    return _phased_join_replay(events, lookback, delay, F.lit(False))
+
+
+def click_view_join_evicting(
+    events: DataFrame,
+    lookback: str = "1 hour",
+    delay: str = "3 days",
+    phase_mod: int = 5,
+) -> DataFrame:
+    """the same interval join with the watermark ACTUALLY advancing —
+    late-input dropping across a checkpoint restart, observable and
+    oracle-checkable.
+
+    Phase 1 streams all views plus a strided subset of clicks
+    (``event_id % phase_mod == 0``) spanning the whole fixture
+    window, so the committed watermark lands at
+    ``min(max phase-1 click ts, max view ts) - delay`` — deep inside
+    the data span. Phase 2 resumes from the checkpoint with the
+    remaining clicks: rows with ``ts`` behind the restored watermark
+    are late input, dropped by the engine before the join (their
+    matching view state is likewise already evicted — the state
+    bound is derived from the same watermark minus ``lookback``, so
+    the late filter is the observable edge).
+
+    Emitted set = batch interval join where the click is phase 1 OR
+    ``click.ts >= watermark`` — stated directly by the oracle. The
+    engine's late filter is strict ``<`` (``ts >= wm`` survives),
+    pinned by the parity test at every SF.
+    """
+    p1 = F.col("event_id") % phase_mod == 0
+    return _phased_join_replay(events, lookback, delay, p1)
