@@ -55,6 +55,15 @@ HEADLINE = [
     "agg_cube",
     "dedup_minhash_capped",
     "split_assign",
+    "tfidf_topk",
+    "agg_pivot",
+    "agg_unpivot",
+    "join_range",
+    "join_skew_salted",
+    "ivf_train3",
+    "quantile_sketch",
+    "window_lag_delta",
+    "set_except_intersect",
 ]
 
 
