@@ -65,6 +65,59 @@ def rollup_totals(lineitem: DataFrame) -> DataFrame:
     )
 
 
+def group_ols_slope(events: DataFrame) -> DataFrame:
+    """per-user OLS trend (value vs time) as a grouped
+    ``applyInPandas`` — the custom-UDAF escape hatch (SURVEY §2.9 U3)
+    for aggregations Spark's built-ins can't express.
+
+    Determinism discipline: inputs are integer-quantized on the JVM
+    side (epoch-ms, value in cents), the pandas fold accumulates the
+    OLS sufficient statistics (Sx, Sy, Sxy, Sxx) as Python ints —
+    exact and order-independent — and the single double division at
+    the end is written ``float(num)/float(den)``, the same
+    two-roundings as the oracle's ``CAST(BIGINT AS DOUBLE)``
+    division. x is centered per group before squaring so Sxx stays
+    far from 2^63.
+
+    Scale: one shuffle on user_id; each group reduces to one row of
+    sufficient statistics inside its Arrow batch. (At extreme group
+    sizes the same statistics fold as a plain groupBy-agg; the
+    applyInPandas form is the template for folds that genuinely need
+    Python.)
+    """
+    import numpy as np
+    import pandas as pd
+
+    pts = events.select(
+        "user_id",
+        F.unix_millis(F.col("ts")).alias("x_ms"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("y_q"),
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["x_ms"].to_numpy(dtype=np.int64)
+        x = (x - x.min()) // 1000
+        y = pdf["y_q"].to_numpy(dtype=np.int64)
+        n = len(x)
+        sx, sy = int(x.sum()), int(y.sum())
+        sxy, sxx = int((x * y).sum()), int((x * x).sum())
+        num, den = n * sxy - sx * sy, n * sxx - sx * sx
+        if den == 0:
+            slope = None
+        else:
+            import math
+
+            slope = math.floor(float(num) / float(den) * 1e6 + 0.5) / 1e6
+        return pd.DataFrame(
+            [[int(pdf["user_id"].iloc[0]), n, sy, slope]],
+            columns=["user_id", "n", "sum_y_cents", "slope"],
+        )
+
+    return pts.groupBy("user_id").applyInPandas(
+        fit, "user_id long, n long, sum_y_cents long, slope double"
+    )
+
+
 def lag_lead_deltas(events: DataFrame) -> DataFrame:
     """row-offset window functions (lag/lead): per-user value delta
     and inter-event gap. One shuffle on user_id + partition-local

@@ -818,6 +818,28 @@ SELECT event_type, CAST(max(n) AS BIGINT) AS n_rows,
 FROM cum GROUP BY event_type
 """
 
+ORACLES["agg_ols_slope"] = """
+WITH pts AS (
+  SELECT user_id, epoch_ms(ts) AS x_ms,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS y_q
+  FROM events
+),
+c AS (
+  SELECT user_id,
+         (x_ms - min(x_ms) OVER (PARTITION BY user_id)) // 1000 AS x,
+         y_q
+  FROM pts
+)
+SELECT user_id, count(*) AS n, CAST(sum(y_q) AS BIGINT) AS sum_y_cents,
+       CASE WHEN count(*) * sum(x * x) - sum(x) * sum(x) = 0 THEN NULL
+            ELSE floor(
+              CAST(count(*) * sum(x * y_q) - sum(x) * sum(y_q) AS DOUBLE)
+              / CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS DOUBLE)
+              * 1e6 + 0.5) / 1e6
+       END AS slope
+FROM c GROUP BY user_id
+"""
+
 _BANDS_VALUES = ", ".join(
     f"({bid}, {lo!r}, {hi!r})" for bid, lo, hi in P.VALUE_BANDS
 )

@@ -240,6 +240,12 @@ def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lag_lead_deltas(load(spark, sf_dir, "events"))
 
 
+def agg_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsbsa_etl_spark.operators.analytics import group_ols_slope
+
+    return group_ols_slope(load(spark, sf_dir, "events"))
+
+
 def quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rsbsa_etl_spark.operators.analytics import quantile_sketch as _qs
 
@@ -894,6 +900,7 @@ QUERIES: dict[str, QueryFn] = {
     "set_except_intersect": set_except_intersect,
     "window_lag_delta": window_lag_delta,
     "quantile_sketch": quantile_sketch,
+    "agg_ols_slope": agg_ols_slope,
     "upsert_merge": upsert_merge,
     "merge_cdc": merge_cdc,
     "overwrite_by_key": overwrite_by_key,
