@@ -327,6 +327,52 @@ def cms_term_estimates(
     )
 
 
+def chunk_tokens_udtf(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """overlapping token-window chunking via a Python UDTF — the
+    context-window document chunker of LLM-training pipelines (one
+    doc in, ~n_tokens/stride chunk rows out), and the registry's
+    UDTF surface (SURVEY §2.9 U2): a genuinely one-to-many row
+    generator, where pandas_udf (1:1) and explode-of-an-array (whole
+    chunk list materialized per row) are the wrong shape.
+
+    The UDTF class is defined inside this function so it pickles by
+    value (ship-by-reference crashes workers whose cwd isn't the
+    repo). Chunk boundaries are pure integer arithmetic on the
+    whitespace token sequence of NORMALIZED text, so the DuckDB
+    list-slicing oracle states the same rows exactly.
+
+    Scale: embarrassingly parallel (per-row generator, no shuffle);
+    Arrow-batched in/out. The chunk stream is ~window/stride × corpus
+    size — the caller controls blowup with the stride.
+    """
+    from pyspark.sql.functions import udtf
+
+    from rsbsa_etl_spark.params import CHUNK_STRIDE, CHUNK_WINDOW
+
+    w, s = CHUNK_WINDOW, CHUNK_STRIDE
+
+    @udtf(returnType="chunk_idx int, start_tok int, n_toks int, chunk_text string")
+    class ChunkTokens:
+        def eval(self, text: str):
+            toks = (text or "").split()
+            n = len(toks)
+            idx = 0
+            for start in range(0, n, s):
+                piece = toks[start : start + w]
+                yield idx, start, len(piece), " ".join(piece)
+                idx += 1
+
+    spark = docs.sparkSession
+    spark.udtf.register("rsbsa_chunk_tokens", ChunkTokens)
+    docs.select("doc_id", normalized_text(F.col(text_col)).alias("norm")).createOrReplaceTempView(
+        "_rsbsa_chunk_in"
+    )
+    return spark.sql(
+        "SELECT d.doc_id, c.chunk_idx, c.start_tok, c.n_toks, c.chunk_text "
+        "FROM _rsbsa_chunk_in d, LATERAL rsbsa_chunk_tokens(d.norm) c"
+    )
+
+
 def tfidf_topk(docs: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
     """per-document top-k characteristic terms by TF-IDF.
 

@@ -761,6 +761,25 @@ ORDER BY n_occurrences DESC, term ASC
 LIMIT 20
 """
 
+ORACLES["udtf_chunk_tokens"] = f"""
+WITH toks AS (
+  SELECT doc_id, string_split({NORM}, ' ') AS t FROM documents
+),
+nz AS (
+  SELECT doc_id, CASE WHEN t = [''] THEN [] ELSE t END AS t FROM toks
+),
+starts AS (
+  SELECT doc_id, t, unnest(range(0, len(t), {P.CHUNK_STRIDE})) AS start
+  FROM nz
+)
+SELECT doc_id,
+       CAST(start // {P.CHUNK_STRIDE} AS INT) AS chunk_idx,
+       CAST(start AS INT) AS start_tok,
+       CAST(least({P.CHUNK_WINDOW}, len(t) - start) AS INT) AS n_toks,
+       array_to_string(t[start + 1 : start + {P.CHUNK_WINDOW}], ' ') AS chunk_text
+FROM starts
+"""
+
 ORACLES["tfidf_topk"] = f"""
 WITH toks AS (
   SELECT doc_id, unnest(string_split({NORM}, ' ')) AS term FROM documents

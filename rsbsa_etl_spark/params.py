@@ -124,3 +124,9 @@ RANGE_BIN_W = 16.0
 #: histogram bin width for the quantile sketch (events.value spans
 #: ~0..500 → ~62 bins; estimate error ≤ width by construction).
 QSKETCH_WIDTH = 8.0
+
+#: token-window chunking (udtf_chunk_tokens): window size and stride
+#: in whitespace tokens — overlapping context windows, the standard
+#: LLM-training document chunking shape.
+CHUNK_WINDOW = 32
+CHUNK_STRIDE = 24

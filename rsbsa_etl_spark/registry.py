@@ -823,6 +823,10 @@ def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.tfidf_topk(load(spark, sf_dir, "documents"))
 
 
+def udtf_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.chunk_tokens_udtf(load(spark, sf_dir, "documents"))
+
+
 # -------------------------------------------------------------- multimodal
 
 
@@ -956,6 +960,7 @@ QUERIES: dict[str, QueryFn] = {
     "doc_fingerprint": doc_fingerprint,
     "term_topk": term_topk,
     "tfidf_topk": tfidf_topk,
+    "udtf_chunk_tokens": udtf_chunk_tokens,
     "cms_topk": cms_topk,
     "multimodal_meta": multimodal_meta,
     "multimodal_features": multimodal_features,
