@@ -101,3 +101,22 @@ def test_upsert_into_is_idempotent(spark, tmp_path):
     sinks.upsert_into(updates, path, "c_custkey", N_BUCKETS)
     twice = sorted(map(tuple, sinks.read_keyed_target(spark, path).collect()))
     assert once == twice
+
+
+def test_write_managed_table_falls_back_to_parquet(spark, tmp_path):
+    """no Delta/Iceberg runtime in this container: the probe must
+    say so and the writer must land a readable parquet table."""
+    assert sinks.table_format_available(spark, "parquet")
+    assert not sinks.table_format_available(spark, "delta")
+    assert not sinks.table_format_available(spark, "iceberg")
+    assert not sinks.table_format_available(spark, "no_such_format")
+
+    cust = load(spark, SF_DIR, "customer").select("c_custkey", "c_name")
+    path = str(tmp_path / "managed")
+    used = sinks.write_managed_table(cust, path, "c_custkey", fmt="delta")
+    assert used == "parquet"
+    back = spark.read.parquet(path)
+    assert back.count() == cust.count()
+    assert sorted(r.c_custkey for r in back.select("c_custkey").collect()) == sorted(
+        r.c_custkey for r in cust.select("c_custkey").collect()
+    )
