@@ -556,3 +556,75 @@ def minhash_capped_pairs(
         )
         .distinct()
     )
+
+
+def pagerank(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    n_iters: int = 3,
+) -> DataFrame:
+    """PageRank over the undirected candidate-pair graph — the
+    importance-scoring companion of ``dedup_clusters`` (same edge
+    set): which document of a duplicate cluster is the hub.
+
+    Simplified variant: no dangling-mass redistribution (isolated
+    docs decay to the (1-d)/N floor), damping 0.85, ``n_iters``
+    fixed power iterations.
+
+    Determinism discipline (the double-sum killer, SURVEY §7.3.7):
+    each neighbor contribution r/deg is quantized to 1e-12 fixed
+    point and the per-node inflow is summed as BIGINTs — exact and
+    partition-order-free — then the damping update is one fixed
+    sequence of double ops, re-quantized per round. Every
+    iteration's rank vector is therefore bit-identical to the
+    oracle's unrolled SQL.
+
+    Scale: per round, one shuffle for the inflow agg and one
+    broadcast-able join of ranks onto edges (rank table is
+    node-sized). The rank vector — never the edge table — is
+    localCheckpointed each round: constant-depth lineage for the
+    same reason as ``dedup_clusters``.
+    """
+    q = F.lit(10.0 ** 12)
+    nodes = docs.select(F.col(id_col).alias("node"))
+    nn = nodes.agg(F.count("*").alias("n"))
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+
+    def quant(col: F.Column) -> F.Column:
+        return F.floor(col * q + 0.5) / q
+
+    r = nodes.join(F.broadcast(nn)).select(
+        "node", quant(F.lit(1.0) / F.col("n")).alias("r")
+    )
+    for _ in range(n_iters):
+        r = r.localCheckpoint(eager=True)
+        contrib = (
+            edges.join(r.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .select(
+                "dst",
+                F.floor(F.col("r") / F.col("deg") * q + 0.5)
+                .cast("long")
+                .alias("cq"),
+            )
+        )
+        inflow = contrib.groupBy("dst").agg(F.sum("cq").alias("sq"))
+        r = (
+            nodes.join(inflow.withColumnRenamed("dst", "node"), "node", "left")
+            .join(F.broadcast(nn))
+            .select(
+                "node",
+                quant(
+                    F.lit(0.15) / F.col("n")
+                    + F.lit(0.85)
+                    * (F.coalesce(F.col("sq"), F.lit(0).cast("long")) / q)
+                ).alias("r"),
+            )
+        )
+    return r.select(F.col("node").alias(id_col), F.col("r").alias("rank"))

@@ -750,6 +750,41 @@ r AS (
 SELECT node AS doc_id, min(reach) AS cluster_id FROM r GROUP BY node
 """
 
+def _pagerank_sql(n_iters: int = 3) -> str:
+    """unrolled power iterations mirroring ``dedup.pagerank`` —
+    quantized inflow sums keep every round engine-exact."""
+    parts = [
+        f"pairs AS ({_minhash_sql()})",
+        "nodes AS (SELECT doc_id AS node FROM documents)",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs"
+        " UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs)",
+        "deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src)",
+        "r0 AS (SELECT node, floor(1.0 / n * 1e12 + 0.5) / 1e12 AS r"
+        " FROM nodes, nn)",
+    ]
+    for i in range(1, n_iters + 1):
+        parts.append(
+            f"c{i} AS (SELECT e.dst,"
+            f" sum(CAST(floor(r.r / d.deg * 1e12 + 0.5) AS BIGINT)) AS sq"
+            f" FROM edges e JOIN r{i - 1} r ON e.src = r.node"
+            " JOIN deg d ON e.src = d.src GROUP BY e.dst)"
+        )
+        parts.append(
+            f"r{i} AS (SELECT node,"
+            " floor((0.15 / n + 0.85 * (coalesce(sq, 0) / 1e12))"
+            " * 1e12 + 0.5) / 1e12 AS r"
+            f" FROM nodes LEFT JOIN c{i} ON node = dst, nn)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT node AS doc_id, r AS rank FROM r{n_iters}"
+    )
+
+
+ORACLES["graph_pagerank"] = _pagerank_sql(3)
+
 ORACLES["term_topk"] = f"""
 WITH toks AS (
   SELECT unnest(string_split({NORM}, ' ')) AS term FROM documents

@@ -781,6 +781,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_clusters(docs, dedup.minhash_candidate_pairs(docs))
 
 
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fixed-point PageRank over the minhash dup-graph (3 power
+    iterations, quantized inflow sums — engine-exact oracle)."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup.pagerank(docs, dedup.minhash_candidate_pairs(docs))
+
+
 # ------------------------------------------------------------------ ANN ops
 
 
@@ -951,6 +958,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_embedding": dedup_embedding,
     "dedup_clusters": dedup_clusters,
+    "graph_pagerank": graph_pagerank,
     "ann_bruteforce": ann_bruteforce,
     "ann_lsh": ann_lsh,
     "ann_ivf": ann_ivf,
