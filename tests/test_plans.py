@@ -132,3 +132,50 @@ def test_lm_score_partial_aggregates(spark):
     # (the shuffle carries vocabulary-sized partials, not the corpus)
     plan = _plan(QUERIES["lm_score"](spark, SF_DIR))
     assert plan.count("HashAggregate") >= 4  # partial+final for model+score
+
+
+def test_range_join_is_bucketed_equi_join(spark):
+    # bin bucketing must turn the pure range predicate into a hash
+    # equi-join on the bin — BroadcastNestedLoopJoin is the
+    # O(|fact|·|bands|) plan the operator exists to avoid
+    plan = _plan(QUERIES["join_range"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tfidf_broadcasts_model_tables(spark):
+    # df (vocabulary-sized) and N (scalar) must broadcast back onto
+    # the per-doc tf table — the only corpus-sized shuffles are the
+    # tf agg and the per-doc rank window
+    plan = _plan(QUERIES["tfidf_topk"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pivot_is_pure_hash_agg_cascade(spark):
+    # declared pivot values: the (priority,status) agg feeds
+    # pivotfirst by priority — two partial-aggregated exchanges
+    # carrying group rows, no join, no distinct-collect job, and a
+    # 3-column scan
+    plan = _plan(QUERIES["agg_pivot"](spark, SF_DIR))
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 2
+    assert "partial_pivotfirst" in plan and "partial_sum" in plan
+    assert "o_orderdate" not in plan  # pruned scan
+
+
+def test_unpivot_is_narrow(spark):
+    # melt is expand-in-place: no exchange at all, and the scan
+    # reads only the 6 referenced columns
+    plan = _plan(QUERIES["agg_unpivot"](spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "l_comment" not in plan
+
+
+def test_quantile_sketch_shuffles_bins_not_rows(spark):
+    # the row-count shuffle must be the (group, bin) partial-agg
+    # pair; the window over bins runs on the bin table
+    plan = _plan(QUERIES["quantile_sketch"](spark, SF_DIR))
+    assert "partial_count" in plan or "partial" in plan.lower()
+    assert "BroadcastNestedLoopJoin" not in plan
