@@ -64,6 +64,9 @@ HEADLINE = [
     "quantile_sketch",
     "window_lag_delta",
     "set_except_intersect",
+    "agg_ols_slope",
+    "udtf_chunk_tokens",
+    "graph_pagerank",
 ]
 
 
