@@ -268,12 +268,20 @@ def fuzzy_name_pairs(customers: DataFrame) -> DataFrame:
             F.col("c_name").substr(i + 1, n),
         ),
     )
-    variants = named.select(
-        "c_custkey",
-        "c_name",
-        F.explode(
-            F.array_union(F.array(F.col("c_name")), deletions)
-        ).alias("variant"),
+    # join on xxhash64(variant), not the variant string: the shuffle
+    # carries an 8-byte key instead of a ~20-byte string and the join
+    # compares longs. A hash collision only ADDS a candidate pair,
+    # which the exact Levenshtein filter below removes — results are
+    # identical by construction. persist: the self-join references
+    # this subtree twice and AQE does not share the exchange.
+    variants = (
+        named.select(
+            "c_custkey",
+            "c_name",
+            F.explode(F.array_union(F.array(F.col("c_name")), deletions)).alias("v"),
+        )
+        .select("c_custkey", "c_name", F.xxhash64("v").alias("variant"))
+        .persist()
     )
     a, b = variants.alias("a"), variants.alias("b")
     cand = (
