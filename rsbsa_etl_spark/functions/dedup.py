@@ -589,10 +589,15 @@ def pagerank(
     q = F.lit(10.0 ** 12)
     nodes = docs.select(F.col(id_col).alias("node"))
     nn = nodes.agg(F.count("*").alias("n"))
-    edges = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).unionByName(
-        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    # persist the symmetrized edge table: every power iteration joins
+    # against it, and without the cache each round re-runs the whole
+    # candidate-pair pipeline (shingle → signature → band self-join)
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .persist()
     )
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
 
