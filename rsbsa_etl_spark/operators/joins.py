@@ -95,6 +95,24 @@ def salted_join(
     return out.drop("_salt")
 
 
+def full_outer_null_safe(
+    left: DataFrame, right: DataFrame, key: str
+) -> DataFrame:
+    """FULL OUTER join under null-safe equality (``<=>`` / SQL
+    ``IS NOT DISTINCT FROM``): NULL keys match each other (one
+    group), and unmatched rows of BOTH sides survive with nulls —
+    the reconciliation-report join (which keys exist where?).
+    Null-safe equality is still hash-partitionable (NULL hashes to a
+    bucket like any value), so this stays an equi hash join, not a
+    nested loop."""
+    lk, rk = F.col(f"l.{key}"), F.col(f"r.{key}")
+    out = left.alias("l").join(right.alias("r"), lk.eqNullSafe(rk), "full_outer")
+    other = [c for c in left.columns if c != key] + [
+        c for c in right.columns if c != key
+    ]
+    return out.select(F.coalesce(lk, rk).alias(key), *other)
+
+
 def range_join(
     fact: DataFrame,
     bands: DataFrame,

@@ -904,6 +904,19 @@ SELECT e.event_id, {_dec("e.value", 2)} AS value, CAST(b.band_id AS INT) AS band
 FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
 """
 
+ORACLES["join_full_outer_nullsafe"] = """
+WITH ev AS (
+  SELECT nullif(user_id % 20, 0) AS k, count(*) AS n_events
+  FROM events GROUP BY 1
+),
+cust AS (
+  SELECT nullif(c_custkey % 25, 0) AS k, count(*) AS n_custs
+  FROM customer WHERE c_custkey < 1000 GROUP BY 1
+)
+SELECT coalesce(ev.k, cust.k) AS k, n_events, n_custs
+FROM ev FULL JOIN cust ON ev.k IS NOT DISTINCT FROM cust.k
+"""
+
 ORACLES["join_skew_salted"] = """
 WITH fact AS (
   SELECT event_id,

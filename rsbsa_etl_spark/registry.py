@@ -555,6 +555,28 @@ def ivf_train2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_full_outer_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: full-outer null-safe reconciliation of per-key counts
+    from two tables (key 0 nulled on both sides so the NULL group
+    actually matches)."""
+    from rsbsa_etl_spark.operators.joins import full_outer_null_safe
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .select(F.nullif(F.col("user_id") % 20, F.lit(0)).alias("k"))
+        .groupBy("k")
+        .agg(F.count("*").alias("n_events"))
+    )
+    cust = (
+        load(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") < 1000)
+        .select(F.nullif(F.col("c_custkey") % 25, F.lit(0)).alias("k"))
+        .groupBy("k")
+        .agg(F.count("*").alias("n_custs"))
+    )
+    return full_outer_null_safe(ev, cust, "k")
+
+
 def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """interval join of event values against declared bands — the
     bin-bucketed equi-join form (see ``joins.range_join``)."""
@@ -940,6 +962,7 @@ QUERIES: dict[str, QueryFn] = {
     "sample_stratified": sample_stratified,
     "join_asof": join_asof,
     "join_range": join_range,
+    "join_full_outer_nullsafe": join_full_outer_nullsafe,
     "join_skew_salted": join_skew_salted,
     "ivf_train": ivf_train,
     "ivf_train2": ivf_train2,
