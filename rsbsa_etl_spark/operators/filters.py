@@ -42,3 +42,25 @@ def validity_tag(df: DataFrame, cond: Column, tag_col: str = "validity") -> Data
 def non_empty_lines(df: DataFrame, col: str = "value") -> DataFrame:
     """P6: drop blank lines (``index.js:228``)."""
     return df.where(F.length(F.trim(F.col(col))) > 0)
+
+
+def observed_validity(df: DataFrame, cond: Column):
+    """P4/A5 accounting as ``df.observe()``: the processed/skipped
+    counters of the reference (``services/etlService.js:604-607``)
+    collected as plan-attached metrics — ZERO extra pass over the
+    data, vs the naive ``df.count()`` + ``df.where(cond).count()``
+    which scans twice. At 100 TB, run-level metrics must ride the
+    action that already happens, never trigger their own.
+
+    Returns ``(df, observation)``; read ``observation.get`` after
+    the first action on ``df`` materializes.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    out = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(cond, 1).otherwise(0)).alias("n_valid"),
+    )
+    return out, obs

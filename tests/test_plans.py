@@ -179,3 +179,21 @@ def test_quantile_sketch_shuffles_bins_not_rows(spark):
     plan = _plan(QUERIES["quantile_sketch"](spark, SF_DIR))
     assert "partial_count" in plan or "partial" in plan.lower()
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_observed_validity_counts_without_extra_pass(spark):
+    # df.observe rides the existing action: metrics equal the
+    # split counts the reference accumulates row-by-row
+    from pyspark.sql import functions as F
+
+    from rsbsa_etl_spark.operators.filters import observed_validity
+    from rsbsa_etl_spark.sources.fixtures import load
+
+    ev = load(spark, SF_DIR, "events")
+    cond = (F.col("event_type") != F.lit("error")) & (F.col("value") > 1.0)
+    out, obs = observed_validity(ev, cond)
+    n_rows = out.count()
+    m = obs.get
+    assert m["n_total"] == n_rows
+    assert m["n_valid"] == ev.where(cond).count()
+    assert 0 < m["n_valid"] < m["n_total"]
