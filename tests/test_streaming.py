@@ -153,3 +153,32 @@ def test_session_window_stream_runs(spark, tmp_path):
     # sessions are per-user, bounded, and non-empty
     assert all(r["n_events"] >= 1 for r in rows)
     assert all(r["session_end"] >= r["session_start"] for r in rows)
+
+
+def test_max_files_per_trigger_paces_available_now(spark, tmp_path):
+    """T4 backpressure: ``maxFilesPerTrigger=1`` must split an
+    AvailableNow run over N files into N rate-limited micro-batches
+    (the engine-native replacement for the reference's fixed 100 ms
+    sleep between batches, ``services/etlService.js:734``)."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i in range(3):
+        with open(os.path.join(src, f"f{i}.txt"), "w") as f:
+            f.write(f"line-{i}-a\nline-{i}-b\n")
+
+    batches = []
+
+    def sink(df, epoch_id):
+        batches.append((epoch_id, df.count()))
+
+    q = (
+        spark.readStream.option("maxFilesPerTrigger", 1)
+        .text(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(batches) == 3  # one micro-batch per file
+    assert sorted(n for _, n in batches) == [2, 2, 2]
