@@ -70,6 +70,35 @@ def union_paths(updates: DataFrame, inserts: DataFrame, path_col: str = "path") 
     )
 
 
+def merge_group_totals(
+    old: DataFrame, delta: DataFrame, key: str
+) -> DataFrame:
+    """incremental aggregation maintenance: fold a change batch's
+    per-key partial totals into the stored totals WITHOUT rescanning
+    the base table — the aggregate analog of ``upsert_merge``. At
+    100 TB the base aggregate is a small keyed table and each sync
+    touches only the delta; correctness rests on the totals being
+    scaled-integer sums (exact, associative — ``functions/numeric``),
+    so incremental == full recompute bit-for-bit, which is what the
+    oracle asserts.
+
+    Both inputs carry (key, n_rows, total); outputs their
+    full-outer-coalesced sum."""
+    j = old.alias("o").join(delta.alias("d"), key, "full_outer")
+    zero = F.lit(0).cast("long")
+
+    def both(col: str) -> F.Column:
+        return F.coalesce(F.col(f"o.{col}"), zero) + F.coalesce(
+            F.col(f"d.{col}"), zero
+        )
+
+    return j.select(
+        F.col(key),
+        both("n_rows").alias("n_rows"),
+        both("total_cents").alias("total_cents"),
+    )
+
+
 def set_compare(a: DataFrame, b: DataFrame, tag_col: str = "membership") -> DataFrame:
     """E2/E3: INTERSECT and EXCEPT in one tagged pass — the set-level
     diff of two row sets (which rows are shared, which are only in

@@ -832,6 +832,13 @@ QUALIFY row_number() OVER (
   PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) <= 3
 """
 
+ORACLES["agg_incremental_totals"] = """
+SELECT user_id, count(*) AS n_rows,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM events GROUP BY user_id
+"""
+
 ORACLES["set_except_intersect"] = """
 WITH a AS (SELECT c_custkey, c_name, c_mktsegment FROM customer
            WHERE c_custkey % 3 <> 0),

@@ -224,6 +224,27 @@ def union_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sync.union_paths(updates, inserts)
 
 
+def agg_incremental_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """incremental aggregation maintenance: per-user totals stored
+    before the watermark, folded with the post-watermark delta batch
+    only (``sync.merge_group_totals``). The oracle is the FULL
+    recompute over all events — asserting incremental == full, which
+    holds because totals are exact scaled-integer sums."""
+
+    def totals(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias(
+                "total_cents"
+            ),
+        )
+
+    ev = load(spark, sf_dir, "events")
+    old = totals(ev.where(F.col("event_id") <= P.WATERMARK_EVENT_ID))
+    delta = totals(ev.where(F.col("event_id") > P.WATERMARK_EVENT_ID))
+    return sync.merge_group_totals(old, delta, "user_id")
+
+
 def set_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2/E3: INTERSECT ∪ tagged EXCEPT of two customer slices."""
     cust = load(spark, sf_dir, "customer").select(
@@ -931,6 +952,7 @@ QUERIES: dict[str, QueryFn] = {
     "topk_recent": topk_recent,
     "union_paths": union_paths,
     "set_except_intersect": set_except_intersect,
+    "agg_incremental_totals": agg_incremental_totals,
     "window_lag_delta": window_lag_delta,
     "quantile_sketch": quantile_sketch,
     "agg_ols_slope": agg_ols_slope,
