@@ -120,3 +120,38 @@ def test_write_managed_table_falls_back_to_parquet(spark, tmp_path):
     assert sorted(r.c_custkey for r in back.select("c_custkey").collect()) == sorted(
         r.c_custkey for r in cust.select("c_custkey").collect()
     )
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """co-located join: two tables bucketed by the join key join
+    with NO Exchange in the plan — the pre-shuffle that makes a
+    repeatedly-joined 100 TB fact table affordable. (bucketBy
+    requires saveAsTable; the metastore records the bucketing so the
+    planner can elide both exchanges.)"""
+    orders = load(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice")
+    li = load(spark, SF_DIR, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
+        "overwrite"
+    ).saveAsTable("b_orders")
+    li.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
+        "overwrite"
+    ).saveAsTable("b_lineitem")
+
+    a = spark.table("b_orders")
+    b = spark.table("b_lineitem")
+    # disable broadcast so the co-location is what saves the shuffle
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = a.join(b, "o_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "SortMergeJoin" in plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
