@@ -67,6 +67,8 @@ HEADLINE = [
     "agg_ols_slope",
     "udtf_chunk_tokens",
     "graph_pagerank",
+    "join_full_outer_nullsafe",
+    "agg_incremental_totals",
 ]
 
 
