@@ -65,7 +65,27 @@ def rollup_totals(lineitem: DataFrame) -> DataFrame:
     )
 
 
-def group_ols_slope(events: DataFrame) -> DataFrame:
+def scd2_intervals(events: DataFrame) -> DataFrame:
+    """slowly-changing-dimension type 2: turn a change-record stream
+    into versioned rows with [valid_from, valid_to) intervals —
+    ``valid_to`` is the NEXT change's timestamp (NULL = current
+    version). The warehouse-standard dimension history build; one
+    window shuffle on the business key, sort key includes event_id
+    so simultaneous changes order deterministically."""
+    band = (
+        F.when(F.col("value") > 50.0, F.lit("high")).otherwise(F.lit("low"))
+    )
+    return events.select(
+        "user_id",
+        "event_id",
+        band.alias("attr"),
+        F.unix_micros(F.col("ts")).alias("valid_from_us"),
+    ).withColumn(
+        "valid_to_us",
+        F.lead("valid_from_us").over(
+            Window.partitionBy("user_id").orderBy("valid_from_us", "event_id")
+        ),
+    ).withColumn("is_current", F.col("valid_to_us").isNull())
     """per-user OLS trend (value vs time) as a grouped
     ``applyInPandas`` — the custom-UDAF escape hatch (SURVEY §2.9 U3)
     for aggregations Spark's built-ins can't express.

@@ -15,7 +15,7 @@ is the replacement — ``page`` exists for semantic parity.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def ordered(df: DataFrame, *cols: str, ascending: bool = True) -> DataFrame:
@@ -61,3 +61,27 @@ def top_k_per_group(
         .where(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def zorder_key(a: Column, b: Column, bits: int = 8) -> Column:
+    """Morton (Z-order) key: interleave the low ``bits`` of two
+    dimensions — the space-filling-curve layout key that makes a
+    single file-sort serve range predicates on BOTH columns (data
+    skipping via min/max stats stays tight on either dimension).
+    Pure integer arithmetic (``(x >> i) & 1`` as div/mod), identical
+    in any SQL dialect — no engine-specific bit intrinsics.
+    """
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        abit = F.floor(a / F.lit(2**i)).cast("long") % 2
+        bbit = F.floor(b / F.lit(2**i)).cast("long") % 2
+        z = z + abit * F.lit(2 ** (2 * i)) + bbit * F.lit(2 ** (2 * i + 1))
+    return z
+
+
+def zorder_layout(df: DataFrame, a_col: Column, b_col: Column, k: int) -> DataFrame:
+    """the layout pass: rows ordered by their Z-key (here top-k for
+    a bounded result; the write path would ``sortWithinPartitions``
+    by the same key before landing files)."""
+    out = df.withColumn("zval", zorder_key(a_col, b_col))
+    return out.orderBy(F.col("zval").asc(), F.col("event_id").asc()).limit(k)

@@ -849,6 +849,34 @@ UNION ALL
 SELECT *, 'a_only' AS membership FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
 """
 
+_ZTERMS = " + ".join(
+    f"(CAST(floor(a / {2**i}.0) AS BIGINT) % 2) * {2 ** (2 * i)}"
+    f" + (CAST(floor(b / {2**i}.0) AS BIGINT) % 2) * {2 ** (2 * i + 1)}"
+    for i in range(8)
+)
+
+ORACLES["sort_zorder"] = f"""
+WITH ab AS (
+  SELECT event_id, user_id % 256 AS a,
+         CAST(floor(value) AS BIGINT) % 256 AS b
+  FROM events
+)
+SELECT event_id, CAST({_ZTERMS} AS BIGINT) AS zval
+FROM ab
+ORDER BY zval ASC, event_id ASC
+LIMIT 200
+"""
+
+ORACLES["scd2_intervals"] = """
+SELECT user_id, event_id,
+       CASE WHEN value > 50.0 THEN 'high' ELSE 'low' END AS attr,
+       epoch_us(ts) AS valid_from_us,
+       lead(epoch_us(ts)) OVER w AS valid_to_us,
+       lead(epoch_us(ts)) OVER w IS NULL AS is_current
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+"""
+
 ORACLES["window_lag_delta"] = f"""
 SELECT event_id, user_id,
        {_dec("value - lag(value) OVER w", 2)} AS dvalue,

@@ -204,6 +204,19 @@ def limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sorts.page(ev, "event_id", P.PAGE_OFFSET, P.PAGE_SIZE)
 
 
+def sort_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout key over (user_id, value) — first 200 rows of
+    the space-filling-curve order (see ``sorts.zorder_key``)."""
+    ev = load(spark, sf_dir, "events")
+    out = sorts.zorder_layout(
+        ev.select("event_id", "user_id", "value"),
+        F.col("user_id") % 256,
+        F.floor(F.col("value")) % 256,
+        k=200,
+    )
+    return out.select("event_id", "zval")
+
+
 def topk_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O3: tail-N newest first → TakeOrderedAndProject, no global sort."""
     ev = load(spark, sf_dir, "events")
@@ -259,6 +272,12 @@ def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rsbsa_etl_spark.operators.analytics import lag_lead_deltas
 
     return lag_lead_deltas(load(spark, sf_dir, "events"))
+
+
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsbsa_etl_spark.operators.analytics import scd2_intervals as _scd2
+
+    return _scd2(load(spark, sf_dir, "events"))
 
 
 def agg_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -950,12 +969,14 @@ QUERIES: dict[str, QueryFn] = {
     "sort_order": sort_order,
     "limit_offset": limit_offset,
     "topk_recent": topk_recent,
+    "sort_zorder": sort_zorder,
     "union_paths": union_paths,
     "set_except_intersect": set_except_intersect,
     "agg_incremental_totals": agg_incremental_totals,
     "window_lag_delta": window_lag_delta,
     "quantile_sketch": quantile_sketch,
     "agg_ols_slope": agg_ols_slope,
+    "scd2_intervals": scd2_intervals,
     "upsert_merge": upsert_merge,
     "merge_cdc": merge_cdc,
     "overwrite_by_key": overwrite_by_key,
