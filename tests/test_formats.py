@@ -75,3 +75,25 @@ def test_orc_pushes_filters_like_parquet(spark, tmp_path):
     scan = spark.read.orc(path).where(F.col("event_id") < 100)
     plan = scan._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "LessThan(event_id,100)" in plan
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """§1.3 schema evolution: a column added mid-stream must surface
+    via mergeSchema as the union schema, with NULLs for files written
+    before the column existed — the append-only evolution story of a
+    long-lived 100 TB table (mergeSchema stays opt-in: footer-merging
+    every file on every read is an O(files) planning cost)."""
+    base = str(tmp_path / "evo")
+    old = _events_projected(spark).select("event_id", "user_id")
+    new = _events_projected(spark).select(
+        "event_id", "user_id", F.lit("v2").alias("source_tag")
+    )
+    old.write.mode("overwrite").parquet(base + "/d=1")
+    new.write.mode("overwrite").parquet(base + "/d=2")
+
+    merged = spark.read.option("mergeSchema", True).parquet(base)
+    assert set(merged.columns) == {"event_id", "user_id", "source_tag", "d"}
+    n = _events_projected(spark).count()
+    assert merged.count() == 2 * n
+    assert merged.where(F.col("source_tag").isNull()).count() == n
+    assert merged.where(F.col("source_tag") == "v2").count() == n
