@@ -86,6 +86,9 @@ def scd2_intervals(events: DataFrame) -> DataFrame:
             Window.partitionBy("user_id").orderBy("valid_from_us", "event_id")
         ),
     ).withColumn("is_current", F.col("valid_to_us").isNull())
+
+
+def group_ols_slope(events: DataFrame) -> DataFrame:
     """per-user OLS trend (value vs time) as a grouped
     ``applyInPandas`` — the custom-UDAF escape hatch (SURVEY §2.9 U3)
     for aggregations Spark's built-ins can't express.
