@@ -69,6 +69,11 @@ HEADLINE = [
     "graph_pagerank",
     "join_full_outer_nullsafe",
     "agg_incremental_totals",
+    "repetition_score",
+    "decontam_ngram",
+    "pack_sequences",
+    "pii_redact",
+    "sample_temperature",
 ]
 
 

@@ -1,0 +1,283 @@
+"""Training-data curation operators (extension surface).
+
+The corpus-preparation steps a large-scale LLM data pipeline runs
+between raw crawl and tokenizer: repetition-based quality filtering
+(the Gopher/MassiveText rules), benchmark decontamination (n-gram
+overlap against an eval set), concat-then-chunk sequence packing,
+PII redaction, and temperature-based source rebalancing.
+
+The reference (djacob0/RSBSA-etl) has no text pipeline — its closest
+analog is the per-table field-transform registry
+(``services/etlService.js:148-201``), which these operators
+generalize from "uppercase these columns" to corpus-level document
+transforms. Everything here is built to the repo's cross-engine
+determinism discipline: integer or fixed-point outputs, md5-derived
+pseudo-randomness, and only correctly-rounded float ops (sqrt,
+division) ahead of a floor().
+
+Scale notes are per-function; the common theme is that every
+operator is a narrow map or a single keyed shuffle — nothing holds
+corpus-level state on the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from rsbsa_etl_spark import params as P
+from rsbsa_etl_spark.functions.dedup import shingle_rows, tokens_col
+from rsbsa_etl_spark.functions.numeric import dec_round
+
+# ------------------------------------------------------- repetition scoring
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition metrics per document: token count,
+    distinct-token fraction, most-frequent-token fraction, and
+    duplicate-2-gram fraction. Downstream filters drop documents
+    whose fractions cross fixed thresholds (boilerplate, keyword
+    stuffing, template spam).
+
+    Plan shape: one explode + two-level hash aggregation, both with
+    map-side partial aggregation — (doc_id, token) counts first,
+    then per-doc max/sum — so the shuffle carries one row per
+    distinct (doc, token), not one per token occurrence. The n-gram
+    distinctness terms stay entirely narrow (array ops per row, no
+    shuffle). At 100 TB both aggs key on doc_id and scale linearly
+    with executors; no skew risk because a single document bounds a
+    group.
+    """
+    toks = tokens_col(F.col(text_col))
+    n = F.size(toks)
+    grams2 = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(1)),
+            lambda i: F.array_join(F.slice(toks, i, 2), " "),
+        ),
+    ).otherwise(F.array())
+
+    base = docs.select(
+        "doc_id",
+        F.explode(toks).alias("tok"),
+    )
+    per_tok = base.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    freq = per_tok.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.max("c").alias("top_count"),
+    )
+    narrow = docs.select(
+        "doc_id",
+        F.size(grams2).alias("n_2grams"),
+        F.size(F.array_distinct(grams2)).alias("n_distinct_2grams"),
+    )
+    return (
+        freq.join(narrow, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            dec_round(F.col("n_distinct") / F.col("n_tokens"), 6).alias(
+                "distinct_frac"
+            ),
+            dec_round(F.col("top_count") / F.col("n_tokens"), 6).alias(
+                "top_token_frac"
+            ),
+            dec_round(
+                F.when(
+                    F.col("n_2grams") > 0,
+                    (F.col("n_2grams") - F.col("n_distinct_2grams"))
+                    / F.col("n_2grams"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_2gram_frac"),
+        )
+    )
+
+
+# ---------------------------------------------------------- decontamination
+
+
+def decontam_overlap(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Benchmark decontamination: for every training document, the
+    count and fraction of its k-word shingles that also appear in
+    the eval set (docs with ``doc_id < P.EVAL_DOC_MAX`` stand in for
+    a held-out benchmark). The GPT-3/Pile n-gram-overlap
+    decontamination check, as a DataFrame op.
+
+    Plan shape: the eval shingle set is distinct-ed (small — eval
+    sets are thousands of examples, not billions) and broadcast; the
+    training side streams through a broadcast LEFT SEMI-style probe
+    (left join + null check keeps the per-gram hit bit) and
+    re-aggregates per doc_id. Two map-side-combinable aggs, zero
+    large shuffles. At 100 TB the eval set still fits in a broadcast
+    (or a bloom filter of it does); the training scan stays a single
+    pass.
+    """
+    grams = shingle_rows(docs, text_col).where(F.col("doc_id") >= P.EVAL_DOC_MAX)
+    eval_grams = (
+        shingle_rows(docs.where(F.col("doc_id") < P.EVAL_DOC_MAX), text_col)
+        .select("shingle")
+        .distinct()
+    )
+    hit = grams.join(
+        F.broadcast(eval_grams.withColumn("hit", F.lit(1))), "shingle", "left"
+    )
+    return (
+        hit.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.coalesce(F.sum("hit"), F.lit(0)).alias("n_hit"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_hit",
+            dec_round(F.col("n_hit") / F.col("n_shingles"), 6).alias("hit_frac"),
+            (F.col("n_hit") * 100 >= F.col("n_shingles") * P.DECONTAM_PCT).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
+# -------------------------------------------------------- sequence packing
+
+
+def pack_sequences(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Concat-then-chunk sequence packing: documents are concatenated
+    in (source, doc_id) order into a token stream per source shard
+    and cut into fixed ``P.PACK_CAPACITY``-token blocks; each doc
+    reports its stream offset and the block range it lands in. This
+    is the standard LM pretraining layout (GPT-2 onward): no padding
+    waste, documents may straddle block boundaries.
+
+    Plan shape: token counting is narrow; the running offset is one
+    window shuffle partitioned by ``source`` — the shard is the unit
+    of parallelism, exactly how packing is run in production (per
+    input shard, never a global sequence). A global pack order would
+    serialize on one partition at 100 TB; per-shard streams are
+    embarrassingly parallel and reproducible (deterministic order
+    key)."""
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cap = P.PACK_CAPACITY
+    sized = docs.select(
+        "doc_id", "source", F.size(tokens_col(F.col(text_col))).alias("n_tokens")
+    )
+    return (
+        sized.withColumn("start_off", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            "start_off",
+            F.floor(F.col("start_off") / cap).alias("first_block"),
+            F.floor((F.col("start_off") + F.col("n_tokens") - 1) / cap).alias(
+                "last_block"
+            ),
+        )
+    )
+
+
+# ------------------------------------------------------------ PII redaction
+
+
+#: synthesized contact line per customer — the fixture has no PII
+#: columns, so both engines build identical PII-bearing text from
+#: the key (an email and a PH-format mobile number), then the
+#: operator under test redacts it. Patterns restricted to syntax
+#: with identical semantics in Java regex and RE2/DuckDB.
+PII_EMAIL_RE = r"[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_PHONE_RE = r"\+63-9[0-9]{2}-[0-9]{3}-[0-9]{4}"
+
+
+def _contact_text() -> Column:
+    key = F.col("c_custkey")
+    return F.concat(
+        F.lit("reach "),
+        F.lower(F.col("c_name")),
+        F.lit(" at user"),
+        key.cast("string"),
+        F.lit("@example.com or +63-9"),
+        F.format_string(
+            "%02d-%03d-%04d",
+            (key % 100).cast("int"),
+            (key % 1000).cast("int"),
+            (key % 10000).cast("int"),
+        ),
+        F.lit(" re: account"),
+    )
+
+
+def pii_redact(customers: DataFrame) -> DataFrame:
+    """PII redaction pass: replace emails and phone numbers with
+    typed placeholder tags and count what was removed — the
+    pre-training scrub every public-corpus pipeline runs (C4,
+    RefinedWeb, Dolma all ship regex-tier PII handling).
+
+    Plan shape: pure narrow map — two regexp_replace + two
+    regexp_extract_all per row, whole-stage-codegen'd JVM regex, no
+    shuffle, no Python. At 100 TB this is scan-bound; the regexes
+    are RE2-safe (no backtracking blowup) so worst-case rows can't
+    stall an executor."""
+    text = _contact_text()
+    redacted = F.regexp_replace(
+        F.regexp_replace(text, PII_EMAIL_RE, "[EMAIL]"), PII_PHONE_RE, "[PHONE]"
+    )
+    return customers.select(
+        "c_custkey",
+        redacted.alias("redacted"),
+        F.size(F.regexp_extract_all(text, F.lit(PII_EMAIL_RE), F.lit(0))).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all(text, F.lit(PII_PHONE_RE), F.lit(0))).alias(
+            "n_phones"
+        ),
+    )
+
+
+# ------------------------------------------- temperature source sampling
+
+
+def temperature_sample(docs: DataFrame) -> DataFrame:
+    """Temperature-based source rebalancing (alpha = 0.5): domain d
+    with ``c_d`` documents keeps each doc with probability
+    ``min(1, K/sqrt(c_d))`` — small domains are kept whole, large
+    domains downsampled toward ``sqrt``-proportional mixing. This is
+    the multinomial temperature reweighting of XLM-R / data-mixing
+    recipes, made deterministic: the keep decision hashes doc_id
+    (md5 → first 8 hex digits → 32-bit integer) against a per-domain
+    integer threshold ``floor(K·2^32/sqrt(c_d))``.
+
+    Domains are synthesized as ``floor(log2(doc_id+1))`` via
+    ``length(bin(x))-1`` (exponentially sized groups — real corpora
+    are power-law), because the fixture's ``source`` column is
+    deliberately uniform.
+
+    Determinism across engines: sqrt and division are
+    correctly-rounded IEEE ops, so the threshold floor() is
+    bit-identical in Spark and DuckDB; the hash compare is pure
+    integer. Plan shape: one tiny domain-count agg (broadcast back),
+    then a narrow filter — the sample itself never shuffles. At
+    100 TB the domain table is thousands of rows; the per-row cost
+    is one md5."""
+    domained = docs.withColumn(
+        "domain", (F.length(F.bin(F.col("doc_id") + 1)) - 1).cast("bigint")
+    )
+    counts = domained.groupBy("domain").agg(F.count("*").alias("c_d"))
+    thr = counts.withColumn(
+        "keep_below",
+        F.floor(F.lit(float(P.SAMPLE_K) * 4294967296.0) / F.sqrt(F.col("c_d"))),
+    )
+    hashed = domained.withColumn(
+        "u32", F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("bigint")
+    )
+    return (
+        hashed.join(F.broadcast(thr), "domain")
+        .where(F.col("u32") < F.col("keep_below"))
+        .select("doc_id", "domain", "c_d", "source")
+    )

@@ -1311,3 +1311,115 @@ SELECT doc_id,
        md5(text) AS checksum
 FROM documents
 """
+
+# ---------------------------------------------------------------- curation
+
+ORACLES["repetition_score"] = f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+ex AS (SELECT doc_id, unnest(toks) AS tok FROM toks),
+pt AS (SELECT doc_id, tok, count(*) AS c FROM ex GROUP BY 1, 2),
+freq AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         count(*) AS n_distinct, max(c) AS top_count
+  FROM pt GROUP BY 1
+),
+g2 AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 2
+              THEN list_transform(range(1, len(toks)),
+                                  i -> array_to_string(toks[i:i+1], ' '))
+              ELSE CAST([] AS VARCHAR[]) END AS grams
+  FROM toks
+),
+narrow AS (
+  SELECT doc_id, len(grams) AS n_2grams,
+         len(list_distinct(grams)) AS n_distinct_2grams
+  FROM g2
+)
+SELECT f.doc_id, f.n_tokens,
+       {_dec('f.n_distinct / f.n_tokens', 6)} AS distinct_frac,
+       {_dec('f.top_count / f.n_tokens', 6)} AS top_token_frac,
+       CASE WHEN n.n_2grams > 0
+            THEN {_dec('(n.n_2grams - n.n_distinct_2grams) / n.n_2grams', 6)}
+            ELSE 0.0 END AS dup_2gram_frac
+FROM freq f JOIN narrow n USING (doc_id)
+"""
+
+ORACLES["decontam_ngram"] = f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= {P.SHINGLE_K}
+              THEN list_transform(range(1, len(toks) - {P.SHINGLE_K} + 2),
+                                  i -> array_to_string(toks[i:i+{P.SHINGLE_K - 1}], ' '))
+              ELSE [array_to_string(toks, ' ')] END AS shingles
+  FROM toks
+),
+train AS (SELECT doc_id, unnest(shingles) AS g FROM sh WHERE doc_id >= {P.EVAL_DOC_MAX}),
+eval_set AS (SELECT DISTINCT unnest(shingles) AS g FROM sh WHERE doc_id < {P.EVAL_DOC_MAX}),
+hits AS (
+  SELECT t.doc_id, CASE WHEN e.g IS NOT NULL THEN 1 END AS hit
+  FROM train t LEFT JOIN eval_set e USING (g)
+)
+SELECT doc_id, count(*) AS n_shingles,
+       CAST(coalesce(sum(hit), 0) AS BIGINT) AS n_hit,
+       {_dec('coalesce(sum(hit), 0) / count(*)', 6)} AS hit_frac,
+       coalesce(sum(hit), 0) * 100 >= count(*) * {P.DECONTAM_PCT} AS contaminated
+FROM hits GROUP BY doc_id
+"""
+
+ORACLES["pack_sequences"] = f"""
+WITH sized AS (
+  SELECT doc_id, source, CAST(len({TOKS}) AS INT) AS n_tokens FROM documents
+),
+o AS (
+  SELECT *,
+         coalesce(sum(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+  FROM sized
+)
+SELECT doc_id, source, n_tokens, CAST(start_off AS BIGINT) AS start_off,
+       CAST(start_off // {P.PACK_CAPACITY} AS BIGINT) AS first_block,
+       CAST((start_off + n_tokens - 1) // {P.PACK_CAPACITY} AS BIGINT) AS last_block
+FROM o
+"""
+
+_PII_TEXT = (
+    "'reach ' || lower(c_name) || ' at user' || CAST(c_custkey AS VARCHAR)"
+    " || '@example.com or +63-9'"
+    " || printf('%02d-%03d-%04d', c_custkey % 100, c_custkey % 1000,"
+    " c_custkey % 10000) || ' re: account'"
+)
+_PII_EMAIL = r"[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PII_PHONE = r"\+63-9[0-9]{2}-[0-9]{3}-[0-9]{4}"
+
+ORACLES["pii_redact"] = f"""
+WITH t AS (SELECT c_custkey, {_PII_TEXT} AS text FROM customer)
+SELECT c_custkey,
+       regexp_replace(regexp_replace(text, '{_PII_EMAIL}', '[EMAIL]', 'g'),
+                      '{_PII_PHONE}', '[PHONE]', 'g') AS redacted,
+       CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS INT) AS n_phones
+FROM t
+"""
+
+_SAMPLE_THR_NUM = float(P.SAMPLE_K) * 4294967296.0  # K * 2^32
+
+ORACLES["sample_temperature"] = f"""
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(length(bin(doc_id + 1)) - 1 AS BIGINT) AS domain
+  FROM documents
+),
+c AS (SELECT domain, count(*) AS c_d FROM d GROUP BY 1),
+t AS (SELECT domain, c_d,
+             floor({_SAMPLE_THR_NUM!r} / sqrt(CAST(c_d AS DOUBLE))) AS keep_below
+      FROM c),
+h AS (
+  SELECT d.*, {_hexpoly("md5(CAST(doc_id AS VARCHAR))", 1)} AS u32 FROM d
+)
+SELECT doc_id, domain, c_d, source
+FROM h JOIN t USING (domain)
+WHERE u32 < keep_below
+"""

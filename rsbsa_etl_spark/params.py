@@ -130,3 +130,22 @@ QSKETCH_WIDTH = 8.0
 #: LLM-training document chunking shape.
 CHUNK_WINDOW = 32
 CHUNK_STRIDE = 24
+
+# ---------------------------------------------------- curation (functions/curation.py)
+
+#: decontamination eval set: docs with doc_id below this stand in
+#: for the held-out benchmark; present at every SF (≥500 docs).
+EVAL_DOC_MAX = 32
+#: contamination flag threshold, percent of shingles hitting the
+#: eval set (integer percent → pure-integer comparison, no floats).
+DECONTAM_PCT = 25
+
+#: sequence-packing block capacity in whitespace tokens. Docs
+#: average ~56 tokens, so blocks pack ~9 docs and straddling is
+#: common at every SF.
+PACK_CAPACITY = 512
+
+#: temperature sampling: keep probability K/sqrt(c_domain), i.e.
+#: K=6 keeps domains of ≤36 docs whole and downsamples bigger ones
+#: (fixture domains are 2^d-sized, d = floor(log2(doc_id+1))).
+SAMPLE_K = 6

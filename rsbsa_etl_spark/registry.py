@@ -925,6 +925,49 @@ def multimodal_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.sample_chunks(frames)
 
 
+# ---------------------------------------------------------------- curation
+
+
+def repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition metrics (dup-token / dup-2gram
+    fractions) — the quality-filter rules of MassiveText."""
+    from rsbsa_etl_spark.functions import curation
+
+    return curation.repetition_stats(load(spark, sf_dir, "documents"))
+
+
+def decontam_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """benchmark-decontamination n-gram overlap vs an eval set
+    (broadcast semi-probe + per-doc agg)."""
+    from rsbsa_etl_spark.functions import curation
+
+    return curation.decontam_overlap(load(spark, sf_dir, "documents"))
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """concat-then-chunk LM sequence packing: per-shard token
+    offsets and block spans."""
+    from rsbsa_etl_spark.functions import curation
+
+    return curation.pack_sequences(load(spark, sf_dir, "documents"))
+
+
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regex PII scrub (emails, phone numbers) with removal counts —
+    narrow codegen'd map, no shuffle."""
+    from rsbsa_etl_spark.functions import curation
+
+    return curation.pii_redact(load(spark, sf_dir, "customer"))
+
+
+def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """deterministic temperature (alpha=0.5) source rebalancing via
+    integer md5 thresholds."""
+    from rsbsa_etl_spark.functions import curation
+
+    return curation.temperature_sample(load(spark, sf_dir, "documents"))
+
+
 # --------------------------------------------------------------- streaming
 
 
@@ -1039,5 +1082,10 @@ QUERIES: dict[str, QueryFn] = {
     "multimodal_meta": multimodal_meta,
     "multimodal_features": multimodal_features,
     "multimodal_chunks": multimodal_chunks,
+    "repetition_score": repetition_score,
+    "decontam_ngram": decontam_ngram,
+    "pack_sequences": pack_sequences,
+    "pii_redact": pii_redact,
+    "sample_temperature": sample_temperature,
     "stream_tail": stream_tail,
 }
