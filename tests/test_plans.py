@@ -197,3 +197,33 @@ def test_observed_validity_counts_without_extra_pass(spark):
     assert m["n_total"] == n_rows
     assert m["n_valid"] == ev.where(cond).count()
     assert 0 < m["n_valid"] < m["n_total"]
+
+
+def test_pii_redact_is_narrow(spark):
+    # pure regex map: no exchange anywhere — scan-bound at 100 TB
+    plan = _plan(QUERIES["pii_redact"](spark, SF_DIR))
+    assert "Exchange" not in plan
+
+
+def test_decontam_broadcasts_eval_set(spark):
+    # eval shingles broadcast; the training-side stream is never
+    # shuffled for the probe (only the per-doc agg shuffles)
+    plan = _plan(QUERIES["decontam_ngram"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_temperature_sample_broadcasts_thresholds(spark):
+    # per-domain thresholds join back via broadcast; the corpus side
+    # is filtered without a shuffle
+    plan = _plan(QUERIES["sample_temperature"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_repetition_aggs_are_partial(spark):
+    # both the (doc, token) count and the per-doc fold must map-side
+    # combine: shuffle carries distinct (doc, token) rows, not token
+    # occurrences
+    plan = _plan(QUERIES["repetition_score"](spark, SF_DIR))
+    assert plan.count("HashAggregate") >= 4
