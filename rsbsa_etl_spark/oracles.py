@@ -1423,3 +1423,7 @@ SELECT doc_id, domain, c_d, source
 FROM h JOIN t USING (domain)
 WHERE u32 < keep_below
 """
+
+ORACLES["stream_dedup"] = f"""
+SELECT event_id, event_type, {_dec('value', 2)} AS value FROM events
+"""

@@ -781,6 +781,15 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_totals_replay(load(spark, sf_dir, "events"))
 
 
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """streaming exactly-once dedup (dropDuplicatesWithinWatermark)
+    across a checkpoint restart with at-least-once redelivery; the
+    emitted set equals SELECT-one-row-per-event_id (the oracle)."""
+    from rsbsa_etl_spark.streaming.stateful import dedup_replay
+
+    return dedup_replay(load(spark, sf_dir, "events"))
+
+
 def cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.cms_term_estimates(load(spark, sf_dir, "documents"))
 
@@ -1057,6 +1066,7 @@ QUERIES: dict[str, QueryFn] = {
     "window_sliding": window_sliding,
     "window_session": window_session,
     "stream_late_drop": stream_late_drop,
+    "stream_dedup": stream_dedup,
     "stream_stateful_totals": stream_stateful_totals,
     "stream_join": stream_join,
     "stream_join_evicting": stream_join_evicting,

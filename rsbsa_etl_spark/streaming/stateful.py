@@ -181,3 +181,71 @@ def run_totals_replay(events: DataFrame) -> DataFrame:
         F.max("n_events").alias("n_events"),
         F.max("total_value").alias("total_value"),
     )
+
+
+def dedup_replay(events: DataFrame, redeliver_mod: int = 6) -> DataFrame:
+    """streaming exactly-once dedup via the built-in
+    ``dropDuplicatesWithinWatermark`` across two checkpointed
+    AvailableNow phases with simulated at-least-once redelivery:
+    phase 1 streams the even event_ids; phase 2 streams the odd ones
+    PLUS a re-delivery of every ``redeliver_mod``-th phase-1 row.
+    The dedup state recovered from the checkpoint drops every
+    redelivered row, so the emitted set is exactly one row per
+    event_id — the whole table, which is the DuckDB oracle.
+
+    This is the Kafka-consumer-restart shape: upstream replays a
+    suffix after a crash, the engine absorbs it. State is bounded by
+    the watermark delay (keys expire ``delay`` after first arrival)
+    — at 100 TB/day state holds one key per event inside the
+    horizon, not per event ever seen; the delay is sized to the
+    redelivery window, not the stream's lifetime.
+    """
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from rsbsa_etl_spark.functions.numeric import dec_round
+
+    spark = events.sparkSession
+    base = tempfile.mkdtemp(prefix="rsbsa_sdedup_")
+    src, ckpt, out = f"{base}/src", f"{base}/ckpt", f"{base}/out"
+    os.makedirs(src)
+
+    proj = events.select(
+        "event_id", "ts", "event_type", dec_round(F.col("value"), 2).alias("value")
+    )
+    schema = "event_id bigint, ts timestamp, event_type string, value double"
+
+    def dump(df: DataFrame, name: str) -> None:
+        tmp = f"{base}/_tmp"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        shutil.move(glob.glob(f"{tmp}/part-*.parquet")[0], f"{src}/{name}")
+        shutil.rmtree(tmp)
+
+    def run_phase() -> None:
+        stream = spark.readStream.schema(schema).parquet(src)
+        deduped = stream.withWatermark("ts", "45 days").dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    even = F.col("event_id") % 2 == 0
+    dump(proj.where(even), "f1.parquet")
+    run_phase()
+    dump(
+        proj.where(~even).unionByName(
+            proj.where(even & (F.col("event_id") % redeliver_mod == 0))
+        ),
+        "f2.parquet",
+    )
+    run_phase()
+    return spark.read.parquet(out).select("event_id", "event_type", "value")
