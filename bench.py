@@ -74,6 +74,9 @@ HEADLINE = [
     "pack_sequences",
     "pii_redact",
     "sample_temperature",
+    "dedup_segments",
+    "window_ntile",
+    "agg_grouping_sets",
 ]
 
 

@@ -281,3 +281,51 @@ def temperature_sample(docs: DataFrame) -> DataFrame:
         .where(F.col("u32") < F.col("keep_below"))
         .select("doc_id", "domain", "c_d", "source")
     )
+
+
+# ------------------------------------------------- sub-document dedup
+
+
+def segment_dedup_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Paragraph-level (sub-document) corpus dedup, the CCNet/Dolma
+    shape: cut each normalized document into non-overlapping
+    ``P.SEG_TOKENS``-token segments, keep only the FIRST occurrence
+    of each distinct segment corpus-wide (order: doc_id, then
+    position), and report per document how much text survives.
+    Whole-doc dedup (``dedup_exact``) misses boilerplate shared
+    across distinct pages; this is the operator that removes it.
+
+    Plan shape: segmenting is a narrow array expression (no Python);
+    first-occurrence is ONE shuffle keyed on the segment text via
+    row_number — at 100 TB key on a segment hash instead of the raw
+    text to shrink shuffle bytes (same plan). The per-doc rollup
+    map-side combines. Deterministic: ties in (doc_id, seg_idx) are
+    impossible (that pair is unique), so keep/drop is stable.
+    """
+    toks = tokens_col(F.col(text_col))
+    n = F.size(toks)
+    w = P.SEG_TOKENS
+    n_segs = F.ceil(n / F.lit(w)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda i: F.struct(
+            i.alias("seg_idx"),
+            F.array_join(F.slice(toks, i * w + 1, w), " ").alias("seg"),
+        ),
+    )
+    rows = docs.select("doc_id", F.explode(segs).alias("s")).select(
+        "doc_id",
+        F.col("s.seg_idx").alias("seg_idx"),
+        F.col("s.seg").alias("seg"),
+    )
+    first = F.row_number().over(
+        Window.partitionBy("seg").orderBy("doc_id", "seg_idx")
+    )
+    tagged = rows.withColumn("kept", first == 1)
+    return tagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_segs"),
+        F.sum(F.col("kept").cast("long")).alias("n_kept"),
+        F.sum(
+            F.when(F.col("kept"), F.size(F.split(F.col("seg"), " "))).otherwise(0)
+        ).alias("n_tokens_kept"),
+    )

@@ -1427,3 +1427,47 @@ WHERE u32 < keep_below
 ORACLES["stream_dedup"] = f"""
 SELECT event_id, event_type, {_dec('value', 2)} AS value FROM events
 """
+
+_W_SEG = P.SEG_TOKENS
+
+ORACLES["dedup_segments"] = f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+segs AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(0, CAST(ceil(len(toks) / {float(_W_SEG)!r}) AS INT)),
+           i -> struct_pack(
+             seg_idx := i,
+             seg := array_to_string(toks[i*{_W_SEG}+1:i*{_W_SEG}+{_W_SEG}], ' ')
+           ))) AS s
+  FROM toks
+),
+rows_ AS (
+  SELECT doc_id, s.seg_idx AS seg_idx, s.seg AS seg,
+         row_number() OVER (PARTITION BY s.seg ORDER BY doc_id, s.seg_idx) AS rn
+  FROM segs
+)
+SELECT doc_id, count(*) AS n_segs,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN rn = 1 THEN len(string_split(seg, ' ')) ELSE 0 END)
+            AS BIGINT) AS n_tokens_kept
+FROM rows_ GROUP BY doc_id
+"""
+
+ORACLES["window_ntile"] = f"""
+SELECT event_id, event_type,
+       CAST(ntile(4) OVER w AS INT) AS quartile,
+       {_dec('percent_rank() OVER w', 6)} AS pr,
+       {_dec('cume_dist() OVER w', 6)} AS cd
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+"""
+
+ORACLES["agg_grouping_sets"] = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       CAST(sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""

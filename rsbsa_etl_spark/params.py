@@ -145,6 +145,11 @@ DECONTAM_PCT = 25
 #: common at every SF.
 PACK_CAPACITY = 512
 
+#: sub-document dedup: non-overlapping segment width (tokens).
+#: Docs average ~56 tokens -> ~4 segments; the small word-salad
+#: vocabulary makes cross-doc repeated segments common at every SF.
+SEG_TOKENS = 16
+
 #: temperature sampling: keep probability K/sqrt(c_domain), i.e.
 #: K=6 keeps domains of ≤36 docs whole and downsamples bigger ones
 #: (fixture domains are 2^d-sized, d = floor(log2(doc_id+1))).

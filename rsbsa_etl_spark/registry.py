@@ -977,6 +977,47 @@ def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.temperature_sample(load(spark, sf_dir, "documents"))
 
 
+def dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sub-document (paragraph-level) corpus dedup: keep the first
+    occurrence of each 16-token segment corpus-wide."""
+    from rsbsa_etl_spark.functions import curation
+
+    return curation.segment_dedup_stats(load(spark, sf_dir, "documents"))
+
+
+def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank-family window functions (ntile / percent_rank /
+    cume_dist) per event_type; sort key includes event_id so ranks
+    are total-order deterministic."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.ntile(4).over(w).alias("quartile"),
+        dec_round(F.percent_rank().over(w), 6).alias("pr"),
+        dec_round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explicit GROUPING SETS (the rollup/cube generalization):
+    per-flag totals, per-status totals, and the grand total in one
+    pass — Spark expands to a single shuffle-once Expand+hash-agg."""
+    li = load(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("gs_lineitem")
+    return spark.sql(
+        f"""
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               CAST(sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
+               count(*) AS n_rows
+        FROM gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
 # --------------------------------------------------------------- streaming
 
 
@@ -1097,5 +1138,8 @@ QUERIES: dict[str, QueryFn] = {
     "pack_sequences": pack_sequences,
     "pii_redact": pii_redact,
     "sample_temperature": sample_temperature,
+    "dedup_segments": dedup_segments,
+    "window_ntile": window_ntile,
+    "agg_grouping_sets": agg_grouping_sets,
     "stream_tail": stream_tail,
 }
