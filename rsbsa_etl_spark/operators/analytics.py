@@ -297,13 +297,18 @@ def fuzzy_name_pairs(customers: DataFrame) -> DataFrame:
     # which the exact Levenshtein filter below removes — results are
     # identical by construction. persist: the self-join references
     # this subtree twice and AQE does not share the exchange.
+    # the join and the distinct carry ONLY (key, variant-hash) — the
+    # name strings would triple shuffle bytes through the self-join
+    # and the candidate dedup; they rejoin afterward via broadcast
+    # (the dimension side is small by definition here; at larger
+    # dims, a shuffled join on the already-deduped pair set is still
+    # strictly less data than carrying strings through the blowup).
     variants = (
         named.select(
             "c_custkey",
-            "c_name",
             F.explode(F.array_union(F.array(F.col("c_name")), deletions)).alias("v"),
         )
-        .select("c_custkey", "c_name", F.xxhash64("v").alias("variant"))
+        .select("c_custkey", F.xxhash64("v").alias("variant"))
         .persist()
     )
     a, b = variants.alias("a"), variants.alias("b")
@@ -316,15 +321,16 @@ def fuzzy_name_pairs(customers: DataFrame) -> DataFrame:
         .select(
             F.col("a.c_custkey").alias("custkey_a"),
             F.col("b.c_custkey").alias("custkey_b"),
-            F.col("a.c_name").alias("name_a"),
-            F.col("b.c_name").alias("name_b"),
         )
         .distinct()
     )
+    na = named.select(F.col("c_custkey").alias("custkey_a"), F.col("c_name").alias("name_a"))
+    nb = named.select(F.col("c_custkey").alias("custkey_b"), F.col("c_name").alias("name_b"))
+    withnames = cand.join(F.broadcast(na), "custkey_a").join(F.broadcast(nb), "custkey_b")
     # thresholded levenshtein runs the banded O(len·k) DP and returns
     # -1 beyond the bound — the exact value is still exact when <= 1
     dist = F.levenshtein(F.col("name_a"), F.col("name_b"), 1)
-    return cand.where(dist >= 0).select(
+    return withnames.where(dist >= 0).select(
         "custkey_a", "custkey_b", dist.cast("int").alias("edit_distance")
     )
 
