@@ -77,6 +77,8 @@ HEADLINE = [
     "dedup_segments",
     "window_ntile",
     "agg_grouping_sets",
+    "join_spatial_grid",
+    "validate_domains",
 ]
 
 

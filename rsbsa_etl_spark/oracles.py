@@ -1471,3 +1471,41 @@ SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
 """
+
+ORACLES["join_spatial_grid"] = f"""
+WITH cpt AS (
+  SELECT c_custkey,
+         (c_custkey * {P.GEO_AX}) % {P.GEO_MOD} AS x,
+         (c_custkey * {P.GEO_AY}) % {P.GEO_MOD} AS y
+  FROM customer
+),
+spt AS (
+  SELECT s_suppkey,
+         (s_suppkey * {P.GEO_AX}) % {P.GEO_MOD} AS qx,
+         (s_suppkey * {P.GEO_AY}) % {P.GEO_MOD} AS qy
+  FROM supplier
+)
+SELECT s_suppkey, c_custkey,
+       (x - qx) * (x - qx) + (y - qy) * (y - qy) AS dist2
+FROM spt JOIN cpt
+  ON (x - qx) * (x - qx) + (y - qy) * (y - qy) <= {P.GEO_RADIUS * P.GEO_RADIUS}
+"""
+
+ORACLES["validate_domains"] = """
+WITH agg AS (
+  SELECT count(*) AS n_checked,
+         CAST(sum(CASE WHEN event_type NOT IN ('signup','click','purchase','view')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS v_domain,
+         CAST(sum(CASE WHEN value < 0 OR value > 250 THEN 1 ELSE 0 END) AS BIGINT) AS v_range,
+         CAST(sum(CASE WHEN user_id IS NULL OR user_id < 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_user,
+         count(*) - count(DISTINCT event_id) AS v_unique
+  FROM events
+)
+SELECT 'type_in_domain' AS rule, n_checked, v_domain AS n_violations, v_domain = 0 AS passed FROM agg
+UNION ALL
+SELECT 'value_in_range', n_checked, v_range, v_range = 0 FROM agg
+UNION ALL
+SELECT 'user_id_valid', n_checked, v_user, v_user = 0 FROM agg
+UNION ALL
+SELECT 'event_id_unique', n_checked, v_unique, v_unique = 0 FROM agg
+"""

@@ -154,3 +154,11 @@ SEG_TOKENS = 16
 #: K=6 keeps domains of ≤36 docs whole and downsamples bigger ones
 #: (fixture domains are 2^d-sized, d = floor(log2(doc_id+1))).
 SAMPLE_K = 6
+
+#: spatial grid join: synthesized integer coordinates (LCG-style
+#: mixes of the key, both engines identical) on a GEO_MOD² plane;
+#: radius == grid cell width so the 3×3 neighborhood is complete.
+GEO_MOD = 10_000
+GEO_AX = 48_271
+GEO_AY = 16_807
+GEO_RADIUS = 800

@@ -1000,6 +1000,24 @@ def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """grid-bucketed spatial radius join (Sedona-style): supplier
+    query points × customer points within an exact integer Euclidean
+    radius; the big side gets one cell key, the small side
+    replicates 9× and broadcasts."""
+    from rsbsa_etl_spark.functions import spatial
+
+    return spatial.radius_pairs(
+        load(spark, sf_dir, "customer"), load(spark, sf_dir, "supplier")
+    )
+
+
+def validate_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """single-pass declarative data-quality audit (ENUM-domain,
+    range, null, uniqueness rules → violations per rule)."""
+    return filters.domain_audit(load(spark, sf_dir, "events"))
+
+
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """explicit GROUPING SETS (the rollup/cube generalization):
     per-flag totals, per-status totals, and the grand total in one
@@ -1141,5 +1159,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_segments": dedup_segments,
     "window_ntile": window_ntile,
     "agg_grouping_sets": agg_grouping_sets,
+    "join_spatial_grid": join_spatial_grid,
+    "validate_domains": validate_domains,
     "stream_tail": stream_tail,
 }

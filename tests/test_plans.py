@@ -227,3 +227,19 @@ def test_repetition_aggs_are_partial(spark):
     # occurrences
     plan = _plan(QUERIES["repetition_score"](spark, SF_DIR))
     assert plan.count("HashAggregate") >= 4
+
+
+def test_spatial_grid_broadcasts_query_cells(spark):
+    # the replicated 9-cell query side broadcasts; the point table
+    # is never shuffled and the exact predicate stays in the filter
+    plan = _plan(QUERIES["join_spatial_grid"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_domain_audit_is_single_pass(spark):
+    # all rules fold into one aggregation over one scan: exactly one
+    # parquet scan in the plan, no join, no second pass
+    plan = _plan(QUERIES["validate_domains"](spark, SF_DIR))
+    assert plan.count("FileScan parquet") == 1 or plan.count("Scan parquet") == 1
+    assert "Join" not in plan
