@@ -79,6 +79,8 @@ HEADLINE = [
     "agg_grouping_sets",
     "join_spatial_grid",
     "validate_domains",
+    "join_temporal_validity",
+    "agg_time_rollup",
 ]
 
 

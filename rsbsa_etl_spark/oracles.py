@@ -1509,3 +1509,35 @@ SELECT 'user_id_valid', n_checked, v_user, v_user = 0 FROM agg
 UNION ALL
 SELECT 'event_id_unique', n_checked, v_unique, v_unique = 0 FROM agg
 """
+
+ORACLES["join_temporal_validity"] = """
+WITH dim AS (
+  SELECT user_id AS u,
+         CASE WHEN value > 50.0 THEN 'high' ELSE 'low' END AS attr,
+         epoch_us(ts) AS valid_from_us,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(ts), event_id) AS valid_to_us
+  FROM events WHERE event_type = 'purchase'
+),
+fact AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us
+  FROM events WHERE event_type = 'click'
+)
+SELECT event_id, user_id, attr, valid_from_us
+FROM fact JOIN dim
+  ON fact.user_id = dim.u
+ AND ts_us >= valid_from_us
+ AND (valid_to_us IS NULL OR ts_us < valid_to_us)
+"""
+
+ORACLES["agg_time_rollup"] = f"""
+WITH b AS (
+  SELECT (epoch_ms(ts) // 1000) // 86400 AS day_b,
+         (epoch_ms(ts) // 1000) // 3600 AS hour_b, value
+  FROM events
+)
+SELECT coalesce(day_b, -1) AS day_b, coalesce(hour_b, -1) AS hour_b,
+       count(*) AS n_events,
+       {sql_sum_fixed('value', 2)} AS sum_value
+FROM b GROUP BY ROLLUP (day_b, hour_b)
+"""

@@ -1000,6 +1000,63 @@ def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_temporal_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 point-in-time lookup: each click event joins the
+    purchase-derived dimension version whose [valid_from, valid_to)
+    interval contains the click timestamp — the warehouse-standard
+    "dimension as of event time" join, complementing ``join_asof``
+    (which is the union+window form over two event streams).
+
+    Scale shape: ONE equi-shuffle on user_id co-partitions fact and
+    versioned dim; the interval containment is then a narrow filter
+    inside the join — never a theta join. Intervals are disjoint per
+    user by construction (lead() windows), so each fact row matches
+    at most one version and the result is deterministic."""
+    from rsbsa_etl_spark.operators.analytics import scd2_intervals as _scd2
+
+    ev = load(spark, sf_dir, "events")
+    dim = _scd2(ev.where(F.col("event_type") == "purchase")).select(
+        F.col("user_id").alias("u"), "attr", "valid_from_us", "valid_to_us"
+    )
+    fact = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.unix_micros(F.col("ts")).alias("ts_us")
+    )
+    j = fact.join(
+        dim,
+        (fact.user_id == dim.u)
+        & (F.col("ts_us") >= F.col("valid_from_us"))
+        & (F.col("valid_to_us").isNull() | (F.col("ts_us") < F.col("valid_to_us"))),
+    )
+    return j.select("event_id", "user_id", "attr", "valid_from_us")
+
+
+def agg_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hypertable-style time-hierarchy rollup: hour-level, day-level,
+    and grand totals in one ROLLUP pass (integer epoch buckets keep
+    the hierarchy portable across engines); one Expand + one shuffle
+    regardless of how many levels the hierarchy has."""
+    ev = load(spark, sf_dir, "events")
+    secs = F.unix_seconds(F.col("ts"))
+    return (
+        ev.select(
+            F.floor(secs / 86400).alias("day_b"),
+            F.floor(secs / 3600).alias("hour_b"),
+            "value",
+        )
+        .rollup("day_b", "hour_b")
+        .agg(
+            F.count("*").alias("n_events"),
+            fixed_sum(F.col("value"), 2, "sum_value"),
+        )
+        .select(
+            F.coalesce("day_b", F.lit(-1)).alias("day_b"),
+            F.coalesce("hour_b", F.lit(-1)).alias("hour_b"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """grid-bucketed spatial radius join (Sedona-style): supplier
     query points × customer points within an exact integer Euclidean
@@ -1160,6 +1217,8 @@ QUERIES: dict[str, QueryFn] = {
     "window_ntile": window_ntile,
     "agg_grouping_sets": agg_grouping_sets,
     "join_spatial_grid": join_spatial_grid,
+    "join_temporal_validity": join_temporal_validity,
+    "agg_time_rollup": agg_time_rollup,
     "validate_domains": validate_domains,
     "stream_tail": stream_tail,
 }
