@@ -81,6 +81,7 @@ HEADLINE = [
     "validate_domains",
     "join_temporal_validity",
     "agg_time_rollup",
+    "window_first_last",
 ]
 
 

@@ -1541,3 +1541,13 @@ SELECT coalesce(day_b, -1) AS day_b, coalesce(hour_b, -1) AS hour_b,
        {sql_sum_fixed('value', 2)} AS sum_value
 FROM b GROUP BY ROLLUP (day_b, hour_b)
 """
+
+ORACLES["window_first_last"] = f"""
+SELECT event_id, user_id,
+       {_dec('first_value(value) OVER w', 2)} AS first_v,
+       {_dec('last_value(value) OVER w', 2)} AS last_v,
+       {_dec('nth_value(value, 3) OVER w', 2)} AS third_v
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""

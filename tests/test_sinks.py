@@ -155,3 +155,27 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_compact_files_reduces_file_count(spark, tmp_path):
+    """many small files in, few target-sized files out, data
+    byte-identical (the OPTIMIZE maintenance job)."""
+    from rsbsa_etl_spark.sources.fixtures import load
+    from rsbsa_etl_spark.sources.sinks import compact_files
+
+    from tests.conftest import SF_DIR
+
+    src = str(tmp_path / "small")
+    out = str(tmp_path / "compacted")
+    ev = load(spark, SF_DIR, "events").select("event_id", "user_id", "value")
+    ev.repartition(40).write.parquet(src)  # simulate streaming dribble
+    import glob
+
+    n_in = len(glob.glob(f"{src}/part-*"))
+    assert n_in >= 40
+    n_out = compact_files(spark, src, out, target_bytes=1 << 20)
+    assert n_out == len(glob.glob(f"{out}/part-*"))
+    assert n_out < n_in / 4
+    a = spark.read.parquet(src).orderBy("event_id").collect()
+    b = spark.read.parquet(out).orderBy("event_id").collect()
+    assert a == b
