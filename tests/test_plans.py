@@ -243,3 +243,37 @@ def test_domain_audit_is_single_pass(spark):
     plan = _plan(QUERIES["validate_domains"](spark, SF_DIR))
     assert plan.count("FileScan parquet") == 1 or plan.count("Scan parquet") == 1
     assert "Join" not in plan
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """Catalyst's InjectRuntimeFilter: a selective dim-side predicate
+    becomes a bloom filter applied to the fact side BEFORE the join
+    shuffle — at 100 TB this is the difference between shuffling the
+    whole fact table and shuffling the ~matching slice. Fixture scans
+    are below the default application-side threshold, so the test
+    lowers it; production leaves the 10GB default."""
+    from pyspark.sql import functions as F
+
+    from rsbsa_etl_spark.sources.fixtures import load
+
+    tweaks = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: spark.conf.get(k) for k in tweaks}
+    try:
+        for k, v in tweaks.items():
+            spark.conf.set(k, v)
+        li = load(spark, SF_DIR, "lineitem")
+        orders = load(spark, SF_DIR, "orders").where(F.col("o_totalprice") > 500_000)
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderstatus")
+            .count()
+        )
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in opt and "might_contain" in opt
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
