@@ -1,0 +1,74 @@
+"""CLI — the engine's control surface.
+
+The reference exposes an Express HTTP API (``index.js:46-355``:
+start-etl / start-etl-force / stop / status / logs). For a Spark
+library the equivalent control surface is a CLI + the SparkSession
+(status/observability live in the Spark UI and ``observe()``
+metrics, scheduling belongs to an external scheduler per SURVEY
+§2.10) — this module is that thin wrapper, nothing more:
+
+    python -m rsbsa_etl_spark list
+    python -m rsbsa_etl_spark run <query-key> [--sf-dir DIR] [--show N]
+    python -m rsbsa_etl_spark sync [--sf-dir DIR]   # §3.1 one-shot
+                                                    # (start-etl-force)
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="rsbsa_etl_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("list", help="list registered query keys")
+
+    runp = sub.add_parser("run", help="run one registry query")
+    runp.add_argument("key")
+    runp.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    runp.add_argument("--show", type=int, default=20)
+
+    syncp = sub.add_parser("sync", help="run the incremental sync once")
+    syncp.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+
+    args = p.parse_args(argv)
+
+    from rsbsa_etl_spark.registry import QUERIES
+
+    if args.cmd == "list":
+        for k in sorted(QUERIES):
+            print(k)
+        return 0
+
+    from pyspark.sql import SparkSession
+
+    from rsbsa_etl_spark.session import get_spark
+
+    # stop the session on exit only if this CLI call created it —
+    # embedded callers (tests, notebooks) keep their session alive
+    owns_session = SparkSession.getActiveSession() is None
+    spark = get_spark(app_name=f"rsbsa_cli_{args.cmd}")
+    try:
+        if args.cmd == "run":
+            if args.key not in QUERIES:
+                print(f"unknown query key: {args.key}", file=sys.stderr)
+                return 2
+            df = QUERIES[args.key](spark, args.sf_dir)
+            df.show(args.show, truncate=False)
+            print(f"rows: {df.count()}")
+            return 0
+        # sync: the reference's POST /api/start-etl-force — run the
+        # §3.1 pipeline once and report totals (``index.js:114-164``)
+        df = QUERIES["sync_pipeline_o2m"](spark, args.sf_dir)
+        n = df.count()
+        print(f"sync complete, target rows: {n}")
+        return 0
+    finally:
+        if owns_session:
+            spark.stop()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

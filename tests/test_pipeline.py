@@ -170,3 +170,29 @@ def test_sync_is_idempotent(spark, world):
         a = sorted(map(tuple, once[table].collect()))
         b = sorted(map(tuple, twice[table].collect()))
         assert a == b, f"{table} not idempotent"
+
+
+def test_cli_list_and_run(spark):
+    """the CLI control surface (reference §2.10): list enumerates the
+    registry; run executes a query against a sf dir. Reuses the live
+    session via main()'s getOrCreate, so no subprocess cost."""
+    import io
+    from contextlib import redirect_stdout
+
+    from rsbsa_etl_spark.__main__ import main
+    from rsbsa_etl_spark.registry import QUERIES
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        assert main(["list"]) == 0
+    assert set(buf.getvalue().split()) == set(QUERIES)
+
+    assert main(["run", "nope"]) == 2
+
+
+def test_cli_does_not_stop_shared_session(spark):
+    from rsbsa_etl_spark.__main__ import main
+
+    assert main(["run", "nope"]) == 2
+    # the shared session must survive an embedded CLI call
+    assert spark.range(1).count() == 1
