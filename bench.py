@@ -82,6 +82,12 @@ HEADLINE = [
     "join_temporal_validity",
     "agg_time_rollup",
     "window_first_last",
+    "profile_stats",
+    "corr_groups",
+    "events_funnel",
+    "retention_cohort",
+    "ngram_topk",
+    "dedup_priority",
 ]
 
 

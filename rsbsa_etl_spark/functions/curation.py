@@ -329,3 +329,33 @@ def segment_dedup_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.when(F.col("kept"), F.size(F.split(F.col("seg"), " "))).otherwise(0)
         ).alias("n_tokens_kept"),
     )
+
+
+def priority_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """exact-duplicate resolution with source priority: among rows
+    sharing identical normalized text, keep the copy from the most
+    trusted source (lowest numeric suffix of ``source``), tiebroken
+    by doc_id. The standard "same page crawled by many dumps — keep
+    the canonical one" step that runs before any fuzzy dedup.
+
+    Groups on the md5 of normalized text (bounded key width — the
+    shuffle never carries document bodies twice), picks the winner
+    with a row_number over the tiny per-hash slice. One shuffle on
+    the hash; skew-safe because exact-dup cluster sizes are the
+    payload, not the key count.
+    """
+    from rsbsa_etl_spark.functions.dedup import normalized_text
+
+    prio = F.regexp_extract(F.col("source"), r"(\d+)$", 1).cast("int")
+    h = F.md5(normalized_text(F.col(text_col)))
+    w = Window.partitionBy("content_md5").orderBy(
+        F.col("priority").asc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.select(
+            "doc_id", "source", h.alias("content_md5"), prio.alias("priority")
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("doc_id", "source", "content_md5", "priority")
+    )

@@ -462,3 +462,31 @@ def stratified_sample(
     return events.where(bucket < pct).select(
         id_col, strata_col, bucket.cast("int").alias("bucket")
     )
+
+
+def ngram_topk(docs: DataFrame, text_col: str = "text", k: int = 20) -> DataFrame:
+    """corpus-level word-bigram frequencies, top-k with deterministic
+    tiebreak (count desc, gram asc) — the n-gram generalization of
+    ``term_topk`` used for boilerplate detection and corpus
+    fingerprinting in LLM-data pipelines.
+
+    Bigrams are built array-side (zip_with of two slices — no
+    self-join, no UDF) and exploded straight into a partial-aggregated
+    count, so the shuffle carries (gram, partial-count) pairs bounded
+    by bigram vocabulary, and the top-k compiles to
+    TakeOrderedAndProject rather than a global sort.
+    """
+    toks = F.split(normalized_text(F.col(text_col)), " ")
+    n = F.size(toks)
+    grams = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return (
+        docs.select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("gram").asc())
+        .limit(k)
+    )

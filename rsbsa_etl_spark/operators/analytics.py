@@ -469,3 +469,75 @@ def trailing_time_stats(events: DataFrame, window_s: int = 3600) -> DataFrame:
         F.count("*").over(w).cast("long").alias("n_1h"),
         dec_round(qsum / 100.0, 2).alias("sum_1h"),
     )
+
+
+def funnel_steps(events: DataFrame) -> DataFrame:
+    """ordered conversion funnel view → click → purchase: a user
+    counts for step k only if the step-k event happened strictly
+    after their step-(k-1) event. The product-analytics staple that
+    plain conditional counts get wrong (they ignore ordering).
+
+    Three aggregation passes over the same user partitioning — the
+    per-user step timestamps are integer epoch-µs min-aggregates, so
+    each pass is partial-aggregated and shuffles one row per user.
+    The final result is a 3-row summary; at 100 TB the per-user
+    intermediate is |users|-sized, and AQE coalesces the tiny tail.
+    """
+    us = F.unix_micros("ts")
+    t1 = events.where(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min(us).alias("t_view")
+    )
+    t2 = (
+        events.where(F.col("event_type") == "click")
+        .select("user_id", us.alias("t"))
+        .join(t1, "user_id")
+        .where(F.col("t") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_click"))
+    )
+    t3 = (
+        events.where(F.col("event_type") == "purchase")
+        .select("user_id", us.alias("t"))
+        .join(t2, "user_id")
+        .where(F.col("t") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_purchase"))
+    )
+    return (
+        t1.select(F.lit(1).alias("step"), F.lit("view").alias("step_name"), "user_id")
+        .unionByName(
+            t2.select(F.lit(2).alias("step"), F.lit("click").alias("step_name"), "user_id")
+        )
+        .unionByName(
+            t3.select(
+                F.lit(3).alias("step"), F.lit("purchase").alias("step_name"), "user_id"
+            )
+        )
+        .groupBy("step", "step_name")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("step")
+    )
+
+
+def retention_cohorts(events: DataFrame) -> DataFrame:
+    """weekly cohort retention: users bucketed by the week of their
+    first event; for each (cohort_week, weeks_since) cell, how many
+    distinct users were active. The curation-pipeline freshness /
+    engagement matrix.
+
+    Weeks are integer epoch-day arithmetic (epoch_s // 86400 // 7) —
+    no calendar functions, so Spark and the oracle agree exactly.
+    Two shuffles: first-event per user (partial min), then the
+    distinct-count per cell over a |users|·|weeks|-bounded set.
+    """
+    wk = (F.unix_seconds("ts") / F.lit(86400)).cast("long") / F.lit(7)
+    ev = events.select("user_id", wk.cast("long").alias("week"))
+    first = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        ev.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("weeks_since"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )

@@ -1,0 +1,162 @@
+"""Dataset profiling & statistical quality operators (extension
+surface — the reference has no profiling beyond run counters,
+``etlService.js:604-607``; a 100 TB curation pipeline needs
+column-level visibility before any transform decision).
+
+- column profiler: one-pass multi-aggregate → unpivoted stat rows
+- per-group mode (deterministic tiebreak)
+- z-score outlier detection per group
+- Pearson correlation per group
+
+Determinism contract (SURVEY §7.3.7): every statistic is built from
+exact integer/decimal accumulations (order-independent), and the
+final scalar math is pure IEEE-754 double ops (multiply / divide /
+sqrt are correctly rounded in every engine) applied in the *same
+expression shape* as the DuckDB oracle — so results are
+bit-identical, not approximately equal.
+
+Scale notes: the profiler and the moment sums are single-pass
+partial aggregates — the shuffle carries one partial row per
+(group, partition), never raw data. Mode is a two-level aggregate
+(count per (group, value) then argmax per group) — both stages
+combine map-side. Nothing here collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from rsbsa_etl_spark.functions.numeric import dec_round
+
+
+def _fixed(col: Column, scale: int) -> Column:
+    """quantize a double to a long at ``scale`` decimals (round-
+    half-up) — the exact-accumulation building block."""
+    return F.floor(col * F.lit(float(10**scale)) + F.lit(0.5)).cast("long")
+
+
+def profile_columns(lineitem: DataFrame) -> DataFrame:
+    """one-pass column profiler over the four lineitem measures:
+    row count, non-null count, distinct count, min, max, fixed-point
+    sum — emitted as one row per column (long format, the shape a
+    quality dashboard ingests).
+
+    All 4×6 aggregates run in a single hash-aggregate pass (one scan,
+    one single-row result), then ``stack`` unpivots driver-side-free;
+    at 100 TB this is the cheapest possible full-table profile: scan
+    + partial aggs, no shuffle of raw rows, no second pass.
+    """
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"{c}_nn"),
+            F.countDistinct(c).alias(f"{c}_nd"),
+            dec_round(F.min(c), 4).alias(f"{c}_min"),
+            dec_round(F.max(c), 4).alias(f"{c}_max"),
+            (F.sum(_fixed(F.col(c), 2)).cast("double") / F.lit(100.0)).alias(
+                f"{c}_sum"
+            ),
+        ]
+    one = lineitem.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}_nn, {c}_nd, {c}_min, {c}_max, {c}_sum" for c in cols
+    )
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(column_name, n_nonnull, n_distinct, min_v, max_v, sum_v)",
+        "n_rows",
+    ).select("column_name", "n_rows", "n_nonnull", "n_distinct", "min_v", "max_v", "sum_v")
+
+
+def group_mode(events: DataFrame) -> DataFrame:
+    """modal event_type per user with deterministic tiebreak
+    (count desc, value asc) — the categorical summary statistic SQL
+    lacks a portable MODE() for.
+
+    Two-level aggregate: count per (user, type) combines map-side so
+    the shuffle carries ≤ |users|×|types| partials; the argmax is a
+    row_number over the tiny per-user slice. No raw-row shuffle.
+    """
+    counted = events.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("n")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("n").desc(), F.col("event_type").asc()
+    )
+    return (
+        counted.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("user_id", F.col("event_type").alias("modal_type"), "n")
+    )
+
+
+def zscore_outliers(events: DataFrame, threshold: float = 2.0) -> DataFrame:
+    """events whose value deviates ≥ ``threshold`` standard
+    deviations from their event_type's mean — the basic distribution-
+    shift / anomaly gate of a data-quality pipeline.
+
+    Moments are exact: values quantized to 1e-4 longs, summed as
+    longs (order-independent; |v|≤561 → v²·n ≤ 3.2e18 < 2^63 at
+    sf0.1 — at true 100 TB accumulate DECIMAL(38,0) instead), then
+    mean/variance/z computed in doubles with the identical expression
+    shape as the oracle. One aggregate pass + one broadcast join of
+    the per-type moment row back onto the stream.
+    """
+    q = 1e4
+    vi = _fixed(F.col("value"), 4)
+    stats = events.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(vi).alias("sx"),
+        F.sum(vi * vi).alias("sxx"),
+    )
+    mu = F.col("sx").cast("double") / F.col("n") / F.lit(q)
+    ex2 = F.col("sxx").cast("double") / F.col("n") / F.lit(q) / F.lit(q)
+    sd = F.sqrt(ex2 - mu * mu)
+    z = (F.col("value") - mu) / sd
+    return (
+        events.join(F.broadcast(stats), "event_type")
+        .where((z >= F.lit(threshold)) | (z <= -F.lit(threshold)))
+        .select(
+            "event_id",
+            "event_type",
+            dec_round(F.col("value"), 4).alias("value_r"),
+            dec_round(z, 6).alias("zscore"),
+        )
+    )
+
+
+def corr_groups(lineitem: DataFrame) -> DataFrame:
+    """Pearson correlation of (l_quantity, l_extendedprice) per
+    return flag — built from exact integer co-moment sums, with the
+    final r computed in doubles (sqrt and the four arithmetic ops are
+    correctly-rounded IEEE, so Spark and the oracle agree bitwise).
+
+    Single partial-aggregated pass; the five co-moments per group are
+    the only shuffled state. Quantity/price quantized at scale 0 —
+    corr is scale-invariant and the coarser grid keeps every
+    accumulator (Σxy ≤ 5e3·1e5·2e5 ≈ 1e14) far inside long range
+    even at a 100× group size.
+    """
+    xi = _fixed(F.col("l_quantity"), 0)
+    yi = _fixed(F.col("l_extendedprice"), 0)
+    m = lineitem.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(xi).alias("sx"),
+        F.sum(yi).alias("sy"),
+        F.sum(xi * xi).alias("sxx"),
+        F.sum(yi * yi).alias("syy"),
+        F.sum(xi * yi).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    num = n * F.col("sxy").cast("double") - sx * sy
+    den = F.sqrt(n * F.col("sxx").cast("double") - sx * sx) * F.sqrt(
+        n * F.col("syy").cast("double") - sy * sy
+    )
+    return m.select(
+        "l_returnflag",
+        "n",
+        dec_round(num / den, 6).alias("corr_qty_price"),
+    ).orderBy("l_returnflag")

@@ -1551,3 +1551,131 @@ FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
 """
+
+_PROF_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+ORACLES["profile_stats"] = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column_name,
+       (SELECT count(*) FROM lineitem) AS n_rows,
+       count({c}) AS n_nonnull, count(DISTINCT {c}) AS n_distinct,
+       {_dec(f'min({c})', 4)} AS min_v, {_dec(f'max({c})', 4)} AS max_v,
+       {sql_sum_fixed(c, 2)} AS sum_v
+FROM lineitem"""
+    for c in _PROF_COLS
+)
+
+ORACLES["group_mode"] = """
+WITH counted AS (
+  SELECT user_id, event_type, count(*) AS n FROM events
+  GROUP BY user_id, event_type
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY n DESC, event_type ASC) AS rk
+  FROM counted
+)
+SELECT user_id, event_type AS modal_type, n FROM ranked WHERE rk = 1
+"""
+
+ORACLES["outlier_zscore"] = f"""
+WITH q AS (
+  SELECT *, CAST(floor(CAST(value AS DOUBLE) * 10000.0 + 0.5) AS BIGINT) AS vi
+  FROM events
+), m AS (
+  SELECT event_type, count(*) AS n, sum(vi) AS sx, sum(vi * vi) AS sxx
+  FROM q GROUP BY event_type
+), z AS (
+  SELECT q.event_id, q.event_type, q.value,
+         (CAST(value AS DOUBLE)
+          - CAST(sx AS DOUBLE) / n / 10000.0)
+         / sqrt(CAST(sxx AS DOUBLE) / n / 10000.0 / 10000.0
+                - (CAST(sx AS DOUBLE) / n / 10000.0)
+                  * (CAST(sx AS DOUBLE) / n / 10000.0)) AS zs
+  FROM q JOIN m USING (event_type)
+)
+SELECT event_id, event_type,
+       {_dec('value', 4)} AS value_r, {_dec('zs', 6)} AS zscore
+FROM z WHERE zs >= 2.0 OR zs <= -2.0
+"""
+
+ORACLES["corr_groups"] = f"""
+WITH q AS (
+  SELECT l_returnflag,
+         CAST(floor(CAST(l_quantity AS DOUBLE) + 0.5) AS BIGINT) AS xi,
+         CAST(floor(CAST(l_extendedprice AS DOUBLE) + 0.5) AS BIGINT) AS yi
+  FROM lineitem
+), m AS (
+  SELECT l_returnflag, count(*) AS n, sum(xi) AS sx, sum(yi) AS sy,
+         sum(xi * xi) AS sxx, sum(yi * yi) AS syy, sum(xi * yi) AS sxy
+  FROM q GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       {_dec('''(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))''', 6)}
+         AS corr_qty_price
+FROM m ORDER BY l_returnflag
+"""
+
+ORACLES["events_funnel"] = """
+WITH t1 AS (
+  SELECT user_id, min(epoch_us(ts)) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), t2 AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t_click
+  FROM events e JOIN t1 USING (user_id)
+  WHERE e.event_type = 'click' AND epoch_us(e.ts) > t1.t_view
+  GROUP BY e.user_id
+), t3 AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t_purchase
+  FROM events e JOIN t2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > t2.t_click
+  GROUP BY e.user_id
+), u AS (
+  SELECT 1 AS step, 'view' AS step_name, user_id FROM t1
+  UNION ALL SELECT 2, 'click', user_id FROM t2
+  UNION ALL SELECT 3, 'purchase', user_id FROM t3
+)
+SELECT step, step_name, count(*) AS n_users FROM u
+GROUP BY step, step_name ORDER BY step
+"""
+
+ORACLES["retention_cohort"] = """
+WITH ev AS (
+  SELECT user_id,
+         ((epoch_ms(ts) // 1000) // 86400) // 7 AS week
+  FROM events
+), first AS (
+  SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY user_id
+)
+SELECT cohort_week, week - cohort_week AS weeks_since,
+       count(DISTINCT user_id) AS n_active
+FROM ev JOIN first USING (user_id)
+GROUP BY cohort_week, weeks_since
+"""
+
+ORACLES["ngram_topk"] = f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+g AS (
+  SELECT unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS gram
+  FROM toks
+)
+SELECT gram, count(*) AS n_occurrences FROM g
+GROUP BY gram ORDER BY n_occurrences DESC, gram ASC LIMIT 20
+"""
+
+ORACLES["dedup_priority"] = f"""
+WITH h AS (
+  SELECT doc_id, source, md5({NORM}) AS content_md5,
+         CAST(regexp_extract(source, '(\\d+)$', 1) AS INT) AS priority
+  FROM documents
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY content_md5
+                               ORDER BY priority ASC, doc_id ASC) AS rk
+  FROM h
+)
+SELECT doc_id, source, content_md5, priority FROM ranked WHERE rk = 1
+"""

@@ -1139,6 +1139,55 @@ def stream_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_tail_once(spark, log_dir, query_name="stream_tail_out")
 
 
+# ------------------------------------------------------- profiling / funnels
+
+
+def profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsbsa_etl_spark.operators.profiling import profile_columns
+
+    return profile_columns(load(spark, sf_dir, "lineitem"))
+
+
+def group_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsbsa_etl_spark.operators.profiling import group_mode as _gm
+
+    return _gm(load(spark, sf_dir, "events"))
+
+
+def outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsbsa_etl_spark.operators.profiling import zscore_outliers
+
+    return zscore_outliers(load(spark, sf_dir, "events"))
+
+
+def corr_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsbsa_etl_spark.operators.profiling import corr_groups as _cg
+
+    return _cg(load(spark, sf_dir, "lineitem"))
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsbsa_etl_spark.operators.analytics import funnel_steps
+
+    return funnel_steps(load(spark, sf_dir, "events"))
+
+
+def retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsbsa_etl_spark.operators.analytics import retention_cohorts
+
+    return retention_cohorts(load(spark, sf_dir, "events"))
+
+
+def ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.ngram_topk(load(spark, sf_dir, "documents"))
+
+
+def dedup_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsbsa_etl_spark.functions.curation import priority_dedup
+
+    return priority_dedup(load(spark, sf_dir, "documents"))
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES: dict[str, QueryFn] = {
@@ -1242,5 +1291,13 @@ QUERIES: dict[str, QueryFn] = {
     "join_temporal_validity": join_temporal_validity,
     "agg_time_rollup": agg_time_rollup,
     "validate_domains": validate_domains,
+    "profile_stats": profile_stats,
+    "group_mode": group_mode,
+    "outlier_zscore": outlier_zscore,
+    "corr_groups": corr_groups,
+    "events_funnel": events_funnel,
+    "retention_cohort": retention_cohort,
+    "ngram_topk": ngram_topk,
+    "dedup_priority": dedup_priority,
     "stream_tail": stream_tail,
 }

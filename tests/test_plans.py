@@ -277,3 +277,31 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_profile_stats_single_pass(spark):
+    # the 25-aggregate profile must stay one scan + one global agg —
+    # a second scan of lineitem would double the 100 TB cost
+    plan = _plan(QUERIES["profile_stats"](spark, SF_DIR))
+    assert plan.count("FileScan parquet") == 1
+    assert "Exchange SinglePartition" in plan
+
+
+def test_outlier_zscore_broadcasts_moments(spark):
+    # the per-type moment row joins back by broadcast — the event
+    # stream itself must never shuffle
+    plan = _plan(QUERIES["outlier_zscore"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_corr_groups_partial_aggregates(spark):
+    plan = _plan(QUERIES["corr_groups"](spark, SF_DIR))
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange hashpartitioning(l_returnflag" in plan
+
+
+def test_ngram_topk_take_ordered(spark):
+    # top-k must compile to TakeOrderedAndProject, not a global sort
+    plan = _plan(QUERIES["ngram_topk"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
