@@ -88,6 +88,9 @@ HEADLINE = [
     "retention_cohort",
     "ngram_topk",
     "dedup_priority",
+    "event_transitions",
+    "group_topk",
+    "activity_histogram",
 ]
 
 

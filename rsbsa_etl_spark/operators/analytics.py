@@ -541,3 +541,81 @@ def retention_cohorts(events: DataFrame) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_active"))
     )
+
+
+def event_transitions(events: DataFrame) -> DataFrame:
+    """first-order Markov transition matrix over per-user event
+    sequences: count of (prev_type → next_type) pairs plus the
+    transition probability within each source state. The sequence-
+    mining primitive behind session-flow analysis and behavioral
+    anomaly detection.
+
+    One window shuffle on user_id builds the lag pairs; the count is
+    partial-aggregated into a |types|² matrix, and the per-row
+    probability divides by a window sum over that tiny matrix — no
+    second pass over the data. Probabilities are fixed-point rounded
+    so both engines agree bitwise.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = events.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).where(F.col("prev_type").isNotNull())
+    counted = pairs.groupBy("prev_type", "next_type").agg(
+        F.count("*").alias("n_transitions")
+    )
+    row_total = F.sum("n_transitions").over(Window.partitionBy("prev_type"))
+    return counted.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        dec_round(F.col("n_transitions") / row_total, 6).alias("p_transition"),
+    )
+
+
+def group_topk(events: DataFrame, k: int = 3) -> DataFrame:
+    """top-k rows per group (highest value per event_type, ties
+    broken by event_id) — the per-group ranking SQL's LIMIT cannot
+    express. rank-within-partition then filter: one shuffle on the
+    group key, partition-local sort, and the filter prunes before
+    anything else materializes.
+
+    At scale, a skewed group still sorts all its rows to rank them;
+    when k ≪ group size, pre-aggregate a per-partition top-k first
+    (Spark does exactly this for global top-k via
+    TakeOrderedAndProject; per-group, AQE skew-split keeps partitions
+    bounded).
+    """
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    return (
+        events.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(
+            "event_type",
+            "rk",
+            "event_id",
+            dec_round(F.col("value"), 4).alias("value_r"),
+        )
+    )
+
+
+def activity_histogram(events: DataFrame) -> DataFrame:
+    """distribution of user engagement: for each count of distinct
+    active days, how many users have exactly that count. Two-level
+    aggregation (per-user distinct days, then histogram over users) —
+    both levels partial-aggregate, the second input is |users|-sized.
+    The standard engagement-distribution summary a curation pipeline
+    uses to pick activity thresholds.
+    """
+    days = events.select(
+        "user_id",
+        ((F.unix_seconds("ts") / F.lit(86400)).cast("long")).alias("day"),
+    )
+    per_user = days.groupBy("user_id").agg(
+        F.countDistinct("day").alias("n_active_days")
+    )
+    return per_user.groupBy("n_active_days").agg(
+        F.count("*").alias("n_users")
+    )

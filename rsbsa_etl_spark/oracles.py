@@ -1679,3 +1679,41 @@ WITH h AS (
 )
 SELECT doc_id, source, content_md5, priority FROM ranked WHERE rk = 1
 """
+
+ORACLES["event_transitions"] = f"""
+WITH pairs AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type,
+         event_type AS next_type
+  FROM events
+), counted AS (
+  SELECT prev_type, next_type, count(*) AS n_transitions
+  FROM pairs WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, next_type
+)
+SELECT prev_type, next_type, n_transitions,
+       {_dec('CAST(n_transitions AS DOUBLE) / sum(n_transitions) OVER (PARTITION BY prev_type)', 6)}
+         AS p_transition
+FROM counted
+"""
+
+ORACLES["group_topk"] = f"""
+WITH ranked AS (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id ASC) AS rk
+  FROM events
+)
+SELECT event_type, rk, event_id, {_dec('value', 4)} AS value_r
+FROM ranked WHERE rk <= 3
+"""
+
+ORACLES["activity_histogram"] = """
+WITH per_user AS (
+  SELECT user_id,
+         count(DISTINCT (epoch_ms(ts) // 1000) // 86400) AS n_active_days
+  FROM events GROUP BY user_id
+)
+SELECT n_active_days, count(*) AS n_users
+FROM per_user GROUP BY n_active_days
+"""

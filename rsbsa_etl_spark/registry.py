@@ -1178,6 +1178,24 @@ def retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retention_cohorts(load(spark, sf_dir, "events"))
 
 
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsbsa_etl_spark.operators.analytics import event_transitions as _et
+
+    return _et(load(spark, sf_dir, "events"))
+
+
+def group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsbsa_etl_spark.operators.analytics import group_topk as _gt
+
+    return _gt(load(spark, sf_dir, "events"))
+
+
+def activity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsbsa_etl_spark.operators.analytics import activity_histogram as _ah
+
+    return _ah(load(spark, sf_dir, "events"))
+
+
 def ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.ngram_topk(load(spark, sf_dir, "documents"))
 
@@ -1299,5 +1317,8 @@ QUERIES: dict[str, QueryFn] = {
     "retention_cohort": retention_cohort,
     "ngram_topk": ngram_topk,
     "dedup_priority": dedup_priority,
+    "event_transitions": event_transitions,
+    "group_topk": group_topk,
+    "activity_histogram": activity_histogram,
     "stream_tail": stream_tail,
 }
