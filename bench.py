@@ -91,6 +91,8 @@ HEADLINE = [
     "event_transitions",
     "group_topk",
     "activity_histogram",
+    "shuffle_shards",
+    "mix_interleave",
 ]
 
 

@@ -359,3 +359,58 @@ def priority_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .where(F.col("rk") == 1)
         .select("doc_id", "source", "content_md5", "priority")
     )
+
+
+def deterministic_shuffle(docs: DataFrame, n_shards: int = 8) -> DataFrame:
+    """seeded global shuffle + sharding for training-order
+    assignment: every doc gets a pseudorandom-but-reproducible
+    (shard, pos) from the md5 of its id — the "shuffle the corpus
+    before training" step, without any engine randomness (rand() is
+    partition-order-dependent and would break re-runs and the
+    oracle).
+
+    The md5 key distributes uniformly, so shards are balanced by
+    construction; one hash-partition shuffle on shard, partition-
+    local sort for pos. At 100 TB this is exactly the write pattern
+    of a sharded training dump: shard = output file, pos = in-file
+    order, both reproducible across cluster sizes.
+    """
+    key = F.md5(F.concat_ws(":", F.lit("seed42"), F.col("doc_id")))
+    shard = F.pmod(
+        F.conv(F.substring(key, 1, 8), 16, 10).cast("long"), F.lit(n_shards)
+    )
+    w = Window.partitionBy("shard").orderBy("sort_key")
+    return (
+        docs.select(
+            "doc_id", key.alias("sort_key"), shard.alias("shard")
+        )
+        .withColumn("pos", F.row_number().over(w))
+        .select("doc_id", "shard", "pos")
+    )
+
+
+def interleave_sources(docs: DataFrame) -> DataFrame:
+    """weighted source interleaving — the data-mixing schedule of a
+    training pipeline: each source s with weight w(s) contributes its
+    n-th document at virtual position (n-1+1/2)/w(s), so a weight-2
+    source appears twice as often in the merged order. Emits the
+    virtual position (a pure IEEE division — bit-identical in the
+    oracle), NOT a global rank: materializing the total order is the
+    writer's range-partitioned sort at dump time, never a
+    single-partition window here.
+
+    Weights derive deterministically from the source id (1 + suffix
+    mod 3, standing in for a mixture config). One shuffle on source
+    for the per-source sequence numbers; sources are few, and a
+    skewed giant source still sorts only its own partition.
+    """
+    prio = F.regexp_extract(F.col("source"), r"(\d+)$", 1).cast("long")
+    weight = (F.lit(1) + F.pmod(prio, F.lit(3))).cast("double")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    rn = F.row_number().over(w).cast("double")
+    vpos = (rn - F.lit(1.0) + F.lit(0.5)) / weight
+    return docs.select("doc_id", "source").withColumn(
+        "seq_in_source", rn.cast("long")
+    ).withColumn("weight", weight.cast("long")).withColumn(
+        "vpos", dec_round(vpos, 6)
+    )

@@ -1717,3 +1717,30 @@ WITH per_user AS (
 SELECT n_active_days, count(*) AS n_users
 FROM per_user GROUP BY n_active_days
 """
+
+ORACLES["shuffle_shards"] = f"""
+WITH k AS (
+  SELECT doc_id, md5('seed42' || ':' || CAST(doc_id AS VARCHAR)) AS sort_key
+  FROM documents
+), s AS (
+  SELECT doc_id, sort_key, ({_hexpoly('sort_key', 1)}) % 8 AS shard
+  FROM k
+)
+SELECT doc_id, shard,
+       row_number() OVER (PARTITION BY shard ORDER BY sort_key) AS pos
+FROM s
+"""
+
+ORACLES["mix_interleave"] = f"""
+WITH w AS (
+  SELECT doc_id, source,
+         1 + (CAST(regexp_extract(source, '(\\d+)$', 1) AS BIGINT) % 3)
+           AS weight,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id, source, rn AS seq_in_source, weight,
+       {_dec('(CAST(rn AS DOUBLE) - 1.0 + 0.5) / CAST(weight AS DOUBLE)', 6)}
+         AS vpos
+FROM w
+"""

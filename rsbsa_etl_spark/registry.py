@@ -1178,6 +1178,18 @@ def retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retention_cohorts(load(spark, sf_dir, "events"))
 
 
+def shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsbsa_etl_spark.functions.curation import deterministic_shuffle
+
+    return deterministic_shuffle(load(spark, sf_dir, "documents"))
+
+
+def mix_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsbsa_etl_spark.functions.curation import interleave_sources
+
+    return interleave_sources(load(spark, sf_dir, "documents"))
+
+
 def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rsbsa_etl_spark.operators.analytics import event_transitions as _et
 
@@ -1320,5 +1332,7 @@ QUERIES: dict[str, QueryFn] = {
     "event_transitions": event_transitions,
     "group_topk": group_topk,
     "activity_histogram": activity_histogram,
+    "shuffle_shards": shuffle_shards,
+    "mix_interleave": mix_interleave,
     "stream_tail": stream_tail,
 }
