@@ -93,6 +93,8 @@ HEADLINE = [
     "activity_histogram",
     "shuffle_shards",
     "mix_interleave",
+    "agg_filtered_multi",
+    "embedding_quantize",
 ]
 
 

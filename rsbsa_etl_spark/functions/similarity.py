@@ -374,3 +374,52 @@ def assign_to_centroids(emb: DataFrame, cvec: DataFrame) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("vec_id", "embedding", "cid")
     )
+
+
+def quantize_int8(embeddings: DataFrame) -> DataFrame:
+    """symmetric int8 quantization of embedding vectors — the
+    storage/serving compression step of an embedding pipeline
+    (4 bytes → 1 byte per dim). Per-vector scale = max|x|/127;
+    q_i = floor(x_i·127/max|x| + 0.5).
+
+    Entirely array-expression work (aggregate for the max, transform
+    for the per-element map) — narrow, codegen'd, zero shuffle, and
+    embarrassingly parallel at any scale. The emitted digest columns
+    (sum/min/max/md5 of the quantized ints) value-check the whole
+    vector without shipping arrays through the comparer.
+
+    Determinism: max is order-free; the quantization expression is
+    multiply/divide/floor — each correctly-rounded IEEE — applied in
+    the same shape in the DuckDB oracle, so every q_i is identical.
+    """
+    vec = F.col("embedding")
+    m = F.aggregate(
+        vec, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x.cast("double")))
+    )
+    q = F.transform(
+        vec,
+        lambda x: F.floor(x.cast("double") * F.lit(127.0) / F.col("maxabs") + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+    return (
+        embeddings.select("vec_id", "embedding", m.alias("maxabs"))
+        .where(F.col("maxabs") > 0)
+        .select(
+            "vec_id",
+            F.size("embedding").alias("n_dims"),
+            q.alias("qv"),
+        )
+        .select(
+            "vec_id",
+            "n_dims",
+            F.aggregate("qv", F.lit(0).cast("long"), lambda a, x: a + x).alias(
+                "q_sum"
+            ),
+            F.array_min("qv").alias("q_min"),
+            F.array_max("qv").alias("q_max"),
+            F.md5(F.concat_ws(",", F.transform("qv", lambda x: x.cast("string")))).alias(
+                "q_md5"
+            ),
+        )
+    )

@@ -62,3 +62,33 @@ def run_totals(df: DataFrame, group_col: str, amount_col: str) -> DataFrame:
         F.count("*").alias("n_records"),
         decimal_sum(amount_col, 2, "total_amount"),
     )
+
+
+def conditional_aggs(lineitem: DataFrame) -> DataFrame:
+    """FILTER-clause aggregation: several differently-predicated
+    aggregates over one scan (count_if / filtered fixed-point sums /
+    filtered distinct) — the OLAP idiom that replaces N filtered
+    subqueries with one pass.
+
+    All predicates evaluate inside the same partial HashAggregate, so
+    the plan is scan → partial agg → one exchange of group partials —
+    the cheapest possible shape; N separate filtered queries would
+    scan the 100 TB fact table N times.
+    """
+    returned = F.col("l_returnflag") == "R"
+    discounted = F.col("l_discount") > 0.05
+    return (
+        lineitem.groupBy("l_linestatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count(F.when(returned, 1)).alias("n_returned"),
+            fixed_sum(
+                F.when(discounted, F.col("l_quantity")).otherwise(F.lit(None)),
+                2,
+                "qty_discounted",
+            ),
+            F.countDistinct(
+                F.when(returned, F.col("l_orderkey"))
+            ).alias("orders_returned"),
+        )
+    )

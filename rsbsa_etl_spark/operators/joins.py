@@ -202,3 +202,30 @@ def asof_join(
         ],
     )
     return filled.where(F.col("_side") == 1).drop("_side")
+
+
+def cross_pairs(region: DataFrame, nation: DataFrame) -> DataFrame:
+    """explicit Cartesian product (the one join family the reference
+    never emits — SURVEY §2.3 notes its absence): every
+    (region, nation) pair with a derived co-membership flag.
+
+    Compiles to BroadcastNestedLoopJoin with the small side
+    broadcast; a cross join is only sane when one side is tiny, which
+    is exactly the shape here (dimension × dimension). At 100 TB,
+    cross joins against big tables are a plan smell — Catalyst
+    requires the explicit crossJoin call, which keeps the blast
+    radius visible in code review.
+    """
+    return (
+        region.select(F.col("r_regionkey").alias("regionkey"), "r_name")
+        .crossJoin(nation.select("n_nationkey", "n_name", "n_regionkey"))
+        .select(
+            "regionkey",
+            "r_name",
+            "n_nationkey",
+            "n_name",
+            (F.col("n_regionkey") == F.col("regionkey"))
+            .cast("int")
+            .alias("is_member"),
+        )
+    )

@@ -1744,3 +1744,64 @@ SELECT doc_id, source, rn AS seq_in_source, weight,
          AS vpos
 FROM w
 """
+
+ORACLES["join_cross"] = """
+SELECT r.r_regionkey AS regionkey, r.r_name, n.n_nationkey, n.n_name,
+       CAST(n.n_regionkey = r.r_regionkey AS INT) AS is_member
+FROM region r CROSS JOIN nation n
+"""
+
+ORACLES["agg_filtered_multi"] = f"""
+SELECT l_linestatus, count(*) AS n_rows,
+       count(*) FILTER (l_returnflag = 'R') AS n_returned,
+       {sql_sum_fixed("CASE WHEN l_discount > 0.05 THEN l_quantity END", 2)}
+         AS qty_discounted,
+       count(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_orderkey END)
+         AS orders_returned
+FROM lineitem GROUP BY l_linestatus
+"""
+
+ORACLES["embedding_quantize"] = """
+WITH m AS (
+  SELECT vec_id, embedding,
+         list_aggregate(list_transform(embedding,
+                                       x -> abs(CAST(x AS DOUBLE))),
+                        'max') AS maxabs
+  FROM embeddings
+), q AS (
+  SELECT vec_id, maxabs, len(embedding) AS n_dims,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / maxabs
+                                        + 0.5) AS BIGINT)) AS qv
+  FROM m WHERE maxabs > 0
+)
+SELECT vec_id, n_dims,
+       list_aggregate(qv, 'sum') AS q_sum,
+       list_aggregate(qv, 'min') AS q_min,
+       list_aggregate(qv, 'max') AS q_max,
+       md5(array_to_string(qv, ',')) AS q_md5
+FROM q
+"""
+
+_GAP_US = P.SESSION_GAP_S * 1_000_000
+
+ORACLES["stream_session"] = f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+), g AS (
+  SELECT user_id, us, event_id,
+         CASE WHEN lag(us) OVER w IS NULL
+                   OR us - lag(us) OVER w >= {_GAP_US} THEN 1 ELSE 0 END AS brk
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+), s AS (
+  SELECT user_id, us,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sess
+  FROM g
+)
+SELECT user_id, min(us) AS session_start_us,
+       max(us) + {_GAP_US} AS session_end_us,
+       count(*) AS n_events
+FROM s GROUP BY user_id, sess
+"""

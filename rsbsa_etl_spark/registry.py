@@ -1178,6 +1178,31 @@ def retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retention_cohorts(load(spark, sf_dir, "events"))
 
 
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsbsa_etl_spark.operators.joins import cross_pairs
+
+    return cross_pairs(load(spark, sf_dir, "region"), load(spark, sf_dir, "nation"))
+
+
+def agg_filtered_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsbsa_etl_spark.operators.aggregates import conditional_aggs
+
+    return conditional_aggs(load(spark, sf_dir, "lineitem"))
+
+
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsbsa_etl_spark.functions.similarity import quantize_int8
+
+    return quantize_int8(load(spark, sf_dir, "embeddings"))
+
+
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """native session_window through two checkpointed AvailableNow
+    phases; a far-future sentinel advances the watermark so every
+    real session closes and emits (see ``windows.session_replay``)."""
+    return win.session_replay(load(spark, sf_dir, "events"), gap_s=P.SESSION_GAP_S)
+
+
 def shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rsbsa_etl_spark.functions.curation import deterministic_shuffle
 
@@ -1334,5 +1359,9 @@ QUERIES: dict[str, QueryFn] = {
     "activity_histogram": activity_histogram,
     "shuffle_shards": shuffle_shards,
     "mix_interleave": mix_interleave,
+    "join_cross": join_cross,
+    "agg_filtered_multi": agg_filtered_multi,
+    "embedding_quantize": embedding_quantize,
+    "stream_session": stream_session,
     "stream_tail": stream_tail,
 }

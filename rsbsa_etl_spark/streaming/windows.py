@@ -184,3 +184,84 @@ def session_window_stream(
             "n_events",
         )
     )
+
+
+def session_replay(events: DataFrame, gap_s: int = 1800, delay: str = "48 hours") -> DataFrame:
+    """native ``session_window`` sessionization through the REAL
+    streaming engine, deterministically value-checkable.
+
+    Phase 1 replays all events through an AvailableNow run (append
+    mode emits nothing for sessions still open at the phase-1
+    watermark); phase 2 appends a single far-future sentinel event
+    and resumes from the checkpoint — the advanced watermark closes
+    every real session, so the emitted set is exactly "all sessions",
+    and the sentinel's own session (still open) never emits.
+
+    Session semantics at µs precision: a new session starts when the
+    inter-event gap is ≥ gap (session windows [t, t+gap) merge only
+    when they overlap; an exact-gap event starts a new window), and
+    session_end = last event ts + gap. The DuckDB oracle reproduces
+    both with integer-µs islands math — streaming state behavior is
+    value-checked, not smoke-checked.
+
+    Scale note: state is O(open sessions per user), bounded by the
+    watermark — the same mechanics at 100 TB; the sentinel trick is
+    the standard "drain state at end-of-backfill" pattern.
+    """
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    spark = events.sparkSession
+    base = tempfile.mkdtemp(prefix="rsbsa_sess_")
+    src, ckpt, out = f"{base}/src", f"{base}/ckpt", f"{base}/out"
+    os.makedirs(src)
+
+    proj = events.select("event_id", "ts", "user_id")
+    schema = "event_id bigint, ts timestamp, user_id bigint"
+    gap = f"{gap_s} seconds"
+
+    def dump(df: DataFrame, name: str) -> None:
+        tmp = f"{base}/_tmp"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        shutil.move(glob.glob(f"{tmp}/part-*.parquet")[0], f"{src}/{name}")
+        shutil.rmtree(tmp)
+
+    def run_phase() -> None:
+        stream = spark.readStream.schema(schema).parquet(src)
+        agg = (
+            stream.withWatermark("ts", delay)
+            .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+            .agg(F.count("*").alias("n_events"))
+        )
+        q = (
+            agg.select(
+                "user_id",
+                F.col("w.start").alias("ws"),
+                F.col("w.end").alias("we"),
+                "n_events",
+            )
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    dump(proj, "f1.parquet")
+    run_phase()
+    sentinel = events.sparkSession.sql(
+        "SELECT CAST(-1 AS BIGINT) AS event_id, "
+        "timestamp'2030-01-01 00:00:00' AS ts, CAST(-1 AS BIGINT) AS user_id"
+    )
+    dump(sentinel, "f2.parquet")
+    run_phase()
+    return spark.read.parquet(out).select(
+        "user_id",
+        F.unix_micros("ws").alias("session_start_us"),
+        F.unix_micros("we").alias("session_end_us"),
+        "n_events",
+    )
