@@ -279,12 +279,15 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
             spark.conf.set(k, v)
 
 
-def test_profile_stats_single_pass(spark):
-    # the 25-aggregate profile must stay one scan + one global agg —
-    # a second scan of lineitem would double the 100 TB cost
+def test_profile_stats_narrow_scans(spark):
+    # one single-column scan per profiled measure, and no Expand —
+    # the multi-countDistinct form multiplies and shuffles every row
+    # x(columns+1); the union-of-narrow-aggs shape must not regress
+    # into it
     plan = _plan(QUERIES["profile_stats"](spark, SF_DIR))
-    assert plan.count("FileScan parquet") == 1
-    assert "Exchange SinglePartition" in plan
+    assert plan.count("FileScan parquet") == 4
+    assert "Expand" not in plan
+    assert "ReadSchema: struct<l_quantity:double>" in plan
 
 
 def test_outlier_zscore_broadcasts_moments(spark):
