@@ -49,6 +49,15 @@ def sql_round(expr: str, scale: int) -> str:
     literals as DECIMAL, and DECIMAL×DECIMAL arithmetic both widens
     differently and can overflow (DECIMAL(18) × 100) — the whole
     portability contract relies on every op being IEEE-754 double.
+
+    Literal-precision caveat: a bare numeric literal with ≥16
+    significant digits parses via DECIMAL whose int64 mantissa
+    exceeds 2^53 — the low bit is lost BEFORE the cast (measured:
+    -900719926.3984375 parses 1 ulp off; the property suite pins
+    this). If an oracle ever needs a full-precision double literal,
+    embed it as a quoted string ('<repr>' — string→DOUBLE is exact
+    strtod); params.py constants are all ≤15 digits, so generated
+    oracles are safe.
     """
     q = float(10**scale)
     return f"floor(CAST(({expr}) AS DOUBLE) * {q!r} + 0.5) / {q!r}"

@@ -26,7 +26,14 @@ def test_portable_round_matches_duckdb(xs, scale):
     con = duckdb.connect()
     q = float(10**scale)
     for x in xs:
-        (d,) = con.execute(f"SELECT {sql_round(repr(x), scale)}").fetchone()
+        # NB: the literal must go in as a quoted string — DuckDB
+        # parses bare numeric literals via DECIMAL, whose int64
+        # mantissa loses the low bit beyond 15 significant digits
+        # (e.g. -900719926.3984375 parses 1 ulp off). String→DOUBLE
+        # casts are exact strtod. Oracle SQL only ever embeds short
+        # literals (params.py constants), so the engine contract is
+        # unaffected; this pins the harness convention.
+        (d,) = con.execute(f"SELECT {sql_round(chr(39) + repr(x) + chr(39), scale)}").fetchone()
         import math
 
         py = math.floor(x * q + 0.5) / q
