@@ -95,6 +95,9 @@ HEADLINE = [
     "mix_interleave",
     "agg_filtered_multi",
     "embedding_quantize",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q10",
 ]
 
 

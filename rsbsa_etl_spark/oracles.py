@@ -1805,3 +1805,51 @@ SELECT user_id, min(us) AS session_start_us,
        count(*) AS n_events
 FROM s GROUP BY user_id, sess
 """
+
+_REV = "l_extendedprice * (1.0 - l_discount)"
+
+ORACLES["tpch_q3"] = f"""
+SELECT o_orderkey, epoch_ms(o_orderdate) // 1000 AS o_orderdate_s,
+       o_orderpriority,
+       {sql_sum_fixed(_REV, 4)} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND l_shipdate > TIMESTAMP '1997-01-01'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
+"""
+
+ORACLES["tpch_q5"] = f"""
+SELECT n_name, {sql_sum_fixed(_REV, 4)} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON c_nationkey = n_nationkey AND s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC
+"""
+
+ORACLES["tpch_q10"] = f"""
+WITH r AS (
+  SELECT o_custkey, {sql_sum_fixed(_REV, 4)} AS revenue
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1996-07-01'
+  GROUP BY o_custkey
+)
+SELECT c_custkey, c_name, n_name AS nation, revenue
+FROM r
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+ORDER BY revenue DESC, c_custkey ASC LIMIT 20
+"""

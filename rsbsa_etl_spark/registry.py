@@ -1178,6 +1178,40 @@ def retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retention_cohorts(load(spark, sf_dir, "events"))
 
 
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsbsa_etl_spark.plans import tpch
+
+    return tpch.q3_segment_top_orders(
+        load(spark, sf_dir, "customer"),
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "lineitem"),
+    )
+
+
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsbsa_etl_spark.plans import tpch
+
+    return tpch.q5_nation_volume(
+        load(spark, sf_dir, "customer"),
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "lineitem"),
+        load(spark, sf_dir, "supplier"),
+        load(spark, sf_dir, "nation"),
+        load(spark, sf_dir, "region"),
+    )
+
+
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsbsa_etl_spark.plans import tpch
+
+    return tpch.q10_returned_customers(
+        load(spark, sf_dir, "customer"),
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "lineitem"),
+        load(spark, sf_dir, "nation"),
+    )
+
+
 def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rsbsa_etl_spark.operators.joins import cross_pairs
 
@@ -1359,6 +1393,9 @@ QUERIES: dict[str, QueryFn] = {
     "activity_histogram": activity_histogram,
     "shuffle_shards": shuffle_shards,
     "mix_interleave": mix_interleave,
+    "tpch_q3": tpch_q3,
+    "tpch_q5": tpch_q5,
+    "tpch_q10": tpch_q10,
     "join_cross": join_cross,
     "agg_filtered_multi": agg_filtered_multi,
     "embedding_quantize": embedding_quantize,

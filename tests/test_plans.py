@@ -308,3 +308,13 @@ def test_ngram_topk_take_ordered(spark):
     # top-k must compile to TakeOrderedAndProject, not a global sort
     plan = _plan(QUERIES["ngram_topk"](spark, SF_DIR))
     assert "TakeOrderedAndProject" in plan
+
+
+@pytest.mark.parametrize("key", ["tpch_q3", "tpch_q5", "tpch_q10"])
+def test_tpch_shapes_all_broadcast(spark, key):
+    # multi-join decision-support plans: every dim join broadcasts,
+    # the fact spine never sort-merge-joins, predicates reach the scan
+    plan = _plan(QUERIES[key](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "PushedFilters: [IsNotNull" in plan
