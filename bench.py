@@ -98,6 +98,8 @@ HEADLINE = [
     "tpch_q3",
     "tpch_q5",
     "tpch_q10",
+    "vocab_coverage",
+    "dedup_containment",
 ]
 
 

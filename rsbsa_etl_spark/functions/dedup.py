@@ -633,3 +633,56 @@ def pagerank(
             )
         )
     return r.select(F.col("node").alias(id_col), F.col("r").alias("rank"))
+
+
+def containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """asymmetric near-duplicate detection: containment
+    |A∩B| / |A| of distinct shingle sets — catches quote/subset
+    relationships (one doc embedded inside a larger one) that
+    symmetric Jaccard misses whenever the sizes differ. The second
+    pass of a dedup pipeline after exact + Jaccard.
+
+    Same shared-shingle equi-join shape as ``ngram_jaccard_pairs``
+    (quadratic only within a shingle's posting list — the correctness
+    baseline; at scale run on LSH candidates), but emits the directed
+    pair (contained, container) with the containment ratio. Both
+    directions are checked from one undirected intersection count.
+    """
+    sh = shingle_rows(docs, text_col).distinct().persist()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_x"), F.col("b.doc_id").alias("doc_y"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sx = sizes.select(F.col("doc_id").alias("doc_x"), F.col("sz").alias("sz_x"))
+    sy = sizes.select(F.col("doc_id").alias("doc_y"), F.col("sz").alias("sz_y"))
+    both = inter.join(sx, "doc_x").join(sy, "doc_y")
+    xy = both.select(
+        F.col("doc_x").alias("doc_contained"),
+        F.col("doc_y").alias("doc_container"),
+        (F.col("inter") / F.col("sz_x")).alias("containment"),
+    )
+    yx = both.select(
+        F.col("doc_y").alias("doc_contained"),
+        F.col("doc_x").alias("doc_container"),
+        (F.col("inter") / F.col("sz_y")).alias("containment"),
+    )
+    return (
+        xy.unionByName(yx)
+        .where(F.col("containment") >= threshold)
+        .select(
+            "doc_contained",
+            "doc_container",
+            dec_round(F.col("containment"), 4).alias("containment"),
+        )
+    )

@@ -490,3 +490,45 @@ def ngram_topk(docs: DataFrame, text_col: str = "text", k: int = 20) -> DataFram
         .orderBy(F.col("n_occurrences").desc(), F.col("gram").asc())
         .limit(k)
     )
+
+
+def vocab_coverage(docs: DataFrame, text_col: str = "text", vocab_k: int = 256) -> DataFrame:
+    """per-document out-of-vocabulary rate against the corpus's own
+    top-k term vocabulary — the tokenizer-fit signal of an LLM-data
+    pipeline (high OOV ⇒ the doc is noise, code, or another
+    language relative to the corpus).
+
+    The exploded term stream is aggregated once per (doc, term); the
+    vocabulary (count desc, term asc — deterministic at the rank
+    boundary) is vocabulary-bounded and broadcasts into the coverage
+    join. Shuffles carry (doc, term) partials, never raw text; the
+    vocab build and the coverage join share one exploded pass.
+    """
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias("term"),
+    ).where(F.length("term") > 0)
+    doc_terms = toks.groupBy("doc_id", "term").agg(F.count("*").alias("n"))
+    vocab = (
+        doc_terms.groupBy("term")
+        .agg(F.sum("n").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("term").asc())
+        .limit(vocab_k)
+        .select("term")
+    )
+    flagged = doc_terms.join(
+        F.broadcast(vocab.withColumn("in_vocab", F.lit(1))), "term", "left"
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("in_vocab").isNull(), F.col("n")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_oov"),
+        dec_round(
+            F.sum(
+                F.when(F.col("in_vocab").isNull(), F.col("n")).otherwise(F.lit(0))
+            ).cast("double")
+            / F.sum("n"),
+            6,
+        ).alias("oov_rate"),
+    )

@@ -1853,3 +1853,49 @@ JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 ORDER BY revenue DESC, c_custkey ASC LIMIT 20
 """
+
+ORACLES["vocab_coverage"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKS}) AS term FROM documents
+), nz AS (
+  SELECT doc_id, term FROM toks WHERE len(term) > 0
+), doc_terms AS (
+  SELECT doc_id, term, count(*) AS n FROM nz GROUP BY doc_id, term
+), vocab AS (
+  SELECT term FROM doc_terms GROUP BY term
+  ORDER BY sum(n) DESC, term ASC LIMIT 256
+), flagged AS (
+  SELECT dt.doc_id, dt.n,
+         CASE WHEN v.term IS NULL THEN dt.n ELSE 0 END AS oov_n
+  FROM doc_terms dt LEFT JOIN vocab v USING (term)
+)
+SELECT doc_id, sum(n) AS n_tokens, sum(oov_n) AS n_oov,
+       {_dec('CAST(sum(oov_n) AS DOUBLE) / sum(n)', 6)} AS oov_rate
+FROM flagged GROUP BY doc_id
+"""
+
+ORACLES["dedup_containment"] = f"""
+WITH {SHINGLES_CTE},
+sr AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sr GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_x, b.doc_id AS doc_y, count(*) AS inter
+  FROM sr a JOIN sr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+sized AS (
+  SELECT i.doc_x, i.doc_y, i.inter, x.sz AS sz_x, y.sz AS sz_y
+  FROM inter i
+  JOIN sizes x ON i.doc_x = x.doc_id
+  JOIN sizes y ON i.doc_y = y.doc_id
+),
+directed AS (
+  SELECT doc_x AS doc_contained, doc_y AS doc_container,
+         CAST(inter AS DOUBLE) / sz_x AS containment FROM sized
+  UNION ALL
+  SELECT doc_y, doc_x, CAST(inter AS DOUBLE) / sz_y FROM sized
+)
+SELECT doc_contained, doc_container,
+       {_dec('containment', 4)} AS containment
+FROM directed WHERE containment >= 0.8
+"""

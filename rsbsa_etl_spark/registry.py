@@ -1178,6 +1178,14 @@ def retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retention_cohorts(load(spark, sf_dir, "events"))
 
 
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.vocab_coverage(load(spark, sf_dir, "documents"))
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.containment_pairs(load(spark, sf_dir, "documents"))
+
+
 def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rsbsa_etl_spark.plans import tpch
 
@@ -1396,6 +1404,8 @@ QUERIES: dict[str, QueryFn] = {
     "tpch_q3": tpch_q3,
     "tpch_q5": tpch_q5,
     "tpch_q10": tpch_q10,
+    "vocab_coverage": vocab_coverage,
+    "dedup_containment": dedup_containment,
     "join_cross": join_cross,
     "agg_filtered_multi": agg_filtered_multi,
     "embedding_quantize": embedding_quantize,
