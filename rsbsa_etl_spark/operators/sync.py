@@ -134,3 +134,74 @@ def merge_cdc(
     touched = changes.select(key).distinct()
     untouched = target.join(F.broadcast(touched), key, "left_anti")
     return upserts.unionByName(untouched)
+
+
+def snapshot_diff(orders: DataFrame) -> DataFrame:
+    """change-data-feed between two table snapshots: full-outer join
+    on the key with row-fingerprint comparison classifies every key
+    as added / removed / changed — the diff a data-versioning layer
+    (Delta CDF, Iceberg changelog) emits, computable on plain
+    parquet snapshots.
+
+    Snapshots are derived deterministically from the fixture: v1
+    drops keys ≡0 (mod 11), v2 drops keys ≡0 (mod 13) and bumps
+    totalprice on keys ≡0 (mod 5) — so all three change classes
+    exist. The fingerprint is an md5 over the canonicalized row
+    (fixed-point price), so "changed" means value-changed, not
+    row-object-identity.
+
+    Scale: one shuffle per side on the join key (or zero with
+    bucketed snapshots — see test_sinks bucketing); the fingerprint
+    collapses row width to 32 bytes before the join, so the exchange
+    carries (key, hash), never full rows.
+    """
+    price_r = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    base = orders.select(
+        "o_orderkey",
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.col("o_orderstatus"),
+                price_r.cast("string"),
+                F.col("o_orderpriority"),
+            )
+        ).alias("fp"),
+        "o_totalprice",
+        "o_orderstatus",
+        "o_orderpriority",
+    )
+    v1 = base.where(F.pmod("o_orderkey", F.lit(11)) != 0).select(
+        F.col("o_orderkey").alias("k1"), F.col("fp").alias("fp1")
+    )
+    v2src = base.where(F.pmod("o_orderkey", F.lit(13)) != 0)
+    bumped = F.floor((F.col("o_totalprice") + F.lit(1.0)) * 100 + F.lit(0.5)).cast(
+        "long"
+    )
+    v2 = v2src.select(
+        F.col("o_orderkey").alias("k2"),
+        F.when(
+            F.pmod("o_orderkey", F.lit(5)) == 0,
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("o_orderstatus"),
+                    bumped.cast("string"),
+                    F.col("o_orderpriority"),
+                )
+            ),
+        )
+        .otherwise(F.col("fp"))
+        .alias("fp2"),
+    )
+    joined = v1.join(v2, v1.k1 == v2.k2, "full_outer")
+    return (
+        joined.select(
+            F.coalesce("k1", "k2").alias("o_orderkey"),
+            F.when(F.col("k1").isNull(), F.lit("added"))
+            .when(F.col("k2").isNull(), F.lit("removed"))
+            .when(F.col("fp1") != F.col("fp2"), F.lit("changed"))
+            .otherwise(F.lit("unchanged"))
+            .alias("change_type"),
+        )
+        .where(F.col("change_type") != "unchanged")
+    )

@@ -1899,3 +1899,32 @@ SELECT doc_contained, doc_container,
        {_dec('containment', 4)} AS containment
 FROM directed WHERE containment >= 0.8
 """
+
+ORACLES["snapshot_diff"] = """
+WITH base AS (
+  SELECT o_orderkey,
+         md5(o_orderstatus || '|' ||
+             CAST(CAST(floor(CAST(o_totalprice AS DOUBLE) * 100 + 0.5)
+                       AS BIGINT) AS VARCHAR) || '|' ||
+             o_orderpriority) AS fp,
+         md5(o_orderstatus || '|' ||
+             CAST(CAST(floor((CAST(o_totalprice AS DOUBLE) + 1.0) * 100 + 0.5)
+                       AS BIGINT) AS VARCHAR) || '|' ||
+             o_orderpriority) AS fp_bumped
+  FROM orders
+), v1 AS (
+  SELECT o_orderkey AS k1, fp AS fp1 FROM base WHERE o_orderkey % 11 <> 0
+), v2 AS (
+  SELECT o_orderkey AS k2,
+         CASE WHEN o_orderkey % 5 = 0 THEN fp_bumped ELSE fp END AS fp2
+  FROM base WHERE o_orderkey % 13 <> 0
+), j AS (
+  SELECT coalesce(k1, k2) AS o_orderkey,
+         CASE WHEN k1 IS NULL THEN 'added'
+              WHEN k2 IS NULL THEN 'removed'
+              WHEN fp1 <> fp2 THEN 'changed'
+              ELSE 'unchanged' END AS change_type
+  FROM v1 FULL OUTER JOIN v2 ON k1 = k2
+)
+SELECT o_orderkey, change_type FROM j WHERE change_type <> 'unchanged'
+"""

@@ -1178,6 +1178,12 @@ def retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retention_cohorts(load(spark, sf_dir, "events"))
 
 
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsbsa_etl_spark.operators.sync import snapshot_diff as _sd
+
+    return _sd(load(spark, sf_dir, "orders"))
+
+
 def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.vocab_coverage(load(spark, sf_dir, "documents"))
 
@@ -1406,6 +1412,7 @@ QUERIES: dict[str, QueryFn] = {
     "tpch_q10": tpch_q10,
     "vocab_coverage": vocab_coverage,
     "dedup_containment": dedup_containment,
+    "snapshot_diff": snapshot_diff,
     "join_cross": join_cross,
     "agg_filtered_multi": agg_filtered_multi,
     "embedding_quantize": embedding_quantize,
