@@ -100,6 +100,8 @@ HEADLINE = [
     "tpch_q10",
     "vocab_coverage",
     "dedup_containment",
+    "snapshot_diff",
+    "resample_ffill",
 ]
 
 

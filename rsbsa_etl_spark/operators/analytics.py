@@ -619,3 +619,47 @@ def activity_histogram(events: DataFrame) -> DataFrame:
     return per_user.groupBy("n_active_days").agg(
         F.count("*").alias("n_users")
     )
+
+
+def resample_ffill(events: DataFrame) -> DataFrame:
+    """time-series regularization: resample each user's event stream
+    onto a dense hourly grid (min→max hour per user), with event
+    counts per bucket and the running value-sum forward-filled across
+    empty buckets — the gap-fill step that precedes any windowed
+    model feature or downsampled chart.
+
+    The grid is generated distributed (sequence + explode per user —
+    no driver loop, no cross join against a global calendar), the
+    observed buckets left-join onto it, and the fill is one
+    last-ignoreNulls window per user. Two shuffles total (bucket agg,
+    user window); grid size is bounded by users × span-hours, which
+    at 100 TB argues for capping the span or bucketing coarser —
+    noted here because a dense grid over years × millions of users
+    is itself big data.
+    """
+    hr = (F.unix_seconds("ts") / F.lit(3600)).cast("long")
+    observed = events.groupBy(
+        F.col("user_id"), hr.alias("hr")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("qs"),
+    )
+    spans = events.groupBy("user_id").agg(
+        F.min(hr).alias("hr_min"), F.max(hr).alias("hr_max")
+    )
+    grid = spans.select(
+        "user_id", F.explode(F.sequence("hr_min", "hr_max")).alias("hr")
+    )
+    j = grid.join(observed, ["user_id", "hr"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = F.last(F.col("qs"), ignorenulls=True).over(w)
+    return j.select(
+        "user_id",
+        "hr",
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        dec_round(filled.cast("double") / F.lit(100.0), 2).alias("ffill_sum"),
+    )

@@ -1928,3 +1928,27 @@ WITH base AS (
 )
 SELECT o_orderkey, change_type FROM j WHERE change_type <> 'unchanged'
 """
+
+ORACLES["resample_ffill"] = f"""
+WITH e AS (
+  SELECT user_id, (epoch_ms(ts) // 1000) // 3600 AS hr,
+         CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT) AS qv
+  FROM events
+), observed AS (
+  SELECT user_id, hr, count(*) AS n_events, sum(qv) AS qs
+  FROM e GROUP BY user_id, hr
+), spans AS (
+  SELECT user_id, min(hr) AS hr_min, max(hr) AS hr_max FROM e GROUP BY user_id
+), grid AS (
+  SELECT user_id, unnest(generate_series(hr_min, hr_max)) AS hr FROM spans
+), j AS (
+  SELECT g.user_id, g.hr, o.n_events, o.qs
+  FROM grid g LEFT JOIN observed o ON g.user_id = o.user_id AND g.hr = o.hr
+)
+SELECT user_id, hr, coalesce(n_events, 0) AS n_events,
+       {_dec('''CAST(last_value(qs IGNORE NULLS)
+              OVER (PARTITION BY user_id ORDER BY hr
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) / 100.0''', 2)} AS ffill_sum
+FROM j
+"""

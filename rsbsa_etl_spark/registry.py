@@ -1178,6 +1178,12 @@ def retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retention_cohorts(load(spark, sf_dir, "events"))
 
 
+def resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsbsa_etl_spark.operators.analytics import resample_ffill as _rf
+
+    return _rf(load(spark, sf_dir, "events"))
+
+
 def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rsbsa_etl_spark.operators.sync import snapshot_diff as _sd
 
@@ -1413,6 +1419,7 @@ QUERIES: dict[str, QueryFn] = {
     "vocab_coverage": vocab_coverage,
     "dedup_containment": dedup_containment,
     "snapshot_diff": snapshot_diff,
+    "resample_ffill": resample_ffill,
     "join_cross": join_cross,
     "agg_filtered_multi": agg_filtered_multi,
     "embedding_quantize": embedding_quantize,
