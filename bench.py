@@ -102,6 +102,7 @@ HEADLINE = [
     "dedup_containment",
     "snapshot_diff",
     "resample_ffill",
+    "ab_ttest",
 ]
 
 

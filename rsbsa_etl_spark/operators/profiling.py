@@ -180,3 +180,58 @@ def corr_groups(lineitem: DataFrame) -> DataFrame:
         "n",
         dec_round(num / den, 6).alias("corr_qty_price"),
     ).orderBy("l_returnflag")
+
+
+def ab_ttest(events: DataFrame) -> DataFrame:
+    """experiment readout: hash-split users into two arms (the same
+    deterministic assignment trick as ``split_assign``), then Welch's
+    t-statistic on value from exact integer moments — experiment
+    analysis as one aggregation pass, no per-arm subqueries.
+
+    Everything after the moment sums is IEEE double arithmetic
+    (divisions, one sqrt) in the same expression shape as the oracle,
+    so the t-stat is bit-deterministic. One partial-aggregated pass;
+    the single result row is driver-sized. At 100 TB: identical plan,
+    the moments shuffle is one row per partition.
+    """
+    q = 1e4
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit("ab1"), F.col("user_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    vi = _fixed(F.col("value"), 4)
+    one = events.select(arm.alias("arm"), vi.alias("vi")).agg(
+        F.count(F.when(F.col("arm") == 0, 1)).alias("n_a"),
+        F.count(F.when(F.col("arm") == 1, 1)).alias("n_b"),
+        F.sum(F.when(F.col("arm") == 0, F.col("vi"))).alias("sx_a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("vi"))).alias("sx_b"),
+        F.sum(F.when(F.col("arm") == 0, F.col("vi") * F.col("vi"))).alias("sxx_a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("vi") * F.col("vi"))).alias("sxx_b"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    mu_a = F.col("sx_a").cast("double") / na / F.lit(q)
+    mu_b = F.col("sx_b").cast("double") / nb / F.lit(q)
+    # sample variance with n-1 denominator, from exact sums
+    va = (
+        F.col("sxx_a").cast("double") / F.lit(q) / F.lit(q) - na * mu_a * mu_a
+    ) / (na - F.lit(1.0))
+    vb = (
+        F.col("sxx_b").cast("double") / F.lit(q) / F.lit(q) - nb * mu_b * mu_b
+    ) / (nb - F.lit(1.0))
+    t = (mu_a - mu_b) / F.sqrt(va / na + vb / nb)
+    return one.select(
+        "n_a",
+        "n_b",
+        dec_round(mu_a, 6).alias("mean_a"),
+        dec_round(mu_b, 6).alias("mean_b"),
+        dec_round(t, 6).alias("t_stat"),
+    )

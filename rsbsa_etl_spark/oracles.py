@@ -1952,3 +1952,34 @@ SELECT user_id, hr, coalesce(n_events, 0) AS n_events,
             AS DOUBLE) / 100.0''', 2)} AS ffill_sum
 FROM j
 """
+
+ORACLES["ab_ttest"] = f"""
+WITH q AS (
+  SELECT ({_hexpoly("md5('ab1' || '|' || CAST(user_id AS VARCHAR))", 1)}) % 2
+           AS arm,
+         CAST(floor(CAST(value AS DOUBLE) * 10000.0 + 0.5) AS BIGINT) AS vi
+  FROM events
+), m AS (
+  SELECT count(*) FILTER (arm = 0) AS n_a,
+         count(*) FILTER (arm = 1) AS n_b,
+         sum(vi) FILTER (arm = 0) AS sx_a,
+         sum(vi) FILTER (arm = 1) AS sx_b,
+         sum(vi * vi) FILTER (arm = 0) AS sxx_a,
+         sum(vi * vi) FILTER (arm = 1) AS sxx_b
+  FROM q
+), d AS (
+  SELECT n_a, n_b,
+         CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) / 10000.0 AS mu_a,
+         CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE) / 10000.0 AS mu_b,
+         CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+         CAST(sxx_a AS DOUBLE) AS xa, CAST(sxx_b AS DOUBLE) AS xb
+  FROM m
+)
+SELECT n_a, n_b,
+       {_dec('mu_a', 6)} AS mean_a, {_dec('mu_b', 6)} AS mean_b,
+       {_dec('''(mu_a - mu_b) / sqrt(
+          ((xa / 10000.0 / 10000.0 - na * mu_a * mu_a) / (na - 1.0)) / na
+        + ((xb / 10000.0 / 10000.0 - nb * mu_b * mu_b) / (nb - 1.0)) / nb)''', 6)}
+         AS t_stat
+FROM d
+"""

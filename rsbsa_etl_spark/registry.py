@@ -1178,6 +1178,12 @@ def retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retention_cohorts(load(spark, sf_dir, "events"))
 
 
+def ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsbsa_etl_spark.operators.profiling import ab_ttest as _ab
+
+    return _ab(load(spark, sf_dir, "events"))
+
+
 def resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rsbsa_etl_spark.operators.analytics import resample_ffill as _rf
 
@@ -1420,6 +1426,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_containment": dedup_containment,
     "snapshot_diff": snapshot_diff,
     "resample_ffill": resample_ffill,
+    "ab_ttest": ab_ttest,
     "join_cross": join_cross,
     "agg_filtered_multi": agg_filtered_multi,
     "embedding_quantize": embedding_quantize,
