@@ -48,6 +48,10 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Python UDTFs evaluate row-at-a-time (BatchEvalPython) unless
+        # Arrow transfer is opted in — with it, the UDTF surface is
+        # batched like every other Python path (plan-hygiene-tested)
+        .config("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         # small parquet fixtures collapse to ONE input partition with
         # the 4 MiB default openCostInBytes (maxSplitBytes floors at

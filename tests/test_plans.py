@@ -318,3 +318,28 @@ def test_tpch_shapes_all_broadcast(spark, key):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "PushedFilters: [IsNotNull" in plan
+
+
+def test_registry_plan_hygiene(spark):
+    """engine-wide physical-plan invariants, every batch query:
+
+    - no CartesianProduct anywhere (join_cross is explicit and
+      compiles to BroadcastNestedLoopJoin, which is allowed);
+    - no BatchEvalPython (row-at-a-time Python UDF) — every Python
+      path must be Arrow-batched (MapInPandas / FlatMapGroupsInPandas
+      / ArrowEvalPython / PythonUDTF).
+
+    Streaming replays are excluded (building them runs real
+    streaming jobs; their semantics are value-checked elsewhere).
+    """
+    skip = {k for k in QUERIES if k.startswith("stream_")}
+    bad = []
+    for key, fn in QUERIES.items():
+        if key in skip:
+            continue
+        plan = _plan(fn(spark, SF_DIR))
+        if "CartesianProduct" in plan:
+            bad.append((key, "CartesianProduct"))
+        if "BatchEvalPython" in plan:
+            bad.append((key, "BatchEvalPython"))
+    assert not bad, bad
