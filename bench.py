@@ -103,6 +103,8 @@ HEADLINE = [
     "snapshot_diff",
     "resample_ffill",
     "ab_ttest",
+    "agg_string_concat",
+    "rolling_active",
 ]
 
 

@@ -663,3 +663,52 @@ def resample_ffill(events: DataFrame) -> DataFrame:
         F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
         dec_round(filled.cast("double") / F.lit(100.0), 2).alias("ffill_sum"),
     )
+
+
+def string_concat_groups(events: DataFrame) -> DataFrame:
+    """per-user sorted distinct event-type roster as one string —
+    the GROUP_CONCAT / string_agg surface. Deterministic because the
+    set is sorted before joining (an unordered string_agg is
+    partition-order lottery in every engine).
+
+    collect_set → array_sort → array_join stays entirely in the JVM;
+    the shuffle carries per-user partial sets, bounded by |types|.
+    """
+    return events.groupBy("user_id").agg(
+        F.array_join(
+            F.array_sort(F.collect_set("event_type")), ","
+        ).alias("types_csv"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def rolling_active_users(events: DataFrame, window_days: int = 7) -> DataFrame:
+    """trailing-N-day distinct active users per day — the DAU/WAU
+    family. A rolling COUNT(DISTINCT) has no window-function form;
+    the scalable rewrite is contribution expansion: dedupe to
+    (user, day), emit each pair into the ``window_days`` windows it
+    contributes to (sequence + explode — a bounded ×N expansion of
+    the already-deduped pair set, NOT of raw events), then one exact
+    distinct count per window day. Two partial-aggregated shuffles;
+    no self-join, no per-day rescan.
+
+    Days outside the observed range (windows that extend past the
+    last day) are clipped against the global [min, max] span.
+    """
+    day = (F.unix_seconds("ts") / F.lit(86400)).cast("long")
+    pairs = events.select("user_id", day.alias("day")).distinct()
+    span = events.agg(
+        F.min(day).alias("d0"), F.max(day).alias("d1")
+    )
+    contrib = pairs.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.col("day") + F.lit(window_days - 1))
+        ).alias("window_day"),
+    )
+    return (
+        contrib.join(F.broadcast(span))
+        .where((F.col("window_day") >= F.col("d0")) & (F.col("window_day") <= F.col("d1")))
+        .groupBy("window_day")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )

@@ -1983,3 +1983,27 @@ SELECT n_a, n_b,
          AS t_stat
 FROM d
 """
+
+ORACLES["agg_string_concat"] = """
+SELECT user_id,
+       string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types_csv,
+       count(*) AS n_events
+FROM events GROUP BY user_id
+"""
+
+ORACLES["rolling_active"] = """
+WITH pairs AS (
+  SELECT DISTINCT user_id, (epoch_ms(ts) // 1000) // 86400 AS day FROM events
+), span AS (
+  SELECT min((epoch_ms(ts) // 1000) // 86400) AS d0,
+         max((epoch_ms(ts) // 1000) // 86400) AS d1
+  FROM events
+), contrib AS (
+  SELECT user_id, unnest(generate_series(day, day + 6)) AS window_day
+  FROM pairs
+)
+SELECT window_day, count(DISTINCT user_id) AS n_active
+FROM contrib, span
+WHERE window_day >= d0 AND window_day <= d1
+GROUP BY window_day
+"""

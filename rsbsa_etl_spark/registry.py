@@ -1178,6 +1178,18 @@ def retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retention_cohorts(load(spark, sf_dir, "events"))
 
 
+def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsbsa_etl_spark.operators.analytics import string_concat_groups
+
+    return string_concat_groups(load(spark, sf_dir, "events"))
+
+
+def rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsbsa_etl_spark.operators.analytics import rolling_active_users
+
+    return rolling_active_users(load(spark, sf_dir, "events"))
+
+
 def ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rsbsa_etl_spark.operators.profiling import ab_ttest as _ab
 
@@ -1427,6 +1439,8 @@ QUERIES: dict[str, QueryFn] = {
     "snapshot_diff": snapshot_diff,
     "resample_ffill": resample_ffill,
     "ab_ttest": ab_ttest,
+    "agg_string_concat": agg_string_concat,
+    "rolling_active": rolling_active,
     "join_cross": join_cross,
     "agg_filtered_multi": agg_filtered_multi,
     "embedding_quantize": embedding_quantize,
