@@ -105,6 +105,8 @@ HEADLINE = [
     "ab_ttest",
     "agg_string_concat",
     "rolling_active",
+    "inverted_index",
+    "term_pmi",
 ]
 
 

@@ -532,3 +532,103 @@ def vocab_coverage(docs: DataFrame, text_col: str = "text", vocab_k: int = 256) 
             6,
         ).alias("oov_rate"),
     )
+
+
+def inverted_index(docs: DataFrame, text_col: str = "text", cap: int = 16) -> DataFrame:
+    """posting-list construction: term → sorted doc-id list (capped)
+    with document frequency — the IR index build step, and the base
+    table for any retrieval-augmented pipeline.
+
+    Postings aggregate from distinct (term, doc) pairs (partial
+    map-side), sorted for determinism, capped so hot terms ("the")
+    don't materialize corpus-sized arrays — df_total still reports
+    the true frequency. The shuffle carries (term, doc_id) pairs
+    after per-doc dedup, never positions or raw text.
+    """
+    pairs = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias("term"),
+        )
+        .where(F.length("term") > 0)
+        .distinct()
+    )
+    return pairs.groupBy("term").agg(
+        F.count("*").alias("df_total"),
+        F.slice(F.array_sort(F.collect_list("doc_id")), 1, cap).alias("postings"),
+    ).select(
+        "term",
+        "df_total",
+        F.concat_ws(",", F.transform("postings", lambda d: d.cast("string"))).alias(
+            "postings_csv"
+        ),
+    )
+
+
+def term_pmi(
+    docs: DataFrame,
+    text_col: str = "text",
+    vocab_k: int = 64,
+    min_pair_docs: int = 5,
+    k: int = 50,
+) -> DataFrame:
+    """term co-occurrence strength (PMI-style lift): for pairs of
+    top-``vocab_k`` terms, how much more often they share a document
+    than independence predicts — collocation mining without the
+    non-portable log (lift is a monotone transform of PMI, so the
+    ranking is identical).
+
+    The vocabulary cap bounds the pair space to vocab_k² before
+    anything quadratic happens: per-doc distinct terms are first
+    semi-joined against the broadcast vocab, so pair generation is
+    |vocab∩doc|² per doc, not |doc|². Counts are exact integers; the
+    lift is one double division, fixed-point rounded.
+    """
+    terms = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias("term"),
+        )
+        .where(F.length("term") > 0)
+        .distinct()
+    )
+    vocab = (
+        terms.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(vocab_k)
+    )
+    tv = terms.join(F.broadcast(vocab), "term")
+    a, b = tv.alias("a"), tv.alias("b")
+    pair_docs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.term") < F.col("b.term")),
+        )
+        .groupBy(F.col("a.term").alias("term_a"), F.col("b.term").alias("term_b"))
+        .agg(F.count("*").alias("n_pair"))
+        .where(F.col("n_pair") >= min_pair_docs)
+    )
+    n_docs = docs.select(F.countDistinct("doc_id").alias("n_docs"))
+    da = vocab.select(F.col("term").alias("term_a"), F.col("df").alias("df_a"))
+    db = vocab.select(F.col("term").alias("term_b"), F.col("df").alias("df_b"))
+    lift = (
+        F.col("n_pair").cast("double")
+        * F.col("n_docs").cast("double")
+        / F.col("df_a").cast("double")
+        / F.col("df_b").cast("double")
+    )
+    return (
+        pair_docs.join(F.broadcast(da), "term_a")
+        .join(F.broadcast(db), "term_b")
+        .join(F.broadcast(n_docs))
+        .select(
+            "term_a",
+            "term_b",
+            "n_pair",
+            dec_round(lift, 6).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), F.col("term_a").asc(), F.col("term_b").asc())
+        .limit(k)
+    )

@@ -2007,3 +2007,42 @@ FROM contrib, span
 WHERE window_day >= d0 AND window_day <= d1
 GROUP BY window_day
 """
+
+ORACLES["inverted_index"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKS}) AS term FROM documents
+), pairs AS (
+  SELECT DISTINCT doc_id, term FROM toks WHERE len(term) > 0
+)
+SELECT term, count(*) AS df_total,
+       array_to_string(
+         list_transform(list_sort(list(doc_id))[1:16],
+                        d -> CAST(d AS VARCHAR)), ',') AS postings_csv
+FROM pairs GROUP BY term
+"""
+
+ORACLES["term_pmi"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKS}) AS term FROM documents
+), terms AS (
+  SELECT DISTINCT doc_id, term FROM toks WHERE len(term) > 0
+), vocab AS (
+  SELECT term, count(*) AS df FROM terms GROUP BY term
+  ORDER BY df DESC, term ASC LIMIT 64
+), tv AS (
+  SELECT t.doc_id, t.term FROM terms t JOIN vocab USING (term)
+), pair_docs AS (
+  SELECT a.term AS term_a, b.term AS term_b, count(*) AS n_pair
+  FROM tv a JOIN tv b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY a.term, b.term
+  HAVING count(*) >= 5
+), nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+SELECT term_a, term_b, n_pair,
+       {_dec('''CAST(n_pair AS DOUBLE) * CAST(n_docs AS DOUBLE)
+          / CAST(va.df AS DOUBLE) / CAST(vb.df AS DOUBLE)''', 6)} AS lift
+FROM pair_docs
+JOIN vocab va ON term_a = va.term
+JOIN vocab vb ON term_b = vb.term
+CROSS JOIN nd
+ORDER BY lift DESC, term_a ASC, term_b ASC LIMIT 50
+"""

@@ -1178,6 +1178,14 @@ def retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retention_cohorts(load(spark, sf_dir, "events"))
 
 
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.inverted_index(load(spark, sf_dir, "documents"))
+
+
+def term_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.term_pmi(load(spark, sf_dir, "documents"))
+
+
 def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rsbsa_etl_spark.operators.analytics import string_concat_groups
 
@@ -1441,6 +1449,8 @@ QUERIES: dict[str, QueryFn] = {
     "ab_ttest": ab_ttest,
     "agg_string_concat": agg_string_concat,
     "rolling_active": rolling_active,
+    "inverted_index": inverted_index,
+    "term_pmi": term_pmi,
     "join_cross": join_cross,
     "agg_filtered_multi": agg_filtered_multi,
     "embedding_quantize": embedding_quantize,
