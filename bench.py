@@ -107,6 +107,7 @@ HEADLINE = [
     "rolling_active",
     "inverted_index",
     "term_pmi",
+    "skew_stats",
 ]
 
 

@@ -235,3 +235,41 @@ def ab_ttest(events: DataFrame) -> DataFrame:
         dec_round(mu_b, 6).alias("mean_b"),
         dec_round(t, 6).alias("t_stat"),
     )
+
+
+def skew_stats(lineitem: DataFrame, key: str = "l_orderkey", topn: int = 5) -> DataFrame:
+    """join-key skew diagnostic: frequency distribution of a join
+    key — max/percentile group sizes and the heavy-hitter share —
+    the measurement that decides between a plain shuffle join, AQE
+    skew-split, and explicit salting. A 100 TB join planned blind on
+    a skewed key is the classic cluster-killer; this is the
+    one-pass check that prevents it.
+
+    Two-level aggregate: per-key counts (map-side combined), then
+    fixed statistics over the |keys|-sized count column. Exact
+    interpolated percentiles over group sizes; the heavy-hitter
+    share is the top-N frequency mass over total rows.
+    """
+    counts = lineitem.groupBy(key).agg(F.count("*").alias("cnt"))
+    top_share = (
+        counts.orderBy(F.col("cnt").desc(), F.col(key).asc())
+        .limit(topn)
+        .agg(F.sum("cnt").alias("top_mass"))
+    )
+    stats = counts.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("max_group"),
+        dec_round(F.percentile("cnt", F.lit(0.5)), 6).alias("p50_group"),
+        dec_round(F.percentile("cnt", F.lit(0.99)), 6).alias("p99_group"),
+    )
+    return stats.join(F.broadcast(top_share)).select(
+        "n_keys",
+        "n_rows",
+        "max_group",
+        "p50_group",
+        "p99_group",
+        dec_round(
+            F.col("top_mass").cast("double") / F.col("n_rows"), 6
+        ).alias(f"top{topn}_share"),
+    )

@@ -2046,3 +2046,18 @@ JOIN vocab vb ON term_b = vb.term
 CROSS JOIN nd
 ORDER BY lift DESC, term_a ASC, term_b ASC LIMIT 50
 """
+
+ORACLES["skew_stats"] = f"""
+WITH counts AS (
+  SELECT l_orderkey, count(*) AS cnt FROM lineitem GROUP BY l_orderkey
+), top AS (
+  SELECT sum(cnt) AS top_mass
+  FROM (SELECT cnt FROM counts ORDER BY cnt DESC, l_orderkey ASC LIMIT 5)
+)
+SELECT count(*) AS n_keys, sum(cnt) AS n_rows, max(cnt) AS max_group,
+       {_dec('quantile_cont(cnt, 0.5)', 6)} AS p50_group,
+       {_dec('quantile_cont(cnt, 0.99)', 6)} AS p99_group,
+       {_dec('CAST(top_mass AS DOUBLE) / sum(cnt)', 6)} AS top5_share
+FROM counts, top
+GROUP BY top_mass
+"""

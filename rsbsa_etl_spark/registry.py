@@ -1178,6 +1178,12 @@ def retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retention_cohorts(load(spark, sf_dir, "events"))
 
 
+def skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsbsa_etl_spark.operators.profiling import skew_stats as _sk
+
+    return _sk(load(spark, sf_dir, "lineitem"))
+
+
 def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.inverted_index(load(spark, sf_dir, "documents"))
 
@@ -1451,6 +1457,7 @@ QUERIES: dict[str, QueryFn] = {
     "rolling_active": rolling_active,
     "inverted_index": inverted_index,
     "term_pmi": term_pmi,
+    "skew_stats": skew_stats,
     "join_cross": join_cross,
     "agg_filtered_multi": agg_filtered_multi,
     "embedding_quantize": embedding_quantize,
