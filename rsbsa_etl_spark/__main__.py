@@ -11,6 +11,9 @@ metrics, scheduling belongs to an external scheduler per SURVEY
     python -m rsbsa_etl_spark run <query-key> [--sf-dir DIR] [--show N]
     python -m rsbsa_etl_spark sync [--sf-dir DIR]   # §3.1 one-shot
                                                     # (start-etl-force)
+    python -m rsbsa_etl_spark tail --log-dir DIR [--follow SECONDS]
+                                        # GET /api/logs(/stream)
+    python -m rsbsa_etl_spark status    # GET /api/etl-status
 """
 
 from __future__ import annotations
@@ -32,6 +35,20 @@ def main(argv: list[str] | None = None) -> int:
 
     syncp = sub.add_parser("sync", help="run the incremental sync once")
     syncp.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+
+    tailp = sub.add_parser(
+        "tail", help="parse + print a log directory (optionally follow)"
+    )
+    tailp.add_argument("--log-dir", required=True)
+    tailp.add_argument(
+        "--follow",
+        type=int,
+        default=0,
+        metavar="SECONDS",
+        help="keep streaming new lines for N seconds (0 = drain once)",
+    )
+
+    sub.add_parser("status", help="show active streaming queries")
 
     args = p.parse_args(argv)
 
@@ -58,6 +75,34 @@ def main(argv: list[str] | None = None) -> int:
             df = QUERIES[args.key](spark, args.sf_dir)
             df.show(args.show, truncate=False)
             print(f"rows: {df.count()}")
+            return 0
+        if args.cmd == "tail":
+            # the reference's GET /api/logs (drain) and /api/logs/stream
+            # (follow) — ``index.js:226-237,278-312`` — through the real
+            # streaming engine
+            from rsbsa_etl_spark.streaming.tail import run_tail_once, tail_stream
+
+            if args.follow <= 0:
+                for row in run_tail_once(spark, args.log_dir).collect():
+                    print(f"[{row['ts_raw']}] {row['message']}")
+                return 0
+            q = (
+                tail_stream(spark, args.log_dir)
+                .writeStream.outputMode("append")
+                .format("console")
+                .option("truncate", "false")
+                .trigger(processingTime="1 second")
+                .start()
+            )
+            q.awaitTermination(args.follow)
+            q.stop()  # graceful stop — the reference's SIGTERM path
+            return 0
+        if args.cmd == "status":
+            # the reference's GET /api/etl-status (``index.js:329-342``)
+            active = spark.streams.active
+            print(f"spark: {spark.version}  active streaming queries: {len(active)}")
+            for q in active:
+                print(f"  {q.name or q.id}: {q.status['message']}")
             return 0
         # sync: the reference's POST /api/start-etl-force — run the
         # §3.1 pipeline once and report totals (``index.js:114-164``)
