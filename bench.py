@@ -108,6 +108,7 @@ HEADLINE = [
     "inverted_index",
     "term_pmi",
     "skew_stats",
+    "window_cumdistinct",
 ]
 
 

@@ -712,3 +712,43 @@ def rolling_active_users(events: DataFrame, window_days: int = 7) -> DataFrame:
         .groupBy("window_day")
         .agg(F.countDistinct("user_id").alias("n_active"))
     )
+
+
+def cumulative_distinct(events: DataFrame) -> DataFrame:
+    """running distinct-count without a distinct window: per user,
+    how many distinct event types they have touched as of each event
+    — the classic "COUNT(DISTINCT) OVER is unsupported" rewrite.
+    First-occurrence flags (row_number over (user, type) == 1) turn
+    the distinct count into a cumulative SUM, which every engine's
+    window machinery handles.
+
+    Both windows partition by user_id alone (the first-occurrence
+    flag is a lag over the type-sorted order, not a (user, type)
+    partitioning), so the plan has ONE exchange and two partition-
+    local sorts — plan-asserted. No state blowup; the rewrite is
+    exactly what keeps this computable at 100 TB where a
+    set-per-row would not be.
+    """
+    w_first = Window.partitionBy("user_id").orderBy("event_type", "ts", "event_id")
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev_type = F.lag("event_type").over(w_first)
+    flagged = events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        F.when(
+            prev_type.isNull() | (prev_type != F.col("event_type")), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("is_first"),
+    )
+    return flagged.select(
+        "event_id",
+        "user_id",
+        F.sum("is_first").over(w_cum).cast("long").alias("n_types_seen"),
+    )

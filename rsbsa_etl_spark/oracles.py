@@ -2061,3 +2061,18 @@ SELECT count(*) AS n_keys, sum(cnt) AS n_rows, max(cnt) AS max_group,
 FROM counts, top
 GROUP BY top_mass
 """
+
+ORACLES["window_cumdistinct"] = """
+WITH flagged AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts, event_id) = 1
+              THEN 1 ELSE 0 END AS is_first
+  FROM events
+)
+SELECT event_id, user_id,
+       sum(is_first) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS n_types_seen
+FROM flagged
+"""

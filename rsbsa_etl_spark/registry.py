@@ -1178,6 +1178,12 @@ def retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retention_cohorts(load(spark, sf_dir, "events"))
 
 
+def window_cumdistinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsbsa_etl_spark.operators.analytics import cumulative_distinct
+
+    return cumulative_distinct(load(spark, sf_dir, "events"))
+
+
 def skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rsbsa_etl_spark.operators.profiling import skew_stats as _sk
 
@@ -1458,6 +1464,7 @@ QUERIES: dict[str, QueryFn] = {
     "inverted_index": inverted_index,
     "term_pmi": term_pmi,
     "skew_stats": skew_stats,
+    "window_cumdistinct": window_cumdistinct,
     "join_cross": join_cross,
     "agg_filtered_multi": agg_filtered_multi,
     "embedding_quantize": embedding_quantize,

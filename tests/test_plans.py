@@ -343,3 +343,10 @@ def test_registry_plan_hygiene(spark):
         if "BatchEvalPython" in plan:
             bad.append((key, "BatchEvalPython"))
     assert not bad, bad
+
+
+def test_cumdistinct_single_exchange(spark):
+    # the first-occurrence flag must ride the same user_id
+    # partitioning as the cumulative sum — one exchange, two sorts
+    plan = _plan(QUERIES["window_cumdistinct"](spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1
