@@ -109,6 +109,7 @@ HEADLINE = [
     "term_pmi",
     "skew_stats",
     "window_cumdistinct",
+    "curation_pipeline",
 ]
 
 

@@ -414,3 +414,51 @@ def interleave_sources(docs: DataFrame) -> DataFrame:
     ).withColumn("weight", weight.cast("long")).withColumn(
         "vpos", dec_round(vpos, 6)
     )
+
+
+def curation_pipeline(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """the composed end-to-end curation chain — quality gate →
+    exact dedup → train-split — as ONE lazy plan, demonstrating that
+    the operator library composes the way a real training-data
+    pipeline uses it (each stage is the same code path as its
+    standalone query key).
+
+    Catalyst fuses the whole chain: the quality features and the
+    content hash are projections over ONE scan (quality_score passes
+    the payload columns through — no join-back-by-id), the dedup is
+    a single window shuffle on the hash, the split is a pure
+    expression. Plan-asserted: 1 scan, 1 exchange. That composition
+    *is* the 100 TB argument: intermediate materialization between
+    curation stages is what kills pipelines at scale.
+    """
+    from rsbsa_etl_spark.functions.dedup import normalized_text
+    from rsbsa_etl_spark.functions.textstats import quality_score
+
+    kept = quality_score(docs, text_col, keep=("source", text_col)).where(
+        F.col("quality") >= 0.75
+    )
+    hashed = kept.withColumn(
+        "content_md5", F.md5(normalized_text(F.col(text_col)))
+    )
+    w = Window.partitionBy("content_md5").orderBy("doc_id")
+    deduped = (
+        hashed.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit("v1"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    return (
+        deduped.withColumn("bucket", bucket.cast("int"))
+        .where(F.col("bucket") < 90)
+        .select("doc_id", "source", "n_tokens", "quality", "bucket")
+    )

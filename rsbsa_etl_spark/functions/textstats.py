@@ -83,7 +83,9 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("lang_pred", expr)
 
 
-def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def quality_score(
+    docs: DataFrame, text_col: str = "text", keep: tuple[str, ...] = ()
+) -> DataFrame:
     """cheap quality features + a composite score:
 
     - n_chars / n_tokens / mean token length
@@ -91,6 +93,10 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     - punctuation & digit density
     - composite: bounded sum of feature indicator ranges, rounded —
       deterministic and oracle-matched.
+
+    ``keep`` appends passthrough columns so composed pipelines
+    (``curation.curation_pipeline``) stay one projection over one
+    scan instead of join-back-by-id.
     """
     t = normalized_text(F.col(text_col))
     p = padded(F.col(text_col))
@@ -118,6 +124,7 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
     return docs.select(
         "doc_id",
+        *keep,
         n_chars.cast("long").alias("n_chars_norm"),
         n_tokens.cast("long").alias("n_tokens"),
         stop_ratio.alias("stop_ratio"),

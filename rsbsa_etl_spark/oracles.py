@@ -2076,3 +2076,24 @@ SELECT event_id, user_id,
          AS n_types_seen
 FROM flagged
 """
+
+ORACLES["curation_pipeline"] = f"""
+WITH q AS (
+  SELECT doc_id, n_tokens, quality FROM ({_quality_sql()}) _q
+), kept AS (
+  SELECT d.doc_id, d.source, d.text, q.n_tokens, q.quality
+  FROM documents d JOIN q USING (doc_id)
+  WHERE q.quality >= 0.75
+), hashed AS (
+  SELECT *, md5({NORM}) AS content_md5,
+         row_number() OVER (PARTITION BY md5({NORM}) ORDER BY doc_id) AS rk
+  FROM kept
+), split AS (
+  SELECT doc_id, source, n_tokens, quality,
+         CAST(({_hexpoly("md5('v1' || '|' || CAST(doc_id AS VARCHAR))", 1)}) % 100
+              AS INT) AS bucket
+  FROM hashed WHERE rk = 1
+)
+SELECT doc_id, source, n_tokens, quality, bucket
+FROM split WHERE bucket < 90
+"""

@@ -1178,6 +1178,12 @@ def retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retention_cohorts(load(spark, sf_dir, "events"))
 
 
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsbsa_etl_spark.functions.curation import curation_pipeline as _cp
+
+    return _cp(load(spark, sf_dir, "documents"))
+
+
 def window_cumdistinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rsbsa_etl_spark.operators.analytics import cumulative_distinct
 
@@ -1465,6 +1471,7 @@ QUERIES: dict[str, QueryFn] = {
     "term_pmi": term_pmi,
     "skew_stats": skew_stats,
     "window_cumdistinct": window_cumdistinct,
+    "curation_pipeline": curation_pipeline,
     "join_cross": join_cross,
     "agg_filtered_multi": agg_filtered_multi,
     "embedding_quantize": embedding_quantize,

@@ -350,3 +350,12 @@ def test_cumdistinct_single_exchange(spark):
     # partitioning as the cumulative sum — one exchange, two sorts
     plan = _plan(QUERIES["window_cumdistinct"](spark, SF_DIR))
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_curation_pipeline_fused(spark):
+    # quality gate + dedup + split must fuse into one scan and one
+    # exchange — join-back-by-id between stages would rescan the
+    # corpus
+    plan = _plan(QUERIES["curation_pipeline"](spark, SF_DIR))
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
