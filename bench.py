@@ -95,9 +95,15 @@ HEADLINE = [
     "mix_interleave",
     "agg_filtered_multi",
     "embedding_quantize",
+    "tpch_q1",
     "tpch_q3",
+    "tpch_q4",
     "tpch_q5",
+    "tpch_q6",
     "tpch_q10",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q14",
     "vocab_coverage",
     "dedup_containment",
     "snapshot_diff",

@@ -1808,6 +1808,82 @@ FROM s GROUP BY user_id, sess
 
 _REV = "l_extendedprice * (1.0 - l_discount)"
 
+ORACLES["tpch_q1"] = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+       {sql_sum_fixed("l_extendedprice", 2)} AS sum_base_price,
+       {sql_sum_fixed("l_extendedprice * (1.0 - l_discount)", 4)} AS sum_disc_price,
+       {sql_sum_fixed("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)", 6)} AS sum_charge,
+       sum(l_quantity) / count(*) AS avg_qty,
+       ({sql_sum_fixed("l_extendedprice", 2)}) / count(*) AS avg_price,
+       ({sql_sum_fixed("l_discount", 2)}) / count(*) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+ORACLES["tpch_q4"] = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+ORACLES["tpch_q6"] = f"""
+SELECT {sql_sum_fixed("l_extendedprice * l_discount", 4)} AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24.0
+"""
+
+ORACLES["tpch_q12"] = """
+SELECT l_linestatus,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_shipdate >= o_orderdate + INTERVAL 60 DAY
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+ORACLES["tpch_q13"] = """
+WITH per_cust AS (
+  SELECT o_custkey, count(*) AS n_orders
+  FROM orders WHERE o_orderpriority <> '5-LOW'
+  GROUP BY o_custkey
+), counts AS (
+  SELECT coalesce(n_orders, 0) AS c_count
+  FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey
+)
+SELECT c_count, count(*) AS custdist
+FROM counts GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+ORACLES["tpch_q14"] = f"""
+SELECT (100.0 * ({sql_sum_fixed(f"CASE WHEN p_type = 'PROMO' THEN {_REV} ELSE 0.0 END", 4)}))
+       / ({sql_sum_fixed(_REV, 4)}) AS promo_revenue_pct
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+  AND l_shipdate < TIMESTAMP '1996-10-01'
+"""
+
 ORACLES["tpch_q3"] = f"""
 SELECT o_orderkey, epoch_ms(o_orderdate) // 1000 AS o_orderdate_s,
        o_orderpriority,

@@ -152,3 +152,185 @@ def q10_returned_customers(
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(k)
     )
+
+
+def _ts(s: str) -> Column:
+    return F.lit(s).cast("timestamp")
+
+
+def q1_pricing_summary(lineitem: DataFrame, cutoff: str = "2001-09-01") -> DataFrame:
+    """Q1 shape — the classic pricing-summary report: one full scan,
+    one partial-then-final hash aggregate on a 6-group key space.
+    There is no join; the whole query is a single exchange of 6 rows
+    after map-side partial aggregation, so it scales linearly with
+    input and is the canonical scan-throughput probe.
+
+    Money sums are fixed-point (order-independent longs); averages
+    divide a fixed sum by the group count — every op correctly
+    rounded IEEE, so the oracle hash-matches bit-for-bit. Quantities
+    are integral doubles (sum is exact), surfaced as BIGINT."""
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    cnt = F.count(F.lit(1))
+    return (
+        lineitem.where(F.col("l_shipdate") <= _ts(cutoff))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("bigint").alias("sum_qty"),
+            fixed_sum(F.col("l_extendedprice"), 2, "sum_base_price"),
+            fixed_sum(disc_price, 4, "sum_disc_price"),
+            fixed_sum(charge, 6, "sum_charge"),
+            (F.sum("l_quantity") / cnt).alias("avg_qty"),
+            (fixed_sum(F.col("l_extendedprice"), 2) / cnt).alias("avg_price"),
+            (fixed_sum(F.col("l_discount"), 2) / cnt).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q4_priority_late_ship(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-04-01",
+    grace_days: int = 30,
+) -> DataFrame:
+    """Q4 shape — order-priority checking, adapted to the fixture
+    (no l_commitdate/l_receiptdate): count orders per priority that
+    had at least one lineitem shipped more than ``grace_days`` after
+    the order date. EXISTS compiles to a LEFT SEMI join on
+    l_orderkey with the lateness predicate as join residual — one
+    shuffle on the key, the semi side deduplicates early (no row
+    multiplication), then a 5-group aggregate.
+
+    At 100 TB the semi join is the honest plan: the exists-set is
+    proportional to orders, too big to broadcast, so a shuffled semi
+    join on the equi key with AQE skew splitting is the floor."""
+    o = orders.where(
+        (F.col("o_orderdate") >= _ts(date_from)) & (F.col("o_orderdate") < _ts(date_to))
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = lineitem.select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr(f"INTERVAL {int(grace_days)} DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q6_forecast_revenue(
+    lineitem: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+    disc_lo: float = 0.05,
+    disc_hi: float = 0.07,
+    qty_below: int = 24,
+) -> DataFrame:
+    """Q6 shape — forecasting revenue change: a pure selective
+    filter + global sum, zero joins, zero group keys. All three
+    predicates (shipdate range, discount band, quantity cap) sit on
+    the parquet scan as PushedFilters, so row groups outside the
+    date range never leave disk — the query is I/O-pruned before
+    Spark sees a row. The global sum is a single-row exchange of
+    one long (fixed-point), the cheapest possible aggregate."""
+    li = lineitem.where(
+        (F.col("l_shipdate") >= _ts(date_from))
+        & (F.col("l_shipdate") < _ts(date_to))
+        & (F.col("l_discount") >= F.lit(disc_lo))
+        & (F.col("l_discount") <= F.lit(disc_hi))
+        & (F.col("l_quantity") < F.lit(float(qty_below)))
+    )
+    return li.agg(fixed_sum(F.col("l_extendedprice") * F.col("l_discount"), 4, "revenue"))
+
+
+def q12_late_shipment_priority(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+    late_days: int = 60,
+) -> DataFrame:
+    """Q12 shape — shipping-priority audit, adapted (no l_shipmode):
+    for lineitems shipped ≥ ``late_days`` after their order date in
+    one year, count critical- vs normal-priority orders per
+    linestatus. Fact-to-fact join on l_orderkey; the shipdate-window
+    filter prunes lineitem at the scan, then one shuffle joins the
+    two facts and a conditional aggregate (sum-of-CASE) folds both
+    counters in a single pass — no second scan, no pivot."""
+    li = lineitem.where(
+        (F.col("l_shipdate") >= _ts(date_from)) & (F.col("l_shipdate") < _ts(date_to))
+    ).select("l_orderkey", "l_linestatus", "l_shipdate")
+    o = orders.select("o_orderkey", "o_orderdate", "o_orderpriority")
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .where(F.col("l_shipdate") >= F.col("o_orderdate") + F.expr(f"INTERVAL {int(late_days)} DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(crit, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(crit, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+def q13_order_count_distribution(
+    customer: DataFrame, orders: DataFrame, excl_priority: str = "5-LOW"
+) -> DataFrame:
+    """Q13 shape — customer order-count distribution: how many
+    customers placed 0, 1, 2… qualifying orders. Aggregate-before-
+    join: orders collapse to (custkey, count) partials map-side
+    BEFORE touching customer, so the join input is |customers| rows,
+    not |orders| — then a left join zero-fills customers with no
+    qualifying orders and a second tiny aggregate histograms the
+    counts. The naive left-join-then-count shape would shuffle the
+    full orders fact; this one shuffles only its per-key counts."""
+    per_cust = (
+        orders.where(F.col("o_orderpriority") != excl_priority)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    counts = (
+        customer.select("c_custkey")
+        .join(per_cust, customer.c_custkey == per_cust.o_custkey, "left")
+        .select(F.coalesce(F.col("n_orders"), F.lit(0)).alias("c_count"))
+    )
+    return (
+        counts.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def q14_promo_revenue_share(
+    lineitem: DataFrame,
+    part: DataFrame,
+    date_from: str = "1996-09-01",
+    date_to: str = "1996-10-01",
+    promo_type: str = "PROMO",
+) -> DataFrame:
+    """Q14 shape — promotion effect: percentage of one month's
+    revenue from promo-class parts. The part dimension broadcasts
+    (it is a pure dim, ≪ threshold even at SF100k after pruning to
+    two columns); lineitem is scan-pruned to the month before the
+    join; both the promo and total sums fold in ONE conditional
+    aggregate pass — a single scan, a broadcast, one 1-row shuffle.
+    The share divides two fixed-point sums (exact longs), then one
+    IEEE multiply/divide — bit-stable vs the oracle."""
+    li = lineitem.where(
+        (F.col("l_shipdate") >= _ts(date_from)) & (F.col("l_shipdate") < _ts(date_to))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    p = part.select("p_partkey", "p_type")
+    rev = _revenue_term()
+    promo = fixed_sum(F.when(F.col("p_type") == promo_type, rev).otherwise(F.lit(0.0)), 4)
+    total = fixed_sum(rev, 4)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(((F.lit(100.0) * promo) / total).alias("promo_revenue_pct"))
+    )

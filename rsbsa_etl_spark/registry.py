@@ -1276,6 +1276,50 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsbsa_etl_spark.plans import tpch
+
+    return tpch.q1_pricing_summary(load(spark, sf_dir, "lineitem"))
+
+
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsbsa_etl_spark.plans import tpch
+
+    return tpch.q4_priority_late_ship(
+        load(spark, sf_dir, "orders"), load(spark, sf_dir, "lineitem")
+    )
+
+
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsbsa_etl_spark.plans import tpch
+
+    return tpch.q6_forecast_revenue(load(spark, sf_dir, "lineitem"))
+
+
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsbsa_etl_spark.plans import tpch
+
+    return tpch.q12_late_shipment_priority(
+        load(spark, sf_dir, "orders"), load(spark, sf_dir, "lineitem")
+    )
+
+
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsbsa_etl_spark.plans import tpch
+
+    return tpch.q13_order_count_distribution(
+        load(spark, sf_dir, "customer"), load(spark, sf_dir, "orders")
+    )
+
+
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsbsa_etl_spark.plans import tpch
+
+    return tpch.q14_promo_revenue_share(
+        load(spark, sf_dir, "lineitem"), load(spark, sf_dir, "part")
+    )
+
+
 def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rsbsa_etl_spark.operators.joins import cross_pairs
 
@@ -1457,9 +1501,15 @@ QUERIES: dict[str, QueryFn] = {
     "activity_histogram": activity_histogram,
     "shuffle_shards": shuffle_shards,
     "mix_interleave": mix_interleave,
+    "tpch_q1": tpch_q1,
     "tpch_q3": tpch_q3,
+    "tpch_q4": tpch_q4,
     "tpch_q5": tpch_q5,
+    "tpch_q6": tpch_q6,
     "tpch_q10": tpch_q10,
+    "tpch_q12": tpch_q12,
+    "tpch_q13": tpch_q13,
+    "tpch_q14": tpch_q14,
     "vocab_coverage": vocab_coverage,
     "dedup_containment": dedup_containment,
     "snapshot_diff": snapshot_diff,
