@@ -1884,6 +1884,114 @@ WHERE l_shipdate >= TIMESTAMP '1996-09-01'
   AND l_shipdate < TIMESTAMP '1996-10-01'
 """
 
+ORACLES["tpch_q7"] = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l_shipdate) AS l_year,
+       {sql_sum_fixed(_REV, 4)} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+  AND n2.n_name IN ('NATION_1', 'NATION_2')
+  AND n1.n_name <> n2.n_name
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+ORACLES["tpch_q8"] = f"""
+SELECT year(o_orderdate) AS o_year,
+       ({sql_sum_fixed(f"CASE WHEN n1.n_name = 'NATION_3' THEN {_REV} ELSE 0.0 END", 4)})
+       / ({sql_sum_fixed(_REV, 4)}) AS mkt_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+JOIN region ON n2.n_regionkey = r_regionkey
+WHERE p_type = 'ECONOMY'
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+ORACLES["tpch_q9"] = f"""
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       {sql_sum_fixed("l_extendedprice * (1.0 - l_discount) - 0.1 * p_retailprice * l_quantity", 4)} AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%bolt%'
+GROUP BY n_name, year(o_orderdate)
+ORDER BY n_name, o_year DESC
+"""
+
+ORACLES["tpch_q15"] = f"""
+WITH revenue AS (
+  SELECT l_suppkey, {sql_sum_fixed(_REV, 4)} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+ORACLES["tpch_q17"] = f"""
+WITH tp AS (
+  SELECT p_partkey FROM part WHERE p_brand = 'Brand#11' AND p_size <= 10
+), li_t AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN tp ON l_partkey = p_partkey
+), thresholds AS (
+  SELECT l_partkey AS t_partkey,
+         0.2 * (sum(l_quantity) / count(*)) AS qty_cap
+  FROM li_t GROUP BY l_partkey
+)
+SELECT ({sql_sum_fixed("l_extendedprice", 2)}) / 7.0 AS avg_yearly
+FROM li_t JOIN thresholds ON l_partkey = t_partkey
+WHERE l_quantity < qty_cap
+"""
+
+ORACLES["tpch_q18"] = """
+WITH big AS (
+  SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING CAST(sum(l_quantity) AS BIGINT) > 280
+)
+SELECT c_custkey, c_name, o_orderkey,
+       epoch_ms(o_orderdate) // 1000 AS o_orderdate_s,
+       o_totalprice, sum_qty
+FROM big
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100
+"""
+
+ORACLES["tpch_q19"] = f"""
+SELECT {sql_sum_fixed(_REV, 4)} AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1.0 AND 11.0)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10.0 AND 20.0)
+   OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20.0 AND 30.0)
+"""
+
 ORACLES["tpch_q3"] = f"""
 SELECT o_orderkey, epoch_ms(o_orderdate) // 1000 AS o_orderdate_s,
        o_orderpriority,

@@ -334,3 +334,277 @@ def q14_promo_revenue_share(
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .agg(((F.lit(100.0) * promo) / total).alias("promo_revenue_pct"))
     )
+
+
+def q7_nation_trade(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_a: str = "NATION_1",
+    nation_b: str = "NATION_2",
+    date_from: str = "1996-01-01",
+    date_to: str = "1998-01-01",
+) -> DataFrame:
+    """Q7 shape — volume shipping between two nations: revenue per
+    (supplier nation, customer nation, ship year) for the two
+    directed pairs. The nation filter is applied to BOTH dims before
+    any fact touch, so customer/supplier shrink to 2/25ths and
+    broadcast; orders is pre-pruned by the broadcast customer join
+    (semi-selective) before the one fact-fact shuffle with lineitem
+    on l_orderkey. Year extraction is on the already-joined rows.
+
+    At 100 TB: the dims stay broadcast (2 nations of customers
+    still ≪ fact); if they ever cross the threshold AQE degrades
+    that edge to shuffle while the orderkey exchange is unchanged."""
+    nat = nation.where(F.col("n_name").isin(nation_a, nation_b)).select(
+        "n_nationkey", "n_name"
+    )
+    cust = customer.join(
+        F.broadcast(nat), customer.c_nationkey == nat.n_nationkey
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    supp = supplier.join(
+        F.broadcast(nat), supplier.s_nationkey == nat.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    li = lineitem.where(
+        (F.col("l_shipdate") >= _ts(date_from)) & (F.col("l_shipdate") < _ts(date_to))
+    ).select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    ords = orders.select("o_orderkey", "o_custkey").join(
+        F.broadcast(cust), F.col("o_custkey") == cust.c_custkey
+    )
+    return (
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(fixed_sum(_revenue_term(), 4, "revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q8_market_share(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    part: DataFrame,
+    region_name: str = "ASIA",
+    target_nation: str = "NATION_3",
+    part_type: str = "ECONOMY",
+    date_from: str = "1996-01-01",
+    date_to: str = "1998-01-01",
+) -> DataFrame:
+    """Q8 shape — national market share: of all revenue for one part
+    type sold to customers in one region over two years, what share
+    was supplied by one nation, per order year. Every dimension
+    (part filtered to a type, customers of one region, suppliers
+    with their nation name) broadcasts into the orders⋈lineitem
+    spine; numerator and denominator fold in one conditional
+    fixed-sum pass per year, then a single IEEE divide — no second
+    scan of the facts."""
+    reg_nat = nation.join(
+        F.broadcast(region.where(F.col("r_name") == region_name)),
+        nation.n_regionkey == F.col("r_regionkey"),
+    ).select("n_nationkey")
+    cust = customer.join(
+        F.broadcast(reg_nat), customer.c_nationkey == F.col("n_nationkey")
+    ).select("c_custkey")
+    supp = supplier.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        supplier.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    prt = part.where(F.col("p_type") == part_type).select("p_partkey")
+    ords = orders.where(
+        (F.col("o_orderdate") >= _ts(date_from)) & (F.col("o_orderdate") < _ts(date_to))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    rev = _revenue_term()
+    target = fixed_sum(
+        F.when(F.col("supp_nation") == target_nation, rev).otherwise(F.lit(0.0)), 4
+    )
+    total = fixed_sum(rev, 4)
+    return (
+        lineitem.select(
+            "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+        )
+        .join(F.broadcast(prt), F.col("l_partkey") == prt.p_partkey)
+        .join(ords, F.col("l_orderkey") == ords.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg((target / total).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+def q9_product_profit(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    part: DataFrame,
+    name_like: str = "%bolt%",
+    cost_rate: float = 0.1,
+) -> DataFrame:
+    """Q9 shape — product-type profit by nation and year, adapted to
+    the fixture (no partsupp.ps_supplycost): unit cost is modeled as
+    ``cost_rate × p_retailprice``, so profit =
+    rev − cost_rate × p_retailprice × l_quantity. part (LIKE-
+    filtered) and supplier⋈nation broadcast; the only shuffle is
+    lineitem⋈orders on l_orderkey (needed for the order year) plus
+    the final (nation, year) aggregate. The LIKE predicate is
+    evaluated on the broadcast build side — the fact scan never
+    materializes part columns."""
+    prt = part.where(F.col("p_name").like(name_like)).select(
+        "p_partkey", "p_retailprice"
+    )
+    supp = supplier.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        supplier.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("n_name").alias("nation"))
+    ords = orders.select("o_orderkey", "o_orderdate")
+    amount = _revenue_term() - F.lit(cost_rate) * F.col("p_retailprice") * F.col(
+        "l_quantity"
+    )
+    return (
+        lineitem.select(
+            "l_orderkey", "l_partkey", "l_suppkey",
+            "l_quantity", "l_extendedprice", "l_discount",
+        )
+        .join(F.broadcast(prt), F.col("l_partkey") == prt.p_partkey)
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(ords, F.col("l_orderkey") == ords.o_orderkey)
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(fixed_sum(amount, 4, "sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+def q15_top_supplier(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-04-01",
+) -> DataFrame:
+    """Q15 shape — top supplier(s) by quarterly revenue: aggregate
+    lineitem per supplier, keep the max-revenue row(s), decorate
+    with supplier attributes. The scalar max is computed once from
+    the (tiny) aggregate and broadcast back as a cross-join of one
+    row — the fixture-safe version of TPC-H's correlated view; ties
+    all surface, ordered by key. Fixed-point revenue makes the
+    equality-with-max comparison exact (descaled longs, not float
+    noise)."""
+    rev = (
+        lineitem.where(
+            (F.col("l_shipdate") >= _ts(date_from)) & (F.col("l_shipdate") < _ts(date_to))
+        )
+        .groupBy("l_suppkey")
+        .agg(fixed_sum(_revenue_term(), 4, "total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        rev.join(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(supplier.select("s_suppkey", "s_name")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def q17_small_quantity_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    brand: str = "Brand#11",
+    max_size: int = 10,
+    qty_frac: float = 0.2,
+    years: float = 7.0,
+) -> DataFrame:
+    """Q17 shape — small-lot revenue for one brand of small parts
+    (container column absent → p_size cap stands in): lineitems
+    whose quantity is below ``qty_frac`` × that part's average
+    quantity. The target-part list broadcasts FIRST, so the per-part
+    average aggregates only the ~brand-sized slice of lineitem, not
+    the whole fact — the classic correlated subquery decorrelated as
+    agg + self-join on the pruned subset. Quantities are integral
+    doubles: the per-part mean (exact sum / count) and the 0.2×
+    threshold are bit-deterministic."""
+    tp = part.where(
+        (F.col("p_brand") == brand) & (F.col("p_size") <= max_size)
+    ).select("p_partkey")
+    li_t = lineitem.select("l_partkey", "l_quantity", "l_extendedprice").join(
+        F.broadcast(tp), F.col("l_partkey") == tp.p_partkey
+    )
+    thresholds = li_t.groupBy("l_partkey").agg(
+        (F.lit(qty_frac) * (F.sum("l_quantity") / F.count(F.lit(1)))).alias("qty_cap")
+    ).withColumnRenamed("l_partkey", "t_partkey")
+    return (
+        li_t.join(F.broadcast(thresholds), F.col("l_partkey") == F.col("t_partkey"))
+        .where(F.col("l_quantity") < F.col("qty_cap"))
+        .agg((fixed_sum(F.col("l_extendedprice"), 2) / F.lit(years)).alias("avg_yearly"))
+    )
+
+
+def q18_large_volume_customers(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    qty_threshold: int = 280,
+    k: int = 100,
+) -> DataFrame:
+    """Q18 shape — large-volume ("top spender") customers: orders
+    whose total lineitem quantity exceeds the threshold, with their
+    customer. The HAVING filter collapses lineitem to per-order
+    sums map-side first; the surviving key set is tiny (top ~1% of
+    orders) and broadcasts into orders, which then broadcasts into
+    customer — after the first partial aggregate nothing big moves.
+    Output keeps the raw o_totalprice column (no arithmetic → no
+    rounding concern) and epoch-seconds order date."""
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").cast("bigint").alias("sum_qty"))
+        .where(F.col("sum_qty") > qty_threshold)
+    )
+    big_orders = orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+    return (
+        customer.select("c_custkey", "c_name")
+        .join(F.broadcast(big_orders), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey", "c_name", "o_orderkey",
+            F.unix_seconds("o_orderdate").alias("o_orderdate_s"),
+            "o_totalprice", "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(k)
+    )
+
+
+def q19_disjunctive_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Q19 shape — three-arm disjunctive brand/size/quantity
+    predicate (container/shipmode absent → size bands stand in).
+    The whole OR-of-ANDs evaluates inside one broadcast hash join:
+    part broadcasts pruned to (key, brand, size), the disjunction
+    runs as the join residual in whole-stage codegen, and one global
+    fixed sum comes back. No union-of-three-scans — one pass."""
+    p = part.select("p_partkey", "p_brand", "p_size")
+    li = lineitem.select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    arm1 = (
+        (F.col("p_brand") == "Brand#12") & (F.col("p_size").between(1, 15))
+        & (F.col("l_quantity").between(1.0, 11.0))
+    )
+    arm2 = (
+        (F.col("p_brand") == "Brand#23") & (F.col("p_size").between(1, 25))
+        & (F.col("l_quantity").between(10.0, 20.0))
+    )
+    arm3 = (
+        (F.col("p_brand") == "Brand#14") & (F.col("p_size").between(1, 35))
+        & (F.col("l_quantity").between(20.0, 30.0))
+    )
+    return j.where(arm1 | arm2 | arm3).agg(
+        fixed_sum(_revenue_term(), 4, "revenue")
+    )

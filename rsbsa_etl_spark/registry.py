@@ -1320,6 +1320,78 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsbsa_etl_spark.plans import tpch
+
+    return tpch.q7_nation_trade(
+        load(spark, sf_dir, "customer"),
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "lineitem"),
+        load(spark, sf_dir, "supplier"),
+        load(spark, sf_dir, "nation"),
+    )
+
+
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsbsa_etl_spark.plans import tpch
+
+    return tpch.q8_market_share(
+        load(spark, sf_dir, "customer"),
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "lineitem"),
+        load(spark, sf_dir, "supplier"),
+        load(spark, sf_dir, "nation"),
+        load(spark, sf_dir, "region"),
+        load(spark, sf_dir, "part"),
+    )
+
+
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsbsa_etl_spark.plans import tpch
+
+    return tpch.q9_product_profit(
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "lineitem"),
+        load(spark, sf_dir, "supplier"),
+        load(spark, sf_dir, "nation"),
+        load(spark, sf_dir, "part"),
+    )
+
+
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsbsa_etl_spark.plans import tpch
+
+    return tpch.q15_top_supplier(
+        load(spark, sf_dir, "lineitem"), load(spark, sf_dir, "supplier")
+    )
+
+
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsbsa_etl_spark.plans import tpch
+
+    return tpch.q17_small_quantity_revenue(
+        load(spark, sf_dir, "lineitem"), load(spark, sf_dir, "part")
+    )
+
+
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsbsa_etl_spark.plans import tpch
+
+    return tpch.q18_large_volume_customers(
+        load(spark, sf_dir, "customer"),
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "lineitem"),
+    )
+
+
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsbsa_etl_spark.plans import tpch
+
+    return tpch.q19_disjunctive_revenue(
+        load(spark, sf_dir, "lineitem"), load(spark, sf_dir, "part")
+    )
+
+
 def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rsbsa_etl_spark.operators.joins import cross_pairs
 
@@ -1506,7 +1578,14 @@ QUERIES: dict[str, QueryFn] = {
     "tpch_q4": tpch_q4,
     "tpch_q5": tpch_q5,
     "tpch_q6": tpch_q6,
+    "tpch_q7": tpch_q7,
+    "tpch_q8": tpch_q8,
+    "tpch_q9": tpch_q9,
     "tpch_q10": tpch_q10,
+    "tpch_q15": tpch_q15,
+    "tpch_q17": tpch_q17,
+    "tpch_q18": tpch_q18,
+    "tpch_q19": tpch_q19,
     "tpch_q12": tpch_q12,
     "tpch_q13": tpch_q13,
     "tpch_q14": tpch_q14,
