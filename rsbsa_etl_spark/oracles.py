@@ -1992,6 +1992,138 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
        AND l_quantity BETWEEN 20.0 AND 30.0)
 """
 
+ORACLES["tpch_q2"] = """
+WITH pairs AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+), prt AS (
+  SELECT p_partkey, p_name FROM part
+  WHERE p_type = 'LARGE' AND p_size <= 25
+), supp AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+), ranked AS (
+  SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+         row_number() OVER (PARTITION BY p_partkey
+                            ORDER BY s_acctbal ASC, s_suppkey ASC) AS rn
+  FROM pairs
+  JOIN prt ON l_partkey = p_partkey
+  JOIN supp ON l_suppkey = s_suppkey
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+FROM ranked WHERE rn = 1
+ORDER BY s_acctbal DESC, p_partkey ASC LIMIT 100
+"""
+
+ORACLES["tpch_q11"] = f"""
+WITH per_part AS (
+  SELECT l_partkey AS p_partkey,
+         {sql_sum_fixed("l_quantity * p_retailprice", 2)} AS stock_value
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN part ON l_partkey = part.p_partkey
+  WHERE n_name = 'NATION_1'
+  GROUP BY l_partkey
+), totals AS (
+  SELECT sum(stock_value) AS total_value, count(*) AS n_parts FROM per_part
+)
+SELECT p_partkey, stock_value
+FROM per_part, totals
+WHERE stock_value > (2.0 * total_value) / n_parts
+ORDER BY stock_value DESC, p_partkey ASC
+"""
+
+ORACLES["tpch_q16"] = """
+WITH pairs AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+)
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM pairs
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#25'
+  AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
+"""
+
+ORACLES["tpch_q20"] = """
+WITH li AS (
+  SELECT l_partkey, l_suppkey, l_quantity
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE '%bolt%'
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'
+), per_pair AS (
+  SELECT l_partkey, l_suppkey, sum(l_quantity) AS supp_qty
+  FROM li GROUP BY l_partkey, l_suppkey
+), per_part AS (
+  SELECT l_partkey, sum(l_quantity) AS part_qty
+  FROM li GROUP BY l_partkey
+), dominant AS (
+  SELECT DISTINCT l_suppkey
+  FROM per_pair JOIN per_part USING (l_partkey)
+  WHERE supp_qty > 0.5 * part_qty
+)
+SELECT s_suppkey, s_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_1'
+  AND s_suppkey IN (SELECT l_suppkey FROM dominant)
+ORDER BY s_suppkey
+"""
+
+ORACLES["tpch_q21"] = """
+WITH li AS (
+  SELECT l_orderkey, l_suppkey, l_shipdate
+  FROM lineitem
+  WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+), per_order AS (
+  SELECT l_orderkey, max(l_shipdate) AS mx,
+         count(DISTINCT l_suppkey) AS nsupp
+  FROM li GROUP BY l_orderkey
+), at_max AS (
+  SELECT DISTINCT li.l_orderkey, l_suppkey, nsupp
+  FROM li JOIN per_order ON li.l_orderkey = per_order.l_orderkey
+  WHERE l_shipdate = mx
+), sole AS (
+  SELECT l_orderkey, nsupp, count(*) AS n_at_max,
+         min(l_suppkey) AS the_supp
+  FROM at_max GROUP BY l_orderkey, nsupp
+)
+SELECT s_name, count(*) AS numwait
+FROM sole
+JOIN supplier ON the_supp = s_suppkey
+WHERE n_at_max = 1 AND nsupp > 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC LIMIT 100
+"""
+
+ORACLES["tpch_q22"] = f"""
+WITH avg_bal AS (
+  SELECT ({sql_sum_fixed("c_acctbal", 2)}) / count(*) AS ab
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT right(c_name, 2) AS cntrycode,
+       count(*) AS numcust,
+       {sql_sum_fixed("c_acctbal", 2)} AS totacctbal
+FROM customer, avg_bal
+WHERE right(c_name, 2) IN ('13', '31', '23', '29', '30', '18', '17')
+  AND c_acctbal > ab
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey
+      AND o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY cntrycode
+ORDER BY cntrycode
+"""
+
 ORACLES["tpch_q3"] = f"""
 SELECT o_orderkey, epoch_ms(o_orderdate) // 1000 AS o_orderdate_s,
        o_orderpriority,

@@ -25,7 +25,7 @@ order-independent and oracle-exact.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from rsbsa_etl_spark.functions.numeric import fixed_sum
 
@@ -607,4 +607,276 @@ def q19_disjunctive_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
     )
     return j.where(arm1 | arm2 | arm3).agg(
         fixed_sum(_revenue_term(), 4, "revenue")
+    )
+
+
+def q2_min_cost_supplier(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    region_name: str = "ASIA",
+    part_type: str = "LARGE",
+    max_size: int = 25,
+    k: int = 100,
+) -> DataFrame:
+    """Q2 shape — best supplier per part, adapted (no partsupp):
+    the supply relation is derived as DISTINCT (l_partkey,
+    l_suppkey) pairs from lineitem, and "cost" is the supplier's
+    account balance (pick the minimum; ties break on s_suppkey).
+    The pair-derivation is the one honest big shuffle (distinct on
+    the fact); suppliers-in-region and the filtered part list both
+    broadcast, and the per-part argmin is a window row_number over
+    the already-pruned pair set — partitioned by p_partkey, so it
+    scales with parts per region, never a global sort."""
+    pairs = lineitem.select("l_partkey", "l_suppkey").distinct()
+    prt = part.where(
+        (F.col("p_type") == part_type) & (F.col("p_size") <= max_size)
+    ).select("p_partkey", "p_name")
+    reg_nat = nation.join(
+        F.broadcast(region.where(F.col("r_name") == region_name)),
+        nation.n_regionkey == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    supp = supplier.join(
+        F.broadcast(reg_nat), supplier.s_nationkey == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    w = Window.partitionBy("p_partkey").orderBy(
+        F.col("s_acctbal").asc(), F.col("s_suppkey").asc()
+    )
+    return (
+        pairs.join(F.broadcast(prt), pairs.l_partkey == prt.p_partkey)
+        .join(F.broadcast(supp), pairs.l_suppkey == F.col("s_suppkey"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
+        .orderBy(F.col("s_acctbal").desc(), F.col("p_partkey").asc())
+        .limit(k)
+    )
+
+
+def q11_important_stock(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_name: str = "NATION_1",
+    over_avg: float = 2.0,
+) -> DataFrame:
+    """Q11 shape — important-stock identification, adapted (no
+    ps_availqty/supplycost): per-part "stock value" is
+    Σ l_quantity × p_retailprice over lineitems supplied by one
+    nation's suppliers; keep parts whose value exceeds
+    ``over_avg`` × the average per-part value. The scale-free
+    threshold (vs TPC-H's fixed fraction) keeps the result
+    non-degenerate at every SF. Suppliers-of-nation and part price
+    broadcast; one shuffle aggregates per part; the scalar
+    (total, n_parts) broadcasts back as a 1-row join — no second
+    scan of the fact."""
+    supp = supplier.join(
+        F.broadcast(nation.where(F.col("n_name") == nation_name)),
+        supplier.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    per_part = (
+        lineitem.select("l_partkey", "l_suppkey", "l_quantity")
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(
+            F.broadcast(part.select("p_partkey", "p_retailprice")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_partkey")
+        .agg(fixed_sum(F.col("l_quantity") * F.col("p_retailprice"), 2, "stock_value"))
+    )
+    totals = per_part.agg(
+        F.sum("stock_value").alias("total_value"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    return (
+        per_part.join(F.broadcast(totals))
+        .where(
+            F.col("stock_value")
+            > (F.lit(over_avg) * F.col("total_value")) / F.col("n_parts")
+        )
+        .select("p_partkey", "stock_value")
+        .orderBy(F.col("stock_value").desc(), F.col("p_partkey").asc())
+    )
+
+
+def q16_supplier_count_by_part(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    excl_brand: str = "Brand#25",
+    excl_type: str = "PROMO",
+    sizes: tuple = (1, 4, 9, 14, 19, 23, 36, 45),
+) -> DataFrame:
+    """Q16 shape — supplier breadth per part segment, adapted: the
+    part-supplier relation derives from DISTINCT lineitem pairs;
+    "complaint" suppliers (the NOT IN subquery) are modeled as
+    negative-balance suppliers and removed with a broadcast anti
+    join. count(DISTINCT l_suppkey) per (brand, type, size) then
+    runs on the pruned pair set — the distinct-pair shuffle is the
+    only fact-sized exchange."""
+    pairs = lineitem.select("l_partkey", "l_suppkey").distinct()
+    prt = part.where(
+        (F.col("p_brand") != excl_brand)
+        & (F.col("p_type") != excl_type)
+        & (F.col("p_size").isin(*[int(s) for s in sizes]))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = supplier.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        pairs.join(F.broadcast(prt), pairs.l_partkey == prt.p_partkey)
+        .join(F.broadcast(bad), pairs.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(),
+            F.col("p_brand").asc(),
+            F.col("p_type").asc(),
+            F.col("p_size").asc(),
+        )
+    )
+
+
+def q20_dominant_suppliers(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_name: str = "NATION_1",
+    name_like: str = "%bolt%",
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+    share: float = 0.5,
+) -> DataFrame:
+    """Q20 shape — suppliers holding excess share, adapted (no
+    ps_availqty): a supplier qualifies if it shipped more than
+    ``share`` of some bolt-class part's total quantity in the year
+    — the "dominant supplier" rewrite of the availqty > ½·shipped
+    test. One pass builds per-(part, supplier) and per-part sums
+    from the same pruned scan (partial aggs share the shuffle key
+    prefix); the share filter joins them on p_partkey; the
+    surviving supplier set is tiny and semi-joins the
+    nation-filtered supplier dim. Quantity sums are exact integral
+    doubles — the share comparison is bit-stable."""
+    prt = part.where(F.col("p_name").like(name_like)).select("p_partkey")
+    li = (
+        lineitem.where(
+            (F.col("l_shipdate") >= _ts(date_from)) & (F.col("l_shipdate") < _ts(date_to))
+        )
+        .select("l_partkey", "l_suppkey", "l_quantity")
+        .join(F.broadcast(prt), F.col("l_partkey") == prt.p_partkey)
+    )
+    per_pair = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("supp_qty")
+    )
+    per_part = li.groupBy("l_partkey").agg(F.sum("l_quantity").alias("part_qty")).withColumnRenamed("l_partkey", "t_partkey")
+    dominant = (
+        per_pair.join(F.broadcast(per_part), F.col("l_partkey") == F.col("t_partkey"))
+        .where(F.col("supp_qty") > F.lit(share) * F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supplier.join(
+            F.broadcast(nation.where(F.col("n_name") == nation_name)),
+            supplier.s_nationkey == F.col("n_nationkey"),
+        )
+        .join(F.broadcast(dominant), supplier.s_suppkey == dominant.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+def q21_waiting_suppliers(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    k: int = 100,
+) -> DataFrame:
+    """Q21 shape — suppliers who kept finished orders waiting,
+    adapted (no commit/receipt dates): in multi-supplier orders
+    with status 'F', find the orders where exactly ONE supplier
+    shipped last (the unique max l_shipdate holder) and count such
+    orders per supplier. All three per-order reductions (max
+    shipdate, distinct-supplier count, the at-max supplier set)
+    group on l_orderkey, so the whole query is ONE shuffle key —
+    Spark reuses the exchange across the aggregates; the final
+    per-supplier count is a tiny second aggregate decorated by a
+    broadcast supplier join."""
+    li = (
+        lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(
+            orders.where(F.col("o_orderstatus") == "F").select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left_semi",
+        )
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("mx"),
+        F.countDistinct("l_suppkey").alias("nsupp"),
+    )
+    at_max = (
+        li.join(F.broadcast(per_order), "l_orderkey")
+        .where(F.col("l_shipdate") == F.col("mx"))
+        .select("l_orderkey", "l_suppkey", "nsupp")
+        .distinct()
+    )
+    sole = (
+        at_max.groupBy("l_orderkey", "nsupp")
+        .agg(
+            F.count(F.lit(1)).alias("n_at_max"),
+            F.min("l_suppkey").alias("the_supp"),
+        )
+        .where((F.col("n_at_max") == 1) & (F.col("nsupp") > 1))
+    )
+    return (
+        sole.groupBy("the_supp")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            F.col("the_supp") == F.col("s_suppkey"),
+        )
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(k)
+    )
+
+
+def q22_dormant_customers(
+    customer: DataFrame,
+    orders: DataFrame,
+    codes: tuple = ("13", "31", "23", "29", "30", "18", "17"),
+    since: str = "1999-01-01",
+) -> DataFrame:
+    """Q22 shape — global sales opportunity, adapted: customers in
+    selected "country code" segments (last two digits of c_name —
+    the fixture has no phone column) with above-average positive
+    balance and NO orders since the cutoff (every fixture customer
+    has old orders, so the official no-orders-ever test would be
+    empty). The positive-balance average broadcasts as a 1-row
+    scalar; dormancy is a shuffled LEFT ANTI against date-pruned
+    orders (the exists-set is fact-sized — anti join on the key is
+    the honest plan); the final rollup groups a handful of codes.
+    Balances are 2-dp doubles: the fixed-sum average and the
+    comparison are exact."""
+    code = F.expr("right(c_name, 2)")
+    cust = customer.select(
+        "c_custkey", code.alias("cntrycode"), "c_acctbal"
+    ).where(F.col("cntrycode").isin(*list(codes)))
+    avg_bal = (
+        customer.where(F.col("c_acctbal") > 0.0)
+        .agg((fixed_sum(F.col("c_acctbal"), 2) / F.count(F.lit(1))).alias("avg_bal"))
+    )
+    recent = orders.where(F.col("o_orderdate") >= _ts(since)).select("o_custkey")
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            fixed_sum(F.col("c_acctbal"), 2, "totacctbal"),
+        )
+        .orderBy("cntrycode")
     )

@@ -1392,6 +1392,68 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsbsa_etl_spark.plans import tpch
+
+    return tpch.q2_min_cost_supplier(
+        load(spark, sf_dir, "lineitem"),
+        load(spark, sf_dir, "part"),
+        load(spark, sf_dir, "supplier"),
+        load(spark, sf_dir, "nation"),
+        load(spark, sf_dir, "region"),
+    )
+
+
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsbsa_etl_spark.plans import tpch
+
+    return tpch.q11_important_stock(
+        load(spark, sf_dir, "lineitem"),
+        load(spark, sf_dir, "part"),
+        load(spark, sf_dir, "supplier"),
+        load(spark, sf_dir, "nation"),
+    )
+
+
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsbsa_etl_spark.plans import tpch
+
+    return tpch.q16_supplier_count_by_part(
+        load(spark, sf_dir, "lineitem"),
+        load(spark, sf_dir, "part"),
+        load(spark, sf_dir, "supplier"),
+    )
+
+
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsbsa_etl_spark.plans import tpch
+
+    return tpch.q20_dominant_suppliers(
+        load(spark, sf_dir, "lineitem"),
+        load(spark, sf_dir, "part"),
+        load(spark, sf_dir, "supplier"),
+        load(spark, sf_dir, "nation"),
+    )
+
+
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsbsa_etl_spark.plans import tpch
+
+    return tpch.q21_waiting_suppliers(
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "lineitem"),
+        load(spark, sf_dir, "supplier"),
+    )
+
+
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsbsa_etl_spark.plans import tpch
+
+    return tpch.q22_dormant_customers(
+        load(spark, sf_dir, "customer"), load(spark, sf_dir, "orders")
+    )
+
+
 def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rsbsa_etl_spark.operators.joins import cross_pairs
 
@@ -1574,6 +1636,7 @@ QUERIES: dict[str, QueryFn] = {
     "shuffle_shards": shuffle_shards,
     "mix_interleave": mix_interleave,
     "tpch_q1": tpch_q1,
+    "tpch_q2": tpch_q2,
     "tpch_q3": tpch_q3,
     "tpch_q4": tpch_q4,
     "tpch_q5": tpch_q5,
@@ -1582,13 +1645,18 @@ QUERIES: dict[str, QueryFn] = {
     "tpch_q8": tpch_q8,
     "tpch_q9": tpch_q9,
     "tpch_q10": tpch_q10,
-    "tpch_q15": tpch_q15,
-    "tpch_q17": tpch_q17,
-    "tpch_q18": tpch_q18,
-    "tpch_q19": tpch_q19,
+    "tpch_q11": tpch_q11,
     "tpch_q12": tpch_q12,
     "tpch_q13": tpch_q13,
     "tpch_q14": tpch_q14,
+    "tpch_q15": tpch_q15,
+    "tpch_q16": tpch_q16,
+    "tpch_q17": tpch_q17,
+    "tpch_q18": tpch_q18,
+    "tpch_q19": tpch_q19,
+    "tpch_q20": tpch_q20,
+    "tpch_q21": tpch_q21,
+    "tpch_q22": tpch_q22,
     "vocab_coverage": vocab_coverage,
     "dedup_containment": dedup_containment,
     "snapshot_diff": snapshot_diff,
