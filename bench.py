@@ -107,6 +107,7 @@ HEADLINE = [
     "tpch_q10",
     "tpch_q11",
     "tpch_q15",
+    "tpch_q16",
     "tpch_q17",
     "tpch_q18",
     "tpch_q19",
