@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from rsbsa_etl_spark.functions.numeric import dec_round
+from rsbsa_etl_spark.functions.numeric import dec_round, fixed_sum
 from rsbsa_etl_spark.operators.aggregates import decimal_sum
 
 
@@ -751,4 +751,99 @@ def cumulative_distinct(events: DataFrame) -> DataFrame:
         "event_id",
         "user_id",
         F.sum("is_first").over(w_cum).cast("long").alias("n_types_seen"),
+    )
+
+
+def outlier_mad(events: DataFrame, k: float = 3.0) -> DataFrame:
+    """robust outlier flagging via median / MAD (median absolute
+    deviation) per event type — the heavy-tail-safe complement of
+    ``outlier_zscore``: one extreme value shifts a mean/stddev gate
+    but leaves the median gate untouched.
+
+    Exactness: medians use the continuous-interpolation percentile
+    both engines share, quantized to 6 dp before any arithmetic so
+    the deviation column is built from identical doubles; the
+    robust z divides by the Hampel-scaled MAD (×1.4826), all
+    correctly-rounded IEEE ops.
+
+    Scale shape: two aggregates on the same event_type key (median,
+    then median-of-deviations) — group cardinality is tiny, so both
+    land in one reduce each and broadcast back; the fact scan is
+    read once per pass. Exact per-group medians need a group sort;
+    for hot keys at 100 TB swap in approx_percentile and keep the
+    same gate."""
+    med = events.groupBy("event_type").agg(
+        dec_round(F.percentile("value", F.lit(0.5)), 6).alias("med")
+    )
+    dev = events.join(F.broadcast(med), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        dec_round(F.percentile("adev", F.lit(0.5)), 6).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .where((F.col("mad") > 0.0) & (F.col("adev") > F.lit(k) * F.col("mad")))
+        .select(
+            "event_id",
+            "event_type",
+            dec_round(F.col("value"), 4).alias("value_r"),
+            dec_round(
+                F.col("adev") / (F.lit(1.4826) * F.col("mad")), 6
+            ).alias("robust_z"),
+        )
+    )
+
+
+def supplier_hhi(
+    lineitem: DataFrame, supplier: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """market-concentration audit: the Herfindahl–Hirschman index of
+    supplier revenue shares within each supplier nation, plus the
+    share of the single largest supplier — the "is this segment
+    dominated by one vendor" readout.
+
+    Exactness without float-sum drift: per-supplier revenue is
+    accumulated as cent-scaled LONGS (order-independent), the share
+    is one long÷long → double divide, and Σ share² re-quantizes at
+    8 dp before its long sum — every step bit-identical in the
+    oracle.
+
+    Scale shape: the fact shuffles ONCE to (nation, supplier)
+    partials; everything after runs on supplier-cardinality data
+    (orders of magnitude smaller), where the per-nation total is a
+    window over few-per-group rows and the final rollup groups ~25
+    nations. No second fact scan, no driver collect."""
+    supp = supplier.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        supplier.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", "n_name")
+    rev_cents = F.floor(
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))) * F.lit(100.0)
+        + F.lit(0.5)
+    ).cast("long")
+    per_supp = (
+        lineitem.select("l_suppkey", "l_extendedprice", "l_discount")
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .groupBy("n_name", "l_suppkey")
+        .agg(F.sum(rev_cents).alias("ri"))
+    )
+    w = Window.partitionBy("n_name")
+    shared = per_supp.select(
+        "n_name",
+        (F.col("ri").cast("double") / F.sum("ri").over(w).cast("double")).alias(
+            "share"
+        ),
+    )
+    return (
+        shared.groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            fixed_sum(F.col("share") * F.col("share"), 8, "hhi"),
+            dec_round(F.max("share"), 8).alias("top_share"),
+        )
+        .orderBy("n_name")
     )

@@ -1597,6 +1597,47 @@ SELECT event_id, event_type,
 FROM z WHERE zs >= 2.0 OR zs <= -2.0
 """
 
+ORACLES["outlier_mad"] = f"""
+WITH med AS (
+  SELECT event_type, {_dec("quantile_cont(value, 0.5)", 6)} AS med
+  FROM events GROUP BY event_type
+), dev AS (
+  SELECT event_id, events.event_type, value,
+         abs(CAST(value AS DOUBLE) - med) AS adev
+  FROM events JOIN med USING (event_type)
+), mad AS (
+  SELECT event_type, {_dec("quantile_cont(adev, 0.5)", 6)} AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT event_id, dev.event_type,
+       {_dec("value", 4)} AS value_r,
+       {_dec("adev / (1.4826 * mad)", 6)} AS robust_z
+FROM dev JOIN mad USING (event_type)
+WHERE mad > 0.0 AND adev > 3.0 * mad
+"""
+
+ORACLES["hhi_concentration"] = f"""
+WITH per_supp AS (
+  SELECT n_name, l_suppkey,
+         sum(CAST(floor(CAST(l_extendedprice * (1.0 - l_discount) AS DOUBLE)
+                        * 100.0 + 0.5) AS BIGINT)) AS ri
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY n_name, l_suppkey
+), shared AS (
+  SELECT n_name,
+         CAST(ri AS DOUBLE)
+         / CAST(sum(ri) OVER (PARTITION BY n_name) AS DOUBLE) AS share
+  FROM per_supp
+)
+SELECT n_name, count(*) AS n_suppliers,
+       {sql_sum_fixed("share * share", 8)} AS hhi,
+       {_dec("max(share)", 8)} AS top_share
+FROM shared GROUP BY n_name
+ORDER BY n_name
+"""
+
 ORACLES["corr_groups"] = f"""
 WITH q AS (
   SELECT l_returnflag,

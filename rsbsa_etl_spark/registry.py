@@ -1454,6 +1454,22 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsbsa_etl_spark.operators.analytics import outlier_mad as _mad
+
+    return _mad(load(spark, sf_dir, "events"))
+
+
+def hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsbsa_etl_spark.operators.analytics import supplier_hhi
+
+    return supplier_hhi(
+        load(spark, sf_dir, "lineitem"),
+        load(spark, sf_dir, "supplier"),
+        load(spark, sf_dir, "nation"),
+    )
+
+
 def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rsbsa_etl_spark.operators.joins import cross_pairs
 
@@ -1625,6 +1641,8 @@ QUERIES: dict[str, QueryFn] = {
     "profile_stats": profile_stats,
     "group_mode": group_mode,
     "outlier_zscore": outlier_zscore,
+    "outlier_mad": outlier_mad,
+    "hhi_concentration": hhi_concentration,
     "corr_groups": corr_groups,
     "events_funnel": events_funnel,
     "retention_cohort": retention_cohort,
