@@ -97,6 +97,8 @@ HEADLINE = [
     "embedding_quantize",
     "tpch_q1",
     "tpch_q2",
+    "outlier_mad",
+    "hhi_concentration",
     "tpch_q3",
     "tpch_q4",
     "tpch_q5",
