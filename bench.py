@@ -99,6 +99,7 @@ HEADLINE = [
     "tpch_q2",
     "outlier_mad",
     "hhi_concentration",
+    "embedding_pq",
     "tpch_q3",
     "tpch_q4",
     "tpch_q5",

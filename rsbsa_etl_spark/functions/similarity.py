@@ -22,7 +22,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from rsbsa_etl_spark.functions.numeric import dec_round
+from rsbsa_etl_spark.functions.numeric import dec_round, fixed_sum
 from rsbsa_etl_spark.params import (
     ANN_QUERY_IDS,
     ANN_TOP_K,
@@ -30,6 +30,8 @@ from rsbsa_etl_spark.params import (
     IVF_CENTROIDS,
     IVF_NPROBE,
     LSH_SIGN_DIMS,
+    PQ_CODEWORDS,
+    PQ_SUBSPACES,
 )
 
 
@@ -422,4 +424,62 @@ def quantize_int8(embeddings: DataFrame) -> DataFrame:
                 "q_md5"
             ),
         )
+    )
+
+
+def pq_codes(
+    emb: DataFrame,
+    m: int = PQ_SUBSPACES,
+    k: int = PQ_CODEWORDS,
+    dims: int = 64,
+) -> DataFrame:
+    """product quantization — the memory-compression half of a
+    billion-scale ANN index (IVF-PQ): each vector splits into ``m``
+    subvectors, each subvector snaps to its nearest of ``k``
+    per-subspace codewords (seeded deterministically from the first
+    ``k`` vectors, matching the IVF iteration-0 convention), and the
+    vector is stored as ``m`` small codes (here 4×4 bits ≈ 2 bytes
+    vs 256 bytes raw). Emits the per-subspace codes plus the total
+    reconstruction error — the quality metric that drives codebook
+    size choices.
+
+    Plan shape: codebooks derive from a filtered self-scan
+    (vec_id < k) and BROADCAST; the corpus explodes to m subvector
+    rows, folds the k-candidate argmin per row (row_number over a
+    (vec_id, sub_id) window — partition-local after one shuffle),
+    and regroups to one row per vector. At 100 TB the corpus is
+    touched twice (explode + regroup) with only narrow columns in
+    flight; the codebook side is O(k·m) and never shuffles.
+
+    Determinism: distances are double folds in fixed element order;
+    the regrouped error re-quantizes each subspace distance to a
+    long before summing (order-independent); ties in the argmin
+    break on codeword id."""
+    sub = dims // m
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    e = emb.select("vec_id", v.alias("v"))
+    slices = F.array(*[F.slice("v", j * sub + 1, sub) for j in range(m)])
+    subs = e.select("vec_id", F.posexplode(slices).alias("sub_id", "sv"))
+    seeds = subs.where(F.col("vec_id") < k).select(
+        F.col("sub_id").alias("c_sub"), F.col("vec_id").alias("cid"),
+        F.col("sv").alias("cv"),
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("sv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = subs.join(F.broadcast(seeds), F.col("sub_id") == F.col("c_sub")).select(
+        "vec_id", "sub_id", "cid", d2.alias("d2")
+    )
+    w = Window.partitionBy("vec_id", "sub_id").orderBy(F.col("d2").asc(), F.col("cid").asc())
+    best = scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    code_cols = [
+        F.max(F.when(F.col("sub_id") == j, F.col("cid"))).alias(f"code{j}")
+        for j in range(m)
+    ]
+    return (
+        best.groupBy("vec_id")
+        .agg(*code_cols, fixed_sum(F.col("d2"), 6, "recon_err"))
+        .orderBy("vec_id")
     )

@@ -1072,6 +1072,38 @@ ORACLES["ann_lsh"] = _ann_sql(bucketed=True)
 
 ORACLES["ann_ivf"] = _ivf_sql()
 
+ORACLES["embedding_pq"] = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), sub AS (
+  SELECT vec_id, j AS sub_id, v[j * 16 + 1 : (j + 1) * 16] AS sv
+  FROM e, range(0, {P.PQ_SUBSPACES}) t(j)
+), seeds AS (
+  SELECT sub_id AS c_sub, vec_id AS cid, sv AS cv
+  FROM sub WHERE vec_id < {P.PQ_CODEWORDS}
+), scored AS (
+  SELECT a.vec_id, a.sub_id, c.cid,
+         list_sum(list_transform(range(1, 17),
+                  i -> (a.sv[i] - c.cv[i]) * (a.sv[i] - c.cv[i]))) AS d2
+  FROM sub a JOIN seeds c ON a.sub_id = c.c_sub
+), best AS (
+  SELECT vec_id, sub_id, cid, d2 FROM (
+    SELECT vec_id, sub_id, cid, d2,
+           row_number() OVER (PARTITION BY vec_id, sub_id
+                              ORDER BY d2 ASC, cid ASC) AS rn
+    FROM scored) WHERE rn = 1
+)
+SELECT vec_id,
+       max(CASE WHEN sub_id = 0 THEN cid END) AS code0,
+       max(CASE WHEN sub_id = 1 THEN cid END) AS code1,
+       max(CASE WHEN sub_id = 2 THEN cid END) AS code2,
+       max(CASE WHEN sub_id = 3 THEN cid END) AS code3,
+       {sql_sum_fixed("d2", 6)} AS recon_err
+FROM best GROUP BY vec_id
+ORDER BY vec_id
+"""
+
 ORACLES["ivf_train"] = f"""
 WITH {_EMB_CTE.strip()},
 cents AS (SELECT vec_id AS cid, v AS vc FROM n WHERE vec_id < {P.IVF_CENTROIDS}),

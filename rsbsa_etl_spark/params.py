@@ -97,6 +97,8 @@ ANN_TOP_K = 10
 LSH_SIGN_DIMS = 6  # sign-LSH on first N dimensions → 2^N buckets
 IVF_CENTROIDS = 16  # IVF cells (deterministic init: first N vec_ids)
 IVF_NPROBE = 4  # cells probed per query
+PQ_SUBSPACES = 4  # product-quantization subspaces (64 dims -> 4x16)
+PQ_CODEWORDS = 16  # codewords per subspace (deterministic init: first N vec_ids)
 
 
 def sql_in_list(values) -> str:

@@ -1470,6 +1470,12 @@ def hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsbsa_etl_spark.functions.similarity import pq_codes
+
+    return pq_codes(load(spark, sf_dir, "embeddings"))
+
+
 def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rsbsa_etl_spark.operators.joins import cross_pairs
 
@@ -1690,6 +1696,7 @@ QUERIES: dict[str, QueryFn] = {
     "join_cross": join_cross,
     "agg_filtered_multi": agg_filtered_multi,
     "embedding_quantize": embedding_quantize,
+    "embedding_pq": embedding_pq,
     "stream_session": stream_session,
     "stream_tail": stream_tail,
 }
