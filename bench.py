@@ -100,6 +100,7 @@ HEADLINE = [
     "outlier_mad",
     "hhi_concentration",
     "embedding_pq",
+    "ann_ivfpq",
     "tpch_q3",
     "tpch_q4",
     "tpch_q5",

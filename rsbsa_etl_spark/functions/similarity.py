@@ -483,3 +483,136 @@ def pq_codes(
         .agg(*code_cols, fixed_sum(F.col("d2"), 6, "recon_err"))
         .orderBy("vec_id")
     )
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    query_ids: Sequence[int] = ANN_QUERY_IDS,
+    k: int = ANN_TOP_K,
+    n_centroids: int = IVF_CENTROIDS,
+    nprobe: int = IVF_NPROBE,
+    m: int = PQ_SUBSPACES,
+    codewords: int = PQ_CODEWORDS,
+    dims: int = 64,
+) -> DataFrame:
+    """IVF-PQ — the billion-scale ANN architecture (coarse Voronoi
+    probe to cut candidates, then product-quantized asymmetric
+    distance instead of touching raw vectors): queries probe their
+    ``nprobe`` nearest cells and rank candidates by ADC — the sum
+    over subspaces of the exact distance from the query's subvector
+    to the candidate's CODEWORD. Only codes (m small ints per
+    vector) are needed at rank time; raw candidate vectors never
+    load — the property that lets a 100 TB corpus serve from RAM.
+
+    Plan shape: centroids, codebooks, and the per-query
+    (subspace × codeword) distance table are all tiny derived
+    tables → broadcast; the corpus is scanned once for cell
+    assignment and once for code assignment (each a broadcast
+    argmin + keyed window); ranking joins codes against the
+    broadcast distance table and folds m quantized longs per
+    candidate — order-independent, oracle-exact.
+
+    Determinism: both seed sets follow the iteration-0 convention
+    (first n vectors by vec_id); every distance is a sequential
+    double fold matching DuckDB ``list_sum``; ADC re-quantizes each
+    subspace distance to a long before summing; all ranks tie-break
+    on id."""
+    sub = dims // m
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    e = emb.select("vec_id", v.alias("v"))
+
+    def l2sq(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    cents = e.where(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("vc")
+    )
+
+    def nearest_cells(side: DataFrame, idcol: str, n: int) -> DataFrame:
+        scored = side.join(F.broadcast(cents), F.lit(True)).select(
+            idcol, "cid", l2sq(F.col("v"), F.col("vc")).alias("d2")
+        )
+        w = Window.partitionBy(idcol).orderBy(F.col("d2").asc(), F.col("cid").asc())
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= n)
+            .select(idcol, "cid")
+        )
+
+    corpus = e.select(F.col("vec_id").alias("neighbor_id"), "v")
+    cells = nearest_cells(corpus, "neighbor_id", 1)
+
+    slices = F.array(*[F.slice("v", j * sub + 1, sub) for j in range(m)])
+    subs = e.select("vec_id", F.posexplode(slices).alias("sub_id", "sv"))
+    seeds = subs.where(F.col("vec_id") < codewords).select(
+        F.col("sub_id").alias("c_sub"), F.col("vec_id").alias("code"),
+        F.col("sv").alias("cv"),
+    )
+    sub_d2 = F.aggregate(
+        F.zip_with(F.col("sv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    code_scored = subs.join(F.broadcast(seeds), F.col("sub_id") == F.col("c_sub")).select(
+        "vec_id", "sub_id", "code", sub_d2.alias("d2")
+    )
+    wc = Window.partitionBy("vec_id", "sub_id").orderBy(
+        F.col("d2").asc(), F.col("code").asc()
+    )
+    codes = (
+        code_scored.withColumn("rn", F.row_number().over(wc))
+        .where(F.col("rn") == 1)
+        .select(F.col("vec_id").alias("neighbor_id"), "sub_id", "code")
+    )
+
+    queries = e.where(F.col("vec_id").isin(list(query_ids))).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("vq")
+    )
+    probes = nearest_cells(
+        queries.select(F.col("query_id"), F.col("vq").alias("v")), "query_id", nprobe
+    )
+    q_subs = queries.select(
+        "query_id",
+        F.posexplode(
+            F.array(*[F.slice("vq", j * sub + 1, sub) for j in range(m)])
+        ).alias("sub_id", "qsv"),
+    )
+    dtab = q_subs.join(F.broadcast(seeds), F.col("sub_id") == F.col("c_sub")).select(
+        "query_id",
+        "sub_id",
+        "code",
+        F.aggregate(
+            F.zip_with(F.col("qsv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("qd2"),
+    )
+
+    cand = (
+        cells.join(F.broadcast(probes), "cid")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+    )
+    adc = (
+        cand.join(codes, "neighbor_id")
+        .join(F.broadcast(dtab), ["query_id", "sub_id", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(fixed_sum(F.col("qd2"), 6, "approx_d2"))
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("approx_d2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            dec_round(F.col("approx_d2"), 4).alias("approx_d2"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -1104,6 +1104,72 @@ FROM best GROUP BY vec_id
 ORDER BY vec_id
 """
 
+ORACLES["ann_ivfpq"] = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), cents AS (
+  SELECT vec_id AS cid, v AS vc FROM e WHERE vec_id < {P.IVF_CENTROIDS}
+), cell_d AS (
+  SELECT a.vec_id AS neighbor_id, c.cid,
+         list_sum(list_transform(range(1, 65),
+                  i -> (a.v[i] - c.vc[i]) * (a.v[i] - c.vc[i]))) AS d2
+  FROM e a, cents c
+), cells AS (
+  SELECT neighbor_id, cid FROM (
+    SELECT neighbor_id, cid,
+           row_number() OVER (PARTITION BY neighbor_id
+                              ORDER BY d2 ASC, cid ASC) AS rn
+    FROM cell_d) WHERE rn = 1
+), probes AS (
+  SELECT query_id, cid FROM (
+    SELECT neighbor_id AS query_id, cid,
+           row_number() OVER (PARTITION BY neighbor_id
+                              ORDER BY d2 ASC, cid ASC) AS rn
+    FROM cell_d WHERE neighbor_id IN ({sql_in_list(P.ANN_QUERY_IDS)}))
+  WHERE rn <= {P.IVF_NPROBE}
+), sub AS (
+  SELECT vec_id, j AS sub_id, v[j * 16 + 1 : (j + 1) * 16] AS sv
+  FROM e, range(0, {P.PQ_SUBSPACES}) t(j)
+), seeds AS (
+  SELECT sub_id AS c_sub, vec_id AS code, sv AS cv
+  FROM sub WHERE vec_id < {P.PQ_CODEWORDS}
+), codes AS (
+  SELECT vec_id AS neighbor_id, sub_id, code FROM (
+    SELECT a.vec_id, a.sub_id, c.code,
+           row_number() OVER (PARTITION BY a.vec_id, a.sub_id
+                              ORDER BY list_sum(list_transform(range(1, 17),
+                                i -> (a.sv[i] - c.cv[i]) * (a.sv[i] - c.cv[i]))) ASC,
+                              c.code ASC) AS rn
+    FROM sub a JOIN seeds c ON a.sub_id = c.c_sub) WHERE rn = 1
+), dtab AS (
+  SELECT q.vec_id AS query_id, q.sub_id, c.code,
+         list_sum(list_transform(range(1, 17),
+                  i -> (q.sv[i] - c.cv[i]) * (q.sv[i] - c.cv[i]))) AS qd2
+  FROM sub q JOIN seeds c ON q.sub_id = c.c_sub
+  WHERE q.vec_id IN ({sql_in_list(P.ANN_QUERY_IDS)})
+), adc AS (
+  SELECT p.query_id, cells.neighbor_id,
+         {sql_sum_fixed("qd2", 6)} AS approx_d2
+  FROM cells
+  JOIN probes p ON cells.cid = p.cid
+  JOIN codes ON cells.neighbor_id = codes.neighbor_id
+  JOIN dtab ON dtab.query_id = p.query_id
+           AND dtab.sub_id = codes.sub_id AND dtab.code = codes.code
+  WHERE p.query_id <> cells.neighbor_id
+  GROUP BY p.query_id, cells.neighbor_id
+)
+SELECT query_id, neighbor_id,
+       {_dec("approx_d2", 4)} AS approx_d2,
+       CAST(rank AS INT) AS rank
+FROM (
+  SELECT query_id, neighbor_id, approx_d2,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY approx_d2 ASC, neighbor_id ASC) AS rank
+  FROM adc)
+WHERE rank <= {P.ANN_TOP_K}
+"""
+
 ORACLES["ivf_train"] = f"""
 WITH {_EMB_CTE.strip()},
 cents AS (SELECT vec_id AS cid, v AS vc FROM n WHERE vec_id < {P.IVF_CENTROIDS}),

@@ -1476,6 +1476,12 @@ def embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_codes(load(spark, sf_dir, "embeddings"))
 
 
+def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsbsa_etl_spark.functions.similarity import ivfpq_topk
+
+    return ivfpq_topk(load(spark, sf_dir, "embeddings"))
+
+
 def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rsbsa_etl_spark.operators.joins import cross_pairs
 
@@ -1697,6 +1703,7 @@ QUERIES: dict[str, QueryFn] = {
     "agg_filtered_multi": agg_filtered_multi,
     "embedding_quantize": embedding_quantize,
     "embedding_pq": embedding_pq,
+    "ann_ivfpq": ann_ivfpq,
     "stream_session": stream_session,
     "stream_tail": stream_tail,
 }
