@@ -174,15 +174,44 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    sf_val = float(sf) if sf else None
+
+    # Full per-query map goes to a file — the driver's captured tail
+    # truncates very long lines, which made r01/r02 BENCH unparseable.
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+    )
+    with open(full_path, "w") as fh:
+        json.dump(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+                "n_queries": len(timings),
+            },
+            fh,
+            indent=1,
+        )
+
+    # Final stdout line stays compact (slowest 10 only) so the tail
+    # capture can always parse it.
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
+    )
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf else None,
-            }
+                "queries": slowest,
+                "sf": sf_val,
+                "n_queries": len(timings),
+                "full": "BENCH_FULL.json",
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()

@@ -94,10 +94,10 @@ FIXTURE_SCHEMAS: dict[str, T.StructType] = {
     "events": T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            # stored as TIMESTAMP(NANOS) → read as raw ns (see
-            # session.py nanosAsLong); the loader converts to a real
-            # timestamp column
-            T.StructField("ts", T.LongType()),
+            # stored as Timestamp(MICROS, isAdjustedToUTC=false) —
+            # read as NTZ (exact parquet semantics); the loader casts
+            # to session-TZ timestamp (UTC) for downstream queries
+            T.StructField("ts", T.TimestampNTZType()),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),

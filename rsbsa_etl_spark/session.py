@@ -60,11 +60,6 @@ def get_spark(
         # actually split small files; irrelevant at real scale where
         # files exceed maxPartitionBytes anyway.
         .config("spark.sql.files.openCostInBytes", "65536")
-        # fixture events.parquet stores TIMESTAMP(NANOS), which the
-        # parquet reader rejects; read as long ns and convert in the
-        # loader (sources/fixtures.py) — truncation to micros matches
-        # DuckDB's nanos handling.
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

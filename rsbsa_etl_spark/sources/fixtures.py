@@ -51,12 +51,11 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         reader = reader.schema(schema)
     df = reader.parquet(path)
     if table == "events":
-        # ts is TIMESTAMP(NANOS) on disk, surfaced as raw ns via
-        # nanosAsLong (session.py). Integer `div` truncation to
-        # micros matches DuckDB's nanos→micros read exactly; a
-        # double division would lose precision (ns epoch ≈ 1.7e18
-        # > 2^53).
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # ts is Timestamp(MICROS, isAdjustedToUTC=false) on disk,
+        # read as TimestampNTZ. The session TZ is pinned to UTC
+        # (session.py), so casting NTZ → TIMESTAMP is instant-exact
+        # and matches DuckDB's naive-timestamp read bit-for-bit.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
