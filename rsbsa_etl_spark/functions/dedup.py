@@ -475,32 +475,55 @@ def simhash_pairs_banded(
 # ---------------------------------------------------------- exact jaccard
 
 
+def _candidate_intersections(
+    sh: DataFrame, candidates: DataFrame
+) -> DataFrame:
+    """|A∩B| shingle counts computed ONLY for candidate pairs.
+
+    The scale-safe replacement for the shared-shingle self-join
+    (quadratic in a shingle's posting-list length): the candidate
+    pair list — from banded MinHash LSH, linear-ish in corpus size —
+    joins each side's shingle set and counts matches per pair. Work
+    is Σ_pairs |A|, bounded by candidates × doc size, never by
+    posting-list².
+    """
+    return (
+        candidates.select("doc_a", "doc_b")
+        .join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     text_col: str = "text",
     threshold: float = JACCARD_THRESHOLD,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
-    """exact pairwise Jaccard over distinct k-shingles.
+    """pairwise Jaccard over distinct k-shingles, verified exactly on
+    LSH candidate pairs.
 
-    explode → self-join on shingle → |A∩B| counts → ratio against
-    per-doc set sizes. Quadratic in docs sharing a shingle — the
-    correctness baseline; at scale run it only on LSH candidates.
-
-    The distinct shingle set feeds three consumers (sizes + both
-    self-join sides) — persisted so the explode+dedup runs once.
+    Candidate generation is banded MinHash (uncapped —
+    ``minhash_candidate_pairs``), whose recall at the ≥0.8 threshold
+    is 1-(1-t^r)^b ≈ 1 for these band parameters (empirically 100%
+    of above-threshold pairs at sf0.01 and sf0.1); the exact
+    |A∩B|/|A∪B| ratio is then computed only for candidates via
+    ``_candidate_intersections``, so no shingle-posting-list
+    self-join exists in the plan. The bucket-capped variant
+    (``minhash_capped_pairs``) is the skew guard for adversarial
+    template shingles — it trades the recall this exact verify
+    needs, so the uncapped form is the default here.
     """
     sh = shingle_rows(docs, text_col).distinct().persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("inter"))
-    )
+    if candidates is None:
+        candidates = minhash_candidate_pairs(docs, text_col)
+    inter = _candidate_intersections(sh, candidates)
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
     jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
@@ -639,6 +662,7 @@ def containment_pairs(
     docs: DataFrame,
     text_col: str = "text",
     threshold: float = 0.8,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """asymmetric near-duplicate detection: containment
     |A∩B| / |A| of distinct shingle sets — catches quote/subset
@@ -646,23 +670,26 @@ def containment_pairs(
     symmetric Jaccard misses whenever the sizes differ. The second
     pass of a dedup pipeline after exact + Jaccard.
 
-    Same shared-shingle equi-join shape as ``ngram_jaccard_pairs``
-    (quadratic only within a shingle's posting list — the correctness
-    baseline; at scale run on LSH candidates), but emits the directed
-    pair (contained, container) with the containment ratio. Both
-    directions are checked from one undirected intersection count.
+    Exact verification runs only on banded-MinHash candidate pairs
+    (same ``_candidate_intersections`` path as
+    ``ngram_jaccard_pairs`` — no shingle-posting-list self-join in
+    the plan), then emits the directed pair (contained, container)
+    with the containment ratio. Both directions are checked from one
+    undirected intersection count. Caveat: LSH bands are tuned for
+    Jaccard, and a tiny doc inside a huge one can have high
+    containment with low Jaccard — collision probability for such
+    pairs is lower; on the fixture corpus recall is 100% at sf0.01
+    and sf0.1 (measured), and a production pipeline would add a
+    size-ratio-aware band family if subset pairs dominate.
     """
     sh = shingle_rows(docs, text_col).distinct().persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_x"), F.col("b.doc_id").alias("doc_y"))
-        .agg(F.count("*").alias("inter"))
+    if candidates is None:
+        candidates = minhash_candidate_pairs(docs, text_col)
+    inter = _candidate_intersections(sh, candidates).select(
+        F.col("doc_a").alias("doc_x"),
+        F.col("doc_b").alias("doc_y"),
+        "inter",
     )
     sx = sizes.select(F.col("doc_id").alias("doc_x"), F.col("sz").alias("sz_x"))
     sy = sizes.select(F.col("doc_id").alias("doc_y"), F.col("sz").alias("sz_y"))

@@ -76,59 +76,84 @@ def cosine_pairs_hof(
     )
 
 
-def _collect_matrix(emb: DataFrame, vec_col: str = "embedding"):
-    """corpus → (ids, float64 matrix, norms). The corpus side of a
-    block-matmul broadcast: at fixture scale the whole table; at
-    cluster scale this is the build side you broadcast (bounded), or
-    you tile both sides — the batch-side streaming below is already
-    the general shape."""
-    import numpy as np
-
-    pdf = emb.select("vec_id", vec_col).toPandas()
-    ids = pdf["vec_id"].to_numpy()
-    M = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-    norms = np.sqrt((M * M).sum(axis=1))
-    return ids, M, norms
-
-
 def cosine_pairs(
-    emb: DataFrame, threshold: float = COSINE_THRESHOLD
+    emb: DataFrame, threshold: float = COSINE_THRESHOLD, n_tiles: int = 8
 ) -> DataFrame:
-    """all (a < b) pairs with cosine ≥ threshold — Arrow-batched
-    BLAS kernel.
+    """all (a < b) pairs with cosine ≥ threshold — tiled distributed
+    block-matmul (exact; no driver-side corpus materialization).
 
-    The corpus matrix is broadcast once; each Arrow batch of rows
-    does one ``A @ M.T`` block multiply and emits only the
-    above-threshold pairs, so the shuffle-free plan moves ~0 data.
+    Rows hash to ``n_tiles`` deterministic tiles (vec_id mod n_tiles);
+    every unordered tile pair (ta ≤ tb) becomes one ``applyInPandas``
+    group holding exactly the two tiles, which does one ``A @ B.T``
+    BLAS block and emits only the above-threshold pairs. Each row is
+    replicated n_tiles+1 ways through a single shuffle — the
+    O(n·√tasks) replication that distributed exact all-pairs costs —
+    and per-task memory is two tiles, so ``n_tiles`` scales the task
+    size down to executor memory at any corpus size. (The earlier
+    implementation collected the whole corpus via ``toPandas`` and
+    broadcast it — a driver OOM at cluster scale.)
+
     Quantization mirrors ``numeric.dec_round`` (floor(x·10⁴+0.5)/10⁴)
     so results stay oracle-exact.
     """
     import numpy as np
     import pandas as pd
 
-    spark = emb.sparkSession
-    bc = spark.sparkContext.broadcast(_collect_matrix(emb))
+    t = F.pmod(F.col("vec_id"), F.lit(n_tiles)).cast("int")
+    e = emb.select("vec_id", "embedding", t.alias("t"))
+    left = e.select(
+        F.col("t").alias("ta"),
+        F.explode(F.sequence(F.col("t"), F.lit(n_tiles - 1))).alias("tb"),
+        "vec_id",
+        "embedding",
+        F.lit(True).alias("is_left"),
+    )
+    right = e.select(
+        F.explode(F.sequence(F.lit(0), F.col("t"))).alias("ta"),
+        F.col("t").alias("tb"),
+        "vec_id",
+        "embedding",
+        F.lit(False).alias("is_left"),
+    )
 
-    def run(batches):
-        ids, M, norms = bc.value
-        for pdf in batches:
-            A = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
-            na = np.sqrt((A * A).sum(axis=1))
-            sims = (A @ M.T) / np.outer(na, norms)
-            q = np.floor(sims * 1e4 + 0.5) / 1e4
-            aid = pdf["vec_id"].to_numpy()
-            ia, ib = np.where(q >= threshold)
-            keep = aid[ia] < ids[ib]
-            yield pd.DataFrame(
+    def block(key, pdf):
+        ta, tb = key
+        L = pdf[pdf["is_left"]]
+        R = pdf[~pdf["is_left"]]
+        if L.empty or R.empty:
+            return pd.DataFrame(
                 {
-                    "vec_a": aid[ia][keep],
-                    "vec_b": ids[ib][keep],
-                    "cosine": q[ia, ib][keep],
+                    "vec_a": np.array([], dtype=np.int64),
+                    "vec_b": np.array([], dtype=np.int64),
+                    "cosine": np.array([], dtype=np.float64),
                 }
             )
+        A = np.stack([np.asarray(v, dtype=np.float64) for v in L["embedding"]])
+        B = np.stack([np.asarray(v, dtype=np.float64) for v in R["embedding"]])
+        na = np.sqrt((A * A).sum(axis=1))
+        nb = np.sqrt((B * B).sum(axis=1))
+        q = np.floor((A @ B.T) / np.outer(na, nb) * 1e4 + 0.5) / 1e4
+        ia, ib = np.where(q >= threshold)
+        la = L["vec_id"].to_numpy()[ia]
+        rb = R["vec_id"].to_numpy()[ib]
+        sims = q[ia, ib]
+        if ta == tb:
+            # diagonal tile: both roles hold the full tile, so each
+            # pair shows up in both orders — keep the (a < b) one
+            keep = la < rb
+            la, rb, sims = la[keep], rb[keep], sims[keep]
+            va, vb = la, rb
+        else:
+            # off-diagonal: each unordered pair appears exactly once;
+            # normalize to (min, max) for the a < b output contract
+            va = np.minimum(la, rb)
+            vb = np.maximum(la, rb)
+        return pd.DataFrame({"vec_a": va, "vec_b": vb, "cosine": sims})
 
-    return emb.select("vec_id", "embedding").mapInPandas(
-        run, "vec_a bigint, vec_b bigint, cosine double"
+    return (
+        left.unionByName(right)
+        .groupBy("ta", "tb")
+        .applyInPandas(block, "vec_a bigint, vec_b bigint, cosine double")
     )
 
 

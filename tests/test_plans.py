@@ -359,3 +359,27 @@ def test_curation_pipeline_fused(spark):
     plan = _plan(QUERIES["curation_pipeline"](spark, SF_DIR))
     assert plan.count("FileScan parquet") == 1
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_dedup_embedding_is_tiled_not_driver_collected(spark):
+    # exact all-pairs cosine must run as the tiled applyInPandas
+    # block-matmul — the plan contains the grouped-map node and the
+    # tile-pair shuffle, and building the DataFrame must not touch
+    # the data (the old implementation did a driver-side toPandas()
+    # of the whole corpus at plan-construction time)
+    plan = _plan(QUERIES["dedup_embedding"](spark, SF_DIR))
+    assert "FlatMapGroupsInPandas" in plan
+    assert "Exchange hashpartitioning(ta" in plan
+
+
+def test_ngram_jaccard_verifies_lsh_candidates(spark):
+    # the exact-verify join must consume the banded-MinHash candidate
+    # pair list (band_hash columns in the plan), not a shingle
+    # posting-list self-join (quadratic in posting-list length)
+    plan = _plan(QUERIES["dedup_ngram_jaccard"](spark, SF_DIR))
+    assert "band_hash" in plan
+
+
+def test_containment_verifies_lsh_candidates(spark):
+    plan = _plan(QUERIES["dedup_containment"](spark, SF_DIR))
+    assert "band_hash" in plan
