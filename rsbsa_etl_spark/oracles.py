@@ -433,6 +433,30 @@ SELECT t.* FROM tgt t
 WHERE t.l_orderkey NOT IN (SELECT DISTINCT l_orderkey FROM batch)
 """
 
+ORACLES["sync_metrics"] = f"""
+WITH cl AS (
+  SELECT event_id AS log_id,
+         nullif(user_id, 0) AS rsbsa_no,
+         CASE WHEN user_id % 3 = 0 THEN 'customer'
+              WHEN user_id % 3 = 1 THEN 'lineitem' END AS tbl
+  FROM events WHERE event_id > {P.WATERMARK_EVENT_ID}
+),
+agg AS (
+  SELECT coalesce(tbl, '(invalid)') AS table_name,
+         count(*) AS n_changes,
+         count(DISTINCT CASE WHEN rsbsa_no IS NOT NULL AND tbl IS NOT NULL
+                             THEN rsbsa_no END) AS n_keys,
+         sum(CASE WHEN rsbsa_no IS NULL OR tbl IS NULL THEN 1 ELSE 0 END)
+           AS n_invalid
+  FROM cl GROUP BY 1
+)
+SELECT table_name, n_changes, n_keys, n_invalid,
+       {_dec("n_invalid * 100.0 / n_changes", 2)} AS error_rate_pct,
+       least(100, CAST(floor(n_keys * 100.0 / n_changes + 0.5) AS INTEGER))
+         AS progress_pct
+FROM agg
+"""
+
 ORACLES["string_upper_multi"] = """
 SELECT c_custkey, upper(c_name) AS c_name, upper(c_mktsegment) AS c_mktsegment
 FROM customer

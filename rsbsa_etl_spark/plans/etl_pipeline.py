@@ -25,6 +25,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, functions as F
 
+from rsbsa_etl_spark.functions.numeric import dec_round
 from rsbsa_etl_spark.functions.strings import UPPERCASE_RULES, apply_table_rules
 from rsbsa_etl_spark.operators.joins import dependent_join
 from rsbsa_etl_spark.operators.scans import incremental_scan, keyed_scan_df
@@ -35,11 +36,65 @@ from rsbsa_etl_spark.schemas import ONE_TO_ONE_TABLES
 @dataclass
 class SyncResult:
     """per-table post-state + accounting (the reference's
-    processed/skipped totals, ``etlService.js:737-743``)."""
+    processed/skipped totals, ``etlService.js:737-743``).
+
+    ``metrics`` is the A6/A7 derived-metric DataFrame
+    (``sync_metrics``) — lazy, so materializing the accounting is
+    the caller's choice, not a forced extra job.
+    """
 
     targets: dict[str, DataFrame]
     processed: dict[str, int] = field(default_factory=dict)
     skipped: int = 0
+    metrics: DataFrame | None = None
+
+
+def sync_metrics(changelog: DataFrame, since_log_id: int = -1) -> DataFrame:
+    """A6/A7 derived run metrics as explicit columns, one row per
+    change-log table group.
+
+    Mirrors the reference's two loop-side numbers:
+
+    - ``error_rate_pct`` (``etlService.js:674``): failed/invalid rows
+      as a percentage of the batch, 2-decimal quantized exactly like
+      ``toFixed(2)``. Here the failure class is the validity filter
+      (null key / unroutable table — ``etlService.js:612-619``).
+    - ``progress_pct`` (``etlService.js:728``): processed keys over
+      total change rows, rounded half-up and CAPPED at 100 — the
+      reference caps because its offset jumps by batchSize past the
+      end; the cap is kept so the column contract matches.
+
+    One watermark scan → one hash aggregation; no driver-side loop.
+    Rows whose table is null group under '(invalid)' so the error
+    accounting is visible per routing target.
+    """
+    scanned = incremental_scan(changelog, "log_id", since_log_id)
+    invalid = F.col("rsbsa_no").isNull() | F.col("table").isNull()
+    agg = (
+        scanned.groupBy(
+            F.coalesce(F.col("table"), F.lit("(invalid)")).alias("table_name")
+        )
+        .agg(
+            F.count("*").alias("n_changes"),
+            F.count_distinct(
+                F.when(~invalid, F.col("rsbsa_no"))
+            ).alias("n_keys"),
+            F.sum(F.when(invalid, 1).otherwise(0)).alias("n_invalid"),
+        )
+    )
+    err = F.col("n_invalid") * 100.0 / F.col("n_changes")
+    prog = F.least(
+        F.lit(100),
+        F.floor(F.col("n_keys") * 100.0 / F.col("n_changes") + 0.5).cast("int"),
+    )
+    return agg.select(
+        "table_name",
+        "n_changes",
+        "n_keys",
+        "n_invalid",
+        dec_round(err, 2).alias("error_rate_pct"),
+        prog.alias("progress_pct"),
+    )
 
 
 def changed_keys(changelog: DataFrame, since_log_id: int) -> DataFrame:
@@ -114,4 +169,6 @@ def run_incremental_sync(
             out[bridge_child] = overwrite_by_key(
                 out[bridge_child], child_batch, bridge_key
             )
-    return SyncResult(targets=out)
+    return SyncResult(
+        targets=out, metrics=sync_metrics(changelog, since_log_id)
+    )

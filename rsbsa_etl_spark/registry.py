@@ -354,6 +354,31 @@ def overwrite_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -------------------------------------------------------- pipeline (§3.1 e2e)
 
 
+def _sync_fixture_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """the fixture-derived change log shared by the sync pipeline and
+    its metrics query: events beyond the watermark routed to
+    'customer'/'lineitem' by ``user_id % 3`` (remainder 2 →
+    unroutable), key 0 nulled so the validity filter drops rows."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_id").alias("log_id"),
+        F.nullif(F.col("user_id"), F.lit(0)).alias("rsbsa_no"),
+        F.when(F.col("user_id") % 3 == 0, F.lit("customer"))
+        .when(F.col("user_id") % 3 == 1, F.lit("lineitem"))
+        .alias("table"),
+    )
+
+
+def sync_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2 A6/A7 derived run metrics (errorRate ``etlService.js:674``,
+    capped progress ratio ``etlService.js:728``) over the same
+    fixture change log the sync pipeline consumes — one watermark
+    scan, one hash agg, per-table explicit columns."""
+    from rsbsa_etl_spark.plans.etl_pipeline import sync_metrics as _metrics
+
+    return _metrics(_sync_fixture_changelog(spark, sf_dir), P.WATERMARK_EVENT_ID)
+
+
 def _sync_fixture_state(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """the FULL incremental-sync pipeline (``plans.etl_pipeline``,
     SURVEY §3.1) over a fixture-derived change log, returning the
@@ -368,14 +393,7 @@ def _sync_fixture_state(spark: SparkSession, sf_dir: str, table: str) -> DataFra
     """
     from rsbsa_etl_spark.plans.etl_pipeline import run_incremental_sync
 
-    ev = load(spark, sf_dir, "events")
-    changelog = ev.select(
-        F.col("event_id").alias("log_id"),
-        F.nullif(F.col("user_id"), F.lit(0)).alias("rsbsa_no"),
-        F.when(F.col("user_id") % 3 == 0, F.lit("customer"))
-        .when(F.col("user_id") % 3 == 1, F.lit("lineitem"))
-        .alias("table"),
-    )
+    changelog = _sync_fixture_changelog(spark, sf_dir)
     cust = load(spark, sf_dir, "customer")
     src_cust = cust.select(
         F.col("c_custkey").alias("rsbsa_no"), "c_name", "c_mktsegment"
@@ -1579,6 +1597,7 @@ QUERIES: dict[str, QueryFn] = {
     "overwrite_by_key": overwrite_by_key,
     "sync_pipeline_o2o": sync_pipeline_o2o,
     "sync_pipeline_o2m": sync_pipeline_o2m,
+    "sync_metrics": sync_metrics,
     "string_upper_multi": string_upper_multi,
     "string_concat_split": string_concat_split,
     "cond_coalesce": cond_coalesce,

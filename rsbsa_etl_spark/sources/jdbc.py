@@ -94,6 +94,132 @@ def read_table(
     return reader.load()
 
 
+#: identifiers the reference escapes when building INSERT column lists
+#: (``bulkInsertRecords``, ``services/etlService.js:134-137``)
+RESERVED_KEYWORDS = frozenset({"long", "group", "order", "desc", "primary"})
+
+
+def _escape(col: str) -> str:
+    return f"`{col}`" if col.lower() in RESERVED_KEYWORDS else col
+
+
+def writer_options(
+    endpoint: JdbcEndpoint,
+    table: str,
+    batchsize: int = 10_000,
+    truncate: bool = False,
+    isolation_level: str = "READ_COMMITTED",
+) -> dict[str, str]:
+    """assemble the option map for a JDBC write.
+
+    - ``batchsize``: rows per ``executeBatch`` round-trip — the
+      JDBC-native form of the reference's 50 000-row application
+      batches (``etlService.js:14``).
+    - ``truncate``: with overwrite mode, TRUNCATE instead of
+      DROP+CREATE so grants/indexes/partitioning survive.
+    """
+    return {
+        "url": endpoint.url,
+        "dbtable": table,
+        "user": endpoint.user,
+        "password": endpoint.password,
+        "driver": endpoint.driver,
+        "batchsize": str(batchsize),
+        "truncate": str(truncate).lower(),
+        "isolationLevel": isolation_level,
+        **endpoint.options,
+    }
+
+
+def upsert_statement(
+    table: str,
+    columns: list[str],
+    key_col: str = "rsbsa_no",
+    staging: str | None = None,
+    dialect: str = "mysql",
+) -> str:
+    """the set-based upsert executed on the target after the staging
+    load — the merge half of ``write_jdbc(mode='upsert')``.
+
+    Mirrors ``bulkUpdateRecords`` (``etlService.js:117-130``): every
+    non-key column lands in the update list, the key drives conflict
+    detection. The reference interpolates VALUES row-by-row from the
+    driver; here the payload is already in ``staging`` (loaded in
+    parallel by executors), so the statement is one INSERT..SELECT —
+    set-based, size-independent, and runs inside the DBMS.
+    ``dialect='merge'`` emits the ANSI MERGE equivalent for
+    warehouses without MySQL's ON DUPLICATE KEY.
+    """
+    staging = staging or f"{table}__stage"
+    cols = [_escape(c) for c in columns]
+    non_key = [c for c in columns if c != key_col]
+    if dialect == "mysql":
+        sets = ", ".join(f"{_escape(c)} = VALUES({_escape(c)})" for c in non_key)
+        return (
+            f"INSERT INTO {table} ({', '.join(cols)}) "
+            f"SELECT {', '.join(cols)} FROM {staging} "
+            f"ON DUPLICATE KEY UPDATE {sets}"
+        )
+    if dialect == "merge":
+        sets = ", ".join(f"t.{_escape(c)} = s.{_escape(c)}" for c in non_key)
+        ins_cols = ", ".join(cols)
+        ins_vals = ", ".join(f"s.{c}" for c in cols)
+        return (
+            f"MERGE INTO {table} t USING {staging} s "
+            f"ON t.{_escape(key_col)} = s.{_escape(key_col)} "
+            f"WHEN MATCHED THEN UPDATE SET {sets} "
+            f"WHEN NOT MATCHED THEN INSERT ({ins_cols}) VALUES ({ins_vals})"
+        )
+    raise ValueError(f"unknown upsert dialect: {dialect}")
+
+
+def write_jdbc(
+    df: DataFrame,
+    endpoint: JdbcEndpoint,
+    table: str,
+    mode: str = "append",
+    key_col: str = "rsbsa_no",
+    batchsize: int = 10_000,
+    truncate: bool = False,
+    dialect: str = "mysql",
+) -> str | None:
+    """K1/K2 JDBC sink (``etlService.js:117-146``).
+
+    - ``mode='append'``: bulk insert (``bulkInsertRecords``).
+    - ``mode='overwrite'``: full reload; ``truncate=True`` keeps the
+      table definition.
+    - ``mode='upsert'``: the scale-correct form of
+      ``bulkUpdateRecords`` — executors bulk-load a staging table in
+      parallel (overwrite), then ONE set-based
+      INSERT..ON DUPLICATE KEY UPDATE (or MERGE) runs on the target.
+      Returns that statement for the caller to execute on its target
+      connection; plain multi-partition JDBC writes cannot be a
+      transactional upsert on their own (SURVEY §4).
+
+    Returns the merge statement for upsert mode, else None.
+    """
+    if mode == "upsert":
+        staging = f"{table}__stage"
+        writer = df.write.format("jdbc").mode("overwrite")
+        for k, v in writer_options(
+            endpoint, staging, batchsize=batchsize, truncate=True
+        ).items():
+            writer = writer.option(k, v)
+        writer.save()
+        return upsert_statement(
+            table, df.columns, key_col=key_col, staging=staging, dialect=dialect
+        )
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"unknown write mode: {mode}")
+    writer = df.write.format("jdbc").mode(mode)
+    for k, v in writer_options(
+        endpoint, table, batchsize=batchsize, truncate=truncate
+    ).items():
+        writer = writer.option(k, v)
+    writer.save()
+    return None
+
+
 def write_table(
     df: DataFrame,
     endpoint: JdbcEndpoint,
@@ -103,15 +229,6 @@ def write_table(
 ) -> None:
     """K1 bulk load over JDBC (``bulkInsertRecords``,
     ``services/etlService.js:132-146``). For K2/K3 semantics against
-    a warehouse, land to staging and MERGE there."""
-    (
-        df.write.format("jdbc")
-        .option("url", endpoint.url)
-        .option("dbtable", table)
-        .option("user", endpoint.user)
-        .option("password", endpoint.password)
-        .option("driver", endpoint.driver)
-        .option("batchsize", str(batchsize))
-        .mode(mode)
-        .save()
-    )
+    a warehouse, use ``write_jdbc(mode='upsert')`` or land to
+    staging and MERGE there."""
+    write_jdbc(df, endpoint, table, mode=mode, batchsize=batchsize)

@@ -383,3 +383,58 @@ def test_ngram_jaccard_verifies_lsh_candidates(spark):
 def test_containment_verifies_lsh_candidates(spark):
     plan = _plan(QUERIES["dedup_containment"](spark, SF_DIR))
     assert "band_hash" in plan
+
+
+def test_jdbc_writer_options():
+    from rsbsa_etl_spark.sources.jdbc import writer_options
+
+    ep = JdbcEndpoint(
+        url="jdbc:mysql://tgt:3306/rsbsa", user="u", password="p"
+    )
+    opts = writer_options(ep, "farmers_kyc1", batchsize=50_000, truncate=True)
+    assert opts["dbtable"] == "farmers_kyc1"
+    assert opts["batchsize"] == "50000"
+    assert opts["truncate"] == "true"
+    assert opts["isolationLevel"] == "READ_COMMITTED"
+
+
+def test_jdbc_upsert_statement_mirrors_reference():
+    # bulkUpdateRecords (etlService.js:117-130): every non-key column
+    # in the update list, key drives conflict; reserved identifiers
+    # backticked like bulkInsertRecords (etlService.js:134-137)
+    from rsbsa_etl_spark.sources.jdbc import upsert_statement
+
+    stmt = upsert_statement(
+        "farmers_kyc1", ["rsbsa_no", "first_name", "long"], key_col="rsbsa_no"
+    )
+    assert stmt.startswith(
+        "INSERT INTO farmers_kyc1 (rsbsa_no, first_name, `long`) "
+        "SELECT rsbsa_no, first_name, `long` FROM farmers_kyc1__stage"
+    )
+    assert "ON DUPLICATE KEY UPDATE" in stmt
+    assert "first_name = VALUES(first_name)" in stmt
+    assert "`long` = VALUES(`long`)" in stmt
+    assert "rsbsa_no = VALUES" not in stmt  # key never in the set list
+
+
+def test_jdbc_upsert_statement_merge_dialect():
+    from rsbsa_etl_spark.sources.jdbc import upsert_statement
+
+    stmt = upsert_statement(
+        "t", ["rsbsa_no", "v"], key_col="rsbsa_no", dialect="merge"
+    )
+    assert stmt.startswith("MERGE INTO t t USING t__stage s")
+    assert "ON t.rsbsa_no = s.rsbsa_no" in stmt
+    assert "WHEN MATCHED THEN UPDATE SET t.v = s.v" in stmt
+    assert "WHEN NOT MATCHED THEN INSERT (rsbsa_no, v)" in stmt
+
+    with pytest.raises(ValueError):
+        upsert_statement("t", ["k"], dialect="postgres")
+
+
+def test_jdbc_write_rejects_unknown_mode(spark):
+    from rsbsa_etl_spark.sources.jdbc import write_jdbc
+
+    ep = JdbcEndpoint(url="jdbc:mysql://tgt:3306/rsbsa", user="u", password="p")
+    with pytest.raises(ValueError):
+        write_jdbc(spark.range(1), ep, "t", mode="merge")
