@@ -639,3 +639,71 @@ def term_pmi(
         .orderBy(F.col("lift").desc(), F.col("term_a").asc(), F.col("term_b").asc())
         .limit(k)
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """per-document top-k terms by BM25 — TF-IDF with the two
+    refinements retrieval stacks actually ship: tf saturation
+    (``tf·(k1+1)/(tf + k1·norm)``) and length normalization
+    (``norm = 1-b + b·dl/avgdl``).
+
+    Cross-engine float discipline (same rule as ``tfidf_topk``): the
+    idf keeps the rational BM25 form ``(N-df+0.5)/(df+0.5)`` with no
+    transcendentals, and the saturation term is rational in integer
+    counts, so every factor is a correctly-rounded IEEE op mirrored
+    token-for-token in the DuckDB oracle.
+
+    Scale shape: tf partial-aggregates map-side before the
+    (doc_id, term) shuffle; dl (doc length) folds from tf — already
+    one row per doc-term — reusing the doc_id partitioning; df and
+    the avgdl scalar are vocabulary-bounded / single-row and
+    broadcast. The only corpus-sized shuffle is the per-doc rank
+    window, same as ``tfidf_topk``.
+    """
+    t = normalized_text(F.col(text_col))
+    tf = (
+        docs.select("doc_id", F.explode(F.split(t, " ")).alias("term"))
+        .where(F.length("term") > 0)
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.select(F.count("*").alias("n_docs"))
+    avg = dl.agg(
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl")
+    )
+    idf = (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    sat = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(df), "term")
+        .join(F.broadcast(n))
+        .join(F.broadcast(avg))
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("dl").cast("long").alias("dl"),
+            dec_round(idf * sat, 6).alias("bm25"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("bm25").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("doc_id", "term", "tf", "dl", "bm25")
+    )

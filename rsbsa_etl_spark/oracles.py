@@ -856,6 +856,29 @@ QUALIFY row_number() OVER (
   PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) <= 3
 """
 
+ORACLES["bm25_topk"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({NORM}, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE length(term) > 0 GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+idf AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+a AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(dl AS BIGINT) AS dl,
+       {_dec(
+           "((n_docs - df + 0.5) / (df + 0.5))"
+           " * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl))))",
+           6,
+       )} AS bm25
+FROM tf JOIN dl USING (doc_id) JOIN idf USING (term), n, a
+QUALIFY row_number() OVER (
+  PARTITION BY doc_id ORDER BY bm25 DESC, term ASC) <= 3
+"""
+
 ORACLES["agg_incremental_totals"] = """
 SELECT user_id, count(*) AS n_rows,
        CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)

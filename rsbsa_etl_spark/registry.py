@@ -919,6 +919,13 @@ def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.tfidf_topk(load(spark, sf_dir, "documents"))
 
 
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 term ranking (tf saturation + length normalization) —
+    the retrieval-grade upgrade of ``tfidf_topk``, transcendental-
+    free so the score is bit-exact cross-engine."""
+    return textstats.bm25_topk(load(spark, sf_dir, "documents"))
+
+
 def udtf_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.chunk_tokens_udtf(load(spark, sf_dir, "documents"))
 
@@ -1651,6 +1658,7 @@ QUERIES: dict[str, QueryFn] = {
     "doc_fingerprint": doc_fingerprint,
     "term_topk": term_topk,
     "tfidf_topk": tfidf_topk,
+    "bm25_topk": bm25_topk,
     "udtf_chunk_tokens": udtf_chunk_tokens,
     "cms_topk": cms_topk,
     "multimodal_meta": multimodal_meta,

@@ -44,6 +44,20 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     inference I/O — at cluster scale inference over a large file
     listing is a real driver-side cost.
     """
+    # memoize per session: building a parquet DataFrame lists files
+    # eagerly (InMemoryFileIndex), so a 150-query sweep re-listing the
+    # same 10 tables pays real driver time for nothing. DataFrames
+    # are immutable lazy plans — sharing one object per (sf_dir,
+    # table) is safe. Keyed on the session object so a restarted
+    # session never serves stale plans.
+    cache = getattr(spark, "_fixture_df_cache", None)
+    if cache is None:
+        cache = {}
+        spark._fixture_df_cache = cache
+    key = (sf_dir, table)
+    if key in cache:
+        return cache[key]
+
     path = os.path.join(sf_dir, f"{table}.parquet")
     schema = FIXTURE_SCHEMAS.get(table)
     reader = spark.read
@@ -56,6 +70,7 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         # (session.py), so casting NTZ → TIMESTAMP is instant-exact
         # and matches DuckDB's naive-timestamp read bit-for-bit.
         df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    cache[key] = df
     return df
 
 
