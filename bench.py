@@ -35,6 +35,7 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_embedding",
+    "dedup_semantic",
     "ann_bruteforce",
     "ann_lsh",
     "ann_ivf",
@@ -121,6 +122,8 @@ HEADLINE = [
     "tpch_q12",
     "tpch_q13",
     "tpch_q14",
+    "bm25_topk",
+    "sync_metrics",
     "vocab_coverage",
     "dedup_containment",
     "snapshot_diff",

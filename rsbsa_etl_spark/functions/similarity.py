@@ -641,3 +641,89 @@ def ivfpq_topk(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = COSINE_THRESHOLD,
+    n_centroids: int = IVF_CENTROIDS,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster the corpus into
+    Voronoi cells, then prune within each cell against a single
+    deterministic exemplar — the cluster-then-prune shape used to
+    dedup LLM training corpora at billion-document scale (one global
+    pairwise pass is impossible there; within-cell comparisons are
+    the whole trick).
+
+    Deterministic contract (what makes it oracle-checkable):
+    - cells = iteration-0 centroids (first ``n_centroids`` vec_ids),
+      per-row argmin over the broadcast centroid table;
+    - exemplar per cell = highest cosine to the centroid, vec_id
+      tiebreak;
+    - every other member is a duplicate iff cosine(member, exemplar)
+      ≥ threshold. Exemplars are always kept.
+
+    Plan shape at 100 TB: centroids broadcast (tiny); cell assignment
+    is one narrow scan; the exemplar choice is a per-cell window
+    (ONE shuffle by cell id, the only corpus-wide exchange); the
+    member-vs-exemplar cosine is a broadcast join of the n_cells-row
+    exemplar table. No pairwise stage anywhere — work is linear in
+    corpus size. All distances are sequential double folds matching
+    DuckDB's ``list_sum`` accumulation order.
+    """
+    e = with_norm(emb)
+    cents = e.where(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cid"),
+        F.col("_vd").alias("vc"),
+        F.col("_norm").alias("nc"),
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("_vd"), F.col("vc"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = e.join(F.broadcast(cents), F.lit(True)).select(
+        "vec_id", "_vd", "_norm", "cid", "vc", "nc", d2.alias("d2")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("d2").asc(), F.col("cid").asc()
+    )
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "_vd",
+            "_norm",
+            "cid",
+            dec_round(
+                dot(F.col("_vd"), F.col("vc")) / (F.col("_norm") * F.col("nc")), 6
+            ).alias("cos_centroid"),
+        )
+    )
+    w_cell = Window.partitionBy("cid").orderBy(
+        F.col("cos_centroid").desc(), F.col("vec_id").asc()
+    )
+    ranked = assigned.withColumn("cell_rank", F.row_number().over(w_cell))
+    exemplars = ranked.where(F.col("cell_rank") == 1).select(
+        "cid",
+        F.col("vec_id").alias("exemplar_id"),
+        F.col("_vd").alias("ve"),
+        F.col("_norm").alias("ne"),
+    )
+    sim_ex = dec_round(
+        dot(F.col("_vd"), F.col("ve")) / (F.col("_norm") * F.col("ne")), 4
+    )
+    return (
+        ranked.join(F.broadcast(exemplars), "cid")
+        .select(
+            "vec_id",
+            F.col("cid").cast("int").alias("cell_id"),
+            "exemplar_id",
+            sim_ex.alias("cos_exemplar"),
+            (
+                (F.col("vec_id") == F.col("exemplar_id"))
+                | (sim_ex < F.lit(threshold))
+            ).alias("keep"),
+        )
+    )

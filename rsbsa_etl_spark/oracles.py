@@ -759,6 +759,45 @@ p AS (
 SELECT vec_a, vec_b, cosine FROM p WHERE cosine >= {P.COSINE_THRESHOLD}
 """
 
+_SEM_D2 = (
+    "list_sum(list_transform(range(1, 65),"
+    " i -> (a.v[i] - c.vc[i]) * (a.v[i] - c.vc[i])))"
+)
+_SEM_COS_C = "list_sum(list_transform(range(1, 65), i -> a.v[i] * c.vc[i]))"
+
+ORACLES["dedup_semantic"] = f"""
+WITH {_EMB_CTE.strip()},
+cents AS (SELECT vec_id AS cid, v AS vc, nrm AS nc FROM n
+          WHERE vec_id < {P.IVF_CENTROIDS}),
+corp_d AS (
+  SELECT a.vec_id AS vid, c.cid, {_SEM_D2} AS d2,
+         {_dec(f"{_SEM_COS_C} / (a.nrm * c.nc)", 6)} AS cos_centroid
+  FROM n a, cents c
+),
+assigned AS (
+  SELECT vid, cid, cos_centroid FROM (
+    SELECT vid, cid, cos_centroid,
+           row_number() OVER (PARTITION BY vid ORDER BY d2 ASC, cid ASC) AS rn
+    FROM corp_d) WHERE rn = 1
+),
+ranked AS (
+  SELECT vid, cid, cos_centroid,
+         row_number() OVER (PARTITION BY cid
+                            ORDER BY cos_centroid DESC, vid ASC) AS cell_rank
+  FROM assigned
+),
+ex AS (SELECT cid, vid AS exemplar_id FROM ranked WHERE cell_rank = 1)
+SELECT r.vid AS vec_id, CAST(r.cid AS INT) AS cell_id, e.exemplar_id,
+       {_dec(f"{_DOT} / (a.nrm * b.nrm)", 4)} AS cos_exemplar,
+       (r.vid = e.exemplar_id
+        OR {_dec(f"{_DOT} / (a.nrm * b.nrm)", 4)} < {P.COSINE_THRESHOLD})
+         AS keep
+FROM ranked r
+JOIN ex e USING (cid)
+JOIN n a ON a.vec_id = r.vid
+JOIN n b ON b.vec_id = e.exemplar_id
+"""
+
 ORACLES["dedup_clusters"] = f"""
 WITH RECURSIVE pairs AS ({_minhash_sql()}),
 edges AS (

@@ -863,6 +863,14 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_pairs(load(spark, sf_dir, "embeddings"))
 
 
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style cluster-then-prune embedding dedup: Voronoi
+    cells → per-cell exemplar → keep/duplicate flag vs the exemplar.
+    Linear in corpus size (no pairwise stage); see
+    ``similarity.semantic_dedup``."""
+    return similarity.semantic_dedup(load(spark, sf_dir, "embeddings"))
+
+
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """duplicate-cluster resolution: connected components over the
     minhash candidate pairs (iterative min-label propagation)."""
@@ -1647,6 +1655,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_embedding": dedup_embedding,
+    "dedup_semantic": dedup_semantic,
     "dedup_clusters": dedup_clusters,
     "graph_pagerank": graph_pagerank,
     "ann_bruteforce": ann_bruteforce,
@@ -1762,6 +1771,7 @@ _SWEEP_PRIORITY = [
     "dedup_ngram_jaccard",
     "dedup_containment",
     "dedup_embedding",
+    "dedup_semantic",
     "dedup_clusters",
     # ANN — never driver-checked
     "ann_bruteforce",
