@@ -254,8 +254,14 @@ def ivf_topk(
         F.col("_vd").alias("vn"),
         F.col("_norm").alias("nn"),
     )
-    cells = nearest_cells(corpus, "vn", "neighbor_id", 1)
-    corpus_cells = corpus.join(cells, "neighbor_id")
+    # corpus-side assignment is the scale-critical step: the argmin
+    # expression fold attaches cid in the same narrow pass — no
+    # window shuffle, no corpus-sized re-join (the probe side below
+    # keeps the window form; the query set is tiny)
+    best = _argmin_cell(F.col("vn"), F.col("cs"))
+    corpus_cells = corpus.join(
+        F.broadcast(_collected_centroids(cents.select("cid", "vc")))
+    ).select("neighbor_id", "vn", "nn", best["cid"].alias("cid"))
 
     queries = e.where(F.col("vec_id").isin(list(query_ids))).select(
         F.col("vec_id").alias("query_id"),
@@ -348,6 +354,41 @@ def lsh_topk(
     )
 
 
+def _argmin_cell(vec: Column, cents_arr: Column) -> Column:
+    """argmin-by-(d2, cid) over a collected centroid-struct array —
+    a pure expression, so cell assignment costs ZERO shuffle.
+
+    The window form this replaces (cross-join 16 centroid rows per
+    vector + ``row_number`` over ``partitionBy(vec_id)``) shuffled
+    corpus×n_centroids rows — petabytes at 100 TB. Here the centroid
+    table is folded to ONE array row, broadcast, and each corpus row
+    evaluates ``array_min`` over per-centroid structs. Struct
+    comparison is lexicographic, so ``(d2, cid)`` ordering IS the
+    argmin-with-id-tiebreak, and d2 uses the identical sequential
+    ``zip_with``/``aggregate`` fold — bit-identical to the window
+    form and to the DuckDB oracle.
+    """
+    scored = F.transform(
+        cents_arr,
+        lambda c: F.struct(
+            F.aggregate(
+                F.zip_with(vec, c["vc"], lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d2"),
+            c["cid"].alias("cid"),
+        ),
+    )
+    return F.array_min(scored)
+
+
+def _collected_centroids(cents: DataFrame) -> DataFrame:
+    """(cid, vc) rows → a single-row array<struct{cid,vc}> for the
+    broadcast argmin fold. n_centroids is index-sized (≤ thousands),
+    so one row is cheap to build and ship."""
+    return cents.agg(F.collect_list(F.struct("cid", "vc")).alias("cs"))
+
+
 def ivf_assignments(
     emb: DataFrame, n_centroids: int = IVF_CENTROIDS
 ) -> DataFrame:
@@ -356,27 +397,19 @@ def ivf_assignments(
     of Lloyd's algorithm, shared by ``ivf_topk`` (which inlines the
     same construction for its own probe side) and ``ivf_train``.
 
-    Returns the input rows plus their ``cid``. Centroids broadcast;
-    the argmin is a per-row fold over n_centroids candidates, so the
-    corpus is read once with no shuffle before the caller's next agg.
+    Returns the input rows plus their ``cid``. Centroids broadcast
+    as one collected array row; the argmin is a per-row expression
+    fold (``_argmin_cell``), so the corpus is read once with no
+    shuffle before the caller's next agg.
     """
     e = with_norm(emb)
     cents = e.where(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("cid"), F.col("_vd").alias("vc")
     )
-    d2 = F.aggregate(
-        F.zip_with(F.col("_vd"), F.col("vc"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    scored = e.join(F.broadcast(cents), F.lit(True)).select(
-        "vec_id", "embedding", "cid", d2.alias("d2")
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cid").asc())
+    best = _argmin_cell(F.col("_vd"), F.col("cs"))
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cid")
+        e.join(F.broadcast(_collected_centroids(cents)))
+        .select("vec_id", "embedding", best["cid"].alias("cid"))
     )
 
 
@@ -384,22 +417,14 @@ def assign_to_centroids(emb: DataFrame, cvec: DataFrame) -> DataFrame:
     """Voronoi assignment against an arbitrary centroid table
     (cid, vc: array<double>) — the E-step against *trained*
     centroids, vs ``ivf_assignments``'s iteration-0 seed. Same plan:
-    broadcast centroids, per-row argmin fold, no shuffle.
+    collected broadcast centroids, per-row argmin expression fold,
+    no shuffle.
     """
     e = with_norm(emb)
-    d2 = F.aggregate(
-        F.zip_with(F.col("_vd"), F.col("vc"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    scored = e.join(F.broadcast(cvec), F.lit(True)).select(
-        "vec_id", "embedding", "cid", d2.alias("d2")
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cid").asc())
+    best = _argmin_cell(F.col("_vd"), F.col("cs"))
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cid")
+        e.join(F.broadcast(_collected_centroids(cvec)))
+        .select("vec_id", "embedding", best["cid"].alias("cid"))
     )
 
 
@@ -489,16 +514,22 @@ def pq_codes(
         F.col("sub_id").alias("c_sub"), F.col("vec_id").alias("cid"),
         F.col("sv").alias("cv"),
     )
-    d2 = F.aggregate(
-        F.zip_with(F.col("sv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    # per-subspace codebooks collapse to m array rows (one per
+    # sub_id), broadcast-hash-joined; the codeword argmin is the same
+    # shuffle-free expression fold as cell assignment — the former
+    # (vec_id, sub_id) window shuffled corpus×m×k rows
+    seeds_arr = seeds.groupBy("c_sub").agg(
+        F.collect_list(F.struct("cid", F.col("cv").alias("vc"))).alias("cs")
     )
-    scored = subs.join(F.broadcast(seeds), F.col("sub_id") == F.col("c_sub")).select(
-        "vec_id", "sub_id", "cid", d2.alias("d2")
+    bestc = _argmin_cell(F.col("sv"), F.col("cs"))
+    best = subs.join(
+        F.broadcast(seeds_arr), F.col("sub_id") == F.col("c_sub")
+    ).select(
+        "vec_id",
+        "sub_id",
+        bestc["cid"].alias("cid"),
+        bestc["d2"].alias("d2"),
     )
-    w = Window.partitionBy("vec_id", "sub_id").orderBy(F.col("d2").asc(), F.col("cid").asc())
-    best = scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
     code_cols = [
         F.max(F.when(F.col("sub_id") == j, F.col("cid"))).alias(f"code{j}")
         for j in range(m)
@@ -532,10 +563,11 @@ def ivfpq_topk(
     Plan shape: centroids, codebooks, and the per-query
     (subspace × codeword) distance table are all tiny derived
     tables → broadcast; the corpus is scanned once for cell
-    assignment and once for code assignment (each a broadcast
-    argmin + keyed window); ranking joins codes against the
-    broadcast distance table and folds m quantized longs per
-    candidate — order-independent, oracle-exact.
+    assignment and once for code assignment (each a shuffle-free
+    argmin expression fold over collected broadcast codebooks);
+    ranking joins codes against the broadcast distance table and
+    folds m quantized longs per candidate — order-independent,
+    oracle-exact.
 
     Determinism: both seed sets follow the iteration-0 convention
     (first n vectors by vec_id); every distance is a sequential
@@ -569,7 +601,12 @@ def ivfpq_topk(
         )
 
     corpus = e.select(F.col("vec_id").alias("neighbor_id"), "v")
-    cells = nearest_cells(corpus, "neighbor_id", 1)
+    # corpus cell assignment: shuffle-free argmin fold (the window
+    # form stays only for the tiny nprobe query side below)
+    bestcell = _argmin_cell(F.col("v"), F.col("cs"))
+    cells = corpus.join(
+        F.broadcast(_collected_centroids(cents))
+    ).select("neighbor_id", bestcell["cid"].alias("cid"))
 
     slices = F.array(*[F.slice("v", j * sub + 1, sub) for j in range(m)])
     subs = e.select("vec_id", F.posexplode(slices).alias("sub_id", "sv"))
@@ -577,21 +614,21 @@ def ivfpq_topk(
         F.col("sub_id").alias("c_sub"), F.col("vec_id").alias("code"),
         F.col("sv").alias("cv"),
     )
-    sub_d2 = F.aggregate(
-        F.zip_with(F.col("sv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    # codeword assignment: same shuffle-free fold, per-sub codebook
+    # arrays broadcast (the former (vec_id, sub_id) window shuffled
+    # corpus×m×k rows)
+    seeds_arr = seeds.groupBy("c_sub").agg(
+        F.collect_list(
+            F.struct(F.col("code").alias("cid"), F.col("cv").alias("vc"))
+        ).alias("cs")
     )
-    code_scored = subs.join(F.broadcast(seeds), F.col("sub_id") == F.col("c_sub")).select(
-        "vec_id", "sub_id", "code", sub_d2.alias("d2")
-    )
-    wc = Window.partitionBy("vec_id", "sub_id").orderBy(
-        F.col("d2").asc(), F.col("code").asc()
-    )
-    codes = (
-        code_scored.withColumn("rn", F.row_number().over(wc))
-        .where(F.col("rn") == 1)
-        .select(F.col("vec_id").alias("neighbor_id"), "sub_id", "code")
+    bestcode = _argmin_cell(F.col("sv"), F.col("cs"))
+    codes = subs.join(
+        F.broadcast(seeds_arr), F.col("sub_id") == F.col("c_sub")
+    ).select(
+        F.col("vec_id").alias("neighbor_id"),
+        "sub_id",
+        bestcode["cid"].alias("code"),
     )
 
     queries = e.where(F.col("vec_id").isin(list(query_ids))).select(
@@ -677,20 +714,14 @@ def semantic_dedup(
         F.col("_vd").alias("vc"),
         F.col("_norm").alias("nc"),
     )
-    d2 = F.aggregate(
-        F.zip_with(F.col("_vd"), F.col("vc"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    scored = e.join(F.broadcast(cents), F.lit(True)).select(
-        "vec_id", "_vd", "_norm", "cid", "vc", "nc", d2.alias("d2")
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.col("d2").asc(), F.col("cid").asc()
-    )
+    # cell assignment: shuffle-free argmin fold over the collected
+    # broadcast centroid array (see _argmin_cell); the chosen cell's
+    # centroid vector comes back via a broadcast hash join on cid
+    best = _argmin_cell(F.col("_vd"), F.col("cs"))
     assigned = (
-        scored.withColumn("rn", F.row_number().over(w_assign))
-        .where(F.col("rn") == 1)
+        e.join(F.broadcast(_collected_centroids(cents.select("cid", "vc"))))
+        .select("vec_id", "_vd", "_norm", best["cid"].alias("cid"))
+        .join(F.broadcast(cents), "cid")
         .select(
             "vec_id",
             "_vd",

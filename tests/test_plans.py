@@ -438,3 +438,32 @@ def test_jdbc_write_rejects_unknown_mode(spark):
     ep = JdbcEndpoint(url="jdbc:mysql://tgt:3306/rsbsa", user="u", password="p")
     with pytest.raises(ValueError):
         write_jdbc(spark.range(1), ep, "t", mode="merge")
+
+
+def test_ivf_cell_assignment_has_no_corpus_shuffle(spark):
+    # Voronoi assignment must be the argmin expression fold over
+    # collected broadcast centroids — the window form shuffled
+    # corpus×n_centroids rows. Only the per-cell exemplar window
+    # (cid) may shuffle in dedup_semantic; ann_ivf may only shuffle
+    # the tiny query side.
+    import re
+
+    plan = _plan(QUERIES["dedup_semantic"](spark, SF_DIR))
+    shuffles = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
+    assert all(s.startswith("cid") for s in shuffles), shuffles
+
+    plan = _plan(QUERIES["ann_ivf"](spark, SF_DIR))
+    shuffles = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
+    assert all(s.startswith("query_id") for s in shuffles), shuffles
+
+
+def test_pq_code_assignment_has_no_keyed_window_shuffle(spark):
+    # codeword argmin folds against per-sub broadcast codebook arrays;
+    # the only corpus-sized exchange left is the per-vector regroup
+    import re
+
+    plan = _plan(QUERIES["embedding_pq"](spark, SF_DIR))
+    shuffles = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
+    assert all(
+        s.startswith("vec_id") or s.startswith("c_sub") for s in shuffles
+    ), shuffles
