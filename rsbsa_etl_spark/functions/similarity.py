@@ -367,6 +367,15 @@ def _argmin_cell(vec: Column, cents_arr: Column) -> Column:
     argmin-with-id-tiebreak, and d2 uses the identical sequential
     ``zip_with``/``aggregate`` fold — bit-identical to the window
     form and to the DuckDB oracle.
+
+    Trade-off, measured: nested higher-order functions evaluate
+    outside whole-stage codegen, so single-node CPU per row is ~2×
+    the joined+windowed form (ann_ivfpq 0.9 s → 1.7-2.0 s at sf0.1
+    local[32]). The windowed form's cost is a corpus×n_centroids
+    SHUFFLE, which grows with data; the fold's cost is bounded
+    per-row CPU. At the 100 TB design point the shuffle dominates by
+    orders of magnitude — this is the scale-correct side of the
+    trade.
     """
     scored = F.transform(
         cents_arr,
