@@ -27,3 +27,35 @@ def test_shingle_arrow_equals_expr(spark):
     expr = sorted(map(tuple, dedup.shingle_rows_expr(docs).collect()))
     assert arrow == expr
     assert len(arrow) > 0
+
+
+def test_cosine_pairs_tiling_invariant(spark):
+    # the tiled block-matmul must produce the same pair set for any
+    # tile count — catches diagonal/off-diagonal bookkeeping bugs
+    # (double-emitted in-tile pairs, dropped cross-tile pairs)
+    from rsbsa_etl_spark.functions import similarity
+
+    emb = load(spark, SF_DIR, "embeddings")
+    one = sorted(map(tuple, similarity.cosine_pairs(emb, n_tiles=1).collect()))
+    eight = sorted(map(tuple, similarity.cosine_pairs(emb, n_tiles=8).collect()))
+    five = sorted(map(tuple, similarity.cosine_pairs(emb, n_tiles=5).collect()))
+    assert one == eight == five
+    assert len(one) > 0
+    assert all(a < b for a, b, _ in one)
+
+
+def test_semantic_dedup_invariants(spark):
+    from rsbsa_etl_spark.functions import similarity
+
+    emb = load(spark, SF_DIR, "embeddings")
+    out = similarity.semantic_dedup(emb).collect()
+    assert len(out) == emb.count()  # every vector classified
+    by_cell = {}
+    for r in out:
+        by_cell.setdefault(r.cell_id, []).append(r)
+    for cell, rows in by_cell.items():
+        exemplars = {r.exemplar_id for r in rows}
+        assert len(exemplars) == 1  # one exemplar per cell
+        for r in rows:
+            if r.vec_id == r.exemplar_id:
+                assert r.keep  # exemplar always kept
