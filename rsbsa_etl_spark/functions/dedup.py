@@ -166,7 +166,10 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def minhash_signature(
-    docs: DataFrame, text_col: str = "text", perms: int = MINHASH_PERMS
+    docs: DataFrame,
+    text_col: str = "text",
+    perms: int = MINHASH_PERMS,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, sig: array<bigint>) — universal-hash minhash.
 
@@ -189,8 +192,12 @@ def minhash_signature(
     an early version used ``lambda s, p=p`` and silently hashed with
     the stringified index column as the prefix.
     """
+    # ``shingles`` lets callers that already hold a (possibly
+    # distinct+persisted) shingle table share it — min is idempotent
+    # under duplicates, so the deduped set yields the same signature
     h = F.md5(F.col("shingle"))
-    rows = shingle_rows(docs, text_col).select(
+    base = shingles if shingles is not None else shingle_rows(docs, text_col)
+    rows = base.select(
         "doc_id",
         F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint").alias("h1"),
         F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint").alias("h2"),
@@ -228,7 +235,9 @@ def minhash_bands(sig_df: DataFrame, bands: int = MINHASH_BANDS) -> DataFrame:
 
 
 def minhash_candidate_pairs(
-    docs: DataFrame, text_col: str = "text"
+    docs: DataFrame,
+    text_col: str = "text",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing ≥1 band bucket.
 
@@ -243,7 +252,9 @@ def minhash_candidate_pairs(
     shingle→signature→band pipeline twice (AQE does not reuse the
     exchange across the aliased sides).
     """
-    b = minhash_bands(minhash_signature(docs, text_col)).persist()
+    b = minhash_bands(
+        minhash_signature(docs, text_col, shingles=shingles)
+    ).persist()
     left = b.alias("a")
     right = b.alias("b")
     return (
@@ -522,7 +533,9 @@ def ngram_jaccard_pairs(
     sh = shingle_rows(docs, text_col).distinct().persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     if candidates is None:
-        candidates = minhash_candidate_pairs(docs, text_col)
+        # share the persisted shingle set with the candidate pipeline
+        # — one explode+distinct pass instead of two
+        candidates = minhash_candidate_pairs(docs, text_col, shingles=sh)
     inter = _candidate_intersections(sh, candidates)
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
@@ -685,7 +698,7 @@ def containment_pairs(
     sh = shingle_rows(docs, text_col).distinct().persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     if candidates is None:
-        candidates = minhash_candidate_pairs(docs, text_col)
+        candidates = minhash_candidate_pairs(docs, text_col, shingles=sh)
     inter = _candidate_intersections(sh, candidates).select(
         F.col("doc_a").alias("doc_x"),
         F.col("doc_b").alias("doc_y"),
