@@ -55,6 +55,7 @@ HEADLINE = [
     "sample_stratified",
     "agg_cube",
     "dedup_minhash_capped",
+    "dedup_minhash_est",
     "split_assign",
     "tfidf_topk",
     "agg_pivot",

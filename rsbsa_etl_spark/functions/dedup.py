@@ -594,6 +594,48 @@ def minhash_capped_pairs(
     )
 
 
+def minhash_estimate_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    perms: int = MINHASH_PERMS,
+) -> DataFrame:
+    """candidate pairs + the MinHash Jaccard ESTIMATE — the fraction
+    of agreeing signature positions, the O(perms) screening score
+    real LSH pipelines use to rank/threshold candidates before (or
+    instead of) the exact shingle-intersection verify: at web scale
+    the estimate costs a signature lookup while exact Jaccard costs
+    re-reading both documents' shingle sets.
+
+    Plan shape: signatures and candidates come from the shared
+    pipeline (one explode + one band self-join); the estimate is a
+    zip_with/aggregate fold over the two 16-long signature arrays
+    joined onto the pair list — candidate-sized work, corpus touched
+    only by the signature build.
+    """
+    sig = minhash_signature(docs, text_col, perms)
+    cand = minhash_candidate_pairs(docs, text_col)
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    agree = F.aggregate(
+        F.zip_with(
+            F.col("sig_a"),
+            F.col("sig_b"),
+            lambda x, y: F.when(x == y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            dec_round(agree / F.lit(float(perms)), 4).alias("jaccard_est"),
+        )
+    )
+
+
 def pagerank(
     docs: DataFrame,
     pairs: DataFrame,

@@ -727,6 +727,28 @@ FROM documents GROUP BY 1
 
 ORACLES["dedup_minhash"] = _minhash_sql()
 
+_EST_AGREE = " + ".join(
+    f"(CASE WHEN sa.m{p} = sb.m{p} THEN 1 ELSE 0 END)"
+    for p in range(P.MINHASH_PERMS)
+)
+ORACLES["dedup_minhash_est"] = f"""
+WITH pairs AS (
+  SELECT * FROM ({_minhash_sql()}) t
+),
+{SHINGLES_CTE},
+hs AS (SELECT doc_id, md5(unnest(shingles)) AS h FROM sh),
+chunks AS (SELECT doc_id, {_hexpoly("h", 1)} AS h1, {_hexpoly("h", 9)} AS h2 FROM hs),
+sig AS (SELECT doc_id, {", ".join(
+    f"min((h1 * {a} + h2 * {b} + {c}) % {P.MINHASH_MOD}) AS m{p}"
+    for p, (a, b, c) in enumerate(P.MINHASH_COEFFS)
+)} FROM chunks GROUP BY doc_id)
+SELECT doc_a, doc_b,
+       {_dec(f"({_EST_AGREE}) / {float(P.MINHASH_PERMS)}", 4)} AS jaccard_est
+FROM pairs
+JOIN sig sa ON sa.doc_id = doc_a
+JOIN sig sb ON sb.doc_id = doc_b
+"""
+
 ORACLES["dedup_minhash_capped"] = _minhash_sql(cap=P.MINHASH_BUCKET_CAP)
 
 ORACLES["dedup_simhash"] = _simhash_sql()

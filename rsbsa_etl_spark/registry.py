@@ -851,6 +851,12 @@ def dedup_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_capped_pairs(load(spark, sf_dir, "documents"))
 
 
+def dedup_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """candidate pairs + signature-agreement Jaccard estimate — the
+    O(perms) screening score used before exact verification."""
+    return dedup.minhash_estimate_pairs(load(spark, sf_dir, "documents"))
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs_banded(load(spark, sf_dir, "documents"))
 
@@ -1652,6 +1658,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_exact": dedup_exact,
     "dedup_minhash": dedup_minhash,
     "dedup_minhash_capped": dedup_minhash_capped,
+    "dedup_minhash_est": dedup_minhash_est,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_embedding": dedup_embedding,
