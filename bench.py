@@ -38,7 +38,9 @@ HEADLINE = [
     "dedup_semantic",
     "ann_bruteforce",
     "ann_lsh",
+    "ann_lsh_multiprobe",
     "ann_ivf",
+    "ann_recall",
     "lang_id",
     "quality_score",
     "token_count",

@@ -141,7 +141,7 @@ n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FRO
 _DOT = "list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))"
 
 
-def _ann_sql(bucketed: bool) -> str:
+def _ann_sql(bucketed: bool, multiprobe: bool = False) -> str:
     qids = sql_in_list(P.ANN_QUERY_IDS)
     bucket_expr = " + ".join(
         f"CASE WHEN embedding[{i + 1}] > 0 THEN {1 << i} ELSE 0 END"
@@ -152,9 +152,17 @@ def _ann_sql(bucketed: bool) -> str:
         if bucketed
         else ""
     )
+    # multiprobe: buckets within Hamming distance 1 — identical pair
+    # set to exploding dims+1 probe buckets per query
+    flips = ", ".join(["0"] + [str(1 << i) for i in range(P.LSH_SIGN_DIMS)])
+    bucket_cond = (
+        f"xor(ba.bucket, bb.bucket) IN ({flips})"
+        if multiprobe
+        else "ba.bucket = bb.bucket"
+    )
     joins = (
         "JOIN bk ba ON ba.vec_id = a.vec_id JOIN bk bb ON bb.vec_id = b.vec_id"
-        "\n       AND ba.bucket = bb.bucket"
+        f"\n       AND {bucket_cond}"
         if bucketed
         else ""
     )
@@ -1174,9 +1182,47 @@ JOIN counters c ON c.j = m.j AND c.bucket = m.bucket
 GROUP BY t.term, t.n
 """
 
+ORACLES["ann_recall"] = f"""
+WITH exact AS (
+  SELECT query_id, neighbor_id FROM ({_ann_sql(bucketed=False)}) t
+),
+lsh AS (
+  SELECT query_id, neighbor_id FROM ({_ann_sql(bucketed=True)}) t
+),
+mp AS (
+  SELECT query_id, neighbor_id
+  FROM ({_ann_sql(bucketed=True, multiprobe=True)}) t
+),
+ivf AS (
+  SELECT query_id, neighbor_id FROM ({_ivf_sql()}) t
+),
+hl AS (
+  SELECT query_id, count(*) AS n_lsh
+  FROM lsh JOIN exact USING (query_id, neighbor_id) GROUP BY 1
+),
+hm AS (
+  SELECT query_id, count(*) AS n_mp
+  FROM mp JOIN exact USING (query_id, neighbor_id) GROUP BY 1
+),
+hi AS (
+  SELECT query_id, count(*) AS n_ivf
+  FROM ivf JOIN exact USING (query_id, neighbor_id) GROUP BY 1
+)
+SELECT q.query_id,
+       {_dec(f"coalesce(n_lsh, 0) / {float(P.ANN_TOP_K)}", 4)} AS recall_lsh,
+       {_dec(f"coalesce(n_mp, 0) / {float(P.ANN_TOP_K)}", 4)} AS recall_lsh_mp,
+       {_dec(f"coalesce(n_ivf, 0) / {float(P.ANN_TOP_K)}", 4)} AS recall_ivf
+FROM (SELECT DISTINCT query_id FROM exact) q
+LEFT JOIN hl USING (query_id)
+LEFT JOIN hm USING (query_id)
+LEFT JOIN hi USING (query_id)
+"""
+
 ORACLES["ann_bruteforce"] = _ann_sql(bucketed=False)
 
 ORACLES["ann_lsh"] = _ann_sql(bucketed=True)
+
+ORACLES["ann_lsh_multiprobe"] = _ann_sql(bucketed=True, multiprobe=True)
 
 ORACLES["ann_ivf"] = _ivf_sql()
 

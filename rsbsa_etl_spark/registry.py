@@ -902,11 +902,24 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(load(spark, sf_dir, "embeddings"))
 
 
+def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multi-probe sign-LSH (home bucket + all 1-bit-flip buckets) —
+    the recall fix the ``ann_recall`` evaluation motivates."""
+    return similarity.lsh_multiprobe_topk(load(spark, sf_dir, "embeddings"))
+
+
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(load(spark, sf_dir, "embeddings"))
 
 
 # ------------------------------------------------------------ text analysis
+
+
+def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k evaluation of the LSH and IVF indexes vs exact brute
+    force — deterministic, so the quality metric itself is
+    oracle-checked."""
+    return similarity.ann_recall(load(spark, sf_dir, "embeddings"))
 
 
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1668,6 +1681,8 @@ QUERIES: dict[str, QueryFn] = {
     "ann_bruteforce": ann_bruteforce,
     "ann_lsh": ann_lsh,
     "ann_ivf": ann_ivf,
+    "ann_lsh_multiprobe": ann_lsh_multiprobe,
+    "ann_recall": ann_recall,
     "lang_id": lang_id,
     "quality_score": quality_score,
     "token_count": token_count,
@@ -1785,6 +1800,7 @@ _SWEEP_PRIORITY = [
     "ann_lsh",
     "ann_ivf",
     "ann_ivfpq",
+    "ann_recall",
     # text analysis — never driver-checked
     "lang_id",
     "quality_score",
