@@ -89,6 +89,7 @@ HEADLINE = [
     "profile_stats",
     "corr_groups",
     "events_funnel",
+    "events_dau_mau",
     "retention_cohort",
     "ngram_topk",
     "dedup_priority",

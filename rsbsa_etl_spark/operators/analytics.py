@@ -847,3 +847,39 @@ def supplier_hhi(
         )
         .orderBy("n_name")
     )
+
+
+def dau_mau(events: DataFrame) -> DataFrame:
+    """monthly engagement stickiness: average daily active users over
+    monthly active users — the DAU/MAU ratio product analytics tracks
+    per month.
+
+    Plan: one distinct over (day, user) — a single corpus shuffle —
+    then day-level and month-level counts fold from that same
+    deduplicated set; the ratio is arithmetic on two aggregates.
+    Deterministic: integer counts, one double division, quantized.
+    """
+    d = events.select(
+        F.date_trunc("month", F.col("ts")).cast("date").alias("month"),
+        F.to_date("ts").alias("day"),
+        "user_id",
+    ).distinct()
+    daily = d.groupBy("month", "day").agg(
+        F.count_distinct("user_id").alias("dau")
+    )
+    avg_dau = daily.groupBy("month").agg(
+        (F.sum("dau").cast("double") / F.count("*")).alias("avg_dau"),
+        F.count("*").alias("n_days"),
+    )
+    mau = d.groupBy("month").agg(F.count_distinct("user_id").alias("mau"))
+    return (
+        avg_dau.join(mau, "month")
+        .select(
+            "month",
+            "n_days",
+            dec_round(F.col("avg_dau"), 4).alias("avg_dau"),
+            "mau",
+            dec_round(F.col("avg_dau") / F.col("mau"), 4).alias("stickiness"),
+        )
+        .orderBy("month")
+    )

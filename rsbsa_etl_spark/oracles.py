@@ -1912,6 +1912,27 @@ SELECT l_returnflag, n,
 FROM m ORDER BY l_returnflag
 """
 
+ORACLES["events_dau_mau"] = f"""
+WITH d AS (
+  SELECT DISTINCT CAST(date_trunc('month', ts) AS DATE) AS month,
+                  CAST(ts AS DATE) AS day, user_id
+  FROM events
+),
+daily AS (
+  SELECT month, day, count(DISTINCT user_id) AS dau FROM d GROUP BY 1, 2
+),
+a AS (
+  SELECT month, CAST(sum(dau) AS DOUBLE) / count(*) AS avg_dau,
+         count(*) AS n_days
+  FROM daily GROUP BY 1
+),
+m AS (SELECT month, count(DISTINCT user_id) AS mau FROM d GROUP BY 1)
+SELECT month, n_days, {_dec("avg_dau", 4)} AS avg_dau, mau,
+       {_dec("avg_dau / mau", 4)} AS stickiness
+FROM a JOIN m USING (month)
+ORDER BY month
+"""
+
 ORACLES["events_funnel"] = """
 WITH t1 AS (
   SELECT user_id, min(epoch_us(ts)) AS t_view FROM events

@@ -1224,6 +1224,14 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_steps(load(spark, sf_dir, "events"))
 
 
+def events_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """monthly DAU/MAU stickiness ratio — one distinct pass over
+    (day, user), counts fold from the deduplicated set."""
+    from rsbsa_etl_spark.operators.analytics import dau_mau
+
+    return dau_mau(load(spark, sf_dir, "events"))
+
+
 def retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rsbsa_etl_spark.operators.analytics import retention_cohorts
 
@@ -1715,6 +1723,7 @@ QUERIES: dict[str, QueryFn] = {
     "hhi_concentration": hhi_concentration,
     "corr_groups": corr_groups,
     "events_funnel": events_funnel,
+    "events_dau_mau": events_dau_mau,
     "retention_cohort": retention_cohort,
     "ngram_topk": ngram_topk,
     "dedup_priority": dedup_priority,
