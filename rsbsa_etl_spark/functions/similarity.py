@@ -774,12 +774,13 @@ def semantic_dedup(
       ≥ threshold. Exemplars are always kept.
 
     Plan shape at 100 TB: centroids broadcast (tiny); cell assignment
-    is one narrow scan; the exemplar choice is a per-cell window
-    (ONE shuffle by cell id, the only corpus-wide exchange); the
-    member-vs-exemplar cosine is a broadcast join of the n_cells-row
-    exemplar table. No pairwise stage anywhere — work is linear in
-    corpus size. All distances are sequential double folds matching
-    DuckDB's ``list_sum`` accumulation order.
+    is a shuffle-free argmin fold on one narrow scan; exemplar choice
+    AND the member-vs-exemplar cosine ride the same per-cell window —
+    ``first(...)`` over the full ordered frame pins the exemplar's
+    vector onto every member row, so the whole operator is ONE corpus
+    scan and ONE shuffle (by cell id). No pairwise stage anywhere —
+    work is linear in corpus size. All distances are sequential
+    double folds matching DuckDB's ``list_sum`` accumulation order.
     """
     e = with_norm(emb)
     cents = e.where(F.col("vec_id") < n_centroids).select(
@@ -808,28 +809,31 @@ def semantic_dedup(
     w_cell = Window.partitionBy("cid").orderBy(
         F.col("cos_centroid").desc(), F.col("vec_id").asc()
     )
-    ranked = assigned.withColumn("cell_rank", F.row_number().over(w_cell))
-    exemplars = ranked.where(F.col("cell_rank") == 1).select(
-        "cid",
-        F.col("vec_id").alias("exemplar_id"),
-        F.col("_vd").alias("ve"),
-        F.col("_norm").alias("ne"),
+    w_full = w_cell.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    sim_ex = dec_round(
-        dot(F.col("_vd"), F.col("ve")) / (F.col("_norm") * F.col("ne")), 4
-    )
-    return (
-        ranked.join(F.broadcast(exemplars), "cid")
-        .select(
-            "vec_id",
-            F.col("cid").cast("int").alias("cell_id"),
-            "exemplar_id",
-            sim_ex.alias("cos_exemplar"),
-            (
-                (F.col("vec_id") == F.col("exemplar_id"))
-                | (sim_ex < F.lit(threshold))
-            ).alias("keep"),
+    # first() over the full ordered frame = the cell's exemplar row,
+    # available on every member row without a second branch + join
+    ex = F.first(
+        F.struct(
+            F.col("vec_id").alias("id"),
+            F.col("_vd").alias("ve"),
+            F.col("_norm").alias("ne"),
         )
+    ).over(w_full)
+    with_ex = assigned.withColumn("ex", ex)
+    sim_ex = dec_round(
+        dot(F.col("_vd"), F.col("ex.ve")) / (F.col("_norm") * F.col("ex.ne")),
+        4,
+    )
+    return with_ex.select(
+        "vec_id",
+        F.col("cid").cast("int").alias("cell_id"),
+        F.col("ex.id").alias("exemplar_id"),
+        sim_ex.alias("cos_exemplar"),
+        (
+            (F.col("vec_id") == F.col("ex.id")) | (sim_ex < F.lit(threshold))
+        ).alias("keep"),
     )
 
 
