@@ -441,6 +441,13 @@ SELECT t.* FROM tgt t
 WHERE t.l_orderkey NOT IN (SELECT DISTINCT l_orderkey FROM batch)
 """
 
+# fixture layout is one physical file per table, so the expected
+# provenance is a literal; the count checks the rows really came from
+# that scan
+ORACLES["scan_file_provenance"] = """
+SELECT 'lineitem.parquet' AS file_name, count(*) AS n_rows FROM lineitem
+"""
+
 ORACLES["sync_metrics"] = f"""
 WITH cl AS (
   SELECT event_id AS log_id,

@@ -57,6 +57,25 @@ def scan_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("event_id", "user_id", "event_type", "value")
 
 
+def scan_file_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """per-file row provenance via the ``_metadata`` hidden column —
+    the lineage primitive of a data lake (which physical file fed
+    each row; the reference's logger tracks per-batch provenance,
+    ``utils/logger.js``). Reading ``_metadata.file_name`` costs no
+    extra I/O: it is populated from the scan's own file listing, and
+    the aggregate is the usual partial-then-final count per file."""
+    import os as _os
+
+    path = _os.path.join(sf_dir, "lineitem.parquet")
+    df = spark.read.parquet(path)
+    return (
+        df.select(F.col("_metadata.file_name").alias("file_name"))
+        .groupBy("file_name")
+        .agg(F.count("*").alias("n_rows"))
+        .orderBy("file_name")
+    )
+
+
 def agg_count_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4/A1: filtered COUNT(*). Null-ness synthesized via nullif so
     the predicate actually rejects rows (fixture has no NULLs)."""
@@ -1627,6 +1646,7 @@ QUERIES: dict[str, QueryFn] = {
     "limit_offset": limit_offset,
     "topk_recent": topk_recent,
     "sort_zorder": sort_zorder,
+    "scan_file_provenance": scan_file_provenance,
     "union_paths": union_paths,
     "set_except_intersect": set_except_intersect,
     "agg_incremental_totals": agg_incremental_totals,
