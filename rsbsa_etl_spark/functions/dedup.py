@@ -486,6 +486,84 @@ def simhash_pairs_banded(
 # ---------------------------------------------------------- exact jaccard
 
 
+def prefix_filter_candidates(
+    sh: DataFrame,
+    threshold: float,
+    containment: bool = False,
+) -> DataFrame:
+    """EXACT candidate pairs via prefix filtering (AllPairs /
+    PPJoin family, Bayardo et al. WWW'07; Chaudhuri et al. ICDE'06).
+
+    Order every doc's distinct shingles by a global total order
+    (rarest first, shingle text as tie-break) and keep only the
+    first ``|d| − α + 1`` as the doc's *prefix*, where
+    ``α = ⌈t·|d|⌉`` is the minimum intersection any qualifying
+    partner must reach (Jaccard ≥ t ⟹ |A∩B| ≥ t·|A∪B| ≥ t·|A|;
+    containment(A→B) ≥ t ⟹ |A∩B| ≥ t·|A|). The prefix-filter
+    lemma then guarantees every qualifying pair shares ≥1 *prefix*
+    shingle — so unlike MinHash banding this candidate set is a
+    deterministic superset of the answer: recall is exactly 1 at the
+    stated threshold, by construction, on any data. (α is computed
+    as ``ceil(t·|d| − 1e-9)``: the epsilon only ever *lengthens* the
+    prefix under float round-up, keeping the superset property.)
+
+    - ``containment=False`` (symmetric Jaccard): both docs shrink to
+      prefixes and the join is prefix ⋈ prefix.
+    - ``containment=True`` (asymmetric): only the contained side's
+      size is bounded, so the join is prefix ⋈ *full* shingle set,
+      emitted as an unordered (doc_a < doc_b) pair — the caller
+      checks both directions from the one intersection count.
+
+    Scale: the rare-first order is what bounds the work — a prefix
+    join touches a shingle's posting list only when that shingle is
+    among a doc's ``(1−t)·|d|+1`` *rarest*, so the ubiquitous
+    boilerplate shingles that make a naive posting-list self-join
+    quadratic almost never appear in any prefix. Cost is one
+    frequency aggregation + one per-doc rank window (partition =
+    one doc's shingles, bounded by doc length) + an equi-join that
+    shuffles (shingle, doc_id) pairs — every stage is keyed,
+    partial-aggregated, and skew-safe under AQE.
+    """
+    from pyspark.sql import Window
+
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    ranked = (
+        sh.join(freq, "shingle")
+        .select(
+            "doc_id",
+            "shingle",
+            F.row_number()
+            .over(
+                Window.partitionBy("doc_id").orderBy(
+                    F.col("df").asc(), F.col("shingle").asc()
+                )
+            )
+            .alias("pos"),
+            F.count("*")
+            .over(Window.partitionBy("doc_id"))
+            .alias("sz"),
+        )
+    )
+    alpha = F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9))
+    prefix = ranked.where(
+        F.col("pos") <= F.col("sz") - alpha + F.lit(1)
+    ).select("doc_id", "shingle")
+    if containment:
+        right = sh
+    else:
+        right = prefix
+    return (
+        prefix.select(F.col("doc_id").alias("doc_a"), "shingle")
+        .join(right.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle")
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .select(
+            F.least("doc_a", "doc_b").alias("doc_a"),
+            F.greatest("doc_a", "doc_b").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
 def _candidate_intersections(
     sh: DataFrame, candidates: DataFrame
 ) -> DataFrame:

@@ -461,8 +461,8 @@ agg AS (
          count(*) AS n_changes,
          count(DISTINCT CASE WHEN rsbsa_no IS NOT NULL AND tbl IS NOT NULL
                              THEN rsbsa_no END) AS n_keys,
-         sum(CASE WHEN rsbsa_no IS NULL OR tbl IS NULL THEN 1 ELSE 0 END)
-           AS n_invalid
+         CAST(sum(CASE WHEN rsbsa_no IS NULL OR tbl IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_invalid
   FROM cl GROUP BY 1
 )
 SELECT table_name, n_changes, n_keys, n_invalid,
@@ -2097,7 +2097,7 @@ WITH m AS (
   FROM m WHERE maxabs > 0
 )
 SELECT vec_id, n_dims,
-       list_aggregate(qv, 'sum') AS q_sum,
+       CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_sum,
        list_aggregate(qv, 'min') AS q_min,
        list_aggregate(qv, 'max') AS q_max,
        md5(array_to_string(qv, ',')) AS q_md5
@@ -2169,10 +2169,10 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
 
 ORACLES["tpch_q12"] = """
 SELECT l_linestatus,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 0 ELSE 1 END) AS low_line_count
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -2506,7 +2506,8 @@ WITH toks AS (
          CASE WHEN v.term IS NULL THEN dt.n ELSE 0 END AS oov_n
   FROM doc_terms dt LEFT JOIN vocab v USING (term)
 )
-SELECT doc_id, sum(n) AS n_tokens, sum(oov_n) AS n_oov,
+SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+       CAST(sum(oov_n) AS BIGINT) AS n_oov,
        {_dec('CAST(sum(oov_n) AS DOUBLE) / sum(n)', 6)} AS oov_rate
 FROM flagged GROUP BY doc_id
 """
@@ -2691,7 +2692,8 @@ WITH counts AS (
   SELECT sum(cnt) AS top_mass
   FROM (SELECT cnt FROM counts ORDER BY cnt DESC, l_orderkey ASC LIMIT 5)
 )
-SELECT count(*) AS n_keys, sum(cnt) AS n_rows, max(cnt) AS max_group,
+SELECT count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS n_rows,
+       max(cnt) AS max_group,
        {_dec('quantile_cont(cnt, 0.5)', 6)} AS p50_group,
        {_dec('quantile_cont(cnt, 0.99)', 6)} AS p99_group,
        {_dec('CAST(top_mass AS DOUBLE) / sum(cnt)', 6)} AS top5_share
@@ -2708,9 +2710,10 @@ WITH flagged AS (
   FROM events
 )
 SELECT event_id, user_id,
-       sum(is_first) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         AS n_types_seen
+       CAST(sum(is_first) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW)
+            AS BIGINT) AS n_types_seen
 FROM flagged
 """
 

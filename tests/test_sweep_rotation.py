@@ -1,0 +1,70 @@
+"""Guards the driver-sweep rotation (registry.py tail).
+
+The external correctness driver checks the first ~50 keys of
+``queries()`` order each round. The rotation rule is: still-red keys
+first, then keys with no committed driver row, greens demoted to the
+tail. These tests parse the in-repo ``CORRECTNESS_r*.json`` records
+— the same source the registry itself reads — so the rotation is
+self-maintaining instead of hand-curated: if a new round's record
+lands and the ordering stops honoring it, this fails.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from __spark_entry__ import queries
+
+ROOT = Path(__file__).resolve().parent.parent
+SWEEP_BUDGET = 50
+
+
+def _latest_rows() -> dict:
+    rows: dict = {}
+    for p in sorted(ROOT.glob("CORRECTNESS_r*.json")):
+        data = json.loads(p.read_text())
+        rows.update({k: v for k, v in data.items() if isinstance(v, dict)})
+    return rows
+
+
+def _is_green(row: dict) -> bool:
+    return bool(
+        row.get("rows_match")
+        and row.get("err") is None
+        and row.get("hash_match") is not False
+    )
+
+
+def test_sweep_head_contains_no_already_green_key():
+    rows = _latest_rows()
+    green = {k for k, r in rows.items() if _is_green(r)}
+    head = list(queries())[:SWEEP_BUDGET]
+    overlap = [k for k in head if k in green]
+    assert overlap == [], (
+        f"driver budget wasted re-checking already-green keys: {overlap}"
+    )
+
+
+def test_sweep_head_leads_with_still_red_keys():
+    rows = _latest_rows()
+    red = {k for k, r in rows.items() if not _is_green(r)}
+    head = list(queries())[:SWEEP_BUDGET]
+    missing = sorted(red - set(head))
+    assert missing == [], (
+        f"keys with a red driver row must be re-swept next round: {missing}"
+    )
+
+
+def test_sweep_covers_all_keys_within_two_more_rounds():
+    """Every key either has a driver row already or sits within the
+    next two rounds' budget — i.e. the backlog actually drains."""
+    rows = _latest_rows()
+    order = list(queries())
+    late_untested = [
+        k for i, k in enumerate(order)
+        if k not in rows and i >= 2 * SWEEP_BUDGET
+    ]
+    assert late_untested == [], (
+        f"untested keys pushed beyond two sweep budgets: {late_untested}"
+    )
