@@ -129,6 +129,50 @@ def shingle_rows(docs: DataFrame, text_col: str = "text", k: int = SHINGLE_K) ->
     )
 
 
+def doc_shingle_sets(
+    docs: DataFrame, text_col: str = "text", k: int = SHINGLE_K
+) -> DataFrame:
+    """(doc_id, shingles: array<string>) — each doc's DISTINCT
+    shingle set as one array row, built in the same Arrow-batched
+    generator as ``shingle_rows`` (per-doc set dedup in Python).
+
+    This is the narrow-plan base for the exact-verify pipelines: it
+    comes straight off the scan with NO shuffle (where
+    ``shingle_rows(...).distinct()`` costs an exchange), and the
+    array form lets a candidate verify compute |A∩B| with
+    ``array_intersect`` per pair instead of an explode → join →
+    groupBy chain. Arrays are doc-sized — bounded by document
+    length, independent of corpus size — so rows stay small at any
+    scale. Sorted for deterministic output.
+    """
+    import re
+
+    import pandas as pd
+
+    ws = re.compile(r"\s+")
+
+    def gen(batches):
+        for pdf in batches:
+            ids: list = []
+            sets: list = []
+            for did, txt in zip(pdf["doc_id"], pdf[text_col]):
+                toks = ws.sub(" ", (txt or "").strip().lower()).split(" ")
+                n = len(toks)
+                if n >= k:
+                    s = {
+                        " ".join(toks[i : i + k]) for i in range(n - k + 1)
+                    }
+                else:
+                    s = {" ".join(toks)}
+                ids.append(did)
+                sets.append(sorted(s))
+            yield pd.DataFrame({"doc_id": ids, "shingles": sets})
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        gen, "doc_id bigint, shingles array<string>"
+    )
+
+
 def shingle_rows_expr(
     docs: DataFrame, text_col: str = "text", k: int = SHINGLE_K
 ) -> DataFrame:
@@ -252,9 +296,16 @@ def minhash_candidate_pairs(
     shingle→signature→band pipeline twice (AQE does not reuse the
     exchange across the aliased sides).
     """
-    b = minhash_bands(
-        minhash_signature(docs, text_col, shingles=shingles)
-    ).persist()
+    return band_self_join(
+        minhash_bands(minhash_signature(docs, text_col, shingles=shingles))
+    )
+
+
+def band_self_join(bands: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) pairs sharing ≥1 (band, band_hash) bucket —
+    the shared tail of every banded-LSH candidate pipeline. Persists
+    the band table so the aliased self-join sides reuse one subtree."""
+    b = bands.persist()
     left = b.alias("a")
     right = b.alias("b")
     return (
@@ -526,9 +577,22 @@ def prefix_filter_candidates(
     """
     from pyspark.sql import Window
 
-    freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    t = float(threshold)
+    eps = F.lit(1e-9)
+    # document frequency via a count window over the shingle
+    # partitioning rather than groupBy+join-back: two exchanges
+    # cheaper, and it introduces no NEW skew class — a shingle's
+    # posting list already meets in one task at the candidate join
+    # below, and the window's per-bucket work is linear (the
+    # quadratic risk lives in the join, where prefix filtering is
+    # what bounds it). Under truly adversarial skew (a boilerplate
+    # shingle with 10⁸ postings) the standard remedy — dropping
+    # ultra-frequent shingles, which never discriminate — applies to
+    # both the window and the join equally.
     ranked = (
-        sh.join(freq, "shingle")
+        sh.withColumn(
+            "df", F.count("*").over(Window.partitionBy("shingle"))
+        )
         .select(
             "doc_id",
             "shingle",
@@ -543,48 +607,125 @@ def prefix_filter_candidates(
             .over(Window.partitionBy("doc_id"))
             .alias("sz"),
         )
+        # persisted: both aliased self-join sides read this subtree,
+        # and without a cache the rank-window pipeline runs twice
+        # (AQE does not reuse the exchange across aliases — same
+        # reason band_self_join persists the band table)
+        .persist()
     )
-    alpha = F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9))
-    prefix = ranked.where(
-        F.col("pos") <= F.col("sz") - alpha + F.lit(1)
-    ).select("doc_id", "shingle")
+    alpha = F.ceil(F.lit(t) * F.col("sz") - eps)
+    prefix = ranked.where(F.col("pos") <= F.col("sz") - alpha + F.lit(1))
+    # Two further LOSSLESS prunes (PPJoin, Xiao et al. WWW'08),
+    # evaluated per matched prefix shingle. Both are valid for the
+    # pair because the globally-least common shingle — the "first
+    # match" — carries the loosest positional bound, so a qualifying
+    # pair always survives on at least that row:
+    #   length filter: the required overlap can't exceed the smaller
+    #   set, so qualifying sizes are within a factor of t (Jaccard)
+    #   or the container is ≥ t× the contained side (containment);
+    #   positional filter: at the first common shingle, the overlap
+    #   is at most 1 + min(remaining suffix lengths), which must
+    #   still reach the pair's required overlap.
+    a = prefix.alias("a")
     if containment:
-        right = sh
+        right = ranked.alias("b")
+        required = F.ceil(F.lit(t) * F.col("a.sz") - eps)
+        keep = (F.col("b.sz") >= required) & (
+            F.lit(1)
+            + F.least(
+                F.col("a.sz") - F.col("a.pos"), F.col("b.sz") - F.col("b.pos")
+            )
+            >= required
+        )
+        pair_filter = (F.col("a.doc_id") != F.col("b.doc_id")) & keep
+        flip = F.col("a.doc_id") < F.col("b.doc_id")
+        out = (
+            a.join(
+                right,
+                (F.col("a.shingle") == F.col("b.shingle")) & pair_filter,
+            )
+            .select(
+                F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+                F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+                F.when(flip, F.col("a.sz")).otherwise(F.col("b.sz")).alias("sz_a"),
+                F.when(flip, F.col("b.sz")).otherwise(F.col("a.sz")).alias("sz_b"),
+            )
+        )
     else:
-        right = prefix
-    return (
-        prefix.select(F.col("doc_id").alias("doc_a"), "shingle")
-        .join(right.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle")
-        .where(F.col("doc_a") != F.col("doc_b"))
-        .select(
-            F.least("doc_a", "doc_b").alias("doc_a"),
-            F.greatest("doc_a", "doc_b").alias("doc_b"),
+        right = prefix.alias("b")
+        required = F.ceil(
+            F.lit(t / (1.0 + t)) * (F.col("a.sz") + F.col("b.sz")) - eps
         )
-        .distinct()
-    )
+        keep = (
+            F.least(F.col("a.sz"), F.col("b.sz"))
+            >= F.lit(t) * F.greatest(F.col("a.sz"), F.col("b.sz")) - eps
+        ) & (
+            F.lit(1)
+            + F.least(
+                F.col("a.sz") - F.col("a.pos"), F.col("b.sz") - F.col("b.pos")
+            )
+            >= required
+        )
+        out = (
+            a.join(
+                right,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.doc_id") < F.col("b.doc_id"))
+                & keep,
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.col("a.sz").alias("sz_a"),
+                F.col("b.sz").alias("sz_b"),
+            )
+        )
+    # sz_a/sz_b are functionally dependent on the doc ids, so the
+    # distinct is still pair-granular; carrying them saves the
+    # verify stage two joins back onto the size table
+    return out.distinct()
 
 
-def _candidate_intersections(
-    sh: DataFrame, candidates: DataFrame
+def _pair_intersections(
+    sets: DataFrame, candidates: DataFrame
 ) -> DataFrame:
-    """|A∩B| shingle counts computed ONLY for candidate pairs.
+    """|A∩B| computed ONLY for candidate pairs, via per-pair
+    ``array_intersect`` over the two docs' shingle arrays.
 
-    The scale-safe replacement for the shared-shingle self-join
-    (quadratic in a shingle's posting-list length): the candidate
-    pair list — from banded MinHash LSH, linear-ish in corpus size —
-    joins each side's shingle set and counts matches per pair. Work
-    is Σ_pairs |A|, bounded by candidates × doc size, never by
-    posting-list².
+    The scale-safe replacement for both the shared-shingle self-join
+    (quadratic in posting-list length) and the exploded
+    candidate⋈shingle⋈shingle→groupBy chain (whose intermediate is
+    Σ_pairs |A| rows and costs three exchanges): here the candidate
+    list — linear-ish in corpus size — joins each side's doc-sized
+    array once, and the intersection is computed row-locally inside
+    codegen. Work is Σ_pairs (|A|+|B|), bounded by candidates × doc
+    size, never by posting-list² — and the only shuffles are the two
+    pair⋈sets equi-joins.
+
+    Extra candidate columns (e.g. the sz_a/sz_b the prefix filter
+    already computed) pass through, saving the caller re-joins onto a
+    size table.
     """
+    carry = [c for c in candidates.columns if c not in ("doc_a", "doc_b")]
     return (
-        candidates.select("doc_a", "doc_b")
-        .join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
-        .join(
-            sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
-            ["doc_b", "shingle"],
+        candidates.join(
+            sets.select(
+                F.col("doc_id").alias("doc_a"), F.col("shingles").alias("set_a")
+            ),
+            "doc_a",
         )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
+        .join(
+            sets.select(
+                F.col("doc_id").alias("doc_b"), F.col("shingles").alias("set_b")
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            *carry,
+            F.size(F.array_intersect("set_a", "set_b")).alias("inter"),
+        )
     )
 
 
@@ -594,34 +735,44 @@ def ngram_jaccard_pairs(
     threshold: float = JACCARD_THRESHOLD,
     candidates: DataFrame | None = None,
 ) -> DataFrame:
-    """pairwise Jaccard over distinct k-shingles, verified exactly on
-    LSH candidate pairs.
+    """pairwise Jaccard over distinct k-shingles — EXACT, equal to
+    the all-pairs oracle on any data.
 
-    Candidate generation is banded MinHash (uncapped —
-    ``minhash_candidate_pairs``), whose recall at the ≥0.8 threshold
-    is 1-(1-t^r)^b ≈ 1 for these band parameters (empirically 100%
-    of above-threshold pairs at sf0.01 and sf0.1); the exact
-    |A∩B|/|A∪B| ratio is then computed only for candidates via
-    ``_candidate_intersections``, so no shingle-posting-list
-    self-join exists in the plan. The bucket-capped variant
-    (``minhash_capped_pairs``) is the skew guard for adversarial
-    template shingles — it trades the recall this exact verify
-    needs, so the uncapped form is the default here.
+    Candidate generation is prefix filtering
+    (``prefix_filter_candidates``): a deterministic superset of every
+    pair with Jaccard ≥ threshold, by the prefix-filter lemma — not a
+    probabilistic sketch. (Banded MinHash at 4 bands × 4 rows only
+    catches a pair at j≈0.6 with probability ≈0.43, so an LSH-
+    restricted verify silently drops near-threshold pairs; callers
+    who want that recall/cost trade pass LSH candidates explicitly
+    via ``candidates``.) The exact |A∩B|/|A∪B| ratio is then
+    computed only for candidates via ``_pair_intersections``, so no
+    unfiltered shingle-posting-list self-join exists in the plan.
+
+    Plan shape: the doc→shingle-set arrays come off the scan with no
+    shuffle (``doc_shingle_sets``), the candidate pipeline reads the
+    exploded view of the same persisted arrays, and the verify is
+    two pair⋈sets joins + a row-local ``array_intersect``.
     """
-    sh = shingle_rows(docs, text_col).distinct().persist()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    sets = doc_shingle_sets(docs, text_col).persist()
     if candidates is None:
-        # share the persisted shingle set with the candidate pipeline
-        # — one explode+distinct pass instead of two
-        candidates = minhash_candidate_pairs(docs, text_col, shingles=sh)
-    inter = _candidate_intersections(sh, candidates)
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+        sh = sets.select("doc_id", F.explode("shingles").alias("shingle"))
+        candidates = prefix_filter_candidates(sh, threshold)
+    if not {"sz_a", "sz_b"} <= set(candidates.columns):
+        # externally supplied candidates (e.g. MinHash LSH) don't
+        # carry sizes — join them on
+        sizes = sets.select("doc_id", F.size("shingles").alias("sz"))
+        candidates = candidates.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")),
+            "doc_a",
+        ).join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")),
+            "doc_b",
+        )
+    inter = _pair_intersections(sets, candidates)
     jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .where(jac >= threshold)
+        inter.where(jac >= threshold)
         .select(
             "doc_a",
             "doc_b",
@@ -684,14 +835,17 @@ def minhash_estimate_pairs(
     the estimate costs a signature lookup while exact Jaccard costs
     re-reading both documents' shingle sets.
 
-    Plan shape: signatures and candidates come from the shared
-    pipeline (one explode + one band self-join); the estimate is a
+    Plan shape: the signature table is built ONCE, persisted, and
+    feeds both the band self-join (candidates) and the estimate join
+    — one shingle explode + one grouped min-aggregation total, where
+    an earlier version recomputed the whole shingle→signature
+    pipeline inside the candidate call. The estimate itself is a
     zip_with/aggregate fold over the two 16-long signature arrays
     joined onto the pair list — candidate-sized work, corpus touched
     only by the signature build.
     """
-    sig = minhash_signature(docs, text_col, perms)
-    cand = minhash_candidate_pairs(docs, text_col)
+    sig = minhash_signature(docs, text_col, perms).persist()
+    cand = band_self_join(minhash_bands(sig))
     sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
     agree = F.aggregate(
@@ -803,46 +957,61 @@ def containment_pairs(
     symmetric Jaccard misses whenever the sizes differ. The second
     pass of a dedup pipeline after exact + Jaccard.
 
-    Exact verification runs only on banded-MinHash candidate pairs
-    (same ``_candidate_intersections`` path as
-    ``ngram_jaccard_pairs`` — no shingle-posting-list self-join in
-    the plan), then emits the directed pair (contained, container)
-    with the containment ratio. Both directions are checked from one
-    undirected intersection count. Caveat: LSH bands are tuned for
-    Jaccard, and a tiny doc inside a huge one can have high
-    containment with low Jaccard — collision probability for such
-    pairs is lower; on the fixture corpus recall is 100% at sf0.01
-    and sf0.1 (measured), and a production pipeline would add a
-    size-ratio-aware band family if subset pairs dominate.
+    Exact verification runs only on prefix-filter candidate pairs
+    (``prefix_filter_candidates(..., containment=True)``): the
+    contained side's prefix is joined against the container's FULL
+    shingle set, so subset pairs — which have high containment but
+    low Jaccard and therefore near-zero MinHash band-collision
+    probability — are guaranteed candidates, not lucky ones. The
+    pair then flows through the same ``_pair_intersections`` path as
+    ``ngram_jaccard_pairs``; both directions are checked from one
+    undirected intersection count, making the result equal to the
+    all-pairs oracle on any data.
     """
-    sh = shingle_rows(docs, text_col).distinct().persist()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    sets = doc_shingle_sets(docs, text_col).persist()
     if candidates is None:
-        candidates = minhash_candidate_pairs(docs, text_col, shingles=sh)
-    inter = _candidate_intersections(sh, candidates).select(
+        sh = sets.select("doc_id", F.explode("shingles").alias("shingle"))
+        candidates = prefix_filter_candidates(
+            sh, threshold, containment=True
+        )
+    if not {"sz_a", "sz_b"} <= set(candidates.columns):
+        sizes = sets.select("doc_id", F.size("shingles").alias("sz"))
+        candidates = candidates.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")),
+            "doc_a",
+        ).join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")),
+            "doc_b",
+        )
+    both = _pair_intersections(sets, candidates).select(
         F.col("doc_a").alias("doc_x"),
         F.col("doc_b").alias("doc_y"),
+        F.col("sz_a").alias("sz_x"),
+        F.col("sz_b").alias("sz_y"),
         "inter",
     )
-    sx = sizes.select(F.col("doc_id").alias("doc_x"), F.col("sz").alias("sz_x"))
-    sy = sizes.select(F.col("doc_id").alias("doc_y"), F.col("sz").alias("sz_y"))
-    both = inter.join(sx, "doc_x").join(sy, "doc_y")
-    xy = both.select(
-        F.col("doc_x").alias("doc_contained"),
-        F.col("doc_y").alias("doc_container"),
-        (F.col("inter") / F.col("sz_x")).alias("containment"),
-    )
-    yx = both.select(
-        F.col("doc_y").alias("doc_contained"),
-        F.col("doc_x").alias("doc_container"),
-        (F.col("inter") / F.col("sz_y")).alias("containment"),
-    )
-    return (
-        xy.unionByName(yx)
-        .where(F.col("containment") >= threshold)
-        .select(
-            "doc_contained",
-            "doc_container",
-            dec_round(F.col("containment"), 4).alias("containment"),
-        )
+    # both directions from ONE scan of the verify join: a two-struct
+    # explode is narrow and avoids the union-of-two-branches shape,
+    # which would recompute the whole candidate+verify subtree twice
+    # (union branches don't share uncached subtrees)
+    directed = both.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_x").alias("doc_contained"),
+                    F.col("doc_y").alias("doc_container"),
+                    (F.col("inter") / F.col("sz_x")).alias("containment"),
+                ),
+                F.struct(
+                    F.col("doc_y").alias("doc_contained"),
+                    F.col("doc_x").alias("doc_container"),
+                    (F.col("inter") / F.col("sz_y")).alias("containment"),
+                ),
+            )
+        ).alias("d")
+    ).select("d.*")
+    return directed.where(F.col("containment") >= threshold).select(
+        "doc_contained",
+        "doc_container",
+        dec_round(F.col("containment"), 4).alias("containment"),
     )

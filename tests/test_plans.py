@@ -372,17 +372,84 @@ def test_dedup_embedding_is_tiled_not_driver_collected(spark):
     assert "Exchange hashpartitioning(ta" in plan
 
 
-def test_ngram_jaccard_verifies_lsh_candidates(spark):
-    # the exact-verify join must consume the banded-MinHash candidate
-    # pair list (band_hash columns in the plan), not a shingle
-    # posting-list self-join (quadratic in posting-list length)
+def test_ngram_jaccard_verifies_prefix_filter_candidates(spark):
+    # the exact-verify join must consume the prefix-filter candidate
+    # list (rank window over per-doc shingles → "row_number" in the
+    # plan), NOT the probabilistic banded-MinHash pipeline (its
+    # band_hash columns must be gone) and not an unfiltered shingle
+    # posting-list self-join
     plan = _plan(QUERIES["dedup_ngram_jaccard"](spark, SF_DIR))
-    assert "band_hash" in plan
+    assert "row_number" in plan
+    assert "band_hash" not in plan
 
 
-def test_containment_verifies_lsh_candidates(spark):
+def test_containment_verifies_prefix_filter_candidates(spark):
     plan = _plan(QUERIES["dedup_containment"](spark, SF_DIR))
-    assert "band_hash" in plan
+    assert "row_number" in plan
+    assert "band_hash" not in plan
+
+
+def test_containment_finds_subset_pair_lsh_would_miss(spark):
+    # a tiny doc embedded verbatim in a much larger one: containment
+    # = 1.0 but Jaccard ≈ |small|/|large| ≈ 0.07, so Jaccard-tuned
+    # MinHash bands collide with near-zero probability — the exact
+    # prefix-filter path must still emit the pair (advisor finding,
+    # round 3)
+    from rsbsa_etl_spark.functions.dedup import containment_pairs
+
+    big = " ".join(f"w{i}" for i in range(150))
+    small = " ".join(f"w{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [(1, big), (2, small), (3, "unrelated words only here")],
+        "doc_id bigint, text string",
+    )
+    got = {
+        (r.doc_contained, r.doc_container)
+        for r in containment_pairs(docs, threshold=0.8).collect()
+    }
+    assert (2, 1) in got
+    assert (1, 2) not in got
+
+
+def test_prefix_filter_candidates_superset_of_threshold_pairs(spark):
+    # lossless-candidate property on the real corpus: every pair at
+    # or above the Jaccard threshold (computed by unrestricted exact
+    # all-pairs) must appear in the prefix-filter candidate set
+    from rsbsa_etl_spark.functions.dedup import (
+        prefix_filter_candidates,
+        shingle_rows,
+    )
+    from rsbsa_etl_spark.params import JACCARD_THRESHOLD
+    from rsbsa_etl_spark.sources.fixtures import load
+    from pyspark.sql import functions as F
+
+    docs = load(spark, SF_DIR, "documents")
+    sh = shingle_rows(docs).distinct().persist()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    truth = {
+        (r.doc_a, r.doc_b)
+        for r in inter.join(sa, "doc_a").join(sb, "doc_b")
+        .where(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+        .collect()
+    }
+    cand = {
+        (r.doc_a, r.doc_b)
+        for r in prefix_filter_candidates(sh, JACCARD_THRESHOLD).collect()
+    }
+    sh.unpersist()
+    assert truth <= cand, sorted(truth - cand)[:10]
 
 
 def test_jdbc_writer_options():
