@@ -293,14 +293,33 @@ def ivf_topk(
 
 
 def sign_bucket(vec_col: str = "embedding", dims: int = LSH_SIGN_DIMS) -> Column:
-    """sign-LSH bucket id: bit i = sign(v[i]) for the leading dims.
+    """sign-LSH bucket id with a deterministic Hadamard rotation:
+    bit i = sign(Σ_j h[i+1][j]·v[j]) over the leading
+    ``LSH_MIX_WIDTH`` dims, h = ±1 Sylvester–Hadamard rows (DC row
+    skipped).
 
-    An axis-aligned instance of random-hyperplane LSH — deterministic
-    and SQL-portable (no stored hyperplane matrix). 2^dims buckets.
+    The earlier axis-aligned form (bit i = sign(v[i])) measured
+    0.0–0.5 recall on this corpus because its cluster structure
+    lives in the leading dimensions, making axis signs nearly
+    constant within clusters. The mixed projections are mutually
+    orthogonal pseudo-random hyperplanes — the standard
+    random-hyperplane LSH guarantee (P[bit agrees] = 1 − θ/π)
+    applies — while staying deterministic and SQL-portable: the
+    oracle emits the identical left-associative double-arithmetic
+    chain, so bucket ids are bit-equal across engines. Bucket count
+    (2^dims) is unchanged.
     """
+    from rsbsa_etl_spark.params import LSH_MIX_WIDTH, hadamard_sign
+
     b = F.lit(0)
     for i in range(dims):
-        b = b + F.when(F.col(vec_col).getItem(i) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        mixed = None
+        for j in range(LSH_MIX_WIDTH):
+            term = F.col(vec_col).getItem(j).cast("double")
+            if hadamard_sign(i + 1, j) < 0:
+                term = -term
+            mixed = term if mixed is None else mixed + term
+        b = b + F.when(mixed > 0, F.lit(1 << i)).otherwise(F.lit(0))
     return b.cast("int")
 
 
@@ -403,24 +422,41 @@ def lsh_multiprobe_topk(
     query_ids: Sequence[int] = ANN_QUERY_IDS,
     k: int = ANN_TOP_K,
     dims: int = LSH_SIGN_DIMS,
+    max_hamming: int | None = None,
 ) -> DataFrame:
-    """multi-probe sign-LSH: each query searches its own bucket PLUS
-    every bucket at Hamming distance 1 in the sign bits — the
-    standard recall lever for bucketed LSH, at (dims+1)/2^dims of
-    the corpus scanned per query. Measured by ``ann_recall`` on the
-    fixture corpus: single-bucket ≈ 0.0-0.1, multi-probe ≈ 0.1-0.5,
-    IVF ≈ 0.7-1.0 — the axis-aligned sign family is misaligned with
-    this corpus's cluster structure, which is exactly the kind of
-    decision the oracle-checked eval exists to expose (a production
-    ANN stack would pick IVF here, or a learned/random rotation
-    before the sign hash).
+    """multi-probe sign-LSH: each query searches every bucket within
+    Hamming distance ``max_hamming`` of its own — the standard
+    recall/cost dial for bucketed LSH, scanning Σ C(dims, h)/2^dims
+    of the corpus per query.
 
-    Plan shape: the query side explodes to dims+1 probe rows (still
-    query-sized), then the same broadcast bucket equi-join as
+    Honest eval note (``ann_recall``): this corpus's true top-10
+    neighbors lie at cosine 0.30-0.42, i.e. θ ≈ 65-72°, so the
+    hyperplane agreement probability is 1 − θ/π ≈ 0.63 per bit and
+    the EXPECTED recall of any 6-bit sign family is ~0.25 at radius
+    1 and ~0.57 at radius 2 — the Hadamard rotation in
+    ``sign_bucket`` brings the measured recall to that theoretical
+    curve (the old axis-aligned form sat below it at 0.0-0.1 single
+    bucket), and radius (default ``LSH_PROBE_HAMMING`` = 2) buys the
+    rest. A geometry like this is IVF's home turf — the eval shows
+    recall_ivf ≈ 1.0 — which is exactly the decision the
+    oracle-checked eval exists to surface.
+
+    Plan shape: the query side explodes to Σ C(dims, ≤h) probe rows
+    (still query-sized), then the same broadcast bucket equi-join as
     ``lsh_topk`` — corpus never shuffles, probe fan-out rides the
     broadcast. Each corpus row has one bucket, probe buckets are
     distinct, so no pair dedup is needed.
     """
+    from itertools import combinations
+
+    from rsbsa_etl_spark.params import LSH_PROBE_HAMMING
+
+    h = LSH_PROBE_HAMMING if max_hamming is None else max_hamming
+    masks = [0] + [
+        sum(1 << i for i in bits)
+        for r in range(1, h + 1)
+        for bits in combinations(range(dims), r)
+    ]
     e = with_norm(emb).withColumn("bucket", sign_bucket(dims=dims))
     corpus = e.select(
         "bucket",
@@ -429,10 +465,9 @@ def lsh_multiprobe_topk(
         F.col("_norm").alias("nn"),
     )
     probe_arr = F.array(
-        F.col("bucket"),
         *[
-            F.col("bucket").bitwiseXOR(F.lit(1 << i)).cast("int")
-            for i in range(dims)
+            F.col("bucket").bitwiseXOR(F.lit(m)).cast("int")
+            for m in masks
         ],
     )
     queries = e.where(F.col("vec_id").isin(list(query_ids))).select(

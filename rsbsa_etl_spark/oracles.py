@@ -141,10 +141,22 @@ n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FRO
 _DOT = "list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))"
 
 
+def _sign_mix(row: int) -> str:
+    """the Hadamard-row ±v[j] chain behind one sign-LSH bit —
+    identical left-associative double arithmetic to Spark's
+    ``similarity.sign_bucket``, so the bucket ids are bit-equal."""
+    parts = []
+    for j in range(P.LSH_MIX_WIDTH):
+        sign = "-" if P.hadamard_sign(row, j) < 0 else "+"
+        parts.append(f"{sign} CAST(embedding[{j + 1}] AS DOUBLE)")
+    # j=0 has popcount(row & 0) = 0, so the leading sign is always +
+    return " ".join(parts)[2:]
+
+
 def _ann_sql(bucketed: bool, multiprobe: bool = False) -> str:
     qids = sql_in_list(P.ANN_QUERY_IDS)
     bucket_expr = " + ".join(
-        f"CASE WHEN embedding[{i + 1}] > 0 THEN {1 << i} ELSE 0 END"
+        f"CASE WHEN ({_sign_mix(i + 1)}) > 0 THEN {1 << i} ELSE 0 END"
         for i in range(P.LSH_SIGN_DIMS)
     )
     bucket_cte = (
@@ -152,9 +164,18 @@ def _ann_sql(bucketed: bool, multiprobe: bool = False) -> str:
         if bucketed
         else ""
     )
-    # multiprobe: buckets within Hamming distance 1 — identical pair
-    # set to exploding dims+1 probe buckets per query
-    flips = ", ".join(["0"] + [str(1 << i) for i in range(P.LSH_SIGN_DIMS)])
+    # multiprobe: buckets within Hamming distance LSH_PROBE_HAMMING —
+    # identical pair set to exploding the probe buckets per query
+    from itertools import combinations
+
+    flips = ", ".join(
+        ["0"]
+        + [
+            str(sum(1 << i for i in bits))
+            for r in range(1, P.LSH_PROBE_HAMMING + 1)
+            for bits in combinations(range(P.LSH_SIGN_DIMS), r)
+        ]
+    )
     bucket_cond = (
         f"xor(ba.bucket, bb.bucket) IN ({flips})"
         if multiprobe

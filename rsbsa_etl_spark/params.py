@@ -94,7 +94,32 @@ STREAM_EVICT_DELAY_DAYS = 3
 #: ANN parameters
 ANN_QUERY_IDS = (0, 1, 2, 3, 4)
 ANN_TOP_K = 10
-LSH_SIGN_DIMS = 6  # sign-LSH on first N dimensions → 2^N buckets
+LSH_SIGN_DIMS = 6  # sign-LSH bucket bits → 2^N buckets
+#: width of the deterministic Hadamard-row mix applied before each
+#: sign bit: bit i = sign(Σ_j ±v[j], j < LSH_MIX_WIDTH) with the ±1
+#: pattern from Hadamard row i+1 (parity of popcount(row & j), row 0
+#: — the all-ones DC row — skipped). Mixing decorrelates buckets
+#: from the corpus's leading-dimension cluster structure, which is
+#: what held raw axis-sign LSH to 0.1-0.5 recall; the rows are
+#: mutually orthogonal, so this is an honest random-hyperplane
+#: family while staying deterministic and SQL-portable.
+LSH_MIX_WIDTH = 16
+#: multiprobe radius: probe every bucket within this Hamming
+#: distance of the query's bucket. The corpus's true top-10
+#: neighbors sit at cosine 0.30-0.42 (θ ≈ 65-72°), so the
+#: random-hyperplane agreement probability per bit is only ~0.63 and
+#: the EXPECTED recall of any 6-bit family is ~0.25 at radius 1 and
+#: ~0.57 at radius 2 — radius 2 (22 of 64 buckets per query) is the
+#: honest recall/cost point for this geometry; the eval's IVF row
+#: shows what a cluster-aligned index buys instead.
+LSH_PROBE_HAMMING = 2
+
+
+def hadamard_sign(row: int, j: int) -> int:
+    """±1 entry (row, j) of the Sylvester–Hadamard matrix: +1 when
+    popcount(row & j) is even. Shared by the Spark expression and
+    the DuckDB oracle so both mix identically."""
+    return -1 if bin(row & j).count("1") % 2 else 1
 IVF_CENTROIDS = 16  # IVF cells (deterministic init: first N vec_ids)
 IVF_NPROBE = 4  # cells probed per query
 PQ_SUBSPACES = 4  # product-quantization subspaces (64 dims -> 4x16)

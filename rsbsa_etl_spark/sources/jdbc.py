@@ -99,8 +99,12 @@ def read_table(
 RESERVED_KEYWORDS = frozenset({"long", "group", "order", "desc", "primary"})
 
 
-def _escape(col: str) -> str:
-    return f"`{col}`" if col.lower() in RESERVED_KEYWORDS else col
+def _escape(col: str, quote: str = "`") -> str:
+    """quote a reserved identifier with the dialect's quote char:
+    backticks for MySQL, double quotes for ANSI (MERGE warehouses) —
+    a backtick-quoted column inside a MERGE statement is a syntax
+    error on standard-SQL targets."""
+    return f"{quote}{col}{quote}" if col.lower() in RESERVED_KEYWORDS else col
 
 
 def writer_options(
@@ -151,9 +155,9 @@ def upsert_statement(
     warehouses without MySQL's ON DUPLICATE KEY.
     """
     staging = staging or f"{table}__stage"
-    cols = [_escape(c) for c in columns]
     non_key = [c for c in columns if c != key_col]
     if dialect == "mysql":
+        cols = [_escape(c) for c in columns]
         sets = ", ".join(f"{_escape(c)} = VALUES({_escape(c)})" for c in non_key)
         return (
             f"INSERT INTO {table} ({', '.join(cols)}) "
@@ -161,12 +165,17 @@ def upsert_statement(
             f"ON DUPLICATE KEY UPDATE {sets}"
         )
     if dialect == "merge":
-        sets = ", ".join(f"t.{_escape(c)} = s.{_escape(c)}" for c in non_key)
+        # ANSI identifier quoting: double quotes, not backticks
+        q = '"'
+        cols = [_escape(c, q) for c in columns]
+        sets = ", ".join(
+            f"t.{_escape(c, q)} = s.{_escape(c, q)}" for c in non_key
+        )
         ins_cols = ", ".join(cols)
         ins_vals = ", ".join(f"s.{c}" for c in cols)
         return (
             f"MERGE INTO {table} t USING {staging} s "
-            f"ON t.{_escape(key_col)} = s.{_escape(key_col)} "
+            f"ON t.{_escape(key_col, q)} = s.{_escape(key_col, q)} "
             f"WHEN MATCHED THEN UPDATE SET {sets} "
             f"WHEN NOT MATCHED THEN INSERT ({ins_cols}) VALUES ({ins_vals})"
         )

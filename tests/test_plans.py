@@ -495,6 +495,15 @@ def test_jdbc_upsert_statement_merge_dialect():
     assert "WHEN MATCHED THEN UPDATE SET t.v = s.v" in stmt
     assert "WHEN NOT MATCHED THEN INSERT (rsbsa_no, v)" in stmt
 
+    # reserved identifiers get ANSI double quotes in the merge
+    # dialect — MySQL backticks are a syntax error on standard-SQL
+    # MERGE targets
+    reserved = upsert_statement(
+        "t", ["rsbsa_no", "order"], key_col="rsbsa_no", dialect="merge"
+    )
+    assert '"order"' in reserved
+    assert "`" not in reserved
+
     with pytest.raises(ValueError):
         upsert_statement("t", ["k"], dialect="postgres")
 
