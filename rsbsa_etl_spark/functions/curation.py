@@ -462,3 +462,45 @@ def curation_pipeline(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .where(F.col("bucket") < 90)
         .select("doc_id", "source", "n_tokens", "quality", "bucket")
     )
+
+
+def decontam_fuzzy(
+    docs: DataFrame,
+    text_col: str = "text",
+    threshold: float = P.DECONTAM_FUZZY_THRESHOLD,
+) -> DataFrame:
+    """fuzzy benchmark decontamination: flag (eval, train) pairs
+    where an eval doc's shingle set is ≥ ``threshold`` CONTAINED in
+    a training doc — the robust complement of ``decontam_overlap``:
+    exact n-gram overlap misses near-verbatim inclusions that differ
+    by small edits, while set containment survives them. Eval docs
+    are ``doc_id < P.EVAL_DOC_MAX`` (same convention as
+    ``decontam_overlap``).
+
+    EXACT at any scale via bipartite prefix filtering
+    (``dedup.prefix_filter_candidates_bipartite``): the 100 TB
+    training side is only probed by eval-prefix shingles, never
+    self-joined, and candidates provably include every pair at the
+    threshold. Verify is the pair-local ``array_intersect``.
+    """
+    from rsbsa_etl_spark.functions.dedup import (
+        _pair_intersections,
+        doc_shingle_sets,
+        prefix_filter_candidates_bipartite,
+    )
+    from rsbsa_etl_spark.functions.numeric import dec_round
+
+    sets = doc_shingle_sets(docs, text_col).persist()
+    sh = sets.select("doc_id", F.explode("shingles").alias("shingle"))
+    sh_eval = sh.where(F.col("doc_id") < P.EVAL_DOC_MAX)
+    sh_train = sh.where(F.col("doc_id") >= P.EVAL_DOC_MAX)
+    cand = prefix_filter_candidates_bipartite(
+        sh_eval, sh_train, threshold, containment=True
+    )
+    inter = _pair_intersections(sets, cand)
+    containment = F.col("inter") / F.col("sz_a")
+    return inter.where(containment >= threshold).select(
+        F.col("doc_a").alias("eval_doc_id"),
+        F.col("doc_b").alias("train_doc_id"),
+        dec_round(containment, 4).alias("containment"),
+    )

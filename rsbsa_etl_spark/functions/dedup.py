@@ -686,6 +686,102 @@ def prefix_filter_candidates(
     return out.distinct()
 
 
+def prefix_filter_candidates_bipartite(
+    sh_left: DataFrame,
+    sh_right: DataFrame,
+    threshold: float,
+    containment: bool = False,
+) -> DataFrame:
+    """EXACT candidate pairs BETWEEN two corpora (left × right) via
+    prefix filtering — the bipartite form of
+    ``prefix_filter_candidates``, powering cross-corpus operators:
+    fuzzy decontamination (eval set vs training set) and incremental
+    dedup (new docs vs existing corpus).
+
+    The shingle order is computed over the UNION of both sides —
+    the prefix-filter lemma needs one shared global total order; a
+    per-side order would break the guarantee. Positions and sizes
+    are then per (side, doc). With ``containment=False`` both sides
+    shrink to prefixes (Jaccard bound); with ``containment=True``
+    only the LEFT (contained) side takes a prefix and the right side
+    joins in full, so left-in-right subset pairs are guaranteed
+    candidates. Directed output: ``doc_a`` is always the left doc.
+
+    Scale shape is identical to the unary form — one window pass
+    over the union, prefix equi-join, length + positional prunes —
+    and notably the right corpus (the big side: the 100 TB training
+    set) is never self-joined, only probed by the left prefixes.
+    """
+    from pyspark.sql import Window
+
+    t = float(threshold)
+    eps = F.lit(1e-9)
+    union = sh_left.select("doc_id", "shingle").withColumn(
+        "side", F.lit("L")
+    ).unionByName(
+        sh_right.select("doc_id", "shingle").withColumn("side", F.lit("R"))
+    )
+    ranked = (
+        union.withColumn(
+            "df", F.count("*").over(Window.partitionBy("shingle"))
+        )
+        .select(
+            "side",
+            "doc_id",
+            "shingle",
+            F.row_number()
+            .over(
+                Window.partitionBy("side", "doc_id").orderBy(
+                    F.col("df").asc(), F.col("shingle").asc()
+                )
+            )
+            .alias("pos"),
+            F.count("*")
+            .over(Window.partitionBy("side", "doc_id"))
+            .alias("sz"),
+        )
+        .persist()
+    )
+    alpha = F.ceil(F.lit(t) * F.col("sz") - eps)
+    is_prefix = F.col("pos") <= F.col("sz") - alpha + F.lit(1)
+    a = ranked.where((F.col("side") == "L") & is_prefix).alias("a")
+    if containment:
+        b = ranked.where(F.col("side") == "R").alias("b")
+        required = F.ceil(F.lit(t) * F.col("a.sz") - eps)
+        keep = (F.col("b.sz") >= required) & (
+            F.lit(1)
+            + F.least(
+                F.col("a.sz") - F.col("a.pos"), F.col("b.sz") - F.col("b.pos")
+            )
+            >= required
+        )
+    else:
+        b = ranked.where((F.col("side") == "R") & is_prefix).alias("b")
+        required = F.ceil(
+            F.lit(t / (1.0 + t)) * (F.col("a.sz") + F.col("b.sz")) - eps
+        )
+        keep = (
+            F.least(F.col("a.sz"), F.col("b.sz"))
+            >= F.lit(t) * F.greatest(F.col("a.sz"), F.col("b.sz")) - eps
+        ) & (
+            F.lit(1)
+            + F.least(
+                F.col("a.sz") - F.col("a.pos"), F.col("b.sz") - F.col("b.pos")
+            )
+            >= required
+        )
+    return (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & keep)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
+        .distinct()
+    )
+
+
 def _pair_intersections(
     sets: DataFrame, candidates: DataFrame
 ) -> DataFrame:
@@ -1014,4 +1110,41 @@ def containment_pairs(
         "doc_contained",
         "doc_container",
         dec_round(F.col("containment"), 4).alias("containment"),
+    )
+
+
+def incremental_dedup_pairs(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    text_col: str = "text",
+    threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    """incremental dedup: each NEW document against the EXISTING
+    corpus — the shape every production ingest pipeline runs (the
+    new batch is small, the corpus is the 100 TB side), where a full
+    corpus self-join per batch would be absurd.
+
+    Bipartite prefix filtering (``prefix_filter_candidates_bipartite``)
+    keeps the guarantee of the unary path — candidates are a
+    deterministic superset of every cross pair with Jaccard ≥
+    threshold — while the corpus is only ever *probed* by the new
+    batch's prefixes, never self-joined. Verify is the same
+    pair-local ``array_intersect``.
+
+    Output: (new_doc_id, corpus_doc_id, jaccard), one row per
+    qualifying cross pair. doc_id spaces must be disjoint (callers
+    split one table or tag ids).
+    """
+    sets_new = doc_shingle_sets(new_docs, text_col)
+    sets_old = doc_shingle_sets(corpus_docs, text_col)
+    sets = sets_new.unionByName(sets_old).persist()
+    sh_new = sets_new.select("doc_id", F.explode("shingles").alias("shingle"))
+    sh_old = sets_old.select("doc_id", F.explode("shingles").alias("shingle"))
+    cand = prefix_filter_candidates_bipartite(sh_new, sh_old, threshold)
+    inter = _pair_intersections(sets, cand)
+    jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    return inter.where(jac >= threshold).select(
+        F.col("doc_a").alias("new_doc_id"),
+        F.col("doc_b").alias("corpus_doc_id"),
+        dec_round(jac, 4).alias("jaccard"),
     )

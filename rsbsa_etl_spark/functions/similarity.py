@@ -311,14 +311,33 @@ def sign_bucket(vec_col: str = "embedding", dims: int = LSH_SIGN_DIMS) -> Column
     """
     from rsbsa_etl_spark.params import LSH_MIX_WIDTH, hadamard_sign
 
+    # expression-size discipline: the unrolled ±v[0]±v[1]… chain
+    # (6 bits × 16 terms of getItem+cast+negate) built a ~100-node
+    # tree whose eager per-op re-analysis and codegen compile cost
+    # ~3 s of driver time per query — a constant that dominates at
+    # bench scale. The zip_with/aggregate fold below is a dozen
+    # nodes per bit and BIT-IDENTICAL numerically: x*(±1.0) is an
+    # exact IEEE sign flip, the fold adds left-to-right starting at
+    # 0.0 exactly like the oracle's left-associative chain, and
+    # 0.0+x == x for every x (a -0.0 sum still compares > 0 false
+    # either way).
+    head = F.transform(
+        F.slice(F.col(vec_col), 1, LSH_MIX_WIDTH),
+        lambda x: x.cast("double"),
+    )
     b = F.lit(0)
     for i in range(dims):
-        mixed = None
-        for j in range(LSH_MIX_WIDTH):
-            term = F.col(vec_col).getItem(j).cast("double")
-            if hadamard_sign(i + 1, j) < 0:
-                term = -term
-            mixed = term if mixed is None else mixed + term
+        signs = F.array(
+            *[
+                F.lit(float(hadamard_sign(i + 1, j)))
+                for j in range(LSH_MIX_WIDTH)
+            ]
+        )
+        mixed = F.aggregate(
+            F.zip_with(head, signs, lambda x, s: x * s),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
         b = b + F.when(mixed > 0, F.lit(1 << i)).otherwise(F.lit(0))
     return b.cast("int")
 
@@ -890,8 +909,12 @@ def ann_recall(
     corpus — each already scale-shaped — then joins and aggregation
     over query×k rows, which is negligible at any corpus size.
     """
-    exact = brute_force_topk(emb, query_ids, k).select(
-        "query_id", "neighbor_id"
+    # persisted: the exact ranking feeds all three hit joins plus the
+    # query base — uncached, the brute-force scan would run 4×
+    exact = (
+        brute_force_topk(emb, query_ids, k)
+        .select("query_id", "neighbor_id")
+        .persist()
     )
     hits_lsh = (
         lsh_topk(emb, query_ids, k)

@@ -807,6 +807,43 @@ JOIN sizes sb ON sb.doc_id = doc_b
 WHERE n_inter / (sa.sz + sb.sz - n_inter) >= {P.JACCARD_THRESHOLD}
 """
 
+ORACLES["dedup_incremental"] = f"""
+WITH {SHINGLES_CTE},
+exploded AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
+inter AS (
+  SELECT a.doc_id AS new_doc_id, b.doc_id AS corpus_doc_id,
+         count(*) AS n_inter
+  FROM exploded a JOIN exploded b ON a.shingle = b.shingle
+  WHERE a.doc_id % 10 >= 8 AND b.doc_id % 10 < 8
+  GROUP BY 1, 2
+)
+SELECT new_doc_id, corpus_doc_id,
+       {_dec("n_inter / (sa.sz + sb.sz - n_inter)", 4)} AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = new_doc_id
+JOIN sizes sb ON sb.doc_id = corpus_doc_id
+WHERE n_inter / (sa.sz + sb.sz - n_inter) >= {P.JACCARD_THRESHOLD}
+"""
+
+ORACLES["decontam_fuzzy"] = f"""
+WITH {SHINGLES_CTE},
+exploded AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
+inter AS (
+  SELECT a.doc_id AS eval_doc_id, b.doc_id AS train_doc_id,
+         count(*) AS n_inter
+  FROM exploded a JOIN exploded b ON a.shingle = b.shingle
+  WHERE a.doc_id < {P.EVAL_DOC_MAX} AND b.doc_id >= {P.EVAL_DOC_MAX}
+  GROUP BY 1, 2
+)
+SELECT eval_doc_id, train_doc_id,
+       {_dec("n_inter / sa.sz", 4)} AS containment
+FROM inter
+JOIN sizes sa ON sa.doc_id = eval_doc_id
+WHERE n_inter / sa.sz >= {P.DECONTAM_FUZZY_THRESHOLD}
+"""
+
 ORACLES["dedup_embedding"] = f"""
 WITH {_EMB_CTE.strip()},
 p AS (

@@ -166,6 +166,10 @@ EVAL_DOC_MAX = 32
 #: contamination flag threshold, percent of shingles hitting the
 #: eval set (integer percent → pure-integer comparison, no floats).
 DECONTAM_PCT = 25
+#: fuzzy decontamination flags a training doc when an eval doc's
+#: shingle set is ≥ this contained in it (near-verbatim inclusion
+#: survives small edits that break exact n-gram overlap)
+DECONTAM_FUZZY_THRESHOLD = 0.8
 
 #: sequence-packing block capacity in whitespace tokens. Docs
 #: average ~56 tokens, so blocks pack ~9 docs and straddling is

@@ -18,7 +18,13 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from rsbsa_etl_spark import params as P
-from rsbsa_etl_spark.functions import dedup, multimodal, similarity, textstats
+from rsbsa_etl_spark.functions import (
+    curation,
+    dedup,
+    multimodal,
+    similarity,
+    textstats,
+)
 from rsbsa_etl_spark.functions.numeric import dec_round, fixed_sum
 from rsbsa_etl_spark.functions.strings import apply_table_rules
 from rsbsa_etl_spark.functions.temporal import duration_hms, format_manila
@@ -1321,6 +1327,21 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.containment_pairs(load(spark, sf_dir, "documents"))
 
 
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the "new batch" is the deterministic 20% slice doc_id % 10 ≥ 8
+    # — scale-invariant (works at every sf) and disjoint from the
+    # "existing corpus" slice by construction
+    docs = load(spark, sf_dir, "documents")
+    return dedup.incremental_dedup_pairs(
+        docs.where(F.col("doc_id") % 10 >= 8),
+        docs.where(F.col("doc_id") % 10 < 8),
+    )
+
+
+def decontam_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation.decontam_fuzzy(load(spark, sf_dir, "documents"))
+
+
 def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rsbsa_etl_spark.plans import tpch
 
@@ -1702,6 +1723,8 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_minhash_est": dedup_minhash_est,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_incremental": dedup_incremental,
+    "decontam_fuzzy": decontam_fuzzy,
     "dedup_embedding": dedup_embedding,
     "dedup_semantic": dedup_semantic,
     "dedup_clusters": dedup_clusters,
@@ -1879,8 +1902,9 @@ _UNTESTED_PRIORITY = [
     "join_asof", "join_range", "join_full_outer_nullsafe",
     "join_skew_salted", "join_spatial_grid", "join_temporal_validity",
     "join_cross",
-    # dedup/ANN remainder
-    "dedup_minhash_est", "dedup_segments", "dedup_priority",
+    # dedup/ANN remainder (incl. the round-4 bipartite additions)
+    "dedup_minhash_est", "dedup_incremental", "decontam_fuzzy",
+    "dedup_segments", "dedup_priority",
     "graph_pagerank", "ann_lsh_multiprobe",
     "ivf_train", "ivf_train2", "ivf_train3",
     "embedding_quantize", "embedding_pq",
