@@ -58,6 +58,8 @@ HEADLINE = [
     "agg_cube",
     "dedup_minhash_capped",
     "dedup_minhash_est",
+    "dedup_incremental",
+    "decontam_fuzzy",
     "split_assign",
     "tfidf_topk",
     "agg_pivot",
