@@ -88,6 +88,49 @@ def shingles_col(col: Column, k: int = SHINGLE_K) -> Column:
     return F.array_distinct(shingle_windows(col, k))
 
 
+def _shingle_generator(text_col: str, k: int, as_sets: bool):
+    """ONE per-doc shingling implementation behind both Arrow-batched
+    generators (``shingle_rows`` and ``doc_shingle_sets``) — the
+    normalization, k-window rule, and short-doc fallback must stay in
+    lockstep with each other and with the DuckDB ``SHINGLES_CTE``
+    (oracles.py), so they live in exactly one place.
+
+    Factory-made closure on purpose: functions handed to
+    ``mapInPandas`` must pickle BY VALUE — a module-level generator
+    pickles by name and crashes Python workers whenever the driver
+    runs outside the repo root (see the verify notes).
+    """
+    import re
+
+    import pandas as pd
+
+    ws = re.compile(r"\s+")
+    out_col = "shingles" if as_sets else "shingle"
+
+    def gen(batches):
+        for pdf in batches:
+            ids: list = []
+            payload: list = []
+            for did, txt in zip(pdf["doc_id"], pdf[text_col]):
+                toks = ws.sub(" ", (txt or "").strip().lower()).split(" ")
+                n = len(toks)
+                if n >= k:
+                    windows = [
+                        " ".join(toks[i : i + k]) for i in range(n - k + 1)
+                    ]
+                else:
+                    windows = [" ".join(toks)]
+                if as_sets:
+                    ids.append(did)
+                    payload.append(sorted(set(windows)))
+                else:
+                    ids.extend([did] * len(windows))
+                    payload.extend(windows)
+            yield pd.DataFrame({"doc_id": ids, out_col: payload})
+
+    return gen
+
+
 def shingle_rows(docs: DataFrame, text_col: str = "text", k: int = SHINGLE_K) -> DataFrame:
     """(doc_id, shingle) exploded rows, duplicates retained — the
     scalable base for minhash (min ignores duplicates) and, after
@@ -101,31 +144,9 @@ def shingle_rows(docs: DataFrame, text_col: str = "text", k: int = SHINGLE_K) ->
     with executors like any other narrow map. Semantics identical
     (same normalization, same k-word windows, short docs → one
     whole-text shingle)."""
-    import re
-
-    import pandas as pd
-
-    ws = re.compile(r"\s+")
-
-    def gen(batches):
-        for pdf in batches:
-            ids: list = []
-            shs: list[str] = []
-            for did, txt in zip(pdf["doc_id"], pdf[text_col]):
-                toks = ws.sub(" ", (txt or "").strip().lower()).split(" ")
-                n = len(toks)
-                if n >= k:
-                    ids.extend([did] * (n - k + 1))
-                    shs.extend(
-                        " ".join(toks[i : i + k]) for i in range(n - k + 1)
-                    )
-                else:
-                    ids.append(did)
-                    shs.append(" ".join(toks))
-            yield pd.DataFrame({"doc_id": ids, "shingle": shs})
-
     return docs.select("doc_id", text_col).mapInPandas(
-        gen, "doc_id bigint, shingle string"
+        _shingle_generator(text_col, k, as_sets=False),
+        "doc_id bigint, shingle string",
     )
 
 
@@ -133,8 +154,8 @@ def doc_shingle_sets(
     docs: DataFrame, text_col: str = "text", k: int = SHINGLE_K
 ) -> DataFrame:
     """(doc_id, shingles: array<string>) — each doc's DISTINCT
-    shingle set as one array row, built in the same Arrow-batched
-    generator as ``shingle_rows`` (per-doc set dedup in Python).
+    shingle set as one array row, same generator as ``shingle_rows``
+    with per-doc set dedup in Python.
 
     This is the narrow-plan base for the exact-verify pipelines: it
     comes straight off the scan with NO shuffle (where
@@ -145,31 +166,9 @@ def doc_shingle_sets(
     length, independent of corpus size — so rows stay small at any
     scale. Sorted for deterministic output.
     """
-    import re
-
-    import pandas as pd
-
-    ws = re.compile(r"\s+")
-
-    def gen(batches):
-        for pdf in batches:
-            ids: list = []
-            sets: list = []
-            for did, txt in zip(pdf["doc_id"], pdf[text_col]):
-                toks = ws.sub(" ", (txt or "").strip().lower()).split(" ")
-                n = len(toks)
-                if n >= k:
-                    s = {
-                        " ".join(toks[i : i + k]) for i in range(n - k + 1)
-                    }
-                else:
-                    s = {" ".join(toks)}
-                ids.append(did)
-                sets.append(sorted(s))
-            yield pd.DataFrame({"doc_id": ids, "shingles": sets})
-
     return docs.select("doc_id", text_col).mapInPandas(
-        gen, "doc_id bigint, shingles array<string>"
+        _shingle_generator(text_col, k, as_sets=True),
+        "doc_id bigint, shingles array<string>",
     )
 
 
@@ -575,68 +574,12 @@ def prefix_filter_candidates(
     shuffles (shingle, doc_id) pairs — every stage is keyed,
     partial-aggregated, and skew-safe under AQE.
     """
-    from pyspark.sql import Window
-
-    t = float(threshold)
-    eps = F.lit(1e-9)
-    # document frequency via a count window over the shingle
-    # partitioning rather than groupBy+join-back: two exchanges
-    # cheaper, and it introduces no NEW skew class — a shingle's
-    # posting list already meets in one task at the candidate join
-    # below, and the window's per-bucket work is linear (the
-    # quadratic risk lives in the join, where prefix filtering is
-    # what bounds it). Under truly adversarial skew (a boilerplate
-    # shingle with 10⁸ postings) the standard remedy — dropping
-    # ultra-frequent shingles, which never discriminate — applies to
-    # both the window and the join equally.
-    ranked = (
-        sh.withColumn(
-            "df", F.count("*").over(Window.partitionBy("shingle"))
-        )
-        .select(
-            "doc_id",
-            "shingle",
-            F.row_number()
-            .over(
-                Window.partitionBy("doc_id").orderBy(
-                    F.col("df").asc(), F.col("shingle").asc()
-                )
-            )
-            .alias("pos"),
-            F.count("*")
-            .over(Window.partitionBy("doc_id"))
-            .alias("sz"),
-        )
-        # persisted: both aliased self-join sides read this subtree,
-        # and without a cache the rank-window pipeline runs twice
-        # (AQE does not reuse the exchange across aliases — same
-        # reason band_self_join persists the band table)
-        .persist()
-    )
-    alpha = F.ceil(F.lit(t) * F.col("sz") - eps)
-    prefix = ranked.where(F.col("pos") <= F.col("sz") - alpha + F.lit(1))
-    # Two further LOSSLESS prunes (PPJoin, Xiao et al. WWW'08),
-    # evaluated per matched prefix shingle. Both are valid for the
-    # pair because the globally-least common shingle — the "first
-    # match" — carries the loosest positional bound, so a qualifying
-    # pair always survives on at least that row:
-    #   length filter: the required overlap can't exceed the smaller
-    #   set, so qualifying sizes are within a factor of t (Jaccard)
-    #   or the container is ≥ t× the contained side (containment);
-    #   positional filter: at the first common shingle, the overlap
-    #   is at most 1 + min(remaining suffix lengths), which must
-    #   still reach the pair's required overlap.
+    ranked = _rank_by_rarity(sh, ["doc_id"])
+    prefix = ranked.where(_prefix_cond(threshold))
     a = prefix.alias("a")
+    keep = _keep_cond(threshold, containment)
     if containment:
         right = ranked.alias("b")
-        required = F.ceil(F.lit(t) * F.col("a.sz") - eps)
-        keep = (F.col("b.sz") >= required) & (
-            F.lit(1)
-            + F.least(
-                F.col("a.sz") - F.col("a.pos"), F.col("b.sz") - F.col("b.pos")
-            )
-            >= required
-        )
         pair_filter = (F.col("a.doc_id") != F.col("b.doc_id")) & keep
         flip = F.col("a.doc_id") < F.col("b.doc_id")
         out = (
@@ -653,19 +596,6 @@ def prefix_filter_candidates(
         )
     else:
         right = prefix.alias("b")
-        required = F.ceil(
-            F.lit(t / (1.0 + t)) * (F.col("a.sz") + F.col("b.sz")) - eps
-        )
-        keep = (
-            F.least(F.col("a.sz"), F.col("b.sz"))
-            >= F.lit(t) * F.greatest(F.col("a.sz"), F.col("b.sz")) - eps
-        ) & (
-            F.lit(1)
-            + F.least(
-                F.col("a.sz") - F.col("a.pos"), F.col("b.sz") - F.col("b.pos")
-            )
-            >= required
-        )
         out = (
             a.join(
                 right,
@@ -684,6 +614,91 @@ def prefix_filter_candidates(
     # distinct is still pair-granular; carrying them saves the
     # verify stage two joins back onto the size table
     return out.distinct()
+
+
+def _rank_by_rarity(sh: DataFrame, part_cols: list) -> DataFrame:
+    """(…part_cols, shingle, pos, sz): each doc's shingles ranked by
+    the shared global rare-first order — the single implementation
+    behind the unary and bipartite prefix filters.
+
+    Document frequency comes from a count window over the shingle
+    partitioning rather than groupBy+join-back: two exchanges
+    cheaper, and it introduces no NEW skew class — a shingle's
+    posting list already meets in one task at the candidate join,
+    and the window's per-bucket work is linear (the quadratic risk
+    lives in the join, where prefix filtering is what bounds it).
+    Under truly adversarial skew (a boilerplate shingle with 10⁸
+    postings) the standard remedy — dropping ultra-frequent
+    shingles, which never discriminate — applies to both the window
+    and the join equally.
+
+    Persisted: both aliased join sides read this subtree, and
+    without a cache the rank-window pipeline runs twice (AQE does
+    not reuse the exchange across aliases — same reason
+    ``band_self_join`` persists the band table).
+    """
+    from pyspark.sql import Window
+
+    return (
+        sh.withColumn(
+            "df", F.count("*").over(Window.partitionBy("shingle"))
+        )
+        .select(
+            *part_cols,
+            "shingle",
+            F.row_number()
+            .over(
+                Window.partitionBy(*part_cols).orderBy(
+                    F.col("df").asc(), F.col("shingle").asc()
+                )
+            )
+            .alias("pos"),
+            F.count("*")
+            .over(Window.partitionBy(*part_cols))
+            .alias("sz"),
+        )
+        .persist()
+    )
+
+
+def _prefix_cond(threshold: float) -> Column:
+    """pos ≤ |d| − α + 1 with α = ⌈t·|d| − ε⌉ — the doc's prefix
+    under the shared order. The ε only ever LENGTHENS the prefix
+    under float round-up, preserving the superset property."""
+    alpha = F.ceil(F.lit(float(threshold)) * F.col("sz") - F.lit(1e-9))
+    return F.col("pos") <= F.col("sz") - alpha + F.lit(1)
+
+
+def _keep_cond(threshold: float, containment: bool) -> Column:
+    """the two LOSSLESS per-match prunes (PPJoin, Xiao et al.
+    WWW'08), over ``a``/``b`` aliased rank rows. Both are valid for
+    the pair because the globally-least common shingle — the "first
+    match" — carries the loosest positional bound, so a qualifying
+    pair always survives on at least that row:
+
+    - length filter: the required overlap can't exceed the smaller
+      set, so qualifying sizes are within a factor of t (Jaccard)
+      or the container is ≥ t× the contained side (containment);
+    - positional filter: at the first common shingle, the overlap
+      is at most 1 + min(remaining suffix lengths), which must
+      still reach the pair's required overlap.
+    """
+    t = float(threshold)
+    eps = F.lit(1e-9)
+    positional = F.lit(1) + F.least(
+        F.col("a.sz") - F.col("a.pos"), F.col("b.sz") - F.col("b.pos")
+    )
+    if containment:
+        required = F.ceil(F.lit(t) * F.col("a.sz") - eps)
+        return (F.col("b.sz") >= required) & (positional >= required)
+    required = F.ceil(
+        F.lit(t / (1.0 + t)) * (F.col("a.sz") + F.col("b.sz")) - eps
+    )
+    length_ok = (
+        F.least(F.col("a.sz"), F.col("b.sz"))
+        >= F.lit(t) * F.greatest(F.col("a.sz"), F.col("b.sz")) - eps
+    )
+    return length_ok & (positional >= required)
 
 
 def prefix_filter_candidates_bipartite(
@@ -712,64 +727,19 @@ def prefix_filter_candidates_bipartite(
     and notably the right corpus (the big side: the 100 TB training
     set) is never self-joined, only probed by the left prefixes.
     """
-    from pyspark.sql import Window
-
-    t = float(threshold)
-    eps = F.lit(1e-9)
     union = sh_left.select("doc_id", "shingle").withColumn(
         "side", F.lit("L")
     ).unionByName(
         sh_right.select("doc_id", "shingle").withColumn("side", F.lit("R"))
     )
-    ranked = (
-        union.withColumn(
-            "df", F.count("*").over(Window.partitionBy("shingle"))
-        )
-        .select(
-            "side",
-            "doc_id",
-            "shingle",
-            F.row_number()
-            .over(
-                Window.partitionBy("side", "doc_id").orderBy(
-                    F.col("df").asc(), F.col("shingle").asc()
-                )
-            )
-            .alias("pos"),
-            F.count("*")
-            .over(Window.partitionBy("side", "doc_id"))
-            .alias("sz"),
-        )
-        .persist()
-    )
-    alpha = F.ceil(F.lit(t) * F.col("sz") - eps)
-    is_prefix = F.col("pos") <= F.col("sz") - alpha + F.lit(1)
+    ranked = _rank_by_rarity(union, ["side", "doc_id"])
+    is_prefix = _prefix_cond(threshold)
     a = ranked.where((F.col("side") == "L") & is_prefix).alias("a")
     if containment:
         b = ranked.where(F.col("side") == "R").alias("b")
-        required = F.ceil(F.lit(t) * F.col("a.sz") - eps)
-        keep = (F.col("b.sz") >= required) & (
-            F.lit(1)
-            + F.least(
-                F.col("a.sz") - F.col("a.pos"), F.col("b.sz") - F.col("b.pos")
-            )
-            >= required
-        )
     else:
         b = ranked.where((F.col("side") == "R") & is_prefix).alias("b")
-        required = F.ceil(
-            F.lit(t / (1.0 + t)) * (F.col("a.sz") + F.col("b.sz")) - eps
-        )
-        keep = (
-            F.least(F.col("a.sz"), F.col("b.sz"))
-            >= F.lit(t) * F.greatest(F.col("a.sz"), F.col("b.sz")) - eps
-        ) & (
-            F.lit(1)
-            + F.least(
-                F.col("a.sz") - F.col("a.pos"), F.col("b.sz") - F.col("b.pos")
-            )
-            >= required
-        )
+    keep = _keep_cond(threshold, containment)
     return (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & keep)
         .select(
@@ -1135,9 +1105,13 @@ def incremental_dedup_pairs(
     qualifying cross pair. doc_id spaces must be disjoint (callers
     split one table or tag ids).
     """
-    sets_new = doc_shingle_sets(new_docs, text_col)
-    sets_old = doc_shingle_sets(corpus_docs, text_col)
-    sets = sets_new.unionByName(sets_old).persist()
+    # persist PER SIDE: both the candidate pipeline (exploded view)
+    # and the verify join (union) must read the cached sets — caching
+    # only the union would re-run the corpus text scan + shingling
+    # for the exploded views, doubling the dominant cost
+    sets_new = doc_shingle_sets(new_docs, text_col).persist()
+    sets_old = doc_shingle_sets(corpus_docs, text_col).persist()
+    sets = sets_new.unionByName(sets_old)
     sh_new = sets_new.select("doc_id", F.explode("shingles").alias("shingle"))
     sh_old = sets_old.select("doc_id", F.explode("shingles").alias("shingle"))
     cand = prefix_filter_candidates_bipartite(sh_new, sh_old, threshold)

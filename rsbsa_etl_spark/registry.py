@@ -1865,24 +1865,28 @@ def _driver_latest_rows() -> dict:
 
 
 def _is_green(row: dict) -> bool:
-    # Rows-only keys (no oracle) record hash_match as null/absent —
-    # count them green on rows_match; an explicit False stays red.
+    # Rows-only keys (no oracle) record hash_match/schema_match as
+    # null/absent — count them green on rows_match; an explicit
+    # False on ANY of the driver's three flags stays red.
     return bool(
         row.get("rows_match")
         and row.get("err") is None
         and row.get("hash_match") is not False
+        and row.get("schema_match") is not False
     )
 
 
-# Round-4 tranche = first 49 below (+ any still-red key at the head).
-# Round-5 tranche (the final ~24, queued after them): ngram_topk,
-# inverted_index, term_pmi, cms_topk, group_topk, group_mode,
-# outlier_zscore, outlier_mad, hhi_concentration, corr_groups,
-# events_funnel, events_dau_mau, retention_cohort, event_transitions,
-# activity_histogram, snapshot_diff, resample_ffill, ab_ttest,
-# agg_string_concat, rolling_active, skew_stats, validate_domains,
-# profile_stats, agg_filtered_multi — after which every registry key
-# has a driver row and the rotation degenerates to a stable order.
+# Round-4 tranche = first 49 below (+ any still-red key at the head
+# consuming the budget's 50th slot). Round-5 tranche (everything
+# after the marker below, ~26 keys): term_topk, bm25_topk,
+# ngram_topk, inverted_index, term_pmi, cms_topk, group_topk,
+# group_mode, outlier_zscore, outlier_mad, hhi_concentration,
+# corr_groups, events_funnel, events_dau_mau, retention_cohort,
+# event_transitions, activity_histogram, snapshot_diff,
+# resample_ffill, ab_ttest, agg_string_concat, rolling_active,
+# skew_stats, validate_domains, profile_stats, agg_filtered_multi —
+# after which every registry key has a driver row and the rotation
+# degenerates to a stable order.
 _UNTESTED_PRIORITY = [
     # streaming — checkpointed state, watermark eviction: riskiest
     "stream_late_drop", "stream_dedup", "stream_stateful_totals",
@@ -1912,8 +1916,8 @@ _UNTESTED_PRIORITY = [
     "scan_file_provenance", "udtf_chunk_tokens",
     "repetition_score", "vocab_coverage",
     "agg_time_rollup", "agg_grouping_sets",
-    "term_topk", "bm25_topk",
     # --- round-5 tranche starts here (see comment above) ---
+    "term_topk", "bm25_topk",
     "ngram_topk", "inverted_index", "term_pmi", "cms_topk",
     "group_topk", "group_mode", "outlier_zscore", "outlier_mad",
     "hhi_concentration", "corr_groups", "events_funnel",

@@ -16,24 +16,29 @@ from pathlib import Path
 
 from __spark_entry__ import queries
 
+# the SAME predicate/merge the production rotation uses — importing
+# (rather than copy-pasting) means a bug fixed in one place can't
+# leave the guard test pinning stale logic
+from rsbsa_etl_spark.registry import _driver_latest_rows, _is_green
+
 ROOT = Path(__file__).resolve().parent.parent
 SWEEP_BUDGET = 50
 
 
 def _latest_rows() -> dict:
-    rows: dict = {}
+    rows = _driver_latest_rows()
+    # the production reader swallows unreadable files; the guard
+    # additionally insists every committed record parses
     for p in sorted(ROOT.glob("CORRECTNESS_r*.json")):
-        data = json.loads(p.read_text())
-        rows.update({k: v for k, v in data.items() if isinstance(v, dict)})
+        json.loads(p.read_text())
     return rows
 
 
-def _is_green(row: dict) -> bool:
-    return bool(
-        row.get("rows_match")
-        and row.get("err") is None
-        and row.get("hash_match") is not False
-    )
+def test_green_requires_all_three_driver_flags():
+    assert _is_green({"rows_match": True, "err": None})
+    for flag in ("hash_match", "schema_match", "rows_match"):
+        row = {"rows_match": True, "err": None, flag: False}
+        assert not _is_green(row), flag
 
 
 def test_sweep_head_contains_no_already_green_key():
