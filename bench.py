@@ -60,6 +60,7 @@ HEADLINE = [
     "dedup_minhash_est",
     "dedup_incremental",
     "decontam_fuzzy",
+    "knn_graph",
     "split_assign",
     "tfidf_topk",
     "agg_pivot",

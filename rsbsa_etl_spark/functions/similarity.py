@@ -157,6 +157,117 @@ def cosine_pairs(
     )
 
 
+def knn_graph(
+    emb: DataFrame,
+    k: int = ANN_TOP_K,
+    n_tiles: int = 8,
+) -> DataFrame:
+    """exact k-nearest-neighbor graph: EVERY vector's top-k cosine
+    neighbors — the building block cluster/SemDeDup/graph pipelines
+    consume (where the ``ann_*`` family answers a handful of queries,
+    this materializes the whole corpus's neighborhood structure).
+
+    Same tiled block-matmul as ``cosine_pairs`` (O(n·√tasks)
+    replication, two tiles per task, BLAS per block), but each block
+    emits only each source row's block-local top-k (ordered by
+    cosine desc, neighbor id asc — the global ranking's order), so
+    the shuffle into the final ranking window carries n·√tasks·k
+    rows instead of n² pairs; a per-source ``row_number`` window then
+    keeps the global top-k. A source's global top-k is a subset of
+    the union of its block top-k under the same total order, so the
+    cut is lossless.
+    """
+    import numpy as np
+    import pandas as pd
+
+    t = F.pmod(F.col("vec_id"), F.lit(n_tiles)).cast("int")
+    e = emb.select("vec_id", "embedding", t.alias("t"))
+    left = e.select(
+        F.col("t").alias("ta"),
+        F.explode(F.sequence(F.col("t"), F.lit(n_tiles - 1))).alias("tb"),
+        "vec_id",
+        "embedding",
+        F.lit(True).alias("is_left"),
+    )
+    right = e.select(
+        F.explode(F.sequence(F.lit(0), F.col("t"))).alias("ta"),
+        F.col("t").alias("tb"),
+        "vec_id",
+        "embedding",
+        F.lit(False).alias("is_left"),
+    )
+
+    def block(key, pdf):
+        ta, tb = key
+        empty = pd.DataFrame(
+            {
+                "vec_id": np.array([], dtype=np.int64),
+                "neighbor_id": np.array([], dtype=np.int64),
+                "cosine": np.array([], dtype=np.float64),
+            }
+        )
+        L = pdf[pdf["is_left"]]
+        R = pdf[~pdf["is_left"]]
+        if L.empty or R.empty:
+            return empty
+        A = np.stack([np.asarray(v, dtype=np.float64) for v in L["embedding"]])
+        B = np.stack([np.asarray(v, dtype=np.float64) for v in R["embedding"]])
+        na = np.sqrt((A * A).sum(axis=1))
+        nb = np.sqrt((B * B).sum(axis=1))
+        q = np.floor((A @ B.T) / np.outer(na, nb) * 1e4 + 0.5) / 1e4
+        la = L["vec_id"].to_numpy()
+        rb = R["vec_id"].to_numpy()
+
+        def topk_rows(sim, src_ids, dst_ids):
+            srcs, dsts, sims = [], [], []
+            for i in range(sim.shape[0]):
+                row = sim[i]
+                mask = dst_ids != src_ids[i]
+                cand_dst = dst_ids[mask]
+                cand_sim = row[mask]
+                if cand_dst.size == 0:
+                    continue
+                order = np.lexsort((cand_dst, -cand_sim))[:k]
+                srcs.extend([src_ids[i]] * len(order))
+                dsts.extend(cand_dst[order])
+                sims.extend(cand_sim[order])
+            return srcs, dsts, sims
+
+        s1, d1, c1 = topk_rows(q, la, rb)
+        if ta == tb:
+            # diagonal: L and R hold the same tile — one direction
+            # already covers every source in the tile
+            s2, d2, c2 = [], [], []
+        else:
+            s2, d2, c2 = topk_rows(q.T, rb, la)
+        return pd.DataFrame(
+            {
+                "vec_id": np.array(s1 + s2, dtype=np.int64),
+                "neighbor_id": np.array(d1 + d2, dtype=np.int64),
+                "cosine": np.array(c1 + c2, dtype=np.float64),
+            }
+        )
+
+    per_block = (
+        left.unionByName(right)
+        .groupBy("ta", "tb")
+        .applyInPandas(block, "vec_id bigint, neighbor_id bigint, cosine double")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        per_block.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "vec_id",
+            "neighbor_id",
+            dec_round(F.col("cosine"), 4).alias("cosine"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 def brute_force_topk(
     emb: DataFrame,
     query_ids: Sequence[int] = ANN_QUERY_IDS,

@@ -844,6 +844,23 @@ JOIN sizes sa ON sa.doc_id = eval_doc_id
 WHERE n_inter / sa.sz >= {P.DECONTAM_FUZZY_THRESHOLD}
 """
 
+ORACLES["knn_graph"] = f"""
+WITH {_EMB_CTE.strip()},
+scored AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         {_dec(f"{_DOT} / (a.nrm * b.nrm)", 4)} AS cosine
+  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT vec_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT vec_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {P.ANN_TOP_K}
+"""
+
 ORACLES["dedup_embedding"] = f"""
 WITH {_EMB_CTE.strip()},
 p AS (

@@ -372,6 +372,18 @@ def test_dedup_embedding_is_tiled_not_driver_collected(spark):
     assert "Exchange hashpartitioning(ta" in plan
 
 
+def test_knn_graph_is_tiled_with_blockwise_topk(spark):
+    # the kNN graph must run as the tiled grouped-map block-matmul
+    # (FlatMapGroupsInPandas over tile pairs) feeding a per-source
+    # ranking window — NOT an n² pair shuffle into the window: the
+    # window input is the applyInPandas output, whose volume is
+    # n·√tasks·k by the block-local top-k cut
+    plan = _plan(QUERIES["knn_graph"](spark, SF_DIR))
+    assert "FlatMapGroupsInPandas" in plan
+    assert "row_number" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
 def test_ngram_jaccard_verifies_prefix_filter_candidates(spark):
     # the exact-verify join must consume the prefix-filter candidate
     # list (rank window over per-doc shingles → "row_number" in the
