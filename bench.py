@@ -61,6 +61,7 @@ HEADLINE = [
     "dedup_incremental",
     "decontam_fuzzy",
     "knn_graph",
+    "embedding_outliers",
     "split_assign",
     "tfidf_topk",
     "agg_pivot",

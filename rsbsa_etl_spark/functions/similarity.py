@@ -268,6 +268,57 @@ def knn_graph(
     )
 
 
+def embedding_outliers(
+    emb: DataFrame,
+    k: int = ANN_TOP_K,
+    pct_of_mean: int | None = None,
+) -> DataFrame:
+    """embedding-space outlier gate for data curation: a vector
+    whose top-k neighborhood is abnormally DISTANT (mean neighbor
+    cosine below ``pct_of_mean``% of the corpus-wide mean) is flagged
+    — the standard "garbage embedding / off-distribution sample"
+    signal a training-data pipeline runs after embedding.
+
+    Determinism discipline (the double-sum killer): per-vector
+    neighbor cosines are quantized to 1e-4 ints and summed as
+    BIGINTs — partition-order-free — and the outlier gate compares
+    ``100·sᵢ·N < pct·S`` in pure integer arithmetic, so the flag is
+    bit-equal to the DuckDB oracle with no float tolerance anywhere.
+    The relative (corpus-mean) gate is used because absolute
+    neighborhood tightness shifts with corpus size.
+
+    Plan: one ``knn_graph`` (tiled block-matmul), one map-side
+    partial-agg groupBy, and a broadcast of the single global-total
+    row — corpus touched once.
+    """
+    from rsbsa_etl_spark.params import OUTLIER_PCT_OF_MEAN
+
+    pct = OUTLIER_PCT_OF_MEAN if pct_of_mean is None else pct_of_mean
+    g = knn_graph(emb, k)
+    si = g.groupBy("vec_id").agg(
+        F.sum(
+            F.floor(F.col("cosine") * F.lit(1e4) + F.lit(0.5)).cast("long")
+        ).alias("s"),
+        F.count("*").cast("long").alias("nk"),
+    )
+    tot = si.agg(
+        F.sum("s").alias("total_s"), F.count("*").cast("long").alias("n_vecs")
+    )
+    return (
+        si.join(F.broadcast(tot))
+        .select(
+            "vec_id",
+            dec_round(
+                F.col("s") / (F.col("nk") * F.lit(1e4)), 4
+            ).alias("mean_knn_cosine"),
+            (
+                F.lit(100) * F.col("s") * F.col("n_vecs")
+                < F.lit(pct) * F.col("total_s")
+            ).alias("is_outlier"),
+        )
+    )
+
+
 def brute_force_topk(
     emb: DataFrame,
     query_ids: Sequence[int] = ANN_QUERY_IDS,

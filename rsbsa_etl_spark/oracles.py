@@ -861,6 +861,34 @@ SELECT vec_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= {P.ANN_TOP_K}
 """
 
+ORACLES["embedding_outliers"] = f"""
+WITH {_EMB_CTE.strip()},
+scored AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         {_dec(f"{_DOT} / (a.nrm * b.nrm)", 4)} AS cosine
+  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT vec_id, cosine,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+),
+si AS (
+  SELECT vec_id,
+         CAST(sum(CAST(floor(cosine * 1e4 + 0.5) AS BIGINT)) AS BIGINT) AS s,
+         count(*) AS nk
+  FROM ranked WHERE rank <= {P.ANN_TOP_K} GROUP BY vec_id
+),
+tot AS (
+  SELECT CAST(sum(s) AS BIGINT) AS total_s, count(*) AS n_vecs FROM si
+)
+SELECT vec_id,
+       {_dec("s / (nk * 1e4)", 4)} AS mean_knn_cosine,
+       100 * s * n_vecs < {P.OUTLIER_PCT_OF_MEAN} * total_s AS is_outlier
+FROM si, tot
+"""
+
 ORACLES["dedup_embedding"] = f"""
 WITH {_EMB_CTE.strip()},
 p AS (

@@ -123,6 +123,12 @@ def hadamard_sign(row: int, j: int) -> int:
 IVF_CENTROIDS = 16  # IVF cells (deterministic init: first N vec_ids)
 IVF_NPROBE = 4  # cells probed per query
 PQ_SUBSPACES = 4  # product-quantization subspaces (64 dims -> 4x16)
+#: embedding_outliers flags a vector when its mean top-k neighbor
+#: cosine falls below this percentage of the corpus-wide mean — a
+#: relative gate, since absolute neighborhood tightness shifts with
+#: corpus size (measured: median mean-kNN-cosine 0.296 at sf0.01 vs
+#: 0.350 at sf0.1). Compared in exact integer arithmetic.
+OUTLIER_PCT_OF_MEAN = 85
 PQ_CODEWORDS = 16  # codewords per subspace (deterministic init: first N vec_ids)
 
 

@@ -1346,6 +1346,10 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_graph(load(spark, sf_dir, "embeddings"))
 
 
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_outliers(load(spark, sf_dir, "embeddings"))
+
+
 def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rsbsa_etl_spark.plans import tpch
 
@@ -1730,6 +1734,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_incremental": dedup_incremental,
     "decontam_fuzzy": decontam_fuzzy,
     "knn_graph": knn_graph,
+    "embedding_outliers": embedding_outliers,
     "dedup_embedding": dedup_embedding,
     "dedup_semantic": dedup_semantic,
     "dedup_clusters": dedup_clusters,
@@ -1883,8 +1888,8 @@ def _is_green(row: dict) -> bool:
 
 # Round-4 tranche = first 49 below (+ any still-red key at the head
 # consuming the budget's 50th slot). Round-5 tranche (everything
-# after the marker below, ~27 keys): agg_grouping_sets, term_topk,
-# bm25_topk,
+# after the marker below, ~28 keys): agg_time_rollup,
+# agg_grouping_sets, term_topk, bm25_topk,
 # ngram_topk, inverted_index, term_pmi, cms_topk, group_topk,
 # group_mode, outlier_zscore, outlier_mad, hhi_concentration,
 # corr_groups, events_funnel, events_dau_mau, retention_cohort,
@@ -1914,16 +1919,16 @@ _UNTESTED_PRIORITY = [
     "join_cross",
     # dedup/ANN remainder (incl. the round-4 bipartite additions)
     "dedup_minhash_est", "dedup_incremental", "decontam_fuzzy",
-    "knn_graph", "dedup_segments", "dedup_priority",
+    "knn_graph", "embedding_outliers",
+    "dedup_segments", "dedup_priority",
     "graph_pagerank", "ann_lsh_multiprobe",
     "ivf_train", "ivf_train2", "ivf_train3",
     "embedding_quantize", "embedding_pq",
     # provenance / UDTF / text tail
     "scan_file_provenance", "udtf_chunk_tokens",
     "repetition_score", "vocab_coverage",
-    "agg_time_rollup",
     # --- round-5 tranche starts here (see comment above) ---
-    "agg_grouping_sets", "term_topk", "bm25_topk",
+    "agg_time_rollup", "agg_grouping_sets", "term_topk", "bm25_topk",
     "ngram_topk", "inverted_index", "term_pmi", "cms_topk",
     "group_topk", "group_mode", "outlier_zscore", "outlier_mad",
     "hhi_concentration", "corr_groups", "events_funnel",
