@@ -144,6 +144,7 @@ HEADLINE = [
     "skew_stats",
     "window_cumdistinct",
     "curation_pipeline",
+    "join_bloom_pruned",
 ]
 
 

@@ -229,3 +229,48 @@ def cross_pairs(region: DataFrame, nation: DataFrame) -> DataFrame:
             .alias("is_member"),
         )
     )
+
+
+def bloom_pruned_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_buckets: int = 1 << 17,
+) -> DataFrame:
+    """inner equi-join with an explicit runtime membership filter:
+    prune the fact side BEFORE its shuffle using a broadcast digest
+    of the dim side's keys.
+
+    The scale problem: joining a 100 TB fact table against a dim
+    subset that matches only a few percent of fact rows still
+    shuffles the FULL fact table when the planner picks sort-merge
+    (dim too big to broadcast whole rows, or the join is one stage
+    past where a broadcast hint reaches). Engines solve this with
+    runtime filters — Spark's own runtime row-level filtering
+    (``spark.sql.optimizer.runtime.bloomFilter.enabled``) injects a
+    bloom filter under the same conditions; this operator is the
+    explicit, always-on form for when the heuristics don't fire.
+
+    Construction: hash each dim key into one of ``n_buckets`` slots
+    and keep the DISTINCT slot ids — a one-hash bloom filter
+    materialized as a ≤``n_buckets``-row table (a 2^17-slot digest is
+    ~1 MB as a broadcast list, independent of dim's row count). The
+    fact side semi-joins on its own slot id: a broadcast hash
+    semi-join that ships ZERO fact rows and keeps only rows whose
+    slot is occupied. False positives (hash collisions) survive the
+    prune and are removed by the exact join that follows, so the
+    result is bit-identical to ``fact JOIN dim USING (key)`` — the
+    digest affects cost, never semantics.
+
+    Sizing: with d distinct dim keys, the false-positive rate is
+    ~d/n_buckets; pick n_buckets ≳ 20·d to prune ≳95 % of
+    non-matching fact rows. The digest build is one map-side-partial
+    aggregate over dim (cheap), and the prune runs inside the fact
+    scan's stage — predicate-shaped work, no extra shuffle anywhere.
+    """
+    slot = lambda c: F.pmod(F.xxhash64(F.col(c)), F.lit(n_buckets))  # noqa: E731
+    digest = dim.select(slot(key).alias("_rf_slot")).distinct()
+    pruned = fact.join(
+        F.broadcast(digest), slot(key) == F.col("_rf_slot"), "left_semi"
+    )
+    return pruned.join(dim, key)

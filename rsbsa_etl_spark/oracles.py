@@ -1193,6 +1193,13 @@ SELECT f.event_id, f.skew_key, d.c_mktsegment
 FROM fact f JOIN dim d USING (skew_key)
 """
 
+ORACLES["join_bloom_pruned"] = f"""
+SELECT l.l_orderkey, l.l_linenumber, o.o_custkey
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_totalprice > {P.TARGET_PRICE_MIN}
+  AND o.o_orderstatus = '{P.TARGET_STATUS}'
+"""
+
 ORACLES["join_asof"] = """
 WITH l AS (SELECT event_id, user_id, ts, value FROM events
            WHERE event_type = 'click'),

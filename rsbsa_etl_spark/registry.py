@@ -697,6 +697,19 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_join(fact, dim, "skew_key")
 
 
+def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """runtime-filter join: lineitem pruned by a broadcast hash
+    digest of high-value finished orders before the exact join. The
+    digest is cost-only — the oracle is the plain inner join."""
+    from rsbsa_etl_spark.operators.joins import bloom_pruned_join
+
+    fact = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    dim = _high_value_orders(spark, sf_dir).select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_custkey"
+    )
+    return bloom_pruned_join(fact, dim, "l_orderkey")
+
+
 def ivf_train3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """the general n-iteration Lloyd loop (n=3): E-step (broadcast
     centroids, per-row argmin fold, zero shuffle) then M-step (one
@@ -1714,6 +1727,7 @@ QUERIES: dict[str, QueryFn] = {
     "join_range": join_range,
     "join_full_outer_nullsafe": join_full_outer_nullsafe,
     "join_skew_salted": join_skew_salted,
+    "join_bloom_pruned": join_bloom_pruned,
     "ivf_train": ivf_train,
     "ivf_train2": ivf_train2,
     "ivf_train3": ivf_train3,
@@ -1936,6 +1950,8 @@ _UNTESTED_PRIORITY = [
     "activity_histogram", "snapshot_diff", "resample_ffill",
     "ab_ttest", "agg_string_concat", "rolling_active", "skew_stats",
     "validate_domains", "profile_stats", "agg_filtered_multi",
+    # round-4 late additions (no driver row yet — join the r5 tranche)
+    "join_bloom_pruned",
 ]
 
 _rows = _driver_latest_rows()

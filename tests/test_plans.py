@@ -62,6 +62,15 @@ def test_topk_avoids_global_sort(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_bloom_prune_is_broadcast_semi_no_fact_shuffle(spark):
+    # the runtime-filter digest must reach the fact side as a
+    # broadcast LeftSemi on the hash slot; the fact table itself must
+    # never sort-merge (its only joins are broadcast-built)
+    plan = _plan(QUERIES["join_bloom_pruned"](spark, SF_DIR))
+    assert "LeftSemi" in plan and "pmod(xxhash64" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_whole_stage_codegen_covers_flagship(spark):
     df = QUERIES["agg_sum_groups"](spark, SF_DIR)
     df.collect()  # AQE finalizes THIS plan only after its execution
