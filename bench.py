@@ -145,6 +145,7 @@ HEADLINE = [
     "window_cumdistinct",
     "curation_pipeline",
     "join_bloom_pruned",
+    "sample_token_budget",
 ]
 
 

@@ -283,6 +283,74 @@ def temperature_sample(docs: DataFrame) -> DataFrame:
     )
 
 
+def token_budget_sample(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Budget-bounded corpus sampling: hash-shuffle the documents
+    into a deterministic random order, then take documents until the
+    running token total reaches ``P.TOKEN_BUDGET`` — the "give me a
+    10 B-token subsample of this 10 T-token corpus" primitive of
+    training-data mixing, where the quota is tokens, not documents.
+
+    The running total is the scale hazard: a naive
+    ``SUM() OVER (ORDER BY pri)`` is ONE unpartitioned window task —
+    a single executor sorting the whole corpus. This implements the
+    classic two-pass distributed prefix sum instead, expressible
+    entirely in DataFrame ops because the bucket key is the
+    priority's own top bits (``bucket = pri >> 26``), making
+    (bucket, pri) order identical to global pri order:
+
+    1. intra-bucket running sums — 64 parallel window partitions,
+       each a range-partitioned slice of the hash space;
+    2. per-bucket totals (64 rows) → tiny cumulative offset table,
+       broadcast back and added to the intra-bucket sums.
+
+    The result is bit-equal to the global window the DuckDB oracle
+    runs, while the biggest single task holds ~1/64 of the corpus
+    (raise the bucket count with corpus size; it only has to beat
+    the budget's selectivity, not the corpus).
+
+    Determinism: priority is the salted md5 of doc_id (32-bit), ties
+    broken by doc_id; token counts are whitespace counts of
+    normalized text — all integer arithmetic.
+    """
+    pri = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.lit("tb1"), F.col("doc_id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    shift = 1 << P.BUDGET_BUCKET_SHIFT
+    base = docs.select(
+        "doc_id",
+        F.size(tokens_col(F.col(text_col))).cast("long").alias("n_tokens"),
+        pri.alias("pri"),
+        F.floor(pri / shift).cast("long").alias("bucket"),
+    )
+    intra_w = (
+        Window.partitionBy("bucket")
+        .orderBy("pri", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    intra = base.withColumn("intra_cum", F.sum("n_tokens").over(intra_w))
+    btot = base.groupBy("bucket").agg(F.sum("n_tokens").alias("b_tokens"))
+    offset_w = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = btot.select(
+        "bucket",
+        (F.sum("b_tokens").over(offset_w) - F.col("b_tokens")).alias("offset"),
+    )
+    return (
+        intra.join(F.broadcast(offsets), "bucket")
+        .withColumn("cum_tokens", (F.col("offset") + F.col("intra_cum")).cast("long"))
+        .where(F.col("cum_tokens") <= P.TOKEN_BUDGET)
+        .select("doc_id", "n_tokens", "cum_tokens")
+    )
+
+
 # ------------------------------------------------- sub-document dedup
 
 

@@ -1797,6 +1797,26 @@ ORACLES["stream_dedup"] = f"""
 SELECT event_id, event_type, {_dec('value', 2)} AS value FROM events
 """
 
+# the oracle runs the GLOBAL running-total window the Spark side
+# decomposes into the 64-bucket two-pass prefix sum — bit equality
+# of the two formulations is the thing under test
+ORACLES["sample_token_budget"] = f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(string_split({NORM}, ' ')) AS BIGINT) AS n_tokens,
+         {_hexpoly("md5('tb1' || '|' || CAST(doc_id AS VARCHAR))", 1)} AS pri
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, n_tokens,
+         CAST(sum(n_tokens) OVER (ORDER BY pri, doc_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+  FROM base
+)
+SELECT doc_id, n_tokens, cum_tokens FROM cum
+WHERE cum_tokens <= {P.TOKEN_BUDGET}
+"""
+
 _W_SEG = P.SEG_TOKENS
 
 ORACLES["dedup_segments"] = f"""

@@ -187,6 +187,18 @@ PACK_CAPACITY = 512
 #: vocabulary makes cross-doc repeated segments common at every SF.
 SEG_TOKENS = 16
 
+#: token-budget sampling: hash-shuffled docs are taken until the
+#: running token total reaches this budget. Docs average ~56 tokens,
+#: so the sample holds ~214 docs — non-trivial yet bounded at every
+#: SF (the whole point of a budget: output size is budget-shaped,
+#: not corpus-shaped).
+TOKEN_BUDGET = 12_000
+#: coarse prefix-sum buckets for the distributed running total: the
+#: priority hash's top bits (bucket = pri >> 26 over a 32-bit hash,
+#: so bucket order == priority order). 64 buckets bound the
+#: second-pass offset table to 64 rows at any corpus size.
+BUDGET_BUCKET_SHIFT = 26
+
 #: temperature sampling: keep probability K/sqrt(c_domain), i.e.
 #: K=6 keeps domains of ≤36 docs whole and downsamples bigger ones
 #: (fixture domains are 2^d-sized, d = floor(log2(doc_id+1))).

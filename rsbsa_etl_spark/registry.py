@@ -1067,6 +1067,15 @@ def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.temperature_sample(load(spark, sf_dir, "documents"))
 
 
+def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hash-shuffled docs taken until the running token total hits
+    the budget — distributed two-pass prefix sum, not one global
+    window task."""
+    from rsbsa_etl_spark.functions import curation
+
+    return curation.token_budget_sample(load(spark, sf_dir, "documents"))
+
+
 def dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sub-document (paragraph-level) corpus dedup: keep the first
     occurrence of each 16-token segment corpus-wide."""
@@ -1775,6 +1784,7 @@ QUERIES: dict[str, QueryFn] = {
     "pack_sequences": pack_sequences,
     "pii_redact": pii_redact,
     "sample_temperature": sample_temperature,
+    "sample_token_budget": sample_token_budget,
     "dedup_segments": dedup_segments,
     "window_ntile": window_ntile,
     "window_first_last": window_first_last,
@@ -1951,7 +1961,7 @@ _UNTESTED_PRIORITY = [
     "ab_ttest", "agg_string_concat", "rolling_active", "skew_stats",
     "validate_domains", "profile_stats", "agg_filtered_multi",
     # round-4 late additions (no driver row yet — join the r5 tranche)
-    "join_bloom_pruned",
+    "join_bloom_pruned", "sample_token_budget",
 ]
 
 _rows = _driver_latest_rows()

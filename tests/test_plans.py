@@ -71,6 +71,15 @@ def test_bloom_prune_is_broadcast_semi_no_fact_shuffle(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_token_budget_windows_are_bucket_partitioned(spark):
+    # the corpus-sized running sum must be a PARTITIONED window (the
+    # two-pass prefix sum); the only unpartitioned window allowed is
+    # the 64-row bucket-offset table
+    plan = _plan(QUERIES["sample_token_budget"](spark, SF_DIR))
+    assert "windowspecdefinition(bucket" in plan
+    assert "BroadcastHashJoin" in plan  # offsets join back broadcast
+
+
 def test_whole_stage_codegen_covers_flagship(spark):
     df = QUERIES["agg_sum_groups"](spark, SF_DIR)
     df.collect()  # AQE finalizes THIS plan only after its execution
