@@ -146,6 +146,7 @@ HEADLINE = [
     "curation_pipeline",
     "join_bloom_pruned",
     "sample_token_budget",
+    "quality_adaptive",
 ]
 
 

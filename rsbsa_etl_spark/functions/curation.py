@@ -351,6 +351,65 @@ def token_budget_sample(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def adaptive_quality_filter(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-language adaptive quality thresholding (the CCNet recipe):
+    keep the best ``P.QUALITY_KEEP_PCT`` % of each language's
+    documents by LM fluency score. One absolute threshold across a
+    multilingual corpus is wrong twice over — it empties low-resource
+    languages and waves through boilerplate in high-resource ones —
+    so the cutoff adapts to each language's own score distribution.
+
+    The scale design avoids ranking the corpus: a naive
+    ``row_number() OVER (PARTITION BY lang ORDER BY score)`` puts an
+    entire language — half the corpus, for English — into one window
+    task. Instead the cutoff comes from the SCORE HISTOGRAM:
+
+    1. group by (lang, score) → counts. Scores are 1e-6-quantized
+       (``lm_score``), so the histogram is bounded by distinct score
+       values, not document count;
+    2. one window over the histogram (descending score, per lang)
+       yields cumulative counts — the biggest window partition is a
+       language's distinct-score count, ~1e6 rows max regardless of
+       corpus size;
+    3. a score-group is kept when the cumulative count BEFORE it is
+       under the language's quota (integer compare: cum_prev·100 <
+       pct·n_lang) — the crossing group is kept whole, so the filter
+       keeps at least the quota and is tie-stable (no intra-group
+       ordering dependence, hence engine-independent);
+    4. broadcast the per-(lang, score) keep flags back onto the
+       scored documents — a map-side join against a histogram-sized
+       table.
+
+    Returns (doc_id, lang, n_bigrams, avg_transition_p) of kept docs.
+    """
+    from rsbsa_etl_spark.functions.textstats import lm_score
+
+    scored = lm_score(docs, text_col).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    hist = scored.groupBy("lang", "avg_transition_p").agg(
+        F.count("*").alias("cnt")
+    )
+    cum_w = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("avg_transition_p"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot_w = Window.partitionBy("lang")
+    keep = (
+        hist.withColumn("cum", F.sum("cnt").over(cum_w))
+        .withColumn("n_lang", F.sum("cnt").over(tot_w))
+        .where(
+            (F.col("cum") - F.col("cnt")) * 100
+            < F.lit(P.QUALITY_KEEP_PCT) * F.col("n_lang")
+        )
+        .select("lang", "avg_transition_p")
+    )
+    return scored.join(
+        F.broadcast(keep), ["lang", "avg_transition_p"]
+    ).select("doc_id", "lang", "n_bigrams", "avg_transition_p")
+
+
 # ------------------------------------------------- sub-document dedup
 
 

@@ -1817,6 +1817,32 @@ SELECT doc_id, n_tokens, cum_tokens FROM cum
 WHERE cum_tokens <= {P.TOKEN_BUDGET}
 """
 
+# per-language adaptive quality cutoff: the histogram formulation the
+# Spark side runs, expressed directly (the lm_score oracle nests as a
+# subquery — DuckDB allows WITH inside a derived table)
+ORACLES["quality_adaptive"] = f"""
+WITH scored AS (
+  SELECT lm.doc_id, lm.n_bigrams, lm.avg_transition_p, d.lang
+  FROM ({ORACLES["lm_score"]}) lm JOIN documents d USING (doc_id)
+),
+hist AS (
+  SELECT lang, avg_transition_p, count(*) AS cnt FROM scored GROUP BY ALL
+),
+cum AS (
+  SELECT lang, avg_transition_p, cnt,
+         sum(cnt) OVER (PARTITION BY lang ORDER BY avg_transition_p DESC
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(cnt) OVER (PARTITION BY lang) AS n_lang
+  FROM hist
+),
+keep AS (
+  SELECT lang, avg_transition_p FROM cum
+  WHERE (cum - cnt) * 100 < {P.QUALITY_KEEP_PCT} * n_lang
+)
+SELECT s.doc_id, s.lang, s.n_bigrams, s.avg_transition_p
+FROM scored s JOIN keep USING (lang, avg_transition_p)
+"""
+
 _W_SEG = P.SEG_TOKENS
 
 ORACLES["dedup_segments"] = f"""

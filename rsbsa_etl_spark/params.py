@@ -199,6 +199,12 @@ TOKEN_BUDGET = 12_000
 #: second-pass offset table to 64 rows at any corpus size.
 BUDGET_BUCKET_SHIFT = 26
 
+#: adaptive quality filtering: percent of each language's documents
+#: kept, by descending LM fluency score (CCNet-style per-language
+#: thresholds — an absolute cutoff would empty low-resource
+#: languages and barely touch high-resource ones).
+QUALITY_KEEP_PCT = 60
+
 #: temperature sampling: keep probability K/sqrt(c_domain), i.e.
 #: K=6 keeps domains of ≤36 docs whole and downsamples bigger ones
 #: (fixture domains are 2^d-sized, d = floor(log2(doc_id+1))).

@@ -1076,6 +1076,14 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.token_budget_sample(load(spark, sf_dir, "documents"))
 
 
+def quality_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """per-language adaptive quality cutoff from the score histogram
+    (CCNet-style), never ranking the corpus itself."""
+    from rsbsa_etl_spark.functions import curation
+
+    return curation.adaptive_quality_filter(load(spark, sf_dir, "documents"))
+
+
 def dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sub-document (paragraph-level) corpus dedup: keep the first
     occurrence of each 16-token segment corpus-wide."""
@@ -1785,6 +1793,7 @@ QUERIES: dict[str, QueryFn] = {
     "pii_redact": pii_redact,
     "sample_temperature": sample_temperature,
     "sample_token_budget": sample_token_budget,
+    "quality_adaptive": quality_adaptive,
     "dedup_segments": dedup_segments,
     "window_ntile": window_ntile,
     "window_first_last": window_first_last,
@@ -1961,7 +1970,7 @@ _UNTESTED_PRIORITY = [
     "ab_ttest", "agg_string_concat", "rolling_active", "skew_stats",
     "validate_domains", "profile_stats", "agg_filtered_multi",
     # round-4 late additions (no driver row yet — join the r5 tranche)
-    "join_bloom_pruned", "sample_token_budget",
+    "join_bloom_pruned", "sample_token_budget", "quality_adaptive",
 ]
 
 _rows = _driver_latest_rows()
