@@ -147,6 +147,7 @@ HEADLINE = [
     "join_bloom_pruned",
     "sample_token_budget",
     "quality_adaptive",
+    "compact_plan",
 ]
 
 

@@ -1843,6 +1843,14 @@ SELECT s.doc_id, s.lang, s.n_bigrams, s.avg_transition_p
 FROM scored s JOIN keep USING (lang, avg_transition_p)
 """
 
+ORACLES["compact_plan"] = f"""
+SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(floor((sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) - n_chars)
+                  / {P.COMPACT_TARGET}) AS BIGINT) AS out_shard
+FROM documents
+"""
+
 _W_SEG = P.SEG_TOKENS
 
 ORACLES["dedup_segments"] = f"""

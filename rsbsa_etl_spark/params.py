@@ -199,6 +199,10 @@ TOKEN_BUDGET = 12_000
 #: second-pass offset table to 64 rows at any corpus size.
 BUDGET_BUCKET_SHIFT = 26
 
+#: compaction planning: target output-shard payload (chars, standing
+#: in for bytes). Docs average ~128 chars, so shards pack ~32 files.
+COMPACT_TARGET = 4096
+
 #: adaptive quality filtering: percent of each language's documents
 #: kept, by descending LM fluency score (CCNet-style per-language
 #: thresholds — an absolute cutoff would empty low-resource

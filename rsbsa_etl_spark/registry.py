@@ -1076,6 +1076,17 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.token_budget_sample(load(spark, sf_dir, "documents"))
 
 
+def compact_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """streaming bin-fill compaction plan over the documents manifest
+    (source = storage partition, n_chars = file size)."""
+    from rsbsa_etl_spark.sources.sinks import compaction_plan
+
+    return compaction_plan(
+        load(spark, sf_dir, "documents").select("source", "doc_id", "n_chars"),
+        target=P.COMPACT_TARGET,
+    )
+
+
 def quality_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """per-language adaptive quality cutoff from the score histogram
     (CCNet-style), never ranking the corpus itself."""
@@ -1794,6 +1805,7 @@ QUERIES: dict[str, QueryFn] = {
     "sample_temperature": sample_temperature,
     "sample_token_budget": sample_token_budget,
     "quality_adaptive": quality_adaptive,
+    "compact_plan": compact_plan,
     "dedup_segments": dedup_segments,
     "window_ntile": window_ntile,
     "window_first_last": window_first_last,
@@ -1971,6 +1983,7 @@ _UNTESTED_PRIORITY = [
     "validate_domains", "profile_stats", "agg_filtered_multi",
     # round-4 late additions (no driver row yet — join the r5 tranche)
     "join_bloom_pruned", "sample_token_budget", "quality_adaptive",
+    "compact_plan",
 ]
 
 _rows = _driver_latest_rows()

@@ -25,7 +25,7 @@ Cite: reference load paths ``services/etlService.js:85-146``.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 BUCKET_COL = "key_bucket"
 
@@ -213,4 +213,44 @@ def compact_files(
         1
         for f in fs.listStatus(out)
         if f.getPath().getName().startswith("part-")
+    )
+
+
+def compaction_plan(
+    manifest: DataFrame,
+    part_col: str = "source",
+    size_col: str = "n_chars",
+    order_col: str = "doc_id",
+    target: int = 4096,
+) -> DataFrame:
+    """the declarative half of compaction: assign each input file to
+    an output shard, per storage partition, sized toward ``target``.
+
+    ``compact_files`` above is the physical rewrite for one
+    directory; a 100 TB table has thousands of partitions and the
+    maintenance job first needs a PLAN — which files co-locate into
+    which output shard — computed from the file manifest (listing
+    metadata only, no data read; Delta/Iceberg expose exactly such a
+    manifest as ``add_file`` actions / the files metadata table).
+
+    Assignment is the streaming bin-fill: files ordered stably
+    within their partition, shard id = cumulative-size-BEFORE(file)
+    div target. One window per storage partition over MANIFEST rows
+    (file counts, not bytes — a million-file partition is a small
+    window), and the plan is itself a DataFrame: joinable back to
+    the data for the rewrite's ``repartition`` keys, groupable for
+    shard stats. Shards may overshoot ``target`` by at most one
+    file, the same guarantee parquet writers give row groups.
+    """
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_before = F.sum(size_col).over(w) - F.col(size_col)
+    return manifest.select(
+        part_col,
+        order_col,
+        F.col(size_col).cast("long").alias(size_col),
+        F.floor(cum_before / target).cast("long").alias("out_shard"),
     )

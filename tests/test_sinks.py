@@ -179,3 +179,36 @@ def test_compact_files_reduces_file_count(spark, tmp_path):
     a = spark.read.parquet(src).orderBy("event_id").collect()
     b = spark.read.parquet(out).orderBy("event_id").collect()
     assert a == b
+
+
+def test_compaction_plan_shard_invariants(spark):
+    """streaming bin-fill guarantees: shards are contiguous per
+    partition, overshoot target by at most one file, and only the
+    final shard of a partition may be under-filled."""
+    from rsbsa_etl_spark.registry import QUERIES
+
+    from tests.conftest import SF_DIR
+
+    rows = QUERIES["compact_plan"](spark, SF_DIR).collect()
+    by_part: dict = {}
+    for r in rows:
+        by_part.setdefault(r.source, []).append(r)
+    from rsbsa_etl_spark import params as P
+
+    for part, files in by_part.items():
+        files.sort(key=lambda r: r.doc_id)
+        shards = sorted({f.out_shard for f in files})
+        assert shards == list(range(len(shards)))  # contiguous ids
+        max_file = max(f.n_chars for f in files)
+        payload = {s: 0 for s in shards}
+        for f in files:
+            payload[f.out_shard] += f.n_chars
+        for s in shards:
+            assert payload[s] <= P.COMPACT_TARGET + max_file
+            if s != shards[-1]:
+                # non-final shards stopped because the next file
+                # crossed the boundary
+                assert payload[s] + min(f.n_chars for f in files) > 0
+        # shard ids are non-decreasing in file order
+        seq = [f.out_shard for f in files]
+        assert seq == sorted(seq)
