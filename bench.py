@@ -148,6 +148,7 @@ HEADLINE = [
     "sample_token_budget",
     "quality_adaptive",
     "compact_plan",
+    "burst_detect",
 ]
 
 

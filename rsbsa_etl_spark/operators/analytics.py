@@ -883,3 +883,54 @@ def dau_mau(events: DataFrame) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+def burst_detect(events: DataFrame) -> DataFrame:
+    """event-rate anomaly detection: flag hourly (event_type, hour)
+    bins whose count exceeds ``P.BURST_FACTOR``× the trailing
+    ``P.BURST_WINDOW_H``-hour mean — the ops-monitoring / abuse
+    detection shape (error-rate spikes, crawl storms).
+
+    Scale: the corpus-sized work is ONE partial-aggregated groupBy
+    down to (type, hour) bins; every window after that runs over the
+    BINNED table (hours × types rows — KBs at any corpus size), so
+    the per-type window partition is never a skew hazard. The frame
+    is a RANGE frame over the integer epoch-hour, so gaps (hours
+    with zero events) neither contribute to nor break the trailing
+    mean — rows-based frames would silently stretch across gaps.
+
+    Determinism: the flag is the pure-integer comparison
+    ``n · prev_bins > FACTOR · prev_total`` (no float mean), with an
+    absolute floor ``n ≥ BURST_MIN`` so near-empty corpora don't
+    flag noise. Bins with no trailing history are never flagged.
+    """
+    from rsbsa_etl_spark import params as P
+
+    h = F.floor(F.unix_seconds("ts") / 3600).cast("long")
+    bins = (
+        events.select(F.col("event_type"), h.alias("h"))
+        .groupBy("event_type", "h")
+        .agg(F.count("*").alias("n"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rangeBetween(-P.BURST_WINDOW_H, -1)
+    )
+    return bins.select(
+        "event_type",
+        "h",
+        "n",
+        F.coalesce(F.sum("n").over(w), F.lit(0)).cast("long").alias("prev_total"),
+        F.count("n").over(w).cast("long").alias("prev_bins"),
+    ).withColumn(
+        "is_burst",
+        (
+            (F.col("prev_bins") > 0)
+            & (F.col("n") >= P.BURST_MIN)
+            & (
+                F.col("n") * F.col("prev_bins")
+                > P.BURST_FACTOR * F.col("prev_total")
+            )
+        ).cast("int"),
+    )

@@ -1843,6 +1843,26 @@ SELECT s.doc_id, s.lang, s.n_bigrams, s.avg_transition_p
 FROM scored s JOIN keep USING (lang, avg_transition_p)
 """
 
+ORACLES["burst_detect"] = f"""
+WITH bins AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS h, count(*) AS n
+  FROM events GROUP BY ALL
+),
+trail AS (
+  SELECT event_type, h, CAST(n AS BIGINT) AS n,
+         CAST(coalesce(sum(n) OVER w, 0) AS BIGINT) AS prev_total,
+         CAST(count(n) OVER w AS BIGINT) AS prev_bins
+  FROM bins
+  WINDOW w AS (PARTITION BY event_type ORDER BY h
+               RANGE BETWEEN {P.BURST_WINDOW_H} PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, h, n, prev_total, prev_bins,
+       CAST(prev_bins > 0 AND n >= {P.BURST_MIN}
+            AND n * prev_bins > {P.BURST_FACTOR} * prev_total
+            AS INT) AS is_burst
+FROM trail
+"""
+
 ORACLES["compact_plan"] = f"""
 SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
        CAST(floor((sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id

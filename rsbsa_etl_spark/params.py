@@ -199,6 +199,13 @@ TOKEN_BUDGET = 12_000
 #: second-pass offset table to 64 rows at any corpus size.
 BUDGET_BUCKET_SHIFT = 26
 
+#: burst detection: trailing comparison window (hours), the integer
+#: rate multiple that flags a burst, and the noise floor (bins with
+#: fewer events are never flagged regardless of the ratio).
+BURST_WINDOW_H = 24
+BURST_FACTOR = 2
+BURST_MIN = 5
+
 #: compaction planning: target output-shard payload (chars, standing
 #: in for bytes). Docs average ~128 chars, so shards pack ~32 files.
 COMPACT_TARGET = 4096

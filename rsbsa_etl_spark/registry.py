@@ -1076,6 +1076,14 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.token_budget_sample(load(spark, sf_dir, "documents"))
 
 
+def burst_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hourly event-rate bins flagged against their trailing 24h mean
+    (integer arithmetic, RANGE frame over epoch-hour)."""
+    from rsbsa_etl_spark.operators.analytics import burst_detect as _bd
+
+    return _bd(load(spark, sf_dir, "events"))
+
+
 def compact_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """streaming bin-fill compaction plan over the documents manifest
     (source = storage partition, n_chars = file size)."""
@@ -1806,6 +1814,7 @@ QUERIES: dict[str, QueryFn] = {
     "sample_token_budget": sample_token_budget,
     "quality_adaptive": quality_adaptive,
     "compact_plan": compact_plan,
+    "burst_detect": burst_detect,
     "dedup_segments": dedup_segments,
     "window_ntile": window_ntile,
     "window_first_last": window_first_last,
@@ -1983,7 +1992,7 @@ _UNTESTED_PRIORITY = [
     "validate_domains", "profile_stats", "agg_filtered_multi",
     # round-4 late additions (no driver row yet — join the r5 tranche)
     "join_bloom_pruned", "sample_token_budget", "quality_adaptive",
-    "compact_plan",
+    "compact_plan", "burst_detect",
 ]
 
 _rows = _driver_latest_rows()
