@@ -149,6 +149,8 @@ HEADLINE = [
     "quality_adaptive",
     "compact_plan",
     "burst_detect",
+    "novelty_score",
+    "sample_fixed_n",
 ]
 
 

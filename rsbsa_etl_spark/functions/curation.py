@@ -410,6 +410,39 @@ def adaptive_quality_filter(docs: DataFrame, text_col: str = "text") -> DataFram
     ).select("doc_id", "lang", "n_bigrams", "avg_transition_p")
 
 
+def fixed_n_sample(docs: DataFrame, n: int | None = None) -> DataFrame:
+    """exactly-N deterministic sample: the N documents with the
+    smallest salted doc_id hash — the count-bounded sibling of
+    ``token_budget_sample`` (held-out eval sets, human-review
+    batches, fixed-size probes are specified in documents, not
+    tokens).
+
+    Membership is a pure function of (salt, doc_id) — reproducible
+    and joinable like ``split_assign`` — but unlike a fractional
+    split the sample size is EXACT, which a per-row hash threshold
+    cannot give (binomial jitter). Top-N by hash is the reservoir:
+    each executor keeps its local N smallest (TakeOrderedAndProject,
+    no global sort), the driver merges per-partition heads of size
+    ≤ N. Ties are impossible at a fixed corpus (hash collisions
+    break on doc_id).
+    """
+    n = P.SAMPLE_N if n is None else n
+    pri = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.lit("fx1"), F.col("doc_id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        docs.select("doc_id", pri.alias("pri"))
+        .orderBy("pri", "doc_id")
+        .limit(n)
+    )
+
+
 # ------------------------------------------------- sub-document dedup
 
 

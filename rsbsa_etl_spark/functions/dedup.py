@@ -1122,3 +1122,41 @@ def incremental_dedup_pairs(
         F.col("doc_b").alias("corpus_doc_id"),
         dec_round(jac, 4).alias("jaccard"),
     )
+
+
+def novelty_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """per-document novelty: the fraction of a doc's distinct
+    shingles whose FIRST corpus occurrence (minimum doc_id) is this
+    doc — the dedup-aware curation signal ("how much does this doc
+    add that earlier docs didn't?") used to rank near-duplicates and
+    boilerplate below genuinely novel text.
+
+    Scale shape: the posting list (doc, shingle) is aggregated twice
+    and never self-joined —
+
+    1. ``min(doc_id) per shingle`` (map-side partial min, one
+       shuffle keyed by shingle);
+    2. that first-occurrence table re-grouped by its winning doc
+       (``n_novel`` per doc), shingle-count per doc alongside;
+    3. one doc-level join of two doc-sized aggregates.
+
+    The posting list itself is never joined against anything, so hot
+    shingles cost only their partial-agg merge — no fan-out. All
+    counts integer; the ratio is fixed-point rounded (scale 4).
+    """
+    ds = shingle_rows(docs, text_col).distinct()
+    per_doc = ds.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    first = ds.groupBy("shingle").agg(F.min("doc_id").alias("doc_id"))
+    nov = first.groupBy("doc_id").agg(F.count("*").alias("n_novel"))
+    return (
+        per_doc.join(nov, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            F.coalesce(F.col("n_novel"), F.lit(0)).cast("long").alias("n_novel"),
+        )
+        .withColumn(
+            "novelty",
+            dec_round(F.col("n_novel") / F.col("n_shingles"), 4),
+        )
+    )

@@ -1843,6 +1843,24 @@ SELECT s.doc_id, s.lang, s.n_bigrams, s.avg_transition_p
 FROM scored s JOIN keep USING (lang, avg_transition_p)
 """
 
+ORACLES["novelty_score"] = f"""
+WITH {SHINGLES_CTE},
+ds AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+per_doc AS (SELECT doc_id, count(*) AS n_shingles FROM ds GROUP BY doc_id),
+firsts AS (SELECT shingle, min(doc_id) AS doc_id FROM ds GROUP BY shingle),
+nov AS (SELECT doc_id, count(*) AS n_novel FROM firsts GROUP BY doc_id)
+SELECT p.doc_id, CAST(p.n_shingles AS BIGINT) AS n_shingles,
+       CAST(coalesce(n.n_novel, 0) AS BIGINT) AS n_novel,
+       {_dec("CAST(coalesce(n.n_novel, 0) AS DOUBLE) / p.n_shingles", 4)} AS novelty
+FROM per_doc p LEFT JOIN nov n USING (doc_id)
+"""
+
+ORACLES["sample_fixed_n"] = f"""
+SELECT doc_id,
+       {_hexpoly("md5('fx1' || '|' || CAST(doc_id AS VARCHAR))", 1)} AS pri
+FROM documents ORDER BY pri, doc_id LIMIT {P.SAMPLE_N}
+"""
+
 ORACLES["burst_detect"] = f"""
 WITH bins AS (
   SELECT event_type, epoch_us(ts) // 3600000000 AS h, count(*) AS n

@@ -199,6 +199,11 @@ TOKEN_BUDGET = 12_000
 #: second-pass offset table to 64 rows at any corpus size.
 BUDGET_BUCKET_SHIFT = 26
 
+#: fixed-size deterministic sample: document count drawn by smallest
+#: salted hash (top-N, not a fraction — the "give me exactly N eval
+#: docs" primitive).
+SAMPLE_N = 200
+
 #: burst detection: trailing comparison window (hours), the integer
 #: rate multiple that flags a burst, and the noise floor (bins with
 #: fewer events are never flagged regardless of the ratio).

@@ -1076,6 +1076,20 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.token_budget_sample(load(spark, sf_dir, "documents"))
 
 
+def novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fraction of each doc's distinct shingles first seen in that
+    doc — posting list aggregated, never self-joined."""
+    return dedup.novelty_scores(load(spark, sf_dir, "documents"))
+
+
+def sample_fixed_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exactly-N sample by smallest salted hash (distributed top-N,
+    no global sort)."""
+    from rsbsa_etl_spark.functions import curation
+
+    return curation.fixed_n_sample(load(spark, sf_dir, "documents"))
+
+
 def burst_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """hourly event-rate bins flagged against their trailing 24h mean
     (integer arithmetic, RANGE frame over epoch-hour)."""
@@ -1815,6 +1829,8 @@ QUERIES: dict[str, QueryFn] = {
     "quality_adaptive": quality_adaptive,
     "compact_plan": compact_plan,
     "burst_detect": burst_detect,
+    "novelty_score": novelty_score,
+    "sample_fixed_n": sample_fixed_n,
     "dedup_segments": dedup_segments,
     "window_ntile": window_ntile,
     "window_first_last": window_first_last,
@@ -1992,7 +2008,7 @@ _UNTESTED_PRIORITY = [
     "validate_domains", "profile_stats", "agg_filtered_multi",
     # round-4 late additions (no driver row yet — join the r5 tranche)
     "join_bloom_pruned", "sample_token_budget", "quality_adaptive",
-    "compact_plan", "burst_detect",
+    "compact_plan", "burst_detect", "novelty_score", "sample_fixed_n",
 ]
 
 _rows = _driver_latest_rows()
