@@ -904,14 +904,22 @@ def burst_detect(events: DataFrame) -> DataFrame:
     absolute floor ``n ≥ BURST_MIN`` so near-empty corpora don't
     flag noise. Bins with no trailing history are never flagged.
     """
-    from rsbsa_etl_spark import params as P
-
     h = F.floor(F.unix_seconds("ts") / 3600).cast("long")
     bins = (
         events.select(F.col("event_type"), h.alias("h"))
         .groupBy("event_type", "h")
         .agg(F.count("*").alias("n"))
     )
+    return burst_flags(bins)
+
+
+def burst_flags(bins: DataFrame) -> DataFrame:
+    """trailing-mean burst flag over an already-binned (event_type,
+    h, n) table — shared by the batch path above and the streaming
+    path (``streaming.windows.burst_replay``), so both produce the
+    identical flag set from identical bins."""
+    from rsbsa_etl_spark import params as P
+
     w = (
         Window.partitionBy("event_type")
         .orderBy("h")

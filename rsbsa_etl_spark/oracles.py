@@ -1881,6 +1881,10 @@ SELECT event_type, h, n, prev_total, prev_bins,
 FROM trail
 """
 
+# stream/batch lambda equivalence: the streaming bins must reproduce
+# the batch groupBy exactly, so the oracle is the batch SQL verbatim
+ORACLES["stream_burst"] = ORACLES["burst_detect"]
+
 ORACLES["compact_plan"] = f"""
 SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
        CAST(floor((sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id

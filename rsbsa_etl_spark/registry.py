@@ -1076,6 +1076,14 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.token_budget_sample(load(spark, sf_dir, "documents"))
 
 
+def stream_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hourly rate bins maintained by the real streaming engine
+    (checkpointed, watermarked, sentinel-drained), flagged with the
+    same burst_flags as the batch path — oracle = batch SQL, so
+    stream/batch equivalence is value-checked."""
+    return win.burst_replay(load(spark, sf_dir, "events"))
+
+
 def novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fraction of each doc's distinct shingles first seen in that
     doc — posting list aggregated, never self-joined."""
@@ -1830,6 +1838,7 @@ QUERIES: dict[str, QueryFn] = {
     "compact_plan": compact_plan,
     "burst_detect": burst_detect,
     "novelty_score": novelty_score,
+    "stream_burst": stream_burst,
     "sample_fixed_n": sample_fixed_n,
     "dedup_segments": dedup_segments,
     "window_ntile": window_ntile,
@@ -2009,6 +2018,7 @@ _UNTESTED_PRIORITY = [
     # round-4 late additions (no driver row yet — join the r5 tranche)
     "join_bloom_pruned", "sample_token_budget", "quality_adaptive",
     "compact_plan", "burst_detect", "novelty_score", "sample_fixed_n",
+    "stream_burst",
 ]
 
 _rows = _driver_latest_rows()

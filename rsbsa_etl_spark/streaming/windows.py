@@ -265,3 +265,80 @@ def session_replay(events: DataFrame, gap_s: int = 1800, delay: str = "48 hours"
         F.unix_micros("we").alias("session_end_us"),
         "n_events",
     )
+
+
+def burst_replay(events: DataFrame, delay: str = "48 hours") -> DataFrame:
+    """the streaming half of the burst detector: hourly
+    (event_type, hour) rate bins maintained by the REAL streaming
+    engine (checkpointed AvailableNow, watermark-bounded state),
+    drained with the far-future-sentinel pattern, then flagged with
+    the SAME ``analytics.burst_flags`` the batch path uses.
+
+    This is the lambda-architecture equivalence claim made testable:
+    the speed layer (stream) and batch layer must produce identical
+    bins, so the oracle for this key IS the batch ``burst_detect``
+    SQL — any drift between the streaming window emission and the
+    batch groupBy shows up as a value mismatch, not a vibe.
+
+    In production the flag query runs periodically over the bins
+    sink (bins are hours × types rows — tiny); state in the
+    streaming job is O(open windows) under the watermark, the same
+    mechanics at 100 TB.
+    """
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from rsbsa_etl_spark.operators.analytics import burst_flags
+
+    spark = events.sparkSession
+    base = tempfile.mkdtemp(prefix="rsbsa_burst_")
+    src, ckpt, out = f"{base}/src", f"{base}/ckpt", f"{base}/out"
+    os.makedirs(src)
+
+    proj = events.select("event_id", "ts", "event_type")
+    schema = "event_id bigint, ts timestamp, event_type string"
+
+    def dump(df: DataFrame, name: str) -> None:
+        tmp = f"{base}/_tmp"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        shutil.move(glob.glob(f"{tmp}/part-*.parquet")[0], f"{src}/{name}")
+        shutil.rmtree(tmp)
+
+    def run_phase() -> None:
+        stream = spark.readStream.schema(schema).parquet(src)
+        agg = (
+            stream.withWatermark("ts", delay)
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("n"))
+        )
+        q = (
+            agg.select(F.col("w.start").alias("ws"), "event_type", "n")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    dump(proj, "f1.parquet")
+    run_phase()
+    sentinel = spark.sql(
+        "SELECT CAST(-1 AS BIGINT) AS event_id, "
+        "timestamp'2030-01-01 00:00:00' AS ts, '__wm__' AS event_type"
+    )
+    dump(sentinel, "f2.parquet")
+    run_phase()
+    bins = (
+        spark.read.parquet(out)
+        .where(F.col("event_type") != "__wm__")
+        .select(
+            "event_type",
+            (F.unix_seconds("ws") / 3600).cast("long").alias("h"),
+            F.col("n").cast("long").alias("n"),
+        )
+    )
+    return burst_flags(bins)
