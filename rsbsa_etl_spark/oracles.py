@@ -1681,6 +1681,34 @@ SELECT doc_id,
 FROM documents
 """
 
+# the "decode" stub is sha256-derived, so the whole multimodal path
+# is SQL-portable on the ASCII fixture (payload bytes == text chars):
+# feature[i] = uint32(sha256[4i..4i+4]) / 2^32, an exact binary scale
+_FEAT_ITEMS = ", ".join(
+    f"{_hexpoly('sha256(text)', 1 + 8 * i)} / 4294967296.0" for i in range(8)
+)
+
+ORACLES["multimodal_features"] = f"""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       md5(text) AS content_md5,
+       [{_FEAT_ITEMS}] AS feature
+FROM documents
+"""
+
+ORACLES["multimodal_chunks"] = """
+WITH c AS (SELECT doc_id, text, length(text) AS L FROM documents),
+idx AS (
+  SELECT doc_id, text, L,
+         unnest(range(0, CAST(ceil(L / 128.0) AS BIGINT))) AS i
+  FROM c WHERE L > 0
+)
+SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+       CAST(least(64, L - i * 128) AS BIGINT) AS chunk_len,
+       md5(substr(text, CAST(i * 128 + 1 AS INT), 64)) AS chunk_md5
+FROM idx
+"""
+
 # ---------------------------------------------------------------- curation
 
 ORACLES["repetition_score"] = f"""

@@ -1003,18 +1003,12 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rows-only: Arrow-batched stub decode over binary payloads —
-    feature vector correctness is pinned by pytest golden values."""
+    """Arrow-batched stub decode over binary payloads. The stub is
+    sha256-derived (exact /2^32 binary scaling), so the FULL feature
+    vector is oracle-checked — the sfX fixture text is ASCII, making
+    payload bytes == text chars on the DuckDB side."""
     frames = multimodal.attach_binary(load(spark, sf_dir, "documents"))
-    feats = multimodal.extract_features(frames)
-    return feats.select(
-        "doc_id",
-        "byte_len",
-        "content_md5",
-        dec_round(
-            F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 4
-        ).alias("feature_sum"),
-    )
+    return multimodal.extract_features(frames)
 
 
 def multimodal_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
