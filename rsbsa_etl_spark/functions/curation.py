@@ -384,9 +384,13 @@ def adaptive_quality_filter(docs: DataFrame, text_col: str = "text") -> DataFram
     """
     from rsbsa_etl_spark.functions.textstats import lm_score
 
+    # persisted: consumed twice (histogram + final filter join).
+    # Without it the whole bigram-LM pipeline — explode + three
+    # aggregations — runs twice (measured 8 scans → 4). The table is
+    # 4 doc-level columns, disk-spillable at any corpus size.
     scored = lm_score(docs, text_col).join(
         docs.select("doc_id", "lang"), "doc_id"
-    )
+    ).persist()
     hist = scored.groupBy("lang", "avg_transition_p").agg(
         F.count("*").alias("cnt")
     )

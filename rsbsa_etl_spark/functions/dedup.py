@@ -1144,7 +1144,12 @@ def novelty_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     shingles cost only their partial-agg merge — no fan-out. All
     counts integer; the ratio is fixed-point rounded (scale 4).
     """
-    ds = shingle_rows(docs, text_col).distinct()
+    # persisted: the posting list feeds two different grouping keys
+    # (doc_id and shingle); without it the Arrow-batched shingle
+    # generation runs twice over the corpus. Disk-spillable, dropped
+    # with the session — same policy as the shared shingle set in
+    # ngram_jaccard_pairs.
+    ds = shingle_rows(docs, text_col).distinct().persist()
     per_doc = ds.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     first = ds.groupBy("shingle").agg(F.min("doc_id").alias("doc_id"))
     nov = first.groupBy("doc_id").agg(F.count("*").alias("n_novel"))
