@@ -333,8 +333,15 @@ def token_budget_sample(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .orderBy("pri", "doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    intra = base.withColumn("intra_cum", F.sum("n_tokens").over(intra_w))
-    btot = base.groupBy("bucket").agg(F.sum("n_tokens").alias("b_tokens"))
+    # persisted: the windowed table feeds both the final filter and
+    # the bucket-totals aggregate below — without it the scan +
+    # tokenize + window run twice. Bucket totals come from the
+    # window's own last row (max cumulative) rather than a second
+    # pass over base, so the corpus is read exactly once.
+    intra = base.withColumn(
+        "intra_cum", F.sum("n_tokens").over(intra_w)
+    ).persist()
+    btot = intra.groupBy("bucket").agg(F.max("intra_cum").alias("b_tokens"))
     offset_w = (
         Window.orderBy("bucket")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -267,7 +267,21 @@ def bloom_pruned_join(
     non-matching fact rows. The digest build is one map-side-partial
     aggregate over dim (cheap), and the prune runs inside the fact
     scan's stage — predicate-shaped work, no extra shuffle anywhere.
+
+    Both sides must carry the SAME data type for ``key``:
+    ``xxhash64`` is type-sensitive (int 5, bigint 5 and '5' hash
+    differently) while the exact join coerces — mismatched types
+    would silently drop matches in the prune, so they are rejected
+    here instead. Cast explicitly before calling.
     """
+    ftype = dict(fact.dtypes).get(key)
+    dtype = dict(dim.dtypes).get(key)
+    if ftype != dtype:
+        raise TypeError(
+            f"bloom_pruned_join: key '{key}' types differ "
+            f"(fact={ftype}, dim={dtype}); xxhash64 is type-sensitive "
+            "— cast both sides to a common type first"
+        )
     slot = lambda c: F.pmod(F.xxhash64(F.col(c)), F.lit(n_buckets))  # noqa: E731
     digest = dim.select(slot(key).alias("_rf_slot")).distinct()
     pruned = fact.join(

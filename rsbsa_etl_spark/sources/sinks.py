@@ -241,6 +241,12 @@ def compaction_plan(
     the data for the rewrite's ``repartition`` keys, groupable for
     shard stats. Shards may overshoot ``target`` by at most one
     file, the same guarantee parquet writers give row groups.
+
+    Shard ids are monotone in file order but not necessarily
+    contiguous: a file ≥ 2×``target`` advances the running total
+    past whole shard intervals and claims an id range of its own.
+    Such files are already "compacted" — production OPTIMIZE jobs
+    exclude them from the manifest up front.
     """
     w = (
         Window.partitionBy(part_col)

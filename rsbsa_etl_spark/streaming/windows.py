@@ -93,6 +93,52 @@ def tumbling_stream(events: DataFrame, width: str = "1 hour", watermark: str = "
     )
 
 
+def availablenow_replay(
+    spark,
+    phases: list[DataFrame],
+    schema: str,
+    build,
+    prefix: str = "rsbsa_replay_",
+) -> DataFrame:
+    """shared scaffold for deterministic multi-phase streaming
+    replays: each batch DataFrame in ``phases`` is appended (as one
+    parquet file) to a source directory, then one checkpointed
+    AvailableNow run drains it — the checkpoint carries watermark
+    state ACROSS phases, which is the whole point (late-data drops,
+    sentinel-driven state eviction). ``build`` maps the streaming
+    source to the sink-ready projection (watermark + agg + select).
+    Returns the batch read of the append sink.
+
+    One definition instead of a copy per replay operator, so fixes
+    to the plumbing (tempdir lifecycle, multi-part dumps) land
+    everywhere at once.
+    """
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix=prefix)
+    src, ckpt, out = f"{base}/src", f"{base}/ckpt", f"{base}/out"
+    os.makedirs(src)
+    for i, df in enumerate(phases):
+        tmp = f"{base}/_tmp"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        shutil.move(glob.glob(f"{tmp}/part-*.parquet")[0], f"{src}/f{i}.parquet")
+        shutil.rmtree(tmp)
+        q = (
+            build(spark.readStream.schema(schema).parquet(src))
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(out)
+
+
 def late_data_replay(
     events: DataFrame,
     split_ts: str,
@@ -119,51 +165,28 @@ def late_data_replay(
     Scale note: this is exactly the state-bounding knob a 100 TB
     stream needs — state is O(open windows), not O(history).
     """
-    import glob
-    import os
-    import shutil
-    import tempfile
-
     spark = events.sparkSession
-    base = tempfile.mkdtemp(prefix="rsbsa_late_")
-    src, ckpt, out = f"{base}/src", f"{base}/ckpt", f"{base}/out"
-    os.makedirs(src)
-
     ontime = (F.col("ts") <= F.lit(split_ts).cast("timestamp")) & (
         F.col("event_id") % straggler_mod != 0
     )
     proj = events.select("event_id", "ts", "event_type")
-    schema = "event_id bigint, ts timestamp, event_type string"
 
-    def dump(df: DataFrame, name: str) -> None:
-        tmp = f"{base}/_tmp"
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        shutil.move(glob.glob(f"{tmp}/part-*.parquet")[0], f"{src}/{name}")
-        shutil.rmtree(tmp)
-
-    def run_phase() -> None:
-        stream = spark.readStream.schema(schema).parquet(src)
-        agg = (
+    def build(stream: DataFrame) -> DataFrame:
+        return (
             stream.withWatermark("ts", delay)
             .groupBy(F.window("ts", width).alias("w"), "event_type")
             .agg(F.count("*").alias("n_events"))
+            .select(F.col("w.start").alias("ws"), "event_type", "n_events")
         )
-        q = (
-            agg.select(F.col("w.start").alias("ws"), "event_type", "n_events")
-            .writeStream.outputMode("append")
-            .format("parquet")
-            .option("path", out)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
 
-    dump(proj.where(ontime), "f1.parquet")
-    run_phase()
-    dump(proj.where(~ontime), "f2.parquet")
-    run_phase()
-    return spark.read.parquet(out).select(
+    emitted = availablenow_replay(
+        spark,
+        [proj.where(ontime), proj.where(~ontime)],
+        "event_id bigint, ts timestamp, event_type string",
+        build,
+        prefix="rsbsa_late_",
+    )
+    return emitted.select(
         F.unix_seconds("ws").alias("window_start"), "event_type", "n_events"
     )
 
@@ -208,58 +231,35 @@ def session_replay(events: DataFrame, gap_s: int = 1800, delay: str = "48 hours"
     watermark — the same mechanics at 100 TB; the sentinel trick is
     the standard "drain state at end-of-backfill" pattern.
     """
-    import glob
-    import os
-    import shutil
-    import tempfile
-
     spark = events.sparkSession
-    base = tempfile.mkdtemp(prefix="rsbsa_sess_")
-    src, ckpt, out = f"{base}/src", f"{base}/ckpt", f"{base}/out"
-    os.makedirs(src)
-
     proj = events.select("event_id", "ts", "user_id")
-    schema = "event_id bigint, ts timestamp, user_id bigint"
     gap = f"{gap_s} seconds"
+    sentinel = spark.sql(
+        "SELECT CAST(-1 AS BIGINT) AS event_id, "
+        "timestamp'2030-01-01 00:00:00' AS ts, CAST(-1 AS BIGINT) AS user_id"
+    )
 
-    def dump(df: DataFrame, name: str) -> None:
-        tmp = f"{base}/_tmp"
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        shutil.move(glob.glob(f"{tmp}/part-*.parquet")[0], f"{src}/{name}")
-        shutil.rmtree(tmp)
-
-    def run_phase() -> None:
-        stream = spark.readStream.schema(schema).parquet(src)
-        agg = (
+    def build(stream: DataFrame) -> DataFrame:
+        return (
             stream.withWatermark("ts", delay)
             .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
             .agg(F.count("*").alias("n_events"))
-        )
-        q = (
-            agg.select(
+            .select(
                 "user_id",
                 F.col("w.start").alias("ws"),
                 F.col("w.end").alias("we"),
                 "n_events",
             )
-            .writeStream.outputMode("append")
-            .format("parquet")
-            .option("path", out)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
         )
-        q.awaitTermination()
 
-    dump(proj, "f1.parquet")
-    run_phase()
-    sentinel = events.sparkSession.sql(
-        "SELECT CAST(-1 AS BIGINT) AS event_id, "
-        "timestamp'2030-01-01 00:00:00' AS ts, CAST(-1 AS BIGINT) AS user_id"
+    emitted = availablenow_replay(
+        spark,
+        [proj, sentinel],
+        "event_id bigint, ts timestamp, user_id bigint",
+        build,
+        prefix="rsbsa_sess_",
     )
-    dump(sentinel, "f2.parquet")
-    run_phase()
-    return spark.read.parquet(out).select(
+    return emitted.select(
         "user_id",
         F.unix_micros("ws").alias("session_start_us"),
         F.unix_micros("we").alias("session_end_us"),
@@ -285,56 +285,32 @@ def burst_replay(events: DataFrame, delay: str = "48 hours") -> DataFrame:
     streaming job is O(open windows) under the watermark, the same
     mechanics at 100 TB.
     """
-    import glob
-    import os
-    import shutil
-    import tempfile
-
     from rsbsa_etl_spark.operators.analytics import burst_flags
 
     spark = events.sparkSession
-    base = tempfile.mkdtemp(prefix="rsbsa_burst_")
-    src, ckpt, out = f"{base}/src", f"{base}/ckpt", f"{base}/out"
-    os.makedirs(src)
-
     proj = events.select("event_id", "ts", "event_type")
-    schema = "event_id bigint, ts timestamp, event_type string"
-
-    def dump(df: DataFrame, name: str) -> None:
-        tmp = f"{base}/_tmp"
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        shutil.move(glob.glob(f"{tmp}/part-*.parquet")[0], f"{src}/{name}")
-        shutil.rmtree(tmp)
-
-    def run_phase() -> None:
-        stream = spark.readStream.schema(schema).parquet(src)
-        agg = (
-            stream.withWatermark("ts", delay)
-            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-            .agg(F.count("*").alias("n"))
-        )
-        q = (
-            agg.select(F.col("w.start").alias("ws"), "event_type", "n")
-            .writeStream.outputMode("append")
-            .format("parquet")
-            .option("path", out)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-
-    dump(proj, "f1.parquet")
-    run_phase()
     sentinel = spark.sql(
         "SELECT CAST(-1 AS BIGINT) AS event_id, "
         "timestamp'2030-01-01 00:00:00' AS ts, '__wm__' AS event_type"
     )
-    dump(sentinel, "f2.parquet")
-    run_phase()
+
+    def build(stream: DataFrame) -> DataFrame:
+        return (
+            stream.withWatermark("ts", delay)
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").alias("ws"), "event_type", "n")
+        )
+
+    emitted = availablenow_replay(
+        spark,
+        [proj, sentinel],
+        "event_id bigint, ts timestamp, event_type string",
+        build,
+        prefix="rsbsa_burst_",
+    )
     bins = (
-        spark.read.parquet(out)
-        .where(F.col("event_type") != "__wm__")
+        emitted.where(F.col("event_type") != "__wm__")
         .select(
             "event_type",
             (F.unix_seconds("ws") / 3600).cast("long").alias("h"),

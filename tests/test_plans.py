@@ -573,3 +573,15 @@ def test_pq_code_assignment_has_no_keyed_window_shuffle(spark):
     assert all(
         s.startswith("vec_id") or s.startswith("c_sub") for s in shuffles
     ), shuffles
+
+
+def test_bloom_prune_rejects_mismatched_key_types(spark):
+    # xxhash64 is type-sensitive while the exact join coerces — a
+    # type mismatch would silently drop matches in the prune, so the
+    # operator must refuse it up front
+    from rsbsa_etl_spark.operators.joins import bloom_pruned_join
+
+    left = spark.range(10).selectExpr("CAST(id AS INT) AS k")
+    right = spark.range(10).selectExpr("CAST(id AS BIGINT) AS k")
+    with pytest.raises(TypeError, match="type-sensitive"):
+        bloom_pruned_join(left, right, "k")
