@@ -36,11 +36,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB oracle SQL per query key. Keys intentionally absent
-    (rows-only weaker check): ``stream_tail`` (Structured Streaming
-    path), ``multimodal_features`` / ``multimodal_chunks``
-    (Arrow-batched stub decode — value-pinned by pytest goldens in
-    tests/test_multimodal.py)."""
+    """DuckDB oracle SQL per query key. The only key intentionally
+    absent (rows-only weaker check) is ``stream_tail`` — a push
+    source with no SQL equivalent. Everything else, including the
+    multimodal decode path, is value-checked."""
     from rsbsa_etl_spark.oracles import ORACLES
 
     return dict(ORACLES)
