@@ -151,6 +151,10 @@ HEADLINE = [
     "burst_detect",
     "novelty_score",
     "sample_fixed_n",
+    "sketch_merge",
+    "group_sample_n",
+    "bpe_pairs",
+    "lang_confusion",
 ]
 
 

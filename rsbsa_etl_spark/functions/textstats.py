@@ -707,3 +707,49 @@ def bm25_topk(
         .where(F.col("rnk") <= k)
         .select("doc_id", "term", "tf", "dl", "bm25")
     )
+
+
+def bpe_pair_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """one counting round of BPE tokenizer training: the corpus-wide
+    frequency of every ADJACENT CHARACTER PAIR inside tokens, top-K
+    by count. Real BPE iterates merge→recount; the count step is the
+    expensive, corpus-sized part and this is its exact Spark shape —
+    the merge loop around it is driver logic over a vocabulary-sized
+    table.
+
+    Scale: pairs explode ~L-per-token rows but the aggregate is
+    map-side partial over a tiny key space (charset² ≤ a few
+    thousand), so the shuffle carries partial counts, not
+    occurrences. Top-K with a total tie order (count desc, pair asc)
+    compiles to TakeOrderedAndProject.
+    """
+    from rsbsa_etl_spark import params as P
+    from rsbsa_etl_spark.functions.dedup import tokens_col
+
+    toks = docs.select(F.explode(tokens_col(F.col(text_col))).alias("tok"))
+    pairs = toks.where(F.length("tok") >= 2).select(
+        F.explode(
+            F.expr("transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(P.BPE_TOPK)
+    )
+
+
+def lang_confusion(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """classifier-eval pattern: confusion matrix of the n-gram
+    language identifier against the fixture's stored ``lang`` label
+    — counts per (lang_true, lang_pred). The eval join is doc-level
+    and the output is |langs|² rows; the corpus-sized work is the
+    lang_id scoring scan itself."""
+    pred = lang_id(docs, text_col).select("doc_id", "lang_pred")
+    return (
+        docs.select("doc_id", F.col("lang").alias("lang_true"))
+        .join(pred, "doc_id")
+        .groupBy("lang_true", "lang_pred")
+        .agg(F.count("*").alias("n"))
+    )

@@ -942,3 +942,142 @@ def burst_flags(bins: DataFrame) -> DataFrame:
             )
         ).cast("int"),
     )
+
+
+def kmv_merge_eval(docs: DataFrame, k: int | None = None) -> DataFrame:
+    """mergeability of the KMV distinct sketch, demonstrated and
+    value-checked: per-source bottom-k hash sketches of the token
+    vocabulary, MERGED into one corpus sketch, against the sketch
+    computed directly over the whole corpus.
+
+    Mergeability is the property that makes sketches usable at
+    100 TB — shards sketch locally, only k values per shard travel,
+    and the union's bottom-k IS the corpus's bottom-k (any hash in
+    the corpus bottom-k has < k smaller hashes globally, hence < k
+    smaller in its own shard, hence survives that shard's sketch).
+    So ``merged_est == direct_est`` EXACTLY, which is what the
+    oracle pins — a sketch whose merge loses information would show
+    a value mismatch here, not a vague accuracy drop.
+
+    The corpus-sized work is one distinct on (source, term-hash);
+    everything after runs on sketch-sized tables (sources × k rows).
+    Output is one row: estimates, the exact distinct count for
+    error context, and the equality flag.
+    """
+    from rsbsa_etl_spark import params as P
+    from rsbsa_etl_spark.functions.dedup import shingle_windows
+
+    k = P.SKETCH_MERGE_K if k is None else k
+    h = (
+        F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10)
+        .cast("bigint")
+    )
+    # universe = k-word shingles (thousands of distinct values at
+    # every SF — the fixture's flat TOKEN vocabulary is only ~31
+    # strings, which would always fall back to exact counting and
+    # never exercise the estimator)
+    terms = (
+        docs.select(
+            "source", F.explode(shingle_windows(F.col("text"))).alias("term")
+        )
+        .distinct()
+        .select("source", h.alias("h"))
+        .distinct()
+        .persist()
+    )
+
+    def bottom_k(df: DataFrame, part_cols: list) -> DataFrame:
+        w = (
+            Window.partitionBy(*part_cols).orderBy("h")
+            if part_cols
+            else Window.orderBy("h")
+        )
+        return df.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+
+    def estimate(sketch: DataFrame) -> DataFrame:
+        # est = (k-1)·2^32 / kth-smallest; exact count when < k values
+        agg = sketch.agg(
+            F.count("*").alias("n"), F.max("h").alias("kth")
+        )
+        return agg.select(
+            F.when(F.col("n") < k, F.col("n").cast("double"))
+            .otherwise(F.lit(float(k - 1)) * 4294967296.0 / F.col("kth"))
+            .alias("est")
+        )
+
+    shard_sketches = bottom_k(terms, ["source"]).select("h").distinct()
+    merged_est = estimate(bottom_k(shard_sketches, []).select("h")).select(
+        F.col("est").alias("m_est")
+    )
+    direct_est = estimate(
+        bottom_k(terms.select("h").distinct(), []).select("h")
+    ).select(F.col("est").alias("d_est"))
+    counts = terms.agg(
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("h").alias("exact_distinct"),
+    )
+    # three 1-row aggregates crossJoined — no driver-side collect
+    return (
+        counts.crossJoin(merged_est)
+        .crossJoin(direct_est)
+        .select(
+            F.col("n_sources").cast("long").alias("n_sources"),
+            dec_round(F.col("m_est"), 4).alias("merged_est"),
+            dec_round(F.col("d_est"), 4).alias("direct_est"),
+            F.col("exact_distinct").cast("long").alias("exact_distinct"),
+            (F.col("m_est") == F.col("d_est")).cast("int").alias("merge_lossless"),
+        )
+    )
+
+
+def group_sample_n(events: DataFrame) -> DataFrame:
+    """exactly-N deterministic sample PER GROUP (event_type), the
+    stratified sibling of ``curation.fixed_n_sample`` — eval sets
+    and review batches are usually specified per stratum.
+
+    The naive form — ``row_number() OVER (PARTITION BY group ORDER
+    BY hash)`` — sorts each group in ONE task; with 4 event types
+    that is 4 tasks for the whole corpus, a straggler factory at
+    scale. This runs the standard two-level exact top-N instead:
+
+    1. per (group, salt-bucket) local top-N — groups × buckets
+       parallel window partitions, each sorting 1/buckets of a
+       group;
+    2. top-N again over the bucket winners — at most buckets × N
+       rows per group, a bounded second pass.
+
+    Exactness: a row in the true group top-N is also in its own
+    bucket's top-N (fewer than N better rows exist globally, so
+    fewer in the bucket), so level 2 sees every true winner — the
+    same pigeonhole that makes KMV merge lossless. The oracle runs
+    the naive single-window form; bit-equality of the two plans is
+    the test.
+    """
+    from rsbsa_etl_spark import params as P
+
+    pri = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.lit("gs1"), F.col("event_id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    n, nb = P.GROUP_SAMPLE_N, P.GROUP_SAMPLE_BUCKETS
+    base = events.select(
+        "event_id", "event_type", pri.alias("pri"),
+        F.pmod(pri, F.lit(nb)).alias("bkt"),
+    )
+    w1 = Window.partitionBy("event_type", "bkt").orderBy("pri", "event_id")
+    survivors = (
+        base.withColumn("lrn", F.row_number().over(w1))
+        .where(F.col("lrn") <= n)
+        .drop("lrn", "bkt")
+    )
+    w2 = Window.partitionBy("event_type").orderBy("pri", "event_id")
+    return (
+        survivors.withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") <= n)
+        .select("event_id", "event_type", "rn")
+    )

@@ -1871,6 +1871,80 @@ SELECT s.doc_id, s.lang, s.n_bigrams, s.avg_transition_p
 FROM scored s JOIN keep USING (lang, avg_transition_p)
 """
 
+ORACLES["group_sample_n"] = f"""
+WITH h AS (
+  SELECT event_id, event_type,
+         {_hexpoly("md5('gs1' || '|' || CAST(event_id AS VARCHAR))", 1)} AS pri
+  FROM events
+),
+r AS (
+  SELECT event_id, event_type,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY pri, event_id) AS rn
+  FROM h
+)
+SELECT event_id, event_type, CAST(rn AS INT) AS rn
+FROM r WHERE rn <= {P.GROUP_SAMPLE_N}
+"""
+
+ORACLES["bpe_pairs"] = f"""
+WITH toks AS (SELECT unnest({TOKS}) AS tok FROM documents),
+pairs AS (
+  SELECT unnest(list_transform(range(1, length(tok)),
+                               i -> substr(tok, CAST(i AS INT), 2))) AS pair
+  FROM toks WHERE length(tok) >= 2
+)
+SELECT pair, CAST(count(*) AS BIGINT) AS n
+FROM pairs GROUP BY pair
+ORDER BY n DESC, pair ASC LIMIT {P.BPE_TOPK}
+"""
+
+ORACLES["lang_confusion"] = f"""
+SELECT d.lang AS lang_true, p.lang_pred, CAST(count(*) AS BIGINT) AS n
+FROM documents d JOIN ({_lang_sql()}) p USING (doc_id)
+GROUP BY ALL
+"""
+
+_KM = P.SKETCH_MERGE_K
+ORACLES["sketch_merge"] = f"""
+WITH stoks AS (SELECT source, {TOKS} AS toks FROM documents),
+ssh AS (
+  SELECT source,
+         CASE WHEN len(toks) >= {_K}
+              THEN list_transform(range(1, len(toks) - {_K} + 2),
+                                  i -> array_to_string(toks[i:i+{_K - 1}], ' '))
+              ELSE [array_to_string(toks, ' ')] END AS shingles
+  FROM stoks
+),
+sterm AS (
+  SELECT DISTINCT source, unnest(shingles) AS term FROM ssh
+),
+hs AS (
+  SELECT DISTINCT source, {_hexpoly("md5(term)", 1)} AS h FROM sterm
+),
+shard AS (SELECT source, h,
+                 row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+          FROM hs),
+ssk AS (SELECT DISTINCT h FROM shard WHERE rn <= {_KM}),
+msk AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn
+                       FROM ssk) WHERE rn <= {_KM}),
+dsk AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn
+                       FROM (SELECT DISTINCT h FROM hs)) WHERE rn <= {_KM}),
+mest AS (SELECT CASE WHEN count(*) < {_KM} THEN CAST(count(*) AS DOUBLE)
+                     ELSE {_KM - 1} * 4294967296.0 / max(h) END AS m_est
+         FROM msk),
+dest AS (SELECT CASE WHEN count(*) < {_KM} THEN CAST(count(*) AS DOUBLE)
+                     ELSE {_KM - 1} * 4294967296.0 / max(h) END AS d_est
+         FROM dsk),
+cnts AS (SELECT CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+                CAST(count(DISTINCT h) AS BIGINT) AS exact_distinct
+         FROM hs)
+SELECT n_sources, {_dec("m_est", 4)} AS merged_est,
+       {_dec("d_est", 4)} AS direct_est, exact_distinct,
+       CAST(m_est = d_est AS INT) AS merge_lossless
+FROM cnts, mest, dest
+"""
+
 ORACLES["novelty_score"] = f"""
 WITH {SHINGLES_CTE},
 ds AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),

@@ -199,6 +199,23 @@ TOKEN_BUDGET = 12_000
 #: second-pass offset table to 64 rows at any corpus size.
 BUDGET_BUCKET_SHIFT = 26
 
+#: exact per-group sample size (group_sample_n) and the number of
+#: salt buckets for its two-level top-N (per-(group,bucket) local
+#: top-N, then top-N of the bucket winners — the largest sorted run
+#: is the group size / buckets, not the group).
+GROUP_SAMPLE_N = 50
+GROUP_SAMPLE_BUCKETS = 32
+
+#: one BPE counting round: top adjacent character pairs kept.
+BPE_TOPK = 20
+
+#: KMV merge demo: sketch size per shard, over the 3-word-shingle
+#: universe (~27k distinct at sf0.1; the flat token vocabulary is
+#: only ~31 strings). Far below the universe so the estimator is
+#: genuinely approximate (observed ~7 % error) rather than falling
+#: back to exact counts.
+SKETCH_MERGE_K = 256
+
 #: fixed-size deterministic sample: document count drawn by smallest
 #: salted hash (top-N, not a fraction — the "give me exactly N eval
 #: docs" primitive).

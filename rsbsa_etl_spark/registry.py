@@ -1070,6 +1070,32 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.token_budget_sample(load(spark, sf_dir, "documents"))
 
 
+def group_sample_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exactly-N per event_type via the two-level exact top-N (no
+    one-task-per-group sort); oracle is the naive single window."""
+    from rsbsa_etl_spark.operators.analytics import group_sample_n as _gs
+
+    return _gs(load(spark, sf_dir, "events"))
+
+
+def bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """one BPE training count round: top adjacent char pairs."""
+    return textstats.bpe_pair_counts(load(spark, sf_dir, "documents"))
+
+
+def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lang_id vs stored label confusion counts (classifier eval)."""
+    return textstats.lang_confusion(load(spark, sf_dir, "documents"))
+
+
+def sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch mergeability, value-checked: per-source bottom-k
+    sketches merged == the direct corpus sketch, exactly."""
+    from rsbsa_etl_spark.operators.analytics import kmv_merge_eval
+
+    return kmv_merge_eval(load(spark, sf_dir, "documents"))
+
+
 def stream_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
     """hourly rate bins maintained by the real streaming engine
     (checkpointed, watermarked, sentinel-drained), flagged with the
@@ -1833,6 +1859,10 @@ QUERIES: dict[str, QueryFn] = {
     "burst_detect": burst_detect,
     "novelty_score": novelty_score,
     "stream_burst": stream_burst,
+    "sketch_merge": sketch_merge,
+    "group_sample_n": group_sample_n,
+    "bpe_pairs": bpe_pairs,
+    "lang_confusion": lang_confusion,
     "sample_fixed_n": sample_fixed_n,
     "dedup_segments": dedup_segments,
     "window_ntile": window_ntile,
@@ -2013,7 +2043,8 @@ _UNTESTED_PRIORITY = [
     # round-4 late additions (no driver row yet — join the r5 tranche)
     "join_bloom_pruned", "sample_token_budget", "quality_adaptive",
     "compact_plan", "burst_detect", "novelty_score", "sample_fixed_n",
-    "stream_burst",
+    "stream_burst", "sketch_merge", "group_sample_n", "bpe_pairs",
+    "lang_confusion",
 ]
 
 _rows = _driver_latest_rows()
