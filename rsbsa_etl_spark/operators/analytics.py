@@ -1030,7 +1030,9 @@ def kmv_merge_eval(docs: DataFrame, k: int | None = None) -> DataFrame:
     )
 
 
-def group_sample_n(events: DataFrame) -> DataFrame:
+def group_sample_n(
+    events: DataFrame, n: int | None = None, buckets: int | None = None
+) -> DataFrame:
     """exactly-N deterministic sample PER GROUP (event_type), the
     stratified sibling of ``curation.fixed_n_sample`` — eval sets
     and review batches are usually specified per stratum.
@@ -1064,7 +1066,8 @@ def group_sample_n(events: DataFrame) -> DataFrame:
         16,
         10,
     ).cast("bigint")
-    n, nb = P.GROUP_SAMPLE_N, P.GROUP_SAMPLE_BUCKETS
+    n = P.GROUP_SAMPLE_N if n is None else n
+    nb = P.GROUP_SAMPLE_BUCKETS if buckets is None else buckets
     base = events.select(
         "event_id", "event_type", pri.alias("pri"),
         F.pmod(pri, F.lit(nb)).alias("bkt"),
