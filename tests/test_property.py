@@ -218,3 +218,52 @@ def test_group_sample_two_level_equals_naive(spark):
             (r.event_id, r.event_type, r.rn) for r in naive.collect()
         }
         assert got == want, (n, nb)
+
+
+def test_new_operators_handle_empty_input(spark):
+    """degenerate-input hardening: every late-round-4 operator must
+    return an EMPTY result (not crash) on an empty corpus — empty
+    partitions, empty windows, and empty persists all occur at the
+    tail of real filter chains."""
+    from pyspark.sql import types as T
+
+    from rsbsa_etl_spark.functions import curation, dedup
+    from rsbsa_etl_spark.operators.analytics import (
+        burst_detect,
+        group_sample_n,
+        kmv_merge_eval,
+    )
+    from rsbsa_etl_spark.sources.sinks import compaction_plan
+
+    docs = spark.createDataFrame(
+        [],
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+                T.StructField("lang", T.StringType()),
+                T.StructField("source", T.StringType()),
+                T.StructField("n_chars", T.LongType()),
+            ]
+        ),
+    )
+    events = spark.createDataFrame(
+        [],
+        T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("ts", T.TimestampType()),
+                T.StructField("event_type", T.StringType()),
+            ]
+        ),
+    )
+    assert curation.token_budget_sample(docs).count() == 0
+    assert curation.fixed_n_sample(docs).count() == 0
+    assert curation.adaptive_quality_filter(docs).count() == 0
+    assert dedup.novelty_scores(docs).count() == 0
+    assert compaction_plan(docs.select("source", "doc_id", "n_chars")).count() == 0
+    assert burst_detect(events).count() == 0
+    assert group_sample_n(events).count() == 0
+    # the sketch eval emits its single summary row even when empty
+    row = kmv_merge_eval(docs).collect()[0]
+    assert row.exact_distinct == 0 and row.n_sources == 0
