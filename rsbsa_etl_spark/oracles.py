@@ -1963,6 +1963,10 @@ SELECT doc_id,
 FROM documents ORDER BY pri, doc_id LIMIT {P.SAMPLE_N}
 """
 
+# streaming reservoir == batch fixed-N sample, exactly (mergeable
+# hash-min top-N), so the oracle is the batch SQL verbatim
+ORACLES["stream_sample"] = ORACLES["sample_fixed_n"]
+
 ORACLES["burst_detect"] = f"""
 WITH bins AS (
   SELECT event_type, epoch_us(ts) // 3600000000 AS h, count(*) AS n

@@ -1088,6 +1088,14 @@ def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.lang_confusion(load(spark, sf_dir, "documents"))
 
 
+def stream_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """streaming exactly-N reservoir (foreachBatch hash-min merge);
+    final state == the batch sample_fixed_n, oracle = batch SQL."""
+    from rsbsa_etl_spark.streaming.stateful import sample_stream_replay
+
+    return sample_stream_replay(load(spark, sf_dir, "documents"))
+
+
 def sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV sketch mergeability, value-checked: per-source bottom-k
     sketches merged == the direct corpus sketch, exactly."""
@@ -1860,6 +1868,7 @@ QUERIES: dict[str, QueryFn] = {
     "novelty_score": novelty_score,
     "stream_burst": stream_burst,
     "sketch_merge": sketch_merge,
+    "stream_sample": stream_sample,
     "group_sample_n": group_sample_n,
     "bpe_pairs": bpe_pairs,
     "lang_confusion": lang_confusion,
@@ -2044,7 +2053,7 @@ _UNTESTED_PRIORITY = [
     "join_bloom_pruned", "sample_token_budget", "quality_adaptive",
     "compact_plan", "burst_detect", "novelty_score", "sample_fixed_n",
     "stream_burst", "sketch_merge", "group_sample_n", "bpe_pairs",
-    "lang_confusion",
+    "lang_confusion", "stream_sample",
 ]
 
 _rows = _driver_latest_rows()

@@ -249,3 +249,82 @@ def dedup_replay(events: DataFrame, redeliver_mod: int = 6) -> DataFrame:
     )
     run_phase()
     return spark.read.parquet(out).select("event_id", "event_type", "value")
+
+
+def sample_stream_replay(docs: DataFrame, n: int | None = None) -> DataFrame:
+    """streaming exactly-N reservoir: each micro-batch's smallest
+    salted doc_id hashes merge with the persisted reservoir, keeping
+    the global N smallest — the streaming twin of
+    ``curation.fixed_n_sample``, and a third stream/batch
+    equivalence pin (after ``stream_burst`` and the sync stream).
+
+    Hash-min reservoirs are MERGEABLE: any doc in the true global
+    top-N is in its own batch's top-N (fewer than N better hashes
+    exist anywhere), so per-batch top-N → merge → top-N loses
+    nothing — the same pigeonhole as KMV merge and the two-level
+    group sample. The final state therefore equals the batch sample
+    EXACTLY, and the oracle is the batch SQL verbatim. State is N
+    rows, constant forever — the property that makes a forever-
+    running "keep me a uniform sample of everything seen" job
+    feasible.
+
+    Mechanics: file-source stream, ``maxFilesPerTrigger=1`` so the
+    two dumped files arrive as separate micro-batches in one
+    AvailableNow run; ``foreachBatch`` merges into a parquet state
+    dir (write-new-then-swap, since a job cannot overwrite its own
+    input).
+    """
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from rsbsa_etl_spark import params as P
+
+    n_keep = P.SAMPLE_N if n is None else n
+    spark = docs.sparkSession
+    base = tempfile.mkdtemp(prefix="rsbsa_res_")
+    src, ckpt, state = f"{base}/src", f"{base}/ckpt", f"{base}/state"
+    os.makedirs(src)
+
+    pri = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.lit("fx1"), F.col("doc_id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    proj = docs.select("doc_id")
+
+    def dump(df: DataFrame, name: str) -> None:
+        tmp = f"{base}/_tmp"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        shutil.move(glob.glob(f"{tmp}/part-*.parquet")[0], f"{src}/{name}")
+        shutil.rmtree(tmp)
+
+    dump(proj.where(F.col("doc_id") % 2 == 0), "f0.parquet")
+    dump(proj.where(F.col("doc_id") % 2 == 1), "f1.parquet")
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        b = batch.select("doc_id", pri.alias("pri"))
+        if os.path.isdir(state):
+            b = spark.read.parquet(state).unionByName(b)
+        merged = b.orderBy("pri", "doc_id").limit(n_keep)
+        merged.write.mode("overwrite").parquet(f"{base}/state_new")
+        if os.path.isdir(state):
+            shutil.rmtree(state)
+        os.rename(f"{base}/state_new", state)
+
+    q = (
+        spark.readStream.schema("doc_id bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(merge)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(state)
