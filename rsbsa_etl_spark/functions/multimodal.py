@@ -149,3 +149,45 @@ def multimodal_meta(docs: DataFrame) -> DataFrame:
         F.col("meta.byte_len").alias("byte_len"),
         F.col("meta.checksum").alias("checksum"),
     )
+
+
+RESIZE_SCHEMA = "doc_id bigint, orig_len bigint, resized_len bigint, resized_md5 string"
+
+
+def resize_payloads(frames: DataFrame, factor: int = 4) -> DataFrame:
+    """resize / downsample analog: keep every ``factor``-th byte of
+    each payload — image thumbnailing, audio sample-rate reduction
+    and video transcoding all have this contract (payload in,
+    smaller payload out, deterministic for a fixed input). A real
+    deployment swaps the byte-stride line for PIL ``resize`` /
+    torchaudio ``resample``; the Spark plumbing — Arrow-batched
+    ``mapInPandas``, one media batch in memory per task, metadata
+    out — is exactly what ships here.
+
+    Output carries the resized payload's length + md5 rather than
+    the bytes (the driver-facing contract is verifiable metadata;
+    the bytes would just bloat the comparison), and the whole row is
+    oracle-checkable on the ASCII fixture, where byte stride ==
+    character stride in SQL.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "orig_len": [],
+                "resized_len": [],
+                "resized_md5": [],
+            }
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                small = raw[::factor]
+                out["doc_id"].append(did)
+                out["orig_len"].append(len(raw))
+                out["resized_len"].append(len(small))
+                out["resized_md5"].append(_hashlib.md5(small).hexdigest())
+            yield pd.DataFrame(out)
+
+    return frames.select("doc_id", "payload").mapInPandas(run, RESIZE_SCHEMA)

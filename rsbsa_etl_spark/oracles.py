@@ -1709,6 +1709,16 @@ SELECT doc_id, CAST(i AS INT) AS chunk_idx,
 FROM idx
 """
 
+ORACLES["multimodal_resize"] = """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS orig_len,
+       CAST(len(range(1, length(text) + 1, 4)) AS BIGINT) AS resized_len,
+       md5(array_to_string(
+             list_transform(range(1, length(text) + 1, 4),
+                            i -> substr(text, CAST(i AS INT), 1)), '')) AS resized_md5
+FROM documents
+"""
+
 # ---------------------------------------------------------------- curation
 
 ORACLES["repetition_score"] = f"""

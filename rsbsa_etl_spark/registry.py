@@ -1088,6 +1088,13 @@ def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.lang_confusion(load(spark, sf_dir, "documents"))
 
 
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """byte-stride downsample of binary payloads (resize analog) —
+    Arrow-batched, metadata out, fully oracle-checked on ASCII."""
+    frames = multimodal.attach_binary(load(spark, sf_dir, "documents"))
+    return multimodal.resize_payloads(frames)
+
+
 def stream_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """streaming exactly-N reservoir (foreachBatch hash-min merge);
     final state == the batch sample_fixed_n, oracle = batch SQL."""
@@ -1869,6 +1876,7 @@ QUERIES: dict[str, QueryFn] = {
     "stream_burst": stream_burst,
     "sketch_merge": sketch_merge,
     "stream_sample": stream_sample,
+    "multimodal_resize": multimodal_resize,
     "group_sample_n": group_sample_n,
     "bpe_pairs": bpe_pairs,
     "lang_confusion": lang_confusion,
@@ -2053,7 +2061,7 @@ _UNTESTED_PRIORITY = [
     "join_bloom_pruned", "sample_token_budget", "quality_adaptive",
     "compact_plan", "burst_detect", "novelty_score", "sample_fixed_n",
     "stream_burst", "sketch_merge", "group_sample_n", "bpe_pairs",
-    "lang_confusion", "stream_sample",
+    "lang_confusion", "stream_sample", "multimodal_resize",
 ]
 
 _rows = _driver_latest_rows()
