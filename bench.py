@@ -155,6 +155,7 @@ HEADLINE = [
     "group_sample_n",
     "bpe_pairs",
     "lang_confusion",
+    "multimodal_resize",
 ]
 
 

@@ -26,7 +26,7 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from rsbsa_etl_spark import params as P
 from rsbsa_etl_spark.functions.dedup import shingle_rows, tokens_col
-from rsbsa_etl_spark.functions.numeric import dec_round
+from rsbsa_etl_spark.functions.numeric import dec_round, salted_pri
 
 # ------------------------------------------------------- repetition scoring
 
@@ -312,15 +312,7 @@ def token_budget_sample(docs: DataFrame, text_col: str = "text") -> DataFrame:
     broken by doc_id; token counts are whitespace counts of
     normalized text — all integer arithmetic.
     """
-    pri = F.conv(
-        F.substring(
-            F.md5(F.concat_ws("|", F.lit("tb1"), F.col("doc_id").cast("string"))),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("bigint")
+    pri = salted_pri("tb1", F.col("doc_id"))
     shift = 1 << P.BUDGET_BUCKET_SHIFT
     base = docs.select(
         "doc_id",
@@ -438,15 +430,7 @@ def fixed_n_sample(docs: DataFrame, n: int | None = None) -> DataFrame:
     break on doc_id).
     """
     n = P.SAMPLE_N if n is None else n
-    pri = F.conv(
-        F.substring(
-            F.md5(F.concat_ws("|", F.lit("fx1"), F.col("doc_id").cast("string"))),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("bigint")
+    pri = salted_pri("fx1", F.col("doc_id"))
     return (
         docs.select("doc_id", pri.alias("pri"))
         .orderBy("pri", "doc_id")
@@ -659,7 +643,7 @@ def decontam_fuzzy(
         doc_shingle_sets,
         prefix_filter_candidates_bipartite,
     )
-    from rsbsa_etl_spark.functions.numeric import dec_round
+    from rsbsa_etl_spark.functions.numeric import dec_round, salted_pri
 
     sets = doc_shingle_sets(docs, text_col).persist()
     sh = sets.select("doc_id", F.explode("shingles").alias("shingle"))

@@ -70,3 +70,21 @@ def sql_sum_fixed(expr: str, scale: int) -> str:
         f"CAST(sum(CAST(floor(CAST(({expr}) AS DOUBLE) * {q!r} + 0.5)"
         f" AS BIGINT)) AS DOUBLE) / {q!r}"
     )
+
+
+def salted_pri(salt: str, col: Column) -> Column:
+    """deterministic 32-bit priority hash: first 8 hex digits of
+    ``md5(salt || '|' || key)`` as BIGINT — the sampling/sharding
+    primitive shared by the budget/fixed-N/per-group samplers and
+    the streaming reservoir. One definition so the scheme (and its
+    DuckDB twin, ``oracles._hexpoly``) can never drift per call
+    site."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit(salt), col.cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+    )

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from rsbsa_etl_spark.functions.numeric import dec_round, fixed_sum
+from rsbsa_etl_spark.functions.numeric import dec_round, fixed_sum, salted_pri
 from rsbsa_etl_spark.operators.aggregates import decimal_sum
 
 
@@ -976,11 +976,13 @@ def kmv_merge_eval(docs: DataFrame, k: int | None = None) -> DataFrame:
     # every SF — the fixture's flat TOKEN vocabulary is only ~31
     # strings, which would always fall back to exact counting and
     # never exercise the estimator)
+    # single distinct, on (source, hash): h is a pure function of the
+    # term, so deduping the full shingle strings first would only add
+    # a second, fatter shuffle
     terms = (
         docs.select(
             "source", F.explode(shingle_windows(F.col("text"))).alias("term")
         )
-        .distinct()
         .select("source", h.alias("h"))
         .distinct()
         .persist()
@@ -1057,15 +1059,7 @@ def group_sample_n(
     """
     from rsbsa_etl_spark import params as P
 
-    pri = F.conv(
-        F.substring(
-            F.md5(F.concat_ws("|", F.lit("gs1"), F.col("event_id").cast("string"))),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("bigint")
+    pri = salted_pri("gs1", F.col("event_id"))
     n = P.GROUP_SAMPLE_N if n is None else n
     nb = P.GROUP_SAMPLE_BUCKETS if buckets is None else buckets
     base = events.select(

@@ -13,9 +13,10 @@ two sides cannot drift. Portability rules mirrored here:
 - DuckDB replacement backrefs are ``\\1`` where Spark uses ``$1``;
 - md5() of a VARCHAR hashes its UTF-8 bytes in both engines.
 
-Keys absent from this dict (``stream_tail``, ``multimodal_features``)
-are intentionally rows-only: custom streaming / Arrow-batched UDF
-paths that ANSI SQL cannot express; pytest covers their values.
+The only key absent from this dict is ``stream_tail`` — a push
+source with no SQL equivalent (rows-only check); pytest covers its
+behavior. Every other key, including the Arrow-batched multimodal
+path, is value-checked here.
 """
 
 from __future__ import annotations

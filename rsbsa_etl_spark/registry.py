@@ -2008,8 +2008,8 @@ def _is_green(row: dict) -> bool:
 
 # Round-4 tranche = first 49 below (+ any still-red key at the head
 # consuming the budget's 50th slot). Round-5 tranche (everything
-# after the marker below — 28 carried keys plus the 12 late round-4
-# additions appended at the end, 40 total): agg_time_rollup,
+# after the marker below — 28 carried keys plus the 14 late round-4
+# additions appended at the end, 42 total): agg_time_rollup,
 # agg_grouping_sets, term_topk, bm25_topk,
 # ngram_topk, inverted_index, term_pmi, cms_topk, group_topk,
 # group_mode, outlier_zscore, outlier_mad, hhi_concentration,

@@ -136,9 +136,7 @@ def run_totals_replay(events: DataFrame) -> DataFrame:
     state is ``max`` over the emitted updates — and equals the plain
     batch aggregation, which is the DuckDB oracle.
     """
-    import glob
     import os
-    import shutil
     import tempfile
 
     spark = events.sparkSession
@@ -151,10 +149,9 @@ def run_totals_replay(events: DataFrame) -> DataFrame:
     schema = "event_id bigint, user_id bigint, value double"
 
     def dump(df: DataFrame, name: str) -> None:
-        tmp = f"{base}/_tmp"
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        shutil.move(glob.glob(f"{tmp}/part-*.parquet")[0], f"{src}/{name}")
-        shutil.rmtree(tmp)
+        from rsbsa_etl_spark.streaming.windows import dump_single_file
+
+        dump_single_file(df, base, src, name)
 
     def run_phase() -> None:
         stream = spark.readStream.schema(schema).parquet(src)
@@ -200,9 +197,7 @@ def dedup_replay(events: DataFrame, redeliver_mod: int = 6) -> DataFrame:
     horizon, not per event ever seen; the delay is sized to the
     redelivery window, not the stream's lifetime.
     """
-    import glob
     import os
-    import shutil
     import tempfile
 
     from rsbsa_etl_spark.functions.numeric import dec_round
@@ -218,10 +213,9 @@ def dedup_replay(events: DataFrame, redeliver_mod: int = 6) -> DataFrame:
     schema = "event_id bigint, ts timestamp, event_type string, value double"
 
     def dump(df: DataFrame, name: str) -> None:
-        tmp = f"{base}/_tmp"
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        shutil.move(glob.glob(f"{tmp}/part-*.parquet")[0], f"{src}/{name}")
-        shutil.rmtree(tmp)
+        from rsbsa_etl_spark.streaming.windows import dump_single_file
+
+        dump_single_file(df, base, src, name)
 
     def run_phase() -> None:
         stream = spark.readStream.schema(schema).parquet(src)
@@ -274,7 +268,6 @@ def sample_stream_replay(docs: DataFrame, n: int | None = None) -> DataFrame:
     dir (write-new-then-swap, since a job cannot overwrite its own
     input).
     """
-    import glob
     import os
     import shutil
     import tempfile
@@ -287,22 +280,15 @@ def sample_stream_replay(docs: DataFrame, n: int | None = None) -> DataFrame:
     src, ckpt, state = f"{base}/src", f"{base}/ckpt", f"{base}/state"
     os.makedirs(src)
 
-    pri = F.conv(
-        F.substring(
-            F.md5(F.concat_ws("|", F.lit("fx1"), F.col("doc_id").cast("string"))),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("bigint")
+    from rsbsa_etl_spark.functions.numeric import salted_pri
+
+    pri = salted_pri("fx1", F.col("doc_id"))
     proj = docs.select("doc_id")
 
     def dump(df: DataFrame, name: str) -> None:
-        tmp = f"{base}/_tmp"
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        shutil.move(glob.glob(f"{tmp}/part-*.parquet")[0], f"{src}/{name}")
-        shutil.rmtree(tmp)
+        from rsbsa_etl_spark.streaming.windows import dump_single_file
+
+        dump_single_file(df, base, src, name)
 
     dump(proj.where(F.col("doc_id") % 2 == 0), "f0.parquet")
     dump(proj.where(F.col("doc_id") % 2 == 1), "f1.parquet")

@@ -93,6 +93,21 @@ def tumbling_stream(events: DataFrame, width: str = "1 hour", watermark: str = "
     )
 
 
+def dump_single_file(df: DataFrame, base: str, src: str, name: str) -> None:
+    """write ``df`` as exactly ONE parquet file at ``src/name`` — the
+    replay harnesses append whole files so each arrives as one
+    micro-batch. Shared by every replay scaffold (this module and
+    streaming.stateful) so part-glob/compression handling lives in
+    one place."""
+    import glob
+    import shutil
+
+    tmp = f"{base}/_tmp"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    shutil.move(glob.glob(f"{tmp}/part-*.parquet")[0], f"{src}/{name}")
+    shutil.rmtree(tmp)
+
+
 def availablenow_replay(
     spark,
     phases: list[DataFrame],
@@ -113,19 +128,14 @@ def availablenow_replay(
     to the plumbing (tempdir lifecycle, multi-part dumps) land
     everywhere at once.
     """
-    import glob
     import os
-    import shutil
     import tempfile
 
     base = tempfile.mkdtemp(prefix=prefix)
     src, ckpt, out = f"{base}/src", f"{base}/ckpt", f"{base}/out"
     os.makedirs(src)
     for i, df in enumerate(phases):
-        tmp = f"{base}/_tmp"
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        shutil.move(glob.glob(f"{tmp}/part-*.parquet")[0], f"{src}/f{i}.parquet")
-        shutil.rmtree(tmp)
+        dump_single_file(df, base, src, f"f{i}.parquet")
         q = (
             build(spark.readStream.schema(schema).parquet(src))
             .writeStream.outputMode("append")
