@@ -14,6 +14,8 @@ metrics, scheduling belongs to an external scheduler per SURVEY
     python -m rsbsa_etl_spark tail --log-dir DIR [--follow SECONDS]
                                         # GET /api/logs(/stream)
     python -m rsbsa_etl_spark status    # GET /api/etl-status
+    python -m rsbsa_etl_spark explain <query-key> [--full]
+                                        # plan-hygiene audit
 """
 
 from __future__ import annotations
@@ -49,6 +51,15 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     sub.add_parser("status", help="show active streaming queries")
+
+    exp = sub.add_parser(
+        "explain", help="plan-hygiene audit of one registry query"
+    )
+    exp.add_argument("key")
+    exp.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    exp.add_argument(
+        "--full", action="store_true", help="also print the formatted plan"
+    )
 
     args = p.parse_args(argv)
 
@@ -96,6 +107,37 @@ def main(argv: list[str] | None = None) -> int:
             )
             q.awaitTermination(args.follow)
             q.stop()  # graceful stop — the reference's SIGTERM path
+            return 0
+        if args.cmd == "explain":
+            # the plan-shape audit tests/test_plans.py runs per-key,
+            # as an interactive tool: what would this query do to a
+            # 100 TB cluster?
+            if args.key not in QUERIES:
+                print(f"unknown query key: {args.key}", file=sys.stderr)
+                return 2
+            df = QUERIES[args.key](spark, args.sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            import re as _re
+
+            def count(pat: str) -> int:
+                return len(_re.findall(pat, plan))
+
+            print(f"key: {args.key}")
+            print(f"  shuffles (Exchange):        {count('Exchange (hash|range)partitioning')}")
+            print(f"  broadcast joins:            {count('BroadcastHashJoin')}")
+            print(f"  sort-merge joins:           {count('SortMergeJoin')}")
+            print(f"  nested-loop/cartesian:      {count('BroadcastNestedLoopJoin|CartesianProduct')}")
+            print(f"  file scans:                 {count('FileScan')}")
+            print(f"  windows:                    {count('Window ')}")
+            print(f"  python (Arrow) stages:      {count('MapInPandas|FlatMapGroupsInPandas|ArrowEvalPython')}")
+            print(f"  row-at-a-time python UDFs:  {count('BatchEvalPython')}")
+            # Spark elides long filter lists with "..." (no closing
+            # bracket), so cut at the line end and cap the width
+            pushed = _re.findall(r"PushedFilters: \[[^\n]*", plan)
+            for pf in pushed[:4]:
+                print(f"  {pf[:100]}")
+            if args.full:
+                print(plan)
             return 0
         if args.cmd == "status":
             # the reference's GET /api/etl-status (``index.js:329-342``)

@@ -29,3 +29,15 @@ def test_status_reports_session(spark, capsys):
     assert main(["status"]) == 0
     out = capsys.readouterr().out
     assert "active streaming queries:" in out
+
+
+def test_explain_audits_plan(spark, capsys):
+    from rsbsa_etl_spark.__main__ import main
+
+    from tests.conftest import SF_DIR
+
+    assert main(["explain", "join_bloom_pruned", "--sf-dir", SF_DIR]) == 0
+    out = capsys.readouterr().out
+    assert "sort-merge joins:           0" in out
+    assert "broadcast joins:            2" in out
+    assert main(["explain", "no_such_key"]) == 2
