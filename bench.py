@@ -156,6 +156,8 @@ HEADLINE = [
     "bpe_pairs",
     "lang_confusion",
     "multimodal_resize",
+    "window_gap_islands",
+    "join_bucketed",
 ]
 
 

@@ -1078,3 +1078,34 @@ def group_sample_n(
         .where(F.col("rn") <= n)
         .select("event_id", "event_type", "rn")
     )
+
+
+def gap_islands(events: DataFrame) -> DataFrame:
+    """activity streaks (gaps-and-islands): for each user, maximal
+    runs of CONSECUTIVE active days, with start/end/length — the
+    retention-analytics primitive behind "current streak" and
+    "longest streak" features.
+
+    The classic formulation: dedupe to (user, day), then
+    ``day - dense-row-number`` is constant within a consecutive run
+    (both advance by 1 per day), so grouping on that anchor yields
+    one row per island. One corpus-sized distinct (partial-
+    aggregated) and one per-user window over the user's DISTINCT
+    DAYS — bounded by the calendar, not by event volume, so a
+    billion-event user costs the same window as a 30-row one.
+    """
+    day = (F.unix_seconds("ts") / F.lit(86400)).cast("long")
+    days = events.select("user_id", day.alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    anchored = days.withColumn(
+        "anchor", F.col("day") - F.row_number().over(w)
+    )
+    return (
+        anchored.groupBy("user_id", "anchor")
+        .agg(
+            F.min("day").alias("start_day"),
+            F.max("day").alias("end_day"),
+            F.count("*").alias("streak_days"),
+        )
+        .select("user_id", "start_day", "end_day", "streak_days")
+    )

@@ -1710,6 +1710,26 @@ SELECT doc_id, CAST(i AS INT) AS chunk_idx,
 FROM idx
 """
 
+ORACLES["window_gap_islands"] = """
+WITH days AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+),
+r AS (
+  SELECT user_id, day,
+         row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+  FROM days
+)
+SELECT user_id, CAST(min(day) AS BIGINT) AS start_day,
+       CAST(max(day) AS BIGINT) AS end_day,
+       CAST(count(*) AS BIGINT) AS streak_days
+FROM r GROUP BY user_id, day - rn
+"""
+
+ORACLES["join_bucketed"] = """
+SELECT o.o_orderkey, o.o_custkey AS custkey, c.c_mktsegment
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
 ORACLES["multimodal_resize"] = """
 SELECT doc_id,
        CAST(length(text) AS BIGINT) AS orig_len,

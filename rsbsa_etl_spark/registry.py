@@ -1088,6 +1088,31 @@ def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.lang_confusion(load(spark, sf_dir, "documents"))
 
 
+def window_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """per-user consecutive-day activity streaks (gaps-and-islands
+    via the day-minus-rownumber anchor)."""
+    from rsbsa_etl_spark.operators.analytics import gap_islands
+
+    return gap_islands(load(spark, sf_dir, "events"))
+
+
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """co-located join through bucketed tables: pay the bucketing
+    shuffle at write time, join exchange-free afterwards. Layout
+    only — the oracle is the plain join."""
+    from rsbsa_etl_spark.sources.sinks import bucketed_join
+
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_orderkey"
+    )
+    return bucketed_join(spark, orders, cust, "custkey").select(
+        "o_orderkey", "custkey", "c_mktsegment"
+    )
+
+
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """byte-stride downsample of binary payloads (resize analog) —
     Arrow-batched, metadata out, fully oracle-checked on ASCII."""
@@ -1877,6 +1902,8 @@ QUERIES: dict[str, QueryFn] = {
     "sketch_merge": sketch_merge,
     "stream_sample": stream_sample,
     "multimodal_resize": multimodal_resize,
+    "window_gap_islands": window_gap_islands,
+    "join_bucketed": join_bucketed,
     "group_sample_n": group_sample_n,
     "bpe_pairs": bpe_pairs,
     "lang_confusion": lang_confusion,
@@ -2008,8 +2035,8 @@ def _is_green(row: dict) -> bool:
 
 # Round-4 tranche = first 49 below (+ any still-red key at the head
 # consuming the budget's 50th slot). Round-5 tranche (everything
-# after the marker below — 28 carried keys plus the 14 late round-4
-# additions appended at the end, 42 total): agg_time_rollup,
+# after the marker below — 28 carried keys plus the 16 late round-4
+# additions appended at the end, 44 total): agg_time_rollup,
 # agg_grouping_sets, term_topk, bm25_topk,
 # ngram_topk, inverted_index, term_pmi, cms_topk, group_topk,
 # group_mode, outlier_zscore, outlier_mad, hhi_concentration,
@@ -2062,6 +2089,7 @@ _UNTESTED_PRIORITY = [
     "compact_plan", "burst_detect", "novelty_score", "sample_fixed_n",
     "stream_burst", "sketch_merge", "group_sample_n", "bpe_pairs",
     "lang_confusion", "stream_sample", "multimodal_resize",
+    "window_gap_islands", "join_bucketed",
 ]
 
 _rows = _driver_latest_rows()

@@ -260,3 +260,50 @@ def compaction_plan(
         F.col(size_col).cast("long").alias(size_col),
         F.floor(cum_before / target).cast("long").alias("out_shard"),
     )
+
+
+def bucketed_join(
+    spark: SparkSession,
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    n_buckets: int = 8,
+    db_dir: str | None = None,
+) -> DataFrame:
+    """co-located join via BUCKETED TABLES: write both sides
+    ``bucketBy(key)`` as managed tables, then join the bucketed
+    reads — Spark matches the bucket specs and elides BOTH shuffle
+    exchanges (asserted in tests/test_sinks.py).
+
+    This is the 100 TB pattern for a fact table joined on the same
+    key by many queries: pay the bucketing shuffle ONCE at write
+    time, then every subsequent join (and groupBy on the key) is
+    exchange-free. Identical result to the plain join — bucketing
+    is a physical layout property, never semantics, which is what
+    the oracle (the plain join SQL) pins.
+    """
+    import tempfile
+    import uuid
+
+    if db_dir is None:
+        db_dir = tempfile.mkdtemp(prefix="rsbsa_buck_")
+    tag = uuid.uuid4().hex[:8]
+    lt, rt = f"buck_l_{tag}", f"buck_r_{tag}"
+    # explicit LOCATION per table: the warehouse dir is a static conf
+    # (set at catalog init), so a cwd-relative default would leak
+    # spark-warehouse/ into whatever directory the driver runs from
+    (
+        left.write.mode("overwrite")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .option("path", f"{db_dir}/{lt}")
+        .saveAsTable(lt)
+    )
+    (
+        right.write.mode("overwrite")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .option("path", f"{db_dir}/{rt}")
+        .saveAsTable(rt)
+    )
+    return spark.table(lt).join(spark.table(rt), key)

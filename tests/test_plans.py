@@ -585,3 +585,13 @@ def test_bloom_prune_rejects_mismatched_key_types(spark):
     right = spark.range(10).selectExpr("CAST(id AS BIGINT) AS k")
     with pytest.raises(TypeError, match="type-sensitive"):
         bloom_pruned_join(left, right, "k")
+
+
+def test_registry_bucketed_join_has_no_exchange(spark):
+    # both sides are bucketed+sorted on the join key, so the join
+    # must run with ZERO shuffle exchanges — the pay-once-at-write
+    # co-location contract
+    from tests.conftest import SF_DIR
+
+    plan = _plan(QUERIES["join_bucketed"](spark, SF_DIR))
+    assert "Exchange hashpartitioning" not in plan
