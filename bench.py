@@ -158,6 +158,7 @@ HEADLINE = [
     "multimodal_resize",
     "window_gap_islands",
     "join_bucketed",
+    "ts_decompose",
 ]
 
 

@@ -1109,3 +1109,64 @@ def gap_islands(events: DataFrame) -> DataFrame:
         )
         .select("user_id", "start_day", "end_day", "streak_days")
     )
+
+
+def ts_decompose(events: DataFrame) -> DataFrame:
+    """classical time-series decomposition of the daily event-count
+    series per event_type: trend (centered 7-day moving average),
+    day-of-week seasonality (mean deviation from trend), residual —
+    the explainable-anomaly layer on top of ``burst_detect``'s raw
+    rate gate ("is Monday always like this, or is today weird?").
+
+    Scale: one partial-aggregated groupBy bins the corpus to
+    (type, day); every window/aggregate after that runs on the
+    binned table (types × days rows). Only interior days (full
+    7-day frame) are emitted — a centered average at the series edge
+    is not defined.
+
+    Determinism: everything is computed in 7×-scaled INTEGER
+    arithmetic (trend7 = the 7-day count sum, dev7 = 7·n − trend7),
+    so sums are order-independent; the only float ops are one
+    division per output column followed by the portable fixed-point
+    rounding — identical in both engines.
+    """
+    day = (F.unix_seconds("ts") / F.lit(86400)).cast("long")
+    bins = (
+        events.select(F.col("event_type"), day.alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day").rangeBetween(-3, 3)
+    framed = bins.select(
+        "event_type",
+        "day",
+        "n",
+        F.sum("n").over(w).alias("trend7"),
+        F.count("n").over(w).alias("frame_n"),
+    ).where(F.col("frame_n") == 7)
+    dev = framed.withColumn("dev7", F.lit(7) * F.col("n") - F.col("trend7"))
+    # renamed grouping keys avoid the self-join ambiguity (seasonal
+    # derives from dev)
+    seasonal = dev.groupBy(
+        F.col("event_type").alias("s_type"),
+        F.pmod(F.col("day"), F.lit(7)).alias("dow"),
+    ).agg(
+        (F.sum("dev7").cast("double") / F.count("*")).alias("seasonal7")
+    )
+    return (
+        dev.join(
+            F.broadcast(seasonal),
+            (F.col("event_type") == F.col("s_type"))
+            & (F.pmod(F.col("day"), F.lit(7)) == F.col("dow")),
+        )
+        .select(
+            "event_type",
+            "day",
+            "n",
+            dec_round(F.col("trend7") / 7.0, 4).alias("trend"),
+            dec_round(F.col("seasonal7") / 7.0, 4).alias("seasonal"),
+            dec_round((F.col("dev7") - F.col("seasonal7")) / 7.0, 4).alias(
+                "residual"
+            ),
+        )
+    )

@@ -1710,6 +1710,31 @@ SELECT doc_id, CAST(i AS INT) AS chunk_idx,
 FROM idx
 """
 
+ORACLES["ts_decompose"] = f"""
+WITH bins AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day, count(*) AS n
+  FROM events GROUP BY ALL
+),
+framed AS (
+  SELECT event_type, day, n,
+         sum(n) OVER w AS trend7, count(n) OVER w AS frame_n
+  FROM bins
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+dev AS (SELECT *, 7 * n - trend7 AS dev7 FROM framed WHERE frame_n = 7),
+seas AS (
+  SELECT event_type, day % 7 AS dow,
+         CAST(sum(dev7) AS DOUBLE) / count(*) AS seasonal7
+  FROM dev GROUP BY ALL
+)
+SELECT d.event_type, d.day, CAST(d.n AS BIGINT) AS n,
+       {_dec("trend7 / 7.0", 4)} AS trend,
+       {_dec("seasonal7 / 7.0", 4)} AS seasonal,
+       {_dec("(dev7 - seasonal7) / 7.0", 4)} AS residual
+FROM dev d JOIN seas s ON d.event_type = s.event_type AND d.day % 7 = s.dow
+"""
+
 ORACLES["window_gap_islands"] = """
 WITH days AS (
   SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events

@@ -1088,6 +1088,14 @@ def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.lang_confusion(load(spark, sf_dir, "documents"))
 
 
+def ts_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """trend / day-of-week seasonality / residual of the daily event
+    series, in exact 7x-scaled integer arithmetic."""
+    from rsbsa_etl_spark.operators.analytics import ts_decompose as _td
+
+    return _td(load(spark, sf_dir, "events"))
+
+
 def window_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """per-user consecutive-day activity streaks (gaps-and-islands
     via the day-minus-rownumber anchor)."""
@@ -1904,6 +1912,7 @@ QUERIES: dict[str, QueryFn] = {
     "multimodal_resize": multimodal_resize,
     "window_gap_islands": window_gap_islands,
     "join_bucketed": join_bucketed,
+    "ts_decompose": ts_decompose,
     "group_sample_n": group_sample_n,
     "bpe_pairs": bpe_pairs,
     "lang_confusion": lang_confusion,
@@ -2036,7 +2045,7 @@ def _is_green(row: dict) -> bool:
 # Round-4 tranche = first 49 below (+ any still-red key at the head
 # consuming the budget's 50th slot). Round-5 tranche (everything
 # after the marker below — 28 carried keys plus the 16 late round-4
-# additions appended at the end, 44 total): agg_time_rollup,
+# additions appended at the end, 45 total): agg_time_rollup,
 # agg_grouping_sets, term_topk, bm25_topk,
 # ngram_topk, inverted_index, term_pmi, cms_topk, group_topk,
 # group_mode, outlier_zscore, outlier_mad, hhi_concentration,
@@ -2089,7 +2098,7 @@ _UNTESTED_PRIORITY = [
     "compact_plan", "burst_detect", "novelty_score", "sample_fixed_n",
     "stream_burst", "sketch_merge", "group_sample_n", "bpe_pairs",
     "lang_confusion", "stream_sample", "multimodal_resize",
-    "window_gap_islands", "join_bucketed",
+    "window_gap_islands", "join_bucketed", "ts_decompose",
 ]
 
 _rows = _driver_latest_rows()
