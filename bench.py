@@ -159,6 +159,7 @@ HEADLINE = [
     "window_gap_islands",
     "join_bucketed",
     "ts_decompose",
+    "scan_partition_pruned",
 ]
 
 

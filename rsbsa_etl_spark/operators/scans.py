@@ -75,3 +75,36 @@ def count_scan(df: DataFrame, *not_null_cols: str) -> DataFrame:
         cond = pred if cond is None else (cond & pred)
     out = df.where(cond) if cond is not None else df
     return out.agg(F.count("*").alias("n_records"))
+
+
+def partition_pruned_scan(
+    events, part_col: str = "event_type", want: str = "click"
+):
+    """directory-partition pruning, end to end: write the table
+    ``partitionBy(part_col)`` and read it back with a partition
+    predicate — the scan must touch ONLY the matching directory
+    (``PartitionFilters`` in the plan, asserted in tests), which is
+    THE first-order lever on a 100 TB table: a pruned scan costs
+    the selected partition, not the table.
+
+    Complements the bucket-pruned keyed writes in ``sources.sinks``
+    (hash buckets prune by KEY; directory partitions prune by a
+    low-cardinality COLUMN — production tables use both). The
+    rewrite is layout-only, so the oracle is the plain filter over
+    the original data.
+    """
+    import tempfile
+
+    spark = events.sparkSession
+    path = tempfile.mkdtemp(prefix="rsbsa_part_") + "/t"
+    (
+        events.select("event_id", "user_id", part_col)
+        .write.mode("overwrite")
+        .partitionBy(part_col)
+        .parquet(path)
+    )
+    return (
+        spark.read.parquet(path)
+        .where(F.col(part_col) == want)
+        .select("event_id", "user_id", part_col)
+    )

@@ -1710,6 +1710,11 @@ SELECT doc_id, CAST(i AS INT) AS chunk_idx,
 FROM idx
 """
 
+ORACLES["scan_partition_pruned"] = """
+SELECT event_id, user_id, event_type
+FROM events WHERE event_type = 'click'
+"""
+
 ORACLES["ts_decompose"] = f"""
 WITH bins AS (
   SELECT event_type, epoch_us(ts) // 86400000000 AS day, count(*) AS n

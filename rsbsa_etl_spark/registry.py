@@ -1088,6 +1088,14 @@ def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.lang_confusion(load(spark, sf_dir, "documents"))
 
 
+def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """directory-partitioned rewrite + partition-predicate read:
+    the scan touches only the selected partition (plan-asserted)."""
+    from rsbsa_etl_spark.operators.scans import partition_pruned_scan
+
+    return partition_pruned_scan(load(spark, sf_dir, "events"))
+
+
 def ts_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """trend / day-of-week seasonality / residual of the daily event
     series, in exact 7x-scaled integer arithmetic."""
@@ -1913,6 +1921,7 @@ QUERIES: dict[str, QueryFn] = {
     "window_gap_islands": window_gap_islands,
     "join_bucketed": join_bucketed,
     "ts_decompose": ts_decompose,
+    "scan_partition_pruned": scan_partition_pruned,
     "group_sample_n": group_sample_n,
     "bpe_pairs": bpe_pairs,
     "lang_confusion": lang_confusion,
@@ -2045,7 +2054,7 @@ def _is_green(row: dict) -> bool:
 # Round-4 tranche = first 49 below (+ any still-red key at the head
 # consuming the budget's 50th slot). Round-5 tranche (everything
 # after the marker below — 28 carried keys plus the 16 late round-4
-# additions appended at the end, 45 total): agg_time_rollup,
+# additions appended at the end, 46 total): agg_time_rollup,
 # agg_grouping_sets, term_topk, bm25_topk,
 # ngram_topk, inverted_index, term_pmi, cms_topk, group_topk,
 # group_mode, outlier_zscore, outlier_mad, hhi_concentration,
@@ -2099,6 +2108,7 @@ _UNTESTED_PRIORITY = [
     "stream_burst", "sketch_merge", "group_sample_n", "bpe_pairs",
     "lang_confusion", "stream_sample", "multimodal_resize",
     "window_gap_islands", "join_bucketed", "ts_decompose",
+    "scan_partition_pruned",
 ]
 
 _rows = _driver_latest_rows()

@@ -595,3 +595,15 @@ def test_registry_bucketed_join_has_no_exchange(spark):
 
     plan = _plan(QUERIES["join_bucketed"](spark, SF_DIR))
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_partitioned_scan_prunes_directories(spark):
+    # the predicate must land in PartitionFilters (directory prune),
+    # not DataFilters (row filter after reading everything)
+    from tests.conftest import SF_DIR
+
+    df = QUERIES["scan_partition_pruned"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "PartitionFilters: [isnotnull(event_type" in plan
+    # the rewrite reads back exactly one of the partition dirs
+    assert df.select("event_type").distinct().count() == 1
