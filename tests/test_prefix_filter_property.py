@@ -172,3 +172,74 @@ def test_decontam_fuzzy_equals_brute_force(spark, eval_texts, train_texts):
                     math.floor(c * 10**4 + 0.5) / 10**4
                 )
     assert got == want
+
+
+# ---------------------------------------------------- bin-fill / islands
+
+
+sizes_strategy = st.lists(
+    st.integers(min_value=1, max_value=9000), min_size=1, max_size=24
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(sizes=sizes_strategy)
+def test_compaction_plan_matches_python_binfill(spark, sizes):
+    """streaming bin-fill shard assignment vs a pure-Python fold —
+    including files larger than the target (id gaps legal)."""
+    from rsbsa_etl_spark.sources.sinks import compaction_plan
+
+    target = 4096
+    rows = [("s", i, sz) for i, sz in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_chars long")
+    got = {
+        (r.doc_id, r.out_shard)
+        for r in compaction_plan(df, target=target).collect()
+    }
+    cum = 0
+    want = set()
+    for i, sz in enumerate(sizes):
+        want.add((i, cum // target))
+        cum += sz
+    assert got == want
+
+
+days_strategy = st.lists(
+    st.integers(min_value=0, max_value=40), min_size=1, max_size=30
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(days=days_strategy)
+def test_gap_islands_matches_python_runs(spark, days):
+    """islands over arbitrary (gappy, duplicated) day sets vs a
+    pure-Python consecutive-run scan."""
+    from rsbsa_etl_spark.operators.analytics import gap_islands
+
+    rows = [(1, d * 86400 + 30) for d in days]  # one user, mid-day ts
+    df = spark.createDataFrame(rows, "user_id long, epoch long").selectExpr(
+        "user_id", "CAST(to_timestamp(epoch) AS timestamp) AS ts"
+    )
+    got = {
+        (r.start_day, r.end_day, r.streak_days)
+        for r in gap_islands(df).collect()
+    }
+    uniq = sorted(set(days))
+    want = set()
+    run = [uniq[0]]
+    for d in uniq[1:]:
+        if d == run[-1] + 1:
+            run.append(d)
+        else:
+            want.add((run[0], run[-1], len(run)))
+            run = [d]
+    want.add((run[0], run[-1], len(run)))
+    assert got == want
