@@ -160,6 +160,7 @@ HEADLINE = [
     "join_bucketed",
     "ts_decompose",
     "scan_partition_pruned",
+    "corpus_summary",
 ]
 
 

@@ -753,3 +753,49 @@ def lang_confusion(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .groupBy("lang_true", "lang_pred")
         .agg(F.count("*").alias("n"))
     )
+
+
+def corpus_summary(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """the dataset card, as a query: one row of corpus-level facts —
+    document/token volume, language and source coverage, and the
+    exact-duplicate rate — the summary a curated training set ships
+    with (and the numbers a pipeline operator checks after every
+    rebuild).
+
+    One projection computes per-doc facts (token count, content
+    fingerprint) in the scan; ONE global aggregate produces the
+    card. The distinct counts ride Spark's expand-based multi-
+    distinct aggregation — partial-aggregated, no extra scan. Ratios
+    are fixed-point rounded; everything else is integer.
+    """
+    from rsbsa_etl_spark.functions.dedup import normalized_text
+    from rsbsa_etl_spark.functions.numeric import dec_round
+
+    base = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(F.split(normalized_text(F.col(text_col)), " ")).cast("long").alias(
+            "n_tokens"
+        ),
+        F.md5(normalized_text(F.col(text_col))).alias("fp"),
+    )
+    return base.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.countDistinct("fp").cast("long").alias("n_unique"),
+    ).select(
+        "n_docs",
+        "total_tokens",
+        "n_langs",
+        "n_sources",
+        "n_unique",
+        dec_round(F.col("total_tokens") / F.col("n_docs"), 4).alias(
+            "avg_doc_tokens"
+        ),
+        dec_round(
+            (F.col("n_docs") - F.col("n_unique")) / F.col("n_docs"), 6
+        ).alias("dup_rate"),
+    )

@@ -1710,6 +1710,27 @@ SELECT doc_id, CAST(i AS INT) AS chunk_idx,
 FROM idx
 """
 
+ORACLES["corpus_summary"] = f"""
+WITH base AS (
+  SELECT doc_id, lang, source,
+         CAST(len(string_split({NORM}, ' ')) AS BIGINT) AS n_tokens,
+         md5({NORM}) AS fp
+  FROM documents
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         CAST(count(DISTINCT fp) AS BIGINT) AS n_unique
+  FROM base
+)
+SELECT n_docs, total_tokens, n_langs, n_sources, n_unique,
+       {_dec("CAST(total_tokens AS DOUBLE) / n_docs", 4)} AS avg_doc_tokens,
+       {_dec("CAST(n_docs - n_unique AS DOUBLE) / n_docs", 6)} AS dup_rate
+FROM agg
+"""
+
 ORACLES["scan_partition_pruned"] = """
 SELECT event_id, user_id, event_type
 FROM events WHERE event_type = 'click'

@@ -1088,6 +1088,11 @@ def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.lang_confusion(load(spark, sf_dir, "documents"))
 
 
+def corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """one-row dataset card: volume, coverage, exact-dup rate."""
+    return textstats.corpus_summary(load(spark, sf_dir, "documents"))
+
+
 def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """directory-partitioned rewrite + partition-predicate read:
     the scan touches only the selected partition (plan-asserted)."""
@@ -1922,6 +1927,7 @@ QUERIES: dict[str, QueryFn] = {
     "join_bucketed": join_bucketed,
     "ts_decompose": ts_decompose,
     "scan_partition_pruned": scan_partition_pruned,
+    "corpus_summary": corpus_summary,
     "group_sample_n": group_sample_n,
     "bpe_pairs": bpe_pairs,
     "lang_confusion": lang_confusion,
@@ -2054,7 +2060,7 @@ def _is_green(row: dict) -> bool:
 # Round-4 tranche = first 49 below (+ any still-red key at the head
 # consuming the budget's 50th slot). Round-5 tranche (everything
 # after the marker below — 28 carried keys plus the 16 late round-4
-# additions appended at the end, 46 total): agg_time_rollup,
+# additions appended at the end, 47 total): agg_time_rollup,
 # agg_grouping_sets, term_topk, bm25_topk,
 # ngram_topk, inverted_index, term_pmi, cms_topk, group_topk,
 # group_mode, outlier_zscore, outlier_mad, hhi_concentration,
@@ -2108,7 +2114,7 @@ _UNTESTED_PRIORITY = [
     "stream_burst", "sketch_merge", "group_sample_n", "bpe_pairs",
     "lang_confusion", "stream_sample", "multimodal_resize",
     "window_gap_islands", "join_bucketed", "ts_decompose",
-    "scan_partition_pruned",
+    "scan_partition_pruned", "corpus_summary",
 ]
 
 _rows = _driver_latest_rows()
