@@ -161,6 +161,7 @@ HEADLINE = [
     "ts_decompose",
     "scan_partition_pruned",
     "corpus_summary",
+    "tokenize_offsets",
 ]
 
 

@@ -799,3 +799,41 @@ def corpus_summary(docs: DataFrame, text_col: str = "text") -> DataFrame:
             (F.col("n_docs") - F.col("n_unique")) / F.col("n_docs"), 6
         ).alias("dup_rate"),
     )
+
+
+def tokenize_offsets(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """token → character-offset map over the normalized text: one
+    row per token with its position, start offset and length — the
+    span-alignment primitive (projecting annotations, quality spans
+    or redaction masks from character space into token space needs
+    exactly this table).
+
+    ``posexplode`` keeps the token index; the start offset is a
+    running sum of (token length + 1 separator) per document — a
+    window bounded by one document's token count, never corpus-
+    shaped. All integer arithmetic.
+    """
+    from pyspark.sql import Window
+
+    from rsbsa_etl_spark.functions.dedup import normalized_text
+
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(normalized_text(F.col(text_col)), " ")).alias(
+            "pos", "token"
+        ),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return toks.select(
+        "doc_id",
+        F.col("pos").cast("int").alias("pos"),
+        "token",
+        F.coalesce(F.sum(F.length("token") + 1).over(w), F.lit(0))
+        .cast("long")
+        .alias("start"),
+        F.length("token").cast("long").alias("len"),
+    )

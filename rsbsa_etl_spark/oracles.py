@@ -1710,6 +1710,21 @@ SELECT doc_id, CAST(i AS INT) AS chunk_idx,
 FROM idx
 """
 
+ORACLES["tokenize_offsets"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKS}) AS token,
+         generate_subscripts({TOKS}, 1) - 1 AS pos
+  FROM documents
+)
+SELECT doc_id, CAST(pos AS INT) AS pos, token,
+       CAST(coalesce(sum(length(token) + 1) OVER (
+              PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS start,
+       CAST(length(token) AS BIGINT) AS len
+FROM toks
+"""
+
 ORACLES["corpus_summary"] = f"""
 WITH base AS (
   SELECT doc_id, lang, source,

@@ -1088,6 +1088,11 @@ def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.lang_confusion(load(spark, sf_dir, "documents"))
 
 
+def tokenize_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """token -> char offset map (span alignment primitive)."""
+    return textstats.tokenize_offsets(load(spark, sf_dir, "documents"))
+
+
 def corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """one-row dataset card: volume, coverage, exact-dup rate."""
     return textstats.corpus_summary(load(spark, sf_dir, "documents"))
@@ -1928,6 +1933,7 @@ QUERIES: dict[str, QueryFn] = {
     "ts_decompose": ts_decompose,
     "scan_partition_pruned": scan_partition_pruned,
     "corpus_summary": corpus_summary,
+    "tokenize_offsets": tokenize_offsets,
     "group_sample_n": group_sample_n,
     "bpe_pairs": bpe_pairs,
     "lang_confusion": lang_confusion,
@@ -2060,7 +2066,7 @@ def _is_green(row: dict) -> bool:
 # Round-4 tranche = first 49 below (+ any still-red key at the head
 # consuming the budget's 50th slot). Round-5 tranche (everything
 # after the marker below — 28 carried keys plus the 16 late round-4
-# additions appended at the end, 47 total): agg_time_rollup,
+# additions appended at the end, 48 total): agg_time_rollup,
 # agg_grouping_sets, term_topk, bm25_topk,
 # ngram_topk, inverted_index, term_pmi, cms_topk, group_topk,
 # group_mode, outlier_zscore, outlier_mad, hhi_concentration,
@@ -2114,7 +2120,7 @@ _UNTESTED_PRIORITY = [
     "stream_burst", "sketch_merge", "group_sample_n", "bpe_pairs",
     "lang_confusion", "stream_sample", "multimodal_resize",
     "window_gap_islands", "join_bucketed", "ts_decompose",
-    "scan_partition_pruned", "corpus_summary",
+    "scan_partition_pruned", "corpus_summary", "tokenize_offsets",
 ]
 
 _rows = _driver_latest_rows()
