@@ -1032,49 +1032,35 @@ def kmv_merge_eval(docs: DataFrame, k: int | None = None) -> DataFrame:
     )
 
 
-def group_sample_n(
-    events: DataFrame, n: int | None = None, buckets: int | None = None
-) -> DataFrame:
+def group_sample_n(events: DataFrame, n: int | None = None) -> DataFrame:
     """exactly-N deterministic sample PER GROUP (event_type), the
     stratified sibling of ``curation.fixed_n_sample`` — eval sets
     and review batches are usually specified per stratum.
 
-    The naive form — ``row_number() OVER (PARTITION BY group ORDER
-    BY hash)`` — sorts each group in ONE task; with 4 event types
-    that is 4 tasks for the whole corpus, a straggler factory at
-    scale. This runs the standard two-level exact top-N instead:
+    Declared as the plain ranked window (``row_number() OVER
+    (PARTITION BY group ORDER BY hash) <= n``) ON PURPOSE: Catalyst
+    rewrites rank-limit windows into Partial + Final
+    ``WindowGroupLimit`` stages — every map task keeps its local
+    top-n per group BEFORE the shuffle, then the final rank runs on
+    ≤ tasks·n rows per group. That is exactly the hand-rolled
+    two-level top-N, inserted by the optimizer; the manual
+    decomposition measured byte-identical and 1.0× the speed of this
+    form at 20 M rows / 4 groups (see SCALING.md), so the engine
+    keeps the declarative version. The plan shape is pinned in tests
+    (two WindowGroupLimit stages), so an optimizer regression would
+    surface.
 
-    1. per (group, salt-bucket) local top-N — groups × buckets
-       parallel window partitions, each sorting 1/buckets of a
-       group;
-    2. top-N again over the bucket winners — at most buckets × N
-       rows per group, a bounded second pass.
-
-    Exactness: a row in the true group top-N is also in its own
-    bucket's top-N (fewer than N better rows exist globally, so
-    fewer in the bucket), so level 2 sees every true winner — the
-    same pigeonhole that makes KMV merge lossless. The oracle runs
-    the naive single-window form; bit-equality of the two plans is
-    the test.
+    Determinism: priority is the salted md5 of event_id, ties broken
+    by event_id — membership is a pure function of the key.
     """
     from rsbsa_etl_spark import params as P
 
     pri = salted_pri("gs1", F.col("event_id"))
     n = P.GROUP_SAMPLE_N if n is None else n
-    nb = P.GROUP_SAMPLE_BUCKETS if buckets is None else buckets
-    base = events.select(
-        "event_id", "event_type", pri.alias("pri"),
-        F.pmod(pri, F.lit(nb)).alias("bkt"),
-    )
-    w1 = Window.partitionBy("event_type", "bkt").orderBy("pri", "event_id")
-    survivors = (
-        base.withColumn("lrn", F.row_number().over(w1))
-        .where(F.col("lrn") <= n)
-        .drop("lrn", "bkt")
-    )
-    w2 = Window.partitionBy("event_type").orderBy("pri", "event_id")
+    w = Window.partitionBy("event_type").orderBy("pri", "event_id")
     return (
-        survivors.withColumn("rn", F.row_number().over(w2))
+        events.select("event_id", "event_type", pri.alias("pri"))
+        .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= n)
         .select("event_id", "event_type", "rn")
     )

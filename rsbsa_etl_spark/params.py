@@ -199,12 +199,10 @@ TOKEN_BUDGET = 12_000
 #: second-pass offset table to 64 rows at any corpus size.
 BUDGET_BUCKET_SHIFT = 26
 
-#: exact per-group sample size (group_sample_n) and the number of
-#: salt buckets for its two-level top-N (per-(group,bucket) local
-#: top-N, then top-N of the bucket winners — the largest sorted run
-#: is the group size / buckets, not the group).
+#: exact per-group sample size (group_sample_n). The operator is the
+#: plain ranked window on purpose — Catalyst's WindowGroupLimit
+#: already performs the two-level map-side top-N (see SCALING.md).
 GROUP_SAMPLE_N = 50
-GROUP_SAMPLE_BUCKETS = 32
 
 #: one BPE counting round: top adjacent character pairs kept.
 BPE_TOPK = 20

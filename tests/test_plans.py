@@ -607,3 +607,13 @@ def test_partitioned_scan_prunes_directories(spark):
     assert "PartitionFilters: [isnotnull(event_type" in plan
     # the rewrite reads back exactly one of the partition dirs
     assert df.select("event_type").distinct().count() == 1
+
+
+def test_group_sample_gets_window_group_limit(spark):
+    # Catalyst must insert Partial+Final WindowGroupLimit for the
+    # rank-limit window — the optimizer-provided two-level top-N the
+    # operator's docstring relies on
+    from tests.conftest import SF_DIR
+
+    plan = _plan(QUERIES["group_sample_n"](spark, SF_DIR))
+    assert plan.count("WindowGroupLimit") == 2

@@ -175,49 +175,38 @@ def test_curation_invariants(spark):
         assert (per_domain.n == per_domain.c).all()
 
 
-def test_group_sample_two_level_equals_naive(spark):
-    """pigeonhole correctness of the two-level exact top-N at
-    stress parameters (tiny N, few buckets, adversarial group
-    sizes): must equal the naive single-window form exactly."""
-    from pyspark.sql import Window, functions as F
+def test_group_sample_matches_python_ranking(spark):
+    """group_sample_n vs an independent pure-Python ranking (same
+    salted md5 priority computed with hashlib) on adversarially
+    skewed groups and stress values of n."""
+    import hashlib
 
     from rsbsa_etl_spark.operators.analytics import group_sample_n
 
-    # synthetic events: skewed groups (1, 7, 400 rows)
     rows = (
         [(i, "a") for i in range(1)]
         + [(100 + i, "b") for i in range(7)]
         + [(1000 + i, "c") for i in range(400)]
     )
     ev = spark.createDataFrame(rows, "event_id long, event_type string")
-    for n, nb in [(1, 2), (3, 2), (5, 4), (50, 32)]:
+
+    def pri(eid: int) -> int:
+        return int(hashlib.md5(f"gs1|{eid}".encode()).hexdigest()[:8], 16)
+
+    for n in [1, 3, 50]:
         got = {
             (r.event_id, r.event_type, r.rn)
-            for r in group_sample_n(ev, n=n, buckets=nb).collect()
+            for r in group_sample_n(ev, n=n).collect()
         }
-        pri = F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        "|", F.lit("gs1"), F.col("event_id").cast("string")
-                    )
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        w = Window.partitionBy("event_type").orderBy("pri", "event_id")
-        naive = (
-            ev.select("event_id", "event_type", pri.alias("pri"))
-            .withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") <= n)
-        )
-        want = {
-            (r.event_id, r.event_type, r.rn) for r in naive.collect()
-        }
-        assert got == want, (n, nb)
+        want = set()
+        for grp in ("a", "b", "c"):
+            members = sorted(
+                (eid for eid, g in rows if g == grp),
+                key=lambda e: (pri(e), e),
+            )
+            for rk, eid in enumerate(members[:n], start=1):
+                want.add((eid, grp, rk))
+        assert got == want, n
 
 
 def test_new_operators_handle_empty_input(spark):
