@@ -162,6 +162,9 @@ HEADLINE = [
     "scan_partition_pruned",
     "corpus_summary",
     "tokenize_offsets",
+    "rfm_segments",
+    "hard_negatives",
+    "graph_triangles",
 ]
 
 

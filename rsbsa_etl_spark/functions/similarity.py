@@ -161,6 +161,7 @@ def knn_graph(
     emb: DataFrame,
     k: int = ANN_TOP_K,
     n_tiles: int = 8,
+    diff_label: bool = False,
 ) -> DataFrame:
     """exact k-nearest-neighbor graph: EVERY vector's top-k cosine
     neighbors — the building block cluster/SemDeDup/graph pipelines
@@ -176,40 +177,52 @@ def knn_graph(
     keeps the global top-k. A source's global top-k is a subset of
     the union of its block top-k under the same total order, so the
     cut is lossless.
+
+    ``diff_label=True`` is the hard-negative-mining variant: the
+    candidate mask additionally drops SAME-label pairs inside each
+    block (before the block top-k, so the lossless-cut argument is
+    unchanged — the global filtered ranking and the block-local one
+    use the same total order over the same filtered candidate set),
+    and the output carries both endpoints' labels. Requires a
+    ``label`` column.
     """
     import numpy as np
     import pandas as pd
 
     t = F.pmod(F.col("vec_id"), F.lit(n_tiles)).cast("int")
-    e = emb.select("vec_id", "embedding", t.alias("t"))
+    cols = ["vec_id", "embedding"] + (["label"] if diff_label else [])
+    e = emb.select(*cols, t.alias("t"))
     left = e.select(
         F.col("t").alias("ta"),
         F.explode(F.sequence(F.col("t"), F.lit(n_tiles - 1))).alias("tb"),
-        "vec_id",
-        "embedding",
+        *cols,
         F.lit(True).alias("is_left"),
     )
     right = e.select(
         F.explode(F.sequence(F.lit(0), F.col("t"))).alias("ta"),
         F.col("t").alias("tb"),
-        "vec_id",
-        "embedding",
+        *cols,
         F.lit(False).alias("is_left"),
     )
 
     def block(key, pdf):
         ta, tb = key
-        empty = pd.DataFrame(
-            {
-                "vec_id": np.array([], dtype=np.int64),
-                "neighbor_id": np.array([], dtype=np.int64),
-                "cosine": np.array([], dtype=np.float64),
+
+        def frame(srcs, dsts, sims, slabs, dlabs):
+            out = {
+                "vec_id": np.array(srcs, dtype=np.int64),
+                "neighbor_id": np.array(dsts, dtype=np.int64),
+                "cosine": np.array(sims, dtype=np.float64),
             }
-        )
+            if diff_label:
+                out["label"] = np.array(slabs, dtype=np.int64)
+                out["neighbor_label"] = np.array(dlabs, dtype=np.int64)
+            return pd.DataFrame(out)
+
         L = pdf[pdf["is_left"]]
         R = pdf[~pdf["is_left"]]
         if L.empty or R.empty:
-            return empty
+            return frame([], [], [], [], [])
         A = np.stack([np.asarray(v, dtype=np.float64) for v in L["embedding"]])
         B = np.stack([np.asarray(v, dtype=np.float64) for v in R["embedding"]])
         na = np.sqrt((A * A).sum(axis=1))
@@ -217,54 +230,150 @@ def knn_graph(
         q = np.floor((A @ B.T) / np.outer(na, nb) * 1e4 + 0.5) / 1e4
         la = L["vec_id"].to_numpy()
         rb = R["vec_id"].to_numpy()
+        if diff_label:
+            la_lab = L["label"].to_numpy()
+            rb_lab = R["label"].to_numpy()
+        else:
+            la_lab = np.zeros(len(la), dtype=np.int64)
+            rb_lab = np.zeros(len(rb), dtype=np.int64)
 
-        def topk_rows(sim, src_ids, dst_ids):
-            srcs, dsts, sims = [], [], []
+        def topk_rows(sim, src_ids, dst_ids, src_lab, dst_lab):
+            srcs, dsts, sims, slabs, dlabs = [], [], [], [], []
             for i in range(sim.shape[0]):
                 row = sim[i]
                 mask = dst_ids != src_ids[i]
+                if diff_label:
+                    mask &= dst_lab != src_lab[i]
                 cand_dst = dst_ids[mask]
                 cand_sim = row[mask]
+                cand_lab = dst_lab[mask]
                 if cand_dst.size == 0:
                     continue
                 order = np.lexsort((cand_dst, -cand_sim))[:k]
                 srcs.extend([src_ids[i]] * len(order))
                 dsts.extend(cand_dst[order])
                 sims.extend(cand_sim[order])
-            return srcs, dsts, sims
+                slabs.extend([src_lab[i]] * len(order))
+                dlabs.extend(cand_lab[order])
+            return srcs, dsts, sims, slabs, dlabs
 
-        s1, d1, c1 = topk_rows(q, la, rb)
+        r1 = topk_rows(q, la, rb, la_lab, rb_lab)
         if ta == tb:
             # diagonal: L and R hold the same tile — one direction
             # already covers every source in the tile
-            s2, d2, c2 = [], [], []
+            r2 = ([], [], [], [], [])
         else:
-            s2, d2, c2 = topk_rows(q.T, rb, la)
-        return pd.DataFrame(
-            {
-                "vec_id": np.array(s1 + s2, dtype=np.int64),
-                "neighbor_id": np.array(d1 + d2, dtype=np.int64),
-                "cosine": np.array(c1 + c2, dtype=np.float64),
-            }
-        )
+            r2 = topk_rows(q.T, rb, la, rb_lab, la_lab)
+        return frame(*(a + b for a, b in zip(r1, r2)))
 
+    schema = "vec_id bigint, neighbor_id bigint, cosine double" + (
+        ", label bigint, neighbor_label bigint" if diff_label else ""
+    )
     per_block = (
         left.unionByName(right)
         .groupBy("ta", "tb")
-        .applyInPandas(block, "vec_id bigint, neighbor_id bigint, cosine double")
+        .applyInPandas(block, schema)
     )
     w = Window.partitionBy("vec_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
+    out_cols = [
+        F.col("vec_id"),
+        F.col("neighbor_id"),
+        dec_round(F.col("cosine"), 4).alias("cosine"),
+        F.col("rank").cast("int").alias("rank"),
+    ]
+    if diff_label:
+        out_cols[2:2] = [F.col("label"), F.col("neighbor_label")]
     return (
         per_block.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select(
-            "vec_id",
-            "neighbor_id",
-            dec_round(F.col("cosine"), 4).alias("cosine"),
-            F.col("rank").cast("int").alias("rank"),
+        .select(*out_cols)
+    )
+
+
+def hard_negatives(emb: DataFrame, k: int = ANN_TOP_K) -> DataFrame:
+    """hard-negative mining for contrastive training: for EVERY
+    vector, its top-k most-similar vectors carrying a DIFFERENT
+    label — the "looks alike, isn't the same class" pairs that make
+    the strongest training negatives (easy negatives are random
+    pairs; hard ones are mined exactly like this at corpus scale).
+
+    Pure ``knn_graph`` with the same-label candidates masked out
+    inside each tile block, so the cost profile is identical to the
+    neighbor graph (tiled block-matmul, block-local top-k, shuffle
+    of n·√tasks·k candidate rows — never n² pairs) and the result is
+    the exact label-filtered ranking, not an approximation.
+    """
+    return knn_graph(emb, k, diff_label=True)
+
+
+def knn_triangles(
+    emb: DataFrame, k: int = ANN_TOP_K, n_tiles: int = 8
+) -> DataFrame:
+    """local clustering structure of the exact kNN graph: per node
+    its degree, triangle count, and local clustering coefficient
+    2·T/(d·(d−1)) — the graph-side duplicate/community signal (dense
+    triangle neighborhoods = tight near-duplicate or topical
+    clusters; triangle-free nodes = isolated/off-distribution).
+
+    Distributed shape: the undirected edge set is the
+    union-of-directions of ``knn_graph`` canonicalized to u<v and
+    deduped (≤ n·k edges — node-linear, never pairwise), persisted
+    once because it feeds four consumers (two wedge legs, the
+    closing leg, degrees). Triangles use the standard node-iterator
+    join — wedges e1(a,b)⋈e2(b,c) with a<b<c closed by e3(a,c) —
+    two shuffle joins on edge endpoints; every triangle is
+    enumerated exactly once because its vertex order is unique.
+    Degrees in a kNN union graph are bounded (≥k out-edges, in-edges
+    concentrate only on hub vectors), so the wedge intermediate is
+    ~n·O(k²) rows; on a skewed corpus the classic degree-orientation
+    refinement (point each edge from its lower- to higher-degree
+    endpoint) caps it further without changing the result.
+    """
+    g = knn_graph(emb, k, n_tiles)
+    edges = (
+        g.select(
+            F.least("vec_id", "neighbor_id").alias("u"),
+            F.greatest("vec_id", "neighbor_id").alias("v"),
         )
+        .distinct()
+        .persist()
+    )
+    wedge = (
+        edges.alias("e1")
+        .join(edges.alias("e2"), F.col("e1.v") == F.col("e2.u"))
+        .select(
+            F.col("e1.u").alias("a"),
+            F.col("e1.v").alias("b"),
+            F.col("e2.v").alias("c"),
+        )
+    )
+    tri = wedge.join(
+        edges.alias("e3"),
+        (F.col("a") == F.col("e3.u")) & (F.col("c") == F.col("e3.v")),
+    ).select("a", "b", "c")
+    tcnt = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("vec_id"))
+        .groupBy("vec_id")
+        .agg(F.count("*").alias("tri_count"))
+    )
+    deg = (
+        edges.select(F.explode(F.array("u", "v")).alias("vec_id"))
+        .groupBy("vec_id")
+        .agg(F.count("*").alias("degree"))
+    )
+    d = F.col("degree")
+    t = F.coalesce(F.col("tri_count"), F.lit(0))
+    return deg.join(tcnt, "vec_id", "left").select(
+        "vec_id",
+        d.cast("long").alias("degree"),
+        t.cast("long").alias("tri_count"),
+        F.when(
+            d >= 2, dec_round(F.lit(2.0) * t / (d * (d - F.lit(1))), 4)
+        )
+        .otherwise(F.lit(0.0))
+        .alias("clustering"),
     )
 
 

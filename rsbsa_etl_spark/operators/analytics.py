@@ -21,7 +21,7 @@ use approx_percentile when the group is a hot key.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from rsbsa_etl_spark.functions.numeric import dec_round, fixed_sum, salted_pri
 from rsbsa_etl_spark.operators.aggregates import decimal_sum
@@ -1155,4 +1155,94 @@ def ts_decompose(events: DataFrame) -> DataFrame:
                 "residual"
             ),
         )
+    )
+
+
+def rfm_segments(orders: DataFrame) -> DataFrame:
+    """RFM customer segmentation — the classic recency / frequency /
+    monetary quartile scoring (1–4 per axis, higher = better) that
+    BI teams run on the orders fact to rank accounts; the reference's
+    sync pipelines feed exactly this kind of downstream scoring.
+
+    Scale shape: one map-side-partial shuffle groups orders to the
+    per-customer triple; everything after operates on the
+    customer-sized aggregate, which is persisted because it feeds
+    three consumers (reference-day agg, quartile agg, scoring). The
+    quartile boundaries come from the ``percentile_disc`` AGGREGATE
+    — a real distributed aggregate, NOT an ``ntile`` window, whose
+    empty PARTITION BY would funnel every customer through one task
+    — and the single boundary row is broadcast onto the scoring
+    select. No global sort anywhere.
+
+    Exactness: recency is whole days (BIGINT), monetary is a cents
+    fixed-point BIGINT sum (order-independent), so every quartile
+    boundary is an exact integer both engines pick identically
+    (percentile_disc selects an element, never interpolates) and
+    every score is an integer comparison — no float tolerance.
+    """
+    day = (F.unix_seconds("o_orderdate") / F.lit(86400)).cast("long")
+    cust = (
+        orders.select(
+            F.col("o_custkey").alias("custkey"),
+            day.alias("d"),
+            F.floor(F.col("o_totalprice") * F.lit(100) + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("custkey")
+        .agg(
+            F.max("d").alias("last_day"),
+            F.count("*").alias("frequency"),
+            F.sum("cents").alias("cents"),
+        )
+        .persist()
+    )
+    ref = cust.agg(F.max("last_day").alias("ref_day"))
+    c2 = cust.join(F.broadcast(ref)).select(
+        "custkey",
+        (F.col("ref_day") - F.col("last_day")).alias("recency_days"),
+        "frequency",
+        "cents",
+    )
+    qs = [
+        F.expr(
+            f"percentile_disc({q}) WITHIN GROUP (ORDER BY {m})"
+        ).alias(f"{m[0]}q{i}")
+        for m in ("recency_days", "frequency", "cents")
+        for i, q in ((1, 0.25), (2, 0.5), (3, 0.75))
+    ]
+    bounds = c2.agg(*qs)
+
+    def up(c: Column, pre: str) -> Column:
+        """1–4, higher metric → higher score."""
+        return (
+            F.lit(1)
+            + (c > F.col(f"{pre}q1")).cast("int")
+            + (c > F.col(f"{pre}q2")).cast("int")
+            + (c > F.col(f"{pre}q3")).cast("int")
+        )
+
+    def down(c: Column, pre: str) -> Column:
+        """1–4, LOWER metric → higher score (recency)."""
+        return (
+            F.lit(1)
+            + (c < F.col(f"{pre}q3")).cast("int")
+            + (c < F.col(f"{pre}q2")).cast("int")
+            + (c < F.col(f"{pre}q1")).cast("int")
+        )
+
+    r_s = down(F.col("recency_days"), "r")
+    f_s = up(F.col("frequency"), "f")
+    m_s = up(F.col("cents"), "c")
+    return c2.join(F.broadcast(bounds)).select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        dec_round(F.col("cents") / F.lit(100.0), 2).alias("monetary"),
+        r_s.cast("int").alias("r_score"),
+        f_s.cast("int").alias("f_score"),
+        m_s.cast("int").alias("m_score"),
+        F.concat(
+            r_s.cast("string"), f_s.cast("string"), m_s.cast("string")
+        ).alias("segment"),
     )

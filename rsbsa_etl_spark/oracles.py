@@ -890,6 +890,122 @@ SELECT vec_id,
 FROM si, tot
 """
 
+ORACLES["hard_negatives"] = f"""
+WITH {_EMB_CTE.strip()},
+lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+scored AS (
+  SELECT a.vec_id AS vec_id, la.label AS label,
+         b.vec_id AS neighbor_id, lb.label AS neighbor_label,
+         {_dec(f"{_DOT} / (a.nrm * b.nrm)", 4)} AS cosine
+  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+  JOIN lab la ON la.vec_id = a.vec_id
+  JOIN lab lb ON lb.vec_id = b.vec_id
+  WHERE la.label <> lb.label
+),
+ranked AS (
+  SELECT vec_id, neighbor_id, label, neighbor_label, cosine,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT vec_id, neighbor_id, label, neighbor_label, cosine,
+       CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {P.ANN_TOP_K}
+"""
+
+ORACLES["graph_triangles"] = f"""
+WITH {_EMB_CTE.strip()},
+scored AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         {_dec(f"{_DOT} / (a.nrm * b.nrm)", 4)} AS cosine
+  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT vec_id, neighbor_id,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+),
+edges AS (
+  SELECT DISTINCT least(vec_id, neighbor_id) AS u,
+                  greatest(vec_id, neighbor_id) AS v
+  FROM ranked WHERE rank <= {P.ANN_TOP_K}
+),
+wedge AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM edges e1 JOIN edges e2 ON e2.u = e1.v
+),
+tri AS (
+  SELECT a, b, c FROM wedge
+  JOIN edges e3 ON e3.u = wedge.a AND e3.v = wedge.c
+),
+tcnt AS (
+  SELECT vec_id, count(*) AS t
+  FROM (SELECT unnest([a, b, c]) AS vec_id FROM tri) GROUP BY vec_id
+),
+deg AS (
+  SELECT vec_id, count(*) AS d
+  FROM (SELECT unnest([u, v]) AS vec_id FROM edges) GROUP BY vec_id
+)
+SELECT deg.vec_id AS vec_id, CAST(d AS BIGINT) AS degree,
+       CAST(coalesce(t, 0) AS BIGINT) AS tri_count,
+       CASE WHEN d >= 2
+            THEN {_dec("2.0 * coalesce(t, 0) / (d * (d - 1))", 4)}
+            ELSE CAST(0.0 AS DOUBLE) END AS clustering
+FROM deg LEFT JOIN tcnt ON tcnt.vec_id = deg.vec_id
+"""
+
+ORACLES["rfm_segments"] = f"""
+WITH o AS (
+  SELECT o_custkey AS custkey,
+         (epoch_ms(o_orderdate) // 1000) // 86400 AS d,
+         CAST(floor(CAST(o_totalprice AS DOUBLE) * 100 + 0.5) AS BIGINT)
+           AS cents
+  FROM orders
+),
+cust AS (
+  SELECT custkey, max(d) AS last_day, count(*) AS frequency,
+         CAST(sum(cents) AS BIGINT) AS cents
+  FROM o GROUP BY custkey
+),
+ref AS (SELECT max(last_day) AS ref_day FROM cust),
+c2 AS (
+  SELECT custkey, ref_day - last_day AS recency_days, frequency, cents
+  FROM cust, ref
+),
+b AS (
+  SELECT quantile_disc(recency_days, 0.25) AS rq1,
+         quantile_disc(recency_days, 0.5)  AS rq2,
+         quantile_disc(recency_days, 0.75) AS rq3,
+         quantile_disc(frequency, 0.25) AS fq1,
+         quantile_disc(frequency, 0.5)  AS fq2,
+         quantile_disc(frequency, 0.75) AS fq3,
+         quantile_disc(cents, 0.25) AS cq1,
+         quantile_disc(cents, 0.5)  AS cq2,
+         quantile_disc(cents, 0.75) AS cq3
+  FROM c2
+),
+s AS (
+  SELECT custkey, recency_days, frequency, cents,
+         1 + CAST(recency_days < rq3 AS INT)
+           + CAST(recency_days < rq2 AS INT)
+           + CAST(recency_days < rq1 AS INT) AS r_score,
+         1 + CAST(frequency > fq1 AS INT)
+           + CAST(frequency > fq2 AS INT)
+           + CAST(frequency > fq3 AS INT) AS f_score,
+         1 + CAST(cents > cq1 AS INT)
+           + CAST(cents > cq2 AS INT)
+           + CAST(cents > cq3 AS INT) AS m_score
+  FROM c2, b
+)
+SELECT custkey, recency_days, frequency,
+       {_dec("cents / 100.0", 2)} AS monetary,
+       r_score, f_score, m_score,
+       CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+         || CAST(m_score AS VARCHAR) AS segment
+FROM s
+"""
+
 ORACLES["dedup_embedding"] = f"""
 WITH {_EMB_CTE.strip()},
 p AS (

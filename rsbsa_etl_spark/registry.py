@@ -1146,6 +1146,33 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.resize_payloads(frames)
 
 
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM quartile segmentation of the orders fact — boundaries via
+    the percentile_disc aggregate + one broadcast row, no ntile
+    global-sort window anywhere."""
+    from rsbsa_etl_spark.operators.analytics import rfm_segments as _rfm
+
+    return _rfm(load(spark, sf_dir, "orders"))
+
+
+def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """contrastive-training hard negatives: every vector's top-k
+    most-similar DIFFERENT-label vectors — exact label-filtered kNN
+    through the same tiled block-matmul as knn_graph."""
+    from rsbsa_etl_spark.functions.similarity import hard_negatives as _hn
+
+    return _hn(load(spark, sf_dir, "embeddings"))
+
+
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """per-node degree / triangle count / clustering coefficient of
+    the exact kNN graph — node-iterator triangle join, edges
+    node-linear and persisted once."""
+    from rsbsa_etl_spark.functions.similarity import knn_triangles
+
+    return knn_triangles(load(spark, sf_dir, "embeddings"))
+
+
 def stream_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """streaming exactly-N reservoir (foreachBatch hash-min merge);
     final state == the batch sample_fixed_n, oracle = batch SQL."""
@@ -1937,6 +1964,9 @@ QUERIES: dict[str, QueryFn] = {
     "group_sample_n": group_sample_n,
     "bpe_pairs": bpe_pairs,
     "lang_confusion": lang_confusion,
+    "rfm_segments": rfm_segments,
+    "hard_negatives": hard_negatives,
+    "graph_triangles": graph_triangles,
     "sample_fixed_n": sample_fixed_n,
     "dedup_segments": dedup_segments,
     "window_ntile": window_ntile,
@@ -2121,6 +2151,7 @@ _UNTESTED_PRIORITY = [
     "lang_confusion", "stream_sample", "multimodal_resize",
     "window_gap_islands", "join_bucketed", "ts_decompose",
     "scan_partition_pruned", "corpus_summary", "tokenize_offsets",
+    "rfm_segments", "hard_negatives", "graph_triangles",
 ]
 
 _rows = _driver_latest_rows()

@@ -617,3 +617,33 @@ def test_group_sample_gets_window_group_limit(spark):
 
     plan = _plan(QUERIES["group_sample_n"](spark, SF_DIR))
     assert plan.count("WindowGroupLimit") == 2
+
+
+def test_hard_negatives_mines_inside_tile_blocks(spark):
+    # the label-mismatch mask must be applied inside the tiled
+    # block-matmul (same FlatMapGroupsInPandas shape as knn_graph),
+    # not as a post-hoc join of an unfiltered n² pair set
+    plan = _plan(QUERIES["hard_negatives"](spark, SF_DIR))
+    assert "FlatMapGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_triangle_edges_are_cached_once(spark):
+    # the kNN edge set feeds four consumers (two wedge legs, the
+    # closing leg, degrees); it must be a shared InMemoryRelation so
+    # the block-matmul runs once, and triangle closure must join the
+    # node-linear edge table, never a pairwise product
+    plan = _plan(QUERIES["graph_triangles"](spark, SF_DIR))
+    assert plan.count("InMemoryTableScan") == 4
+    assert "CartesianProduct" not in plan
+
+
+def test_rfm_has_no_global_sort_window(spark):
+    # quartile scoring must come from the percentile_disc AGGREGATE
+    # broadcast back (3 scalar BNLJ broadcasts are the expected
+    # CROSS JOIN (SELECT agg...) plan) — an ntile/row_number window
+    # with empty PARTITION BY would funnel every customer through a
+    # single task
+    plan = _plan(QUERIES["rfm_segments"](spark, SF_DIR))
+    assert "Window" not in plan
+    assert plan.count("InMemoryTableScan") >= 3  # customer agg shared
