@@ -340,6 +340,17 @@ def knn_triangles(
         .distinct()
         .persist()
     )
+    return triangle_stats(edges)
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """degree / triangle count / clustering coefficient per node of
+    an undirected graph given as canonical edges (u < v, distinct) —
+    the join core of ``knn_triangles``, factored out so arbitrary
+    edge sets (property tests, other candidate graphs) can reuse it.
+    The caller persists ``edges`` when it is expensive to rebuild;
+    this function references it four times.
+    """
     wedge = (
         edges.alias("e1")
         .join(edges.alias("e2"), F.col("e1.v") == F.col("e2.u"))

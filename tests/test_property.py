@@ -256,3 +256,51 @@ def test_new_operators_handle_empty_input(spark):
     # the sketch eval emits its single summary row even when empty
     row = kmv_merge_eval(docs).collect()[0]
     assert row.exact_distinct == 0 and row.n_sources == 0
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=0,
+        max_size=60,
+    )
+)
+def test_triangle_stats_matches_python_bruteforce(sp, raw_edges):
+    """triangle_stats == the O(n³) pure-Python count on arbitrary
+    small graphs (self-loops dropped, edges canonicalized u<v)."""
+    from itertools import combinations
+
+    from rsbsa_etl_spark.functions.similarity import triangle_stats
+
+    edges = sorted({(min(a, b), max(a, b)) for a, b in raw_edges if a != b})
+    nodes = sorted({n for e in edges for n in e})
+    eset = set(edges)
+    deg = {n: 0 for n in nodes}
+    for u, v in edges:
+        deg[u] += 1
+        deg[v] += 1
+    tri = {n: 0 for n in nodes}
+    for a, b, c in combinations(nodes, 3):
+        if (a, b) in eset and (b, c) in eset and (a, c) in eset:
+            tri[a] += 1
+            tri[b] += 1
+            tri[c] += 1
+
+    if not edges:
+        edf = sp.createDataFrame([], "u long, v long")
+    else:
+        edf = sp.createDataFrame(edges, "u long, v long")
+    got = {
+        r.vec_id: (r.degree, r.tri_count, r.clustering)
+        for r in triangle_stats(edf).collect()
+    }
+    assert set(got) == set(nodes)
+    for n in nodes:
+        d, t = deg[n], tri[n]
+        expect_c = (
+            __import__("math").floor(2.0 * t / (d * (d - 1)) * 1e4 + 0.5) / 1e4
+            if d >= 2
+            else 0.0
+        )
+        assert got[n] == (d, t, expect_c), (n, got[n], (d, t, expect_c))
