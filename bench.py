@@ -165,6 +165,8 @@ HEADLINE = [
     "rfm_segments",
     "hard_negatives",
     "graph_triangles",
+    "ts_autocorr",
+    "k_anonymity",
 ]
 
 

@@ -659,3 +659,35 @@ def decontam_fuzzy(
         F.col("doc_b").alias("train_doc_id"),
         dec_round(containment, 4).alias("containment"),
     )
+
+
+def k_anonymity(docs: DataFrame) -> DataFrame:
+    """k-anonymity audit of the corpus's quasi-identifiers — the
+    privacy gate a training-data release runs before publishing: any
+    (lang, source, generalized-length) combination shared by fewer
+    than K documents is a re-identification risk and gets flagged
+    for suppression or further generalization. Length is generalized
+    by bucketing (the "birth date → birth year" move) so the
+    identifier is coarse enough to be useful but still discriminates
+    outlier documents.
+
+    One map-side-partial groupBy shuffle over the quasi-identifier
+    triple — group-cardinality output, scale-trivial; the flag is an
+    integer comparison, the risk share a single exact division.
+    """
+    bucket = (
+        F.floor(F.col("n_chars") / F.lit(P.K_ANON_CHARS_BUCKET))
+        * F.lit(P.K_ANON_CHARS_BUCKET)
+    ).cast("long")
+    return (
+        docs.select("lang", "source", bucket.alias("chars_bucket"))
+        .groupBy("lang", "source", "chars_bucket")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "lang",
+            "source",
+            "chars_bucket",
+            "n",
+            (F.col("n") < F.lit(P.K_ANON)).alias("at_risk"),
+        )
+    )

@@ -1246,3 +1246,67 @@ def rfm_segments(orders: DataFrame) -> DataFrame:
             r_s.cast("string"), f_s.cast("string"), m_s.cast("string")
         ).alias("segment"),
     )
+
+
+def ts_autocorr(events: DataFrame, max_lag: int = 7) -> DataFrame:
+    """autocorrelation of the daily event-count series at lags
+    1..max_lag — the seasonality detector behind the day-of-week
+    model ``ts_decompose`` assumes (a weekly corpus shows a spike at
+    lag 7; a memoryless one decays to ~0 everywhere).
+
+    Lag pairs come from ONE equi-join: each day row explodes into
+    (day + L) probes for all max_lag lags, hash-joined back to the
+    binned table — day-based lags, so calendar gaps pair correctly
+    and never misalign the series the way a row-number lag would.
+    The binned table is day-count sized (persisted: it feeds the
+    pair join twice and the global-stats aggregate), the pair table
+    is max_lag× that, and the whole thing sits on top of one
+    partial-aggregated shuffle of the raw events.
+
+    Exactness: with S=Σx, Q=Σx², N days, and per-lag P=Σx_t·x_{t+L},
+    A=Σx_t, B=Σx_{t+L}, m=#pairs (all BIGINT sums of BIGINT counts),
+    the mean-centered estimator multiplies out to
+
+        acf_L = (N²·P − N·S·(A+B) + m·S²) / (N·(N·Q − S²))
+
+    — pure integer arithmetic up to a single double division + the
+    portable fixed-point rounding, so both engines agree bit-for-bit
+    with no float-summation order anywhere.
+    """
+    day = (F.unix_seconds("ts") / F.lit(86400)).cast("long")
+    bins = (
+        events.select(day.alias("day"))
+        .groupBy("day")
+        .agg(F.count("*").alias("x"))
+        .persist()
+    )
+    stats = bins.agg(
+        F.count("*").alias("n_days"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("q"),
+    )
+    probes = bins.select(
+        "day",
+        F.col("x").alias("xa"),
+        F.explode(F.sequence(F.lit(1), F.lit(max_lag))).alias("lag"),
+    ).withColumn("day2", F.col("day") + F.col("lag"))
+    pairs = probes.join(
+        bins.select(F.col("day").alias("day2"), F.col("x").alias("xb")),
+        "day2",
+    )
+    per_lag = pairs.groupBy("lag").agg(
+        F.sum(F.col("xa") * F.col("xb")).alias("p"),
+        F.sum("xa").alias("a"),
+        F.sum("xb").alias("b"),
+        F.count("*").alias("m"),
+    )
+    n, s, q = F.col("n_days"), F.col("s"), F.col("q")
+    num = n * n * F.col("p") - n * s * (F.col("a") + F.col("b")) + F.col(
+        "m"
+    ) * s * s
+    den = n * (n * q - s * s)
+    return per_lag.join(F.broadcast(stats)).select(
+        F.col("lag").cast("int").alias("lag"),
+        F.col("m").alias("n_pairs"),
+        dec_round(num.cast("double") / den.cast("double"), 6).alias("acf"),
+    )

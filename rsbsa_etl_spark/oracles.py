@@ -1006,6 +1006,51 @@ SELECT custkey, recency_days, frequency,
 FROM s
 """
 
+ORACLES["ts_autocorr"] = f"""
+WITH bins AS (
+  SELECT (epoch_ms(ts) // 1000) // 86400 AS day,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY day
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(x) AS BIGINT) AS s,
+         CAST(sum(x * x) AS BIGINT) AS q
+  FROM bins
+),
+probes AS (
+  SELECT day, x AS xa, unnest(range(1, 8)) AS lag FROM bins
+),
+pairs AS (
+  SELECT p.lag, p.xa, b.x AS xb
+  FROM probes p JOIN bins b ON b.day = p.day + p.lag
+),
+per_lag AS (
+  SELECT lag,
+         CAST(sum(xa * xb) AS BIGINT) AS p,
+         CAST(sum(xa) AS BIGINT) AS a,
+         CAST(sum(xb) AS BIGINT) AS b,
+         CAST(count(*) AS BIGINT) AS m
+  FROM pairs GROUP BY lag
+)
+SELECT CAST(lag AS INT) AS lag, m AS n_pairs,
+       {_dec('''CAST(n_days * n_days * p - n_days * s * (a + b)
+                     + m * s * s AS DOUBLE)
+                / CAST(n_days * (n_days * q - s * s) AS DOUBLE)''', 6)}
+         AS acf
+FROM per_lag, stats
+"""
+
+ORACLES["k_anonymity"] = f"""
+SELECT lang, source,
+       (n_chars // {P.K_ANON_CHARS_BUCKET}) * {P.K_ANON_CHARS_BUCKET}
+         AS chars_bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       count(*) < {P.K_ANON} AS at_risk
+FROM documents
+GROUP BY lang, source, chars_bucket
+"""
+
 ORACLES["dedup_embedding"] = f"""
 WITH {_EMB_CTE.strip()},
 p AS (

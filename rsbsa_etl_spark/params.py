@@ -248,3 +248,10 @@ GEO_MOD = 10_000
 GEO_AX = 48_271
 GEO_AY = 16_807
 GEO_RADIUS = 800
+
+#: k-anonymity gate: a quasi-identifier combination shared by fewer
+#: than K records is re-identifiable; chars bucket width generalizes
+#: the exact length the way production gates generalize birth dates
+#: to years.
+K_ANON = 5
+K_ANON_CHARS_BUCKET = 100

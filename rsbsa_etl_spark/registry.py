@@ -1173,6 +1173,22 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_triangles(load(spark, sf_dir, "embeddings"))
 
 
+def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """daily-series autocorrelation at lags 1..7 in exact integer
+    arithmetic — one binned-table self-equi-join via lag explode."""
+    from rsbsa_etl_spark.operators.analytics import ts_autocorr as _ac
+
+    return _ac(load(spark, sf_dir, "events"))
+
+
+def k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quasi-identifier k-anonymity audit (privacy gate): group
+    sizes of (lang, source, generalized length), under-K flagged."""
+    from rsbsa_etl_spark.functions.curation import k_anonymity as _ka
+
+    return _ka(load(spark, sf_dir, "documents"))
+
+
 def stream_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """streaming exactly-N reservoir (foreachBatch hash-min merge);
     final state == the batch sample_fixed_n, oracle = batch SQL."""
@@ -1967,6 +1983,8 @@ QUERIES: dict[str, QueryFn] = {
     "rfm_segments": rfm_segments,
     "hard_negatives": hard_negatives,
     "graph_triangles": graph_triangles,
+    "ts_autocorr": ts_autocorr,
+    "k_anonymity": k_anonymity,
     "sample_fixed_n": sample_fixed_n,
     "dedup_segments": dedup_segments,
     "window_ntile": window_ntile,
@@ -2152,6 +2170,7 @@ _UNTESTED_PRIORITY = [
     "window_gap_islands", "join_bucketed", "ts_decompose",
     "scan_partition_pruned", "corpus_summary", "tokenize_offsets",
     "rfm_segments", "hard_negatives", "graph_triangles",
+    "ts_autocorr", "k_anonymity",
 ]
 
 _rows = _driver_latest_rows()
