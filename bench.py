@@ -167,6 +167,8 @@ HEADLINE = [
     "graph_triangles",
     "ts_autocorr",
     "k_anonymity",
+    "feature_hashing",
+    "quantile_bucketize",
 ]
 
 

@@ -246,15 +246,15 @@ def knn_graph(
                     mask &= dst_lab != src_lab[i]
                 cand_dst = dst_ids[mask]
                 cand_sim = row[mask]
-                cand_lab = dst_lab[mask]
                 if cand_dst.size == 0:
                     continue
                 order = np.lexsort((cand_dst, -cand_sim))[:k]
                 srcs.extend([src_ids[i]] * len(order))
                 dsts.extend(cand_dst[order])
                 sims.extend(cand_sim[order])
-                slabs.extend([src_lab[i]] * len(order))
-                dlabs.extend(cand_lab[order])
+                if diff_label:
+                    slabs.extend([src_lab[i]] * len(order))
+                    dlabs.extend(dst_lab[mask][order])
             return srcs, dsts, sims, slabs, dlabs
 
         r1 = topk_rows(q, la, rb, la_lab, rb_lab)

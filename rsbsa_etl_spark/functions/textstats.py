@@ -837,3 +837,45 @@ def tokenize_offsets(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .alias("start"),
         F.length("token").cast("long").alias("len"),
     )
+
+
+def feature_hash_vectors(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """hashing-trick bag-of-words: each document becomes a dense
+    FEATURE_HASH_DIM-long count vector, token → slot by hash —
+    the fixed-width featurization (Weinberger et al.'s feature
+    hashing) that needs NO vocabulary build, no global dictionary
+    shuffle, and no vocabulary-sized model state: the properties
+    that make it the featurizer that still works at 100 TB.
+
+    Two bounded shuffles: (doc, slot) partial counts (≤ dim rows per
+    doc survive the map-side combine), then per-doc map assembly;
+    the dense vector is a pure array expression over the slot map.
+    Hash is the shared md5 hex-prefix integer, so slots — and every
+    collision — are engine-identical.
+    """
+    from rsbsa_etl_spark.functions.dedup import tokens_col
+    from rsbsa_etl_spark.params import FEATURE_HASH_DIM as D
+
+    tok = docs.select(
+        "doc_id", F.explode(tokens_col(F.col(text_col))).alias("tok")
+    )
+    slot = F.pmod(
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint"),
+        F.lit(D),
+    ).cast("int")
+    sparse = (
+        tok.select("doc_id", slot.alias("slot"))
+        .groupBy("doc_id", "slot")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    m = sparse.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("slot", "n"))).alias("mp"),
+        F.sum("n").alias("n_tokens"),
+    )
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(D - 1)),
+        lambda s: F.coalesce(
+            F.element_at(F.col("mp"), s.cast("int")), F.lit(0).cast("long")
+        ),
+    )
+    return m.select("doc_id", "n_tokens", vec.alias("vec"))

@@ -1248,7 +1248,7 @@ def rfm_segments(orders: DataFrame) -> DataFrame:
     )
 
 
-def ts_autocorr(events: DataFrame, max_lag: int = 7) -> DataFrame:
+def ts_autocorr(events: DataFrame, max_lag: int | None = None) -> DataFrame:
     """autocorrelation of the daily event-count series at lags
     1..max_lag — the seasonality detector behind the day-of-week
     model ``ts_decompose`` assumes (a weekly corpus shows a spike at
@@ -1259,20 +1259,28 @@ def ts_autocorr(events: DataFrame, max_lag: int = 7) -> DataFrame:
     binned table — day-based lags, so calendar gaps pair correctly
     and never misalign the series the way a row-number lag would.
     The binned table is day-count sized (persisted: it feeds the
-    pair join twice and the global-stats aggregate), the pair table
-    is max_lag× that, and the whole thing sits on top of one
-    partial-aggregated shuffle of the raw events.
+    global-stats aggregate and both sides of the pair join), the
+    pair table is max_lag× that, and the whole thing sits on top of
+    one partial-aggregated shuffle of the raw events.
 
-    Exactness: with S=Σx, Q=Σx², N days, and per-lag P=Σx_t·x_{t+L},
-    A=Σx_t, B=Σx_{t+L}, m=#pairs (all BIGINT sums of BIGINT counts),
-    the mean-centered estimator multiplies out to
+    Exactness: with S=Σx over N days, the N-scaled centered residual
+    f_t = N·x_t − S is an exact BIGINT per day, and the estimator is
 
-        acf_L = (N²·P − N·S·(A+B) + m·S²) / (N·(N·Q − S²))
+        acf_L = Σ_pairs f_t·f_{t+L} / Σ_t f_t²
 
-    — pure integer arithmetic up to a single double division + the
-    portable fixed-point rounding, so both engines agree bit-for-bit
-    with no float-summation order anywhere.
+    (both numerator N² and denominator N² cancel) — pure integer
+    arithmetic up to a single double division + the portable
+    fixed-point rounding, so both engines agree bit-for-bit with no
+    float-summation order anywhere. Magnitude envelope: f_t is
+    N×(the day's deviation from the mean), so the sums need
+    N³·σ_day² < 2⁶³ — deviations up to ~10⁶ events/day over a
+    decade of days; a corpus beyond that envelope should move these
+    two sums to DECIMAL(38,0) (DuckDB side: HUGEINT), which changes
+    no other part of the plan.
     """
+    from rsbsa_etl_spark.params import ACF_MAX_LAG
+
+    lags = ACF_MAX_LAG if max_lag is None else max_lag
     day = (F.unix_seconds("ts") / F.lit(86400)).cast("long")
     bins = (
         events.select(day.alias("day"))
@@ -1281,32 +1289,69 @@ def ts_autocorr(events: DataFrame, max_lag: int = 7) -> DataFrame:
         .persist()
     )
     stats = bins.agg(
-        F.count("*").alias("n_days"),
-        F.sum("x").alias("s"),
-        F.sum(F.col("x") * F.col("x")).alias("q"),
+        F.count("*").alias("n_days"), F.sum("x").alias("s")
     )
-    probes = bins.select(
+    f = (
+        bins.join(F.broadcast(stats))
+        .select(
+            "day", (F.col("n_days") * F.col("x") - F.col("s")).alias("f")
+        )
+        .persist()
+    )
+    den = f.agg(F.sum(F.col("f") * F.col("f")).alias("den"))
+    probes = f.select(
         "day",
-        F.col("x").alias("xa"),
-        F.explode(F.sequence(F.lit(1), F.lit(max_lag))).alias("lag"),
+        F.col("f").alias("fa"),
+        F.explode(F.sequence(F.lit(1), F.lit(lags))).alias("lag"),
     ).withColumn("day2", F.col("day") + F.col("lag"))
     pairs = probes.join(
-        bins.select(F.col("day").alias("day2"), F.col("x").alias("xb")),
+        f.select(F.col("day").alias("day2"), F.col("f").alias("fb")),
         "day2",
     )
     per_lag = pairs.groupBy("lag").agg(
-        F.sum(F.col("xa") * F.col("xb")).alias("p"),
-        F.sum("xa").alias("a"),
-        F.sum("xb").alias("b"),
+        F.sum(F.col("fa") * F.col("fb")).alias("num"),
         F.count("*").alias("m"),
     )
-    n, s, q = F.col("n_days"), F.col("s"), F.col("q")
-    num = n * n * F.col("p") - n * s * (F.col("a") + F.col("b")) + F.col(
-        "m"
-    ) * s * s
-    den = n * (n * q - s * s)
-    return per_lag.join(F.broadcast(stats)).select(
+    return per_lag.join(F.broadcast(den)).select(
         F.col("lag").cast("int").alias("lag"),
         F.col("m").alias("n_pairs"),
-        dec_round(num.cast("double") / den.cast("double"), 6).alias("acf"),
+        dec_round(
+            F.col("num").cast("double") / F.col("den").cast("double"), 6
+        ).alias("acf"),
+    )
+
+
+def quantile_bucketize(lineitem: DataFrame, n_buckets: int = 10) -> DataFrame:
+    """equi-depth feature binning: each line item's price mapped to
+    its corpus-wide decile bucket — the monotonic binning feature
+    transforms (GBDT prep, score calibration, drift monitors) run
+    over a fact table before training.
+
+    Same no-global-sort discipline as ``rfm_segments``: the
+    n_buckets−1 boundaries come from one ``percentile_disc``
+    AGGREGATE pass (distributed; an ntile window here would funnel
+    the whole fact table through a single task), broadcast as one
+    row, and the bucket id is 1 + the count of boundaries strictly
+    exceeded — integer comparisons on exact cents, no float
+    tolerance, ties land identically in both engines.
+    """
+    cents = F.floor(F.col("l_extendedprice") * F.lit(100) + F.lit(0.5)).cast(
+        "long"
+    )
+    base = lineitem.select("l_orderkey", "l_linenumber", cents.alias("cents"))
+    qs = [
+        F.expr(
+            f"percentile_disc({i / n_buckets}) WITHIN GROUP (ORDER BY cents)"
+        ).alias(f"q{i}")
+        for i in range(1, n_buckets)
+    ]
+    bounds = base.agg(*qs)
+    bucket = F.lit(1)
+    for i in range(1, n_buckets):
+        bucket = bucket + (F.col("cents") > F.col(f"q{i}")).cast("int")
+    return base.join(F.broadcast(bounds)).select(
+        "l_orderkey",
+        "l_linenumber",
+        dec_round(F.col("cents") / F.lit(100.0), 2).alias("price"),
+        bucket.cast("int").alias("bucket"),
     )

@@ -1013,32 +1013,69 @@ WITH bins AS (
   FROM events GROUP BY day
 ),
 stats AS (
-  SELECT CAST(count(*) AS BIGINT) AS n_days,
-         CAST(sum(x) AS BIGINT) AS s,
-         CAST(sum(x * x) AS BIGINT) AS q
+  SELECT CAST(count(*) AS BIGINT) AS n_days, CAST(sum(x) AS BIGINT) AS s
   FROM bins
 ),
-probes AS (
-  SELECT day, x AS xa, unnest(range(1, 8)) AS lag FROM bins
+fr AS (
+  SELECT day, n_days * x - s AS f FROM bins, stats
 ),
-pairs AS (
-  SELECT p.lag, p.xa, b.x AS xb
-  FROM probes p JOIN bins b ON b.day = p.day + p.lag
+den AS (SELECT CAST(sum(f * f) AS BIGINT) AS den FROM fr),
+probes AS (
+  SELECT day, f AS fa, unnest(range(1, {P.ACF_MAX_LAG + 1})) AS lag FROM fr
 ),
 per_lag AS (
-  SELECT lag,
-         CAST(sum(xa * xb) AS BIGINT) AS p,
-         CAST(sum(xa) AS BIGINT) AS a,
-         CAST(sum(xb) AS BIGINT) AS b,
+  SELECT p.lag,
+         CAST(sum(p.fa * b.f) AS BIGINT) AS num,
          CAST(count(*) AS BIGINT) AS m
-  FROM pairs GROUP BY lag
+  FROM probes p JOIN fr b ON b.day = p.day + p.lag
+  GROUP BY p.lag
 )
 SELECT CAST(lag AS INT) AS lag, m AS n_pairs,
-       {_dec('''CAST(n_days * n_days * p - n_days * s * (a + b)
-                     + m * s * s AS DOUBLE)
-                / CAST(n_days * (n_days * q - s * s) AS DOUBLE)''', 6)}
-         AS acf
-FROM per_lag, stats
+       {_dec("CAST(num AS DOUBLE) / CAST(den AS DOUBLE)", 6)} AS acf
+FROM per_lag, den
+"""
+
+ORACLES["feature_hashing"] = f"""
+WITH tok AS (SELECT doc_id, unnest({TOKS}) AS tok FROM documents),
+sparse AS (
+  SELECT doc_id,
+         CAST({_hexpoly("md5(tok)", 1)} % {P.FEATURE_HASH_DIM} AS INT)
+           AS slot,
+         CAST(count(*) AS BIGINT) AS n
+  FROM tok GROUP BY doc_id, slot
+),
+m AS (
+  SELECT doc_id,
+         map_from_entries(list(struct_pack(k := slot, v := n))) AS mp,
+         CAST(sum(n) AS BIGINT) AS n_tokens
+  FROM sparse GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       list_transform(range(0, {P.FEATURE_HASH_DIM}),
+         s -> CAST(coalesce(list_extract(map_extract(mp, CAST(s AS INT)), 1),
+                            0) AS BIGINT)) AS vec
+FROM m
+"""
+
+ORACLES["quantile_bucketize"] = f"""
+WITH base AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(floor(CAST(l_extendedprice AS DOUBLE) * 100 + 0.5) AS BIGINT)
+           AS cents
+  FROM lineitem
+),
+b AS (
+  SELECT {", ".join(
+      f"quantile_disc(cents, {i / 10}) AS q{i}" for i in range(1, 10)
+  )}
+  FROM base
+)
+SELECT l_orderkey, l_linenumber,
+       {_dec("cents / 100.0", 2)} AS price,
+       CAST(1 {" ".join(
+           f"+ CAST(cents > q{i} AS INT)" for i in range(1, 10)
+       )} AS INT) AS bucket
+FROM base, b
 """
 
 ORACLES["k_anonymity"] = f"""

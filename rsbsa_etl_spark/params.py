@@ -255,3 +255,11 @@ GEO_RADIUS = 800
 #: to years.
 K_ANON = 5
 K_ANON_CHARS_BUCKET = 100
+
+#: autocorrelation: lags 1..MAX of the daily series — 7 spans one
+#: week so weekly seasonality shows as the lag-7 peak.
+ACF_MAX_LAG = 7
+
+#: hashing-trick feature dimension: tokens hash into this many
+#: count slots (collisions intended — that IS the hashing trick).
+FEATURE_HASH_DIM = 16

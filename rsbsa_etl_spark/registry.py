@@ -1189,6 +1189,20 @@ def k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ka(load(spark, sf_dir, "documents"))
 
 
+def feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hashing-trick bag-of-words: dense FEATURE_HASH_DIM count
+    vector per doc, no vocabulary build or dictionary shuffle."""
+    return textstats.feature_hash_vectors(load(spark, sf_dir, "documents"))
+
+
+def quantile_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """equi-depth decile binning of line-item prices — boundaries
+    via one percentile_disc aggregate, broadcast back; no ntile."""
+    from rsbsa_etl_spark.operators.analytics import quantile_bucketize as _qb
+
+    return _qb(load(spark, sf_dir, "lineitem"))
+
+
 def stream_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """streaming exactly-N reservoir (foreachBatch hash-min merge);
     final state == the batch sample_fixed_n, oracle = batch SQL."""
@@ -1985,6 +1999,8 @@ QUERIES: dict[str, QueryFn] = {
     "graph_triangles": graph_triangles,
     "ts_autocorr": ts_autocorr,
     "k_anonymity": k_anonymity,
+    "feature_hashing": feature_hashing,
+    "quantile_bucketize": quantile_bucketize,
     "sample_fixed_n": sample_fixed_n,
     "dedup_segments": dedup_segments,
     "window_ntile": window_ntile,
@@ -2170,7 +2186,8 @@ _UNTESTED_PRIORITY = [
     "window_gap_islands", "join_bucketed", "ts_decompose",
     "scan_partition_pruned", "corpus_summary", "tokenize_offsets",
     "rfm_segments", "hard_negatives", "graph_triangles",
-    "ts_autocorr", "k_anonymity",
+    "ts_autocorr", "k_anonymity", "feature_hashing",
+    "quantile_bucketize",
 ]
 
 _rows = _driver_latest_rows()
