@@ -792,11 +792,15 @@ def corpus_summary(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "n_langs",
         "n_sources",
         "n_unique",
-        dec_round(F.col("total_tokens") / F.col("n_docs"), 4).alias(
-            "avg_doc_tokens"
-        ),
-        dec_round(
-            (F.col("n_docs") - F.col("n_unique")) / F.col("n_docs"), 6
+        # empty corpus: the card still emits its one row, with NULL
+        # ratios — not an ANSI DIVIDE_BY_ZERO crash
+        F.when(
+            F.col("n_docs") > 0,
+            dec_round(F.col("total_tokens") / F.col("n_docs"), 4),
+        ).alias("avg_doc_tokens"),
+        F.when(
+            F.col("n_docs") > 0,
+            dec_round((F.col("n_docs") - F.col("n_unique")) / F.col("n_docs"), 6),
         ).alias("dup_rate"),
     )
 

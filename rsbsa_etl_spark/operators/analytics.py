@@ -1312,11 +1312,17 @@ def ts_autocorr(events: DataFrame, max_lag: int | None = None) -> DataFrame:
         F.sum(F.col("fa") * F.col("fb")).alias("num"),
         F.count("*").alias("m"),
     )
+    # a constant series has den == 0: acf is undefined — NULL, not a
+    # DIVIDE_BY_ZERO crash (ANSI mode) and not a NaN the oracle
+    # can't mirror (DuckDB x/0 is NULL)
     return per_lag.join(F.broadcast(den)).select(
         F.col("lag").cast("int").alias("lag"),
         F.col("m").alias("n_pairs"),
-        dec_round(
-            F.col("num").cast("double") / F.col("den").cast("double"), 6
+        F.when(
+            F.col("den") != 0,
+            dec_round(
+                F.col("num").cast("double") / F.col("den").cast("double"), 6
+            ),
         ).alias("acf"),
     )
 

@@ -304,3 +304,72 @@ def test_triangle_stats_matches_python_bruteforce(sp, raw_edges):
             else 0.0
         )
         assert got[n] == (d, t, expect_c), (n, got[n], (d, t, expect_c))
+
+
+def test_continuation_operators_handle_empty_input(spark):
+    """same degenerate-input hardening for the continuation-session
+    operators: empty corpus in, empty result out (null percentile
+    boundaries, empty persisted subtrees, empty maps must all
+    degrade silently)."""
+    from pyspark.sql import types as T
+
+    from rsbsa_etl_spark.functions.curation import k_anonymity
+    from rsbsa_etl_spark.functions.similarity import (
+        hard_negatives,
+        knn_graph,
+        triangle_stats,
+    )
+    from rsbsa_etl_spark.functions.textstats import feature_hash_vectors
+    from rsbsa_etl_spark.operators.analytics import (
+        quantile_bucketize,
+        rfm_segments,
+        ts_autocorr,
+    )
+
+    docs = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    events = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    orders = spark.createDataFrame(
+        [], "o_orderkey long, o_custkey long, o_totalprice double, "
+        "o_orderdate timestamp"
+    )
+    emb = spark.createDataFrame(
+        [],
+        T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("embedding", T.ArrayType(T.FloatType())),
+                T.StructField("label", T.IntegerType()),
+            ]
+        ),
+    )
+    lineitem = spark.createDataFrame(
+        [], "l_orderkey long, l_linenumber int, l_extendedprice double"
+    )
+    edges = spark.createDataFrame([], "u long, v long")
+
+    assert rfm_segments(orders).count() == 0
+    assert ts_autocorr(events).count() == 0
+    # the dataset card emits its one row with NULL ratios when empty
+    from rsbsa_etl_spark.functions.textstats import corpus_summary
+
+    card = corpus_summary(docs).collect()[0]
+    assert card.n_docs == 0 and card.avg_doc_tokens is None
+    # a constant daily series has zero variance: acf NULL, no crash
+    import datetime as _dt
+
+    const = spark.createDataFrame(
+        [(i, _dt.datetime(2024, 1, 1 + i), 1, "t") for i in range(10)],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    accs = ts_autocorr(const).collect()
+    assert len(accs) == 7 and all(r.acf is None for r in accs)
+    assert k_anonymity(docs).count() == 0
+    assert feature_hash_vectors(docs).count() == 0
+    assert quantile_bucketize(lineitem).count() == 0
+    assert knn_graph(emb).count() == 0
+    assert hard_negatives(emb).count() == 0
+    assert triangle_stats(edges).count() == 0
