@@ -133,7 +133,10 @@ def zscore_outliers(events: DataFrame, threshold: float = 2.0) -> DataFrame:
     mu = F.col("sx").cast("double") / F.col("n") / F.lit(q)
     ex2 = F.col("sxx").cast("double") / F.col("n") / F.lit(q) / F.lit(q)
     sd = F.sqrt(ex2 - mu * mu)
-    z = (F.col("value") - mu) / sd
+    # constant-valued type: sd == 0 → z undefined (NULL, filtered by
+    # the threshold predicate in both engines) — not an ANSI
+    # DIVIDE_BY_ZERO crash
+    z = F.when(sd != 0, (F.col("value") - mu) / sd)
     return (
         events.join(F.broadcast(stats), "event_type")
         .where((z >= F.lit(threshold)) | (z <= -F.lit(threshold)))
@@ -178,7 +181,9 @@ def corr_groups(lineitem: DataFrame) -> DataFrame:
     return m.select(
         "l_returnflag",
         "n",
-        dec_round(num / den, 6).alias("corr_qty_price"),
+        # a group with constant qty or price has den == 0: r is
+        # undefined — NULL (DuckDB's x/0), not an ANSI crash
+        F.when(den != 0, dec_round(num / den, 6)).alias("corr_qty_price"),
     ).orderBy("l_returnflag")
 
 
@@ -218,16 +223,26 @@ def ab_ttest(events: DataFrame) -> DataFrame:
     )
     na = F.col("n_a").cast("double")
     nb = F.col("n_b").cast("double")
-    mu_a = F.col("sx_a").cast("double") / na / F.lit(q)
-    mu_b = F.col("sx_b").cast("double") / nb / F.lit(q)
+    # degenerate arms (empty, or size 1, or zero pooled variance)
+    # yield NULL statistics — matching the oracle's NULL-on-/0 —
+    # instead of an ANSI DIVIDE_BY_ZERO crash
+    mu_a = F.when(na != 0, F.col("sx_a").cast("double") / na / F.lit(q))
+    mu_b = F.when(nb != 0, F.col("sx_b").cast("double") / nb / F.lit(q))
     # sample variance with n-1 denominator, from exact sums
-    va = (
-        F.col("sxx_a").cast("double") / F.lit(q) / F.lit(q) - na * mu_a * mu_a
-    ) / (na - F.lit(1.0))
-    vb = (
-        F.col("sxx_b").cast("double") / F.lit(q) / F.lit(q) - nb * mu_b * mu_b
-    ) / (nb - F.lit(1.0))
-    t = (mu_a - mu_b) / F.sqrt(va / na + vb / nb)
+    va = F.when(
+        na > 1,
+        (F.col("sxx_a").cast("double") / F.lit(q) / F.lit(q) - na * mu_a * mu_a)
+        / (na - F.lit(1.0)),
+    )
+    vb = F.when(
+        nb > 1,
+        (F.col("sxx_b").cast("double") / F.lit(q) / F.lit(q) - nb * mu_b * mu_b)
+        / (nb - F.lit(1.0)),
+    )
+    se = F.sqrt(
+        F.when((na > 1) & (nb > 1), va / na + vb / nb)
+    )
+    t = F.when(se != 0, (mu_a - mu_b) / se)
     return one.select(
         "n_a",
         "n_b",

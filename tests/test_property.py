@@ -367,6 +367,31 @@ def test_continuation_operators_handle_empty_input(spark):
     )
     accs = ts_autocorr(const).collect()
     assert len(accs) == 7 and all(r.acf is None for r in accs)
+
+    # zero-variance groups: zscore emits no rows (NULL z filtered),
+    # corr emits NULL r, the t-test on a single-arm corpus emits
+    # NULL t — none of them crash under ANSI
+    from rsbsa_etl_spark.operators.profiling import (
+        ab_ttest,
+        corr_groups,
+        zscore_outliers,
+    )
+
+    const_ev = spark.createDataFrame(
+        [(i, _dt.datetime(2024, 1, 1), i, "t", 5.0) for i in range(4)],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double",
+    )
+    assert zscore_outliers(const_ev).count() == 0
+    one_user = const_ev.withColumn("user_id", const_ev.user_id * 0)
+    tt = ab_ttest(one_user).collect()[0]
+    assert tt.t_stat is None and (tt.mean_a is None) != (tt.mean_b is None)
+    const_li = spark.createDataFrame(
+        [(1.0, 7.0, "A"), (1.0, 9.0, "A")],
+        "l_quantity double, l_extendedprice double, l_returnflag string",
+    )
+    row = corr_groups(const_li).collect()[0]
+    assert row.corr_qty_price is None
     assert k_anonymity(docs).count() == 0
     assert feature_hash_vectors(docs).count() == 0
     assert quantile_bucketize(lineitem).count() == 0
