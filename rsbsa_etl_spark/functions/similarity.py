@@ -53,6 +53,15 @@ def dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
 
 
+def safe_div(num: Column, den: Column) -> Column:
+    """NULL on a zero denominator — matching DuckDB's x/0 — instead
+    of an ANSI DIVIDE_BY_ZERO crash: the cosine of a zero-norm
+    vector is undefined, and a NULL similarity drops out of
+    threshold predicates and ranks last (both engines default to
+    NULLS LAST under DESC) identically."""
+    return F.when(den != 0, num / den)
+
+
 def cosine_pairs_hof(
     emb: DataFrame, threshold: float = COSINE_THRESHOLD
 ) -> DataFrame:
@@ -68,7 +77,7 @@ def cosine_pairs_hof(
     b = e.select(
         F.col("vec_id").alias("vec_b"), F.col("_vd").alias("vb"), F.col("_norm").alias("nb")
     )
-    sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    sim = safe_div(dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb"))
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b", dec_round(sim, 4).alias("cosine"))
@@ -461,7 +470,7 @@ def brute_force_topk(
         F.col("_vd").alias("vq"),
         F.col("_norm").alias("nq"),
     )
-    sim = dec_round(dot(F.col("vq"), F.col("vn")) / (F.col("nq") * F.col("nn")), 6)
+    sim = dec_round(safe_div(dot(F.col("vq"), F.col("vn")), F.col("nq") * F.col("nn")), 6)
     scored = (
         corpus.join(F.broadcast(queries), F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", sim.alias("cosine"))
@@ -553,7 +562,7 @@ def ivf_topk(
     probes = nearest_cells(queries, "vq", "query_id", nprobe)
     q_probe = queries.join(probes, "query_id")
 
-    sim = dec_round(dot(F.col("vq"), F.col("vn")) / (F.col("nq") * F.col("nn")), 6)
+    sim = dec_round(safe_div(dot(F.col("vq"), F.col("vn")), F.col("nq") * F.col("nn")), 6)
     scored = (
         corpus_cells.join(F.broadcast(q_probe), "cid")
         .where(F.col("query_id") != F.col("neighbor_id"))
@@ -650,7 +659,7 @@ def lsh_topk(
         F.col("_vd").alias("vq"),
         F.col("_norm").alias("nq"),
     )
-    sim = dec_round(dot(F.col("vq"), F.col("vn")) / (F.col("nq") * F.col("nn")), 6)
+    sim = dec_round(safe_div(dot(F.col("vq"), F.col("vn")), F.col("nq") * F.col("nn")), 6)
     scored = (
         corpus.join(
             F.broadcast(queries),
@@ -777,7 +786,7 @@ def lsh_multiprobe_topk(
         F.col("_norm").alias("nq"),
         F.explode(probe_arr).alias("bucket"),
     )
-    sim = dec_round(dot(F.col("vq"), F.col("vn")) / (F.col("nq") * F.col("nn")), 6)
+    sim = dec_round(safe_div(dot(F.col("vq"), F.col("vn")), F.col("nq") * F.col("nn")), 6)
     scored = (
         corpus.join(F.broadcast(queries), "bucket")
         .where(F.col("query_id") != F.col("neighbor_id"))
@@ -1138,7 +1147,8 @@ def semantic_dedup(
             "_norm",
             "cid",
             dec_round(
-                dot(F.col("_vd"), F.col("vc")) / (F.col("_norm") * F.col("nc")), 6
+                safe_div(dot(F.col("_vd"), F.col("vc")),
+                         F.col("_norm") * F.col("nc")), 6
             ).alias("cos_centroid"),
         )
     )
@@ -1159,7 +1169,8 @@ def semantic_dedup(
     ).over(w_full)
     with_ex = assigned.withColumn("ex", ex)
     sim_ex = dec_round(
-        dot(F.col("_vd"), F.col("ex.ve")) / (F.col("_norm") * F.col("ex.ne")),
+        safe_div(dot(F.col("_vd"), F.col("ex.ve")),
+                 F.col("_norm") * F.col("ex.ne")),
         4,
     )
     return with_ex.select(

@@ -392,6 +392,28 @@ def test_continuation_operators_handle_empty_input(spark):
     )
     row = corr_groups(const_li).collect()[0]
     assert row.corr_qty_price is None
+
+    # a zero-norm embedding has undefined cosine: NULL (ranked last
+    # / dropped by thresholds), not an ANSI crash
+    from rsbsa_etl_spark.functions.similarity import (
+        brute_force_topk,
+        cosine_pairs_hof,
+    )
+
+    zemb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [1.0, 1.0])],
+        T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("embedding", T.ArrayType(T.FloatType())),
+            ]
+        ),
+    )
+    got = brute_force_topk(zemb, query_ids=[1], k=2).collect()
+    assert [r.neighbor_id for r in got] == [3, 2]
+    assert got[0].cosine is not None and got[1].cosine is None
+    pairs = cosine_pairs_hof(zemb, threshold=0.5).collect()
+    assert {(r.vec_a, r.vec_b) for r in pairs} == {(1, 3)}
     assert k_anonymity(docs).count() == 0
     assert feature_hash_vectors(docs).count() == 0
     assert quantile_bucketize(lineitem).count() == 0
