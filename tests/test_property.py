@@ -420,3 +420,56 @@ def test_continuation_operators_handle_empty_input(spark):
     assert knn_graph(emb).count() == 0
     assert hard_negatives(emb).count() == 0
     assert triangle_stats(edges).count() == 0
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.dictionaries(
+        st.integers(0, 20),           # day offsets (gaps allowed)
+        st.integers(1, 50),           # events on that day
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_ts_autocorr_matches_python_integer_fold(sp, series):
+    """ts_autocorr == the same N-scaled centered-residual estimator
+    folded in exact Python ints, on arbitrary gapped daily series —
+    day-based lags must pair across calendar gaps, NULL on zero
+    variance."""
+    import datetime as dt
+    import math
+
+    from rsbsa_etl_spark.operators.analytics import ts_autocorr
+    from rsbsa_etl_spark.params import ACF_MAX_LAG
+
+    rows = []
+    eid = 0
+    for day, cnt in series.items():
+        for _ in range(cnt):
+            rows.append(
+                (eid, dt.datetime(2024, 1, 1) + dt.timedelta(days=day))
+            )
+            eid += 1
+    ev = sp.createDataFrame(rows, "event_id long, ts timestamp")
+
+    n = len(series)
+    s = sum(series.values())
+    f = {d: n * x - s for d, x in series.items()}
+    den = sum(v * v for v in f.values())
+    expect = {}
+    for lag in range(1, ACF_MAX_LAG + 1):
+        pairs = [(f[d], f[d + lag]) for d in series if d + lag in series]
+        if not pairs:
+            continue
+        num = sum(a * b for a, b in pairs)
+        acf = (
+            math.floor(float(num) / float(den) * 1e6 + 0.5) / 1e6
+            if den != 0
+            else None
+        )
+        expect[lag] = (len(pairs), acf)
+
+    got = {
+        r.lag: (r.n_pairs, r.acf) for r in ts_autocorr(ev).collect()
+    }
+    assert got == expect, (series, got, expect)
