@@ -169,6 +169,7 @@ HEADLINE = [
     "k_anonymity",
     "feature_hashing",
     "quantile_bucketize",
+    "stream_cdc_apply",
 ]
 
 

@@ -1078,6 +1078,20 @@ SELECT l_orderkey, l_linenumber,
 FROM base, b
 """
 
+ORACLES["stream_cdc_apply"] = f"""
+WITH r AS (
+  SELECT user_id, value, epoch_us(ts) AS ts_us,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_updates,
+       CAST(ts_us AS BIGINT) AS last_ts_us,
+       {_dec("value", 4)} AS last_value
+FROM r WHERE rn = 1
+"""
+
 ORACLES["k_anonymity"] = f"""
 SELECT lang, source,
        (n_chars // {P.K_ANON_CHARS_BUCKET}) * {P.K_ANON_CHARS_BUCKET}

@@ -1189,6 +1189,15 @@ def k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ka(load(spark, sf_dir, "documents"))
 
 
+def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """streaming CDC apply through the checkpointed engine: keyed
+    last-write-wins state folded per micro-batch (mergeable argmax +
+    additive counts), final state == the batch aggregate exactly."""
+    from rsbsa_etl_spark.streaming.stateful import cdc_apply_replay
+
+    return cdc_apply_replay(load(spark, sf_dir, "events"))
+
+
 def feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """hashing-trick bag-of-words: dense FEATURE_HASH_DIM count
     vector per doc, no vocabulary build or dictionary shuffle."""
@@ -2001,6 +2010,7 @@ QUERIES: dict[str, QueryFn] = {
     "k_anonymity": k_anonymity,
     "feature_hashing": feature_hashing,
     "quantile_bucketize": quantile_bucketize,
+    "stream_cdc_apply": stream_cdc_apply,
     "sample_fixed_n": sample_fixed_n,
     "dedup_segments": dedup_segments,
     "window_ntile": window_ntile,
@@ -2187,7 +2197,7 @@ _UNTESTED_PRIORITY = [
     "scan_partition_pruned", "corpus_summary", "tokenize_offsets",
     "rfm_segments", "hard_negatives", "graph_triangles",
     "ts_autocorr", "k_anonymity", "feature_hashing",
-    "quantile_bucketize",
+    "quantile_bucketize", "stream_cdc_apply",
 ]
 
 _rows = _driver_latest_rows()

@@ -314,3 +314,99 @@ def sample_stream_replay(docs: DataFrame, n: int | None = None) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(state)
+
+
+def cdc_apply_replay(events: DataFrame) -> DataFrame:
+    """streaming CDC apply: a keyed change stream folded into a
+    last-write-wins state table — the streaming twin of the K2
+    ``upsert_merge`` batch sink, and a fourth stream/batch
+    equivalence pin.
+
+    The per-key state row is (n_updates, argmax-by-(ts, event_id)
+    record), and BOTH components are mergeable: counts add, and the
+    lexicographic max of (ts_us, event_id, value) structs commutes
+    across any batch arrival order — so out-of-order CDC delivery
+    cannot change the final table, and the final state equals the
+    batch last-write-wins aggregate EXACTLY (the oracle is that
+    batch SQL). State is one row per live key — the bound that lets
+    the apply job run forever.
+
+    Mechanics follow the reservoir replay: file-source stream with
+    ``maxFilesPerTrigger=1`` so the two dumped files arrive as
+    separate micro-batches of one AvailableNow run; ``foreachBatch``
+    merges the batch's per-key partial into a parquet state dir
+    (write-new-then-swap).
+    """
+    import os
+    import shutil
+    import tempfile
+
+    spark = events.sparkSession
+    base = tempfile.mkdtemp(prefix="rsbsa_cdc_")
+    src, ckpt, state = f"{base}/src", f"{base}/ckpt", f"{base}/state"
+    os.makedirs(src)
+
+    proj = events.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "value",
+    )
+
+    def dump(df: DataFrame, name: str) -> None:
+        from rsbsa_etl_spark.streaming.windows import dump_single_file
+
+        dump_single_file(df, base, src, name)
+
+    # split by event id parity: both "arrival orders" interleave keys
+    dump(proj.where(F.col("event_id") % 2 == 0), "f0.parquet")
+    dump(proj.where(F.col("event_id") % 2 == 1), "f1.parquet")
+
+    def fold(df: DataFrame) -> DataFrame:
+        last = F.max(
+            F.struct(F.col("ts_us"), F.col("event_id"), F.col("value"))
+        ).alias("last")
+        return df.groupBy("user_id").agg(
+            F.sum("n").cast("long").alias("n"),
+            last,
+        ).select(
+            "user_id",
+            "n",
+            F.col("last.ts_us").alias("ts_us"),
+            F.col("last.event_id").alias("event_id"),
+            F.col("last.value").alias("value"),
+        )
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        b = batch.withColumn("n", F.lit(1).cast("long"))
+        if os.path.isdir(state):
+            b = spark.read.parquet(state).unionByName(
+                b.select("user_id", "n", "ts_us", "event_id", "value")
+            )
+        else:
+            b = b.select("user_id", "n", "ts_us", "event_id", "value")
+        fold(b).write.mode("overwrite").parquet(f"{base}/state_new")
+        if os.path.isdir(state):
+            shutil.rmtree(state)
+        os.rename(f"{base}/state_new", state)
+
+    q = (
+        spark.readStream.schema(
+            "event_id bigint, user_id bigint, ts_us bigint, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(merge)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    from rsbsa_etl_spark.functions.numeric import dec_round
+
+    return spark.read.parquet(state).select(
+        "user_id",
+        F.col("n").alias("n_updates"),
+        F.col("ts_us").alias("last_ts_us"),
+        dec_round(F.col("value"), 4).alias("last_value"),
+    )
