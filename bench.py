@@ -170,6 +170,8 @@ HEADLINE = [
     "feature_hashing",
     "quantile_bucketize",
     "stream_cdc_apply",
+    "window_rolling_median",
+    "state_durations",
 ]
 
 

@@ -1361,3 +1361,71 @@ def quantile_bucketize(lineitem: DataFrame, n_buckets: int = 10) -> DataFrame:
         dec_round(F.col("cents") / F.lit(100.0), 2).alias("price"),
         bucket.cast("int").alias("bucket"),
     )
+
+
+def window_rolling_median(events: DataFrame) -> DataFrame:
+    """centered 7-day rolling MEDIAN of the daily event-count series
+    per type — the robust smoother (one spike day shifts a rolling
+    mean but not the median). Spark has no median window function;
+    the re-expression is a bounded-frame ``collect_list`` +
+    ``array_sort`` + middle ``element_at`` — legitimate ONLY because
+    the frame is a constant 7 elements (interior days), so the
+    per-row array is O(frame), never O(partition). The window input
+    is the day-binned table (types × days rows), not raw events; one
+    partial-agg shuffle then one window exchange.
+
+    ``array_sort`` makes the nondeterministic ``collect_list`` order
+    irrelevant, and the median of 7 BIGINTs is an exact element both
+    engines pick identically (the oracle sorts the same 7-list).
+    """
+    day = (F.unix_seconds("ts") / F.lit(86400)).cast("long")
+    bins = (
+        events.select(F.col("event_type"), day.alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day").rangeBetween(-3, 3)
+    framed = bins.select(
+        "event_type",
+        "day",
+        "n",
+        F.collect_list("n").over(w).alias("frame"),
+        F.count("n").over(w).alias("frame_n"),
+    ).where(F.col("frame_n") == 7)
+    return framed.select(
+        "event_type",
+        "day",
+        "n",
+        F.element_at(F.array_sort("frame"), 4).cast("long").alias("med7"),
+    )
+
+
+def state_durations(events: DataFrame) -> DataFrame:
+    """time-in-state rollup: how long each user spends in each value
+    band (the high/low bands of ``scd2_intervals``) — the telemetry
+    aggregation consuming an SCD2 change stream. Interval end = the
+    NEXT event's timestamp (one lead window, shuffled once on
+    user_id); the final open interval has no end and is excluded,
+    exactly as the oracle's lead() produces NULL there. All
+    arithmetic is integer microseconds — no float time math.
+    """
+    band = (
+        F.when(F.col("value") > 50.0, F.lit("high")).otherwise(F.lit("low"))
+    )
+    # ordering by (t0, event_id) ≡ (ts, event_id): unix_micros is
+    # strictly monotonic in ts
+    w = Window.partitionBy("user_id").orderBy("t0", "event_id")
+    iv = events.select(
+        "user_id",
+        "event_id",
+        band.alias("state"),
+        F.unix_micros(F.col("ts")).alias("t0"),
+    ).withColumn("t1", F.lead("t0").over(w))
+    return (
+        iv.where(F.col("t1").isNotNull())
+        .groupBy("user_id", "state")
+        .agg(
+            F.sum(F.col("t1") - F.col("t0")).alias("total_us"),
+            F.count("*").cast("long").alias("n_intervals"),
+        )
+    )

@@ -1078,6 +1078,41 @@ SELECT l_orderkey, l_linenumber,
 FROM base, b
 """
 
+ORACLES["window_rolling_median"] = f"""
+WITH bins AS (
+  SELECT event_type, (epoch_ms(ts) // 1000) // 86400 AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, day
+),
+framed AS (
+  SELECT event_type, day, n,
+         list(n) OVER (PARTITION BY event_type ORDER BY day
+                       RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS frame,
+         count(*) OVER (PARTITION BY event_type ORDER BY day
+                        RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS frame_n
+  FROM bins
+)
+SELECT event_type, day, n,
+       CAST(list_sort(frame)[4] AS BIGINT) AS med7
+FROM framed WHERE frame_n = 7
+"""
+
+ORACLES["state_durations"] = f"""
+WITH iv AS (
+  SELECT user_id,
+         CASE WHEN value > 50.0 THEN 'high' ELSE 'low' END AS state,
+         epoch_us(ts) AS t0,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS t1
+  FROM events
+)
+SELECT user_id, state,
+       CAST(sum(t1 - t0) AS BIGINT) AS total_us,
+       CAST(count(*) AS BIGINT) AS n_intervals
+FROM iv WHERE t1 IS NOT NULL
+GROUP BY user_id, state
+"""
+
 ORACLES["stream_cdc_apply"] = f"""
 WITH r AS (
   SELECT user_id, value, epoch_us(ts) AS ts_us,

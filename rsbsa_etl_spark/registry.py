@@ -1189,6 +1189,25 @@ def k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ka(load(spark, sf_dir, "documents"))
 
 
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """centered 7-day rolling median of the daily series — the
+    missing median window re-expressed as a constant-frame
+    collect_list + array_sort + middle element."""
+    from rsbsa_etl_spark.operators.analytics import (
+        window_rolling_median as _rm,
+    )
+
+    return _rm(load(spark, sf_dir, "events"))
+
+
+def state_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """time-in-state rollup of the SCD2 value bands — exact integer
+    microseconds, one lead window + one grouped sum."""
+    from rsbsa_etl_spark.operators.analytics import state_durations as _sd
+
+    return _sd(load(spark, sf_dir, "events"))
+
+
 def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """streaming CDC apply through the checkpointed engine: keyed
     last-write-wins state folded per micro-batch (mergeable argmax +
@@ -2011,6 +2030,8 @@ QUERIES: dict[str, QueryFn] = {
     "feature_hashing": feature_hashing,
     "quantile_bucketize": quantile_bucketize,
     "stream_cdc_apply": stream_cdc_apply,
+    "window_rolling_median": window_rolling_median,
+    "state_durations": state_durations,
     "sample_fixed_n": sample_fixed_n,
     "dedup_segments": dedup_segments,
     "window_ntile": window_ntile,
@@ -2198,6 +2219,7 @@ _UNTESTED_PRIORITY = [
     "rfm_segments", "hard_negatives", "graph_triangles",
     "ts_autocorr", "k_anonymity", "feature_hashing",
     "quantile_bucketize", "stream_cdc_apply",
+    "window_rolling_median", "state_durations",
 ]
 
 _rows = _driver_latest_rows()
