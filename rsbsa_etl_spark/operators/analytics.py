@@ -1248,7 +1248,7 @@ def rfm_segments(orders: DataFrame) -> DataFrame:
     )
 
 
-def ts_autocorr(events: DataFrame, max_lag: int | None = None) -> DataFrame:
+def ts_autocorr(events: DataFrame) -> DataFrame:
     """autocorrelation of the daily event-count series at lags
     1..max_lag — the seasonality detector behind the day-of-week
     model ``ts_decompose`` assumes (a weekly corpus shows a spike at
@@ -1278,10 +1278,15 @@ def ts_autocorr(events: DataFrame, max_lag: int | None = None) -> DataFrame:
     two sums to DECIMAL(38,0) (DuckDB side: HUGEINT), which changes
     no other part of the plan.
     """
-    from rsbsa_etl_spark.params import ACF_MAX_LAG
+    # the lag count is params.ACF_MAX_LAG on BOTH sides (no
+    # parameter: the oracle could not follow a per-call override)
+    from rsbsa_etl_spark.params import ACF_MAX_LAG as lags
 
-    lags = ACF_MAX_LAG if max_lag is None else max_lag
     day = (F.unix_seconds("ts") / F.lit(86400)).cast("long")
+    # persisted shared subtrees (bins → stats+f, f → den+both join
+    # legs); the result is returned lazily so unpersist-here would
+    # defeat them — callers that loop queries clear the cache
+    # between runs (bench.py does), per the repo's persist pattern
     bins = (
         events.select(day.alias("day"))
         .groupBy("day")
@@ -1327,7 +1332,7 @@ def ts_autocorr(events: DataFrame, max_lag: int | None = None) -> DataFrame:
     )
 
 
-def quantile_bucketize(lineitem: DataFrame, n_buckets: int = 10) -> DataFrame:
+def quantile_bucketize(lineitem: DataFrame) -> DataFrame:
     """equi-depth feature binning: each line item's price mapped to
     its corpus-wide decile bucket — the monotonic binning feature
     transforms (GBDT prep, score calibration, drift monitors) run
@@ -1341,6 +1346,9 @@ def quantile_bucketize(lineitem: DataFrame, n_buckets: int = 10) -> DataFrame:
     exceeded — integer comparisons on exact cents, no float
     tolerance, ties land identically in both engines.
     """
+    # bucket count pinned by params.QUANTILE_BUCKETS on both sides
+    from rsbsa_etl_spark.params import QUANTILE_BUCKETS as n_buckets
+
     cents = F.floor(F.col("l_extendedprice") * F.lit(100) + F.lit(0.5)).cast(
         "long"
     )

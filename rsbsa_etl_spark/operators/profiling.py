@@ -132,11 +132,15 @@ def zscore_outliers(events: DataFrame, threshold: float = 2.0) -> DataFrame:
     )
     mu = F.col("sx").cast("double") / F.col("n") / F.lit(q)
     ex2 = F.col("sxx").cast("double") / F.col("n") / F.lit(q) / F.lit(q)
-    sd = F.sqrt(ex2 - mu * mu)
-    # constant-valued type: sd == 0 → z undefined (NULL, filtered by
-    # the threshold predicate in both engines) — not an ANSI
-    # DIVIDE_BY_ZERO crash
-    z = F.when(sd != 0, (F.col("value") - mu) / sd)
+    # guard the VARIANCE, not sd: float cancellation can make
+    # ex2 − mu² a tiny NEGATIVE for a constant column, and
+    # sqrt(negative) is NaN — which Spark's `!= 0` and `>=` treat as
+    # TRUE (NaN sorts greatest), silently emitting every row. A
+    # finite var ≤ 0 → sd NULL → z NULL → filtered, and the oracle
+    # carries the same CASE so DuckDB never takes sqrt(negative).
+    var = ex2 - mu * mu
+    sd = F.sqrt(F.when(var > 0, var))
+    z = (F.col("value") - mu) / sd
     return (
         events.join(F.broadcast(stats), "event_type")
         .where((z >= F.lit(threshold)) | (z <= -F.lit(threshold)))
@@ -175,15 +179,18 @@ def corr_groups(lineitem: DataFrame) -> DataFrame:
     sx = F.col("sx").cast("double")
     sy = F.col("sy").cast("double")
     num = n * F.col("sxy").cast("double") - sx * sy
-    den = F.sqrt(n * F.col("sxx").cast("double") - sx * sx) * F.sqrt(
-        n * F.col("syy").cast("double") - sy * sy
-    )
+    # each co-moment guarded BEFORE its sqrt: a constant (or, at
+    # huge magnitudes, near-constant) column can make n·sxx − sx²
+    # round to ≤ 0, and sqrt(negative) is NaN — which `!= 0` treats
+    # as true. A non-positive variance leg → den NULL → r NULL (the
+    # oracle mirrors the CASE, so DuckDB never errors on the sqrt)
+    vx = n * F.col("sxx").cast("double") - sx * sx
+    vy = n * F.col("syy").cast("double") - sy * sy
+    den = F.sqrt(F.when(vx > 0, vx)) * F.sqrt(F.when(vy > 0, vy))
     return m.select(
         "l_returnflag",
         "n",
-        # a group with constant qty or price has den == 0: r is
-        # undefined — NULL (DuckDB's x/0), not an ANSI crash
-        F.when(den != 0, dec_round(num / den, 6)).alias("corr_qty_price"),
+        dec_round(num / den, 6).alias("corr_qty_price"),
     ).orderBy("l_returnflag")
 
 
@@ -239,10 +246,13 @@ def ab_ttest(events: DataFrame) -> DataFrame:
         (F.col("sxx_b").cast("double") / F.lit(q) / F.lit(q) - nb * mu_b * mu_b)
         / (nb - F.lit(1.0)),
     )
-    se = F.sqrt(
-        F.when((na > 1) & (nb > 1), va / na + vb / nb)
-    )
-    t = F.when(se != 0, (mu_a - mu_b) / se)
+    # guard the pooled variance BEFORE the sqrt: cancellation can
+    # round a constant arm's variance to a tiny negative, and
+    # sqrt(negative) is NaN — which `!= 0` would wave through. A
+    # finite se² ≤ 0 (or a degenerate arm) → se NULL → t NULL.
+    se2 = va / na + vb / nb
+    se = F.sqrt(F.when((na > 1) & (nb > 1) & (se2 > 0), se2))
+    t = (mu_a - mu_b) / se
     return one.select(
         "n_a",
         "n_b",

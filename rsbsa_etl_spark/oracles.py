@@ -1066,14 +1066,16 @@ WITH base AS (
 ),
 b AS (
   SELECT {", ".join(
-      f"quantile_disc(cents, {i / 10}) AS q{i}" for i in range(1, 10)
+      f"quantile_disc(cents, {i / P.QUANTILE_BUCKETS}) AS q{i}"
+      for i in range(1, P.QUANTILE_BUCKETS)
   )}
   FROM base
 )
 SELECT l_orderkey, l_linenumber,
        {_dec("cents / 100.0", 2)} AS price,
        CAST(1 {" ".join(
-           f"+ CAST(cents > q{i} AS INT)" for i in range(1, 10)
+           f"+ CAST(cents > q{i} AS INT)"
+           for i in range(1, P.QUANTILE_BUCKETS)
        )} AS INT) AS bucket
 FROM base, b
 """
@@ -2498,14 +2500,18 @@ WITH q AS (
 ), m AS (
   SELECT event_type, count(*) AS n, sum(vi) AS sx, sum(vi * vi) AS sxx
   FROM q GROUP BY event_type
+), v AS (
+  SELECT event_type, n, sx,
+         CAST(sxx AS DOUBLE) / n / 10000.0 / 10000.0
+         - (CAST(sx AS DOUBLE) / n / 10000.0)
+           * (CAST(sx AS DOUBLE) / n / 10000.0) AS var
+  FROM m
 ), z AS (
   SELECT q.event_id, q.event_type, q.value,
          (CAST(value AS DOUBLE)
           - CAST(sx AS DOUBLE) / n / 10000.0)
-         / sqrt(CAST(sxx AS DOUBLE) / n / 10000.0 / 10000.0
-                - (CAST(sx AS DOUBLE) / n / 10000.0)
-                  * (CAST(sx AS DOUBLE) / n / 10000.0)) AS zs
-  FROM q JOIN m USING (event_type)
+         / sqrt(CASE WHEN var > 0 THEN var END) AS zs
+  FROM q JOIN v USING (event_type)
 )
 SELECT event_id, event_type,
        {_dec('value', 4)} AS value_r, {_dec('zs', 6)} AS zscore
@@ -2563,16 +2569,21 @@ WITH q AS (
   SELECT l_returnflag, count(*) AS n, sum(xi) AS sx, sum(yi) AS sy,
          sum(xi * xi) AS sxx, sum(yi * yi) AS syy, sum(xi * yi) AS sxy
   FROM q GROUP BY l_returnflag
+), v AS (
+  SELECT l_returnflag, n, sx, sy, sxy,
+         CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+         CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy
+  FROM m
 )
 SELECT l_returnflag, n,
        {_dec('''(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-         / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-            * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))''', 6)}
+         / (sqrt(CASE WHEN vx > 0 THEN vx END)
+            * sqrt(CASE WHEN vy > 0 THEN vy END))''', 6)}
          AS corr_qty_price
-FROM m ORDER BY l_returnflag
+FROM v ORDER BY l_returnflag
 """
 
 ORACLES["events_dau_mau"] = f"""
@@ -3269,13 +3280,20 @@ WITH q AS (
          CAST(sxx_a AS DOUBLE) AS xa, CAST(sxx_b AS DOUBLE) AS xb
   FROM m
 )
+, s AS (
+  SELECT *,
+         ((xa / 10000.0 / 10000.0 - na * mu_a * mu_a) / (na - 1.0)) / na
+       + ((xb / 10000.0 / 10000.0 - nb * mu_b * mu_b) / (nb - 1.0)) / nb
+           AS se2
+  FROM d
+)
 SELECT n_a, n_b,
        {_dec('mu_a', 6)} AS mean_a, {_dec('mu_b', 6)} AS mean_b,
-       {_dec('''(mu_a - mu_b) / sqrt(
-          ((xa / 10000.0 / 10000.0 - na * mu_a * mu_a) / (na - 1.0)) / na
-        + ((xb / 10000.0 / 10000.0 - nb * mu_b * mu_b) / (nb - 1.0)) / nb)''', 6)}
+       {_dec('''(mu_a - mu_b)
+                / sqrt(CASE WHEN na > 1 AND nb > 1 AND se2 > 0
+                            THEN se2 END)''', 6)}
          AS t_stat
-FROM d
+FROM s
 """
 
 ORACLES["agg_string_concat"] = """

@@ -263,3 +263,7 @@ ACF_MAX_LAG = 7
 #: hashing-trick feature dimension: tokens hash into this many
 #: count slots (collisions intended — that IS the hashing trick).
 FEATURE_HASH_DIM = 16
+
+#: equi-depth binning: decile buckets — shared by the operator and
+#: its oracle (a per-call override could not be verified).
+QUANTILE_BUCKETS = 10

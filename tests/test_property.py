@@ -393,6 +393,25 @@ def test_continuation_operators_handle_empty_input(spark):
     row = corr_groups(const_li).collect()[0]
     assert row.corr_qty_price is None
 
+    # the nastier shape: a constant value whose quantized moments
+    # CANCEL to a tiny NEGATIVE variance in doubles (0.0035 → vi=35,
+    # ex2 − mu² ≈ −1.7e-21). sqrt(negative) is NaN, and Spark treats
+    # NaN as greater-than-everything — the variance guard must stop
+    # it BEFORE the sqrt, in both engines
+    import duckdb as _duck
+
+    from __spark_entry__ import oracle_sql as _osql
+
+    nan_ev = const_ev.withColumn("value", const_ev.value * 0 + 0.0035)
+    assert zscore_outliers(nan_ev).count() == 0
+    tt2 = ab_ttest(nan_ev).collect()[0]
+    assert tt2.t_stat is None or tt2.t_stat == 0.0
+    con = _duck.connect()
+    con.register("events", nan_ev.toPandas())
+    assert len(con.sql(_osql()["outlier_zscore"]).fetchall()) == 0
+    (orow,) = con.sql(_osql()["ab_ttest"]).fetchall()
+    assert orow[4] is None or orow[4] == 0.0
+
     # a zero-norm embedding has undefined cosine: NULL (ranked last
     # / dropped by thresholds), not an ANSI crash
     from rsbsa_etl_spark.functions.similarity import (
