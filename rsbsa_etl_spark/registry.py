@@ -2159,18 +2159,16 @@ def _is_green(row: dict) -> bool:
 
 
 # Round-4 tranche = first 49 below (+ any still-red key at the head
-# consuming the budget's 50th slot). Round-5 tranche (everything
-# after the marker below — 28 carried keys plus the 16 late round-4
-# additions appended at the end, 48 total): agg_time_rollup,
-# agg_grouping_sets, term_topk, bm25_topk,
-# ngram_topk, inverted_index, term_pmi, cms_topk, group_topk,
-# group_mode, outlier_zscore, outlier_mad, hhi_concentration,
-# corr_groups, events_funnel, events_dau_mau, retention_cohort,
-# event_transitions, activity_histogram, snapshot_diff,
-# resample_ffill, ab_ttest, agg_string_concat, rolling_active,
-# skew_stats, validate_domains, profile_stats, agg_filtered_multi —
-# after which every registry key has a driver row and the rotation
-# degenerates to a stable order.
+# consuming the budget's 50th slot). Round-5 tranche = the next 50
+# (the carried analytics/text tail plus the earlier late-r4
+# additions — pre-verified 50/50 at sf0.01 from /tmp, see
+# LOCAL_SWEEP_r04.md "Round-5 tranche pre-verified"). The
+# continuation-session keys appended at the end of this list form
+# the round-6 remainder (~13 keys: rfm_segments onward), after
+# which every registry key has a driver row and the rotation
+# degenerates to a stable order. The drain stays optimal by
+# construction — tests/test_sweep_rotation.py pins the
+# work-conserving ordering and the 3-budget queue cap.
 _UNTESTED_PRIORITY = [
     # streaming — checkpointed state, watermark eviction: riskiest
     "stream_late_drop", "stream_dedup", "stream_stateful_totals",
