@@ -36,10 +36,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB oracle SQL per query key. The only key intentionally
-    absent (rows-only weaker check) is ``stream_tail`` — a push
-    source with no SQL equivalent. Everything else, including the
-    multimodal decode path, is value-checked."""
+    """DuckDB oracle SQL per query key — every registered query is
+    value-checked, including the streaming keys (their engine output
+    is deterministic over the fixtures, so batch SQL is a valid
+    oracle) and the multimodal decode path."""
     from rsbsa_etl_spark.oracles import ORACLES
 
     return dict(ORACLES)

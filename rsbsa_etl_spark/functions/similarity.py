@@ -142,7 +142,10 @@ def cosine_pairs(
         na = np.sqrt((A * A).sum(axis=1))
         nb = np.sqrt((B * B).sum(axis=1))
         q = np.floor((A @ B.T) / np.outer(na, nb) * 1e4 + 0.5) / 1e4
-        ia, ib = np.where(q >= threshold)
+        # NaN (zero-norm 0/0) fails the >= comparison and drops out,
+        # same as safe_div's NULL under the threshold predicate;
+        # isfinite makes that contract explicit.
+        ia, ib = np.where(np.isfinite(q) & (q >= threshold))
         la = L["vec_id"].to_numpy()[ia]
         rb = R["vec_id"].to_numpy()[ib]
         sims = q[ia, ib]
@@ -250,7 +253,14 @@ def knn_graph(
             srcs, dsts, sims, slabs, dlabs = [], [], [], [], []
             for i in range(sim.shape[0]):
                 row = sim[i]
-                mask = dst_ids != src_ids[i]
+                # zero-norm embeddings make 0/0 = NaN here; numpy's
+                # lexsort would rank NaN LAST in the block while
+                # Spark's window ORDER BY cosine DESC ranks NaN
+                # FIRST — so mask non-finite sims outright, matching
+                # safe_div's NULL-drops-out semantics and keeping
+                # the block-local vs global orderings identical
+                # (the lossless block-top-k cut argument).
+                mask = (dst_ids != src_ids[i]) & np.isfinite(row)
                 if diff_label:
                     mask &= dst_lab != src_lab[i]
                 cand_dst = dst_ids[mask]

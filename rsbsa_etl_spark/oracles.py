@@ -547,6 +547,18 @@ SELECT coalesce(nullif(regexp_extract(line, '^\[([^\]]*)\]', 1), ''), '__missing
 FROM lines WHERE length(trim(line)) > 0
 """
 
+# stream_tail drives the REAL Structured Streaming engine (text file
+# source → parse → AvailableNow → memory sink), but its input is
+# rendered deterministically from the events fixture — every line is
+# a well-formed "[ts] event_type" — so the engine's final output is
+# value-checkable with plain SQL over the same fixture. This upgrades
+# the key from rows-only to a full value check (round-4 verdict #3).
+ORACLES["stream_tail"] = """
+SELECT strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_raw,
+       event_type AS message
+FROM events
+"""
+
 ORACLES["json_roundtrip"] = """
 SELECT event_id,
        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
@@ -851,6 +863,7 @@ scored AS (
   SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
          {_dec(f"{_DOT} / (a.nrm * b.nrm)", 4)} AS cosine
   FROM n a JOIN n b ON a.vec_id <> b.vec_id
+  WHERE a.nrm > 0 AND b.nrm > 0
 ),
 ranked AS (
   SELECT vec_id, neighbor_id, cosine,
@@ -868,6 +881,7 @@ scored AS (
   SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
          {_dec(f"{_DOT} / (a.nrm * b.nrm)", 4)} AS cosine
   FROM n a JOIN n b ON a.vec_id <> b.vec_id
+  WHERE a.nrm > 0 AND b.nrm > 0
 ),
 ranked AS (
   SELECT vec_id, cosine,
@@ -900,7 +914,7 @@ scored AS (
   FROM n a JOIN n b ON a.vec_id <> b.vec_id
   JOIN lab la ON la.vec_id = a.vec_id
   JOIN lab lb ON lb.vec_id = b.vec_id
-  WHERE la.label <> lb.label
+  WHERE la.label <> lb.label AND a.nrm > 0 AND b.nrm > 0
 ),
 ranked AS (
   SELECT vec_id, neighbor_id, label, neighbor_label, cosine,
@@ -919,6 +933,7 @@ scored AS (
   SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
          {_dec(f"{_DOT} / (a.nrm * b.nrm)", 4)} AS cosine
   FROM n a JOIN n b ON a.vec_id <> b.vec_id
+  WHERE a.nrm > 0 AND b.nrm > 0
 ),
 ranked AS (
   SELECT vec_id, neighbor_id,
@@ -1051,9 +1066,11 @@ m AS (
   FROM sparse GROUP BY doc_id
 )
 SELECT doc_id, n_tokens,
-       list_transform(range(0, {P.FEATURE_HASH_DIM}),
-         s -> CAST(coalesce(list_extract(map_extract(mp, CAST(s AS INT)), 1),
-                            0) AS BIGINT)) AS vec
+       {", ".join(
+           f"CAST(coalesce(list_extract(map_extract(mp, CAST({s} AS INT)), 1),"
+           f" 0) AS BIGINT) AS v{s}"
+           for s in range(P.FEATURE_HASH_DIM)
+       )}
 FROM m
 """
 
@@ -1933,16 +1950,19 @@ FROM documents
 
 # the "decode" stub is sha256-derived, so the whole multimodal path
 # is SQL-portable on the ASCII fixture (payload bytes == text chars):
-# feature[i] = uint32(sha256[4i..4i+4]) / 2^32, an exact binary scale
+# feature[i] = uint32(sha256[4i..4i+4]) / 2^32, an exact binary
+# scale. Projected to scalar f0..f7 columns (never an array — the
+# driver's pandas canonicalizer cannot sort/hash list cells).
 _FEAT_ITEMS = ", ".join(
-    f"{_hexpoly('sha256(text)', 1 + 8 * i)} / 4294967296.0" for i in range(8)
+    f"{_hexpoly('sha256(text)', 1 + 8 * i)} / 4294967296.0 AS f{i}"
+    for i in range(8)
 )
 
 ORACLES["multimodal_features"] = f"""
 SELECT doc_id,
        CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
        md5(text) AS content_md5,
-       [{_FEAT_ITEMS}] AS feature
+       {_FEAT_ITEMS}
 FROM documents
 """
 

@@ -1006,9 +1006,23 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched stub decode over binary payloads. The stub is
     sha256-derived (exact /2^32 binary scaling), so the FULL feature
     vector is oracle-checked — the sfX fixture text is ASCII, making
-    payload bytes == text chars on the DuckDB side."""
+    payload bytes == text chars on the DuckDB side.
+
+    Driver-facing shape: the feature vector is projected to scalar
+    ``f0..f7`` double columns (array cells are unhashable in the
+    driver's pandas canonicalizer; the r4 row was red on exactly
+    that, with values verified equal)."""
     frames = multimodal.attach_binary(load(spark, sf_dir, "documents"))
-    return multimodal.extract_features(frames)
+    feats = multimodal.extract_features(frames)
+    return feats.select(
+        "doc_id",
+        "byte_len",
+        "content_md5",
+        *[
+            F.col("feature")[i].alias(f"f{i}")
+            for i in range(multimodal.FEATURE_DIM)
+        ],
+    )
 
 
 def multimodal_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1219,8 +1233,20 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """hashing-trick bag-of-words: dense FEATURE_HASH_DIM count
-    vector per doc, no vocabulary build or dictionary shuffle."""
-    return textstats.feature_hash_vectors(load(spark, sf_dir, "documents"))
+    vector per doc, no vocabulary build or dictionary shuffle.
+
+    Driver-facing shape: the count vector is projected to scalar
+    ``v0..v{D-1}`` bigint columns (array cells are unhashable in
+    the driver's pandas canonicalizer)."""
+    vecs = textstats.feature_hash_vectors(load(spark, sf_dir, "documents"))
+    return vecs.select(
+        "doc_id",
+        "n_tokens",
+        *[
+            F.col("vec")[i].alias(f"v{i}")
+            for i in range(P.FEATURE_HASH_DIM)
+        ],
+    )
 
 
 def quantile_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1437,9 +1463,11 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def stream_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S8/T3: rows-only — drives the real Structured Streaming engine
-    (text file source → parse → AvailableNow → memory sink) over log
-    lines rendered from the events fixture."""
+    """S8/T3: drives the real Structured Streaming engine (text file
+    source → parse → AvailableNow → memory sink) over log lines
+    rendered from the events fixture. Every rendered line is a
+    well-formed ``[ts] event_type``, so the engine output is
+    value-checked against plain SQL over the same fixture."""
     import os
     import tempfile
 

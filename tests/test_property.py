@@ -441,6 +441,49 @@ def test_continuation_operators_handle_empty_input(spark):
     assert triangle_stats(edges).count() == 0
 
 
+def test_block_knn_zero_norm_drops_out(spark):
+    """the pandas-block kNN family must give a zero-norm embedding
+    the same NULL-drops-out treatment as safe_div: numpy computes
+    0/0 = NaN, which lexsort ranks LAST in the block but Spark's
+    ORDER BY cosine DESC ranks FIRST — so non-finite sims are masked
+    inside the block, and a zero-norm vector contributes no pairs as
+    source or neighbor (the DuckDB oracles guard with nrm > 0)."""
+    from pyspark.sql import types as T
+
+    from rsbsa_etl_spark.functions.similarity import (
+        cosine_pairs,
+        hard_negatives,
+        knn_graph,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    )
+    zemb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0),
+            (2, [0.0, 0.0], 1),  # zero-norm: cosine undefined
+            (3, [1.0, 1.0], 1),
+            (4, [0.0, 1.0], 0),
+        ],
+        schema,
+    )
+    g = knn_graph(zemb, k=3).collect()
+    assert all(r.vec_id != 2 and r.neighbor_id != 2 for r in g)
+    assert all(r.cosine == r.cosine for r in g)  # no NaN survived
+    # id 1 still ranks its finite neighbors: 3 (0.7071) then 4 (0.0)
+    one = sorted((r.rank, r.neighbor_id) for r in g if r.vec_id == 1)
+    assert one == [(1, 3), (2, 4)]
+    hn = hard_negatives(zemb, k=3).collect()
+    assert all(r.vec_id != 2 and r.neighbor_id != 2 for r in hn)
+    p = cosine_pairs(zemb, threshold=-1.0).collect()
+    assert all(r.vec_a != 2 and r.vec_b != 2 for r in p)
+
+
 @settings(max_examples=10, deadline=None)
 @given(
     st.dictionaries(
