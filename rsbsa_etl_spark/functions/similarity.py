@@ -349,6 +349,13 @@ def knn_triangles(
     ~n·O(k²) rows; on a skewed corpus the classic degree-orientation
     refinement (point each edge from its lower- to higher-degree
     endpoint) caps it further without changing the result.
+
+    Persist contract: the edge set stays cached after this returns —
+    the result is lazy, so unpersisting here would defeat the four
+    reuses. Callers that loop many queries should clear the cache
+    between runs (``spark.catalog.clearCache()``, as bench.py does);
+    default MEMORY_AND_DISK storage is LRU-evictable, so the residue
+    degrades gracefully rather than OOMing.
     """
     g = knn_graph(emb, k, n_tiles)
     edges = (

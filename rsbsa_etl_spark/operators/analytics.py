@@ -1179,6 +1179,11 @@ def rfm_segments(orders: DataFrame) -> DataFrame:
     boundary is an exact integer both engines pick identically
     (percentile_disc selects an element, never interpolates) and
     every score is an integer comparison — no float tolerance.
+
+    Persist contract: the per-customer aggregate stays cached after
+    this returns (the result is lazy; unpersisting here would defeat
+    its three reuses). Callers looping many queries should
+    ``spark.catalog.clearCache()`` between runs, as bench.py does.
     """
     day = (F.unix_seconds("o_orderdate") / F.lit(86400)).cast("long")
     cust = (
@@ -1277,6 +1282,11 @@ def ts_autocorr(events: DataFrame) -> DataFrame:
     decade of days; a corpus beyond that envelope should move these
     two sums to DECIMAL(38,0) (DuckDB side: HUGEINT), which changes
     no other part of the plan.
+
+    Persist contract: the binned/residual subtrees stay cached after
+    this returns (the result is lazy; they feed multiple consumers).
+    Callers looping many queries should ``spark.catalog.clearCache()``
+    between runs, as bench.py does.
     """
     # the lag count is params.ACF_MAX_LAG on BOTH sides (no
     # parameter: the oracle could not follow a per-call override)

@@ -3225,6 +3225,40 @@ SELECT doc_contained, doc_container,
 FROM directed WHERE containment >= 0.8
 """
 
+# capped-LSH-prefiltered containment: the SAME deterministic capped
+# MinHash band candidates as dedup_minhash_capped, then the SAME
+# exact containment verify restricted to those pairs — the
+# speed/recall dial registered next to the full-recall
+# dedup_containment (SCALING.md documents the trade).
+ORACLES["dedup_containment_capped"] = f"""
+WITH cand AS (SELECT doc_a, doc_b FROM ({_minhash_sql(cap=P.MINHASH_BUCKET_CAP)}) t),
+{SHINGLES_CTE},
+sr AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sr GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a AS doc_x, c.doc_b AS doc_y, count(*) AS inter
+  FROM cand c
+  JOIN sr a ON a.doc_id = c.doc_a
+  JOIN sr b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b
+),
+sized AS (
+  SELECT i.doc_x, i.doc_y, i.inter, x.sz AS sz_x, y.sz AS sz_y
+  FROM inter i
+  JOIN sizes x ON i.doc_x = x.doc_id
+  JOIN sizes y ON i.doc_y = y.doc_id
+),
+directed AS (
+  SELECT doc_x AS doc_contained, doc_y AS doc_container,
+         CAST(inter AS DOUBLE) / sz_x AS containment FROM sized
+  UNION ALL
+  SELECT doc_y, doc_x, CAST(inter AS DOUBLE) / sz_y FROM sized
+)
+SELECT doc_contained, doc_container,
+       {_dec('containment', 4)} AS containment
+FROM directed WHERE containment >= 0.8
+"""
+
 ORACLES["snapshot_diff"] = """
 WITH base AS (
   SELECT o_orderkey,

@@ -1597,6 +1597,23 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.containment_pairs(load(spark, sf_dir, "documents"))
 
 
+def dedup_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """the speed/recall dial on containment: capped-MinHash-LSH
+    candidates (``minhash_capped_pairs``) fed into the exact verify
+    via the ``candidates=`` hook — the documented 100 TB mitigation
+    for the exact prefix filter's superlinear candidate volume on
+    template-heavy corpora (SCALING.md). The verify is still exact
+    containment on every candidate; recall is the LSH collision
+    probability (low for subset pairs with very different sizes —
+    the exact ``dedup_containment`` path exists for full recall).
+    The oracle replicates the SAME deterministic capped-LSH
+    candidate set in SQL, so this key is value-checked end-to-end,
+    not oracle-relaxed."""
+    docs = load(spark, sf_dir, "documents")
+    cand = dedup.minhash_capped_pairs(docs)
+    return dedup.containment_pairs(docs, candidates=cand)
+
+
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the "new batch" is the deterministic 20% slice doc_id % 10 ≥ 8
     # — scale-invariant (works at every sf) and disjoint from the
@@ -2109,6 +2126,7 @@ QUERIES: dict[str, QueryFn] = {
     "tpch_q22": tpch_q22,
     "vocab_coverage": vocab_coverage,
     "dedup_containment": dedup_containment,
+    "dedup_containment_capped": dedup_containment_capped,
     "snapshot_diff": snapshot_diff,
     "resample_ffill": resample_ffill,
     "ab_ttest": ab_ttest,
@@ -2246,6 +2264,8 @@ _UNTESTED_PRIORITY = [
     "ts_autocorr", "k_anonymity", "feature_hashing",
     "quantile_bucketize", "stream_cdc_apply",
     "window_rolling_median", "state_durations",
+    # round-5 additions (join the round-6 remainder)
+    "dedup_containment_capped",
 ]
 
 _rows = _driver_latest_rows()

@@ -316,6 +316,63 @@ def sample_stream_replay(docs: DataFrame, n: int | None = None) -> DataFrame:
     return spark.read.parquet(state)
 
 
+def merge_cdc_batch(
+    spark, base: str, batch: DataFrame, batch_id: int
+) -> None:
+    """idempotent ``foreachBatch`` merge for the CDC apply: fold the
+    batch's per-key partial (additive count + argmax record) into
+    the parquet state dir at ``base``/state, write-new-then-swap.
+
+    Idempotence: the argmax component is re-merge-safe, but the
+    additive ``n`` count is NOT — a micro-batch re-delivered after a
+    failure would double-count. The standard foreachBatch guard
+    applies: the last-applied ``batch_id`` is persisted INSIDE the
+    state dir (``_last_batch_id`` — underscore-prefixed files are
+    invisible to parquet reads), so the high-water mark swaps
+    atomically with the state it describes, and any batch at or
+    below it is skipped. Module-level (not a closure) because
+    foreachBatch functions run on the driver — no worker pickling —
+    and this way the retry path is unit-testable.
+    """
+    import os
+    import shutil
+
+    state = os.path.join(base, "state")
+    marker = os.path.join(state, "_last_batch_id")
+    if os.path.isfile(marker):
+        with open(marker) as fh:
+            if batch_id <= int(fh.read().strip()):
+                return  # re-delivered batch: already folded in
+
+    def fold(df: DataFrame) -> DataFrame:
+        last = F.max(
+            F.struct(F.col("ts_us"), F.col("event_id"), F.col("value"))
+        ).alias("last")
+        return df.groupBy("user_id").agg(
+            F.sum("n").cast("long").alias("n"),
+            last,
+        ).select(
+            "user_id",
+            "n",
+            F.col("last.ts_us").alias("ts_us"),
+            F.col("last.event_id").alias("event_id"),
+            F.col("last.value").alias("value"),
+        )
+
+    b = batch.withColumn("n", F.lit(1).cast("long"))
+    cols = ["user_id", "n", "ts_us", "event_id", "value"]
+    if os.path.isdir(state):
+        b = spark.read.parquet(state).unionByName(b.select(*cols))
+    else:
+        b = b.select(*cols)
+    fold(b).write.mode("overwrite").parquet(f"{base}/state_new")
+    with open(f"{base}/state_new/_last_batch_id", "w") as fh:
+        fh.write(str(batch_id))
+    if os.path.isdir(state):
+        shutil.rmtree(state)
+    os.rename(f"{base}/state_new", state)
+
+
 def cdc_apply_replay(events: DataFrame) -> DataFrame:
     """streaming CDC apply: a keyed change stream folded into a
     last-write-wins state table — the streaming twin of the K2
@@ -334,11 +391,12 @@ def cdc_apply_replay(events: DataFrame) -> DataFrame:
     Mechanics follow the reservoir replay: file-source stream with
     ``maxFilesPerTrigger=1`` so the two dumped files arrive as
     separate micro-batches of one AvailableNow run; ``foreachBatch``
-    merges the batch's per-key partial into a parquet state dir
-    (write-new-then-swap).
+    delegates to ``merge_cdc_batch`` (write-new-then-swap, with the
+    last-applied batch_id persisted alongside the state so retried /
+    re-delivered micro-batches are skipped instead of double-counting
+    the additive ``n_updates`` component).
     """
     import os
-    import shutil
     import tempfile
 
     spark = events.sparkSession
@@ -362,33 +420,8 @@ def cdc_apply_replay(events: DataFrame) -> DataFrame:
     dump(proj.where(F.col("event_id") % 2 == 0), "f0.parquet")
     dump(proj.where(F.col("event_id") % 2 == 1), "f1.parquet")
 
-    def fold(df: DataFrame) -> DataFrame:
-        last = F.max(
-            F.struct(F.col("ts_us"), F.col("event_id"), F.col("value"))
-        ).alias("last")
-        return df.groupBy("user_id").agg(
-            F.sum("n").cast("long").alias("n"),
-            last,
-        ).select(
-            "user_id",
-            "n",
-            F.col("last.ts_us").alias("ts_us"),
-            F.col("last.event_id").alias("event_id"),
-            F.col("last.value").alias("value"),
-        )
-
     def merge(batch: DataFrame, batch_id: int) -> None:
-        b = batch.withColumn("n", F.lit(1).cast("long"))
-        if os.path.isdir(state):
-            b = spark.read.parquet(state).unionByName(
-                b.select("user_id", "n", "ts_us", "event_id", "value")
-            )
-        else:
-            b = b.select("user_id", "n", "ts_us", "event_id", "value")
-        fold(b).write.mode("overwrite").parquet(f"{base}/state_new")
-        if os.path.isdir(state):
-            shutil.rmtree(state)
-        os.rename(f"{base}/state_new", state)
+        merge_cdc_batch(spark, base, batch, batch_id)
 
     q = (
         spark.readStream.schema(

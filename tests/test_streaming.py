@@ -182,3 +182,55 @@ def test_max_files_per_trigger_paces_available_now(spark, tmp_path):
     q.awaitTermination()
     assert len(batches) == 3  # one micro-batch per file
     assert sorted(n for _, n in batches) == [2, 2, 2]
+
+
+def test_cdc_merge_skips_redelivered_batch(spark, tmp_path):
+    """foreachBatch idempotence: the CDC merge's argmax component is
+    re-merge-safe but the additive n_updates count is not, so a
+    micro-batch re-delivered after a failure (same batch_id) must be
+    skipped via the persisted last-applied batch_id — while a NEW
+    batch_id still merges."""
+    import pandas as pd
+
+    from rsbsa_etl_spark.streaming.stateful import merge_cdc_batch
+
+    base = str(tmp_path / "cdc")
+    import os
+
+    os.makedirs(base)
+    batch = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "event_id": [1, 2, 3],
+                "user_id": [10, 10, 20],
+                "ts_us": [100, 200, 300],
+                "value": [1.0, 2.0, 3.0],
+            }
+        )
+    )
+
+    def state():
+        rows = spark.read.parquet(f"{base}/state").collect()
+        return {r.user_id: (r.n, r.ts_us, r.value) for r in rows}
+
+    merge_cdc_batch(spark, base, batch, 0)
+    first = state()
+    assert first == {10: (2, 200, 2.0), 20: (1, 300, 3.0)}
+
+    # engine retry: same batch_id re-delivered — must be a no-op
+    merge_cdc_batch(spark, base, batch, 0)
+    assert state() == first
+
+    # genuinely new batch still merges (counts add, argmax advances)
+    batch2 = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "event_id": [4],
+                "user_id": [10],
+                "ts_us": [150],
+                "value": [9.0],
+            }
+        )
+    )
+    merge_cdc_batch(spark, base, batch2, 1)
+    assert state() == {10: (3, 200, 2.0), 20: (1, 300, 3.0)}

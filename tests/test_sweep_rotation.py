@@ -87,3 +87,17 @@ def test_sweep_queue_is_work_conserving():
         f"driver backlog {n} exceeds three sweep budgets — stop adding "
         "keys until the driver catches up"
     )
+
+
+def test_readme_query_count_matches_registry():
+    """README's stated query count must track the registry (it went
+    stale once: "182" while the registry held 198)."""
+    import re
+
+    readme = (ROOT / "README.md").read_text()
+    m = re.search(r"(\d+) named queries", readme)
+    assert m, "README no longer states the named-query count"
+    assert int(m.group(1)) == len(queries()), (
+        f"README says {m.group(1)} named queries; registry has "
+        f"{len(queries())} — update README.md"
+    )
