@@ -2204,17 +2204,18 @@ def _is_green(row: dict) -> bool:
     )
 
 
-# Round-4 tranche = first 49 below (+ any still-red key at the head
-# consuming the budget's 50th slot). Round-5 tranche = the next 50
-# (the carried analytics/text tail plus the earlier late-r4
-# additions — pre-verified 50/50 at sf0.01 from /tmp, see
-# LOCAL_SWEEP_r04.md "Round-5 tranche pre-verified"). The
-# continuation-session keys appended at the end of this list form
-# the round-6 remainder (~13 keys: rfm_segments onward), after
-# which every registry key has a driver row and the rotation
-# degenerates to a stable order. The drain stays optimal by
-# construction — tests/test_sweep_rotation.py pins the
-# work-conserving ordering and the 3-budget queue cap.
+# Round-5 sweep head = the two r4 reds (multimodal_features fixed to
+# scalar f0..f7, stream_tail upgraded to a value check) + the next 48
+# untested keys — all 50 re-verified at sf0.01 from /tmp after the
+# round-5 fixes (LOCAL_SWEEP_r05.md). The round-6 remainder is the
+# exact 11-key tail `rfm_segments hard_negatives graph_triangles
+# ts_autocorr k_anonymity feature_hashing quantile_bucketize
+# stream_cdc_apply window_rolling_median state_durations
+# dedup_containment_capped` (replica-green at sf0.01, the touched
+# ones also at sf0.1), after which every registry key has a driver
+# row and the rotation degenerates to a stable order. The drain
+# stays optimal by construction — tests/test_sweep_rotation.py pins
+# the work-conserving ordering and the 3-budget queue cap.
 _UNTESTED_PRIORITY = [
     # streaming — checkpointed state, watermark eviction: riskiest
     "stream_late_drop", "stream_dedup", "stream_stateful_totals",

@@ -149,9 +149,20 @@ def test_query_matches_oracle(spark, name):
     pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=False, rtol=0, atol=1e-9)
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY)
-def test_rows_only_queries_run(spark, name):
-    df = QUERIES[name](spark, SF_DIR)
-    n = df.count()
-    assert n >= 0
-    assert len(df.schema.fields) > 0
+if ROWS_ONLY:
+
+    @pytest.mark.parametrize("name", ROWS_ONLY)
+    def test_rows_only_queries_run(spark, name):
+        df = QUERIES[name](spark, SF_DIR)
+        n = df.count()
+        assert n >= 0
+        assert len(df.schema.fields) > 0
+
+else:
+
+    def test_every_query_is_value_checked():
+        """since round 5 (stream_tail gained a SQL oracle) every
+        registered query has a DuckDB oracle — keep it that way; a
+        new rows-only key should be a deliberate decision, not an
+        oversight."""
+        assert ROWS_ONLY == []
