@@ -173,6 +173,8 @@ HEADLINE = [
     "stream_cdc_apply",
     "window_rolling_median",
     "state_durations",
+    "dedup_spans",
+    "dedup_embedding_incremental",
 ]
 
 

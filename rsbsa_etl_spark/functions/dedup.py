@@ -1165,3 +1165,95 @@ def novelty_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
             dec_round(F.col("n_novel") / F.col("n_shingles"), 4),
         )
     )
+
+
+def duplicated_spans(
+    docs: DataFrame, text_col: str = "text", k: int | None = None
+) -> DataFrame:
+    """exact duplicated-SPAN detection — the substring-dedup signal
+    of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    Models Better"): every maximal token span whose k-grams all
+    occur in at least one OTHER document. Where the Jaccard family
+    answers "are these two docs near-duplicates?", this answers
+    "which exact regions of this doc are copied text?" — the unit a
+    training-data pipeline actually cuts (Lee et al. remove the
+    duplicated substrings, not whole documents).
+
+    Distributed shape (their suffix array is a single-machine
+    construction; the posting-list form below is the shuffle-native
+    equivalent for fixed k):
+
+    1. k-token grams with positions per doc — a pure array
+       expression (no Python), linear in corpus tokens;
+    2. gram → distinct-doc count via ONE partial-agg shuffle on the
+       gram hash (the posting list; never a pairwise join);
+    3. grams with df ≥ 2 flow back over the same hash partitioning
+       (broadcast-less semi-join co-located with step 2's shuffle);
+    4. per-doc gap-islands merge overlapping/adjacent marked grams
+       (positions p, p' overlap iff p' ≤ p + k) into maximal spans —
+       a per-doc window, parallel across docs.
+
+    Output: (doc_id, span_start, span_end, span_tokens) in token
+    offsets of the normalized text, span_end inclusive. A doc with
+    no duplicated region emits nothing; whole-doc duplicates emit
+    one full-length span (exact_dedup finds those cheaper — this
+    operator exists for the partial overlaps exact_dedup misses).
+
+    Grams are md5-hashed before the shuffle so the exchange carries
+    16-byte keys instead of raw k-token strings; collisions would
+    need 2^64 grams (birthday bound) — the standard fingerprint
+    trade, and the same one the MinHash family already makes.
+    """
+    from pyspark.sql import Window
+
+    from rsbsa_etl_spark.params import SPAN_NGRAM_K
+
+    kk = SPAN_NGRAM_K if k is None else k
+    toks = tokens_col(F.col(text_col))
+    n = F.size(toks)
+    grams = F.when(
+        n >= kk,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(kk - 1)),
+            lambda i: F.md5(F.array_join(F.slice(toks, i, kk), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = docs.select(
+        "doc_id", F.posexplode(grams).alias("pos", "gram")
+    )
+    # posting list: distinct docs per gram (partial agg both levels)
+    df_counts = (
+        g.select("gram", "doc_id")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count("*").alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+    )
+    marked = g.join(df_counts.select("gram"), "gram")
+    # gap-islands per doc: a new span starts when this gram's window
+    # [pos, pos+k-1] cannot touch the previous marked gram's window
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    islands = (
+        marked.withColumn("prev", F.lag("pos").over(w))
+        .withColumn(
+            "new_span",
+            (F.col("prev").isNull() | (F.col("pos") > F.col("prev") + kk))
+            .cast("int"),
+        )
+        .withColumn("span_id", F.sum("new_span").over(w))
+    )
+    return (
+        islands.groupBy("doc_id", "span_id")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(kk - 1)).alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            F.col("span_start").cast("long").alias("span_start"),
+            F.col("span_end").cast("long").alias("span_end"),
+            (F.col("span_end") - F.col("span_start") + 1)
+            .cast("long")
+            .alias("span_tokens"),
+        )
+    )

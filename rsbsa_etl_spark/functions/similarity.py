@@ -1265,3 +1265,71 @@ def ann_recall(
             ).alias("recall_ivf"),
         )
     )
+
+
+def cosine_pairs_bipartite(
+    new: DataFrame,
+    corpus: DataFrame,
+    threshold: float = COSINE_THRESHOLD,
+    n_tiles: int = 8,
+) -> DataFrame:
+    """bipartite exact cosine pairs: every (new, corpus) pair with
+    cosine ≥ threshold — the INGEST form of ``cosine_pairs``, and
+    the embedding twin of ``dedup.incremental_dedup_pairs``: a new
+    batch is screened against the existing corpus without ever
+    self-joining either side.
+
+    Scale shape: the corpus is tiled once by ``vec_id mod n_tiles``
+    (each corpus row shuffled exactly ONCE — work linear in the
+    corpus); only the new batch is replicated n_tiles ways, which is
+    the cheap side by definition at ingest time. One BLAS
+    ``A @ B.T`` per tile group via ``applyInPandas``; per-task
+    memory is one corpus tile + the new batch, so ``n_tiles`` sizes
+    tasks to executor memory at any corpus size. Zero-norm vectors
+    drop out (non-finite sims masked), matching the ``nrm > 0``
+    oracle guard and safe_div semantics.
+    """
+    import numpy as np
+    import pandas as pd
+
+    t = F.pmod(F.col("vec_id"), F.lit(n_tiles)).cast("int")
+    c = corpus.select(
+        "vec_id", "embedding", t.alias("tb"), F.lit(False).alias("is_left")
+    )
+    nw = new.select(
+        "vec_id",
+        "embedding",
+        F.explode(F.sequence(F.lit(0), F.lit(n_tiles - 1))).alias("tb"),
+        F.lit(True).alias("is_left"),
+    )
+
+    def block(key, pdf):
+        L = pdf[pdf["is_left"]]
+        R = pdf[~pdf["is_left"]]
+        if L.empty or R.empty:
+            return pd.DataFrame(
+                {
+                    "new_id": np.array([], dtype=np.int64),
+                    "corpus_id": np.array([], dtype=np.int64),
+                    "cosine": np.array([], dtype=np.float64),
+                }
+            )
+        A = np.stack([np.asarray(v, dtype=np.float64) for v in L["embedding"]])
+        B = np.stack([np.asarray(v, dtype=np.float64) for v in R["embedding"]])
+        na = np.sqrt((A * A).sum(axis=1))
+        nb = np.sqrt((B * B).sum(axis=1))
+        q = np.floor((A @ B.T) / np.outer(na, nb) * 1e4 + 0.5) / 1e4
+        ia, ib = np.where(np.isfinite(q) & (q >= threshold))
+        return pd.DataFrame(
+            {
+                "new_id": L["vec_id"].to_numpy()[ia],
+                "corpus_id": R["vec_id"].to_numpy()[ib],
+                "cosine": q[ia, ib],
+            }
+        )
+
+    return (
+        nw.unionByName(c)
+        .groupBy("tb")
+        .applyInPandas(block, "new_id bigint, corpus_id bigint, cosine double")
+    )

@@ -3259,6 +3259,63 @@ SELECT doc_contained, doc_container,
 FROM directed WHERE containment >= 0.8
 """
 
+# bipartite ingest-time embedding dedup: new 20% slice vs the 80%
+# corpus, zero-norm guard matching cosine_pairs_bipartite's
+# non-finite mask
+ORACLES["dedup_embedding_incremental"] = f"""
+WITH {_EMB_CTE.strip()},
+p AS (
+  SELECT a.vec_id AS new_id, b.vec_id AS corpus_id,
+         {_dec(f"{_DOT} / (a.nrm * b.nrm)", 4)} AS cosine
+  FROM n a JOIN n b
+    ON a.vec_id % 10 >= 8 AND b.vec_id % 10 < 8
+  WHERE a.nrm > 0 AND b.nrm > 0
+)
+SELECT new_id, corpus_id, cosine FROM p
+WHERE cosine >= {P.COSINE_THRESHOLD}
+"""
+
+# exact duplicated-span detection: gram posting list (df >= 2) +
+# per-doc gap-islands merge — mirrors dedup.duplicated_spans
+_SPK = P.SPAN_NGRAM_K
+ORACLES["dedup_spans"] = f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+gl AS (
+  SELECT doc_id,
+         list_transform(range(1, len(toks) - {_SPK} + 2),
+           i -> md5(array_to_string(toks[i:i+{_SPK - 1}], ' '))) AS gs
+  FROM toks WHERE len(toks) >= {_SPK}
+),
+grams AS (
+  SELECT doc_id, unnest(gs) AS gram,
+         generate_subscripts(gs, 1) - 1 AS pos
+  FROM gl
+),
+dup AS (
+  SELECT gram FROM (
+    SELECT gram, count(DISTINCT doc_id) AS nd FROM grams GROUP BY gram
+  ) WHERE nd >= 2
+),
+marked AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL
+                OR pos > lag(pos) OVER w + {_SPK}
+              THEN 1 ELSE 0 END AS new_span
+  FROM marked WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+sp AS (
+  SELECT doc_id, pos,
+         sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+  FROM isl
+)
+SELECT doc_id,
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + {_SPK - 1} AS BIGINT) AS span_end,
+       CAST(max(pos) + {_SPK} - min(pos) AS BIGINT) AS span_tokens
+FROM sp GROUP BY doc_id, span_id
+"""
+
 ORACLES["snapshot_diff"] = """
 WITH base AS (
   SELECT o_orderkey,

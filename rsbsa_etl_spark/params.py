@@ -267,3 +267,11 @@ FEATURE_HASH_DIM = 16
 #: equi-depth binning: decile buckets — shared by the operator and
 #: its oracle (a per-call override could not be verified).
 QUANTILE_BUCKETS = 10
+
+#: exact duplicated-span detection (the substring-dedup signal of
+#: Lee et al. 2022, "Deduplicating Training Data Makes Language
+#: Models Better"): a SPAN_NGRAM_K-token gram appearing in 2+ docs
+#: marks a duplicated region; overlapping/adjacent marked grams
+#: merge into maximal spans. 4 is below SHINGLE_K so spans catch
+#: shorter verbatim repeats than the Jaccard family considers.
+SPAN_NGRAM_K = 4

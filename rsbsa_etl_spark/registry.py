@@ -1614,6 +1614,25 @@ def dedup_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.containment_pairs(docs, candidates=cand)
 
 
+def dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embedding twin of dedup_incremental: the deterministic 20%
+    "new batch" (vec_id % 10 >= 8) screened against the 80% corpus —
+    bipartite tiled block-matmul, corpus shuffled once, never
+    self-joined."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.cosine_pairs_bipartite(
+        emb.where(F.col("vec_id") % 10 >= 8),
+        emb.where(F.col("vec_id") % 10 < 8),
+    )
+
+
+def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exact duplicated-span detection (Lee et al. 2022 substring
+    dedup, posting-list form): maximal token spans whose k-grams all
+    appear in 2+ docs — the regions a pipeline cuts, not the docs."""
+    return dedup.duplicated_spans(load(spark, sf_dir, "documents"))
+
+
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the "new batch" is the deterministic 20% slice doc_id % 10 ≥ 8
     # — scale-invariant (works at every sf) and disjoint from the
@@ -2127,6 +2146,8 @@ QUERIES: dict[str, QueryFn] = {
     "vocab_coverage": vocab_coverage,
     "dedup_containment": dedup_containment,
     "dedup_containment_capped": dedup_containment_capped,
+    "dedup_spans": dedup_spans,
+    "dedup_embedding_incremental": dedup_embedding_incremental,
     "snapshot_diff": snapshot_diff,
     "resample_ffill": resample_ffill,
     "ab_ttest": ab_ttest,
@@ -2208,14 +2229,15 @@ def _is_green(row: dict) -> bool:
 # scalar f0..f7, stream_tail upgraded to a value check) + the next 48
 # untested keys — all 50 re-verified at sf0.01 from /tmp after the
 # round-5 fixes (LOCAL_SWEEP_r05.md). The round-6 remainder is the
-# exact 11-key tail `rfm_segments hard_negatives graph_triangles
+# exact 13-key tail `rfm_segments hard_negatives graph_triangles
 # ts_autocorr k_anonymity feature_hashing quantile_bucketize
 # stream_cdc_apply window_rolling_median state_durations
-# dedup_containment_capped` (replica-green at sf0.01, the touched
-# ones also at sf0.1), after which every registry key has a driver
-# row and the rotation degenerates to a stable order. The drain
-# stays optimal by construction — tests/test_sweep_rotation.py pins
-# the work-conserving ordering and the 3-budget queue cap.
+# dedup_containment_capped dedup_spans dedup_embedding_incremental`
+# (every one replica-green at sf0.01 AND sf0.1 from /tmp), after
+# which every registry key has a driver row and the rotation
+# degenerates to a stable order. The drain stays optimal by
+# construction — tests/test_sweep_rotation.py pins the
+# work-conserving ordering and the 3-budget queue cap.
 _UNTESTED_PRIORITY = [
     # streaming — checkpointed state, watermark eviction: riskiest
     "stream_late_drop", "stream_dedup", "stream_stateful_totals",
@@ -2266,7 +2288,8 @@ _UNTESTED_PRIORITY = [
     "quantile_bucketize", "stream_cdc_apply",
     "window_rolling_median", "state_durations",
     # round-5 additions (join the round-6 remainder)
-    "dedup_containment_capped",
+    "dedup_containment_capped", "dedup_spans",
+    "dedup_embedding_incremental",
 ]
 
 _rows = _driver_latest_rows()

@@ -439,6 +439,11 @@ def test_continuation_operators_handle_empty_input(spark):
     assert knn_graph(emb).count() == 0
     assert hard_negatives(emb).count() == 0
     assert triangle_stats(edges).count() == 0
+    from rsbsa_etl_spark.functions.dedup import duplicated_spans
+    from rsbsa_etl_spark.functions.similarity import cosine_pairs_bipartite
+
+    assert duplicated_spans(docs).count() == 0
+    assert cosine_pairs_bipartite(emb, emb).count() == 0
 
 
 def test_block_knn_zero_norm_drops_out(spark):
@@ -482,6 +487,54 @@ def test_block_knn_zero_norm_drops_out(spark):
     assert all(r.vec_id != 2 and r.neighbor_id != 2 for r in hn)
     p = cosine_pairs(zemb, threshold=-1.0).collect()
     assert all(r.vec_a != 2 and r.vec_b != 2 for r in p)
+    # bipartite ingest form: same drop-out for zero-norm on EITHER
+    # side, and exact values against the hof reference
+    from rsbsa_etl_spark.functions.similarity import cosine_pairs_bipartite
+
+    nw = zemb.where(zemb.vec_id <= 2)
+    corp = zemb.where(zemb.vec_id > 2)
+    bp = cosine_pairs_bipartite(nw, corp, threshold=-1.0).collect()
+    assert all(r.new_id != 2 for r in bp)
+    got = {(r.new_id, r.corpus_id): r.cosine for r in bp}
+    assert got == {(1, 3): 0.7071, (1, 4): 0.0}
+
+
+def test_duplicated_spans_golden(spark):
+    """hand-checked span semantics: shared 4-grams mark regions,
+    overlapping/adjacent marks merge into maximal spans, unique text
+    emits nothing, and docs shorter than k emit nothing."""
+    from rsbsa_etl_spark.functions.dedup import duplicated_spans
+
+    docs = spark.createDataFrame(
+        [
+            # docs 1 and 2 share the 6-token run "a b c d e f"
+            # (positions 0-5 in doc 1, 2-7 in doc 2): three marked
+            # 4-grams each, merging into ONE span per doc
+            (1, "a b c d e f x y z w"),
+            (2, "p q a b c d e f r s"),
+            # doc 3: unique text, no duplicated grams
+            (3, "u1 u2 u3 u4 u5 u6 u7"),
+            # doc 4: shorter than k tokens — no grams at all
+            (4, "a b c"),
+            # docs 5 and 6: TWO disjoint shared runs in doc 5 split
+            # by unique middle text — two separate spans
+            (5, "m1 m2 m3 m4 zz1 zz2 zz3 zz4 zz5 n1 n2 n3 n4"),
+            (6, "m1 m2 m3 m4 k k2 n1 n2 n3 n4"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r.doc_id, r.span_start): (r.span_end, r.span_tokens)
+        for r in duplicated_spans(docs).collect()
+    }
+    assert rows == {
+        (1, 0): (5, 6),
+        (2, 2): (7, 6),
+        (5, 0): (3, 4),
+        (5, 9): (12, 4),
+        (6, 0): (3, 4),
+        (6, 6): (9, 4),
+    }
 
 
 @settings(max_examples=10, deadline=None)
