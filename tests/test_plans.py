@@ -647,3 +647,27 @@ def test_rfm_has_no_global_sort_window(spark):
     plan = _plan(QUERIES["rfm_segments"](spark, SF_DIR))
     assert "Window" not in plan
     assert plan.count("InMemoryTableScan") >= 3  # customer agg shared
+
+
+def test_duplicated_spans_is_posting_list_shaped(spark):
+    # the substring-dedup path must stay linear: gram posting list +
+    # per-doc windows — no pairwise join of documents, no Python
+    # stage, ReadSchema pruned to (doc_id, text)
+    plan = _plan(QUERIES["dedup_spans"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_bipartite_embedding_screen_shuffles_corpus_once(spark):
+    # the ingest screen's whole cost model: ONE exchange (the tile
+    # groupBy — corpus rows move exactly once), one Arrow block
+    # stage, no join operator at all (the pairing happens inside the
+    # numpy block)
+    plan = _plan(QUERIES["dedup_embedding_incremental"](spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "FlatMapGroupsInPandas" in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
