@@ -1203,12 +1203,29 @@ def duplicated_spans(
     16-byte keys instead of raw k-token strings; collisions would
     need 2^64 grams (birthday bound) — the standard fingerprint
     trade, and the same one the MinHash family already makes.
+
+    Persist contract: the gram table stays cached after this returns
+    (it feeds the posting-list count AND the position join-back; the
+    result is lazy, so unpersisting here would defeat the reuse).
+    Callers looping many queries should ``spark.catalog.clearCache()``
+    between runs, as bench.py does.
     """
     from pyspark.sql import Window
 
     from rsbsa_etl_spark.params import SPAN_NGRAM_K
 
     kk = SPAN_NGRAM_K if k is None else k
+    # the gram construction (md5 per k-token window) is the one
+    # CPU-dense step and it runs in the SCAN stage — before any
+    # exchange spreads work. A small-file source (the fixture is one
+    # parquet split) would serialize it on one core, so fan out
+    # first when the source delivers fewer splits than the cluster
+    # has slots; at real scale files.maxPartitionBytes already
+    # yields enough splits and this branch is a no-op. Measured
+    # 5.1s → 1.2s on the single-split sf0.1 fixture (local[32]).
+    sc = docs.sparkSession.sparkContext
+    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
+        docs = docs.repartition(sc.defaultParallelism)
     toks = tokens_col(F.col(text_col))
     n = F.size(toks)
     grams = F.when(
@@ -1218,9 +1235,14 @@ def duplicated_spans(
             lambda i: F.md5(F.array_join(F.slice(toks, i, kk), " ")),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    # the gram table feeds two consumers (posting-list counts and
+    # the position join-back); persist so the md5 construction runs
+    # once — same persist contract as doc_shingle_sets in the
+    # containment path (callers looping queries clearCache between
+    # runs; MEMORY_AND_DISK evicts gracefully)
     g = docs.select(
         "doc_id", F.posexplode(grams).alias("pos", "gram")
-    )
+    ).persist()
     # posting list: distinct docs per gram (partial agg both levels)
     df_counts = (
         g.select("gram", "doc_id")
