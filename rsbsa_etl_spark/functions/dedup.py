@@ -1215,14 +1215,19 @@ def duplicated_spans(
     from rsbsa_etl_spark.params import SPAN_NGRAM_K
 
     kk = SPAN_NGRAM_K if k is None else k
-    # the gram construction (md5 per k-token window) is the one
-    # CPU-dense step and it runs in the SCAN stage — before any
-    # exchange spreads work. A small-file source (the fixture is one
-    # parquet split) would serialize it on one core, so fan out
-    # first when the source delivers fewer splits than the cluster
-    # has slots; at real scale files.maxPartitionBytes already
-    # yields enough splits and this branch is a no-op. Measured
-    # 5.1s → 1.2s on the single-split sf0.1 fixture (local[32]).
+    # The gram construction is the one CPU-dense step and it runs in
+    # the SCAN stage — before any exchange spreads work. Two
+    # measured shapes matter (local[32], single-split sf0.1 fixture,
+    # JIT-warm):
+    # 1. hashing INSIDE the transform lambda is interpreted per
+    #    element (~5x the cost of the same work in a codegen'd
+    #    projection) — so the HOF only joins the k-token window
+    #    strings, and md5 runs AFTER the explode as a plain
+    #    projection, the same split shingle_rows uses;
+    # 2. a small-file source serializes the scan stage on one core —
+    #    fan out first when the source delivers fewer splits than
+    #    the cluster has slots (no-op at real scale, where
+    #    files.maxPartitionBytes yields enough splits).
     sc = docs.sparkSession.sparkContext
     if docs.rdd.getNumPartitions() < sc.defaultParallelism:
         docs = docs.repartition(sc.defaultParallelism)
@@ -1232,17 +1237,19 @@ def duplicated_spans(
         n >= kk,
         F.transform(
             F.sequence(F.lit(1), n - F.lit(kk - 1)),
-            lambda i: F.md5(F.array_join(F.slice(toks, i, kk), " ")),
+            lambda i: F.array_join(F.slice(toks, i, kk), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
     # the gram table feeds two consumers (posting-list counts and
-    # the position join-back); persist so the md5 construction runs
+    # the position join-back); persist so the construction runs
     # once — same persist contract as doc_shingle_sets in the
     # containment path (callers looping queries clearCache between
     # runs; MEMORY_AND_DISK evicts gracefully)
-    g = docs.select(
-        "doc_id", F.posexplode(grams).alias("pos", "gram")
-    ).persist()
+    g = (
+        docs.select("doc_id", F.posexplode(grams).alias("pos", "raw"))
+        .select("doc_id", "pos", F.md5("raw").alias("gram"))
+        .persist()
+    )
     # posting list: distinct docs per gram (partial agg both levels)
     df_counts = (
         g.select("gram", "doc_id")
