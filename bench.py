@@ -175,6 +175,7 @@ HEADLINE = [
     "state_durations",
     "dedup_spans",
     "dedup_embedding_incremental",
+    "bpe_train",
 ]
 
 

@@ -883,3 +883,106 @@ def feature_hash_vectors(docs: DataFrame, text_col: str = "text") -> DataFrame:
         ),
     )
     return m.select("doc_id", "n_tokens", vec.alias("vec"))
+
+
+def bpe_train(
+    docs: DataFrame, text_col: str = "text", rounds: int | None = None
+) -> DataFrame:
+    """BPE tokenizer TRAINING as a distributed job: ``rounds``
+    iterations of count-adjacent-pairs → merge-the-winner — the loop
+    that produces a tokenizer's ``merges.txt`` (Sennrich et al. 2016),
+    of which ``bpe_pair_counts`` is the single counting step.
+
+    Output: one row per learned merge rule
+    (round, left, right, merged, pair_count) — the training
+    artifact itself, exactly as a tokenizer ships it.
+
+    Distributed shape per round:
+    - the corpus collapses ONCE up front to the vocabulary (word,
+      count) table — all later work is vocabulary-sized, the
+      standard BPE-training trick (word-internal pairs don't cross
+      word boundaries, so identical words share their pair counts);
+    - pair counting is an explode + map-side-partial groupBy over a
+      symbol-pair key space, weighted by word count;
+    - the argmax row (count desc, then lexicographic pair — a TOTAL
+      order, so ties are deterministic) is a 1-row driver round-trip
+      per round, the same bounded-metadata pattern as the IVF
+      centroid loop;
+    - the merge applies to every word via literal ``replace`` on a
+      ``||``-delimited symbol string ("||l||o||w||"): string replace
+      is left-to-right non-overlapping in BOTH engines, which is
+      exactly BPE's merge order within a word, and a literal (not
+      regex) match needs no symbol escaping. (A corpus whose tokens
+      themselves contain ``|`` would need a rarer delimiter; both
+      engines would mis-parse identically, so parity still holds.)
+
+    The driver loop holds only R merge rules; corpus-sized state
+    never leaves the cluster.
+
+    Persist contract: the vocabulary symbol table stays cached after
+    this returns (each round's count job reuses it). Callers looping
+    many queries should ``spark.catalog.clearCache()`` between runs,
+    as bench.py does.
+    """
+    from rsbsa_etl_spark import params as P
+    from rsbsa_etl_spark.functions.dedup import tokens_col
+
+    spark = docs.sparkSession
+    rr = P.BPE_TRAIN_ROUNDS if rounds is None else rounds
+
+    out_schema = (
+        "round int, left string, right string, merged string, "
+        "pair_count bigint"
+    )
+    words = (
+        docs.select(F.explode(tokens_col(F.col(text_col))).alias("tok"))
+        .where(F.length("tok") >= 1)
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    chars = F.expr(
+        "transform(sequence(1, length(tok)), i -> substring(tok, i, 1))"
+    )
+    w = words.select(
+        "cnt",
+        F.concat(
+            F.lit("||"), F.array_join(chars, "||"), F.lit("||")
+        ).alias("seq"),
+    ).persist()
+
+    merges: list[tuple] = []
+    for r in range(1, rr + 1):
+        syms = F.filter(
+            F.split(F.col("seq"), r"\|\|"), lambda x: x != ""
+        )
+        pairs = (
+            w.select("cnt", syms.alias("s"))
+            .where(F.size("s") >= 2)
+            .select(
+                "cnt",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(s) - 1),"
+                        " i -> struct(s[i-1] AS l, s[i] AS r))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("cnt").cast("long").alias("n"))
+        )
+        best = pairs.orderBy(
+            F.desc("n"), F.asc("l"), F.asc("r")
+        ).limit(1).collect()
+        if not best:
+            break
+        l, rt, n = best[0].l, best[0].r, best[0].n
+        merges.append((r, l, rt, l + rt, n))
+        w = w.select(
+            "cnt",
+            F.replace(
+                F.col("seq"),
+                F.lit(f"|{l}||{rt}|"),
+                F.lit(f"|{l}{rt}|"),
+            ).alias("seq"),
+        )
+    return spark.createDataFrame(merges, out_schema)

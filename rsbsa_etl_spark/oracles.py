@@ -2265,6 +2265,53 @@ FROM pairs GROUP BY pair
 ORDER BY n DESC, pair ASC LIMIT {P.BPE_TOPK}
 """
 
+# BPE training, 3 rounds unrolled: the same count→argmax→merge loop
+# as textstats.bpe_train — literal replace on the ||-delimited
+# symbol string is left-to-right non-overlapping in both engines
+def _bpe_train_sql(rounds: int) -> str:
+    ctes = [
+        f"""w0 AS (
+  SELECT CAST(count(*) AS BIGINT) AS cnt,
+         '||' || array_to_string(
+             list_transform(range(1, length(tok) + 1),
+                            i -> substr(tok, CAST(i AS INT), 1)), '||')
+              || '||' AS seq
+  FROM (SELECT unnest({TOKS}) AS tok FROM documents)
+  WHERE length(tok) >= 1
+  GROUP BY tok
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(
+            f"""sy{r} AS (
+  SELECT cnt, list_filter(string_split(seq, '||'), x -> x <> '') AS s
+  FROM w{p}
+),
+pr{r} AS (
+  SELECT s[i] AS l, s[i + 1] AS r, CAST(sum(cnt) AS BIGINT) AS n
+  FROM (SELECT cnt, s, unnest(range(1, len(s))) AS i
+        FROM sy{r} WHERE len(s) >= 2)
+  GROUP BY 1, 2
+),
+best{r} AS (SELECT l, r, n FROM pr{r} ORDER BY n DESC, l ASC, r ASC LIMIT 1),
+w{r} AS (
+  SELECT w.cnt,
+         replace(w.seq, '|' || b.l || '||' || b.r || '|',
+                        '|' || b.l || b.r || '|') AS seq
+  FROM w{p} w, best{r} b
+)"""
+        )
+    finals = " UNION ALL ".join(
+        f"SELECT {r} AS round, l AS \"left\", r AS \"right\","
+        f" l || r AS merged, n AS pair_count FROM best{r}"
+        for r in range(1, rounds + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + finals
+
+
+ORACLES["bpe_train"] = _bpe_train_sql(P.BPE_TRAIN_ROUNDS)
+
 ORACLES["lang_confusion"] = f"""
 SELECT d.lang AS lang_true, p.lang_pred, CAST(count(*) AS BIGINT) AS n
 FROM documents d JOIN ({_lang_sql()}) p USING (doc_id)

@@ -275,3 +275,8 @@ QUANTILE_BUCKETS = 10
 #: merge into maximal spans. 4 is below SHINGLE_K so spans catch
 #: shorter verbatim repeats than the Jaccard family considers.
 SPAN_NGRAM_K = 4
+
+#: BPE training rounds registered as the driver-checked query (the
+#: oracle unrolls the same loop, so a per-call override could not be
+#: verified); real training runs thousands — the loop is identical.
+BPE_TRAIN_ROUNDS = 3

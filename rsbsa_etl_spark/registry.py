@@ -1097,6 +1097,13 @@ def bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.bpe_pair_counts(load(spark, sf_dir, "documents"))
 
 
+def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (3 merge rounds): count adjacent
+    symbol pairs -> merge the argmax, on a vocabulary-sized table --
+    emits the merges.txt artifact, value-checked per round."""
+    return textstats.bpe_train(load(spark, sf_dir, "documents"))
+
+
 def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lang_id vs stored label confusion counts (classifier eval)."""
     return textstats.lang_confusion(load(spark, sf_dir, "documents"))
@@ -2148,6 +2155,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_containment_capped": dedup_containment_capped,
     "dedup_spans": dedup_spans,
     "dedup_embedding_incremental": dedup_embedding_incremental,
+    "bpe_train": bpe_train,
     "snapshot_diff": snapshot_diff,
     "resample_ffill": resample_ffill,
     "ab_ttest": ab_ttest,
@@ -2232,7 +2240,8 @@ def _is_green(row: dict) -> bool:
 # exact 13-key tail `rfm_segments hard_negatives graph_triangles
 # ts_autocorr k_anonymity feature_hashing quantile_bucketize
 # stream_cdc_apply window_rolling_median state_durations
-# dedup_containment_capped dedup_spans dedup_embedding_incremental`
+# dedup_containment_capped dedup_spans dedup_embedding_incremental
+# bpe_train` (now 14 keys)
 # (every one replica-green at sf0.01 AND sf0.1 from /tmp), after
 # which every registry key has a driver row and the rotation
 # degenerates to a stable order. The drain stays optimal by
@@ -2289,7 +2298,7 @@ _UNTESTED_PRIORITY = [
     "window_rolling_median", "state_durations",
     # round-5 additions (join the round-6 remainder)
     "dedup_containment_capped", "dedup_spans",
-    "dedup_embedding_incremental",
+    "dedup_embedding_incremental", "bpe_train",
 ]
 
 _rows = _driver_latest_rows()

@@ -588,3 +588,27 @@ def test_ts_autocorr_matches_python_integer_fold(sp, series):
         r.lag: (r.n_pairs, r.acf) for r in ts_autocorr(ev).collect()
     }
     assert got == expect, (series, got, expect)
+
+
+def test_bpe_train_golden(spark):
+    """the classic BPE walkthrough: corpus {low x2, lower, lowest}.
+    Round 1 merges (l,o) count 4; round 2 (lo,w) count 4; round 3
+    (low,e) count 2 — each a deterministic argmax under the total
+    (count desc, pair asc) order, with the merged symbol feeding the
+    next round's pair space (the property bpe_pair_counts alone
+    cannot express)."""
+    from rsbsa_etl_spark.functions.textstats import bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "low low"), (2, "lower"), (3, "lowest")],
+        "doc_id long, text string",
+    )
+    got = [
+        (r.round, r.left, r.right, r.merged, r.pair_count)
+        for r in bpe_train(docs).collect()
+    ]
+    assert got == [
+        (1, "l", "o", "lo", 4),
+        (2, "lo", "w", "low", 4),
+        (3, "low", "e", "lowe", 2),
+    ]
