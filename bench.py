@@ -176,6 +176,7 @@ HEADLINE = [
     "dedup_spans",
     "dedup_embedding_incremental",
     "bpe_train",
+    "bpe_segment",
 ]
 
 

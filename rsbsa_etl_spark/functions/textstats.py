@@ -986,3 +986,102 @@ def bpe_train(
             ).alias("seq"),
         )
     return spark.createDataFrame(merges, out_schema)
+
+
+def bpe_segment(
+    docs: DataFrame, text_col: str = "text", rounds: int | None = None
+) -> DataFrame:
+    """BPE INFERENCE over the corpus: train ``rounds`` merges
+    (``bpe_train``'s loop, vocabulary-collapsed), apply them to every
+    word, and report per-document subword statistics —
+    (doc_id, n_tokens, n_symbols, chars_per_symbol). The
+    chars-per-symbol ratio is the compression a tokenizer achieves,
+    the number a data pipeline tracks to price a corpus in tokens.
+
+    Scale shape: segmentation happens ONCE PER DISTINCT WORD on the
+    vocabulary table (the same collapse bpe_train uses — identical
+    words segment identically), then a plain equi-join maps each
+    document's tokens to their symbol counts; per-doc stats are one
+    partial-agg groupBy. The merge rules themselves are R driver
+    rows; corpus-sized state never leaves the cluster.
+    """
+    from rsbsa_etl_spark import params as P
+    from rsbsa_etl_spark.functions.dedup import tokens_col
+    from rsbsa_etl_spark.functions.numeric import dec_round
+
+    rr = P.BPE_TRAIN_ROUNDS if rounds is None else rounds
+
+    tok_rows = docs.select(
+        "doc_id", F.explode(tokens_col(F.col(text_col))).alias("tok")
+    ).where(F.length("tok") >= 1)
+    words = tok_rows.groupBy("tok").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    chars = F.expr(
+        "transform(sequence(1, length(tok)), i -> substring(tok, i, 1))"
+    )
+    w = words.select(
+        "tok",
+        "cnt",
+        F.concat(
+            F.lit("||"), F.array_join(chars, "||"), F.lit("||")
+        ).alias("seq"),
+    ).persist()
+
+    for _ in range(rr):
+        syms = F.filter(
+            F.split(F.col("seq"), r"\|\|"), lambda x: x != ""
+        )
+        pairs = (
+            w.select("cnt", syms.alias("s"))
+            .where(F.size("s") >= 2)
+            .select(
+                "cnt",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(s) - 1),"
+                        " i -> struct(s[i-1] AS l, s[i] AS r))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("cnt").cast("long").alias("n"))
+        )
+        best = pairs.orderBy(
+            F.desc("n"), F.asc("l"), F.asc("r")
+        ).limit(1).collect()
+        if not best:
+            break
+        l, rt = best[0].l, best[0].r
+        w = w.select(
+            "tok",
+            "cnt",
+            F.replace(
+                F.col("seq"),
+                F.lit(f"|{l}||{rt}|"),
+                F.lit(f"|{l}{rt}|"),
+            ).alias("seq"),
+        )
+    n_syms = F.size(
+        F.filter(F.split(F.col("seq"), r"\|\|"), lambda x: x != "")
+    )
+    vocab = w.select(
+        "tok", n_syms.cast("long").alias("n_syms"), F.length("tok").cast("long").alias("n_chars")
+    )
+    per_doc = (
+        tok_rows.join(vocab, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("n_syms").cast("long").alias("n_symbols"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_symbols",
+        dec_round(
+            F.col("sum_chars") / F.col("n_symbols"), 4
+        ).alias("chars_per_symbol"),
+    )

@@ -2312,6 +2312,77 @@ w{r} AS (
 
 ORACLES["bpe_train"] = _bpe_train_sql(P.BPE_TRAIN_ROUNDS)
 
+
+# BPE inference: the same merge chain carrying the word key, then a
+# per-document join of token → symbol count — mirrors
+# textstats.bpe_segment
+def _bpe_segment_sql(rounds: int) -> str:
+    ctes = [
+        f"""w0 AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS cnt,
+         '||' || array_to_string(
+             list_transform(range(1, length(tok) + 1),
+                            i -> substr(tok, CAST(i AS INT), 1)), '||')
+              || '||' AS seq
+  FROM (SELECT unnest({TOKS}) AS tok FROM documents)
+  WHERE length(tok) >= 1
+  GROUP BY tok
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(
+            f"""sy{r} AS (
+  SELECT cnt, list_filter(string_split(seq, '||'), x -> x <> '') AS s
+  FROM w{p}
+),
+pr{r} AS (
+  SELECT s[i] AS l, s[i + 1] AS r, CAST(sum(cnt) AS BIGINT) AS n
+  FROM (SELECT cnt, s, unnest(range(1, len(s))) AS i
+        FROM sy{r} WHERE len(s) >= 2)
+  GROUP BY 1, 2
+),
+best{r} AS (SELECT l, r, n FROM pr{r} ORDER BY n DESC, l ASC, r ASC LIMIT 1),
+w{r} AS (
+  SELECT w.tok, w.cnt,
+         replace(w.seq, '|' || b.l || '||' || b.r || '|',
+                        '|' || b.l || b.r || '|') AS seq
+  FROM w{p} w, best{r} b
+)"""
+        )
+    ctes.append(
+        f"""vocab AS (
+  SELECT tok,
+         CAST(len(list_filter(string_split(seq, '||'), x -> x <> ''))
+              AS BIGINT) AS n_syms,
+         CAST(length(tok) AS BIGINT) AS n_chars
+  FROM w{rounds}
+),
+tr AS (
+  SELECT doc_id, unnest({TOKS}) AS tok FROM documents
+),
+pd AS (
+  SELECT t.doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(v.n_syms) AS BIGINT) AS n_symbols,
+         CAST(sum(v.n_chars) AS BIGINT) AS sum_chars
+  FROM tr t JOIN vocab v USING (tok)
+  WHERE length(t.tok) >= 1
+  GROUP BY t.doc_id
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT doc_id, n_tokens, n_symbols,
+       {_dec('CAST(sum_chars AS DOUBLE) / n_symbols', 4)} AS chars_per_symbol
+FROM pd"""
+    )
+
+
+ORACLES["bpe_segment"] = _bpe_segment_sql(P.BPE_TRAIN_ROUNDS)
+
 ORACLES["lang_confusion"] = f"""
 SELECT d.lang AS lang_true, p.lang_pred, CAST(count(*) AS BIGINT) AS n
 FROM documents d JOIN ({_lang_sql()}) p USING (doc_id)

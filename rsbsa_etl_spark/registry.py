@@ -1104,6 +1104,13 @@ def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.bpe_train(load(spark, sf_dir, "documents"))
 
 
+def bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE inference: apply the 3 learned merges per distinct word,
+    join back per document -- (n_tokens, n_symbols,
+    chars_per_symbol), the corpus token-pricing numbers."""
+    return textstats.bpe_segment(load(spark, sf_dir, "documents"))
+
+
 def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lang_id vs stored label confusion counts (classifier eval)."""
     return textstats.lang_confusion(load(spark, sf_dir, "documents"))
@@ -2156,6 +2163,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_spans": dedup_spans,
     "dedup_embedding_incremental": dedup_embedding_incremental,
     "bpe_train": bpe_train,
+    "bpe_segment": bpe_segment,
     "snapshot_diff": snapshot_diff,
     "resample_ffill": resample_ffill,
     "ab_ttest": ab_ttest,
@@ -2241,7 +2249,7 @@ def _is_green(row: dict) -> bool:
 # ts_autocorr k_anonymity feature_hashing quantile_bucketize
 # stream_cdc_apply window_rolling_median state_durations
 # dedup_containment_capped dedup_spans dedup_embedding_incremental
-# bpe_train` (now 14 keys)
+# bpe_train bpe_segment` (now 15 keys)
 # (every one replica-green at sf0.01 AND sf0.1 from /tmp), after
 # which every registry key has a driver row and the rotation
 # degenerates to a stable order. The drain stays optimal by
@@ -2298,7 +2306,7 @@ _UNTESTED_PRIORITY = [
     "window_rolling_median", "state_durations",
     # round-5 additions (join the round-6 remainder)
     "dedup_containment_capped", "dedup_spans",
-    "dedup_embedding_incremental", "bpe_train",
+    "dedup_embedding_incremental", "bpe_train", "bpe_segment",
 ]
 
 _rows = _driver_latest_rows()
