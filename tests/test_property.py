@@ -444,6 +444,10 @@ def test_continuation_operators_handle_empty_input(spark):
 
     assert duplicated_spans(docs).count() == 0
     assert cosine_pairs_bipartite(emb, emb).count() == 0
+    from rsbsa_etl_spark.functions.textstats import bpe_segment, bpe_train
+
+    assert bpe_train(docs).count() == 0
+    assert bpe_segment(docs).count() == 0
 
 
 def test_block_knn_zero_norm_drops_out(spark):
