@@ -1172,12 +1172,17 @@ def duplicated_spans(
 ) -> DataFrame:
     """exact duplicated-SPAN detection — the substring-dedup signal
     of Lee et al. 2022 ("Deduplicating Training Data Makes Language
-    Models Better"): every maximal token span whose k-grams all
-    occur in at least one OTHER document. Where the Jaccard family
-    answers "are these two docs near-duplicates?", this answers
-    "which exact regions of this doc are copied text?" — the unit a
-    training-data pipeline actually cuts (Lee et al. remove the
-    duplicated substrings, not whole documents).
+    Models Better"): every maximal token span in which EVERY TOKEN
+    is covered by at least one k-gram that also occurs in another
+    document. (Marked grams whose windows touch — start gap ≤ k —
+    merge, so a span may contain interior k-grams that are
+    themselves unique; what is guaranteed is contiguous coverage by
+    shared grams, which is the region a pipeline flags for cutting.)
+    Where the Jaccard family answers "are these two docs
+    near-duplicates?", this answers "which exact regions of this doc
+    are copied text?" — the unit a training-data pipeline actually
+    cuts (Lee et al. remove the duplicated substrings, not whole
+    documents).
 
     Distributed shape (their suffix array is a single-machine
     construction; the posting-list form below is the shuffle-native
@@ -1259,8 +1264,11 @@ def duplicated_spans(
         .where(F.col("n_docs") >= 2)
     )
     marked = g.join(df_counts.select("gram"), "gram")
-    # gap-islands per doc: a new span starts when this gram's window
-    # [pos, pos+k-1] cannot touch the previous marked gram's window
+    # gap-islands per doc: windows [p, p+k-1] and [p', p'+k-1]
+    # touch (overlap: p' <= p+k-1, or exactly adjacent: p' = p+k)
+    # iff p' <= p + k — a new span starts when this gram's window
+    # cannot touch the previous marked gram's window, so token
+    # coverage inside each span is contiguous
     w = Window.partitionBy("doc_id").orderBy("pos")
     islands = (
         marked.withColumn("prev", F.lag("pos").over(w))

@@ -62,6 +62,29 @@ def safe_div(num: Column, den: Column) -> Column:
     return F.when(den != 0, num / den)
 
 
+def _make_cosine_kernel():
+    """factory for the shared tiled-block BLAS kernel: two embedding
+    Series → the 1e-4-quantized cosine matrix. ONE implementation
+    for cosine_pairs / knn_graph / cosine_pairs_bipartite, so the
+    quantization scale and the zero-norm (0/0 → NaN, masked by the
+    callers) contract cannot drift between an operator and its
+    oracle. Factory-made so the kernel ships BY VALUE inside each
+    applyInPandas closure — a module-level function referenced from
+    a closure pickles by name and crashes Python workers whenever
+    the driver runs outside the repo root (see the verify notes).
+    """
+    import numpy as np
+
+    def kernel(L_emb, R_emb):
+        A = np.stack([np.asarray(v, dtype=np.float64) for v in L_emb])
+        B = np.stack([np.asarray(v, dtype=np.float64) for v in R_emb])
+        na = np.sqrt((A * A).sum(axis=1))
+        nb = np.sqrt((B * B).sum(axis=1))
+        return np.floor((A @ B.T) / np.outer(na, nb) * 1e4 + 0.5) / 1e4
+
+    return kernel
+
+
 def cosine_pairs_hof(
     emb: DataFrame, threshold: float = COSINE_THRESHOLD
 ) -> DataFrame:
@@ -125,6 +148,8 @@ def cosine_pairs(
         F.lit(False).alias("is_left"),
     )
 
+    kern = _make_cosine_kernel()
+
     def block(key, pdf):
         ta, tb = key
         L = pdf[pdf["is_left"]]
@@ -137,11 +162,7 @@ def cosine_pairs(
                     "cosine": np.array([], dtype=np.float64),
                 }
             )
-        A = np.stack([np.asarray(v, dtype=np.float64) for v in L["embedding"]])
-        B = np.stack([np.asarray(v, dtype=np.float64) for v in R["embedding"]])
-        na = np.sqrt((A * A).sum(axis=1))
-        nb = np.sqrt((B * B).sum(axis=1))
-        q = np.floor((A @ B.T) / np.outer(na, nb) * 1e4 + 0.5) / 1e4
+        q = kern(L["embedding"], R["embedding"])
         # NaN (zero-norm 0/0) fails the >= comparison and drops out,
         # same as safe_div's NULL under the threshold predicate;
         # isfinite makes that contract explicit.
@@ -217,6 +238,8 @@ def knn_graph(
         F.lit(False).alias("is_left"),
     )
 
+    kern = _make_cosine_kernel()
+
     def block(key, pdf):
         ta, tb = key
 
@@ -235,11 +258,7 @@ def knn_graph(
         R = pdf[~pdf["is_left"]]
         if L.empty or R.empty:
             return frame([], [], [], [], [])
-        A = np.stack([np.asarray(v, dtype=np.float64) for v in L["embedding"]])
-        B = np.stack([np.asarray(v, dtype=np.float64) for v in R["embedding"]])
-        na = np.sqrt((A * A).sum(axis=1))
-        nb = np.sqrt((B * B).sum(axis=1))
-        q = np.floor((A @ B.T) / np.outer(na, nb) * 1e4 + 0.5) / 1e4
+        q = kern(L["embedding"], R["embedding"])
         la = L["vec_id"].to_numpy()
         rb = R["vec_id"].to_numpy()
         if diff_label:
@@ -1303,6 +1322,8 @@ def cosine_pairs_bipartite(
         F.lit(True).alias("is_left"),
     )
 
+    kern = _make_cosine_kernel()
+
     def block(key, pdf):
         L = pdf[pdf["is_left"]]
         R = pdf[~pdf["is_left"]]
@@ -1314,11 +1335,7 @@ def cosine_pairs_bipartite(
                     "cosine": np.array([], dtype=np.float64),
                 }
             )
-        A = np.stack([np.asarray(v, dtype=np.float64) for v in L["embedding"]])
-        B = np.stack([np.asarray(v, dtype=np.float64) for v in R["embedding"]])
-        na = np.sqrt((A * A).sum(axis=1))
-        nb = np.sqrt((B * B).sum(axis=1))
-        q = np.floor((A @ B.T) / np.outer(na, nb) * 1e4 + 0.5) / 1e4
+        q = kern(L["embedding"], R["embedding"])
         ia, ib = np.where(np.isfinite(q) & (q >= threshold))
         return pd.DataFrame(
             {

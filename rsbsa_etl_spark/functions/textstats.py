@@ -885,6 +885,78 @@ def feature_hash_vectors(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return m.select("doc_id", "n_tokens", vec.alias("vec"))
 
 
+def _bpe_vocab_frame(docs, text_col, keep_tok):
+    """vocabulary collapse shared by BPE train/inference: one row per
+    distinct word with its corpus count and the ``||``-delimited
+    initial (character) symbol string."""
+    from rsbsa_etl_spark.functions.dedup import tokens_col
+
+    words = (
+        docs.select(F.explode(tokens_col(F.col(text_col))).alias("tok"))
+        .where(F.length("tok") >= 1)
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    chars = F.expr(
+        "transform(sequence(1, length(tok)), i -> substring(tok, i, 1))"
+    )
+    cols = (["tok"] if keep_tok else []) + ["cnt"]
+    return words.select(
+        *cols,
+        F.concat(
+            F.lit("||"), F.array_join(chars, "||"), F.lit("||")
+        ).alias("seq"),
+    ).persist()
+
+
+def _bpe_syms(col="seq"):
+    return F.filter(F.split(F.col(col), r"\|\|"), lambda x: x != "")
+
+
+def _bpe_merge_rounds(w: DataFrame, rounds: int):
+    """the BPE training loop, single-sourced for bpe_train AND
+    bpe_segment (a tie-break or delimiter fix applied here reaches
+    both): per round, a vocabulary-sized weighted pair count, a
+    1-row driver argmax under the TOTAL (count desc, pair asc)
+    order, and a literal-replace merge. Returns the merged frame and
+    the learned rules [(round, left, right, merged, count)]. Stops
+    early when no pairs remain (fully merged vocabulary)."""
+    carry = [c for c in w.columns if c != "seq"]
+    merges: list[tuple] = []
+    for r in range(1, rounds + 1):
+        pairs = (
+            w.select("cnt", _bpe_syms().alias("s"))
+            .where(F.size("s") >= 2)
+            .select(
+                "cnt",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(s) - 1),"
+                        " i -> struct(s[i-1] AS l, s[i] AS r))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("cnt").cast("long").alias("n"))
+        )
+        best = pairs.orderBy(
+            F.desc("n"), F.asc("l"), F.asc("r")
+        ).limit(1).collect()
+        if not best:
+            break
+        l, rt, n = best[0].l, best[0].r, best[0].n
+        merges.append((r, l, rt, l + rt, n))
+        w = w.select(
+            *carry,
+            F.replace(
+                F.col("seq"),
+                F.lit(f"|{l}||{rt}|"),
+                F.lit(f"|{l}{rt}|"),
+            ).alias("seq"),
+        )
+    return w, merges
+
+
 def bpe_train(
     docs: DataFrame, text_col: str = "text", rounds: int | None = None
 ) -> DataFrame:
@@ -897,7 +969,7 @@ def bpe_train(
     (round, left, right, merged, pair_count) — the training
     artifact itself, exactly as a tokenizer ships it.
 
-    Distributed shape per round:
+    Distributed shape per round (``_bpe_merge_rounds``):
     - the corpus collapses ONCE up front to the vocabulary (word,
       count) table — all later work is vocabulary-sized, the
       standard BPE-training trick (word-internal pairs don't cross
@@ -925,75 +997,24 @@ def bpe_train(
     as bench.py does.
     """
     from rsbsa_etl_spark import params as P
-    from rsbsa_etl_spark.functions.dedup import tokens_col
 
     spark = docs.sparkSession
     rr = P.BPE_TRAIN_ROUNDS if rounds is None else rounds
-
-    out_schema = (
+    w = _bpe_vocab_frame(docs, text_col, keep_tok=False)
+    _, merges = _bpe_merge_rounds(w, rr)
+    return spark.createDataFrame(
+        merges,
         "round int, left string, right string, merged string, "
-        "pair_count bigint"
+        "pair_count bigint",
     )
-    words = (
-        docs.select(F.explode(tokens_col(F.col(text_col))).alias("tok"))
-        .where(F.length("tok") >= 1)
-        .groupBy("tok")
-        .agg(F.count("*").cast("long").alias("cnt"))
-    )
-    chars = F.expr(
-        "transform(sequence(1, length(tok)), i -> substring(tok, i, 1))"
-    )
-    w = words.select(
-        "cnt",
-        F.concat(
-            F.lit("||"), F.array_join(chars, "||"), F.lit("||")
-        ).alias("seq"),
-    ).persist()
-
-    merges: list[tuple] = []
-    for r in range(1, rr + 1):
-        syms = F.filter(
-            F.split(F.col("seq"), r"\|\|"), lambda x: x != ""
-        )
-        pairs = (
-            w.select("cnt", syms.alias("s"))
-            .where(F.size("s") >= 2)
-            .select(
-                "cnt",
-                F.explode(
-                    F.expr(
-                        "transform(sequence(1, size(s) - 1),"
-                        " i -> struct(s[i-1] AS l, s[i] AS r))"
-                    )
-                ).alias("p"),
-            )
-            .groupBy("p.l", "p.r")
-            .agg(F.sum("cnt").cast("long").alias("n"))
-        )
-        best = pairs.orderBy(
-            F.desc("n"), F.asc("l"), F.asc("r")
-        ).limit(1).collect()
-        if not best:
-            break
-        l, rt, n = best[0].l, best[0].r, best[0].n
-        merges.append((r, l, rt, l + rt, n))
-        w = w.select(
-            "cnt",
-            F.replace(
-                F.col("seq"),
-                F.lit(f"|{l}||{rt}|"),
-                F.lit(f"|{l}{rt}|"),
-            ).alias("seq"),
-        )
-    return spark.createDataFrame(merges, out_schema)
 
 
 def bpe_segment(
     docs: DataFrame, text_col: str = "text", rounds: int | None = None
 ) -> DataFrame:
     """BPE INFERENCE over the corpus: train ``rounds`` merges
-    (``bpe_train``'s loop, vocabulary-collapsed), apply them to every
-    word, and report per-document subword statistics —
+    (``_bpe_merge_rounds`` — the SAME loop as ``bpe_train``), apply
+    them to every word, and report per-document subword statistics —
     (doc_id, n_tokens, n_symbols, chars_per_symbol). The
     chars-per-symbol ratio is the compression a tokenizer achieves,
     the number a data pipeline tracks to price a corpus in tokens.
@@ -1004,70 +1025,25 @@ def bpe_segment(
     document's tokens to their symbol counts; per-doc stats are one
     partial-agg groupBy. The merge rules themselves are R driver
     rows; corpus-sized state never leaves the cluster.
+
+    Persist contract: as ``bpe_train`` — the vocabulary symbol table
+    stays cached; loop-running callers clearCache between runs.
     """
     from rsbsa_etl_spark import params as P
     from rsbsa_etl_spark.functions.dedup import tokens_col
     from rsbsa_etl_spark.functions.numeric import dec_round
 
     rr = P.BPE_TRAIN_ROUNDS if rounds is None else rounds
-
+    w = _bpe_vocab_frame(docs, text_col, keep_tok=True)
+    w, _ = _bpe_merge_rounds(w, rr)
+    vocab = w.select(
+        "tok",
+        F.size(_bpe_syms()).cast("long").alias("n_syms"),
+        F.length("tok").cast("long").alias("n_chars"),
+    )
     tok_rows = docs.select(
         "doc_id", F.explode(tokens_col(F.col(text_col))).alias("tok")
     ).where(F.length("tok") >= 1)
-    words = tok_rows.groupBy("tok").agg(
-        F.count("*").cast("long").alias("cnt")
-    )
-    chars = F.expr(
-        "transform(sequence(1, length(tok)), i -> substring(tok, i, 1))"
-    )
-    w = words.select(
-        "tok",
-        "cnt",
-        F.concat(
-            F.lit("||"), F.array_join(chars, "||"), F.lit("||")
-        ).alias("seq"),
-    ).persist()
-
-    for _ in range(rr):
-        syms = F.filter(
-            F.split(F.col("seq"), r"\|\|"), lambda x: x != ""
-        )
-        pairs = (
-            w.select("cnt", syms.alias("s"))
-            .where(F.size("s") >= 2)
-            .select(
-                "cnt",
-                F.explode(
-                    F.expr(
-                        "transform(sequence(1, size(s) - 1),"
-                        " i -> struct(s[i-1] AS l, s[i] AS r))"
-                    )
-                ).alias("p"),
-            )
-            .groupBy("p.l", "p.r")
-            .agg(F.sum("cnt").cast("long").alias("n"))
-        )
-        best = pairs.orderBy(
-            F.desc("n"), F.asc("l"), F.asc("r")
-        ).limit(1).collect()
-        if not best:
-            break
-        l, rt = best[0].l, best[0].r
-        w = w.select(
-            "tok",
-            "cnt",
-            F.replace(
-                F.col("seq"),
-                F.lit(f"|{l}||{rt}|"),
-                F.lit(f"|{l}{rt}|"),
-            ).alias("seq"),
-        )
-    n_syms = F.size(
-        F.filter(F.split(F.col("seq"), r"\|\|"), lambda x: x != "")
-    )
-    vocab = w.select(
-        "tok", n_syms.cast("long").alias("n_syms"), F.length("tok").cast("long").alias("n_chars")
-    )
     per_doc = (
         tok_rows.join(vocab, "tok")
         .groupBy("doc_id")

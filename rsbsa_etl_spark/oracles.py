@@ -2265,13 +2265,19 @@ FROM pairs GROUP BY pair
 ORDER BY n DESC, pair ASC LIMIT {P.BPE_TOPK}
 """
 
-# BPE training, 3 rounds unrolled: the same count→argmax→merge loop
-# as textstats.bpe_train — literal replace on the ||-delimited
-# symbol string is left-to-right non-overlapping in both engines
-def _bpe_train_sql(rounds: int) -> str:
+# BPE training/inference, 3 rounds unrolled from ONE shared CTE
+# builder — the same single-sourcing as textstats._bpe_merge_rounds.
+# Each round's merge is applied via a scalar subquery coalesced to
+# the empty string: replace(seq, '', '') is a no-op in DuckDB, so a
+# round whose pair space is exhausted leaves the vocabulary chain
+# intact — matching the Spark loop's early break (a cross join of
+# the empty best{r} would instead WIPE the chain, which diverged on
+# merge-exhausting corpora).
+def _bpe_rounds_ctes(rounds: int, carry_tok: bool) -> list[str]:
+    tokcol = "tok, " if carry_tok else ""
     ctes = [
         f"""w0 AS (
-  SELECT CAST(count(*) AS BIGINT) AS cnt,
+  SELECT {tokcol}CAST(count(*) AS BIGINT) AS cnt,
          '||' || array_to_string(
              list_transform(range(1, length(tok) + 1),
                             i -> substr(tok, CAST(i AS INT), 1)), '||')
@@ -2296,12 +2302,18 @@ pr{r} AS (
 ),
 best{r} AS (SELECT l, r, n FROM pr{r} ORDER BY n DESC, l ASC, r ASC LIMIT 1),
 w{r} AS (
-  SELECT w.cnt,
-         replace(w.seq, '|' || b.l || '||' || b.r || '|',
-                        '|' || b.l || b.r || '|') AS seq
-  FROM w{p} w, best{r} b
+  SELECT {tokcol}cnt,
+         replace(seq,
+                 coalesce((SELECT '|' || l || '||' || r || '|' FROM best{r}), ''),
+                 coalesce((SELECT '|' || l || r || '|' FROM best{r}), '')) AS seq
+  FROM w{p}
 )"""
         )
+    return ctes
+
+
+def _bpe_train_sql(rounds: int) -> str:
+    ctes = _bpe_rounds_ctes(rounds, carry_tok=False)
     finals = " UNION ALL ".join(
         f"SELECT {r} AS round, l AS \"left\", r AS \"right\","
         f" l || r AS merged, n AS pair_count FROM best{r}"
@@ -2313,43 +2325,8 @@ w{r} AS (
 ORACLES["bpe_train"] = _bpe_train_sql(P.BPE_TRAIN_ROUNDS)
 
 
-# BPE inference: the same merge chain carrying the word key, then a
-# per-document join of token → symbol count — mirrors
-# textstats.bpe_segment
 def _bpe_segment_sql(rounds: int) -> str:
-    ctes = [
-        f"""w0 AS (
-  SELECT tok, CAST(count(*) AS BIGINT) AS cnt,
-         '||' || array_to_string(
-             list_transform(range(1, length(tok) + 1),
-                            i -> substr(tok, CAST(i AS INT), 1)), '||')
-              || '||' AS seq
-  FROM (SELECT unnest({TOKS}) AS tok FROM documents)
-  WHERE length(tok) >= 1
-  GROUP BY tok
-)"""
-    ]
-    for r in range(1, rounds + 1):
-        p = r - 1
-        ctes.append(
-            f"""sy{r} AS (
-  SELECT cnt, list_filter(string_split(seq, '||'), x -> x <> '') AS s
-  FROM w{p}
-),
-pr{r} AS (
-  SELECT s[i] AS l, s[i + 1] AS r, CAST(sum(cnt) AS BIGINT) AS n
-  FROM (SELECT cnt, s, unnest(range(1, len(s))) AS i
-        FROM sy{r} WHERE len(s) >= 2)
-  GROUP BY 1, 2
-),
-best{r} AS (SELECT l, r, n FROM pr{r} ORDER BY n DESC, l ASC, r ASC LIMIT 1),
-w{r} AS (
-  SELECT w.tok, w.cnt,
-         replace(w.seq, '|' || b.l || '||' || b.r || '|',
-                        '|' || b.l || b.r || '|') AS seq
-  FROM w{p} w, best{r} b
-)"""
-        )
+    ctes = _bpe_rounds_ctes(rounds, carry_tok=True)
     ctes.append(
         f"""vocab AS (
   SELECT tok,

@@ -328,16 +328,35 @@ def merge_cdc_batch(
     failure would double-count. The standard foreachBatch guard
     applies: the last-applied ``batch_id`` is persisted INSIDE the
     state dir (``_last_batch_id`` — underscore-prefixed files are
-    invisible to parquet reads), so the high-water mark swaps
-    atomically with the state it describes, and any batch at or
-    below it is skipped. Module-level (not a closure) because
-    foreachBatch functions run on the driver — no worker pickling —
-    and this way the retry path is unit-testable.
+    invisible to parquet reads), so the high-water mark travels with
+    the state it describes, and any batch at or below it is skipped.
+
+    Crash safety: the swap is rename-aside → rename-in → delete-old.
+    Each rename is atomic, so no crash point leaves BOTH the old and
+    new state missing; a crash between the renames leaves the old
+    state parked at ``state_old``, which the next invocation (or a
+    reader via this module) restores before proceeding. The earlier
+    delete-then-rename ordering had a window where a crash destroyed
+    the accumulated state AND its marker, and the retry would have
+    silently rebuilt state from the one re-delivered batch.
+    Module-level (not a closure) because foreachBatch functions run
+    on the driver — no worker pickling — and this way the retry and
+    recovery paths are unit-testable.
     """
     import os
     import shutil
 
     state = os.path.join(base, "state")
+    state_old = os.path.join(base, "state_old")
+    # crash recovery: a failure between the two renames leaves the
+    # previous state parked aside — restore it before merging; a
+    # failure after rename-in but before delete-old leaves a stale
+    # superseded copy — drop it so the next swap's rename-aside
+    # has a clear destination
+    if not os.path.isdir(state) and os.path.isdir(state_old):
+        os.rename(state_old, state)
+    elif os.path.isdir(state) and os.path.isdir(state_old):
+        shutil.rmtree(state_old)
     marker = os.path.join(state, "_last_batch_id")
     if os.path.isfile(marker):
         with open(marker) as fh:
@@ -369,8 +388,10 @@ def merge_cdc_batch(
     with open(f"{base}/state_new/_last_batch_id", "w") as fh:
         fh.write(str(batch_id))
     if os.path.isdir(state):
-        shutil.rmtree(state)
+        os.rename(state, state_old)
     os.rename(f"{base}/state_new", state)
+    if os.path.isdir(state_old):
+        shutil.rmtree(state_old)
 
 
 def cdc_apply_replay(events: DataFrame) -> DataFrame:

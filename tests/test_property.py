@@ -616,3 +616,30 @@ def test_bpe_train_golden(spark):
         (2, "lo", "w", "low", 4),
         (3, "low", "e", "lowe", 2),
     ]
+
+
+def test_bpe_merge_exhaustion_parity(spark):
+    """a corpus whose pair space exhausts before BPE_TRAIN_ROUNDS:
+    Spark's loop breaks early; the oracle's per-round replace must be
+    a no-op (coalesced scalar subquery), NOT a cross join with the
+    empty best row — the earlier cross-join form wiped the vocabulary
+    chain and returned zero bpe_segment rows on exactly this shape."""
+    import duckdb
+
+    from __spark_entry__ import oracle_sql
+    from rsbsa_etl_spark.functions.textstats import bpe_segment, bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab"), (2, "ab")], "doc_id long, text string"
+    )
+    rules = bpe_train(docs).collect()
+    assert [(r.round, r.merged, r.pair_count) for r in rules] == [(1, "ab", 3)]
+    seg = {r.doc_id: (r.n_tokens, r.n_symbols) for r in bpe_segment(docs).collect()}
+    assert seg == {1: (2, 2), 2: (1, 1)}
+
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    got_train = con.sql(oracle_sql()["bpe_train"]).fetchall()
+    assert [(r[0], r[3], r[4]) for r in got_train] == [(1, "ab", 3)]
+    got_seg = {r[0]: (r[1], r[2]) for r in con.sql(oracle_sql()["bpe_segment"]).fetchall()}
+    assert got_seg == seg

@@ -234,3 +234,33 @@ def test_cdc_merge_skips_redelivered_batch(spark, tmp_path):
     )
     merge_cdc_batch(spark, base, batch2, 1)
     assert state() == {10: (3, 200, 2.0), 20: (1, 300, 3.0)}
+
+    # crash window between the swap's two renames: the accumulated
+    # state sits parked at state_old — the next merge must restore
+    # it (not rebuild from the re-delivered batch alone)
+    import shutil
+
+    os.rename(f"{base}/state", f"{base}/state_old")
+    batch3 = spark.createDataFrame(
+        pd.DataFrame(
+            {"event_id": [5], "user_id": [30], "ts_us": [50], "value": [7.0]}
+        )
+    )
+    merge_cdc_batch(spark, base, batch3, 2)
+    assert state() == {
+        10: (3, 200, 2.0),
+        20: (1, 300, 3.0),
+        30: (1, 50, 7.0),
+    }
+
+    # crash window after rename-in, before delete-old: a stale
+    # superseded copy must not block the next swap
+    shutil.copytree(f"{base}/state", f"{base}/state_old")
+    batch4 = spark.createDataFrame(
+        pd.DataFrame(
+            {"event_id": [6], "user_id": [30], "ts_us": [60], "value": [8.0]}
+        )
+    )
+    merge_cdc_batch(spark, base, batch4, 3)
+    assert state()[30] == (2, 60, 8.0)
+    assert not os.path.isdir(f"{base}/state_old")
