@@ -177,6 +177,7 @@ HEADLINE = [
     "dedup_embedding_incremental",
     "bpe_train",
     "bpe_segment",
+    "hybrid_search_rrf",
 ]
 
 

@@ -3354,6 +3354,106 @@ SELECT doc_contained, doc_container,
 FROM directed WHERE containment >= 0.8
 """
 
+# hybrid retrieval: lexical (rational-idf overlap) + vector (cosine)
+# arms, each top-HYBRID_ARM_K per query, fused by reciprocal-rank
+# fusion. Ranking happens on the RAW rrf double (two IEEE divisions
+# + one addition — exactly specified, identical in both engines);
+# only the OUTPUT is fixed-point rounded.
+_HQ = ", ".join(str(int(q)) for q in P.ANN_QUERY_IDS)
+ORACLES["hybrid_search_rrf"] = f"""
+WITH corpus AS (
+  SELECT d.doc_id, {NORM} AS norm, e.embedding
+  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+),
+q AS (SELECT doc_id AS query_id, norm AS q_norm, embedding AS q_emb
+      FROM corpus WHERE doc_id IN ({_HQ})),
+cand AS (SELECT * FROM corpus WHERE doc_id NOT IN ({_HQ})),
+terms AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id, unnest(string_split(norm, ' ')) AS term FROM cand
+  ) WHERE length(term) > 0
+),
+dfs AS (SELECT term, count(*) AS df FROM terms GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM cand),
+qterms AS (
+  SELECT DISTINCT query_id, term FROM (
+    SELECT query_id, unnest(string_split(q_norm, ' ')) AS term FROM q
+  ) WHERE length(term) > 0
+),
+lex AS (
+  SELECT qt.query_id, t.doc_id,
+         {_dec("sum((n.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))", 6)} AS lex
+  FROM terms t
+  JOIN qterms qt USING (term)
+  JOIN dfs USING (term), n
+  GROUP BY qt.query_id, t.doc_id
+),
+lext AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY lex DESC, doc_id ASC) AS lex_rank
+  FROM lex QUALIFY lex_rank <= {P.HYBRID_ARM_K}
+),
+cv AS (
+  SELECT doc_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM cand
+),
+cvn AS (
+  SELECT doc_id, v,
+         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+  FROM cv
+),
+qv AS (
+  SELECT query_id, list_transform(q_emb, x -> CAST(x AS DOUBLE)) AS qv
+  FROM q
+),
+qvn AS (
+  SELECT query_id, qv,
+         sqrt(list_sum(list_transform(qv, x -> x * x))) AS qn
+  FROM qv
+),
+vec AS (
+  SELECT b.query_id, a.doc_id,
+         {_dec(
+             "list_sum(list_transform(range(1, 65),"
+             " i -> a.v[i] * b.qv[i])) / (a.nrm * b.qn)",
+             4,
+         )} AS cos
+  FROM cvn a, qvn b
+  WHERE a.nrm > 0 AND b.qn > 0
+),
+vect AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, doc_id ASC) AS vec_rank
+  FROM vec QUALIFY vec_rank <= {P.HYBRID_ARM_K}
+),
+fused AS (
+  SELECT coalesce(l.query_id, v.query_id) AS query_id,
+         coalesce(l.doc_id, v.doc_id) AS doc_id,
+         l.lex_rank, v.vec_rank
+  FROM lext l FULL OUTER JOIN vect v
+    ON l.query_id = v.query_id AND l.doc_id = v.doc_id
+),
+scored AS (
+  SELECT query_id, doc_id, lex_rank, vec_rank,
+         (CASE WHEN lex_rank IS NOT NULL
+               THEN 1.0 / ({P.RRF_K} + lex_rank) ELSE 0.0 END)
+       + (CASE WHEN vec_rank IS NOT NULL
+               THEN 1.0 / ({P.RRF_K} + vec_rank) ELSE 0.0 END) AS rrf_raw
+  FROM fused
+)
+SELECT query_id, doc_id,
+       CAST(lex_rank AS INT) AS lex_rank,
+       CAST(vec_rank AS INT) AS vec_rank,
+       {_dec("rrf_raw", 6)} AS rrf,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY rrf_raw DESC, doc_id ASC)
+            AS INT) AS "rank"
+FROM scored
+QUALIFY "rank" <= {P.HYBRID_TOP_K}
+"""
+
 # bipartite ingest-time embedding dedup: new 20% slice vs the 80%
 # corpus, zero-norm guard matching cosine_pairs_bipartite's
 # non-finite mask

@@ -280,3 +280,12 @@ SPAN_NGRAM_K = 4
 #: oracle unrolls the same loop, so a per-call override could not be
 #: verified); real training runs thousands — the loop is identical.
 BPE_TRAIN_ROUNDS = 3
+
+#: hybrid retrieval (lexical + vector, RRF-fused): per-arm retrieval
+#: depth, the RRF smoothing constant (60 = the value from Cormack &
+#: Clarke's original reciprocal-rank-fusion paper), and the fused
+#: result depth. Queries reuse ANN_QUERY_IDS (doc_id == vec_id on
+#: the fixture's shared id domain).
+HYBRID_ARM_K = 50
+RRF_K = 60
+HYBRID_TOP_K = 10

@@ -1640,6 +1640,17 @@ def dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hybrid retrieval: lexical idf-overlap arm + embedding cosine
+    arm, each top-K per query, fused by reciprocal rank fusion --
+    the modern two-arm search stack as one declarative plan."""
+    from rsbsa_etl_spark.functions.retrieval import hybrid_search_rrf as _h
+
+    return _h(
+        load(spark, sf_dir, "documents"), load(spark, sf_dir, "embeddings")
+    )
+
+
 def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """exact duplicated-span detection (Lee et al. 2022 substring
     dedup, posting-list form): maximal token spans whose k-grams all
@@ -2164,6 +2175,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_embedding_incremental": dedup_embedding_incremental,
     "bpe_train": bpe_train,
     "bpe_segment": bpe_segment,
+    "hybrid_search_rrf": hybrid_search_rrf,
     "snapshot_diff": snapshot_diff,
     "resample_ffill": resample_ffill,
     "ab_ttest": ab_ttest,
@@ -2249,7 +2261,7 @@ def _is_green(row: dict) -> bool:
 # ts_autocorr k_anonymity feature_hashing quantile_bucketize
 # stream_cdc_apply window_rolling_median state_durations
 # dedup_containment_capped dedup_spans dedup_embedding_incremental
-# bpe_train bpe_segment` (now 15 keys)
+# bpe_train bpe_segment hybrid_search_rrf` (now 16 keys)
 # (every one replica-green at sf0.01 AND sf0.1 from /tmp), after
 # which every registry key has a driver row and the rotation
 # degenerates to a stable order. The drain stays optimal by
@@ -2307,6 +2319,7 @@ _UNTESTED_PRIORITY = [
     # round-5 additions (join the round-6 remainder)
     "dedup_containment_capped", "dedup_spans",
     "dedup_embedding_incremental", "bpe_train", "bpe_segment",
+    "hybrid_search_rrf",
 ]
 
 _rows = _driver_latest_rows()

@@ -643,3 +643,43 @@ def test_bpe_merge_exhaustion_parity(spark):
     assert [(r[0], r[3], r[4]) for r in got_train] == [(1, "ab", 3)]
     got_seg = {r[0]: (r[1], r[2]) for r in con.sql(oracle_sql()["bpe_segment"]).fetchall()}
     assert got_seg == seg
+
+
+def test_hybrid_rrf_fusion_semantics(spark):
+    """structural invariants of the fused ranking at sf0.001: every
+    query returns exactly HYBRID_TOP_K rows with dense ranks; each
+    row was retrieved by at least one arm; rrf equals the recomputed
+    1/(K+rank) sum; and the fixture exercises genuine fusion (at
+    least one result retrieved by both arms AND ones by a single
+    arm)."""
+    from rsbsa_etl_spark import params as P
+    from rsbsa_etl_spark.registry import QUERIES
+
+    from tests.conftest import SF_DIR
+
+    rows = QUERIES["hybrid_search_rrf"](spark, SF_DIR).collect()
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert len(by_q) == len(P.ANN_QUERY_IDS)
+    import math
+
+    for q, rs in by_q.items():
+        assert sorted(r.rank for r in rs) == list(
+            range(1, P.HYBRID_TOP_K + 1)
+        )
+        for r in rs:
+            assert r.lex_rank is not None or r.vec_rank is not None
+            want = 0.0
+            if r.lex_rank is not None:
+                assert 1 <= r.lex_rank <= P.HYBRID_ARM_K
+                want += 1.0 / (P.RRF_K + r.lex_rank)
+            if r.vec_rank is not None:
+                assert 1 <= r.vec_rank <= P.HYBRID_ARM_K
+                want += 1.0 / (P.RRF_K + r.vec_rank)
+            assert r.rrf == math.floor(want * 1e6 + 0.5) / 1e6
+    assert any(
+        r.lex_rank is not None and r.vec_rank is not None for r in rows
+    )
+    assert any(r.lex_rank is None for r in rows)
+    assert any(r.vec_rank is None for r in rows)
