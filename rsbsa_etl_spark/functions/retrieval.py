@@ -8,9 +8,12 @@ RRF (Cormack & Clarke, SIGIR'09): ``score(d) = Σ_arms 1/(K + rank)``
 calibration. This module implements the whole pipeline as one
 declarative plan.
 
-Cross-engine discipline: the lexical arm scores with the BM25
-rational idf ``(N - df + 0.5)/(df + 0.5)`` (transcendental-free —
-bit-exact across engines, same convention as tfidf_topk); the vector
+Cross-engine discipline: the lexical arm scores with the shared
+``rational_idf`` (transcendental-free; same single-sourced helper as
+tfidf_topk/bm25_topk) summed via ``fixed_sum`` — per-term idf
+doubles are quantized to integers BEFORE aggregation, so the score
+is independent of partition/summation order (a plain double sum is
+not associative and could flip ranks between engines); the vector
 arm uses the sequential-fold cosine quantized to 1e-4; the RRF sum
 ``1.0/(K+r1) + 1.0/(K+r2)`` is two IEEE divisions and one addition —
 exactly specified, so both engines produce identical doubles and
@@ -32,8 +35,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from rsbsa_etl_spark.functions.dedup import normalized_text
-from rsbsa_etl_spark.functions.numeric import dec_round
+from rsbsa_etl_spark.functions.numeric import dec_round, fixed_sum
 from rsbsa_etl_spark.functions.similarity import dot, safe_div, with_norm
+from rsbsa_etl_spark.functions.textstats import rational_idf
 from rsbsa_etl_spark.params import (
     ANN_QUERY_IDS,
     HYBRID_ARM_K,
@@ -57,12 +61,18 @@ def hybrid_search_rrf(
     are NULL when the doc was retrieved by only one arm; rrf is the
     sum of 1/(RRF_K + rank) over the arms that retrieved it.
     """
+    # the corpus subplan feeds four subtrees (queries, the terms
+    # explode, the candidate-count scalar, the vector scan) and
+    # Spark does not deduplicate common subplans — persist so the
+    # documents scan + normalize + embeddings join runs once. Same
+    # cache contract as the rest of the repo: loop-running callers
+    # clearCache between runs (bench.py does).
     corpus = docs.select(
         "doc_id", normalized_text(F.col("text")).alias("norm")
     ).join(
         emb.select(F.col("vec_id").alias("doc_id"), "embedding"),
         "doc_id",
-    )
+    ).persist()
     qset = [int(q) for q in query_ids]
     queries = corpus.where(F.col("doc_id").isin(qset)).select(
         F.col("doc_id").alias("query_id"),
@@ -94,11 +104,10 @@ def hybrid_search_rrf(
         .join(F.broadcast(n_tbl))
         .groupBy("query_id", "doc_id")
         .agg(
-            F.sum(
-                (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-            ).alias("s")
+            fixed_sum(
+                rational_idf(F.col("n_docs"), F.col("df")), 6, alias="lex"
+            )
         )
-        .select("query_id", "doc_id", dec_round(F.col("s"), 6).alias("lex"))
     )
     wl = Window.partitionBy("query_id").orderBy(
         F.col("lex").desc(), F.col("doc_id").asc()

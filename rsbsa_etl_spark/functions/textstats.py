@@ -380,6 +380,17 @@ def chunk_tokens_udtf(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def rational_idf(n_docs, df):
+    """BM25 rational idf ``(N - df + 0.5) / (df + 0.5)`` — the same
+    monotone ordering as the classic ``log(N/df)`` but free of
+    transcendentals, so scores are pure rational functions of integer
+    counts and bit-exact across engines. Single-sourced for
+    tfidf_topk / bm25_topk / retrieval.hybrid_search_rrf (and their
+    oracle mirrors), so the smoothing convention cannot drift
+    between operators."""
+    return (n_docs - df + 0.5) / (df + 0.5)
+
+
 def tfidf_topk(docs: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
     """per-document top-k characteristic terms by TF-IDF.
 
@@ -415,7 +426,7 @@ def tfidf_topk(docs: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame
             F.col("df").cast("long").alias("df"),
             dec_round(
                 F.col("tf")
-                * ((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+                * rational_idf(F.col("n_docs"), F.col("df")),
                 6,
             ).alias("tfidf"),
         )
@@ -679,7 +690,7 @@ def bm25_topk(
     avg = dl.agg(
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl")
     )
-    idf = (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    idf = rational_idf(F.col("n_docs"), F.col("df"))
     sat = (F.col("tf") * (k1 + 1.0)) / (
         F.col("tf")
         + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / F.col("avgdl")))

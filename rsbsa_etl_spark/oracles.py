@@ -3356,9 +3356,12 @@ FROM directed WHERE containment >= 0.8
 
 # hybrid retrieval: lexical (rational-idf overlap) + vector (cosine)
 # arms, each top-HYBRID_ARM_K per query, fused by reciprocal-rank
-# fusion. Ranking happens on the RAW rrf double (two IEEE divisions
-# + one addition — exactly specified, identical in both engines);
-# only the OUTPUT is fixed-point rounded.
+# fusion. The lexical score is an order-independent fixed_sum (the
+# per-term idf doubles quantize to integers before aggregation —
+# a plain double sum could rank-flip between engines); ranking
+# happens on the RAW rrf double (two IEEE divisions + one addition
+# — exactly specified, identical in both engines); only the OUTPUT
+# is fixed-point rounded.
 _HQ = ", ".join(str(int(q)) for q in P.ANN_QUERY_IDS)
 ORACLES["hybrid_search_rrf"] = f"""
 WITH corpus AS (
@@ -3382,7 +3385,7 @@ qterms AS (
 ),
 lex AS (
   SELECT qt.query_id, t.doc_id,
-         {_dec("sum((n.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))", 6)} AS lex
+         {sql_sum_fixed("(n.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)", 6)} AS lex
   FROM terms t
   JOIN qterms qt USING (term)
   JOIN dfs USING (term), n

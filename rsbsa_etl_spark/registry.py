@@ -1653,8 +1653,9 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """exact duplicated-span detection (Lee et al. 2022 substring
-    dedup, posting-list form): maximal token spans whose k-grams all
-    appear in 2+ docs — the regions a pipeline cuts, not the docs."""
+    dedup, posting-list form): maximal token spans contiguously
+    covered by k-grams that also occur in other docs — the regions
+    a pipeline cuts, not the doc pairs."""
     return dedup.duplicated_spans(load(spark, sf_dir, "documents"))
 
 

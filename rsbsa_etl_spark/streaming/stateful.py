@@ -294,14 +294,17 @@ def sample_stream_replay(docs: DataFrame, n: int | None = None) -> DataFrame:
     dump(proj.where(F.col("doc_id") % 2 == 1), "f1.parquet")
 
     def merge(batch: DataFrame, batch_id: int) -> None:
+        # hash-min reservoirs are content-idempotent under batch
+        # redelivery, but the swap still needs the crash-safe
+        # protocol: the old delete-then-rename ordering could lose
+        # the whole accumulated reservoir to a crash between the two
+        recover_state_dir(base)
         b = batch.select("doc_id", pri.alias("pri"))
         if os.path.isdir(state):
             b = spark.read.parquet(state).unionByName(b)
         merged = b.orderBy("pri", "doc_id").limit(n_keep)
         merged.write.mode("overwrite").parquet(f"{base}/state_new")
-        if os.path.isdir(state):
-            shutil.rmtree(state)
-        os.rename(f"{base}/state_new", state)
+        swap_state_dir(base)
 
     q = (
         spark.readStream.schema("doc_id bigint")
@@ -314,6 +317,45 @@ def sample_stream_replay(docs: DataFrame, n: int | None = None) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(state)
+
+
+def recover_state_dir(base: str) -> None:
+    """crash recovery for the write-new-then-swap state protocol: a
+    failure between ``swap_state_dir``'s two renames leaves the
+    previous state parked at ``state_old`` — restore it; a failure
+    after rename-in but before delete-old leaves a stale superseded
+    copy — drop it so the next swap's rename-aside has a clear
+    destination."""
+    import os
+    import shutil
+
+    state = os.path.join(base, "state")
+    state_old = os.path.join(base, "state_old")
+    if not os.path.isdir(state) and os.path.isdir(state_old):
+        os.rename(state_old, state)
+    elif os.path.isdir(state) and os.path.isdir(state_old):
+        shutil.rmtree(state_old)
+
+
+def swap_state_dir(base: str) -> None:
+    """swap ``base``/state_new into place: rename-aside → rename-in
+    → delete-old. Each rename is atomic, so no crash point leaves
+    BOTH the old and new state missing (the naive
+    delete-old-then-rename ordering has a window where a crash
+    destroys the accumulated state and a redelivered micro-batch
+    silently rebuilds it from scratch — the data-loss class
+    ``recover_state_dir`` + this protocol close for EVERY
+    foreachBatch state swap in this module)."""
+    import os
+    import shutil
+
+    state = os.path.join(base, "state")
+    state_old = os.path.join(base, "state_old")
+    if os.path.isdir(state):
+        os.rename(state, state_old)
+    os.rename(os.path.join(base, "state_new"), state)
+    if os.path.isdir(state_old):
+        shutil.rmtree(state_old)
 
 
 def merge_cdc_batch(
@@ -347,16 +389,7 @@ def merge_cdc_batch(
     import shutil
 
     state = os.path.join(base, "state")
-    state_old = os.path.join(base, "state_old")
-    # crash recovery: a failure between the two renames leaves the
-    # previous state parked aside — restore it before merging; a
-    # failure after rename-in but before delete-old leaves a stale
-    # superseded copy — drop it so the next swap's rename-aside
-    # has a clear destination
-    if not os.path.isdir(state) and os.path.isdir(state_old):
-        os.rename(state_old, state)
-    elif os.path.isdir(state) and os.path.isdir(state_old):
-        shutil.rmtree(state_old)
+    recover_state_dir(base)
     marker = os.path.join(state, "_last_batch_id")
     if os.path.isfile(marker):
         with open(marker) as fh:
@@ -387,11 +420,7 @@ def merge_cdc_batch(
     fold(b).write.mode("overwrite").parquet(f"{base}/state_new")
     with open(f"{base}/state_new/_last_batch_id", "w") as fh:
         fh.write(str(batch_id))
-    if os.path.isdir(state):
-        os.rename(state, state_old)
-    os.rename(f"{base}/state_new", state)
-    if os.path.isdir(state_old):
-        shutil.rmtree(state_old)
+    swap_state_dir(base)
 
 
 def cdc_apply_replay(events: DataFrame) -> DataFrame:
