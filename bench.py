@@ -178,6 +178,9 @@ HEADLINE = [
     "bpe_train",
     "bpe_segment",
     "hybrid_search_rrf",
+    "mmr_rerank",
+    "dsir_weights",
+    "rocchio_classify",
 ]
 
 

@@ -691,3 +691,116 @@ def k_anonymity(docs: DataFrame) -> DataFrame:
             (F.col("n") < F.lit(P.K_ANON)).alias("at_risk"),
         )
     )
+
+
+# ------------------------------------------------- importance reweighting
+
+
+def dsir_weights(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """DSIR-style importance weights: score every raw document by how
+    much its hashed-unigram profile resembles a target domain
+    (``lang = DSIR_TARGET_LANG``) relative to the raw corpus — the
+    data-selection signal of Xie et al. 2023 ("Data Selection for
+    Language Models via Importance Resampling"), whose weights feed
+    importance resampling of a 100 TB crawl toward a quality domain.
+
+    Construction (transcendental-free twist on the paper): tokens
+    hash into ``DSIR_HASH_DIM`` buckets (the same md5 hex-prefix
+    slot scheme as ``feature_hash_vectors``, so collisions are
+    engine-identical); each bucket gets a Laplace-smoothed
+    probability under the target and under the raw corpus, and their
+    RATIO — quantized to 1e-6 fixed point — replaces the paper's
+    log-ratio. A document's weight is the token-frequency-weighted
+    mean of its buckets' ratios: same monotone "looks like target"
+    ordering, but a pure rational function of integer counts, so it
+    is bit-reproducible across engines (the repo-wide lm_score
+    discipline; log differs at the ulp level between libms).
+
+    Scale: ONE token-scan lineage — the (doc, slot) partial-count
+    collapse is the only corpus-sized shuffle, and BOTH bucket
+    models re-aggregate from it (64-row aggregates with map-side
+    partials; the vocabulary never materializes), so the corpus is
+    read twice (model subtree + scoring join), never five times.
+    The totals fold out of the 64-row slot table itself (the tiny
+    1-row broadcast pattern). Nothing about the plan changes when
+    the corpus is 10^6× larger — the model state is a constant 64
+    rows; a loop-running caller can persist ``doc_counts``'s
+    lineage to make it one physical scan.
+    """
+    d = int(P.DSIR_HASH_DIM)
+    tok = docs.select(
+        "doc_id",
+        F.col("lang"),
+        F.explode(tokens_col(F.col(text_col))).alias("tok"),
+    ).where(F.length("tok") > 0)
+    slot = F.pmod(
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint"),
+        F.lit(d),
+    ).cast("int")
+    sl = tok.select("doc_id", "lang", slot.alias("slot"))
+
+    # per-doc sparse counts: the one corpus-sized shuffle (lang is
+    # functionally dependent on doc_id — free to carry)
+    doc_counts = sl.groupBy("doc_id", "lang", "slot").agg(
+        F.count("*").cast("long").alias("n")
+    )
+
+    # bucket models: 64-row re-aggregation of doc_counts — not a
+    # fresh corpus scan per statistic
+    is_tgt = F.col("lang") == F.lit(P.DSIR_TARGET_LANG)
+    slots = doc_counts.groupBy("slot").agg(
+        F.sum("n").cast("long").alias("c_raw"),
+        F.sum(F.when(is_tgt, F.col("n")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("c_tgt"),
+    )
+    # corpus totals as an unpartitioned window over the 64-row slot
+    # table (single tiny task) — a separate aggregate subtree would
+    # re-run the corpus scan its lineage reaches
+    wall = Window.partitionBy()
+    model = (
+        slots.select(
+            "slot",
+            "c_raw",
+            "c_tgt",
+            F.sum("c_raw").over(wall).cast("long").alias("n_raw"),
+            F.sum("c_tgt").over(wall).cast("long").alias("n_tgt"),
+        )
+        .select(
+            "slot",
+            # smoothed probability ratio, one canonical op order
+            # (mirrored verbatim in the oracle): each division is a
+            # single correctly-rounded IEEE op on exact integer
+            # inputs, the product one more
+            (
+                (
+                    (F.col("c_tgt") + F.lit(0.5))
+                    / (F.col("n_tgt") + F.lit(d / 2.0))
+                )
+                * (
+                    (F.col("n_raw") + F.lit(d / 2.0))
+                    / (F.col("c_raw") + F.lit(0.5))
+                )
+            ).alias("ratio"),
+        )
+        .select(
+            "slot",
+            F.floor(F.col("ratio") * F.lit(1e6) + F.lit(0.5))
+            .cast("long")
+            .alias("q_ratio"),
+        )
+    )
+
+    return (
+        doc_counts.join(F.broadcast(model), "slot")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("long").alias("n_tokens"),
+            dec_round(
+                F.sum(F.col("n") * F.col("q_ratio")).cast("double")
+                / F.lit(1e6)
+                / F.sum("n"),
+                6,
+            ).alias("dsir_weight"),
+        )
+    )

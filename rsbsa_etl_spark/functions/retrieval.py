@@ -170,3 +170,147 @@ def hybrid_search_rrf(
             F.col("rnk").cast("int").alias("rank"),
         )
     )
+
+
+def mmr_rerank(
+    emb: DataFrame,
+    query_ids=ANN_QUERY_IDS,
+    pool_k: int | None = None,
+    k: int | None = None,
+) -> DataFrame:
+    """Maximal Marginal Relevance diversity re-rank (Carbonell &
+    Goldstein, SIGIR'98): per query, greedily pick ``k`` documents
+    from the cosine top-``pool_k`` pool, each pick maximizing
+    ``λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s)`` — the standard
+    redundancy-suppressing selection between retrieval and a context
+    window.
+
+    Determinism: similarities are quantized to 1e-6 integers at the
+    source and λ = 7/10 is applied as EXACT integer weights
+    (``mmr_i = 7·rel_i − 3·max_sim_i``, fixed point at 1e-7), so
+    every round's argmax is integer arithmetic — no float
+    accumulation anywhere in the greedy loop, hence bit-identical
+    picks in any engine. Ties break on doc_id. The first pick
+    maximizes relevance alone (max-sim term 0 by convention — same
+    argmax as the classic "seed with the most relevant" form).
+
+    Scale: the greedy stage never touches the corpus — it runs on
+    the retrieved pool (``queries × pool_k`` rows; the pairwise
+    stage is pool-bounded at ``pool_k²`` per query, independent of
+    corpus size), which is the textbook deployment of MMR as a
+    re-ranker behind an ANN retriever. The corpus-sized work is one
+    broadcast-queries scan (the ann_bruteforce plan — swap in the
+    IVF/LSH arm at billion-vector scale; the re-rank stage is
+    unchanged). ``k`` driver-side rounds of tiny-DataFrame ops with
+    lineage truncated per round (the pagerank localCheckpoint
+    pattern). The pool/pairs persists release with the session (the
+    repo's documented cache contract: loop-running callers
+    clearCache between runs; bench.py does).
+    """
+    from rsbsa_etl_spark.params import MMR_POOL_K, MMR_SELECT_K
+
+    pool_k = MMR_POOL_K if pool_k is None else pool_k
+    k = MMR_SELECT_K if k is None else k
+    e = with_norm(emb)
+    qset = [int(q) for q in query_ids]
+    queries = e.where(F.col("vec_id").isin(qset)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("_vd").alias("vq"),
+        F.col("_norm").alias("nq"),
+    )
+    cand = e.select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("_vd").alias("vd"),
+        F.col("_norm").alias("nd"),
+    )
+    rel_i = F.floor(
+        safe_div(dot(F.col("vq"), F.col("vd")), F.col("nq") * F.col("nd"))
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("rel_i").desc(), F.col("doc_id").asc()
+    )
+    pool = (
+        cand.join(F.broadcast(queries), F.col("query_id") != F.col("doc_id"))
+        .select("query_id", "doc_id", "vd", "nd", rel_i.alias("rel_i"))
+        .where(F.col("rel_i").isNotNull())
+        .withColumn("rn", F.row_number().over(wp))
+        .where(F.col("rn") <= pool_k)
+        .drop("rn")
+        .persist()
+    )
+    a = pool.select(
+        "query_id",
+        F.col("doc_id").alias("a_id"),
+        F.col("vd").alias("va"),
+        F.col("nd").alias("na"),
+    )
+    b = pool.select(
+        "query_id",
+        F.col("doc_id").alias("b_id"),
+        F.col("vd").alias("vb"),
+        F.col("nd").alias("nb"),
+    )
+    sim_i = F.floor(
+        safe_div(dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb"))
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+    pairs = (
+        a.join(b, ["query_id"])
+        .where(F.col("a_id") != F.col("b_id"))
+        .select("query_id", "a_id", "b_id", sim_i.alias("sim_i"))
+        .persist()
+    )
+    slim = pool.select("query_id", "doc_id", "rel_i")
+
+    selected = None
+    for r in range(1, k + 1):
+        if selected is None:
+            scores = slim.withColumn("ms_i", F.lit(0).cast("long"))
+        else:
+            sel_ids = selected.select("query_id", "doc_id")
+            remaining = slim.join(
+                sel_ids, ["query_id", "doc_id"], "left_anti"
+            )
+            ms = (
+                pairs.join(
+                    sel_ids.withColumnRenamed("doc_id", "b_id"),
+                    ["query_id", "b_id"],
+                )
+                .groupBy("query_id", F.col("a_id").alias("doc_id"))
+                .agg(F.max("sim_i").alias("ms_i"))
+            )
+            scores = remaining.join(ms, ["query_id", "doc_id"]).select(
+                "query_id", "doc_id", "rel_i", "ms_i"
+            )
+        mmr_i = (F.lit(7) * F.col("rel_i") - F.lit(3) * F.col("ms_i")).cast(
+            "long"
+        )
+        ws = Window.partitionBy("query_id").orderBy(
+            F.col("mmr_i").desc(), F.col("doc_id").asc()
+        )
+        pick = (
+            scores.withColumn("mmr_i", mmr_i)
+            .withColumn("rn", F.row_number().over(ws))
+            .where(F.col("rn") == 1)
+            .select(
+                "query_id",
+                "doc_id",
+                "rel_i",
+                F.lit(r).cast("int").alias("pick_order"),
+                "mmr_i",
+            )
+        )
+        selected = (
+            pick if selected is None else selected.unionByName(pick)
+        ).localCheckpoint(eager=True)
+
+    return selected.select(
+        "query_id",
+        "doc_id",
+        "pick_order",
+        (F.col("rel_i").cast("double") / F.lit(1e6)).alias("relevance"),
+        (F.col("mmr_i").cast("double") / F.lit(1e7)).alias("mmr"),
+    )

@@ -1072,3 +1072,118 @@ def bpe_segment(
             F.col("sum_chars") / F.col("n_symbols"), 4
         ).alias("chars_per_symbol"),
     )
+
+
+def rocchio_classify(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """nearest-centroid (Rocchio) text classifier over hashed
+    bag-of-words, trained and evaluated in one plan — the trained
+    counterpart of the rule-based ``lang_id``: class profiles are
+    LEARNED from the corpus's own ``lang`` labels, the way
+    production pipelines train fastText-style quality/language
+    classifiers on a labeled slice and score the whole crawl.
+
+    Train: each class's centroid is its Laplace-smoothed token
+    distribution over ``ROCCHIO_HASH_DIM`` hashed buckets (the
+    shared md5 slot scheme — no vocabulary build, the property that
+    keeps the model constant-size at 100 TB). Predict: argmax over
+    classes of the document-count · centroid dot product (ties →
+    first class name). Centroid probabilities are quantized to 1e-9
+    fixed point so the per-class scores are exact integer sums —
+    partition-order-independent and engine-identical (the lm_score
+    discipline). Documents with zero tokens carry no evidence and
+    drop out.
+
+    Scale: the model is a ``|classes| × dim`` grid (a few hundred
+    rows) re-aggregated FROM the per-doc sparse counts — not fresh
+    corpus scans per statistic — and broadcast back onto them, so
+    the corpus is read twice (model subtree + scoring join);
+    corpus-sized shuffles are the (doc, slot) collapse and the
+    |classes|-fanout argmax window, both keyed by doc_id (no skew:
+    per-doc work is bounded by dim × classes). A loop-running
+    caller can persist the (doc, slot) counts to make it one
+    physical scan.
+    """
+    from rsbsa_etl_spark.functions.dedup import tokens_col
+    from rsbsa_etl_spark.params import ROCCHIO_HASH_DIM
+
+    d = int(ROCCHIO_HASH_DIM)
+    tok = docs.select(
+        "doc_id",
+        F.col("lang"),
+        F.explode(tokens_col(F.col(text_col))).alias("tok"),
+    ).where(F.length("tok") > 0)
+    slot = F.pmod(
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint"),
+        F.lit(d),
+    ).cast("int")
+    sl = tok.select("doc_id", "lang", slot.alias("slot"))
+
+    doc_counts = (
+        sl.groupBy("doc_id", "lang", "slot")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+    # full class × slot grid so unseen (class, slot) cells still get
+    # their smoothed probability — assembled in ONE pass from the
+    # per-class slot map (|classes| rows of dim-entry maps; a
+    # grid-build + join-back would re-run the corpus scan its
+    # lineage reaches), then re-exploded to |classes|·dim rows
+    cnt = doc_counts.groupBy(F.col("lang").alias("cls"), "slot").agg(
+        F.sum("n").cast("long").alias("c")
+    )
+    dense = cnt.groupBy("cls").agg(
+        F.map_from_entries(F.collect_list(F.struct("slot", "c"))).alias(
+            "mp"
+        ),
+        F.sum("c").cast("long").alias("n_cls"),
+    )
+    model = dense.select(
+        "cls",
+        "n_cls",
+        "mp",
+        F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("slot"),
+    ).select(
+        "cls",
+        "slot",
+        F.floor(
+            (
+                F.coalesce(
+                    F.element_at(F.col("mp"), F.col("slot").cast("int")),
+                    F.lit(0).cast("long"),
+                )
+                + F.lit(0.5)
+            )
+            / (F.col("n_cls") + F.lit(d / 2.0))
+            * F.lit(1e9)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("q_p"),
+    )
+
+    from pyspark.sql import Window
+
+    scored = (
+        doc_counts.join(F.broadcast(model), "slot")
+        .groupBy("doc_id", "lang", "cls")
+        .agg(
+            F.sum("n").cast("long").alias("n_tokens"),
+            F.sum(F.col("n") * F.col("q_p")).cast("long").alias("s"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("s").desc(), F.col("cls").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") == 1)
+        .select(
+            "doc_id",
+            F.col("lang").alias("lang_true"),
+            F.col("cls").alias("lang_pred"),
+            "n_tokens",
+            dec_round(
+                F.col("s").cast("double") / F.lit(1e9) / F.col("n_tokens"), 6
+            ).alias("score"),
+        )
+    )

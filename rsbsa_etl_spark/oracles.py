@@ -3720,3 +3720,158 @@ WITH q AS (
 SELECT doc_id, source, n_tokens, quality, bucket
 FROM split WHERE bucket < 90
 """
+
+
+# ------------------------------------------------ round-5 session additions
+
+_DSIR_D = float(P.DSIR_HASH_DIM / 2.0)
+ORACLES["dsir_weights"] = f"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest({TOKS}) AS tok FROM documents
+), sl AS (
+  SELECT doc_id, lang,
+         CAST({_hexpoly("md5(tok)", 1)} % {P.DSIR_HASH_DIM} AS INT) AS slot
+  FROM tok WHERE length(tok) > 0
+), doc_counts AS (
+  SELECT doc_id, slot, CAST(count(*) AS BIGINT) AS n
+  FROM sl GROUP BY doc_id, slot
+), raw AS (
+  SELECT slot, CAST(count(*) AS BIGINT) AS c_raw FROM sl GROUP BY slot
+), tgt AS (
+  SELECT slot, CAST(count(*) AS BIGINT) AS c_tgt
+  FROM sl WHERE lang = '{P.DSIR_TARGET_LANG}' GROUP BY slot
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_raw,
+         CAST(count(*) FILTER (lang = '{P.DSIR_TARGET_LANG}') AS BIGINT)
+           AS n_tgt
+  FROM sl
+), model AS (
+  SELECT r.slot,
+         CAST(floor(
+           ((CAST(coalesce(t.c_tgt, 0) AS DOUBLE) + 0.5)
+              / (CAST(tot.n_tgt AS DOUBLE) + {_DSIR_D!r}))
+           * ((CAST(tot.n_raw AS DOUBLE) + {_DSIR_D!r})
+              / (CAST(r.c_raw AS DOUBLE) + 0.5))
+           * 1000000.0 + 0.5) AS BIGINT) AS q_ratio
+  FROM raw r LEFT JOIN tgt t USING (slot), tot
+)
+SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+       {_dec("CAST(sum(n * q_ratio) AS DOUBLE) / 1000000.0 / sum(n)", 6)}
+         AS dsir_weight
+FROM doc_counts JOIN model USING (slot)
+GROUP BY doc_id
+"""
+
+_ROC_D = float(P.ROCCHIO_HASH_DIM / 2.0)
+ORACLES["rocchio_classify"] = f"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest({TOKS}) AS tok FROM documents
+), sl AS (
+  SELECT doc_id, lang,
+         CAST({_hexpoly("md5(tok)", 1)} % {P.ROCCHIO_HASH_DIM} AS INT)
+           AS slot
+  FROM tok WHERE length(tok) > 0
+), doc_counts AS (
+  SELECT doc_id, lang, slot, CAST(count(*) AS BIGINT) AS n
+  FROM sl GROUP BY doc_id, lang, slot
+), cls AS (
+  SELECT lang AS cls, CAST(count(*) AS BIGINT) AS n_cls FROM sl GROUP BY lang
+), grid AS (
+  SELECT cls, n_cls, CAST(r.range AS INT) AS slot
+  FROM cls, range({P.ROCCHIO_HASH_DIM}) r
+), cnt AS (
+  SELECT lang AS cls, slot, CAST(count(*) AS BIGINT) AS c
+  FROM sl GROUP BY lang, slot
+), model AS (
+  SELECT g.cls, g.slot,
+         CAST(floor(
+           (CAST(coalesce(c.c, 0) AS DOUBLE) + 0.5)
+             / (CAST(g.n_cls AS DOUBLE) + {_ROC_D!r})
+           * 1000000000.0 + 0.5) AS BIGINT) AS q_p
+  FROM grid g LEFT JOIN cnt c ON c.cls = g.cls AND c.slot = g.slot
+), scored AS (
+  SELECT dc.doc_id, dc.lang, m.cls,
+         CAST(sum(dc.n) AS BIGINT) AS n_tokens,
+         CAST(sum(dc.n * m.q_p) AS BIGINT) AS s
+  FROM doc_counts dc JOIN model m ON m.slot = dc.slot
+  GROUP BY dc.doc_id, dc.lang, m.cls
+), rk AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY s DESC, cls ASC) AS rnk
+  FROM scored
+)
+SELECT doc_id, lang AS lang_true, cls AS lang_pred, n_tokens,
+       {_dec("CAST(s AS DOUBLE) / 1000000000.0 / n_tokens", 6)} AS score
+FROM rk WHERE rnk = 1
+"""
+
+
+def _mmr_sql() -> str:
+    """unrolled greedy MMR — mirrors ``retrieval.mmr_rerank``: the
+    same 1e-6 integer similarities and exact 7/3 integer weights, one
+    chained CTE pair per greedy round (the bpe_train unroll
+    pattern)."""
+    qids = sql_in_list(P.ANN_QUERY_IDS)
+    sim = f"CAST(floor({_DOT} / (a.nrm * b.nrm) * 1000000.0 + 0.5) AS BIGINT)"
+    parts = [
+        f"""WITH {_EMB_CTE.strip()},
+pool AS (
+  SELECT query_id, doc_id, rel_i FROM (
+    SELECT query_id, doc_id, rel_i,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY rel_i DESC, doc_id) AS rn
+    FROM (
+      SELECT a.vec_id AS query_id, b.vec_id AS doc_id, {sim} AS rel_i
+      FROM n a JOIN n b ON a.vec_id <> b.vec_id
+      WHERE a.vec_id IN ({qids})
+    ) WHERE rel_i IS NOT NULL
+  ) WHERE rn <= {P.MMR_POOL_K}
+),
+pairs AS (
+  SELECT p1.query_id, p1.doc_id AS a_id, p2.doc_id AS b_id, {sim} AS sim_i
+  FROM pool p1
+  JOIN pool p2 ON p1.query_id = p2.query_id AND p1.doc_id <> p2.doc_id
+  JOIN n a ON a.vec_id = p1.doc_id
+  JOIN n b ON b.vec_id = p2.doc_id
+),
+s1 AS (
+  SELECT query_id, doc_id, rel_i, 1 AS pick_order,
+         7 * rel_i - 3 * 0 AS mmr_i
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY 7 * rel_i DESC, doc_id) AS rn
+        FROM pool)
+  WHERE rn = 1
+), sel1 AS (SELECT query_id, doc_id, rel_i, pick_order, mmr_i FROM s1)"""
+    ]
+    for r in range(2, P.MMR_SELECT_K + 1):
+        parts.append(f""",
+r{r} AS (
+  SELECT p.query_id, p.doc_id, p.rel_i,
+         7 * p.rel_i - 3 * max(pr.sim_i) AS mmr_i
+  FROM pool p
+  JOIN pairs pr ON pr.query_id = p.query_id AND pr.a_id = p.doc_id
+  JOIN sel{r - 1} s ON s.query_id = pr.query_id AND s.doc_id = pr.b_id
+  WHERE NOT EXISTS (SELECT 1 FROM sel{r - 1} x
+                    WHERE x.query_id = p.query_id
+                      AND x.doc_id = p.doc_id)
+  GROUP BY p.query_id, p.doc_id, p.rel_i
+),
+s{r} AS (
+  SELECT query_id, doc_id, rel_i, {r} AS pick_order, mmr_i
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY mmr_i DESC, doc_id) AS rn
+        FROM r{r})
+  WHERE rn = 1
+),
+sel{r} AS (SELECT * FROM sel{r - 1}
+           UNION ALL
+           SELECT query_id, doc_id, rel_i, pick_order, mmr_i FROM s{r})""")
+    parts.append(f"""
+SELECT query_id, doc_id, CAST(pick_order AS INT) AS pick_order,
+       CAST(rel_i AS DOUBLE) / 1000000.0 AS relevance,
+       CAST(mmr_i AS DOUBLE) / 10000000.0 AS mmr
+FROM sel{P.MMR_SELECT_K}""")
+    return "".join(parts)
+
+
+ORACLES["mmr_rerank"] = _mmr_sql()

@@ -289,3 +289,25 @@ BPE_TRAIN_ROUNDS = 3
 HYBRID_ARM_K = 50
 RRF_K = 60
 HYBRID_TOP_K = 10
+
+#: DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+#: for Language Models via Importance Resampling"): documents are
+#: scored by how much their hashed-unigram profile looks like a
+#: target domain relative to the raw corpus. 64 buckets (DSIR uses
+#: 10k hashed n-gram buckets at web scale; the bucket count is a
+#: quality dial, not a correctness one) and an English target — the
+#: canonical "reweight raw toward target" setup.
+DSIR_HASH_DIM = 64
+DSIR_TARGET_LANG = "en"
+
+#: nearest-centroid (Rocchio) hashed bag-of-words classifier: same
+#: hashing-trick featurization at a classifier-friendly width.
+ROCCHIO_HASH_DIM = 64
+
+#: MMR diversity re-rank (Carbonell & Goldstein 1998): relevance
+#: pool depth per query, picks per query, and the relevance/
+#: diversity trade-off lambda. Runs on the retrieved pool only —
+#: the pool bound (not the corpus) sizes the pairwise stage.
+MMR_POOL_K = 20
+MMR_SELECT_K = 5
+MMR_LAMBDA = 0.7

@@ -1659,6 +1659,32 @@ def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.duplicated_spans(load(spark, sf_dir, "documents"))
 
 
+def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity re-rank (Carbonell & Goldstein '98): greedy
+    λ·rel − (1−λ)·max-sim selection over the cosine top-pool, in
+    exact integer fixed point — the redundancy filter between
+    retrieval and a context window."""
+    from rsbsa_etl_spark.functions.retrieval import mmr_rerank as _m
+
+    return _m(load(spark, sf_dir, "embeddings"))
+
+
+def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023): hashed-unigram
+    target-vs-raw probability ratios, transcendental-free — the
+    reweight-raw-toward-target data-selection signal."""
+    from rsbsa_etl_spark.functions.curation import dsir_weights as _d
+
+    return _d(load(spark, sf_dir, "documents"))
+
+
+def rocchio_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nearest-centroid (Rocchio) hashed bag-of-words classifier,
+    trained on the corpus's own lang labels and evaluated per doc —
+    the trained counterpart of the rule-based lang_id."""
+    return textstats.rocchio_classify(load(spark, sf_dir, "documents"))
+
+
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the "new batch" is the deterministic 20% slice doc_id % 10 ≥ 8
     # — scale-invariant (works at every sf) and disjoint from the
@@ -2177,6 +2203,9 @@ QUERIES: dict[str, QueryFn] = {
     "bpe_train": bpe_train,
     "bpe_segment": bpe_segment,
     "hybrid_search_rrf": hybrid_search_rrf,
+    "mmr_rerank": mmr_rerank,
+    "dsir_weights": dsir_weights,
+    "rocchio_classify": rocchio_classify,
     "snapshot_diff": snapshot_diff,
     "resample_ffill": resample_ffill,
     "ab_ttest": ab_ttest,
@@ -2262,7 +2291,8 @@ def _is_green(row: dict) -> bool:
 # ts_autocorr k_anonymity feature_hashing quantile_bucketize
 # stream_cdc_apply window_rolling_median state_durations
 # dedup_containment_capped dedup_spans dedup_embedding_incremental
-# bpe_train bpe_segment hybrid_search_rrf` (now 16 keys)
+# bpe_train bpe_segment hybrid_search_rrf mmr_rerank dsir_weights
+# rocchio_classify` (now 19 keys)
 # (every one replica-green at sf0.01 AND sf0.1 from /tmp), after
 # which every registry key has a driver row and the rotation
 # degenerates to a stable order. The drain stays optimal by
@@ -2320,7 +2350,8 @@ _UNTESTED_PRIORITY = [
     # round-5 additions (join the round-6 remainder)
     "dedup_containment_capped", "dedup_spans",
     "dedup_embedding_incremental", "bpe_train", "bpe_segment",
-    "hybrid_search_rrf",
+    "hybrid_search_rrf", "mmr_rerank", "dsir_weights",
+    "rocchio_classify",
 ]
 
 _rows = _driver_latest_rows()

@@ -683,3 +683,77 @@ def test_hybrid_rrf_fusion_semantics(spark):
     )
     assert any(r.lex_rank is None for r in rows)
     assert any(r.vec_rank is None for r in rows)
+
+
+def test_mmr_greedy_diversity_beats_pure_relevance(spark):
+    """golden MMR walkthrough: B duplicates A exactly, C is slightly
+    less relevant but diverse — greedy picks A, then C (diversity
+    term overrides B's higher relevance), then B. Pure-relevance
+    order would be A, B, C; the integer mmr values are checked
+    against the hand computation (7·rel_i − 3·max_sim_i at 1e-7)."""
+    from rsbsa_etl_spark.functions.retrieval import mmr_rerank
+
+    s = 0.43588989435406733  # sqrt(1 - 0.81): unit-norm second dim
+    c = 0.4749736834815167   # sqrt(1 - 0.88^2)
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0], "q"),
+            (1, [0.9, s, 0.0, 0.0], "a"),
+            (2, [0.9, s, 0.0, 0.0], "dup_of_a"),
+            (3, [0.88, 0.0, c, 0.0], "diverse"),
+        ],
+        "vec_id long, embedding array<double>, label string",
+    )
+    rows = mmr_rerank(emb, query_ids=[0], pool_k=3, k=3).collect()
+    order = {r.doc_id: r.pick_order for r in rows}
+    assert order == {1: 1, 3: 2, 2: 3}
+    by_doc = {r.doc_id: r for r in rows}
+    # rel_i: A/B = 900000, C = 880000; sim(A,B)=1e6, sim(A,C)=792000
+    assert by_doc[1].mmr == 7 * 900000 / 1e7
+    assert by_doc[3].mmr == (7 * 880000 - 3 * 792000) / 1e7
+    assert by_doc[2].mmr == (7 * 900000 - 3 * 1000000) / 1e7
+    assert by_doc[1].relevance == 0.9
+    assert by_doc[3].relevance == 0.88
+
+
+def test_dsir_weights_favor_target_language(spark):
+    """the point of DSIR: documents from the target domain (lang
+    'en') must average a higher importance weight than the rest of
+    the corpus, and every weight is positive (it is a ratio of
+    smoothed probabilities)."""
+    from rsbsa_etl_spark.functions.curation import dsir_weights
+    from rsbsa_etl_spark.sources.fixtures import load
+
+    from tests.conftest import SF_DIR
+
+    docs = load(spark, SF_DIR, "documents")
+    w = dsir_weights(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    rows = w.collect()
+    assert all(r.dsir_weight > 0 for r in rows)
+    en = [r.dsir_weight for r in rows if r.lang == "en"]
+    rest = [r.dsir_weight for r in rows if r.lang != "en"]
+    assert en and rest
+    assert sum(en) / len(en) > sum(rest) / len(rest)
+
+
+def test_rocchio_recovers_separable_classes(spark):
+    """two classes with disjoint vocabularies must classify
+    perfectly: each doc's hashed count vector sits on its own class
+    centroid, and smoothing cannot flip a separable argmax."""
+    from rsbsa_etl_spark.functions.textstats import rocchio_classify
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana cherry apple banana", "fruit"),
+            (2, "banana cherry cherry apple", "fruit"),
+            (3, "apple apple banana", "fruit"),
+            (4, "zebra yak xylophone zebra yak", "zoo"),
+            (5, "yak xylophone xylophone zebra", "zoo"),
+            (6, "zebra zebra yak", "zoo"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    rows = rocchio_classify(docs).collect()
+    assert len(rows) == 6
+    for r in rows:
+        assert r.lang_pred == r.lang_true, (r.doc_id, r.lang_pred)
