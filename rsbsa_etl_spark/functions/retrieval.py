@@ -203,9 +203,10 @@ def mmr_rerank(
     IVF/LSH arm at billion-vector scale; the re-rank stage is
     unchanged). ``k`` driver-side rounds of tiny-DataFrame ops with
     lineage truncated per round (the pagerank localCheckpoint
-    pattern). The pool/pairs persists release with the session (the
-    repo's documented cache contract: loop-running callers
-    clearCache between runs; bench.py does).
+    pattern). The pool/pairs persists are released before returning
+    — the eager per-round checkpoints mean the returned DataFrame no
+    longer depends on their lineage, so no executor storage leaks
+    across repeated calls.
     """
     from rsbsa_etl_spark.params import MMR_POOL_K, MMR_SELECT_K
 
@@ -307,6 +308,10 @@ def mmr_rerank(
             pick if selected is None else selected.unionByName(pick)
         ).localCheckpoint(eager=True)
 
+    # the eager checkpoints hold the picks as materialized blocks —
+    # pool/pairs lineage is no longer referenced, release it now
+    pool.unpersist()
+    pairs.unpersist()
     return selected.select(
         "query_id",
         "doc_id",
