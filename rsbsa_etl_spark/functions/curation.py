@@ -727,23 +727,13 @@ def dsir_weights(docs: DataFrame, text_col: str = "text") -> DataFrame:
     rows; a loop-running caller can persist ``doc_counts``'s
     lineage to make it one physical scan.
     """
-    d = int(P.DSIR_HASH_DIM)
-    tok = docs.select(
-        "doc_id",
-        F.col("lang"),
-        F.explode(tokens_col(F.col(text_col))).alias("tok"),
-    ).where(F.length("tok") > 0)
-    slot = F.pmod(
-        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint"),
-        F.lit(d),
-    ).cast("int")
-    sl = tok.select("doc_id", "lang", slot.alias("slot"))
+    from rsbsa_etl_spark.functions.textstats import hashed_slot_counts
 
+    d = int(P.DSIR_HASH_DIM)
     # per-doc sparse counts: the one corpus-sized shuffle (lang is
-    # functionally dependent on doc_id — free to carry)
-    doc_counts = sl.groupBy("doc_id", "lang", "slot").agg(
-        F.count("*").cast("long").alias("n")
-    )
+    # functionally dependent on doc_id — free to carry); kernel
+    # single-sourced with rocchio_classify
+    doc_counts = hashed_slot_counts(docs, text_col, d)
 
     # bucket models: 64-row re-aggregation of doc_counts — not a
     # fresh corpus scan per statistic

@@ -186,8 +186,10 @@ def mmr_rerank(
     window.
 
     Determinism: similarities are quantized to 1e-6 integers at the
-    source and λ = 7/10 is applied as EXACT integer weights
-    (``mmr_i = 7·rel_i − 3·max_sim_i``, fixed point at 1e-7), so
+    source and λ is applied as EXACT integer weights derived from
+    ``MMR_LAMBDA`` in params (λ=0.7 → ``mmr_i = 7·rel_i −
+    3·max_sim_i``, fixed point at ``MMR_FIXED_SCALE``; the oracle
+    reads the same constants, so the two engines cannot drift), so
     every round's argmax is integer arithmetic — no float
     accumulation anywhere in the greedy loop, hence bit-identical
     picks in any engine. Ties break on doc_id. The first pick
@@ -208,7 +210,13 @@ def mmr_rerank(
     longer depends on their lineage, so no executor storage leaks
     across repeated calls.
     """
-    from rsbsa_etl_spark.params import MMR_POOL_K, MMR_SELECT_K
+    from rsbsa_etl_spark.params import (
+        MMR_FIXED_SCALE,
+        MMR_POOL_K,
+        MMR_SELECT_K,
+        MMR_W_DIV,
+        MMR_W_REL,
+    )
 
     pool_k = MMR_POOL_K if pool_k is None else pool_k
     k = MMR_SELECT_K if k is None else k
@@ -267,55 +275,61 @@ def mmr_rerank(
     slim = pool.select("query_id", "doc_id", "rel_i")
 
     selected = None
-    for r in range(1, k + 1):
-        if selected is None:
-            scores = slim.withColumn("ms_i", F.lit(0).cast("long"))
-        else:
-            sel_ids = selected.select("query_id", "doc_id")
-            remaining = slim.join(
-                sel_ids, ["query_id", "doc_id"], "left_anti"
-            )
-            ms = (
-                pairs.join(
-                    sel_ids.withColumnRenamed("doc_id", "b_id"),
-                    ["query_id", "b_id"],
+    try:
+        for r in range(1, k + 1):
+            if selected is None:
+                scores = slim.withColumn("ms_i", F.lit(0).cast("long"))
+            else:
+                sel_ids = selected.select("query_id", "doc_id")
+                remaining = slim.join(
+                    sel_ids, ["query_id", "doc_id"], "left_anti"
                 )
-                .groupBy("query_id", F.col("a_id").alias("doc_id"))
-                .agg(F.max("sim_i").alias("ms_i"))
+                ms = (
+                    pairs.join(
+                        sel_ids.withColumnRenamed("doc_id", "b_id"),
+                        ["query_id", "b_id"],
+                    )
+                    .groupBy("query_id", F.col("a_id").alias("doc_id"))
+                    .agg(F.max("sim_i").alias("ms_i"))
+                )
+                scores = remaining.join(ms, ["query_id", "doc_id"]).select(
+                    "query_id", "doc_id", "rel_i", "ms_i"
+                )
+            mmr_i = (
+                F.lit(MMR_W_REL) * F.col("rel_i")
+                - F.lit(MMR_W_DIV) * F.col("ms_i")
+            ).cast("long")
+            ws = Window.partitionBy("query_id").orderBy(
+                F.col("mmr_i").desc(), F.col("doc_id").asc()
             )
-            scores = remaining.join(ms, ["query_id", "doc_id"]).select(
-                "query_id", "doc_id", "rel_i", "ms_i"
+            pick = (
+                scores.withColumn("mmr_i", mmr_i)
+                .withColumn("rn", F.row_number().over(ws))
+                .where(F.col("rn") == 1)
+                .select(
+                    "query_id",
+                    "doc_id",
+                    "rel_i",
+                    F.lit(r).cast("int").alias("pick_order"),
+                    "mmr_i",
+                )
             )
-        mmr_i = (F.lit(7) * F.col("rel_i") - F.lit(3) * F.col("ms_i")).cast(
-            "long"
-        )
-        ws = Window.partitionBy("query_id").orderBy(
-            F.col("mmr_i").desc(), F.col("doc_id").asc()
-        )
-        pick = (
-            scores.withColumn("mmr_i", mmr_i)
-            .withColumn("rn", F.row_number().over(ws))
-            .where(F.col("rn") == 1)
-            .select(
-                "query_id",
-                "doc_id",
-                "rel_i",
-                F.lit(r).cast("int").alias("pick_order"),
-                "mmr_i",
-            )
-        )
-        selected = (
-            pick if selected is None else selected.unionByName(pick)
-        ).localCheckpoint(eager=True)
-
-    # the eager checkpoints hold the picks as materialized blocks —
-    # pool/pairs lineage is no longer referenced, release it now
-    pool.unpersist()
-    pairs.unpersist()
+            selected = (
+                pick if selected is None else selected.unionByName(pick)
+            ).localCheckpoint(eager=True)
+    finally:
+        # the eager checkpoints hold the picks as materialized
+        # blocks — pool/pairs lineage is not referenced by the
+        # result, so release even on a mid-loop failure (a retrying
+        # caller must not accumulate orphaned cached blocks)
+        pool.unpersist()
+        pairs.unpersist()
     return selected.select(
         "query_id",
         "doc_id",
         "pick_order",
         (F.col("rel_i").cast("double") / F.lit(1e6)).alias("relevance"),
-        (F.col("mmr_i").cast("double") / F.lit(1e7)).alias("mmr"),
+        (F.col("mmr_i").cast("double") / F.lit(MMR_FIXED_SCALE)).alias(
+            "mmr"
+        ),
     )

@@ -1074,6 +1074,37 @@ def bpe_segment(
     )
 
 
+def hashed_slot_counts(
+    docs: DataFrame, text_col: str, dim: int
+) -> DataFrame:
+    """shared hashed bag-of-words kernel of the TRAINED selection/
+    classification operators (``curation.dsir_weights``,
+    ``rocchio_classify``): token → md5-hex-prefix slot in
+    ``[0, dim)``, collapsed to per-(doc_id, lang, slot) counts — the
+    one corpus-sized shuffle either operator performs. Single-sourced
+    (with its oracle twin ``oracles._hashed_slot_cte``) so the hash
+    scheme — and every collision — cannot drift between the two
+    operators and their SQL mirrors. (``feature_hash_vectors`` keeps
+    its own copy by pinned contract: it counts blank documents' empty
+    token; these operators drop zero-evidence tokens.)"""
+    from rsbsa_etl_spark.functions.dedup import tokens_col
+
+    tok = docs.select(
+        "doc_id",
+        F.col("lang"),
+        F.explode(tokens_col(F.col(text_col))).alias("tok"),
+    ).where(F.length("tok") > 0)
+    slot = F.pmod(
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint"),
+        F.lit(int(dim)),
+    ).cast("int")
+    return (
+        tok.select("doc_id", "lang", slot.alias("slot"))
+        .groupBy("doc_id", "lang", "slot")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
 def rocchio_classify(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """nearest-centroid (Rocchio) text classifier over hashed
     bag-of-words, trained and evaluated in one plan — the trained
@@ -1103,25 +1134,10 @@ def rocchio_classify(docs: DataFrame, text_col: str = "text") -> DataFrame:
     caller can persist the (doc, slot) counts to make it one
     physical scan.
     """
-    from rsbsa_etl_spark.functions.dedup import tokens_col
     from rsbsa_etl_spark.params import ROCCHIO_HASH_DIM
 
     d = int(ROCCHIO_HASH_DIM)
-    tok = docs.select(
-        "doc_id",
-        F.col("lang"),
-        F.explode(tokens_col(F.col(text_col))).alias("tok"),
-    ).where(F.length("tok") > 0)
-    slot = F.pmod(
-        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint"),
-        F.lit(d),
-    ).cast("int")
-    sl = tok.select("doc_id", "lang", slot.alias("slot"))
-
-    doc_counts = (
-        sl.groupBy("doc_id", "lang", "slot")
-        .agg(F.count("*").cast("long").alias("n"))
-    )
+    doc_counts = hashed_slot_counts(docs, text_col, d)
 
     # full class × slot grid so unseen (class, slot) cells still get
     # their smoothed probability — assembled in ONE pass from the

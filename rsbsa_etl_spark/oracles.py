@@ -3724,36 +3724,40 @@ FROM split WHERE bucket < 90
 
 # ------------------------------------------------ round-5 session additions
 
-_DSIR_D = float(P.DSIR_HASH_DIM / 2.0)
-ORACLES["dsir_weights"] = f"""
-WITH tok AS (
+def _hashed_slot_cte(dim: int) -> str:
+    """token → md5-hex-prefix slot → per-(doc, lang, slot) counts —
+    the DuckDB twin of ``textstats.hashed_slot_counts``, single-
+    sourced for the dsir_weights / rocchio_classify oracles so the
+    hash scheme cannot drift from the Spark kernel."""
+    return f"""tok AS (
   SELECT doc_id, lang, unnest({TOKS}) AS tok FROM documents
 ), sl AS (
   SELECT doc_id, lang,
-         CAST({_hexpoly("md5(tok)", 1)} % {P.DSIR_HASH_DIM} AS INT) AS slot
+         CAST({_hexpoly("md5(tok)", 1)} % {dim} AS INT) AS slot
   FROM tok WHERE length(tok) > 0
 ), doc_counts AS (
-  SELECT doc_id, slot, CAST(count(*) AS BIGINT) AS n
-  FROM sl GROUP BY doc_id, slot
-), raw AS (
-  SELECT slot, CAST(count(*) AS BIGINT) AS c_raw FROM sl GROUP BY slot
-), tgt AS (
-  SELECT slot, CAST(count(*) AS BIGINT) AS c_tgt
-  FROM sl WHERE lang = '{P.DSIR_TARGET_LANG}' GROUP BY slot
-), tot AS (
-  SELECT CAST(count(*) AS BIGINT) AS n_raw,
-         CAST(count(*) FILTER (lang = '{P.DSIR_TARGET_LANG}') AS BIGINT)
-           AS n_tgt
-  FROM sl
+  SELECT doc_id, lang, slot, CAST(count(*) AS BIGINT) AS n
+  FROM sl GROUP BY doc_id, lang, slot
+)"""
+
+
+_DSIR_D = float(P.DSIR_HASH_DIM / 2.0)
+ORACLES["dsir_weights"] = f"""
+WITH {_hashed_slot_cte(P.DSIR_HASH_DIM)},
+slots AS (
+  SELECT slot, CAST(sum(n) AS BIGINT) AS c_raw,
+         CAST(sum(CASE WHEN lang = '{P.DSIR_TARGET_LANG}' THEN n
+                       ELSE 0 END) AS BIGINT) AS c_tgt
+  FROM doc_counts GROUP BY slot
 ), model AS (
-  SELECT r.slot,
+  SELECT slot,
          CAST(floor(
-           ((CAST(coalesce(t.c_tgt, 0) AS DOUBLE) + 0.5)
-              / (CAST(tot.n_tgt AS DOUBLE) + {_DSIR_D!r}))
-           * ((CAST(tot.n_raw AS DOUBLE) + {_DSIR_D!r})
-              / (CAST(r.c_raw AS DOUBLE) + 0.5))
+           ((CAST(c_tgt AS DOUBLE) + 0.5)
+              / (CAST(sum(c_tgt) OVER () AS DOUBLE) + {_DSIR_D!r}))
+           * ((CAST(sum(c_raw) OVER () AS DOUBLE) + {_DSIR_D!r})
+              / (CAST(c_raw AS DOUBLE) + 0.5))
            * 1000000.0 + 0.5) AS BIGINT) AS q_ratio
-  FROM raw r LEFT JOIN tgt t USING (slot), tot
+  FROM slots
 )
 SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
        {_dec("CAST(sum(n * q_ratio) AS DOUBLE) / 1000000.0 / sum(n)", 6)}
@@ -3764,24 +3768,15 @@ GROUP BY doc_id
 
 _ROC_D = float(P.ROCCHIO_HASH_DIM / 2.0)
 ORACLES["rocchio_classify"] = f"""
-WITH tok AS (
-  SELECT doc_id, lang, unnest({TOKS}) AS tok FROM documents
-), sl AS (
-  SELECT doc_id, lang,
-         CAST({_hexpoly("md5(tok)", 1)} % {P.ROCCHIO_HASH_DIM} AS INT)
-           AS slot
-  FROM tok WHERE length(tok) > 0
-), doc_counts AS (
-  SELECT doc_id, lang, slot, CAST(count(*) AS BIGINT) AS n
-  FROM sl GROUP BY doc_id, lang, slot
+WITH {_hashed_slot_cte(P.ROCCHIO_HASH_DIM)},
+cnt AS (
+  SELECT lang AS cls, slot, CAST(sum(n) AS BIGINT) AS c
+  FROM doc_counts GROUP BY lang, slot
 ), cls AS (
-  SELECT lang AS cls, CAST(count(*) AS BIGINT) AS n_cls FROM sl GROUP BY lang
+  SELECT cls, CAST(sum(c) AS BIGINT) AS n_cls FROM cnt GROUP BY cls
 ), grid AS (
   SELECT cls, n_cls, CAST(r.range AS INT) AS slot
   FROM cls, range({P.ROCCHIO_HASH_DIM}) r
-), cnt AS (
-  SELECT lang AS cls, slot, CAST(count(*) AS BIGINT) AS c
-  FROM sl GROUP BY lang, slot
 ), model AS (
   SELECT g.cls, g.slot,
          CAST(floor(
@@ -3836,9 +3831,9 @@ pairs AS (
 ),
 s1 AS (
   SELECT query_id, doc_id, rel_i, 1 AS pick_order,
-         7 * rel_i - 3 * 0 AS mmr_i
+         {P.MMR_W_REL} * rel_i - {P.MMR_W_DIV} * 0 AS mmr_i
   FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                                     ORDER BY 7 * rel_i DESC, doc_id) AS rn
+                                     ORDER BY {P.MMR_W_REL} * rel_i DESC, doc_id) AS rn
         FROM pool)
   WHERE rn = 1
 ), sel1 AS (SELECT query_id, doc_id, rel_i, pick_order, mmr_i FROM s1)"""
@@ -3847,7 +3842,7 @@ s1 AS (
         parts.append(f""",
 r{r} AS (
   SELECT p.query_id, p.doc_id, p.rel_i,
-         7 * p.rel_i - 3 * max(pr.sim_i) AS mmr_i
+         {P.MMR_W_REL} * p.rel_i - {P.MMR_W_DIV} * max(pr.sim_i) AS mmr_i
   FROM pool p
   JOIN pairs pr ON pr.query_id = p.query_id AND pr.a_id = p.doc_id
   JOIN sel{r - 1} s ON s.query_id = pr.query_id AND s.doc_id = pr.b_id
@@ -3869,7 +3864,7 @@ sel{r} AS (SELECT * FROM sel{r - 1}
     parts.append(f"""
 SELECT query_id, doc_id, CAST(pick_order AS INT) AS pick_order,
        CAST(rel_i AS DOUBLE) / 1000000.0 AS relevance,
-       CAST(mmr_i AS DOUBLE) / 10000000.0 AS mmr
+       CAST(mmr_i AS DOUBLE) / {P.MMR_FIXED_SCALE!r} AS mmr
 FROM sel{P.MMR_SELECT_K}""")
     return "".join(parts)
 

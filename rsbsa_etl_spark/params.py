@@ -8,6 +8,8 @@ chosen to exist at every fixture scale factor (keys are dense,
 
 from __future__ import annotations
 
+from fractions import Fraction as _Fraction
+
 #: IN-list of order keys for keyed scans (S1/P3) — mirrors the
 #: reference's driver-collected key-list pattern
 #: (``services/etlService.js:29,35``: ``WHERE rsbsa_no IN (?)``).
@@ -308,6 +310,16 @@ ROCCHIO_HASH_DIM = 64
 #: pool depth per query, picks per query, and the relevance/
 #: diversity trade-off lambda. Runs on the retrieved pool only —
 #: the pool bound (not the corpus) sizes the pairwise stage.
+#: λ is applied as EXACT integer weights in both engines
+#: (W_REL·rel − W_DIV·max_sim on the 1e-6-quantized similarities,
+#: fixed point at 1e-6·denominator), derived here so the Spark loop
+#: and the unrolled SQL oracle cannot drift from the documented λ.
 MMR_POOL_K = 20
 MMR_SELECT_K = 5
 MMR_LAMBDA = 0.7
+
+_MMR_FRAC = _Fraction(str(MMR_LAMBDA)).limit_denominator(100)
+MMR_W_REL = _MMR_FRAC.numerator
+MMR_W_DIV = _MMR_FRAC.denominator - _MMR_FRAC.numerator
+#: divisor turning the integer mmr score back into a double
+MMR_FIXED_SCALE = float(1e6 * _MMR_FRAC.denominator)
