@@ -218,6 +218,20 @@ def main() -> None:
         spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
         floor = min(floor, time.perf_counter() - t0)
     scan_floor = round(floor, 3)
+    # CPU-side twin of the scan floor: a fixed shuffling aggregate
+    # over generated data (no IO at all). The two floors separate
+    # "disk/page-cache window" from "CPU-contention window" — a
+    # round whose query ratio tracks cpu_floor but not scan_floor is
+    # a busy-host artifact, not an IO regression (observed: +10%
+    # broad query drift with scan_floor unchanged).
+    cfloor = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(20_000_000).selectExpr(
+            "xxhash64(id) % 1024 AS k", "id AS v"
+        ).groupBy("k").sum("v").count()
+        cfloor = min(cfloor, time.perf_counter() - t0)
+    cpu_floor = round(cfloor, 3)
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
@@ -252,6 +266,7 @@ def main() -> None:
                 "sf": sf_val,
                 "n_queries": len(timings),
                 "scan_floor_sec": scan_floor,
+                "cpu_floor_sec": cpu_floor,
             },
             fh,
             indent=1,
@@ -272,6 +287,7 @@ def main() -> None:
                 "sf": sf_val,
                 "n_queries": len(timings),
                 "scan_floor_sec": scan_floor,
+                "cpu_floor_sec": cpu_floor,
                 "full": "BENCH_FULL.json",
             },
             separators=(",", ":"),
