@@ -757,3 +757,101 @@ def test_rocchio_recovers_separable_classes(spark):
     assert len(rows) == 6
     for r in rows:
         assert r.lang_pred == r.lang_true, (r.doc_id, r.lang_pred)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from([-1.0, 0.0, 1.0, 2.0]), min_size=64, max_size=64
+        ),
+        min_size=6,
+        max_size=10,
+    )
+)
+def test_mmr_oracle_matches_python_reference(vec_rows):
+    """the unrolled greedy SQL (5 chained CTE rounds) equals a
+    transparent pure-Python implementation of the same integer
+    fixed-point spec on arbitrary small corpora — including
+    duplicate vectors (rel ties → doc_id tiebreak), zero-norm
+    vectors (NULL similarity drops out of the pool), and pools
+    smaller than the pick budget (rounds return fewer rows). The
+    Spark side is pinned to the same oracle by the parity suite, so
+    this transitively pins the Spark greedy loop too."""
+    import math
+
+    import pandas as pd
+
+    from rsbsa_etl_spark import params as P
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def nrm(a):
+        acc = 0.0
+        for x in a:
+            acc = acc + x * x
+        return math.sqrt(acc)
+
+    def sim_i(a, b):
+        den = nrm(a) * nrm(b)
+        if den == 0:
+            return None
+        return int(math.floor(fold_dot(a, b) / den * 1e6 + 0.5))
+
+    vecs = {i: v for i, v in enumerate(vec_rows)}
+    expect = []
+    for q in P.ANN_QUERY_IDS:
+        pool = []
+        for d, vd in vecs.items():
+            if d == q:
+                continue
+            s = sim_i(vecs[q], vd)
+            if s is not None:
+                pool.append((d, s))
+        pool.sort(key=lambda t: (-t[1], t[0]))
+        pool = pool[: P.MMR_POOL_K]
+        selected = []
+        for r in range(1, P.MMR_SELECT_K + 1):
+            best = None
+            for d, rel in pool:
+                if any(d == sd for sd, _, _ in selected):
+                    continue
+                if r == 1:
+                    ms = 0
+                else:
+                    ms = max(
+                        sim_i(vecs[d], vecs[sd]) for sd, _, _ in selected
+                    )
+                mmr = P.MMR_W_REL * rel - P.MMR_W_DIV * ms
+                if best is None or (mmr, -d) > (best[2], -best[0]):
+                    best = (d, rel, mmr)
+            if best is None:
+                break
+            selected.append(best)
+            expect.append(
+                (q, best[0], r, best[1] / 1e6, best[2] / P.MMR_FIXED_SCALE)
+            )
+
+    from rsbsa_etl_spark.oracles import ORACLES
+
+    con = duckdb.connect()
+    con.register(
+        "embeddings",
+        pd.DataFrame(
+            {
+                "vec_id": list(vecs),
+                "embedding": [vecs[i] for i in vecs],
+                "label": ["x"] * len(vecs),
+            }
+        ),
+    )
+    got = sorted(
+        (int(r[0]), int(r[1]), int(r[2]), float(r[3]), float(r[4]))
+        for r in con.execute(ORACLES["mmr_rerank"]).fetchall()
+    )
+    assert got == sorted(expect)
+    con.close()
