@@ -180,6 +180,7 @@ HEADLINE = [
     "hybrid_search_rrf",
     "mmr_rerank",
     "dsir_weights",
+    "dsir_resample",
     "rocchio_classify",
 ]
 

@@ -794,3 +794,37 @@ def dsir_weights(docs: DataFrame, text_col: str = "text") -> DataFrame:
             ).alias("dsir_weight"),
         )
     )
+
+
+def dsir_resample(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """DSIR importance RESAMPLING — the second half of Xie et al.
+    2023: turn the importance weights into an actual resampled
+    corpus. Each document is kept with probability
+    ``min(1, weight / DSIR_RESAMPLE_REF)`` decided by a salted
+    32-bit hash of its id, so membership is a pure function of
+    (doc_id, weight): reproducible across runs, engines, partition
+    layouts, and — because the reference weight is FIXED rather
+    than a corpus max — independent of whatever else is in the
+    batch, which is what incremental ingest needs (no global
+    aggregate, no second pass over the corpus).
+
+    Decision arithmetic is exact integers: with ``q_w`` the 1e-6
+    fixed-point weight and ``u32`` the hash draw in [0, 2^32),
+    keep ⇔ ``u32 · q_ref < 2^32 · q_w`` (both sides < 2^63 — no
+    overflow, no float comparison anywhere).
+
+    Scale: adds ZERO stages to ``dsir_weights`` beyond a projection
+    — same 2-scan plan, same constant 64-row model.
+    """
+    q_ref = int(P.DSIR_RESAMPLE_REF * 1_000_000)
+    w = dsir_weights(docs, text_col)
+    q_w = F.floor(F.col("dsir_weight") * F.lit(1e6) + F.lit(0.5)).cast(
+        "long"
+    )
+    u32 = salted_pri(P.DSIR_RESAMPLE_SALT, F.col("doc_id"))
+    return w.select(
+        "doc_id",
+        "n_tokens",
+        "dsir_weight",
+        (u32 * F.lit(q_ref) < F.lit(4294967296) * q_w).alias("accepted"),
+    )

@@ -3870,3 +3870,18 @@ FROM sel{P.MMR_SELECT_K}""")
 
 
 ORACLES["mmr_rerank"] = _mmr_sql()
+
+
+_DSIR_QREF = int(P.DSIR_RESAMPLE_REF * 1_000_000)
+ORACLES["dsir_resample"] = f"""
+WITH w AS ({ORACLES["dsir_weights"]})
+SELECT doc_id, n_tokens, dsir_weight,
+       ({_hexpoly(
+           "md5('" + P.DSIR_RESAMPLE_SALT + "' || '|' || CAST(doc_id AS VARCHAR))",
+           1,
+       )}) * {_DSIR_QREF}
+         < 4294967296 * CAST(floor(CAST(dsir_weight AS DOUBLE)
+                                   * 1000000.0 + 0.5) AS BIGINT)
+         AS accepted
+FROM w
+"""

@@ -323,3 +323,14 @@ MMR_W_REL = _MMR_FRAC.numerator
 MMR_W_DIV = _MMR_FRAC.denominator - _MMR_FRAC.numerator
 #: divisor turning the integer mmr score back into a double
 MMR_FIXED_SCALE = float(1e6 * _MMR_FRAC.denominator)
+
+#: DSIR importance RESAMPLING: acceptance probability is
+#: min(1, weight / DSIR_RESAMPLE_REF) against a FIXED reference
+#: weight rather than the corpus max — keeps the decision a pure
+#: per-row integer comparison (no corpus-max aggregate, no second
+#: pass) and makes acceptance of a given document independent of
+#: what else is in the batch, which is what an incremental ingest
+#: pipeline needs. 2.0 ≈ "accept everything at least twice as
+#: target-like as average" on the ratio scale (average ≈ 1).
+DSIR_RESAMPLE_REF = 2.0
+DSIR_RESAMPLE_SALT = "ds1"

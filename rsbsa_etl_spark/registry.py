@@ -1678,6 +1678,15 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _d(load(spark, sf_dir, "documents"))
 
 
+def dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling: keep each doc with probability
+    min(1, weight/ref) by salted hash — deterministic, batch-
+    independent membership; the second half of the DSIR recipe."""
+    from rsbsa_etl_spark.functions.curation import dsir_resample as _r
+
+    return _r(load(spark, sf_dir, "documents"))
+
+
 def rocchio_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """nearest-centroid (Rocchio) hashed bag-of-words classifier,
     trained on the corpus's own lang labels and evaluated per doc —
@@ -2205,6 +2214,7 @@ QUERIES: dict[str, QueryFn] = {
     "hybrid_search_rrf": hybrid_search_rrf,
     "mmr_rerank": mmr_rerank,
     "dsir_weights": dsir_weights,
+    "dsir_resample": dsir_resample,
     "rocchio_classify": rocchio_classify,
     "snapshot_diff": snapshot_diff,
     "resample_ffill": resample_ffill,
@@ -2292,7 +2302,7 @@ def _is_green(row: dict) -> bool:
 # stream_cdc_apply window_rolling_median state_durations
 # dedup_containment_capped dedup_spans dedup_embedding_incremental
 # bpe_train bpe_segment hybrid_search_rrf mmr_rerank dsir_weights
-# rocchio_classify` (now 19 keys)
+# dsir_resample rocchio_classify` (now 20 keys)
 # (every one replica-green at sf0.01 AND sf0.1 from /tmp), after
 # which every registry key has a driver row and the rotation
 # degenerates to a stable order. The drain stays optimal by
@@ -2351,7 +2361,7 @@ _UNTESTED_PRIORITY = [
     "dedup_containment_capped", "dedup_spans",
     "dedup_embedding_incremental", "bpe_train", "bpe_segment",
     "hybrid_search_rrf", "mmr_rerank", "dsir_weights",
-    "rocchio_classify",
+    "dsir_resample", "rocchio_classify",
 ]
 
 _rows = _driver_latest_rows()

@@ -855,3 +855,33 @@ def test_mmr_oracle_matches_python_reference(vec_rows):
     )
     assert got == sorted(expect)
     con.close()
+
+
+def test_dsir_resample_membership_is_pure_function_of_id_and_weight(spark):
+    """acceptance must equal the documented integer comparison
+    recomputed independently (Python hashlib md5 vs the engines'
+    md5), and the fixture must exercise both branches. Also pins the
+    p=1 guarantee: any weight ≥ the reference is always accepted
+    (u32 < 2^32 strictly)."""
+    import hashlib
+
+    from rsbsa_etl_spark import params as P
+    from rsbsa_etl_spark.functions.curation import dsir_resample
+    from rsbsa_etl_spark.sources.fixtures import load
+
+    from tests.conftest import SF_DIR
+
+    q_ref = int(P.DSIR_RESAMPLE_REF * 1_000_000)
+    rows = dsir_resample(load(spark, SF_DIR, "documents")).collect()
+    assert any(r.accepted for r in rows) and any(
+        not r.accepted for r in rows
+    )
+    for r in rows:
+        digest = hashlib.md5(
+            f"{P.DSIR_RESAMPLE_SALT}|{r.doc_id}".encode()
+        ).hexdigest()
+        u32 = int(digest[:8], 16)
+        q_w = int(r.dsir_weight * 1e6 + 0.5)
+        assert r.accepted == (u32 * q_ref < (1 << 32) * q_w), r
+        if q_w >= q_ref:
+            assert r.accepted
