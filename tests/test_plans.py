@@ -671,3 +671,18 @@ def test_bipartite_embedding_screen_shuffles_corpus_once(spark):
     assert "FlatMapGroupsInPandas" in plan
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_dsir_and_rocchio_models_reaggregate_not_rescan(spark):
+    # the trained selection/classification operators' scale claim:
+    # the constant-size bucket/centroid model derives FROM the
+    # per-doc counts, so the corpus parquet appears exactly twice in
+    # the plan (model subtree + scoring join) — a per-statistic
+    # rescan regression would show as 3+ FileScans. No SMJ, no
+    # Python anywhere.
+    for key in ("dsir_weights", "rocchio_classify", "dsir_resample"):
+        plan = _plan(QUERIES[key](spark, SF_DIR))
+        assert plan.count("FileScan") == 2, key
+        assert "SortMergeJoin" not in plan, key
+        assert "BatchEvalPython" not in plan, key
+        assert "CartesianProduct" not in plan, key
