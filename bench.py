@@ -182,6 +182,7 @@ HEADLINE = [
     "dsir_weights",
     "dsir_resample",
     "rocchio_classify",
+    "fingerprint_winnow",
 ]
 
 

@@ -1294,3 +1294,126 @@ def duplicated_spans(
             .alias("span_tokens"),
         )
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame, text_col: str = "text", k: int | None = None,
+    w: int | None = None,
+) -> DataFrame:
+    """winnowing document fingerprints (Schleimer, Wilkerson &
+    Aiken 2003 — the MOSS algorithm): from each window of ``w``
+    consecutive k-gram hashes, keep the RIGHTMOST MINIMAL hash.
+    The selected set is a ~2/(w+1)-density sample of the gram
+    stream with the winnowing guarantee: any shared run of at
+    least ``k + w − 1`` tokens between two documents shares at
+    least one fingerprint. This is the sparse counterpart of
+    ``duplicated_spans``' dense posting list — same gram universe
+    (``SPAN_NGRAM_K``, md5-hashed), a w-th of the index volume.
+
+    Output per document (docs with fewer than ``k + w − 1`` tokens
+    have no full window and emit nothing): ``n_windows``,
+    ``n_fp`` (distinct selected (position, hash) fingerprints),
+    ``n_shared_fp`` (how many of the doc's distinct fingerprint
+    hashes were also selected by some other document — the
+    plagiarism/near-dup signal).
+
+    Determinism & engines: the per-window argmin is computed on one
+    orderable integer ``h·2^31 − pos`` (h is the md5-prefix u32, so
+    the product stays < 2^63): its window MIN is exactly "min hash,
+    ties → rightmost", and (h, pos) decode back by exact integer
+    division — no structs, no floats, same arithmetic in SQL.
+
+    Scale: gram hashing is narrow (the dedup_spans split: HOF joins
+    strings, md5 runs codegen'd after the explode); the only
+    corpus-sized shuffles are the per-doc ordering window and the
+    fingerprint distinct — both keyed by doc_id/hash with doc-
+    bounded groups. The shared-hash posting table is
+    fingerprint-sized (w-fold smaller than the gram posting list —
+    the point of winnowing at 100 TB).
+    """
+    from pyspark.sql import Window
+
+    from rsbsa_etl_spark.params import SPAN_NGRAM_K, WINNOW_W
+
+    kk = SPAN_NGRAM_K if k is None else k
+    ww = WINNOW_W if w is None else w
+    B = 1 << 31
+
+    # the gram construction is the CPU-dense step and runs in the
+    # scan stage — fan out first when the source delivers fewer
+    # splits than the cluster has slots (the duplicated_spans
+    # measurement; no-op at real scale where files.maxPartitionBytes
+    # yields enough splits)
+    sc = docs.sparkSession.sparkContext
+    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
+        docs = docs.repartition(sc.defaultParallelism)
+
+    toks = tokens_col(F.col(text_col))
+    n = F.size(toks)
+    grams = F.when(
+        n >= kk,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(kk - 1)),
+            lambda i: F.array_join(F.slice(toks, i, kk), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = docs.select(
+        "doc_id", F.posexplode(grams).alias("pos", "raw")
+    ).select(
+        "doc_id",
+        "pos",
+        F.conv(F.substring(F.md5("raw"), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    )
+    combined = (F.col("h") * F.lit(B) - F.col("pos")).cast("long")
+    frame = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(ww - 1), 0)
+    )
+    wins = (
+        g.withColumn("sel", F.min(combined).over(frame))
+        .where(F.col("pos") >= ww - 1)
+        .select("doc_id", "sel")
+    )
+    # distinct selected (pos, hash) per doc — `sel` encodes both.
+    # The decoded fingerprint table feeds three consumers (per-doc
+    # totals, the posting table, the share join-back); persist so
+    # the gram scan + ordering window run ONCE — the duplicated_
+    # spans persist contract (callers looping queries clearCache
+    # between runs, as bench.py does). The cached table is
+    # fingerprint-sized: ~2/(w+1) of the gram stream.
+    fps = wins.groupBy("doc_id", "sel").agg(
+        F.count("*").cast("long").alias("n_wins")
+    )
+    decoded = fps.select(
+        "doc_id",
+        "n_wins",
+        F.expr(f"CAST((sel + {B - 1}) DIV {B} AS BIGINT)").alias("fp_h"),
+    ).persist()
+    # posting table over fingerprint hashes (fingerprint-sized)
+    doc_h = decoded.select("doc_id", "fp_h").distinct()
+    shared = (
+        doc_h.groupBy("fp_h")
+        .agg(F.count("*").alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+        .select("fp_h")
+    )
+    share_counts = (
+        doc_h.join(shared, "fp_h")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_shared_fp"))
+    )
+    per_doc = decoded.groupBy("doc_id").agg(
+        F.sum("n_wins").cast("long").alias("n_windows"),
+        F.count("*").cast("long").alias("n_fp"),
+    )
+    return per_doc.join(share_counts, "doc_id", "left").select(
+        "doc_id",
+        "n_windows",
+        "n_fp",
+        F.coalesce(F.col("n_shared_fp"), F.lit(0))
+        .cast("long")
+        .alias("n_shared_fp"),
+    )

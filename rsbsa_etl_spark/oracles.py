@@ -3885,3 +3885,58 @@ SELECT doc_id, n_tokens, dsir_weight,
          AS accepted
 FROM w
 """
+
+
+_WINNOW_B = 1 << 31
+ORACLES["fingerprint_winnow"] = f"""
+WITH t AS (
+  SELECT doc_id, {TOKS} AS toks FROM documents
+), gr AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= {P.SPAN_NGRAM_K}
+              THEN list_transform(
+                     range(1, len(toks) - {P.SPAN_NGRAM_K} + 2),
+                     i -> array_to_string(
+                       toks[i:i + {P.SPAN_NGRAM_K} - 1], ' '))
+              ELSE CAST([] AS VARCHAR[]) END AS grams
+  FROM t
+), u AS (
+  -- zipped unnests: generate_subscripts aligns with unnest per row
+  -- (DuckDB's range() cannot take lateral column parameters)
+  SELECT doc_id,
+         CAST(generate_subscripts(grams, 1) - 1 AS BIGINT) AS pos,
+         unnest(grams) AS raw
+  FROM gr
+), g AS (
+  SELECT doc_id, pos, {_hexpoly("md5(raw)", 1)} AS h FROM u
+), wins AS (
+  SELECT doc_id, pos,
+         min(h * {_WINNOW_B} - pos)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN {P.WINNOW_W - 1} PRECEDING
+                 AND CURRENT ROW) AS sel
+  FROM g
+), fps AS (
+  SELECT doc_id, sel, CAST(count(*) AS BIGINT) AS n_wins
+  FROM wins WHERE pos >= {P.WINNOW_W - 1}
+  GROUP BY doc_id, sel
+), decoded AS (
+  SELECT doc_id, n_wins,
+         (sel + {_WINNOW_B - 1}) // {_WINNOW_B} AS fp_h
+  FROM fps
+), doc_h AS (
+  SELECT DISTINCT doc_id, fp_h FROM decoded
+), shared AS (
+  SELECT fp_h FROM doc_h GROUP BY fp_h HAVING count(*) >= 2
+), sc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared_fp
+  FROM doc_h JOIN shared USING (fp_h) GROUP BY doc_id
+), pd AS (
+  SELECT doc_id, CAST(sum(n_wins) AS BIGINT) AS n_windows,
+         CAST(count(*) AS BIGINT) AS n_fp
+  FROM decoded GROUP BY doc_id
+)
+SELECT pd.doc_id, pd.n_windows, pd.n_fp,
+       CAST(coalesce(sc.n_shared_fp, 0) AS BIGINT) AS n_shared_fp
+FROM pd LEFT JOIN sc USING (doc_id)
+"""

@@ -334,3 +334,12 @@ MMR_FIXED_SCALE = float(1e6 * _MMR_FRAC.denominator)
 #: target-like as average" on the ratio scale (average ≈ 1).
 DSIR_RESAMPLE_REF = 2.0
 DSIR_RESAMPLE_SALT = "ds1"
+
+#: winnowing fingerprint window (Schleimer et al. 2003, the MOSS
+#: algorithm): one fingerprint — the rightmost-minimal gram hash —
+#: per WINNOW_W consecutive k-gram hashes. Grams reuse SPAN_NGRAM_K,
+#: so the fingerprints SAMPLE the same gram universe dedup_spans
+#: scans densely; any shared substring of ≥ SPAN_NGRAM_K + WINNOW_W
+#: − 1 tokens is guaranteed to share a fingerprint (the winnowing
+#: guarantee), at ~2/(w+1) of the posting volume.
+WINNOW_W = 5

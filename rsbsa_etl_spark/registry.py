@@ -1659,6 +1659,14 @@ def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.duplicated_spans(load(spark, sf_dir, "documents"))
 
 
+def fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """winnowing fingerprints (Schleimer et al. 2003, MOSS):
+    rightmost-minimal gram hash per w-window — the sparse sampled
+    counterpart of dedup_spans' dense posting list, with the
+    k+w-1-token shared-run guarantee."""
+    return dedup.winnow_fingerprints(load(spark, sf_dir, "documents"))
+
+
 def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR diversity re-rank (Carbonell & Goldstein '98): greedy
     λ·rel − (1−λ)·max-sim selection over the cosine top-pool, in
@@ -2216,6 +2224,7 @@ QUERIES: dict[str, QueryFn] = {
     "dsir_weights": dsir_weights,
     "dsir_resample": dsir_resample,
     "rocchio_classify": rocchio_classify,
+    "fingerprint_winnow": fingerprint_winnow,
     "snapshot_diff": snapshot_diff,
     "resample_ffill": resample_ffill,
     "ab_ttest": ab_ttest,
@@ -2302,7 +2311,7 @@ def _is_green(row: dict) -> bool:
 # stream_cdc_apply window_rolling_median state_durations
 # dedup_containment_capped dedup_spans dedup_embedding_incremental
 # bpe_train bpe_segment hybrid_search_rrf mmr_rerank dsir_weights
-# dsir_resample rocchio_classify` (now 20 keys)
+# dsir_resample rocchio_classify fingerprint_winnow` (now 21 keys)
 # (every one replica-green at sf0.01 AND sf0.1 from /tmp), after
 # which every registry key has a driver row and the rotation
 # degenerates to a stable order. The drain stays optimal by
@@ -2361,7 +2370,7 @@ _UNTESTED_PRIORITY = [
     "dedup_containment_capped", "dedup_spans",
     "dedup_embedding_incremental", "bpe_train", "bpe_segment",
     "hybrid_search_rrf", "mmr_rerank", "dsir_weights",
-    "dsir_resample", "rocchio_classify",
+    "dsir_resample", "rocchio_classify", "fingerprint_winnow",
 ]
 
 _rows = _driver_latest_rows()

@@ -885,3 +885,34 @@ def test_dsir_resample_membership_is_pure_function_of_id_and_weight(spark):
         assert r.accepted == (u32 * q_ref < (1 << 32) * q_w), r
         if q_w >= q_ref:
             assert r.accepted
+
+
+def test_winnowing_guarantee_and_window_counts(spark):
+    """the winnowing contract on constructed docs: (a) two documents
+    sharing a run of ≥ k+w−1 tokens MUST share a fingerprint hash
+    (the guarantee the window density is chosen for); (b) a doc with
+    grams but fewer than w full windows emits nothing; (c)
+    n_windows = n_grams − w + 1; (d) an isolated doc shares
+    nothing."""
+    from rsbsa_etl_spark import params as P
+    from rsbsa_etl_spark.functions.dedup import winnow_fingerprints
+
+    k, w = P.SPAN_NGRAM_K, P.WINNOW_W
+    shared_run = " ".join(f"s{i}" for i in range(k + w - 1))
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {shared_run} gamma delta epsilon zeta"),
+            (2, f"one two three four {shared_run} five six"),
+            (3, "tiny little doc here now"),  # 5 tokens → 2 grams < w windows
+            (4, "completely unrelated words nobody else ever uses "
+                "anywhere in this corpus at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in winnow_fingerprints(docs).collect()}
+    assert 3 not in rows  # no full window
+    for d in (1, 2):
+        assert rows[d].n_shared_fp >= 1, rows[d]
+    assert rows[4].n_shared_fp == 0
+    # n_windows = n_grams − w + 1 (doc 4: 13 tokens → 10 grams → 6)
+    assert rows[4].n_windows == 13 - k + 1 - w + 1
