@@ -809,17 +809,24 @@ def dsir_resample(docs: DataFrame, text_col: str = "text") -> DataFrame:
     aggregate, no second pass over the corpus).
 
     Decision arithmetic is exact integers: with ``q_w`` the 1e-6
-    fixed-point weight and ``u32`` the hash draw in [0, 2^32),
-    keep ⇔ ``u32 · q_ref < 2^32 · q_w`` (both sides < 2^63 — no
-    overflow, no float comparison anywhere).
+    fixed-point weight — CLAMPED to ``q_ref``, which changes
+    nothing because ``p = min(1, w/ref)`` accepts every weight ≥
+    the reference anyway, and bounds ``2^32 · q_w`` far below 2^63
+    even on corpora where the target domain is a vanishing
+    fraction and the raw ratio explodes — and ``u32`` the hash
+    draw in [0, 2^32), keep ⇔ ``u32 · q_ref < 2^32 · min(q_w,
+    q_ref)``. No overflow, no float comparison anywhere.
 
     Scale: adds ZERO stages to ``dsir_weights`` beyond a projection
     — same 2-scan plan, same constant 64-row model.
     """
     q_ref = int(P.DSIR_RESAMPLE_REF * 1_000_000)
     w = dsir_weights(docs, text_col)
-    q_w = F.floor(F.col("dsir_weight") * F.lit(1e6) + F.lit(0.5)).cast(
-        "long"
+    q_w = F.least(
+        F.floor(F.col("dsir_weight") * F.lit(1e6) + F.lit(0.5)).cast(
+            "long"
+        ),
+        F.lit(q_ref).cast("long"),
     )
     u32 = salted_pri(P.DSIR_RESAMPLE_SALT, F.col("doc_id"))
     return w.select(

@@ -1167,6 +1167,35 @@ def novelty_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def gram_position_rows(
+    docs: DataFrame, text_col: str, k: int
+) -> DataFrame:
+    """shared k-gram kernel of the substring family
+    (``duplicated_spans``, ``winnow_fingerprints``): fan out a
+    few-split source to the cluster's slots (the gram join is the
+    CPU-dense step and runs in the scan stage — measured 5x on the
+    single-split fixture; no-op at real scale), then emit one
+    (doc_id, pos, raw) row per k-token window. Single-sourced so
+    the gram universe the two operators are documented to share —
+    tokenization, window rendering, short-doc behavior — cannot
+    drift between them. Hashing stays with the CALLER (md5 string
+    vs u32 prefix) and runs as a codegen'd projection after the
+    explode, per the duplicated_spans measurement."""
+    sc = docs.sparkSession.sparkContext
+    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
+        docs = docs.repartition(sc.defaultParallelism)
+    toks = tokens_col(F.col(text_col))
+    n = F.size(toks)
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(k - 1)),
+            lambda i: F.array_join(F.slice(toks, i, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select("doc_id", F.posexplode(grams).alias("pos", "raw"))
+
+
 def duplicated_spans(
     docs: DataFrame, text_col: str = "text", k: int | None = None
 ) -> DataFrame:
@@ -1233,25 +1262,13 @@ def duplicated_spans(
     #    fan out first when the source delivers fewer splits than
     #    the cluster has slots (no-op at real scale, where
     #    files.maxPartitionBytes yields enough splits).
-    sc = docs.sparkSession.sparkContext
-    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
-        docs = docs.repartition(sc.defaultParallelism)
-    toks = tokens_col(F.col(text_col))
-    n = F.size(toks)
-    grams = F.when(
-        n >= kk,
-        F.transform(
-            F.sequence(F.lit(1), n - F.lit(kk - 1)),
-            lambda i: F.array_join(F.slice(toks, i, kk), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     # the gram table feeds two consumers (posting-list counts and
     # the position join-back); persist so the construction runs
     # once — same persist contract as doc_shingle_sets in the
     # containment path (callers looping queries clearCache between
     # runs; MEMORY_AND_DISK evicts gracefully)
     g = (
-        docs.select("doc_id", F.posexplode(grams).alias("pos", "raw"))
+        gram_position_rows(docs, text_col, kk)
         .select("doc_id", "pos", F.md5("raw").alias("gram"))
         .persist()
     )
@@ -1339,27 +1356,7 @@ def winnow_fingerprints(
     ww = WINNOW_W if w is None else w
     B = 1 << 31
 
-    # the gram construction is the CPU-dense step and runs in the
-    # scan stage — fan out first when the source delivers fewer
-    # splits than the cluster has slots (the duplicated_spans
-    # measurement; no-op at real scale where files.maxPartitionBytes
-    # yields enough splits)
-    sc = docs.sparkSession.sparkContext
-    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
-        docs = docs.repartition(sc.defaultParallelism)
-
-    toks = tokens_col(F.col(text_col))
-    n = F.size(toks)
-    grams = F.when(
-        n >= kk,
-        F.transform(
-            F.sequence(F.lit(1), n - F.lit(kk - 1)),
-            lambda i: F.array_join(F.slice(toks, i, kk), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    g = docs.select(
-        "doc_id", F.posexplode(grams).alias("pos", "raw")
-    ).select(
+    g = gram_position_rows(docs, text_col, kk).select(
         "doc_id",
         "pos",
         F.conv(F.substring(F.md5("raw"), 1, 8), 16, 10)

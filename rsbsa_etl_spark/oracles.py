@@ -3880,8 +3880,10 @@ SELECT doc_id, n_tokens, dsir_weight,
            "md5('" + P.DSIR_RESAMPLE_SALT + "' || '|' || CAST(doc_id AS VARCHAR))",
            1,
        )}) * {_DSIR_QREF}
-         < 4294967296 * CAST(floor(CAST(dsir_weight AS DOUBLE)
-                                   * 1000000.0 + 0.5) AS BIGINT)
+         < 4294967296 * least(
+             CAST(floor(CAST(dsir_weight AS DOUBLE)
+                        * 1000000.0 + 0.5) AS BIGINT),
+             CAST({_DSIR_QREF} AS BIGINT))
          AS accepted
 FROM w
 """

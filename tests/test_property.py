@@ -759,14 +759,15 @@ def test_rocchio_recovers_separable_classes(spark):
         assert r.lang_pred == r.lang_true, (r.doc_id, r.lang_pred)
 
 
-@settings(max_examples=30, deadline=None)
+@settings(max_examples=25, deadline=None)
 @given(
     st.lists(
         st.lists(
             st.sampled_from([-1.0, 0.0, 1.0, 2.0]), min_size=64, max_size=64
         ),
         min_size=6,
-        max_size=10,
+        max_size=24,  # > MMR_POOL_K + queries: pool truncation (and its
+        # rel-tie ordering at the rank-20 cutoff) is actually generated
     )
 )
 def test_mmr_oracle_matches_python_reference(vec_rows):
@@ -881,7 +882,7 @@ def test_dsir_resample_membership_is_pure_function_of_id_and_weight(spark):
             f"{P.DSIR_RESAMPLE_SALT}|{r.doc_id}".encode()
         ).hexdigest()
         u32 = int(digest[:8], 16)
-        q_w = int(r.dsir_weight * 1e6 + 0.5)
+        q_w = min(int(r.dsir_weight * 1e6 + 0.5), q_ref)
         assert r.accepted == (u32 * q_ref < (1 << 32) * q_w), r
         if q_w >= q_ref:
             assert r.accepted
@@ -916,3 +917,38 @@ def test_winnowing_guarantee_and_window_counts(spark):
     assert rows[4].n_shared_fp == 0
     # n_windows = n_grams − w + 1 (doc 4: 13 tokens → 10 grams → 6)
     assert rows[4].n_windows == 13 - k + 1 - w + 1
+
+
+def test_dsir_resample_clamp_survives_extreme_skew(spark):
+    """the overflow regime the clamp exists for: a corpus where the
+    target domain is a vanishing fraction makes the raw probability
+    ratio exceed 2^31/1e6 ≈ 2147 — unclamped, 2^32·q_w wraps int64
+    negative in Spark (silently rejecting the MOST target-like
+    docs) and errors in DuckDB. With the clamp both engines agree
+    and every weight ≥ the reference is accepted (p = 1)."""
+    import duckdb
+
+    from __spark_entry__ import oracle_sql
+    from rsbsa_etl_spark.functions.curation import dsir_resample
+
+    target = " ".join(f"uniq{i}" for i in range(10))
+    rows = [(0, target, "en")] + [
+        (i, "aaa bbb ccc " * 2000, "de") for i in range(1, 21)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    )
+    got = {r.doc_id: r for r in dsir_resample(docs).collect()}
+    assert got[0].dsir_weight > 2148, got[0]  # we ARE in the regime
+    assert got[0].accepted  # p = min(1, w/ref) = 1
+
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    want = {
+        int(r[0]): (int(r[1]), float(r[2]), bool(r[3]))
+        for r in con.execute(oracle_sql()["dsir_resample"]).fetchall()
+    }
+    assert want == {
+        d: (r.n_tokens, r.dsir_weight, r.accepted) for d, r in got.items()
+    }
+    con.close()
