@@ -183,6 +183,7 @@ HEADLINE = [
     "dsir_resample",
     "rocchio_classify",
     "fingerprint_winnow",
+    "bootstrap_ci",
 ]
 
 

@@ -298,3 +298,101 @@ def skew_stats(lineitem: DataFrame, key: str = "l_orderkey", topn: int = 5) -> D
             F.col("top_mass").cast("double") / F.col("n_rows"), 6
         ).alias(f"top{topn}_share"),
     )
+
+
+def bootstrap_ci(events: DataFrame) -> DataFrame:
+    """Poisson bootstrap confidence interval for the mean of
+    ``value`` — the distributed bootstrap (Chamandy et al., Google):
+    instead of resampling rows (impossible to coordinate across a
+    cluster), every row gets an independent pseudo-Poisson(1) weight
+    per replicate, and each replicate's weighted mean is one
+    bootstrap draw. One pass, map-side only, no row movement: the
+    canonical way to put error bars on a 100 TB aggregate.
+
+    Determinism: the replicate weight is an inverse-CDF lookup of a
+    salted md5 u32 draw against PRE-COMPUTED integer thresholds
+    (``POISSON1_CDF_U32`` — neither engine evaluates exp()), so
+    every weight, every replicate mean, and hence the interval is
+    a pure function of (event_id, replicate) — identical in Spark,
+    DuckDB, and any rerun. Replicate means are quantized (1e-6)
+    before ranking; ties break on replicate index.
+
+    Output (one row): n_rows, n_replicates, point_mean, and the
+    rank-2 / rank-(B−1) replicate means as ``boot_lo``/``boot_hi``
+    (for B = 32 a ~94% interval — the rank choice is part of the
+    contract, not an estimate).
+
+    Scale: the explode is a B× narrow map (no shuffle); the
+    aggregate carries B partial rows per partition; the final rank
+    runs over B rows. State is constant-size regardless of input.
+    Long accumulation overflows past ~10^12 rows at this value
+    scale — swap the sums to DECIMAL(38,0) there (numeric.py's
+    documented move).
+    """
+    from rsbsa_etl_spark.params import (
+        BOOTSTRAP_B,
+        BOOTSTRAP_SALT,
+        POISSON1_CDF_U32,
+    )
+
+    B = int(BOOTSTRAP_B)
+    vi = _fixed(F.col("value"), 4)
+    rows = events.select(
+        "event_id",
+        vi.alias("vi"),
+        F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("rep"),
+    )
+    u32 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.lit(BOOTSTRAP_SALT),
+                    F.col("rep").cast("string"),
+                    F.col("event_id").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    w = F.lit(len(POISSON1_CDF_U32)).cast("long")
+    for k in reversed(range(len(POISSON1_CDF_U32))):
+        w = F.when(u32 < F.lit(POISSON1_CDF_U32[k]), F.lit(k).cast("long")).otherwise(w)
+    per_rep = (
+        rows.select("rep", "vi", w.alias("w"))
+        .groupBy("rep")
+        .agg(
+            F.sum("w").alias("n_w"),
+            F.sum(F.col("w") * F.col("vi")).alias("s"),
+            F.count("*").cast("long").alias("n"),
+            F.sum("vi").alias("tot"),
+        )
+        .select(
+            "rep",
+            "n",
+            "tot",
+            dec_round(
+                F.when(
+                    F.col("n_w") != 0,
+                    F.col("s").cast("double") / F.col("n_w") / F.lit(1e4),
+                ),
+                6,
+            ).alias("mean_rep"),
+        )
+    )
+    rk = Window.orderBy(F.col("mean_rep").asc_nulls_last(), F.col("rep").asc())
+    ranked = per_rep.withColumn("rk", F.row_number().over(rk))
+    return ranked.agg(
+        F.max("n").alias("n_rows"),
+        F.lit(B).cast("long").alias("n_replicates"),
+        dec_round(
+            F.max("tot").cast("double") / F.max("n") / F.lit(1e4), 6
+        ).alias("point_mean"),
+        F.max(F.when(F.col("rk") == 2, F.col("mean_rep"))).alias("boot_lo"),
+        F.max(F.when(F.col("rk") == B - 1, F.col("mean_rep"))).alias(
+            "boot_hi"
+        ),
+    )

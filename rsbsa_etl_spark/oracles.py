@@ -3942,3 +3942,57 @@ SELECT pd.doc_id, pd.n_windows, pd.n_fp,
        CAST(coalesce(sc.n_shared_fp, 0) AS BIGINT) AS n_shared_fp
 FROM pd LEFT JOIN sc USING (doc_id)
 """
+
+
+def _poisson_case() -> str:
+    """inverse-CDF weight lookup — same pre-computed u32 thresholds
+    as the Spark CASE chain (params.POISSON1_CDF_U32)."""
+    whens = " ".join(
+        f"WHEN u32 < {t} THEN {k}"
+        for k, t in enumerate(P.POISSON1_CDF_U32)
+    )
+    return f"CASE {whens} ELSE {len(P.POISSON1_CDF_U32)} END"
+
+
+ORACLES["bootstrap_ci"] = f"""
+WITH r AS (
+  SELECT event_id,
+         CAST(floor(CAST(value AS DOUBLE) * 10000.0 + 0.5) AS BIGINT) AS vi,
+         CAST(t.range AS BIGINT) AS rep
+  FROM events, range(0, {P.BOOTSTRAP_B}) t
+), d AS (
+  SELECT rep, vi,
+         {_hexpoly(
+             "md5('" + P.BOOTSTRAP_SALT
+             + "' || '|' || CAST(rep AS VARCHAR)"
+             + " || '|' || CAST(event_id AS VARCHAR))",
+             1,
+         )} AS u32
+  FROM r
+), wgt AS (
+  SELECT rep, vi, CAST({_poisson_case()} AS BIGINT) AS w FROM d
+), per AS (
+  SELECT rep,
+         CAST(sum(w) AS BIGINT) AS n_w,
+         CAST(sum(w * vi) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(vi) AS BIGINT) AS tot
+  FROM wgt GROUP BY rep
+), m AS (
+  SELECT rep, n, tot,
+         {_dec("CAST(s AS DOUBLE) / n_w / 10000.0", 6)} AS mean_rep
+  FROM per
+), rkd AS (
+  SELECT *, row_number() OVER (ORDER BY mean_rep ASC NULLS LAST,
+                               rep ASC) AS rk
+  FROM m
+)
+SELECT CAST(max(n) AS BIGINT) AS n_rows,
+       CAST({P.BOOTSTRAP_B} AS BIGINT) AS n_replicates,
+       {_dec("CAST(max(tot) AS DOUBLE) / max(n) / 10000.0", 6)}
+         AS point_mean,
+       max(CASE WHEN rk = 2 THEN mean_rep END) AS boot_lo,
+       max(CASE WHEN rk = {P.BOOTSTRAP_B - 1} THEN mean_rep END)
+         AS boot_hi
+FROM rkd
+"""

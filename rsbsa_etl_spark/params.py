@@ -335,6 +335,26 @@ MMR_FIXED_SCALE = float(1e6 * _MMR_FRAC.denominator)
 DSIR_RESAMPLE_REF = 2.0
 DSIR_RESAMPLE_SALT = "ds1"
 
+#: Poisson bootstrap (the distributed bootstrap: per-row Poisson(1)
+#: replicate weights instead of resampling — Chamandy et al.,
+#: "Estimating Uncertainty for Massive Data Streams"): number of
+#: replicates, the hash salt, and the Poisson(1) inverse-CDF
+#: thresholds on a u32 draw — PRE-COMPUTED integer literals
+#: (floor(cdf_k · 2^32), k = 0..6; weight capped at 7, beyond the
+#: 1-in-10^5 tail) so neither engine ever evaluates exp()/factorial
+#: and a libm ulp difference cannot move a threshold.
+BOOTSTRAP_B = 32
+BOOTSTRAP_SALT = "bs1"
+POISSON1_CDF_U32 = (
+    1580030168,
+    3160060337,
+    3950075421,
+    4213413783,
+    4279248373,
+    4292415291,
+    4294609777,
+)
+
 #: winnowing fingerprint window (Schleimer et al. 2003, the MOSS
 #: algorithm): one fingerprint — the rightmost-minimal gram hash —
 #: per WINNOW_W consecutive k-gram hashes. Grams reuse SPAN_NGRAM_K,

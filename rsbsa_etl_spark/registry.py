@@ -1585,6 +1585,15 @@ def rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_active_users(load(spark, sf_dir, "events"))
 
 
+def bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap CI for the mean: per-row pseudo-Poisson(1)
+    replicate weights, one map-side pass — error bars on a 100 TB
+    aggregate with constant-size state."""
+    from rsbsa_etl_spark.operators.profiling import bootstrap_ci as _b
+
+    return _b(load(spark, sf_dir, "events"))
+
+
 def ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rsbsa_etl_spark.operators.profiling import ab_ttest as _ab
 
@@ -2225,6 +2234,7 @@ QUERIES: dict[str, QueryFn] = {
     "dsir_resample": dsir_resample,
     "rocchio_classify": rocchio_classify,
     "fingerprint_winnow": fingerprint_winnow,
+    "bootstrap_ci": bootstrap_ci,
     "snapshot_diff": snapshot_diff,
     "resample_ffill": resample_ffill,
     "ab_ttest": ab_ttest,
@@ -2311,7 +2321,8 @@ def _is_green(row: dict) -> bool:
 # stream_cdc_apply window_rolling_median state_durations
 # dedup_containment_capped dedup_spans dedup_embedding_incremental
 # bpe_train bpe_segment hybrid_search_rrf mmr_rerank dsir_weights
-# dsir_resample rocchio_classify fingerprint_winnow` (now 21 keys)
+# dsir_resample rocchio_classify fingerprint_winnow bootstrap_ci`
+# (now 22 keys)
 # (every one replica-green at sf0.01 AND sf0.1 from /tmp), after
 # which every registry key has a driver row and the rotation
 # degenerates to a stable order. The drain stays optimal by
@@ -2371,6 +2382,7 @@ _UNTESTED_PRIORITY = [
     "dedup_embedding_incremental", "bpe_train", "bpe_segment",
     "hybrid_search_rrf", "mmr_rerank", "dsir_weights",
     "dsir_resample", "rocchio_classify", "fingerprint_winnow",
+    "bootstrap_ci",
 ]
 
 _rows = _driver_latest_rows()

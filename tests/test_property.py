@@ -952,3 +952,54 @@ def test_dsir_resample_clamp_survives_extreme_skew(spark):
         d: (r.n_tokens, r.dsir_weight, r.accepted) for d, r in got.items()
     }
     con.close()
+
+
+def test_bootstrap_ci_matches_python_reference(spark):
+    """the whole bootstrap pipeline — u32 draw, inverse-CDF weight,
+    exact-integer replicate sums, quantized mean, rank-2/B−1
+    interval — recomputed independently in Python (hashlib md5 +
+    the same pre-computed thresholds) on a small synthetic frame;
+    and on the fixture the interval must bracket the point mean."""
+    import hashlib
+    import math
+
+    from rsbsa_etl_spark import params as P
+    from rsbsa_etl_spark.operators.profiling import bootstrap_ci
+    from rsbsa_etl_spark.sources.fixtures import load
+
+    from tests.conftest import SF_DIR
+
+    rows = [(i, float(v)) for i, v in enumerate([3.5, 10.0, 0.25, 7.75, 99.5, 42.0])]
+    events = spark.createDataFrame(rows, "event_id long, value double")
+    got = bootstrap_ci(events).collect()[0]
+
+    def weight(rep, eid):
+        u32 = int(
+            hashlib.md5(
+                f"{P.BOOTSTRAP_SALT}|{rep}|{eid}".encode()
+            ).hexdigest()[:8],
+            16,
+        )
+        for k, t in enumerate(P.POISSON1_CDF_U32):
+            if u32 < t:
+                return k
+        return len(P.POISSON1_CDF_U32)
+
+    vis = {eid: int(math.floor(v * 1e4 + 0.5)) for eid, v in rows}
+    means = []
+    for rep in range(P.BOOTSTRAP_B):
+        ws = {eid: weight(rep, eid) for eid in vis}
+        n_w = sum(ws.values())
+        s = sum(w * vis[e] for e, w in ws.items())
+        m = None if n_w == 0 else math.floor(s / n_w / 1e4 * 1e6 + 0.5) / 1e6
+        means.append((m if m is not None else float("inf"), rep))
+    means.sort()
+    assert got.n_rows == len(rows)
+    assert got.boot_lo == means[1][0]
+    assert got.boot_hi == means[P.BOOTSTRAP_B - 2][0]
+    tot = sum(vis.values())
+    assert got.point_mean == math.floor(tot / len(rows) / 1e4 * 1e6 + 0.5) / 1e6
+
+    fx = bootstrap_ci(load(spark, SF_DIR, "events")).collect()[0]
+    assert fx.boot_lo <= fx.point_mean <= fx.boot_hi
+    assert fx.boot_lo < fx.boot_hi  # the replicates genuinely vary
