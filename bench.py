@@ -184,6 +184,7 @@ HEADLINE = [
     "rocchio_classify",
     "fingerprint_winnow",
     "bootstrap_ci",
+    "ab_cuped",
 ]
 
 

@@ -3996,3 +3996,66 @@ SELECT CAST(max(n) AS BIGINT) AS n_rows,
          AS boot_hi
 FROM rkd
 """
+
+
+ORACLES["ab_cuped"] = f"""
+WITH base AS (
+  SELECT user_id,
+         ({_hexpoly("md5('ab1' || '|' || CAST(user_id AS VARCHAR))", 1)}) % 2
+           AS arm,
+         ts <= TIMESTAMP '{P.STREAM_SPLIT_TS}' AS pre,
+         CAST(floor(CAST(value AS DOUBLE) * 10000.0 + 0.5) AS BIGINT) AS vi
+  FROM events
+), pu AS (
+  SELECT arm,
+         CAST(floor(CAST(sum(vi) FILTER (pre) AS DOUBLE)
+                    / count(*) FILTER (pre) / 10000.0
+                    * 10000.0 + 0.5) AS BIGINT) AS qx,
+         CAST(floor(CAST(sum(vi) FILTER (NOT pre) AS DOUBLE)
+                    / count(*) FILTER (NOT pre) / 10000.0
+                    * 10000.0 + 0.5) AS BIGINT) AS qy
+  FROM base GROUP BY user_id, arm
+  HAVING count(*) FILTER (pre) > 0 AND count(*) FILTER (NOT pre) > 0
+), m AS (
+  SELECT CAST(count(*) FILTER (arm = 0) AS BIGINT) AS n_a,
+         CAST(count(*) FILTER (arm = 1) AS BIGINT) AS n_b,
+         CAST(sum(qx) FILTER (arm = 0) AS BIGINT) AS sx_a,
+         CAST(sum(qx) FILTER (arm = 1) AS BIGINT) AS sx_b,
+         CAST(sum(qy) FILTER (arm = 0) AS BIGINT) AS sy_a,
+         CAST(sum(qy) FILTER (arm = 1) AS BIGINT) AS sy_b,
+         CAST(sum(qx) AS BIGINT) AS sx,
+         CAST(sum(qy) AS BIGINT) AS sy,
+         CAST(sum(qx * qx) AS BIGINT) AS sxx,
+         CAST(sum(qx * qy) AS BIGINT) AS sxy,
+         CAST(count(*) AS BIGINT) AS n
+  FROM pu
+), c AS (
+  SELECT *,
+         CAST(sxx AS DOUBLE)
+           - CAST(sx AS DOUBLE) * sx / CAST(n AS DOUBLE) AS varx,
+         CAST(sxy AS DOUBLE)
+           - CAST(sx AS DOUBLE) * sy / CAST(n AS DOUBLE) AS covxy,
+         CASE WHEN n_a <> 0 THEN CAST(sx_a AS DOUBLE)
+                                   / CAST(n_a AS DOUBLE) / 10000.0 END
+           AS mxa,
+         CASE WHEN n_b <> 0 THEN CAST(sx_b AS DOUBLE)
+                                   / CAST(n_b AS DOUBLE) / 10000.0 END
+           AS mxb,
+         CASE WHEN n_a <> 0 THEN CAST(sy_a AS DOUBLE)
+                                   / CAST(n_a AS DOUBLE) / 10000.0 END
+           AS mya,
+         CASE WHEN n_b <> 0 THEN CAST(sy_b AS DOUBLE)
+                                   / CAST(n_b AS DOUBLE) / 10000.0 END
+           AS myb
+  FROM m
+), t AS (
+  SELECT *, CASE WHEN varx > 0 THEN covxy / varx END AS theta FROM c
+)
+SELECT n_a, n_b,
+       {_dec("mya", 6)} AS mean_post_a,
+       {_dec("myb", 6)} AS mean_post_b,
+       {_dec("mya - myb", 6)} AS diff_raw,
+       {_dec("theta", 6)} AS theta,
+       {_dec("mya - myb - theta * (mxa - mxb)", 6)} AS diff_adj
+FROM t
+"""

@@ -1594,6 +1594,15 @@ def bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _b(load(spark, sf_dir, "events"))
 
 
+def ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced experiment readout (Deng et al. 2013):
+    pre-period covariate adjustment from exact integer moments —
+    the industry-standard CI-shrinking companion to ab_ttest."""
+    from rsbsa_etl_spark.operators.profiling import ab_cuped as _c
+
+    return _c(load(spark, sf_dir, "events"))
+
+
 def ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rsbsa_etl_spark.operators.profiling import ab_ttest as _ab
 
@@ -2235,6 +2244,7 @@ QUERIES: dict[str, QueryFn] = {
     "rocchio_classify": rocchio_classify,
     "fingerprint_winnow": fingerprint_winnow,
     "bootstrap_ci": bootstrap_ci,
+    "ab_cuped": ab_cuped,
     "snapshot_diff": snapshot_diff,
     "resample_ffill": resample_ffill,
     "ab_ttest": ab_ttest,
@@ -2321,8 +2331,8 @@ def _is_green(row: dict) -> bool:
 # stream_cdc_apply window_rolling_median state_durations
 # dedup_containment_capped dedup_spans dedup_embedding_incremental
 # bpe_train bpe_segment hybrid_search_rrf mmr_rerank dsir_weights
-# dsir_resample rocchio_classify fingerprint_winnow bootstrap_ci`
-# (now 22 keys)
+# dsir_resample rocchio_classify fingerprint_winnow bootstrap_ci
+# ab_cuped` (now 23 keys)
 # (every one replica-green at sf0.01 AND sf0.1 from /tmp), after
 # which every registry key has a driver row and the rotation
 # degenerates to a stable order. The drain stays optimal by
@@ -2382,7 +2392,7 @@ _UNTESTED_PRIORITY = [
     "dedup_embedding_incremental", "bpe_train", "bpe_segment",
     "hybrid_search_rrf", "mmr_rerank", "dsir_weights",
     "dsir_resample", "rocchio_classify", "fingerprint_winnow",
-    "bootstrap_ci",
+    "bootstrap_ci", "ab_cuped",
 ]
 
 _rows = _driver_latest_rows()

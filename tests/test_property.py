@@ -1003,3 +1003,34 @@ def test_bootstrap_ci_matches_python_reference(spark):
     fx = bootstrap_ci(load(spark, SF_DIR, "events")).collect()[0]
     assert fx.boot_lo <= fx.point_mean <= fx.boot_hi
     assert fx.boot_lo < fx.boot_hi  # the replicates genuinely vary
+
+
+def test_cuped_adjustment_recovers_true_effect(spark):
+    """CUPED's purpose, demonstrated: when the pre-period covariate
+    linearly predicts the post-period metric (Y = X + effect·arm),
+    the adjusted difference must land strictly closer to the true
+    effect than the raw difference, with θ near 1. Arms come from
+    the same md5 hash split the operator uses, recomputed here so
+    the construction is assignment-aware."""
+    import hashlib
+
+    from rsbsa_etl_spark.operators.profiling import ab_cuped
+
+    def arm(u):
+        return int(hashlib.md5(f"ab1|{u}".encode()).hexdigest()[:8], 16) % 2
+
+    effect = 3.0
+    rows = []
+    for u in range(120):
+        base = float(5 + (u % 7))          # pre-period user level
+        rows.append((2 * u, u, "2024-01-10 00:00:00", base))
+        rows.append((2 * u + 1, u, "2024-01-20 00:00:00",
+                     base + (effect if arm(u) == 1 else 0.0)))
+    events = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, value double"
+    ).selectExpr("event_id", "user_id", "CAST(ts AS TIMESTAMP) AS ts", "value")
+    r = ab_cuped(events).collect()[0]
+    true_diff = -effect  # diff is arm0 − arm1
+    assert 0.5 < r.theta < 1.5
+    assert abs(r.diff_adj - true_diff) < abs(r.diff_raw - true_diff)
+    assert abs(r.diff_adj - true_diff) < 0.2
