@@ -185,6 +185,7 @@ HEADLINE = [
     "fingerprint_winnow",
     "bootstrap_ci",
     "ab_cuped",
+    "ann_mrr",
 ]
 
 

@@ -1350,3 +1350,66 @@ def cosine_pairs_bipartite(
         .groupBy("tb")
         .applyInPandas(block, "new_id bigint, corpus_id bigint, cosine double")
     )
+
+
+def ann_mrr(
+    emb: DataFrame,
+    query_ids: Sequence[int] = ANN_QUERY_IDS,
+    k: int = ANN_TOP_K,
+) -> DataFrame:
+    """MRR@k of the approximate indexes — the rank-position
+    complement to ``ann_recall``'s set-overlap metric: per query,
+    at which rank does each index surface the TRUE nearest
+    neighbor (exact rank-1), scored as mean reciprocal rank over
+    the query set (1/rank; 0 when the index misses it entirely).
+    Recall@k says how much of the true neighborhood an index
+    returns; MRR says whether the single most important neighbor
+    is at the top — the metric that matters when only the first
+    hit is consumed (retrieval-augmented pipelines).
+
+    Deterministic end to end like ann_recall (both rankings are
+    deterministic), so the metric is value-checked. Reciprocal
+    ranks are exact IEEE divisions (rank ≤ k), summed in 1e-6
+    fixed point, so query-accumulation order cannot drift the mean.
+
+    Output: one row per index — (system, n_queries, n_hit, mrr).
+
+    Plan: the exact scan feeds three probe joins (persisted — the
+    ann_recall contract); each join is query-set-sized. Index scans
+    are the already-scale-shaped ann plans.
+    """
+    top1 = (
+        brute_force_topk(emb, query_ids, k)
+        .where(F.col("rank") == 1)
+        .select("query_id", "neighbor_id")
+        .persist()
+    )
+    nq = float(len(list(query_ids)))
+
+    def one(df: DataFrame, name: str) -> DataFrame:
+        # top1 is |query_ids| rows by contract — broadcast it so the
+        # probe never sorts the index list (static plan; AQE would
+        # discover the same at runtime)
+        hits = df.select("query_id", "neighbor_id", "rank").join(
+            F.broadcast(top1), ["query_id", "neighbor_id"]
+        )
+        return hits.agg(
+            F.lit(name).alias("system"),
+            F.lit(int(nq)).cast("long").alias("n_queries"),
+            F.count("*").cast("long").alias("n_hit"),
+            dec_round(
+                fixed_sum(F.lit(1.0) / F.col("rank"), 6) / F.lit(nq), 6
+            ).alias("mrr"),
+        )
+
+    out = (
+        one(lsh_topk(emb, query_ids, k), "lsh")
+        .unionByName(one(lsh_multiprobe_topk(emb, query_ids, k), "lsh_mp"))
+        .unionByName(one(ivf_topk(emb, query_ids, k), "ivf"))
+    )
+    return out.select(
+        "system",
+        "n_queries",
+        "n_hit",
+        F.coalesce(F.col("mrr"), F.lit(0.0)).alias("mrr"),
+    )

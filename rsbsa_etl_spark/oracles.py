@@ -4059,3 +4059,30 @@ SELECT n_a, n_b,
        {_dec("mya - myb - theta * (mxa - mxb)", 6)} AS diff_adj
 FROM t
 """
+
+
+def _mrr_arm(src_sql: str, name: str) -> str:
+    """one index's MRR row — 1/rank as explicit DOUBLE division
+    (a bare 1.0 literal would divide in DECIMAL, which truncates
+    where IEEE rounds — e.g. rank 6 flips the 1e-6 quantization)."""
+    nq = float(len(P.ANN_QUERY_IDS))
+    s = sql_sum_fixed("CAST(1.0 AS DOUBLE) / rank", 6)
+    return f"""SELECT '{name}' AS system,
+       CAST({len(P.ANN_QUERY_IDS)} AS BIGINT) AS n_queries,
+       CAST(count(*) AS BIGINT) AS n_hit,
+       coalesce({_dec(f"({s}) / {nq!r}", 6)}, 0.0) AS mrr
+FROM ({src_sql}) t
+JOIN exact1 USING (query_id, neighbor_id)"""
+
+
+ORACLES["ann_mrr"] = f"""
+WITH exact1 AS (
+  SELECT query_id, neighbor_id
+  FROM ({_ann_sql(bucketed=False)}) t WHERE rank = 1
+)
+{_mrr_arm(_ann_sql(bucketed=True), "lsh")}
+UNION ALL
+{_mrr_arm(_ann_sql(bucketed=True, multiprobe=True), "lsh_mp")}
+UNION ALL
+{_mrr_arm(_ivf_sql(), "ivf")}
+"""

@@ -960,6 +960,12 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_recall(load(spark, sf_dir, "embeddings"))
 
 
+def ann_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR@k of the LSH/IVF indexes vs exact top-1 — the
+    rank-position complement to ann_recall, value-checked."""
+    return similarity.ann_mrr(load(spark, sf_dir, "embeddings"))
+
+
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.lang_id(load(spark, sf_dir, "documents"))
 
@@ -2245,6 +2251,7 @@ QUERIES: dict[str, QueryFn] = {
     "fingerprint_winnow": fingerprint_winnow,
     "bootstrap_ci": bootstrap_ci,
     "ab_cuped": ab_cuped,
+    "ann_mrr": ann_mrr,
     "snapshot_diff": snapshot_diff,
     "resample_ffill": resample_ffill,
     "ab_ttest": ab_ttest,
@@ -2332,7 +2339,7 @@ def _is_green(row: dict) -> bool:
 # dedup_containment_capped dedup_spans dedup_embedding_incremental
 # bpe_train bpe_segment hybrid_search_rrf mmr_rerank dsir_weights
 # dsir_resample rocchio_classify fingerprint_winnow bootstrap_ci
-# ab_cuped` (now 23 keys)
+# ab_cuped ann_mrr` (now 24 keys)
 # (every one replica-green at sf0.01 AND sf0.1 from /tmp), after
 # which every registry key has a driver row and the rotation
 # degenerates to a stable order. The drain stays optimal by
@@ -2392,7 +2399,7 @@ _UNTESTED_PRIORITY = [
     "dedup_embedding_incremental", "bpe_train", "bpe_segment",
     "hybrid_search_rrf", "mmr_rerank", "dsir_weights",
     "dsir_resample", "rocchio_classify", "fingerprint_winnow",
-    "bootstrap_ci", "ab_cuped",
+    "bootstrap_ci", "ab_cuped", "ann_mrr",
 ]
 
 _rows = _driver_latest_rows()

@@ -1034,3 +1034,22 @@ def test_cuped_adjustment_recovers_true_effect(spark):
     assert 0.5 < r.theta < 1.5
     assert abs(r.diff_adj - true_diff) < abs(r.diff_raw - true_diff)
     assert abs(r.diff_adj - true_diff) < 0.2
+
+
+def test_ann_mrr_bounds_and_index_ordering(spark):
+    """MRR invariants on the fixture: one row per index, mrr within
+    [0,1], n_hit ≤ n_queries, and the cluster-aligned IVF index —
+    which ann_recall already shows dominating sign-LSH on this
+    geometry — must not rank below LSH on first-hit position
+    either. The LSH rows exercise the zero-hit coalesce path."""
+    from rsbsa_etl_spark.functions.similarity import ann_mrr
+    from rsbsa_etl_spark.sources.fixtures import load
+
+    from tests.conftest import SF_DIR
+
+    rows = {r.system: r for r in ann_mrr(load(spark, SF_DIR, "embeddings")).collect()}
+    assert set(rows) == {"lsh", "lsh_mp", "ivf"}
+    for r in rows.values():
+        assert 0.0 <= r.mrr <= 1.0
+        assert 0 <= r.n_hit <= r.n_queries
+    assert rows["ivf"].mrr >= rows["lsh"].mrr
