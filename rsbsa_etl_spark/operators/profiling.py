@@ -194,6 +194,28 @@ def corr_groups(lineitem: DataFrame) -> DataFrame:
     ).orderBy("l_returnflag")
 
 
+def _arm() -> Column:
+    """deterministic two-arm hash split on user_id (salt 'ab1') —
+    ONE definition shared by ab_ttest and ab_cuped, whose contract
+    is that both readouts see the same assignment."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|", F.lit("ab1"), F.col("user_id").cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+
+
 def ab_ttest(events: DataFrame) -> DataFrame:
     """experiment readout: hash-split users into two arms (the same
     deterministic assignment trick as ``split_assign``), then Welch's
@@ -207,18 +229,7 @@ def ab_ttest(events: DataFrame) -> DataFrame:
     the moments shuffle is one row per partition.
     """
     q = 1e4
-    arm = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws("|", F.lit("ab1"), F.col("user_id").cast("string"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % 2
-    )
+    arm = _arm()
     vi = _fixed(F.col("value"), 4)
     one = events.select(arm.alias("arm"), vi.alias("vi")).agg(
         F.count(F.when(F.col("arm") == 0, 1)).alias("n_a"),
@@ -358,11 +369,17 @@ def bootstrap_ci(events: DataFrame) -> DataFrame:
         16,
         10,
     ).cast("bigint")
+    # project the draw ONCE so the 7-branch CASE chain references a
+    # column, not 7 copies of the md5 subtree (the oracle's d-CTE
+    # shape; bounds the hash to one evaluation per exploded row)
+    drawn = rows.select("rep", "vi", u32.alias("u32"))
     w = F.lit(len(POISSON1_CDF_U32)).cast("long")
     for k in reversed(range(len(POISSON1_CDF_U32))):
-        w = F.when(u32 < F.lit(POISSON1_CDF_U32[k]), F.lit(k).cast("long")).otherwise(w)
+        w = F.when(
+            F.col("u32") < F.lit(POISSON1_CDF_U32[k]), F.lit(k).cast("long")
+        ).otherwise(w)
     per_rep = (
-        rows.select("rep", "vi", w.alias("w"))
+        drawn.select("rep", "vi", w.alias("w"))
         .groupBy("rep")
         .agg(
             F.sum("w").alias("n_w"),
@@ -427,18 +444,7 @@ def ab_cuped(events: DataFrame) -> DataFrame:
     from rsbsa_etl_spark.params import STREAM_SPLIT_TS
 
     q = 1e4
-    arm = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws("|", F.lit("ab1"), F.col("user_id").cast("string"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % 2
-    )
+    arm = _arm()
     is_pre = F.col("ts") <= F.lit(STREAM_SPLIT_TS).cast("timestamp")
     vi = _fixed(F.col("value"), 4)
     per_user = (

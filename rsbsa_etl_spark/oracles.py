@@ -3980,7 +3980,9 @@ WITH r AS (
   FROM wgt GROUP BY rep
 ), m AS (
   SELECT rep, n, tot,
-         {_dec("CAST(s AS DOUBLE) / n_w / 10000.0", 6)} AS mean_rep
+         CASE WHEN n_w <> 0
+              THEN {_dec("CAST(s AS DOUBLE) / n_w / 10000.0", 6)} END
+           AS mean_rep
   FROM per
 ), rkd AS (
   SELECT *, row_number() OVER (ORDER BY mean_rep ASC NULLS LAST,

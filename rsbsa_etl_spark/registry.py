@@ -2333,7 +2333,7 @@ def _is_green(row: dict) -> bool:
 # scalar f0..f7, stream_tail upgraded to a value check) + the next 48
 # untested keys — all 50 re-verified at sf0.01 from /tmp after the
 # round-5 fixes (LOCAL_SWEEP_r05.md). The round-6 remainder is the
-# exact 13-key tail `rfm_segments hard_negatives graph_triangles
+# exact tail `rfm_segments hard_negatives graph_triangles
 # ts_autocorr k_anonymity feature_hashing quantile_bucketize
 # stream_cdc_apply window_rolling_median state_durations
 # dedup_containment_capped dedup_spans dedup_embedding_incremental
