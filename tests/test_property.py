@@ -1053,3 +1053,178 @@ def test_ann_mrr_bounds_and_index_ordering(spark):
         assert 0.0 <= r.mrr <= 1.0
         assert 0 <= r.n_hit <= r.n_queries
     assert rows["ivf"].mrr >= rows["lsh"].mrr
+
+
+def _hash_slot(tok, dim):
+    import hashlib
+
+    return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % dim
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.lists(
+                st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"]),
+                min_size=1,
+                max_size=8,
+            ),
+            st.sampled_from(["en", "de", "fr"]),
+        ),
+        min_size=2,
+        max_size=10,
+    )
+)
+def test_dsir_oracle_matches_python_reference(doc_specs):
+    """the DSIR weights oracle equals a transparent Python
+    implementation of the same smoothing/quantization spec on
+    arbitrary tiny corpora — including corpora with NO target-lang
+    docs (c_tgt all zero) and single-language corpora. The Spark
+    side is pinned to the same oracle by the parity suite."""
+    import math
+
+    import pandas as pd
+
+    from rsbsa_etl_spark import params as P
+    from rsbsa_etl_spark.oracles import ORACLES
+
+    d = P.DSIR_HASH_DIM
+    docs = [
+        (i, " ".join(toks), lang) for i, (toks, lang) in enumerate(doc_specs)
+    ]
+    # python reference
+    slot_counts: dict = {}
+    for i, text, lang in docs:
+        for tok in text.split(" "):
+            s = _hash_slot(tok, d)
+            slot_counts.setdefault((i, lang, s), 0)
+            slot_counts[(i, lang, s)] += 1
+    c_raw: dict = {}
+    c_tgt: dict = {}
+    for (i, lang, s), n in slot_counts.items():
+        c_raw[s] = c_raw.get(s, 0) + n
+        if lang == P.DSIR_TARGET_LANG:
+            c_tgt[s] = c_tgt.get(s, 0) + n
+    n_raw = sum(c_raw.values())
+    n_tgt = sum(c_tgt.values())
+    q_ratio = {
+        s: math.floor(
+            ((c_tgt.get(s, 0) + 0.5) / (n_tgt + d / 2.0))
+            * ((n_raw + d / 2.0) / (c_raw[s] + 0.5))
+            * 1e6
+            + 0.5
+        )
+        for s in c_raw
+    }
+    expect = {}
+    for i, text, lang in docs:
+        per_slot: dict = {}
+        for tok in text.split(" "):
+            s = _hash_slot(tok, d)
+            per_slot[s] = per_slot.get(s, 0) + 1
+        n_tok = sum(per_slot.values())
+        sq = sum(n * q_ratio[s] for s, n in per_slot.items())
+        w = math.floor(sq / 1e6 / n_tok * 1e6 + 0.5) / 1e6
+        expect[i] = (n_tok, w)
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(
+            {
+                "doc_id": [i for i, _, _ in docs],
+                "text": [t for _, t, _ in docs],
+                "lang": [la for _, _, la in docs],
+            }
+        ),
+    )
+    got = {
+        int(r[0]): (int(r[1]), float(r[2]))
+        for r in con.execute(ORACLES["dsir_weights"]).fetchall()
+    }
+    assert got == expect
+    con.close()
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.lists(
+                st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"]),
+                min_size=1,
+                max_size=8,
+            ),
+            st.sampled_from(["en", "de", "fr"]),
+        ),
+        min_size=2,
+        max_size=10,
+    )
+)
+def test_rocchio_oracle_matches_python_reference(doc_specs):
+    """the Rocchio oracle — full class×slot grid, Laplace smoothing,
+    1e-9 quantization, (score desc, class asc) argmax — equals a
+    transparent Python implementation on arbitrary tiny corpora,
+    including single-class corpora and heavy slot collisions."""
+    import math
+
+    import pandas as pd
+
+    from rsbsa_etl_spark import params as P
+    from rsbsa_etl_spark.oracles import ORACLES
+
+    d = P.ROCCHIO_HASH_DIM
+    docs = [
+        (i, " ".join(toks), lang) for i, (toks, lang) in enumerate(doc_specs)
+    ]
+    cnt: dict = {}
+    n_cls: dict = {}
+    per_doc: dict = {}
+    for i, text, lang in docs:
+        for tok in text.split(" "):
+            s = _hash_slot(tok, d)
+            cnt[(lang, s)] = cnt.get((lang, s), 0) + 1
+            n_cls[lang] = n_cls.get(lang, 0) + 1
+            per_doc.setdefault(i, {}).setdefault(s, 0)
+            per_doc[i][s] += 1
+    q_p = {
+        (c, s): math.floor(
+            (cnt.get((c, s), 0) + 0.5) / (n_cls[c] + d / 2.0) * 1e9 + 0.5
+        )
+        for c in n_cls
+        for s in range(d)
+    }
+    expect = {}
+    lang_of = {i: lang for i, _, lang in docs}
+    for i, slots in per_doc.items():
+        n_tok = sum(slots.values())
+        best = None
+        for c in sorted(n_cls):
+            sc = sum(n * q_p[(c, s)] for s, n in slots.items())
+            if best is None or sc > best[1]:
+                best = (c, sc)
+        w = math.floor(best[1] / 1e9 / n_tok * 1e6 + 0.5) / 1e6
+        expect[i] = (lang_of[i], best[0], n_tok, w)
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(
+            {
+                "doc_id": [i for i, _, _ in docs],
+                "text": [t for _, t, _ in docs],
+                "lang": [la for _, _, la in docs],
+            }
+        ),
+    )
+    got = {
+        int(r[0]): (str(r[1]), str(r[2]), int(r[3]), float(r[4]))
+        for r in con.execute(ORACLES["rocchio_classify"]).fetchall()
+    }
+    assert got == expect
+    con.close()
