@@ -186,6 +186,7 @@ HEADLINE = [
     "bootstrap_ci",
     "ab_cuped",
     "ann_mrr",
+    "hybrid_mmr",
 ]
 
 

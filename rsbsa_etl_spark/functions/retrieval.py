@@ -172,6 +172,65 @@ def hybrid_search_rrf(
     )
 
 
+def _greedy_mmr(slim: DataFrame, pairs: DataFrame, k: int) -> DataFrame:
+    """the greedy MMR selection loop — ONE implementation shared by
+    ``mmr_rerank`` (cosine relevance) and ``hybrid_mmr`` (RRF
+    relevance), and mirrored round-for-round by the oracles'
+    shared unroll, so the integer-weight argmax semantics cannot
+    drift between entry points. Inputs: ``slim`` =
+    (query_id, doc_id, rel_i) candidate pool, ``pairs`` =
+    (query_id, a_id, b_id, sim_i) pairwise pool similarities —
+    both 1e-6 fixed-point integers, both persisted by the caller
+    (the caller also releases them). Returns
+    (query_id, doc_id, rel_i, pick_order, mmr_i), lineage
+    truncated per round with eager localCheckpoints."""
+    from rsbsa_etl_spark.params import MMR_W_DIV, MMR_W_REL
+
+    selected = None
+    for r in range(1, k + 1):
+        if selected is None:
+            scores = slim.withColumn("ms_i", F.lit(0).cast("long"))
+        else:
+            sel_ids = selected.select("query_id", "doc_id")
+            remaining = slim.join(
+                sel_ids, ["query_id", "doc_id"], "left_anti"
+            )
+            ms = (
+                pairs.join(
+                    sel_ids.withColumnRenamed("doc_id", "b_id"),
+                    ["query_id", "b_id"],
+                )
+                .groupBy("query_id", F.col("a_id").alias("doc_id"))
+                .agg(F.max("sim_i").alias("ms_i"))
+            )
+            scores = remaining.join(ms, ["query_id", "doc_id"]).select(
+                "query_id", "doc_id", "rel_i", "ms_i"
+            )
+        mmr_i = (
+            F.lit(MMR_W_REL) * F.col("rel_i")
+            - F.lit(MMR_W_DIV) * F.col("ms_i")
+        ).cast("long")
+        ws = Window.partitionBy("query_id").orderBy(
+            F.col("mmr_i").desc(), F.col("doc_id").asc()
+        )
+        pick = (
+            scores.withColumn("mmr_i", mmr_i)
+            .withColumn("rn", F.row_number().over(ws))
+            .where(F.col("rn") == 1)
+            .select(
+                "query_id",
+                "doc_id",
+                "rel_i",
+                F.lit(r).cast("int").alias("pick_order"),
+                "mmr_i",
+            )
+        )
+        selected = (
+            pick if selected is None else selected.unionByName(pick)
+        ).localCheckpoint(eager=True)
+    return selected
+
+
 def mmr_rerank(
     emb: DataFrame,
     query_ids=ANN_QUERY_IDS,
@@ -274,49 +333,8 @@ def mmr_rerank(
     )
     slim = pool.select("query_id", "doc_id", "rel_i")
 
-    selected = None
     try:
-        for r in range(1, k + 1):
-            if selected is None:
-                scores = slim.withColumn("ms_i", F.lit(0).cast("long"))
-            else:
-                sel_ids = selected.select("query_id", "doc_id")
-                remaining = slim.join(
-                    sel_ids, ["query_id", "doc_id"], "left_anti"
-                )
-                ms = (
-                    pairs.join(
-                        sel_ids.withColumnRenamed("doc_id", "b_id"),
-                        ["query_id", "b_id"],
-                    )
-                    .groupBy("query_id", F.col("a_id").alias("doc_id"))
-                    .agg(F.max("sim_i").alias("ms_i"))
-                )
-                scores = remaining.join(ms, ["query_id", "doc_id"]).select(
-                    "query_id", "doc_id", "rel_i", "ms_i"
-                )
-            mmr_i = (
-                F.lit(MMR_W_REL) * F.col("rel_i")
-                - F.lit(MMR_W_DIV) * F.col("ms_i")
-            ).cast("long")
-            ws = Window.partitionBy("query_id").orderBy(
-                F.col("mmr_i").desc(), F.col("doc_id").asc()
-            )
-            pick = (
-                scores.withColumn("mmr_i", mmr_i)
-                .withColumn("rn", F.row_number().over(ws))
-                .where(F.col("rn") == 1)
-                .select(
-                    "query_id",
-                    "doc_id",
-                    "rel_i",
-                    F.lit(r).cast("int").alias("pick_order"),
-                    "mmr_i",
-                )
-            )
-            selected = (
-                pick if selected is None else selected.unionByName(pick)
-            ).localCheckpoint(eager=True)
+        selected = _greedy_mmr(slim, pairs, k)
     finally:
         # the eager checkpoints hold the picks as materialized
         # blocks — pool/pairs lineage is not referenced by the
@@ -329,6 +347,96 @@ def mmr_rerank(
         "doc_id",
         "pick_order",
         (F.col("rel_i").cast("double") / F.lit(1e6)).alias("relevance"),
+        (F.col("mmr_i").cast("double") / F.lit(MMR_FIXED_SCALE)).alias(
+            "mmr"
+        ),
+    )
+
+
+def hybrid_mmr(
+    docs: DataFrame,
+    emb: DataFrame,
+    query_ids=ANN_QUERY_IDS,
+    k: int | None = None,
+) -> DataFrame:
+    """the full modern retrieval stack, composed: hybrid
+    lexical+vector retrieval (RRF-fused top-``HYBRID_TOP_K``) →
+    greedy MMR diversity re-rank over the fused pool — retrieve,
+    fuse, THEN de-duplicate the context, which is the deployment
+    shape of retrieval-augmented pipelines (fusion fixes arm-scale
+    incomparability; MMR fixes near-duplicate retrievals crowding
+    the context window).
+
+    Relevance for the greedy stage is the fused RRF score
+    normalized per query to [0, 1] (``rrf / max(rrf)`` — RRF's
+    absolute scale is meaningless across pool sizes) and quantized
+    to 1e-6 integers; diversity is embedding cosine at the same
+    quantization; the selection loop is the SAME ``_greedy_mmr``
+    kernel (and the oracle the same SQL unroll) as ``mmr_rerank``,
+    so the two entry points cannot drift.
+
+    Scale: the pool is ``queries × HYBRID_TOP_K`` rows — the greedy
+    stage never touches the corpus; corpus-sized work is exactly
+    the hybrid retrieval's (posting-list join + one broadcast-query
+    vector scan). Pool/pairs persists release before returning.
+    """
+    from rsbsa_etl_spark.params import MMR_FIXED_SCALE, MMR_SELECT_K
+
+    k = MMR_SELECT_K if k is None else k
+    fused = hybrid_search_rrf(docs, emb, query_ids)
+    wq = Window.partitionBy("query_id")
+    pool = (
+        fused.select("query_id", "doc_id", "rrf")
+        .withColumn(
+            "rel_i",
+            F.floor(
+                F.col("rrf") / F.max("rrf").over(wq) * F.lit(1e6)
+                + F.lit(0.5)
+            ).cast("long"),
+        )
+        .select("query_id", "doc_id", "rel_i")
+        .persist()
+    )
+    e = with_norm(emb.select(F.col("vec_id").alias("doc_id"), "embedding"))
+    pv = pool.join(
+        e.select(
+            "doc_id", F.col("_vd").alias("vd"), F.col("_norm").alias("nd")
+        ),
+        "doc_id",
+    )
+    a = pv.select(
+        "query_id",
+        F.col("doc_id").alias("a_id"),
+        F.col("vd").alias("va"),
+        F.col("nd").alias("na"),
+    )
+    b = pv.select(
+        "query_id",
+        F.col("doc_id").alias("b_id"),
+        F.col("vd").alias("vb"),
+        F.col("nd").alias("nb"),
+    )
+    sim_i = F.floor(
+        safe_div(dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb"))
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+    pairs = (
+        a.join(b, ["query_id"])
+        .where(F.col("a_id") != F.col("b_id"))
+        .select("query_id", "a_id", "b_id", sim_i.alias("sim_i"))
+        .persist()
+    )
+    try:
+        selected = _greedy_mmr(pool, pairs, k)
+    finally:
+        pool.unpersist()
+        pairs.unpersist()
+    return selected.select(
+        "query_id",
+        "doc_id",
+        "pick_order",
+        (F.col("rel_i").cast("double") / F.lit(1e6)).alias("rel_norm"),
         (F.col("mmr_i").cast("double") / F.lit(MMR_FIXED_SCALE)).alias(
             "mmr"
         ),

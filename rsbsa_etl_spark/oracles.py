@@ -3801,39 +3801,20 @@ FROM rk WHERE rnk = 1
 """
 
 
-def _mmr_sql() -> str:
-    """unrolled greedy MMR — mirrors ``retrieval.mmr_rerank``: the
-    same 1e-6 integer similarities and exact 7/3 integer weights, one
-    chained CTE pair per greedy round (the bpe_train unroll
-    pattern)."""
-    qids = sql_in_list(P.ANN_QUERY_IDS)
-    sim = f"CAST(floor({_DOT} / (a.nrm * b.nrm) * 1000000.0 + 0.5) AS BIGINT)"
+def _mmr_rounds() -> str:
+    """the unrolled greedy-MMR rounds — mirrors
+    ``retrieval._greedy_mmr`` round for round (the bpe_train unroll
+    pattern), over CTEs named ``pool`` (query_id, doc_id, rel_i) and
+    ``pairs`` (query_id, a_id, b_id, sim_i). ONE text shared by the
+    mmr_rerank and hybrid_mmr oracles, exactly as the Spark greedy
+    kernel is shared by the two entry points."""
     parts = [
-        f"""WITH {_EMB_CTE.strip()},
-pool AS (
-  SELECT query_id, doc_id, rel_i FROM (
-    SELECT query_id, doc_id, rel_i,
-           row_number() OVER (PARTITION BY query_id
-                              ORDER BY rel_i DESC, doc_id) AS rn
-    FROM (
-      SELECT a.vec_id AS query_id, b.vec_id AS doc_id, {sim} AS rel_i
-      FROM n a JOIN n b ON a.vec_id <> b.vec_id
-      WHERE a.vec_id IN ({qids})
-    ) WHERE rel_i IS NOT NULL
-  ) WHERE rn <= {P.MMR_POOL_K}
-),
-pairs AS (
-  SELECT p1.query_id, p1.doc_id AS a_id, p2.doc_id AS b_id, {sim} AS sim_i
-  FROM pool p1
-  JOIN pool p2 ON p1.query_id = p2.query_id AND p1.doc_id <> p2.doc_id
-  JOIN n a ON a.vec_id = p1.doc_id
-  JOIN n b ON b.vec_id = p2.doc_id
-),
-s1 AS (
+        f"""s1 AS (
   SELECT query_id, doc_id, rel_i, 1 AS pick_order,
          {P.MMR_W_REL} * rel_i - {P.MMR_W_DIV} * 0 AS mmr_i
   FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                                     ORDER BY {P.MMR_W_REL} * rel_i DESC, doc_id) AS rn
+                                     ORDER BY {P.MMR_W_REL} * rel_i DESC,
+                                              doc_id) AS rn
         FROM pool)
   WHERE rn = 1
 ), sel1 AS (SELECT query_id, doc_id, rel_i, pick_order, mmr_i FROM s1)"""
@@ -3861,15 +3842,68 @@ s{r} AS (
 sel{r} AS (SELECT * FROM sel{r - 1}
            UNION ALL
            SELECT query_id, doc_id, rel_i, pick_order, mmr_i FROM s{r})""")
-    parts.append(f"""
-SELECT query_id, doc_id, CAST(pick_order AS INT) AS pick_order,
-       CAST(rel_i AS DOUBLE) / 1000000.0 AS relevance,
-       CAST(mmr_i AS DOUBLE) / {P.MMR_FIXED_SCALE!r} AS mmr
-FROM sel{P.MMR_SELECT_K}""")
     return "".join(parts)
 
 
+def _mmr_sql() -> str:
+    """unrolled greedy MMR — mirrors ``retrieval.mmr_rerank``: the
+    same 1e-6 integer similarities and params-derived integer
+    weights, one chained CTE pair per greedy round."""
+    qids = sql_in_list(P.ANN_QUERY_IDS)
+    sim = f"CAST(floor({_DOT} / (a.nrm * b.nrm) * 1000000.0 + 0.5) AS BIGINT)"
+    return f"""WITH {_EMB_CTE.strip()},
+pool AS (
+  SELECT query_id, doc_id, rel_i FROM (
+    SELECT query_id, doc_id, rel_i,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY rel_i DESC, doc_id) AS rn
+    FROM (
+      SELECT a.vec_id AS query_id, b.vec_id AS doc_id, {sim} AS rel_i
+      FROM n a JOIN n b ON a.vec_id <> b.vec_id
+      WHERE a.vec_id IN ({qids})
+    ) WHERE rel_i IS NOT NULL
+  ) WHERE rn <= {P.MMR_POOL_K}
+),
+pairs AS (
+  SELECT p1.query_id, p1.doc_id AS a_id, p2.doc_id AS b_id, {sim} AS sim_i
+  FROM pool p1
+  JOIN pool p2 ON p1.query_id = p2.query_id AND p1.doc_id <> p2.doc_id
+  JOIN n a ON a.vec_id = p1.doc_id
+  JOIN n b ON b.vec_id = p2.doc_id
+),
+{_mmr_rounds()}
+SELECT query_id, doc_id, CAST(pick_order AS INT) AS pick_order,
+       CAST(rel_i AS DOUBLE) / 1000000.0 AS relevance,
+       CAST(mmr_i AS DOUBLE) / {P.MMR_FIXED_SCALE!r} AS mmr
+FROM sel{P.MMR_SELECT_K}"""
+
+
 ORACLES["mmr_rerank"] = _mmr_sql()
+
+ORACLES["hybrid_mmr"] = f"""
+WITH hybrid AS (SELECT * FROM ({ORACLES["hybrid_search_rrf"]}) t),
+pool AS (
+  SELECT query_id, doc_id,
+         CAST(floor(rrf / max(rrf) OVER (PARTITION BY query_id)
+              * 1000000.0 + 0.5) AS BIGINT) AS rel_i
+  FROM hybrid
+),
+{_EMB_CTE.strip()},
+pairs AS (
+  SELECT p1.query_id, p1.doc_id AS a_id, p2.doc_id AS b_id,
+         CAST(floor({_DOT} / (a.nrm * b.nrm) * 1000000.0 + 0.5) AS BIGINT)
+           AS sim_i
+  FROM pool p1
+  JOIN pool p2 ON p1.query_id = p2.query_id AND p1.doc_id <> p2.doc_id
+  JOIN n a ON a.vec_id = p1.doc_id
+  JOIN n b ON b.vec_id = p2.doc_id
+),
+{_mmr_rounds()}
+SELECT query_id, doc_id, CAST(pick_order AS INT) AS pick_order,
+       CAST(rel_i AS DOUBLE) / 1000000.0 AS rel_norm,
+       CAST(mmr_i AS DOUBLE) / {P.MMR_FIXED_SCALE!r} AS mmr
+FROM sel{P.MMR_SELECT_K}
+"""
 
 
 _DSIR_QREF = int(P.DSIR_RESAMPLE_REF * 1_000_000)

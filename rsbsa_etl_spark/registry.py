@@ -1675,6 +1675,17 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hybrid_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """the composed retrieval stack: hybrid RRF retrieval -> greedy
+    MMR diversity re-rank over the fused pool (retrieve, fuse,
+    de-duplicate the context) — same greedy kernel as mmr_rerank."""
+    from rsbsa_etl_spark.functions.retrieval import hybrid_mmr as _h
+
+    return _h(
+        load(spark, sf_dir, "documents"), load(spark, sf_dir, "embeddings")
+    )
+
+
 def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """exact duplicated-span detection (Lee et al. 2022 substring
     dedup, posting-list form): maximal token spans contiguously
@@ -2252,6 +2263,7 @@ QUERIES: dict[str, QueryFn] = {
     "bootstrap_ci": bootstrap_ci,
     "ab_cuped": ab_cuped,
     "ann_mrr": ann_mrr,
+    "hybrid_mmr": hybrid_mmr,
     "snapshot_diff": snapshot_diff,
     "resample_ffill": resample_ffill,
     "ab_ttest": ab_ttest,
@@ -2339,7 +2351,7 @@ def _is_green(row: dict) -> bool:
 # dedup_containment_capped dedup_spans dedup_embedding_incremental
 # bpe_train bpe_segment hybrid_search_rrf mmr_rerank dsir_weights
 # dsir_resample rocchio_classify fingerprint_winnow bootstrap_ci
-# ab_cuped ann_mrr` (now 24 keys)
+# ab_cuped ann_mrr hybrid_mmr` (now 25 keys)
 # (every one replica-green at sf0.01 AND sf0.1 from /tmp), after
 # which every registry key has a driver row and the rotation
 # degenerates to a stable order. The drain stays optimal by
@@ -2399,7 +2411,7 @@ _UNTESTED_PRIORITY = [
     "dedup_embedding_incremental", "bpe_train", "bpe_segment",
     "hybrid_search_rrf", "mmr_rerank", "dsir_weights",
     "dsir_resample", "rocchio_classify", "fingerprint_winnow",
-    "bootstrap_ci", "ab_cuped", "ann_mrr",
+    "bootstrap_ci", "ab_cuped", "ann_mrr", "hybrid_mmr",
 ]
 
 _rows = _driver_latest_rows()

@@ -1228,3 +1228,39 @@ def test_rocchio_oracle_matches_python_reference(doc_specs):
     }
     assert got == expect
     con.close()
+
+
+def test_hybrid_mmr_composition_semantics(spark):
+    """the composed stack's invariants at sf0.001: every query picks
+    exactly MMR_SELECT_K docs, each pick came from that query's
+    hybrid top-HYBRID_TOP_K pool, the first pick is the hybrid #1
+    (normalized relevance exactly 1.0), and pick order is dense."""
+    from rsbsa_etl_spark import params as P
+    from rsbsa_etl_spark.functions.retrieval import (
+        hybrid_mmr,
+        hybrid_search_rrf,
+    )
+    from rsbsa_etl_spark.sources.fixtures import load
+
+    from tests.conftest import SF_DIR
+
+    docs = load(spark, SF_DIR, "documents")
+    emb = load(spark, SF_DIR, "embeddings")
+    fused = {
+        (r.query_id, r.doc_id): r.rank
+        for r in hybrid_search_rrf(docs, emb).collect()
+    }
+    picks = hybrid_mmr(docs, emb).collect()
+    by_q: dict = {}
+    for r in picks:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert len(by_q) == len(P.ANN_QUERY_IDS)
+    for q, rs in by_q.items():
+        assert sorted(r.pick_order for r in rs) == list(
+            range(1, P.MMR_SELECT_K + 1)
+        )
+        for r in rs:
+            assert (q, r.doc_id) in fused  # pool containment
+        first = next(r for r in rs if r.pick_order == 1)
+        assert fused[(q, first.doc_id)] == 1
+        assert first.rel_norm == 1.0
