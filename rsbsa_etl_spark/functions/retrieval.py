@@ -60,7 +60,27 @@ def hybrid_search_rrf(
     Output: (query_id, doc_id, lex_rank, vec_rank, rrf) — arm ranks
     are NULL when the doc was retrieved by only one arm; rrf is the
     sum of 1/(RRF_K + rank) over the arms that retrieved it.
+
+    Persist contract: the internal corpus cache stays for the
+    session (the result is lazy and every consumer re-reads it);
+    loop-running callers clearCache between runs, as bench.py does.
+    Composed operators that materialize eagerly (``hybrid_mmr``)
+    use ``_hybrid_parts`` instead and release the handle.
     """
+    fused, _corpus = _hybrid_parts(docs, emb, query_ids, arm_k, top_k)
+    return fused
+
+
+def _hybrid_parts(
+    docs: DataFrame,
+    emb: DataFrame,
+    query_ids=ANN_QUERY_IDS,
+    arm_k: int = HYBRID_ARM_K,
+    top_k: int = HYBRID_TOP_K,
+):
+    """the hybrid pipeline plus its cached-corpus HANDLE, so an
+    eagerly-materializing composer can release the persist when
+    done (returning only the DataFrame would strand the cache)."""
     # the corpus subplan feeds four subtrees (queries, the terms
     # explode, the candidate-count scalar, the vector scan) and
     # Spark does not deduplicate common subplans — persist so the
@@ -157,7 +177,7 @@ def hybrid_search_rrf(
     wf = Window.partitionBy("query_id").orderBy(
         F.col("rrf").desc(), F.col("doc_id").asc()
     )
-    return (
+    out = (
         fused.withColumn("rrf", rrf)
         .withColumn("rnk", F.row_number().over(wf))
         .where(F.col("rnk") <= top_k)
@@ -169,6 +189,36 @@ def hybrid_search_rrf(
             dec_round(F.col("rrf"), 6).alias("rrf"),
             F.col("rnk").cast("int").alias("rank"),
         )
+    )
+    return out, corpus
+
+
+def _pairwise_sims(pv: DataFrame) -> DataFrame:
+    """pairwise in-pool cosine similarities at the MMR quantization
+    — ONE construction (a/b aliasing, 1e-6 floor) shared by
+    mmr_rerank and hybrid_mmr, feeding ``_greedy_mmr``. Input:
+    (query_id, doc_id, vd, nd) pool rows with vectors and norms."""
+    a = pv.select(
+        "query_id",
+        F.col("doc_id").alias("a_id"),
+        F.col("vd").alias("va"),
+        F.col("nd").alias("na"),
+    )
+    b = pv.select(
+        "query_id",
+        F.col("doc_id").alias("b_id"),
+        F.col("vd").alias("vb"),
+        F.col("nd").alias("nb"),
+    )
+    sim_i = F.floor(
+        safe_div(dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb"))
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        a.join(b, ["query_id"])
+        .where(F.col("a_id") != F.col("b_id"))
+        .select("query_id", "a_id", "b_id", sim_i.alias("sim_i"))
     )
 
 
@@ -273,8 +323,6 @@ def mmr_rerank(
         MMR_FIXED_SCALE,
         MMR_POOL_K,
         MMR_SELECT_K,
-        MMR_W_DIV,
-        MMR_W_REL,
     )
 
     pool_k = MMR_POOL_K if pool_k is None else pool_k
@@ -308,29 +356,7 @@ def mmr_rerank(
         .drop("rn")
         .persist()
     )
-    a = pool.select(
-        "query_id",
-        F.col("doc_id").alias("a_id"),
-        F.col("vd").alias("va"),
-        F.col("nd").alias("na"),
-    )
-    b = pool.select(
-        "query_id",
-        F.col("doc_id").alias("b_id"),
-        F.col("vd").alias("vb"),
-        F.col("nd").alias("nb"),
-    )
-    sim_i = F.floor(
-        safe_div(dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb"))
-        * F.lit(1e6)
-        + F.lit(0.5)
-    ).cast("long")
-    pairs = (
-        a.join(b, ["query_id"])
-        .where(F.col("a_id") != F.col("b_id"))
-        .select("query_id", "a_id", "b_id", sim_i.alias("sim_i"))
-        .persist()
-    )
+    pairs = _pairwise_sims(pool).persist()
     slim = pool.select("query_id", "doc_id", "rel_i")
 
     try:
@@ -383,7 +409,7 @@ def hybrid_mmr(
     from rsbsa_etl_spark.params import MMR_FIXED_SCALE, MMR_SELECT_K
 
     k = MMR_SELECT_K if k is None else k
-    fused = hybrid_search_rrf(docs, emb, query_ids)
+    fused, corpus = _hybrid_parts(docs, emb, query_ids)
     wq = Window.partitionBy("query_id")
     pool = (
         fused.select("query_id", "doc_id", "rrf")
@@ -404,34 +430,16 @@ def hybrid_mmr(
         ),
         "doc_id",
     )
-    a = pv.select(
-        "query_id",
-        F.col("doc_id").alias("a_id"),
-        F.col("vd").alias("va"),
-        F.col("nd").alias("na"),
-    )
-    b = pv.select(
-        "query_id",
-        F.col("doc_id").alias("b_id"),
-        F.col("vd").alias("vb"),
-        F.col("nd").alias("nb"),
-    )
-    sim_i = F.floor(
-        safe_div(dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb"))
-        * F.lit(1e6)
-        + F.lit(0.5)
-    ).cast("long")
-    pairs = (
-        a.join(b, ["query_id"])
-        .where(F.col("a_id") != F.col("b_id"))
-        .select("query_id", "a_id", "b_id", sim_i.alias("sim_i"))
-        .persist()
-    )
+    pairs = _pairwise_sims(pv).persist()
     try:
         selected = _greedy_mmr(pool, pairs, k)
     finally:
+        # release everything this call cached — including the
+        # hybrid pipeline's corpus (held via _hybrid_parts): the
+        # eager checkpoints mean nothing downstream re-reads it
         pool.unpersist()
         pairs.unpersist()
+        corpus.unpersist()
     return selected.select(
         "query_id",
         "doc_id",

@@ -141,6 +141,11 @@ n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FRO
 
 _DOT = "list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))"
 
+#: in-pool pairwise/query cosine at the MMR 1e-6 integer
+#: quantization — single-sourced for the mmr_rerank and hybrid_mmr
+#: oracles (the SQL twin of retrieval._pairwise_sims' expression)
+_MMR_SIM = f"CAST(floor({_DOT} / (a.nrm * b.nrm) * 1000000.0 + 0.5) AS BIGINT)"
+
 
 def _sign_mix(row: int) -> str:
     """the Hadamard-row ±v[j] chain behind one sign-LSH bit —
@@ -3850,7 +3855,7 @@ def _mmr_sql() -> str:
     same 1e-6 integer similarities and params-derived integer
     weights, one chained CTE pair per greedy round."""
     qids = sql_in_list(P.ANN_QUERY_IDS)
-    sim = f"CAST(floor({_DOT} / (a.nrm * b.nrm) * 1000000.0 + 0.5) AS BIGINT)"
+    sim = _MMR_SIM
     return f"""WITH {_EMB_CTE.strip()},
 pool AS (
   SELECT query_id, doc_id, rel_i FROM (
@@ -3891,8 +3896,7 @@ pool AS (
 {_EMB_CTE.strip()},
 pairs AS (
   SELECT p1.query_id, p1.doc_id AS a_id, p2.doc_id AS b_id,
-         CAST(floor({_DOT} / (a.nrm * b.nrm) * 1000000.0 + 0.5) AS BIGINT)
-           AS sim_i
+         {_MMR_SIM} AS sim_i
   FROM pool p1
   JOIN pool p2 ON p1.query_id = p2.query_id AND p1.doc_id <> p2.doc_id
   JOIN n a ON a.vec_id = p1.doc_id

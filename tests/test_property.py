@@ -1262,5 +1262,7 @@ def test_hybrid_mmr_composition_semantics(spark):
         for r in rs:
             assert (q, r.doc_id) in fused  # pool containment
         first = next(r for r in rs if r.pick_order == 1)
-        assert fused[(q, first.doc_id)] == 1
+        # rel_norm 1.0 == the argmax of the ROUNDED rrf; asserting
+        # hybrid rank 1 exactly would be fragile under sub-rounding
+        # rrf near-ties (rank orders on the raw sum)
         assert first.rel_norm == 1.0
