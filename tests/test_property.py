@@ -1266,3 +1266,55 @@ def test_hybrid_mmr_composition_semantics(spark):
         # hybrid rank 1 exactly would be fragile under sub-rounding
         # rrf near-ties (rank orders on the raw sum)
         assert first.rel_norm == 1.0
+
+
+def test_session_operators_degrade_gracefully_on_empty_input(spark):
+    """empty-corpus behavior of the round-5-session operators is part
+    of the contract: per-doc operators emit zero rows, the global
+    aggregates emit their one row with NULL statistics — and for the
+    aggregates both engines agree on that row exactly (DuckDB run on
+    registered empty frames)."""
+    import duckdb
+    import pandas as pd
+
+    from __spark_entry__ import oracle_sql
+    from rsbsa_etl_spark.functions.curation import dsir_resample, dsir_weights
+    from rsbsa_etl_spark.functions.dedup import winnow_fingerprints
+    from rsbsa_etl_spark.functions.textstats import rocchio_classify
+    from rsbsa_etl_spark.operators.profiling import ab_cuped, bootstrap_ci
+
+    docs = spark.createDataFrame([], "doc_id long, text string, lang string")
+    ev = spark.createDataFrame(
+        [], "event_id long, user_id long, ts timestamp, value double"
+    )
+    for df in (
+        dsir_weights(docs),
+        dsir_resample(docs),
+        rocchio_classify(docs),
+        winnow_fingerprints(docs),
+    ):
+        assert df.count() == 0
+
+    boot = bootstrap_ci(ev).collect()
+    cuped = ab_cuped(ev).collect()
+    assert len(boot) == 1 and boot[0].n_rows is None
+    assert boot[0].n_replicates == 32 and boot[0].boot_lo is None
+    assert len(cuped) == 1 and cuped[0].n_a == 0 and cuped[0].theta is None
+
+    con = duckdb.connect()
+    con.register(
+        "events",
+        pd.DataFrame(
+            {
+                "event_id": pd.Series(dtype="int64"),
+                "user_id": pd.Series(dtype="int64"),
+                "ts": pd.Series(dtype="datetime64[us]"),
+                "value": pd.Series(dtype="float64"),
+            }
+        ),
+    )
+    ob = con.execute(oracle_sql()["bootstrap_ci"]).fetchall()
+    oc = con.execute(oracle_sql()["ab_cuped"]).fetchall()
+    assert len(ob) == 1 and ob[0][0] is None and ob[0][1] == 32
+    assert len(oc) == 1 and oc[0][0] == 0 and oc[0][5] is None
+    con.close()
