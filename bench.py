@@ -187,6 +187,7 @@ HEADLINE = [
     "ab_cuped",
     "ann_mrr",
     "hybrid_mmr",
+    "prf_expand",
 ]
 
 

@@ -449,3 +449,87 @@ def hybrid_mmr(
             "mmr"
         ),
     )
+
+
+def prf_expand(
+    docs: DataFrame,
+    emb: DataFrame,
+    query_ids=ANN_QUERY_IDS,
+    m: int | None = None,
+) -> DataFrame:
+    """pseudo-relevance-feedback query expansion (Rocchio PRF /
+    RM-style): mine the top-``m`` expansion terms per query from its
+    hybrid top-``HYBRID_TOP_K`` feedback documents, scored by
+    Σ tf·idf over the feedback set with the query's own terms
+    excluded — the classic retrieve → expand → re-retrieve loop's
+    middle stage, composed on the same verified hybrid pipeline.
+
+    Scoring is the shared ``rational_idf`` (transcendental-free)
+    weighted by term frequency, quantized per product BEFORE the
+    sum (``fixed_sum``) so accumulation order cannot drift the
+    score; ties break on the term string. Output:
+    (query_id, term, prf_score, rank).
+
+    Scale: the feedback term join touches only ``queries × top_k``
+    documents' term rows (broadcast onto the vocabulary-bounded df
+    table); corpus-sized work is the hybrid retrieval itself plus
+    the one df aggregation, both already scale-shaped. Persist
+    contract: shares the hybrid corpus session cache
+    (``hybrid_search_rrf``'s documented contract — loop-running
+    callers clearCache between runs, as bench.py does).
+    """
+    from rsbsa_etl_spark.params import PRF_EXPANSION_TERMS
+
+    m = PRF_EXPANSION_TERMS if m is None else m
+    fused, corpus = _hybrid_parts(docs, emb, query_ids)
+    qset = [int(q) for q in query_ids]
+    cand = corpus.where(~F.col("doc_id").isin(qset))
+    tf_terms = (
+        cand.select(
+            "doc_id", F.explode(F.split("norm", " ")).alias("term")
+        )
+        .where(F.length("term") > 0)
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    dfs = tf_terms.groupBy("term").agg(F.count("*").alias("df"))
+    n_tbl = cand.select(F.count("*").alias("n_docs"))
+    qterms = (
+        corpus.where(F.col("doc_id").isin(qset))
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.split("norm", " ")).alias("term"),
+        )
+        .where(F.length("term") > 0)
+        .distinct()
+    )
+    # feedback term rows are queries×top_k documents' vocabularies —
+    # tiny; broadcast them onto the df table, never the reverse
+    tf_fb = fused.select("query_id", "doc_id").join(tf_terms, "doc_id")
+    scored = (
+        dfs.join(F.broadcast(tf_fb), "term")
+        .join(F.broadcast(n_tbl))
+        .groupBy("query_id", "term")
+        .agg(
+            fixed_sum(
+                F.col("tf")
+                * rational_idf(F.col("n_docs"), F.col("df")),
+                6,
+                alias="prf_score",
+            )
+        )
+        .join(qterms, ["query_id", "term"], "left_anti")
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("prf_score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= m)
+        .select(
+            "query_id",
+            "term",
+            "prf_score",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -4126,3 +4126,48 @@ UNION ALL
 UNION ALL
 {_mrr_arm(_ivf_sql(), "ivf")}
 """
+
+
+ORACLES["prf_expand"] = f"""
+WITH hybrid AS (SELECT * FROM ({ORACLES["hybrid_search_rrf"]}) t),
+corpus AS (
+  SELECT d.doc_id, {NORM} AS norm
+  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+),
+cand AS (SELECT * FROM corpus WHERE doc_id NOT IN ({_HQ})),
+tf_terms AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
+    SELECT doc_id, unnest(string_split(norm, ' ')) AS term FROM cand
+  ) WHERE length(term) > 0 GROUP BY doc_id, term
+),
+dfs AS (SELECT term, count(*) AS df FROM tf_terms GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM cand),
+qterms AS (
+  SELECT DISTINCT doc_id AS query_id, term FROM (
+    SELECT doc_id, unnest(string_split(norm, ' ')) AS term
+    FROM corpus WHERE doc_id IN ({_HQ})
+  ) WHERE length(term) > 0
+),
+scored AS (
+  SELECT h.query_id, t.term,
+         {sql_sum_fixed(
+             "t.tf * ((n.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))", 6
+         )} AS prf_score
+  FROM hybrid h
+  JOIN tf_terms t USING (doc_id)
+  JOIN dfs USING (term), n
+  GROUP BY h.query_id, t.term
+),
+excl AS (
+  SELECT s.* FROM scored s
+  WHERE NOT EXISTS (SELECT 1 FROM qterms x
+                    WHERE x.query_id = s.query_id AND x.term = s.term)
+),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY prf_score DESC, term ASC) AS rank
+  FROM excl
+)
+SELECT query_id, term, prf_score, CAST(rank AS INT) AS rank
+FROM rk WHERE rank <= {P.PRF_EXPANSION_TERMS}
+"""

@@ -355,6 +355,11 @@ POISSON1_CDF_U32 = (
     4294609777,
 )
 
+#: pseudo-relevance-feedback query expansion (Rocchio PRF): number
+#: of expansion terms mined per query from its hybrid top-K
+#: feedback documents.
+PRF_EXPANSION_TERMS = 10
+
 #: winnowing fingerprint window (Schleimer et al. 2003, the MOSS
 #: algorithm): one fingerprint — the rightmost-minimal gram hash —
 #: per WINNOW_W consecutive k-gram hashes. Grams reuse SPAN_NGRAM_K,

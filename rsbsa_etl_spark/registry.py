@@ -1686,6 +1686,17 @@ def hybrid_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def prf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pseudo-relevance-feedback query expansion (Rocchio PRF): top
+    expansion terms per query mined from its hybrid feedback docs
+    by tf·rational-idf, query terms excluded."""
+    from rsbsa_etl_spark.functions.retrieval import prf_expand as _p
+
+    return _p(
+        load(spark, sf_dir, "documents"), load(spark, sf_dir, "embeddings")
+    )
+
+
 def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """exact duplicated-span detection (Lee et al. 2022 substring
     dedup, posting-list form): maximal token spans contiguously
@@ -2264,6 +2275,7 @@ QUERIES: dict[str, QueryFn] = {
     "ab_cuped": ab_cuped,
     "ann_mrr": ann_mrr,
     "hybrid_mmr": hybrid_mmr,
+    "prf_expand": prf_expand,
     "snapshot_diff": snapshot_diff,
     "resample_ffill": resample_ffill,
     "ab_ttest": ab_ttest,
@@ -2351,7 +2363,7 @@ def _is_green(row: dict) -> bool:
 # dedup_containment_capped dedup_spans dedup_embedding_incremental
 # bpe_train bpe_segment hybrid_search_rrf mmr_rerank dsir_weights
 # dsir_resample rocchio_classify fingerprint_winnow bootstrap_ci
-# ab_cuped ann_mrr hybrid_mmr` (now 25 keys)
+# ab_cuped ann_mrr hybrid_mmr prf_expand` (now 26 keys)
 # (every one replica-green at sf0.01 AND sf0.1 from /tmp), after
 # which every registry key has a driver row and the rotation
 # degenerates to a stable order. The drain stays optimal by
@@ -2412,6 +2424,7 @@ _UNTESTED_PRIORITY = [
     "hybrid_search_rrf", "mmr_rerank", "dsir_weights",
     "dsir_resample", "rocchio_classify", "fingerprint_winnow",
     "bootstrap_ci", "ab_cuped", "ann_mrr", "hybrid_mmr",
+    "prf_expand",
 ]
 
 _rows = _driver_latest_rows()

@@ -1318,3 +1318,46 @@ def test_session_operators_degrade_gracefully_on_empty_input(spark):
     assert len(ob) == 1 and ob[0][0] is None and ob[0][1] == 32
     assert len(oc) == 1 and oc[0][0] == 0 and oc[0][5] is None
     con.close()
+
+
+def test_prf_expansion_excludes_query_terms(spark):
+    """PRF contract at sf0.001: every query gets exactly
+    PRF_EXPANSION_TERMS dense-ranked expansion terms, none of which
+    appear in the query document's own normalized text (the
+    exclusion that makes it an EXPANSION), and scores are positive
+    and non-increasing in rank."""
+    from rsbsa_etl_spark import params as P
+    from rsbsa_etl_spark.functions.dedup import normalized_text
+    from rsbsa_etl_spark.functions.retrieval import prf_expand
+    from rsbsa_etl_spark.sources.fixtures import load
+
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_DIR
+
+    docs = load(spark, SF_DIR, "documents")
+    emb = load(spark, SF_DIR, "embeddings")
+    qtext = {
+        r.doc_id: set(r.norm.split(" "))
+        for r in docs.where(
+            F.col("doc_id").isin(list(P.ANN_QUERY_IDS))
+        ).select("doc_id", normalized_text(F.col("text")).alias("norm"))
+        .collect()
+    }
+    rows = prf_expand(docs, emb).collect()
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert len(by_q) == len(P.ANN_QUERY_IDS)
+    for q, rs in by_q.items():
+        # small-vocab fixture: after excluding the query's own
+        # terms, fewer than m candidates can survive — ranks must
+        # be dense from 1 up to min(m, survivors)
+        assert 1 <= len(rs) <= P.PRF_EXPANSION_TERMS
+        assert sorted(r.rank for r in rs) == list(range(1, len(rs) + 1))
+        ordered = sorted(rs, key=lambda r: r.rank)
+        for a, b in zip(ordered, ordered[1:]):
+            assert a.prf_score >= b.prf_score
+        for r in rs:
+            assert r.term not in qtext[q], (q, r.term)
+            assert r.prf_score > 0
