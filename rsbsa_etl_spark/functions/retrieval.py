@@ -505,7 +505,10 @@ def prf_expand(
     )
     # feedback term rows are queries×top_k documents' vocabularies —
     # tiny; broadcast them onto the df table, never the reverse
-    tf_fb = fused.select("query_id", "doc_id").join(tf_terms, "doc_id")
+    # (the fused list itself broadcasts onto the per-doc term table)
+    tf_fb = tf_terms.join(
+        F.broadcast(fused.select("query_id", "doc_id")), "doc_id"
+    )
     scored = (
         dfs.join(F.broadcast(tf_fb), "term")
         .join(F.broadcast(n_tbl))
@@ -518,7 +521,7 @@ def prf_expand(
                 alias="prf_score",
             )
         )
-        .join(qterms, ["query_id", "term"], "left_anti")
+        .join(F.broadcast(qterms), ["query_id", "term"], "left_anti")
     )
     wr = Window.partitionBy("query_id").orderBy(
         F.col("prf_score").desc(), F.col("term").asc()
