@@ -29,6 +29,15 @@ from rsbsa_etl_spark.params import sql_in_list
 
 #: normalized text (lower + collapse whitespace) — mirrors
 #: ``dedup.normalized_text``
+#: Unicode boundary (measured, pinned by
+#: tests/test_property.py::test_unicode_normalization_contract):
+#: Java and DuckDB lower() agree across accented Latin / Cyrillic /
+#: Greek (non-final) / fullwidth / CJK / emoji, and neither treats
+#: NBSP as \s — but Java applies the CONTEXTUAL case rules (Turkish
+#: İ → i+U+0307, Greek word-final Σ → ς) and utf8proc does not. The
+#: fixtures are ASCII, so every oracle runs inside the agreeing
+#: region; corpora containing those codepoints would need an
+#: engine-side case-folding alignment first.
 NORM = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
 
 #: whitespace tokens of normalized text

@@ -1361,3 +1361,55 @@ def test_prf_expansion_excludes_query_terms(spark):
         for r in rs:
             assert r.term not in qtext[q], (q, r.term)
             assert r.prf_score > 0
+
+
+def test_unicode_normalization_contract(spark):
+    """the cross-engine boundary of the shared text normalization,
+    measured and PINNED: lower/trim/\\s+ agree between Spark (Java
+    String.toLowerCase) and DuckDB (utf8proc) across accented
+    Latin, Cyrillic, Greek (non-final), fullwidth forms, CJK,
+    emoji, NBSP (neither engine treats it as \\s — consistent), and
+    the ǅ titlecase digraph — EXCEPT the two contextual case rules
+    Java applies and utf8proc does not: Turkish dotted İ (Java:
+    'i' + U+0307 combining dot; DuckDB: plain 'i') and Greek
+    word-final Σ (Java: ς; DuckDB: σ). The fixtures are ASCII, so
+    every oracle check is inside the agreeing region; this test
+    turns the boundary into a tripwire — if either engine's
+    behavior moves, it fails loudly instead of silently shifting
+    hash matches."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from rsbsa_etl_spark.functions.dedup import normalized_text
+
+    agree = [
+        "Héllo WÖRLD", "ÄÖÜ äöü ß", "МОСКВА москва", "ＦＵＬＬＷＩＤＴＨ",
+        "café au lait", "tab\tand\nnewline", "emoji 🙂 ok",
+        "中文 大写", "ǅungla ǅ Ǆ", "ΑΒΓ αβγ",
+    ]
+    diverge = {
+        # text: (spark_expected, duckdb_expected)
+        "İstanbul I ı": ("i̇stanbul i ı", "istanbul i ı"),
+        "ΣΟΦΟΣ": ("σοφος", "σοφοσ"),  # Java applies final sigma
+    }
+    rows = [(i, s) for i, s in enumerate(agree + list(diverge))]
+    sdf = spark.createDataFrame(rows, "i long, text string")
+    got = {
+        r.i: r.n
+        for r in sdf.select(
+            "i", normalized_text(F.col("text")).alias("n")
+        ).collect()
+    }
+    con = duckdb.connect()
+    for i, s in rows:
+        (d,) = con.execute(
+            r"SELECT regexp_replace(lower(trim(?)), '\s+', ' ', 'g')", [s]
+        ).fetchone()
+        if s in diverge:
+            exp_spark, exp_duck = diverge[s]
+            assert got[i] == exp_spark, (s, got[i])
+            assert d == exp_duck, (s, d)
+        else:
+            assert got[i] == d, (s, got[i], d)
+    con.close()
