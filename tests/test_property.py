@@ -1413,3 +1413,65 @@ def test_unicode_normalization_contract(spark):
         else:
             assert got[i] == d, (s, got[i], d)
     con.close()
+
+
+
+
+def test_pii_regex_parity_java_vs_re2(spark):
+    """Java regex (Spark) vs RE2 (DuckDB) must redact identically
+    for the repo's PII patterns — checked over ~250 adversarial
+    strings (greedy-quantifier boundaries, dots in local parts and
+    domains, near-miss phone prefixes, pattern adjacency and
+    overlap, repeated hits) in one batch per engine. The patterns
+    deliberately use only syntax with identical semantics in both
+    engines (no backrefs, no lookaround); this pins that claim."""
+    import duckdb
+    import itertools
+    import random
+
+    from pyspark.sql import functions as F
+
+    from rsbsa_etl_spark.functions.curation import (
+        PII_EMAIL_RE,
+        PII_PHONE_RE,
+    )
+
+    crafted = [
+        "user.name@mail.example.com", "a@b.co", "@no.local",
+        "trailing@dot.", "a..b@x.--y.zz", "x@y.z",  # 1-char TLD: no match
+        "+63-912-345-6789", "+63-812-345-6789", "+63-912-345-678",
+        "mail a@b.cc then +63-999-000-1111 end",
+        "a@b.cc+63-900-111-2222",  # adjacent, no separator
+        "double a@b.cc c@d.ee hits", "dot.end@x.yz.", "UPPER@CASE.COM",
+        "a@b.c-d", "-lead@x.yy", "a@-.yy", "..@..", "@@", "",
+        " spaces  a@b.cc  ", "+63-9999-111-2222", "++63-900-111-2222",
+    ]
+    rng = random.Random(42)
+    atoms = ["a", "b9", ".", "_", "-", "@", "cc.", "x.yy", "+63-9",
+             "12-345-6789", " ", "word", "@m.co", "00-111-2222"]
+    fuzz = [
+        "".join(rng.choice(atoms) for _ in range(rng.randint(1, 8)))
+        for _ in range(230)
+    ]
+    rows = [(i, s) for i, s in enumerate(crafted + fuzz)]
+    sdf = spark.createDataFrame(rows, "i long, text string")
+    got = {
+        r.i: r.red
+        for r in sdf.select(
+            "i",
+            F.regexp_replace(
+                F.regexp_replace(F.col("text"), PII_EMAIL_RE, "[EMAIL]"),
+                PII_PHONE_RE,
+                "[PHONE]",
+            ).alias("red"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    for i, s in rows:
+        (d,) = con.execute(
+            "SELECT regexp_replace(regexp_replace(?, ?, '[EMAIL]', 'g'),"
+            " ?, '[PHONE]', 'g')",
+            [s, PII_EMAIL_RE, PII_PHONE_RE],
+        ).fetchone()
+        assert got[i] == d, (s, got[i], d)
+    con.close()
