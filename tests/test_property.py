@@ -1475,3 +1475,36 @@ def test_pii_regex_parity_java_vs_re2(spark):
         ).fetchone()
         assert got[i] == d, (s, got[i], d)
     con.close()
+
+
+def test_unicode_hash_and_ordering_parity(spark):
+    """the two primitives every hash family and every ORDER-BY-term
+    tie-break stand on, pinned beyond ASCII: md5 (both engines hash
+    raw UTF-8 bytes — including NFC vs NFD 'é', which neither
+    normalizes) and string ordering (both binary byte order, no
+    collation)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    samples = [
+        "héllo", "ß", "中文", "🙂", "ｆｗ", "a", "Z", "~",
+        "é", "é", "ǅ", "ı", "Σ", "",
+    ]
+    sdf = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(samples)], "i long, s string"
+    )
+    md5s = {r.i: r.h for r in sdf.select("i", F.md5("s").alias("h")).collect()}
+    order_spark = [r.s for r in sdf.orderBy("s").collect()]
+    con = duckdb.connect()
+    for i, s in enumerate(samples):
+        (d,) = con.execute("SELECT md5(?)", [s]).fetchone()
+        assert d == md5s[i], repr(s)
+    order_duck = [
+        r[0]
+        for r in con.execute(
+            "SELECT s FROM (SELECT unnest(?) AS s) ORDER BY s", [samples]
+        ).fetchall()
+    ]
+    assert order_spark == order_duck
+    con.close()
