@@ -188,6 +188,7 @@ HEADLINE = [
     "ann_mrr",
     "hybrid_mmr",
     "prf_expand",
+    "dedup_spans_cut",
 ]
 
 

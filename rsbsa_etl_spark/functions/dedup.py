@@ -1414,3 +1414,55 @@ def winnow_fingerprints(
         .cast("long")
         .alias("n_shared_fp"),
     )
+
+
+def cut_duplicated_spans(
+    docs: DataFrame, text_col: str = "text", k: int | None = None
+) -> DataFrame:
+    """APPLY the substring dedup: remove every duplicated span
+    ``duplicated_spans`` detects and reassemble the cleaned text —
+    the actionable half of Lee et al. 2022 (they cut the duplicated
+    substrings, not whole documents). Output per doc:
+    (doc_id, n_tokens, n_kept, clean_md5) — the md5 stands in for
+    the cleaned text so result rows stay small while the WHOLE
+    cleaned string is still value-checked byte-for-byte.
+
+    Spans are maximal and disjoint by construction, so the kept-token
+    filter is one pass: token position i survives iff no span covers
+    it (a two-arg HOF lambda over the collected per-doc span list —
+    span lists are doc-bounded). Docs with no duplicated region pass
+    through unchanged (left join; NULL span list → keep all).
+
+    Scale: ``duplicated_spans``' posting-list machinery is the cost;
+    the cut itself adds one doc-keyed aggregation of the span rows
+    (output-sized) and a narrow per-doc array filter. Shares the
+    persisted gram table with the detection pass (its documented
+    cache contract).
+    """
+    spans = duplicated_spans(docs, text_col, k)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(
+            F.struct(
+                F.col("span_start").alias("s"), F.col("span_end").alias("e")
+            )
+        ).alias("sp")
+    )
+    toks = tokens_col(F.col(text_col))
+    j = docs.select("doc_id", toks.alias("toks")).join(
+        per_doc, "doc_id", "left"
+    )
+    kept = F.when(F.col("sp").isNull(), F.col("toks")).otherwise(
+        F.filter(
+            F.col("toks"),
+            lambda t, i: ~F.exists(
+                F.col("sp"),
+                lambda r: (i >= r["s"]) & (i <= r["e"]),
+            ),
+        )
+    )
+    return j.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.md5(F.array_join(kept, " ")).alias("clean_md5"),
+    )

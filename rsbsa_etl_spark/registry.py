@@ -1748,6 +1748,13 @@ def rocchio_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.rocchio_classify(load(spark, sf_dir, "documents"))
 
 
+def dedup_spans_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """apply the substring dedup: remove every detected duplicated
+    span and value-check the reassembled cleaned text (md5) — the
+    actionable half of Lee et al. 2022."""
+    return dedup.cut_duplicated_spans(load(spark, sf_dir, "documents"))
+
+
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the "new batch" is the deterministic 20% slice doc_id % 10 ≥ 8
     # — scale-invariant (works at every sf) and disjoint from the
@@ -2276,6 +2283,7 @@ QUERIES: dict[str, QueryFn] = {
     "ann_mrr": ann_mrr,
     "hybrid_mmr": hybrid_mmr,
     "prf_expand": prf_expand,
+    "dedup_spans_cut": dedup_spans_cut,
     "snapshot_diff": snapshot_diff,
     "resample_ffill": resample_ffill,
     "ab_ttest": ab_ttest,
@@ -2363,7 +2371,8 @@ def _is_green(row: dict) -> bool:
 # dedup_containment_capped dedup_spans dedup_embedding_incremental
 # bpe_train bpe_segment hybrid_search_rrf mmr_rerank dsir_weights
 # dsir_resample rocchio_classify fingerprint_winnow bootstrap_ci
-# ab_cuped ann_mrr hybrid_mmr prf_expand` (now 26 keys)
+# ab_cuped ann_mrr hybrid_mmr prf_expand dedup_spans_cut`
+# (now 27 keys)
 # (every one replica-green at sf0.01 AND sf0.1 from /tmp), after
 # which every registry key has a driver row and the rotation
 # degenerates to a stable order. The drain stays optimal by
@@ -2424,7 +2433,7 @@ _UNTESTED_PRIORITY = [
     "hybrid_search_rrf", "mmr_rerank", "dsir_weights",
     "dsir_resample", "rocchio_classify", "fingerprint_winnow",
     "bootstrap_ci", "ab_cuped", "ann_mrr", "hybrid_mmr",
-    "prf_expand",
+    "prf_expand", "dedup_spans_cut",
 ]
 
 _rows = _driver_latest_rows()

@@ -1508,3 +1508,37 @@ def test_unicode_hash_and_ordering_parity(spark):
     ]
     assert order_spark == order_duck
     con.close()
+
+
+def test_spans_cut_golden(spark):
+    """golden cut semantics on the dedup_spans golden corpus shape:
+    a 4-gram duplicated across two docs is removed from BOTH, the
+    surrounding unique tokens survive, a whole-doc duplicate cuts
+    to empty (md5('')), and an untouched doc passes through with
+    its original text hash."""
+    import hashlib
+
+    from rsbsa_etl_spark.functions.dedup import cut_duplicated_spans
+
+    shared = "alpha beta gamma delta"
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two {shared} three"),
+            (2, f"x {shared} y z"),
+            (3, shared),               # whole doc duplicated
+            (4, "totally unique words here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in cut_duplicated_spans(docs).collect()}
+    assert (rows[1].n_tokens, rows[1].n_kept) == (7, 3)
+    assert rows[1].clean_md5 == hashlib.md5(b"one two three").hexdigest()
+    assert (rows[2].n_tokens, rows[2].n_kept) == (7, 3)
+    assert rows[2].clean_md5 == hashlib.md5(b"x y z").hexdigest()
+    assert (rows[3].n_tokens, rows[3].n_kept) == (4, 0)
+    assert rows[3].clean_md5 == hashlib.md5(b"").hexdigest()
+    assert rows[4].n_kept == rows[4].n_tokens == 4
+    assert (
+        rows[4].clean_md5
+        == hashlib.md5(b"totally unique words here").hexdigest()
+    )
