@@ -33,11 +33,14 @@ from rsbsa_etl_spark.params import sql_in_list
 #: tests/test_property.py::test_unicode_normalization_contract):
 #: Java and DuckDB lower() agree across accented Latin / Cyrillic /
 #: Greek (non-final) / fullwidth / CJK / emoji, and neither treats
-#: NBSP as \s — but Java applies the CONTEXTUAL case rules (Turkish
-#: İ → i+U+0307, Greek word-final Σ → ς) and utf8proc does not. The
-#: fixtures are ASCII, so every oracle runs inside the agreeing
-#: region; corpora containing those codepoints would need an
-#: engine-side case-folding alignment first.
+#: NBSP as \s — but Java applies LOCALE-SENSITIVE contextual case
+#: rules (under the en-US locale session.py PINS via
+#: extraJavaOptions: Turkish İ → i+U+0307, Greek word-final Σ → ς;
+#: a Turkish-locale JVM would ALSO map I → ı, which is why the
+#: locale pin exists) and utf8proc does not. The fixtures are
+#: ASCII, so every oracle runs inside the agreeing region; corpora
+#: containing those codepoints would need an engine-side
+#: case-folding alignment first.
 NORM = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
 
 #: whitespace tokens of normalized text

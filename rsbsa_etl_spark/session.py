@@ -62,6 +62,21 @@ def get_spark(
         .config("spark.sql.files.openCostInBytes", "65536")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Pin the JVM locale: Java's String.toLowerCase (behind every
+        # lower()/normalization in the text families) applies the
+        # DEFAULT locale's case rules — on a Turkish-locale JVM,
+        # lower('I') is 'ı', silently changing every hash of a
+        # non-ASCII corpus per deployment. Root-locale-stable hashing
+        # is a correctness property at 100 TB (measured and pinned by
+        # tests/test_property.py::test_unicode_normalization_contract).
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-Duser.language=en -Duser.country=US",
+        )
+        .config(
+            "spark.executor.extraJavaOptions",
+            "-Duser.language=en -Duser.country=US",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

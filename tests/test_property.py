@@ -1372,11 +1372,14 @@ def test_unicode_normalization_contract(spark):
     the ǅ titlecase digraph — EXCEPT the two contextual case rules
     Java applies and utf8proc does not: Turkish dotted İ (Java:
     'i' + U+0307 combining dot; DuckDB: plain 'i') and Greek
-    word-final Σ (Java: ς; DuckDB: σ). The fixtures are ASCII, so
-    every oracle check is inside the agreeing region; this test
-    turns the boundary into a tripwire — if either engine's
-    behavior moves, it fails loudly instead of silently shifting
-    hash matches."""
+    word-final Σ (Java: ς; DuckDB: σ). Java's rules are
+    LOCALE-SENSITIVE — session.py pins the JVM to en-US so hashes
+    cannot shift per deployment (a Turkish-locale JVM would map
+    I → ı); the expectations below are the pinned-locale behavior.
+    The fixtures are ASCII, so every oracle check is inside the
+    agreeing region; this test turns the boundary into a tripwire —
+    if either engine's behavior moves, it fails loudly instead of
+    silently shifting hash matches."""
     import duckdb
 
     from pyspark.sql import functions as F
@@ -1426,7 +1429,6 @@ def test_pii_regex_parity_java_vs_re2(spark):
     deliberately use only syntax with identical semantics in both
     engines (no backrefs, no lookaround); this pins that claim."""
     import duckdb
-    import itertools
     import random
 
     from pyspark.sql import functions as F
