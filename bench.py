@@ -189,6 +189,7 @@ HEADLINE = [
     "hybrid_mmr",
     "prf_expand",
     "dedup_spans_cut",
+    "dedup_recall",
 ]
 
 

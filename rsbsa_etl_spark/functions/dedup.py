@@ -1466,3 +1466,68 @@ def cut_duplicated_spans(
         F.size(kept).cast("long").alias("n_kept"),
         F.md5(F.array_join(kept, " ")).alias("clean_md5"),
     )
+
+
+def dedup_recall_eval(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """recall/precision of the MinHash-LSH candidate generator
+    against the EXACT Jaccard truth — the dedup-family counterpart
+    of ``ann_recall``: before trusting banded LSH on a 100 TB
+    corpus, measure how much of the true near-duplicate pair set
+    its band collisions surface, and how much noise rides along.
+    Both sides are this repo's own verified constructions (the
+    prefix-filter exact pairs at ``JACCARD_THRESHOLD``; the banded
+    candidate pairs), so the metric itself is deterministic and
+    value-checked — the property that makes an index eval
+    trustworthy rather than anecdotal.
+
+    Output (one row): n_true, n_candidates, n_hit, recall,
+    precision — ratios as exact integer divisions rounded at 1e-6.
+
+    Scale: the two pair generators are the already-scale-shaped
+    plans; the eval is ONE union + pair-keyed flag sum over the
+    (output-sized) pair sets — no set join anywhere. Both
+    generators emit the shared canonical (doc_a < doc_b) ordering,
+    which is what makes the flag sum a set compare.
+    """
+    true_pairs = ngram_jaccard_pairs(docs, text_col).select(
+        "doc_a", "doc_b", F.lit(1).alias("src")
+    )
+    cand = minhash_candidate_pairs(docs, text_col).select(
+        "doc_a", "doc_b", F.lit(2).alias("src")
+    )
+    # one union + one pair-keyed sum instead of a set join: per-pair
+    # flag 1 = true-only, 2 = candidate-only, 3 = both — a single
+    # shuffle over the (small, output-sized) pair sets, no SMJ
+    flags = (
+        true_pairs.unionByName(cand)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum("src").alias("s"))
+    )
+    out = flags.agg(
+        F.count(F.when(F.col("s").isin(1, 3), 1))
+        .cast("long")
+        .alias("n_true"),
+        F.count(F.when(F.col("s").isin(2, 3), 1))
+        .cast("long")
+        .alias("n_candidates"),
+        F.count(F.when(F.col("s") == 3, 1)).cast("long").alias("n_hit"),
+    )
+    return out.select(
+        "n_true",
+        "n_candidates",
+        "n_hit",
+        dec_round(
+            F.when(
+                F.col("n_true") != 0,
+                F.col("n_hit").cast("double") / F.col("n_true"),
+            ),
+            6,
+        ).alias("recall"),
+        dec_round(
+            F.when(
+                F.col("n_candidates") != 0,
+                F.col("n_hit").cast("double") / F.col("n_candidates"),
+            ),
+            6,
+        ).alias("precision"),
+    )

@@ -4213,3 +4213,30 @@ SELECT doc_id, n_tokens, CAST(len(kt) AS BIGINT) AS n_kept,
        md5(coalesce(array_to_string(kt, ' '), '')) AS clean_md5
 FROM kept
 """
+
+
+ORACLES["dedup_recall"] = f"""
+WITH t AS (
+  SELECT doc_a, doc_b, 1 AS src
+  FROM ({ORACLES["dedup_ngram_jaccard"]}) x
+), c AS (
+  SELECT doc_a, doc_b, 2 AS src
+  FROM ({ORACLES["dedup_minhash"]}) y
+), flags AS (
+  SELECT doc_a, doc_b, sum(src) AS s
+  FROM (SELECT * FROM t UNION ALL SELECT * FROM c)
+  GROUP BY doc_a, doc_b
+), m AS (
+  SELECT CAST(count(*) FILTER (s IN (1, 3)) AS BIGINT) AS n_true,
+         CAST(count(*) FILTER (s IN (2, 3)) AS BIGINT) AS n_candidates,
+         CAST(count(*) FILTER (s = 3) AS BIGINT) AS n_hit
+  FROM flags
+)
+SELECT n_true, n_candidates, n_hit,
+       CASE WHEN n_true <> 0
+            THEN {_dec("CAST(n_hit AS DOUBLE) / n_true", 6)} END AS recall,
+       CASE WHEN n_candidates <> 0
+            THEN {_dec("CAST(n_hit AS DOUBLE) / n_candidates", 6)} END
+         AS precision
+FROM m
+"""

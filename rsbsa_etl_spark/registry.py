@@ -1748,6 +1748,13 @@ def rocchio_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.rocchio_classify(load(spark, sf_dir, "documents"))
 
 
+def dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall/precision of banded MinHash-LSH candidates vs the
+    exact Jaccard pair truth — the dedup counterpart of
+    ann_recall; the metric itself is value-checked."""
+    return dedup.dedup_recall_eval(load(spark, sf_dir, "documents"))
+
+
 def dedup_spans_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     """apply the substring dedup: remove every detected duplicated
     span and value-check the reassembled cleaned text (md5) — the
@@ -2284,6 +2291,7 @@ QUERIES: dict[str, QueryFn] = {
     "hybrid_mmr": hybrid_mmr,
     "prf_expand": prf_expand,
     "dedup_spans_cut": dedup_spans_cut,
+    "dedup_recall": dedup_recall,
     "snapshot_diff": snapshot_diff,
     "resample_ffill": resample_ffill,
     "ab_ttest": ab_ttest,
@@ -2371,8 +2379,8 @@ def _is_green(row: dict) -> bool:
 # dedup_containment_capped dedup_spans dedup_embedding_incremental
 # bpe_train bpe_segment hybrid_search_rrf mmr_rerank dsir_weights
 # dsir_resample rocchio_classify fingerprint_winnow bootstrap_ci
-# ab_cuped ann_mrr hybrid_mmr prf_expand dedup_spans_cut`
-# (now 27 keys)
+# ab_cuped ann_mrr hybrid_mmr prf_expand dedup_spans_cut
+# dedup_recall` (now 28 keys)
 # (every one replica-green at sf0.01 AND sf0.1 from /tmp), after
 # which every registry key has a driver row and the rotation
 # degenerates to a stable order. The drain stays optimal by
@@ -2433,7 +2441,7 @@ _UNTESTED_PRIORITY = [
     "hybrid_search_rrf", "mmr_rerank", "dsir_weights",
     "dsir_resample", "rocchio_classify", "fingerprint_winnow",
     "bootstrap_ci", "ab_cuped", "ann_mrr", "hybrid_mmr",
-    "prf_expand", "dedup_spans_cut",
+    "prf_expand", "dedup_spans_cut", "dedup_recall",
 ]
 
 _rows = _driver_latest_rows()

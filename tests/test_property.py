@@ -1544,3 +1544,21 @@ def test_spans_cut_golden(spark):
         rows[4].clean_md5
         == hashlib.md5(b"totally unique words here").hexdigest()
     )
+
+
+def test_dedup_recall_metric_invariants(spark):
+    """metric sanity at sf0.001: one row; n_hit bounded by both set
+    sizes; ratios inside [0,1]; and on this fixture the banded LSH
+    must surface a nonempty share of the true pair set (the
+    candidate generator and the exact truth overlap — if this ever
+    reads 0, a construction drifted)."""
+    from rsbsa_etl_spark.functions.dedup import dedup_recall_eval
+    from rsbsa_etl_spark.sources.fixtures import load
+
+    from tests.conftest import SF_DIR
+
+    r = dedup_recall_eval(load(spark, SF_DIR, "documents")).collect()[0]
+    assert r.n_hit <= min(r.n_true, r.n_candidates)
+    assert r.n_true > 0 and r.n_candidates > 0
+    assert 0.0 < r.recall <= 1.0
+    assert 0.0 < r.precision <= 1.0
