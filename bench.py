@@ -190,6 +190,8 @@ HEADLINE = [
     "prf_expand",
     "dedup_spans_cut",
     "dedup_recall",
+    "l_diversity",
+    "ts_changepoint",
 ]
 
 

@@ -835,3 +835,37 @@ def dsir_resample(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "dsir_weight",
         (u32 * F.lit(q_ref) < F.lit(4294967296) * q_w).alias("accepted"),
     )
+
+
+def l_diversity(docs: DataFrame) -> DataFrame:
+    """l-diversity audit — k-anonymity's stronger sibling
+    (Machanavajjhala et al. 2007): a quasi-identifier group can be
+    k-anonymous yet still leak if everyone in it shares the same
+    SENSITIVE value. Here the quasi-identifier is (source,
+    generalized length) and the sensitive attribute is ``lang``: a
+    group whose members span fewer than ``L`` distinct languages is
+    flagged — within it, membership alone reveals the language.
+
+    Same shape as ``k_anonymity``: one map-side-partial groupBy over
+    the quasi-identifier pair with a distinct-count — group-
+    cardinality output, scale-trivial, pure integer flags.
+    """
+    bucket = (
+        F.floor(F.col("n_chars") / F.lit(P.K_ANON_CHARS_BUCKET))
+        * F.lit(P.K_ANON_CHARS_BUCKET)
+    ).cast("long")
+    return (
+        docs.select("source", bucket.alias("chars_bucket"), "lang")
+        .groupBy("source", "chars_bucket")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+        )
+        .select(
+            "source",
+            "chars_bucket",
+            "n",
+            "n_langs",
+            (F.col("n_langs") < F.lit(P.L_DIVERSITY)).alias("at_risk"),
+        )
+    )

@@ -1447,3 +1447,67 @@ def state_durations(events: DataFrame) -> DataFrame:
             F.count("*").cast("long").alias("n_intervals"),
         )
     )
+
+
+def ts_changepoint(events: DataFrame) -> DataFrame:
+    """CUSUM changepoint detection over the daily value series — the
+    classic mean-shift detector (Page 1954): the cumulative sum of
+    deviations from the global mean peaks (in absolute value) at the
+    point where the series' mean level shifts. Emits the whole CUSUM
+    trace (one row per day) with the peak flagged, which is how the
+    statistic is read in practice.
+
+    Exact integer arithmetic throughout: with day totals ``x_i`` in
+    1e-4 fixed point, ``n`` days, and grand total ``S``, the scaled
+    statistic ``C_t = n·Σ_{i≤t} x_i − t·S`` is a pure BIGINT (equal
+    to n·CUSUM_t, same argmax) — no float accumulates anywhere; the
+    reported ``cusum`` descales once at the end. Peak = rank 1 under
+    (|C_t| desc, day asc) — a total order.
+
+    Plan: one partial-agg shuffle to day bins, a 1-row totals
+    broadcast, and two windows over the day-count-sized series
+    (bounded by the calendar, the rolling_median contract).
+    """
+    q = 1e4
+    daily = (
+        events.select(
+            F.to_date("ts").alias("day"),
+            F.floor(F.col("value") * F.lit(q) + F.lit(0.5))
+            .cast("long")
+            .alias("vi"),
+        )
+        .groupBy("day")
+        .agg(F.sum("vi").alias("x"))
+    )
+    totals = daily.agg(
+        F.sum("x").alias("s_tot"), F.count("*").alias("n_days")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    wr = Window.orderBy("day")
+    cum = (
+        daily.join(F.broadcast(totals))
+        .withColumn("csum", F.sum("x").over(w))
+        .withColumn("t", F.row_number().over(wr).cast("long"))
+        .withColumn(
+            "c_scaled",
+            (F.col("n_days") * F.col("csum") - F.col("t") * F.col("s_tot"))
+            .cast("long"),
+        )
+    )
+    wp = Window.orderBy(F.abs(F.col("c_scaled")).desc(), F.col("day").asc())
+    return (
+        cum.withColumn("pk", F.row_number().over(wp))
+        .select(
+            "day",
+            dec_round(F.col("x").cast("double") / F.lit(q), 4).alias(
+                "daily_total"
+            ),
+            dec_round(
+                F.col("c_scaled").cast("double")
+                / F.col("n_days")
+                / F.lit(q),
+                4,
+            ).alias("cusum"),
+            (F.col("pk") == 1).alias("is_peak"),
+        )
+    )

@@ -4240,3 +4240,47 @@ SELECT n_true, n_candidates, n_hit,
          AS precision
 FROM m
 """
+
+
+ORACLES["l_diversity"] = f"""
+SELECT source, chars_bucket, n, n_langs, n_langs < {P.L_DIVERSITY} AS at_risk
+FROM (
+  SELECT source,
+         CAST(floor(n_chars / {P.K_ANON_CHARS_BUCKET})
+              * {P.K_ANON_CHARS_BUCKET} AS BIGINT) AS chars_bucket,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+  FROM documents
+  GROUP BY source, chars_bucket
+) t
+"""
+
+
+ORACLES["ts_changepoint"] = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 10000.0 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS x
+  FROM events GROUP BY day
+), tot AS (
+  SELECT CAST(sum(x) AS BIGINT) AS s_tot,
+         CAST(count(*) AS BIGINT) AS n_days
+  FROM daily
+), cum AS (
+  SELECT day, x, s_tot, n_days,
+         CAST(sum(x) OVER (ORDER BY day
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS csum,
+         CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t
+  FROM daily, tot
+), c AS (
+  SELECT day, x, n_days,
+         CAST(n_days * csum - t * s_tot AS BIGINT) AS c_scaled
+  FROM cum
+)
+SELECT day,
+       {_dec("CAST(x AS DOUBLE) / 10000.0", 4)} AS daily_total,
+       {_dec("CAST(c_scaled AS DOUBLE) / n_days / 10000.0", 4)} AS cusum,
+       row_number() OVER (ORDER BY abs(c_scaled) DESC, day ASC) = 1
+         AS is_peak
+FROM c
+"""

@@ -257,6 +257,9 @@ GEO_RADIUS = 800
 #: to years.
 K_ANON = 5
 K_ANON_CHARS_BUCKET = 100
+#: l-diversity: minimum distinct sensitive values (lang) a
+#: quasi-identifier group must span to avoid the homogeneity leak.
+L_DIVERSITY = 3
 
 #: autocorrelation: lags 1..MAX of the daily series — 7 spans one
 #: week so weekly seasonality shows as the lag-7 peak.

@@ -1748,6 +1748,24 @@ def rocchio_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.rocchio_classify(load(spark, sf_dir, "documents"))
 
 
+def ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM mean-shift changepoint over the daily value series
+    (Page 1954) — the full trace with the peak flagged, in exact
+    scaled-integer arithmetic."""
+    from rsbsa_etl_spark.operators.analytics import ts_changepoint as _c
+
+    return _c(load(spark, sf_dir, "events"))
+
+
+def l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al.): quasi-identifier
+    groups spanning fewer than L distinct sensitive values are
+    flagged — the homogeneity leak k-anonymity misses."""
+    from rsbsa_etl_spark.functions.curation import l_diversity as _l
+
+    return _l(load(spark, sf_dir, "documents"))
+
+
 def dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall/precision of banded MinHash-LSH candidates vs the
     exact Jaccard pair truth — the dedup counterpart of
@@ -2292,6 +2310,8 @@ QUERIES: dict[str, QueryFn] = {
     "prf_expand": prf_expand,
     "dedup_spans_cut": dedup_spans_cut,
     "dedup_recall": dedup_recall,
+    "l_diversity": l_diversity,
+    "ts_changepoint": ts_changepoint,
     "snapshot_diff": snapshot_diff,
     "resample_ffill": resample_ffill,
     "ab_ttest": ab_ttest,
@@ -2380,7 +2400,7 @@ def _is_green(row: dict) -> bool:
 # bpe_train bpe_segment hybrid_search_rrf mmr_rerank dsir_weights
 # dsir_resample rocchio_classify fingerprint_winnow bootstrap_ci
 # ab_cuped ann_mrr hybrid_mmr prf_expand dedup_spans_cut
-# dedup_recall` (now 28 keys)
+# dedup_recall l_diversity ts_changepoint` (now 30 keys)
 # (every one replica-green at sf0.01 AND sf0.1 from /tmp), after
 # which every registry key has a driver row and the rotation
 # degenerates to a stable order. The drain stays optimal by
@@ -2441,7 +2461,8 @@ _UNTESTED_PRIORITY = [
     "hybrid_search_rrf", "mmr_rerank", "dsir_weights",
     "dsir_resample", "rocchio_classify", "fingerprint_winnow",
     "bootstrap_ci", "ab_cuped", "ann_mrr", "hybrid_mmr",
-    "prf_expand", "dedup_spans_cut", "dedup_recall",
+    "prf_expand", "dedup_spans_cut", "dedup_recall", "l_diversity",
+    "ts_changepoint",
 ]
 
 _rows = _driver_latest_rows()

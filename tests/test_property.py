@@ -1562,3 +1562,28 @@ def test_dedup_recall_metric_invariants(spark):
     assert r.n_true > 0 and r.n_candidates > 0
     assert 0.0 < r.recall <= 1.0
     assert 0.0 < r.precision <= 1.0
+
+
+def test_cusum_peaks_at_the_mean_shift(spark):
+    """golden CUSUM walkthrough: five days at 10/day then five at
+    50/day — the global mean is 30, deviations accumulate to −100
+    by day 5 and return to 0 by day 10, so the |CUSUM| peak flags
+    exactly the last day of the old regime, with the hand-computed
+    trace values."""
+    from rsbsa_etl_spark.operators.analytics import ts_changepoint
+
+    rows = []
+    for d in range(1, 11):
+        v = 10.0 if d <= 5 else 50.0
+        rows.append((d, 1, f"2024-01-{d:02d} 12:00:00", v))
+    events = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, value double"
+    ).selectExpr("event_id", "user_id", "CAST(ts AS TIMESTAMP) AS ts", "value")
+    got = {str(r.day): r for r in ts_changepoint(events).collect()}
+    assert len(got) == 10
+    peak = [d for d, r in got.items() if r.is_peak]
+    assert peak == ["2024-01-05"]
+    assert got["2024-01-05"].cusum == -100.0
+    assert got["2024-01-01"].cusum == -20.0
+    assert got["2024-01-10"].cusum == 0.0
+    assert got["2024-01-06"].daily_total == 50.0
