@@ -192,6 +192,7 @@ HEADLINE = [
     "dedup_recall",
     "l_diversity",
     "ts_changepoint",
+    "benford_digits",
 ]
 
 

@@ -504,3 +504,60 @@ def ab_cuped(events: DataFrame) -> DataFrame:
         dec_round(theta, 6).alias("theta"),
         dec_round(diff_adj, 6).alias("diff_adj"),
     )
+
+
+def benford_digits(events: DataFrame) -> DataFrame:
+    """Benford's-law first-significant-digit audit over ``value`` —
+    the classic fabricated-data / aggregation-error detector: in
+    naturally occurring multi-scale data the leading digit d
+    appears with probability log10(1 + 1/d); a synthetic or
+    clipped distribution deviates visibly. Emits one row per digit
+    with observed count, observed and expected frequency, and the
+    digit's chi-square contribution ``(obs − n·p)² / (n·p)`` — the
+    per-digit decomposition an auditor actually reads.
+
+    The expected frequencies are PRE-COMPUTED double literals
+    (``BENFORD_P``, the Poisson-threshold discipline — no log10 in
+    either engine); the first significant digit is read off the
+    1e-4 FIXED-POINT integer (first char of the BIGINT's decimal
+    string — integer-to-string is exact and identical in both
+    engines, unlike printf float rendering, whose rounding mode
+    differs between Java and C at half-way decimals). The digit is
+    therefore the leading digit of the quantized value by contract;
+    rows quantizing to ≤ 0 carry no information and drop out. One
+    partial-agg shuffle over 9 digit groups; the expected table is
+    a 9-row literal join.
+    """
+    from rsbsa_etl_spark.params import BENFORD_P
+
+    spark = events.sparkSession
+    vi = _fixed(F.col("value"), 4)
+    digits = (
+        events.select(vi.alias("vi"))
+        .where(F.col("vi") > 0)
+        .select(
+            F.substring(F.col("vi").cast("string"), 1, 1)
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count("*").cast("long").alias("n_obs"))
+    )
+    exp = spark.createDataFrame(
+        [(d + 1, p) for d, p in enumerate(BENFORD_P)],
+        "digit int, p double",
+    )
+    n_tot = digits.agg(F.sum("n_obs").alias("n_tot"))
+    j = exp.join(digits, "digit", "left").join(F.broadcast(n_tot))
+    obs = F.coalesce(F.col("n_obs"), F.lit(0)).cast("long")
+    expected = F.col("n_tot").cast("double") * F.col("p")
+    chi = (obs.cast("double") - expected) * (
+        obs.cast("double") - expected
+    ) / expected
+    return j.select(
+        "digit",
+        obs.alias("n_obs"),
+        dec_round(obs.cast("double") / F.col("n_tot"), 6).alias("obs_freq"),
+        dec_round(F.col("p"), 6).alias("exp_freq"),
+        dec_round(chi, 6).alias("chi2_part"),
+    )

@@ -4284,3 +4284,36 @@ SELECT day,
          AS is_peak
 FROM c
 """
+
+
+ORACLES["benford_digits"] = f"""
+WITH digits AS (
+  SELECT CAST(substr(CAST(vi AS VARCHAR), 1, 1) AS INT) AS digit,
+         CAST(count(*) AS BIGINT) AS n_obs
+  FROM (
+    SELECT CAST(floor(CAST(value AS DOUBLE) * 10000.0 + 0.5) AS BIGINT)
+             AS vi
+    FROM events
+  ) WHERE vi > 0
+  GROUP BY digit
+), exp AS (
+  SELECT * FROM (VALUES
+    {", ".join(
+        f"(CAST({d + 1} AS INT), CAST('{p!r}' AS DOUBLE))"
+        for d, p in enumerate(P.BENFORD_P)
+    )}) v(digit, p)
+), tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_tot FROM digits)
+SELECT e.digit,
+       CAST(coalesce(d.n_obs, 0) AS BIGINT) AS n_obs,
+       {_dec("CAST(coalesce(d.n_obs, 0) AS DOUBLE) / n_tot", 6)}
+         AS obs_freq,
+       {_dec("p", 6)} AS exp_freq,
+       {_dec(
+           "(CAST(coalesce(d.n_obs, 0) AS DOUBLE)"
+           " - CAST(n_tot AS DOUBLE) * p)"
+           " * (CAST(coalesce(d.n_obs, 0) AS DOUBLE)"
+           "    - CAST(n_tot AS DOUBLE) * p)"
+           " / (CAST(n_tot AS DOUBLE) * p)", 6
+       )} AS chi2_part
+FROM exp e LEFT JOIN digits d USING (digit), tot
+"""

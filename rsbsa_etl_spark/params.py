@@ -358,6 +358,24 @@ POISSON1_CDF_U32 = (
     4294609777,
 )
 
+#: Benford's-law expected first-significant-digit frequencies
+#: log10(1 + 1/d), d = 1..9 — PRE-COMPUTED double literals (the
+#: Poisson-threshold discipline: neither engine evaluates log10, so
+#: a libm ulp difference cannot move an expectation). ≤ 17
+#: significant digits each, embedded in oracle SQL as quoted
+#: strings (see numeric.sql_round's literal-precision caveat).
+BENFORD_P = (
+    0.3010299956639812,
+    0.17609125905568124,
+    0.12493873660829992,
+    0.09691001300805642,
+    0.07918124604762482,
+    0.06694678963061322,
+    0.05799194697768673,
+    0.05115252244738129,
+    0.04575749056067514,
+)
+
 #: pseudo-relevance-feedback query expansion (Rocchio PRF): number
 #: of expansion terms mined per query from its hybrid top-K
 #: feedback documents.

@@ -1748,6 +1748,15 @@ def rocchio_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.rocchio_classify(load(spark, sf_dir, "documents"))
 
 
+def benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit with per-digit chi-square
+    decomposition — expected frequencies are pre-computed literals,
+    the digit comes off the fixed-point integer's decimal string."""
+    from rsbsa_etl_spark.operators.profiling import benford_digits as _b
+
+    return _b(load(spark, sf_dir, "events"))
+
+
 def ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUM mean-shift changepoint over the daily value series
     (Page 1954) — the full trace with the peak flagged, in exact
@@ -2312,6 +2321,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_recall": dedup_recall,
     "l_diversity": l_diversity,
     "ts_changepoint": ts_changepoint,
+    "benford_digits": benford_digits,
     "snapshot_diff": snapshot_diff,
     "resample_ffill": resample_ffill,
     "ab_ttest": ab_ttest,
@@ -2400,7 +2410,8 @@ def _is_green(row: dict) -> bool:
 # bpe_train bpe_segment hybrid_search_rrf mmr_rerank dsir_weights
 # dsir_resample rocchio_classify fingerprint_winnow bootstrap_ci
 # ab_cuped ann_mrr hybrid_mmr prf_expand dedup_spans_cut
-# dedup_recall l_diversity ts_changepoint` (now 30 keys)
+# dedup_recall l_diversity ts_changepoint benford_digits`
+# (now 31 keys)
 # (every one replica-green at sf0.01 AND sf0.1 from /tmp), after
 # which every registry key has a driver row and the rotation
 # degenerates to a stable order. The drain stays optimal by
@@ -2462,7 +2473,7 @@ _UNTESTED_PRIORITY = [
     "dsir_resample", "rocchio_classify", "fingerprint_winnow",
     "bootstrap_ci", "ab_cuped", "ann_mrr", "hybrid_mmr",
     "prf_expand", "dedup_spans_cut", "dedup_recall", "l_diversity",
-    "ts_changepoint",
+    "ts_changepoint", "benford_digits",
 ]
 
 _rows = _driver_latest_rows()

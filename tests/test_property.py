@@ -1587,3 +1587,33 @@ def test_cusum_peaks_at_the_mean_shift(spark):
     assert got["2024-01-01"].cusum == -20.0
     assert got["2024-01-10"].cusum == 0.0
     assert got["2024-01-06"].daily_total == 50.0
+
+
+def test_benford_on_exponential_like_vs_uniform(spark):
+    """Benford semantics: a genuinely multi-scale series (powers
+    spanning decades) hugs the expected frequencies, while a
+    one-digit-dominated series produces a large chi-square
+    contribution on exactly that digit; rows always cover digits
+    1..9 with frequencies summing to 1."""
+    from rsbsa_etl_spark.operators.profiling import benford_digits
+
+    # geometric growth 1.5^k spans decades -> roughly Benford
+    geo = [(k, 1, "2024-01-01 00:00:00", 1.5 ** (k % 40) + 1e-3)
+           for k in range(400)]
+    ev = spark.createDataFrame(
+        geo, "event_id long, user_id long, ts string, value double"
+    ).selectExpr("event_id", "user_id", "CAST(ts AS TIMESTAMP) ts", "value")
+    rows = {r.digit: r for r in benford_digits(ev).collect()}
+    assert sorted(rows) == list(range(1, 10))
+    total = sum(r.obs_freq for r in rows.values())
+    assert abs(total - 1.0) < 1e-4
+    assert rows[1].obs_freq > rows[9].obs_freq  # monotone-ish head
+
+    uni = [(k, 1, "2024-01-01 00:00:00", 500.0 + k * 0.01)
+           for k in range(300)]  # every value leads with 5
+    ev2 = spark.createDataFrame(
+        uni, "event_id long, user_id long, ts string, value double"
+    ).selectExpr("event_id", "user_id", "CAST(ts AS TIMESTAMP) ts", "value")
+    rows2 = {r.digit: r for r in benford_digits(ev2).collect()}
+    assert rows2[5].obs_freq == 1.0
+    assert rows2[5].chi2_part == max(r.chi2_part for r in rows2.values())
