@@ -661,6 +661,17 @@ def decontam_fuzzy(
     )
 
 
+def _chars_bucket() -> Column:
+    """the quasi-identifier length generalization shared by BOTH
+    privacy audits — k_anonymity and l_diversity refine the same
+    group boundaries by definition, so the bucketing lives in
+    exactly one place."""
+    return (
+        F.floor(F.col("n_chars") / F.lit(P.K_ANON_CHARS_BUCKET))
+        * F.lit(P.K_ANON_CHARS_BUCKET)
+    ).cast("long")
+
+
 def k_anonymity(docs: DataFrame) -> DataFrame:
     """k-anonymity audit of the corpus's quasi-identifiers — the
     privacy gate a training-data release runs before publishing: any
@@ -675,10 +686,7 @@ def k_anonymity(docs: DataFrame) -> DataFrame:
     triple — group-cardinality output, scale-trivial; the flag is an
     integer comparison, the risk share a single exact division.
     """
-    bucket = (
-        F.floor(F.col("n_chars") / F.lit(P.K_ANON_CHARS_BUCKET))
-        * F.lit(P.K_ANON_CHARS_BUCKET)
-    ).cast("long")
+    bucket = _chars_bucket()
     return (
         docs.select("lang", "source", bucket.alias("chars_bucket"))
         .groupBy("lang", "source", "chars_bucket")
@@ -850,10 +858,7 @@ def l_diversity(docs: DataFrame) -> DataFrame:
     the quasi-identifier pair with a distinct-count — group-
     cardinality output, scale-trivial, pure integer flags.
     """
-    bucket = (
-        F.floor(F.col("n_chars") / F.lit(P.K_ANON_CHARS_BUCKET))
-        * F.lit(P.K_ANON_CHARS_BUCKET)
-    ).cast("long")
+    bucket = _chars_bucket()
     return (
         docs.select("source", bucket.alias("chars_bucket"), "lang")
         .groupBy("source", "chars_bucket")

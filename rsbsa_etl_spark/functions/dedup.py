@@ -1484,15 +1484,23 @@ def dedup_recall_eval(docs: DataFrame, text_col: str = "text") -> DataFrame:
     precision — ratios as exact integer divisions rounded at 1e-6.
 
     Scale: the two pair generators are the already-scale-shaped
-    plans; the eval is ONE union + pair-keyed flag sum over the
-    (output-sized) pair sets — no set join anywhere. Both
-    generators emit the shared canonical (doc_a < doc_b) ordering,
-    which is what makes the flag sum a set compare.
+    plans, with the LSH side fed from one persisted shingle stream
+    instead of its own corpus re-scan; the eval is ONE union +
+    pair-keyed flag sum over the (output-sized) pair sets — no set
+    join anywhere. Both generators emit the shared canonical
+    (doc_a < doc_b) ordering, which is what makes the flag sum a
+    set compare.
     """
+    # share the exploded shingle pass: minhash consumes the same
+    # (doc_id, shingle) stream the corpus yields once (persisted —
+    # the repo's cache contract; without this the LSH side re-scans
+    # and re-hashes the whole corpus). The exact side keeps its own
+    # array-form doc_shingle_sets path by measured design.
+    sh = shingle_rows(docs, text_col).persist()
     true_pairs = ngram_jaccard_pairs(docs, text_col).select(
         "doc_a", "doc_b", F.lit(1).alias("src")
     )
-    cand = minhash_candidate_pairs(docs, text_col).select(
+    cand = minhash_candidate_pairs(docs, text_col, shingles=sh).select(
         "doc_a", "doc_b", F.lit(2).alias("src")
     )
     # one union + one pair-keyed sum instead of a set join: per-pair

@@ -1459,10 +1459,15 @@ def ts_changepoint(events: DataFrame) -> DataFrame:
 
     Exact integer arithmetic throughout: with day totals ``x_i`` in
     1e-4 fixed point, ``n`` days, and grand total ``S``, the scaled
-    statistic ``C_t = n·Σ_{i≤t} x_i − t·S`` is a pure BIGINT (equal
-    to n·CUSUM_t, same argmax) — no float accumulates anywhere; the
-    reported ``cusum`` descales once at the end. Peak = rank 1 under
-    (|C_t| desc, day asc) — a total order.
+    statistic ``C_t = n·Σ_{i≤t} x_i − t·S`` (equal to n·CUSUM_t,
+    same argmax) is computed in DECIMAL(38,0) — the n-fold
+    amplification would overflow BIGINT on a years-long series of
+    billion-event days, and Spark would raise under ANSI while a
+    wrapped build flagged the wrong day. DECIMAL keeps it exact to
+    38 digits (DuckDB mirrors with HUGEINT); no float accumulates
+    anywhere, and the reported ``cusum`` descales once at the end
+    through one correctly-rounded double conversion. Peak = rank 1
+    under (|C_t| desc, day asc) — a total order.
 
     Plan: one partial-agg shuffle to day bins, a 1-row totals
     broadcast, and two windows over the day-count-sized series
@@ -1490,8 +1495,8 @@ def ts_changepoint(events: DataFrame) -> DataFrame:
         .withColumn("t", F.row_number().over(wr).cast("long"))
         .withColumn(
             "c_scaled",
-            (F.col("n_days") * F.col("csum") - F.col("t") * F.col("s_tot"))
-            .cast("long"),
+            F.col("n_days").cast("decimal(38,0)") * F.col("csum")
+            - F.col("t").cast("decimal(38,0)") * F.col("s_tot"),
         )
     )
     wp = Window.orderBy(F.abs(F.col("c_scaled")).desc(), F.col("day").asc())

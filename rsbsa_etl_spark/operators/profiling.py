@@ -522,16 +522,22 @@ def benford_digits(events: DataFrame) -> DataFrame:
     1e-4 FIXED-POINT integer (first char of the BIGINT's decimal
     string — integer-to-string is exact and identical in both
     engines, unlike printf float rendering, whose rounding mode
-    differs between Java and C at half-way decimals). The digit is
-    therefore the leading digit of the quantized value by contract;
-    rows quantizing to ≤ 0 carry no information and drop out. One
-    partial-agg shuffle over 9 digit groups; the expected table is
-    a 9-row literal join.
+    differs between Java and C at half-way decimals). The audit is
+    therefore DEFINED on the 1e-4 ledger grid of |value| — the
+    natural frame for the monetary/accounting data Benford is
+    classically applied to: signs carry no leading-digit
+    information (|value| contributes), values under half a grid
+    step quantize to zero and drop out, and a value within half a
+    step of a decade boundary reads as the rounded decade (any
+    fixed-precision audit shares these edges; they are part of the
+    stated contract, not an accident of rendering). One partial-agg
+    shuffle over 9 digit groups; the expected table is a 9-row
+    literal join.
     """
     from rsbsa_etl_spark.params import BENFORD_P
 
     spark = events.sparkSession
-    vi = _fixed(F.col("value"), 4)
+    vi = _fixed(F.abs(F.col("value")), 4)
     digits = (
         events.select(vi.alias("vi"))
         .where(F.col("vi") > 0)

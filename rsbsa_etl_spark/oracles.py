@@ -4274,7 +4274,11 @@ WITH daily AS (
   FROM daily, tot
 ), c AS (
   SELECT day, x, n_days,
-         CAST(n_days * csum - t * s_tot AS BIGINT) AS c_scaled
+         -- HUGEINT: the n-fold amplification outgrows BIGINT on a
+         -- years-long series of billion-event days (the Spark side
+         -- uses DECIMAL(38,0) for the same reason)
+         CAST(n_days AS HUGEINT) * csum - CAST(t AS HUGEINT) * s_tot
+           AS c_scaled
   FROM cum
 )
 SELECT day,
@@ -4291,7 +4295,7 @@ WITH digits AS (
   SELECT CAST(substr(CAST(vi AS VARCHAR), 1, 1) AS INT) AS digit,
          CAST(count(*) AS BIGINT) AS n_obs
   FROM (
-    SELECT CAST(floor(CAST(value AS DOUBLE) * 10000.0 + 0.5) AS BIGINT)
+    SELECT CAST(floor(abs(CAST(value AS DOUBLE)) * 10000.0 + 0.5) AS BIGINT)
              AS vi
     FROM events
   ) WHERE vi > 0

@@ -82,4 +82,19 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # extraJavaOptions only applies when THIS call launches the JVM
+    # (client-mode conf is forwarded pre-launch by pyspark's
+    # gateway); if a JVM already existed, the locale pin above is
+    # silently ignored. Turkish/Azerbaijani case rules change
+    # lower('I') and therefore every content hash of a non-ASCII
+    # corpus — fail loudly instead of hashing differently.
+    lang = spark.sparkContext._jvm.java.util.Locale.getDefault().getLanguage()
+    if lang in ("tr", "az"):
+        raise RuntimeError(
+            "driver JVM locale is Turkish/Azerbaijani — its contextual "
+            "case rules change text normalization hashes; launch the "
+            "JVM with -Duser.language=en (session.py pins this when it "
+            "owns the JVM launch, but an already-running JVM keeps its "
+            "locale)"
+        )
     return spark
