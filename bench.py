@@ -193,6 +193,7 @@ HEADLINE = [
     "l_diversity",
     "ts_changepoint",
     "benford_digits",
+    "ab_kstest",
 ]
 
 

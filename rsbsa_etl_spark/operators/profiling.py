@@ -567,3 +567,74 @@ def benford_digits(events: DataFrame) -> DataFrame:
         dec_round(F.col("p"), 6).alias("exp_freq"),
         dec_round(chi, 6).alias("chi2_part"),
     )
+
+
+def ab_kstest(events: DataFrame) -> DataFrame:
+    """two-sample Kolmogorov–Smirnov distance between the arms'
+    value distributions — the nonparametric companion to the Welch
+    t-test: sensitive to ANY distributional difference (shape,
+    variance, tails), not just the mean. Completes the experiment
+    readout family (ab_ttest, ab_cuped, bootstrap_ci).
+
+    Exact rational arithmetic: at each distinct value v the ECDF
+    gap is |#a≤v / n_a − #b≤v / n_b| = |#a≤v·n_b − #b≤v·n_a| /
+    (n_a·n_b) — the numerator is computed as DECIMAL(38,0) products
+    of exact counts (BIGINT would overflow past ~3e9×3e9 samples;
+    the oracle mirrors with HUGEINT), maximized exactly, and
+    descaled once through a correctly-rounded double division. The
+    statistic's location is reported too (smallest v attaining the
+    max — a total order). Ties are handled by evaluating the ECDFs
+    at distinct values only, the right-continuous convention.
+
+    Plan: one pass to (value, arm) counts (map-side partials), one
+    distinct-value running-sum window ordered by value (bounded by
+    the value domain's cardinality, not the row count), one 1-row
+    max fold.
+    """
+    q = 1e4
+    vi = _fixed(F.col("value"), 4)
+    arm = _arm()
+    per_v = (
+        events.select(vi.alias("v"), arm.alias("arm"))
+        .groupBy("v")
+        .agg(
+            F.count(F.when(F.col("arm") == 0, 1)).alias("ca"),
+            F.count(F.when(F.col("arm") == 1, 1)).alias("cb"),
+        )
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_v.select(
+        "v",
+        F.sum("ca").over(w).alias("na_le"),
+        F.sum("cb").over(w).alias("nb_le"),
+    )
+    tot = cum.agg(
+        F.max("na_le").alias("n_a"), F.max("nb_le").alias("n_b")
+    )
+    d = cum.join(F.broadcast(tot)).select(
+        "v",
+        "n_a",
+        "n_b",
+        F.abs(
+            F.col("na_le").cast("decimal(38,0)") * F.col("n_b")
+            - F.col("nb_le").cast("decimal(38,0)") * F.col("n_a")
+        ).alias("num"),
+    )
+    wp = Window.orderBy(F.col("num").desc(), F.col("v").asc())
+    return (
+        d.withColumn("rk", F.row_number().over(wp))
+        .where(F.col("rk") == 1)
+        .select(
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            dec_round(
+                F.col("num").cast("double")
+                / F.col("n_a")
+                / F.col("n_b"),
+                6,
+            ).alias("ks_d"),
+            dec_round(F.col("v").cast("double") / F.lit(q), 4).alias(
+                "at_value"
+            ),
+        )
+    )

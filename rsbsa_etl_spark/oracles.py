@@ -4321,3 +4321,39 @@ SELECT e.digit,
        )} AS chi2_part
 FROM exp e LEFT JOIN digits d USING (digit), tot
 """
+
+
+ORACLES["ab_kstest"] = f"""
+WITH per_v AS (
+  SELECT CAST(floor(CAST(value AS DOUBLE) * 10000.0 + 0.5) AS BIGINT) AS v,
+         CAST(count(*) FILTER (
+           ({_hexpoly("md5('ab1' || '|' || CAST(user_id AS VARCHAR))", 1)})
+             % 2 = 0) AS BIGINT) AS ca,
+         CAST(count(*) FILTER (
+           ({_hexpoly("md5('ab1' || '|' || CAST(user_id AS VARCHAR))", 1)})
+             % 2 = 1) AS BIGINT) AS cb
+  FROM events GROUP BY v
+), cum AS (
+  SELECT v,
+         CAST(sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS na_le,
+         CAST(sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS nb_le
+  FROM per_v
+), tot AS (
+  SELECT CAST(max(na_le) AS BIGINT) AS n_a,
+         CAST(max(nb_le) AS BIGINT) AS n_b
+  FROM cum
+), d AS (
+  SELECT v, n_a, n_b,
+         abs(CAST(na_le AS HUGEINT) * n_b
+             - CAST(nb_le AS HUGEINT) * n_a) AS num
+  FROM cum, tot
+), rk AS (
+  SELECT *, row_number() OVER (ORDER BY num DESC, v ASC) AS r FROM d
+)
+SELECT n_a, n_b,
+       {_dec("CAST(num AS DOUBLE) / n_a / n_b", 6)} AS ks_d,
+       {_dec("CAST(v AS DOUBLE) / 10000.0", 4)} AS at_value
+FROM rk WHERE r = 1
+"""

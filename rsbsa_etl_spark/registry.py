@@ -1748,6 +1748,15 @@ def rocchio_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.rocchio_classify(load(spark, sf_dir, "documents"))
 
 
+def ab_kstest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """two-sample Kolmogorov-Smirnov distance between the hash-split
+    arms — exact cross-multiplied ECDF integers, nonparametric
+    companion to ab_ttest/ab_cuped."""
+    from rsbsa_etl_spark.operators.profiling import ab_kstest as _k
+
+    return _k(load(spark, sf_dir, "events"))
+
+
 def benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford's-law first-digit audit with per-digit chi-square
     decomposition — expected frequencies are pre-computed literals,
@@ -2322,6 +2331,7 @@ QUERIES: dict[str, QueryFn] = {
     "l_diversity": l_diversity,
     "ts_changepoint": ts_changepoint,
     "benford_digits": benford_digits,
+    "ab_kstest": ab_kstest,
     "snapshot_diff": snapshot_diff,
     "resample_ffill": resample_ffill,
     "ab_ttest": ab_ttest,
@@ -2410,8 +2420,8 @@ def _is_green(row: dict) -> bool:
 # bpe_train bpe_segment hybrid_search_rrf mmr_rerank dsir_weights
 # dsir_resample rocchio_classify fingerprint_winnow bootstrap_ci
 # ab_cuped ann_mrr hybrid_mmr prf_expand dedup_spans_cut
-# dedup_recall l_diversity ts_changepoint benford_digits`
-# (now 31 keys)
+# dedup_recall l_diversity ts_changepoint benford_digits ab_kstest`
+# (now 32 keys)
 # (every one replica-green at sf0.01 AND sf0.1 from /tmp), after
 # which every registry key has a driver row and the rotation
 # degenerates to a stable order. The drain stays optimal by
@@ -2473,7 +2483,7 @@ _UNTESTED_PRIORITY = [
     "dsir_resample", "rocchio_classify", "fingerprint_winnow",
     "bootstrap_ci", "ab_cuped", "ann_mrr", "hybrid_mmr",
     "prf_expand", "dedup_spans_cut", "dedup_recall", "l_diversity",
-    "ts_changepoint", "benford_digits",
+    "ts_changepoint", "benford_digits", "ab_kstest",
 ]
 
 _rows = _driver_latest_rows()

