@@ -586,30 +586,39 @@ def ab_kstest(events: DataFrame) -> DataFrame:
     max — a total order). Ties are handled by evaluating the ECDFs
     at distinct values only, the right-continuous convention.
 
-    Plan: one pass to (value, arm) counts (map-side partials), one
-    distinct-value running-sum window ordered by value (bounded by
-    the value domain's cardinality, not the row count), one 1-row
-    max fold.
+    NULL values carry no ECDF position and are filtered in both
+    engines (their window null-orderings differ — the parity
+    hazard); a degenerate slice with an empty arm yields NULL
+    statistics (the ab_ttest convention), never a divide-by-zero.
+
+    Plan: one pass to (value, arm) counts (map-side partials) —
+    reused by the arm-total fold and by ONE distinct-value
+    running-sum window (bounded by the value domain's cardinality,
+    not the row count) — then a 1-row rank pick.
     """
     q = 1e4
     vi = _fixed(F.col("value"), 4)
     arm = _arm()
     per_v = (
-        events.select(vi.alias("v"), arm.alias("arm"))
+        events.where(F.col("value").isNotNull())
+        .select(vi.alias("v"), arm.alias("arm"))
         .groupBy("v")
         .agg(
             F.count(F.when(F.col("arm") == 0, 1)).alias("ca"),
             F.count(F.when(F.col("arm") == 1, 1)).alias("cb"),
         )
     )
+    # arm totals from plain sums — a max over the running window
+    # would re-run the single-partition sort a second time
+    tot = per_v.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+    )
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
     cum = per_v.select(
         "v",
         F.sum("ca").over(w).alias("na_le"),
         F.sum("cb").over(w).alias("nb_le"),
-    )
-    tot = cum.agg(
-        F.max("na_le").alias("n_a"), F.max("nb_le").alias("n_b")
     )
     d = cum.join(F.broadcast(tot)).select(
         "v",
@@ -621,6 +630,7 @@ def ab_kstest(events: DataFrame) -> DataFrame:
         ).alias("num"),
     )
     wp = Window.orderBy(F.col("num").desc(), F.col("v").asc())
+    both = (F.col("n_a") > 0) & (F.col("n_b") > 0)
     return (
         d.withColumn("rk", F.row_number().over(wp))
         .where(F.col("rk") == 1)
@@ -628,13 +638,16 @@ def ab_kstest(events: DataFrame) -> DataFrame:
             F.col("n_a").cast("long").alias("n_a"),
             F.col("n_b").cast("long").alias("n_b"),
             dec_round(
-                F.col("num").cast("double")
-                / F.col("n_a")
-                / F.col("n_b"),
+                F.when(
+                    both,
+                    F.col("num").cast("double")
+                    / F.col("n_a")
+                    / F.col("n_b"),
+                ),
                 6,
             ).alias("ks_d"),
-            dec_round(F.col("v").cast("double") / F.lit(q), 4).alias(
-                "at_value"
-            ),
+            dec_round(
+                F.when(both, F.col("v").cast("double") / F.lit(q)), 4
+            ).alias("at_value"),
         )
     )

@@ -4332,7 +4332,11 @@ WITH per_v AS (
          CAST(count(*) FILTER (
            ({_hexpoly("md5('ab1' || '|' || CAST(user_id AS VARCHAR))", 1)})
              % 2 = 1) AS BIGINT) AS cb
-  FROM events GROUP BY v
+  FROM events WHERE value IS NOT NULL GROUP BY v
+), tot AS (
+  SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+         CAST(sum(cb) AS BIGINT) AS n_b
+  FROM per_v
 ), cum AS (
   SELECT v,
          CAST(sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
@@ -4340,10 +4344,6 @@ WITH per_v AS (
          CAST(sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
               AS BIGINT) AS nb_le
   FROM per_v
-), tot AS (
-  SELECT CAST(max(na_le) AS BIGINT) AS n_a,
-         CAST(max(nb_le) AS BIGINT) AS n_b
-  FROM cum
 ), d AS (
   SELECT v, n_a, n_b,
          abs(CAST(na_le AS HUGEINT) * n_b
@@ -4353,7 +4353,9 @@ WITH per_v AS (
   SELECT *, row_number() OVER (ORDER BY num DESC, v ASC) AS r FROM d
 )
 SELECT n_a, n_b,
-       {_dec("CAST(num AS DOUBLE) / n_a / n_b", 6)} AS ks_d,
-       {_dec("CAST(v AS DOUBLE) / 10000.0", 4)} AS at_value
+       CASE WHEN n_a > 0 AND n_b > 0
+            THEN {_dec("CAST(num AS DOUBLE) / n_a / n_b", 6)} END AS ks_d,
+       CASE WHEN n_a > 0 AND n_b > 0
+            THEN {_dec("CAST(v AS DOUBLE) / 10000.0", 4)} END AS at_value
 FROM rk WHERE r = 1
 """

@@ -1658,3 +1658,38 @@ def test_kstest_matches_scipy_free_reference(spark):
     assert got.ks_d == math.floor(best[0] / n / m * 1e6 + 0.5) / 1e6
     assert got.at_value == best[1] / 1e4
     assert got.ks_d > 0.2  # the shift is detectable
+
+    # same-distribution frame (identical values in both arms): tiny
+    # D from arm-size imbalance only, and under MANY tied argmax
+    # rows the reported location must be the SMALLEST attaining
+    # value — plus NULL values are ignored and an all-one-arm frame
+    # yields NULL statistics instead of a divide-by-zero
+    same = [(u, u, "2024-01-01 00:00:00", float(u % 5)) for u in range(100)]
+    same += [(900, 900, "2024-01-01 00:00:00", None)]
+    ev3 = spark.createDataFrame(
+        same, "event_id long, user_id long, ts string, value double"
+    ).selectExpr("event_id", "user_id", "CAST(ts AS TIMESTAMP) ts", "value")
+    r3 = ab_kstest(ev3).collect()[0]
+    assert r3.n_a + r3.n_b == 100  # the NULL row dropped out
+    a3 = sorted(int((u % 5) * 1e4 + 0.5) for u in range(100) if arm(u) == 0)
+    b3 = sorted(int((u % 5) * 1e4 + 0.5) for u in range(100) if arm(u) == 1)
+    best3, at3 = 0, None
+    for v in sorted(set(a3) | set(b3)):
+        num = abs(
+            sum(1 for x in a3 if x <= v) * len(b3)
+            - sum(1 for x in b3 if x <= v) * len(a3)
+        )
+        if num > best3:
+            best3, at3 = num, v
+    assert r3.ks_d == math.floor(
+        best3 / len(a3) / len(b3) * 1e6 + 0.5
+    ) / 1e6
+    assert r3.at_value == at3 / 1e4  # smallest argmax under ties
+
+    one_arm = [(u, u * 2, "2024-01-01 00:00:00", 1.0) for u in range(6)
+               if arm(u * 2) == 0][:3]
+    ev4 = spark.createDataFrame(
+        one_arm, "event_id long, user_id long, ts string, value double"
+    ).selectExpr("event_id", "user_id", "CAST(ts AS TIMESTAMP) ts", "value")
+    r4 = ab_kstest(ev4).collect()[0]
+    assert r4.n_b == 0 and r4.ks_d is None and r4.at_value is None
