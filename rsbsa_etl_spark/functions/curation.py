@@ -314,7 +314,9 @@ def token_budget_sample(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """
     pri = salted_pri("tb1", F.col("doc_id"))
     shift = 1 << P.BUDGET_BUCKET_SHIFT
-    base = docs.select(
+    # NULL text has no tokens and must not consume budget positions
+    # (size(NULL) diverges between engines)
+    base = docs.where(F.col(text_col).isNotNull()).select(
         "doc_id",
         F.size(tokens_col(F.col(text_col))).cast("long").alias("n_tokens"),
         pri.alias("pri"),

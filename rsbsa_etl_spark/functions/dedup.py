@@ -112,7 +112,15 @@ def _shingle_generator(text_col: str, k: int, as_sets: bool):
             ids: list = []
             payload: list = []
             for did, txt in zip(pdf["doc_id"], pdf[text_col]):
-                toks = ws.sub(" ", (txt or "").strip().lower()).split(" ")
+                if txt is None:
+                    # SQL string_split(NULL) is NULL and unnest drops
+                    # it — a NULL document contributes no shingles in
+                    # either engine (the `or ""` coercion used to
+                    # emit a '' whole-text shingle here that the
+                    # oracles never saw, a superbucket under null
+                    # injection)
+                    continue
+                toks = ws.sub(" ", txt.strip().lower()).split(" ")
                 n = len(toks)
                 if n >= k:
                     windows = [
@@ -1448,8 +1456,13 @@ def cut_duplicated_spans(
         ).alias("sp")
     )
     toks = tokens_col(F.col(text_col))
-    j = docs.select("doc_id", toks.alias("toks")).join(
-        per_doc, "doc_id", "left"
+    # NULL text has no tokens to cut (size(NULL) would also read -1
+    # under legacy Spark where the oracle reads NULL) — absent docs
+    # are absent from the cleaned corpus in both engines
+    j = (
+        docs.where(F.col(text_col).isNotNull())
+        .select("doc_id", toks.alias("toks"))
+        .join(per_doc, "doc_id", "left")
     )
     kept = F.when(F.col("sp").isNull(), F.col("toks")).otherwise(
         F.filter(

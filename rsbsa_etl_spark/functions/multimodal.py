@@ -39,6 +39,11 @@ def attach_binary(docs: DataFrame, text_col: str = "text") -> DataFrame:
     everything downstream is identical.
     """
     payload = F.encode(F.col(text_col), "UTF-8")
+    # a NULL payload is an absent media object — filter it here so
+    # every downstream decode/chunk/resize stage (and its oracle)
+    # sees only real bytes instead of crashing the Python worker on
+    # None
+    docs = docs.where(F.col(text_col).isNotNull())
     return docs.select(
         "doc_id",
         payload.alias("payload"),

@@ -1137,7 +1137,12 @@ def rocchio_classify(docs: DataFrame, text_col: str = "text") -> DataFrame:
     from rsbsa_etl_spark.params import ROCCHIO_HASH_DIM
 
     d = int(ROCCHIO_HASH_DIM)
-    doc_counts = hashed_slot_counts(docs, text_col, d)
+    # labeled-documents contract: a NULL label can neither train a
+    # centroid nor be scored against one (and Spark/DuckDB order a
+    # NULL class differently in the argmax tie-break)
+    doc_counts = hashed_slot_counts(docs, text_col, d).where(
+        F.col("lang").isNotNull()
+    )
 
     # full class × slot grid so unseen (class, slot) cells still get
     # their smoothed probability — assembled in ONE pass from the

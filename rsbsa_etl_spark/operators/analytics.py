@@ -119,11 +119,15 @@ def group_ols_slope(events: DataFrame) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    pts = events.select(
-        "user_id",
-        F.unix_millis(F.col("ts")).alias("x_ms"),
-        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("y_q"),
-    ).repartition("user_id")
+    pts = (
+        events.where(F.col("value").isNotNull())  # no point without y
+        .select(
+            "user_id",
+            F.unix_millis(F.col("ts")).alias("x_ms"),
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("y_q"),
+        )
+        .repartition("user_id")
+    )
 
     def fit_partition(batches):
         pdfs = list(batches)  # complete partition = complete groups
@@ -185,7 +189,7 @@ def quantile_sketch(events: DataFrame, width: float = 8.0) -> DataFrame:
     b = events.select(
         "event_type",
         F.floor(F.col("value") / width).cast("long").alias("bin"),
-    )
+    ).where(F.col("bin").isNotNull())  # a NULL value has no bin
     counts = b.groupBy("event_type", "bin").agg(F.count("*").alias("c"))
     w = (
         Window.partitionBy("event_type")
@@ -983,6 +987,7 @@ def kmv_merge_eval(docs: DataFrame, k: int | None = None) -> DataFrame:
         docs.select(
             "source", F.explode(shingle_windows(F.col("text"))).alias("term")
         )
+        .where(F.col("term").isNotNull())
         .select("source", h.alias("h"))
         .distinct()
         .persist()

@@ -176,16 +176,24 @@ def asof_join(
     giving the inclusive <= bound. Right-side ties on (key, ts) would
     be resolved arbitrarily — callers needing that guarantee add a
     tiebreak column to ``ts`` upstream.
+
+    The carried state is ONE struct per right row (non-null whenever
+    a right row exists), not per-column ``last(ignorenulls)`` — the
+    per-column form would skip a latest row's legitimately-NULL
+    payload field and stitch together values from DIFFERENT right
+    rows; the struct keeps "the latest right ROW's payload" exact,
+    NULL fields included.
     """
     from pyspark.sql import Window
 
     lcols = left.columns
-    out_payload = [c + suffix for c in payload]
     l2 = left.withColumn("_side", F.lit(1))
     r2 = right.select(
         F.col(key),
         F.col(ts),
-        *[F.col(c).alias(c + suffix) for c in payload],
+        F.struct(*[F.col(c).alias(c + suffix) for c in payload]).alias(
+            "_p"
+        ),
     ).withColumn("_side", F.lit(0))
     u = l2.unionByName(r2, allowMissingColumns=True)
     w = (
@@ -196,12 +204,12 @@ def asof_join(
     filled = u.select(
         *lcols,
         "_side",
-        *[
-            F.last(c, ignorenulls=True).over(w).alias(c)
-            for c in out_payload
-        ],
+        F.last("_p", ignorenulls=True).over(w).alias("_p"),
     )
-    return filled.where(F.col("_side") == 1).drop("_side")
+    return filled.where(F.col("_side") == 1).select(
+        *lcols,
+        *[F.col(f"_p.{c}{suffix}").alias(c + suffix) for c in payload],
+    )
 
 
 def cross_pairs(region: DataFrame, nation: DataFrame) -> DataFrame:

@@ -84,4 +84,9 @@ def zorder_layout(df: DataFrame, a_col: Column, b_col: Column, k: int) -> DataFr
     a bounded result; the write path would ``sortWithinPartitions``
     by the same key before landing files)."""
     out = df.withColumn("zval", zorder_key(a_col, b_col))
-    return out.orderBy(F.col("zval").asc(), F.col("event_id").asc()).limit(k)
+    # nulls-last pins NULL-dimension rows to DuckDB's default
+    # ordering (Spark ASC ranks NULLs first, which would let them
+    # crowd the top-k); null-free fixtures are unchanged
+    return out.orderBy(
+        F.col("zval").asc_nulls_last(), F.col("event_id").asc()
+    ).limit(k)

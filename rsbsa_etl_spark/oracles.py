@@ -50,7 +50,8 @@ _K = P.SHINGLE_K
 
 #: distinct k-word shingles — mirrors ``dedup.shingles_col``
 SHINGLES_CTE = f"""
-toks AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+toks AS (SELECT doc_id, {TOKS} AS toks FROM documents
+         WHERE text IS NOT NULL),
 sh AS (
   SELECT doc_id,
          list_distinct(
@@ -1400,7 +1401,7 @@ ORACLES["quantile_sketch"] = f"""
 WITH b AS (
   SELECT event_type,
          CAST(floor(value / {P.QSKETCH_WIDTH!r}) AS BIGINT) AS bin
-  FROM events
+  FROM events WHERE value IS NOT NULL
 ),
 counts AS (SELECT event_type, bin, count(*) AS c FROM b GROUP BY event_type, bin),
 cum AS (
@@ -1421,7 +1422,7 @@ ORACLES["agg_ols_slope"] = """
 WITH pts AS (
   SELECT user_id, epoch_ms(ts) AS x_ms,
          CAST(floor(value * 100 + 0.5) AS BIGINT) AS y_q
-  FROM events
+  FROM events WHERE value IS NOT NULL
 ),
 c AS (
   SELECT user_id,
@@ -1962,7 +1963,7 @@ ORACLES["multimodal_meta"] = """
 SELECT doc_id,
        CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
        md5(text) AS checksum
-FROM documents
+FROM documents WHERE text IS NOT NULL
 """
 
 # the "decode" stub is sha256-derived, so the whole multimodal path
@@ -1980,11 +1981,12 @@ SELECT doc_id,
        CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
        md5(text) AS content_md5,
        {_FEAT_ITEMS}
-FROM documents
+FROM documents WHERE text IS NOT NULL
 """
 
 ORACLES["multimodal_chunks"] = """
-WITH c AS (SELECT doc_id, text, length(text) AS L FROM documents),
+WITH c AS (SELECT doc_id, text, length(text) AS L
+           FROM documents WHERE text IS NOT NULL),
 idx AS (
   SELECT doc_id, text, L,
          unnest(range(0, CAST(ceil(L / 128.0) AS BIGINT))) AS i
@@ -2089,7 +2091,7 @@ SELECT doc_id,
        md5(array_to_string(
              list_transform(range(1, length(text) + 1, 4),
                             i -> substr(text, CAST(i AS INT), 1)), '')) AS resized_md5
-FROM documents
+FROM documents WHERE text IS NOT NULL
 """
 
 # ---------------------------------------------------------------- curation
@@ -2126,7 +2128,8 @@ FROM freq f JOIN narrow n USING (doc_id)
 """
 
 ORACLES["decontam_ngram"] = f"""
-WITH toks AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+WITH toks AS (SELECT doc_id, {TOKS} AS toks FROM documents
+              WHERE text IS NOT NULL),
 sh AS (
   SELECT doc_id,
          CASE WHEN len(toks) >= {P.SHINGLE_K}
@@ -2216,7 +2219,7 @@ WITH base AS (
   SELECT doc_id,
          CAST(len(string_split({NORM}, ' ')) AS BIGINT) AS n_tokens,
          {_hexpoly("md5('tb1' || '|' || CAST(doc_id AS VARCHAR))", 1)} AS pri
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ),
 cum AS (
   SELECT doc_id, n_tokens,
@@ -3786,9 +3789,10 @@ GROUP BY doc_id
 _ROC_D = float(P.ROCCHIO_HASH_DIM / 2.0)
 ORACLES["rocchio_classify"] = f"""
 WITH {_hashed_slot_cte(P.ROCCHIO_HASH_DIM)},
+dcl AS (SELECT * FROM doc_counts WHERE lang IS NOT NULL),
 cnt AS (
   SELECT lang AS cls, slot, CAST(sum(n) AS BIGINT) AS c
-  FROM doc_counts GROUP BY lang, slot
+  FROM dcl GROUP BY lang, slot
 ), cls AS (
   SELECT cls, CAST(sum(c) AS BIGINT) AS n_cls FROM cnt GROUP BY cls
 ), grid AS (
@@ -3805,7 +3809,7 @@ cnt AS (
   SELECT dc.doc_id, dc.lang, m.cls,
          CAST(sum(dc.n) AS BIGINT) AS n_tokens,
          CAST(sum(dc.n * m.q_p) AS BIGINT) AS s
-  FROM doc_counts dc JOIN model m ON m.slot = dc.slot
+  FROM dcl dc JOIN model m ON m.slot = dc.slot
   GROUP BY dc.doc_id, dc.lang, m.cls
 ), rk AS (
   SELECT *, row_number() OVER (PARTITION BY doc_id
@@ -4192,7 +4196,8 @@ sp AS (
          list(struct_pack(s := span_start, e := span_end)) AS sp
   FROM spans GROUP BY doc_id
 ),
-t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+t AS (SELECT doc_id, {TOKS} AS toks FROM documents
+      WHERE text IS NOT NULL),
 j AS (SELECT t.doc_id, t.toks, sp.sp FROM t LEFT JOIN sp USING (doc_id)),
 kept AS (
   SELECT doc_id,

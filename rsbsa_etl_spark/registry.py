@@ -1355,7 +1355,12 @@ def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     cume_dist) per event_type; sort key includes event_id so ranks
     are total-order deterministic."""
     ev = load(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    # asc_nulls_last pins the rank of NULL values to DuckDB's
+    # default null ordering (Spark ASC puts NULLs first) — the
+    # fixture is null-free, so ranks are unchanged there
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc_nulls_last(), "event_id"
+    )
     return ev.select(
         "event_id",
         "event_type",

@@ -1,0 +1,106 @@
+"""Null-injection parity: the engines must agree on corpora with
+NULL text / lang / value — the input class real crawls actually
+contain and the fixtures never did.
+
+A systemic audit (LOCAL_SWEEP_r05.md) found 22 keys diverging on
+null-injected data through three root causes: the Arrow shingle
+generator coerced NULL text to '' (emitting a superbucket shingle
+the SQL oracles never saw), Spark and DuckDB default NULL *window
+orderings* differ (ASC: Spark first, DuckDB last — shifting ranks,
+top-k cuts, and cumulative counts), and per-column
+``last(ignorenulls)`` in the as-of join stitched payload fields
+from different rows. This module re-runs every previously-affected
+key (plus the shared-kernel representatives) against its oracle on
+a null-injected copy of sf0.001, so any regression in NULL
+handling fails here instead of surfacing on real data.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from __spark_entry__ import oracle_sql, queries
+
+from tests.conftest import SF_DIR
+
+#: every key the audit found divergent, plus kernel representatives
+AFFECTED = [
+    "agg_ols_slope", "decontam_fuzzy", "decontam_ngram",
+    "dedup_clusters", "dedup_containment", "dedup_incremental",
+    "dedup_minhash", "dedup_minhash_est", "dedup_ngram_jaccard",
+    "dedup_recall", "dedup_spans_cut", "graph_pagerank", "join_asof",
+    "multimodal_chunks", "multimodal_features", "multimodal_meta",
+    "novelty_score", "quantile_sketch", "rocchio_classify",
+    "sample_token_budget", "sketch_merge", "sort_zorder",
+    "window_ntile", "dsir_weights", "ab_kstest",
+]
+
+
+@pytest.fixture(scope="module")
+def null_sf(tmp_path_factory):
+    """sf0.001 with NULLs injected into events.value, documents.text
+    and documents.lang; other tables pass through."""
+    import shutil
+
+    dst = tmp_path_factory.mktemp("sf_null")
+    con = duckdb.connect()
+    con.execute(f"""
+        COPY (SELECT event_id, ts, user_id, event_type,
+                     CASE WHEN event_id % 19 = 0 THEN NULL
+                          ELSE value END AS value,
+                     props
+              FROM read_parquet('{SF_DIR}/events.parquet'))
+        TO '{dst}/events.parquet' (FORMAT PARQUET)""")
+    con.execute(f"""
+        COPY (SELECT doc_id,
+                     CASE WHEN doc_id % 23 = 0 THEN NULL
+                          ELSE text END AS text,
+                     CASE WHEN doc_id % 29 = 0 THEN NULL
+                          ELSE lang END AS lang,
+                     source, n_chars
+              FROM read_parquet('{SF_DIR}/documents.parquet'))
+        TO '{dst}/documents.parquet' (FORMAT PARQUET)""")
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "embeddings"]:
+        shutil.copy(f"{SF_DIR}/{t}.parquet", f"{dst}/{t}.parquet")
+    con.close()
+    return str(dst)
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_float_dtype(s):
+            df[c] = s.astype(float).round(9)
+        elif pd.api.types.is_integer_dtype(s):
+            df[c] = s.astype("int64")
+        elif pd.api.types.is_bool_dtype(s):
+            df[c] = s.astype(bool)
+        else:
+            df[c] = s.astype(str)
+    df = df.reindex(sorted(df.columns), axis=1)
+    return df.sort_values(
+        by=list(df.columns), kind="mergesort"
+    ).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("key", AFFECTED)
+def test_null_injected_parity(spark, null_sf, key):
+    got = _canon(queries()[key](spark, null_sf).toPandas())
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents",
+              "embeddings"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{null_sf}/{t}.parquet'"
+        )
+    want = _canon(con.execute(oracle_sql()[key]).df())
+    con.close()
+    assert len(got) == len(want), f"{key}: rows {len(got)} vs {len(want)}"
+    assert list(got.columns) == list(want.columns), key
+    pd.testing.assert_frame_equal(
+        got, want, check_dtype=False, rtol=0, atol=1e-9
+    )
