@@ -120,7 +120,11 @@ def group_ols_slope(events: DataFrame) -> DataFrame:
     import pandas as pd
 
     pts = (
-        events.where(F.col("value").isNotNull())  # no point without y
+        # no point without y; no point without x either — a NULL ts
+        # has no position on the time axis (r6 null-robustness fix)
+        events.where(
+            F.col("value").isNotNull() & F.col("ts").isNotNull()
+        )
         .select(
             "user_id",
             F.unix_millis(F.col("ts")).alias("x_ms"),
@@ -1480,7 +1484,8 @@ def ts_changepoint(events: DataFrame) -> DataFrame:
     """
     q = 1e4
     daily = (
-        events.select(
+        events.where(F.col("ts").isNotNull())
+        .select(
             F.to_date("ts").alias("day"),
             F.floor(F.col("value") * F.lit(q) + F.lit(0.5))
             .cast("long")

@@ -188,6 +188,14 @@ def asof_join(
 
     lcols = left.columns
     l2 = left.withColumn("_side", F.lit(1))
+    # NULL never matches (ANSI ASOF semantics): a right row with a
+    # NULL key or NULL ts can be "as of" nothing, so it is dropped
+    # before the union; a left row with NULL ts sorts first within
+    # its key (Spark nulls-first) and therefore sees no prior right
+    # state — it survives with NULL payload, the left-outer contract.
+    right = right.where(
+        F.col(key).isNotNull() & F.col(ts).isNotNull()
+    )
     r2 = right.select(
         F.col(key),
         F.col(ts),

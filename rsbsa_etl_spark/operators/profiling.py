@@ -348,7 +348,11 @@ def bootstrap_ci(events: DataFrame) -> DataFrame:
 
     B = int(BOOTSTRAP_B)
     vi = _fixed(F.col("value"), 4)
-    rows = events.select(
+    # NULL value rows are excluded outright (the ab_kstest /
+    # quantile_sketch convention): a NULL contributes no mass to the
+    # mean, so letting it add Poisson weight to n_w would bias every
+    # replicate toward 0.
+    rows = events.where(F.col("value").isNotNull()).select(
         "event_id",
         vi.alias("vi"),
         F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("rep"),

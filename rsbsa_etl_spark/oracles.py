@@ -1422,7 +1422,7 @@ ORACLES["agg_ols_slope"] = """
 WITH pts AS (
   SELECT user_id, epoch_ms(ts) AS x_ms,
          CAST(floor(value * 100 + 0.5) AS BIGINT) AS y_q
-  FROM events WHERE value IS NOT NULL
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
 ),
 c AS (
   SELECT user_id,
@@ -1488,11 +1488,24 @@ WHERE o.o_totalprice > {P.TARGET_PRICE_MIN}
 ORACLES["join_asof"] = """
 WITH l AS (SELECT event_id, user_id, ts, value FROM events
            WHERE event_type = 'click'),
+     -- NULL never matches: DuckDB's ASOF otherwise treats a NULL
+     -- left ts as +infinity (matches the LATEST right row) and
+     -- pairs NULL with NULL on the right — both nonstandard. The
+     -- engine contract is "a NULL key or ts is 'as of' nothing",
+     -- so the right side drops them and NULL-ts left rows bypass
+     -- the ASOF entirely, union-ed back with NULL payload.
      r AS (SELECT user_id, ts, value FROM events
-           WHERE event_type = 'view')
+           WHERE event_type = 'view'
+             AND ts IS NOT NULL AND user_id IS NOT NULL)
 SELECT l.event_id, l.user_id, l.value AS v_click,
        epoch_us(r.ts) AS view_ts_us, r.value AS v_view
-FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+FROM (SELECT * FROM l WHERE ts IS NOT NULL) l
+ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+UNION ALL
+SELECT event_id, user_id, value AS v_click,
+       CAST(NULL AS BIGINT) AS view_ts_us,
+       CAST(NULL AS DOUBLE) AS v_view
+FROM l WHERE ts IS NULL
 """
 
 ORACLES["sample_stratified"] = f"""
@@ -4014,6 +4027,7 @@ WITH r AS (
          CAST(floor(CAST(value AS DOUBLE) * 10000.0 + 0.5) AS BIGINT) AS vi,
          CAST(t.range AS BIGINT) AS rep
   FROM events, range(0, {P.BOOTSTRAP_B}) t
+  WHERE value IS NOT NULL
 ), d AS (
   SELECT rep, vi,
          {_hexpoly(
@@ -4266,7 +4280,7 @@ WITH daily AS (
   SELECT CAST(ts AS DATE) AS day,
          CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 10000.0 + 0.5)
                        AS BIGINT)) AS BIGINT) AS x
-  FROM events GROUP BY day
+  FROM events WHERE ts IS NOT NULL GROUP BY day
 ), tot AS (
   SELECT CAST(sum(x) AS BIGINT) AS s_tot,
          CAST(count(*) AS BIGINT) AS n_days

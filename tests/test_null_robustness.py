@@ -35,19 +35,25 @@ AFFECTED = [
     "novelty_score", "quantile_sketch", "rocchio_classify",
     "sample_token_budget", "sketch_merge", "sort_zorder",
     "window_ntile", "dsir_weights", "ab_kstest",
+    # round-6 additions (ADVICE r5): NULL-value exclusion in the
+    # bootstrap, NULL-ts day binning in the changepoint trace
+    "bootstrap_ci", "ts_changepoint",
 ]
 
 
 @pytest.fixture(scope="module")
 def null_sf(tmp_path_factory):
-    """sf0.001 with NULLs injected into events.value, documents.text
-    and documents.lang; other tables pass through."""
+    """sf0.001 with NULLs injected into events.value, events.ts,
+    documents.text and documents.lang; other tables pass through."""
     import shutil
 
     dst = tmp_path_factory.mktemp("sf_null")
     con = duckdb.connect()
     con.execute(f"""
-        COPY (SELECT event_id, ts, user_id, event_type,
+        COPY (SELECT event_id,
+                     CASE WHEN event_id % 31 = 0 THEN NULL
+                          ELSE ts END AS ts,
+                     user_id, event_type,
                      CASE WHEN event_id % 19 = 0 THEN NULL
                           ELSE value END AS value,
                      props

@@ -42,13 +42,29 @@ def test_green_requires_all_three_driver_flags():
 
 
 def test_sweep_head_contains_no_already_green_key():
+    """No sweep slot goes to a green key while a pending key waits.
+
+    Endgame nuance (round 5+): once fewer than SWEEP_BUDGET keys are
+    pending, greens legitimately back-fill the head — the driver will
+    re-confirm them, which is free re-verification, not waste. So the
+    strict no-green-in-head form only applies while the pending pool
+    can fill the head; afterwards we assert ordering instead (every
+    pending key precedes every green one within the head)."""
     rows = _latest_rows()
+    order = list(queries())
     green = {k for k, r in rows.items() if _is_green(r)}
-    head = list(queries())[:SWEEP_BUDGET]
-    overlap = [k for k in head if k in green]
-    assert overlap == [], (
-        f"driver budget wasted re-checking already-green keys: {overlap}"
-    )
+    pending = [k for k in order if k not in green]
+    head = order[:SWEEP_BUDGET]
+    if len(pending) >= SWEEP_BUDGET:
+        overlap = [k for k in head if k in green]
+        assert overlap == [], (
+            f"driver budget wasted re-checking already-green keys: {overlap}"
+        )
+    else:
+        # endgame: head = all pending keys first, then green back-fill
+        assert head[: len(pending)] == pending, (
+            "pending keys must occupy the head before any green back-fill"
+        )
 
 
 def test_sweep_head_leads_with_still_red_keys():
