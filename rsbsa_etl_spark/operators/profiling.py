@@ -573,6 +573,120 @@ def benford_digits(events: DataFrame) -> DataFrame:
     )
 
 
+#: block width (log2) for the blocked ECDF cumulative sum: 2^16
+#: fixed-point units per block. Chosen so the residual GLOBAL pass
+#: runs over block totals — |domain| / 2^16 rows — instead of every
+#: distinct value: a [-10^6, 10^6] metric at 1e-4 fixed point is
+#: 2·10^10 distinct values but only ~305k block rows, and the
+#: per-block windows parallelize across the cluster.
+ECDF_BLOCK_BITS = 16
+
+
+def blocked_cumsum(
+    per_v: DataFrame, order_col: str, sum_cols: list[str]
+) -> DataFrame:
+    """exact running (inclusive) sums over a totally-ordered column
+    — the range-partitioned cumulative sum with carry, the shared
+    ECDF kernel behind ``ab_kstest`` and ``value_ecdf``.
+
+    A plain ``Window.orderBy(v)`` cumulative sum is a SINGLE
+    PARTITION sort — the one plan shape that cannot scale past one
+    executor. This kernel decomposes it exactly:
+
+    1. block id = arithmetic-shift-right(v, 16) — order-preserving
+       for negative values too (two's-complement floor division);
+    2. within-block running sums under ``Window.partitionBy(blk)``
+       — embarrassingly parallel, ≤2^16 distinct values per block;
+    3. carry = exclusive running sum over BLOCK TOTALS (one row per
+       non-empty block — the only residual global window, bounded
+       by domain/2^16, not by |V| and never by row count);
+    4. inclusive_cum = within_block + carry, via a broadcast join
+       on the tiny block-totals table.
+
+    Integer-exact: every partial is a sum of longs, so the
+    decomposition is bit-identical to the single-window form — the
+    DuckDB oracles keep their plain ``ORDER BY v ROWS UNBOUNDED
+    PRECEDING`` formulation and still hash-match.
+
+    Returns ``per_v`` columns plus ``<c>_cum`` for each ``sum_cols``.
+    """
+    v = F.col(order_col)
+    b = per_v.withColumn("_blk", F.shiftright(v, ECDF_BLOCK_BITS))
+    win = (
+        Window.partitionBy("_blk")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    within = b.select(
+        "*", *[F.sum(c).over(win).alias(f"_w_{c}") for c in sum_cols]
+    )
+    totals = b.groupBy("_blk").agg(
+        *[F.sum(c).alias(f"_t_{c}") for c in sum_cols]
+    )
+    # the one residual global window — over block totals only (see
+    # step 3 above); partitionBy a constant would not help, the
+    # point is the input is already tiny
+    carry_w = Window.orderBy("_blk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    carry = totals.select(
+        "_blk",
+        *[
+            F.coalesce(F.sum(f"_t_{c}").over(carry_w), F.lit(0)).alias(
+                f"_p_{c}"
+            )
+            for c in sum_cols
+        ],
+    )
+    return (
+        within.join(F.broadcast(carry), "_blk")
+        .select(
+            *per_v.columns,
+            *[
+                (F.col(f"_w_{c}") + F.col(f"_p_{c}")).alias(f"{c}_cum")
+                for c in sum_cols
+            ],
+        )
+    )
+
+
+def value_ecdf(events: DataFrame) -> DataFrame:
+    """empirical CDF of ``value`` evaluated at every distinct value
+    — the second consumer of the shared ``blocked_cumsum`` ECDF
+    kernel (one kernel, two keys: this and ``ab_kstest``), and the
+    profiling primitive behind quantile reads, drift checks, and
+    threshold picking.
+
+    Output: one row per distinct value — ``value`` (4 dp), ``n_le``
+    (exact count of rows with value ≤ v, right-continuous ECDF
+    convention), ``cdf`` = n_le/n rounded to 6 dp through the one
+    shared correctly-rounded double division. NULL values have no
+    ECDF position and are excluded in both engines.
+
+    Plan: one partial-agg shuffle to distinct values, then the
+    blocked cumulative sum — per-block windows parallelize, the
+    residual global pass is over block totals (domain/2^16 rows).
+    No global sort, no single-partition |V| window.
+    """
+    q = 1e4
+    vi = _fixed(F.col("value"), 4)
+    per_v = (
+        events.where(F.col("value").isNotNull())
+        .select(vi.alias("v"))
+        .groupBy("v")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = per_v.agg(F.sum("c").cast("long").alias("n"))
+    cum = blocked_cumsum(per_v, "v", ["c"])
+    return cum.join(F.broadcast(tot)).select(
+        dec_round(F.col("v").cast("double") / F.lit(q), 4).alias("value"),
+        F.col("c_cum").cast("long").alias("n_le"),
+        dec_round(
+            F.col("c_cum").cast("double") / F.col("n"), 6
+        ).alias("cdf"),
+    )
+
+
 def ab_kstest(events: DataFrame) -> DataFrame:
     """two-sample Kolmogorov–Smirnov distance between the arms'
     value distributions — the nonparametric companion to the Welch
@@ -596,9 +710,11 @@ def ab_kstest(events: DataFrame) -> DataFrame:
     statistics (the ab_ttest convention), never a divide-by-zero.
 
     Plan: one pass to (value, arm) counts (map-side partials) —
-    reused by the arm-total fold and by ONE distinct-value
-    running-sum window (bounded by the value domain's cardinality,
-    not the row count) — then a 1-row rank pick.
+    reused by the arm-total fold and by the blocked ECDF cumulative
+    sum (``blocked_cumsum``: per-block windows parallelize, the
+    residual global pass sees block totals only — domain/2^16 rows,
+    never |V| and never row count) — then the argmax is a plain
+    ``max(struct(num, -v))`` aggregate, no global sort anywhere.
     """
     q = 1e4
     vi = _fixed(F.col("value"), 4)
@@ -618,11 +734,10 @@ def ab_kstest(events: DataFrame) -> DataFrame:
         F.sum("ca").cast("long").alias("n_a"),
         F.sum("cb").cast("long").alias("n_b"),
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    cum = per_v.select(
+    cum = blocked_cumsum(per_v, "v", ["ca", "cb"]).select(
         "v",
-        F.sum("ca").over(w).alias("na_le"),
-        F.sum("cb").over(w).alias("nb_le"),
+        F.col("ca_cum").alias("na_le"),
+        F.col("cb_cum").alias("nb_le"),
     )
     d = cum.join(F.broadcast(tot)).select(
         "v",
@@ -633,25 +748,38 @@ def ab_kstest(events: DataFrame) -> DataFrame:
             - F.col("nb_le").cast("decimal(38,0)") * F.col("n_a")
         ).alias("num"),
     )
-    wp = Window.orderBy(F.col("num").desc(), F.col("v").asc())
+    # argmax with min-v tiebreak as a commutative aggregate: max on
+    # (num asc, -v asc) picks the largest num, then the SMALLEST v.
+    # The isNotNull guard keeps the empty-input contract (0 rows,
+    # matching the oracle's rank-filter form) — an agg over nothing
+    # would otherwise emit one all-NULL row.
     both = (F.col("n_a") > 0) & (F.col("n_b") > 0)
     return (
-        d.withColumn("rk", F.row_number().over(wp))
-        .where(F.col("rk") == 1)
+        d.agg(
+            F.max(
+                F.struct(
+                    F.col("num").alias("num"), (-F.col("v")).alias("nv")
+                )
+            ).alias("m"),
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+        )
+        .where(F.col("m").isNotNull())
         .select(
             F.col("n_a").cast("long").alias("n_a"),
             F.col("n_b").cast("long").alias("n_b"),
             dec_round(
                 F.when(
                     both,
-                    F.col("num").cast("double")
+                    F.col("m.num").cast("double")
                     / F.col("n_a")
                     / F.col("n_b"),
                 ),
                 6,
             ).alias("ks_d"),
             dec_round(
-                F.when(both, F.col("v").cast("double") / F.lit(q)), 4
+                F.when(both, -F.col("m.nv").cast("double") / F.lit(q)),
+                4,
             ).alias("at_value"),
         )
     )

@@ -4378,3 +4378,24 @@ SELECT n_a, n_b,
             THEN {_dec("CAST(v AS DOUBLE) / 10000.0", 4)} END AS at_value
 FROM rk WHERE r = 1
 """
+
+
+ORACLES["value_ecdf"] = f"""
+WITH per_v AS (
+  SELECT CAST(floor(CAST(value AS DOUBLE) * 10000.0 + 0.5) AS BIGINT) AS v,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL GROUP BY v
+), tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n FROM per_v
+)
+-- plain single-window form: the Spark side's blocked decomposition
+-- (per-block cumsum + block-total carry) is integer-exact, so the
+-- two formulations hash-match bit for bit
+SELECT {_dec("CAST(v AS DOUBLE) / 10000.0", 4)} AS value,
+       CAST(sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS n_le,
+       {_dec(
+         "CAST(sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)"
+         " AS DOUBLE) / n", 6)} AS cdf
+FROM per_v, tot
+"""

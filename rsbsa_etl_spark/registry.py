@@ -1762,6 +1762,16 @@ def ab_kstest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _k(load(spark, sf_dir, "events"))
 
 
+def value_ecdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """empirical CDF of value at every distinct value — second
+    consumer of the shared blocked_cumsum ECDF kernel (with
+    ab_kstest): per-block windows parallelize, the only global pass
+    is over block totals."""
+    from rsbsa_etl_spark.operators.profiling import value_ecdf as _e
+
+    return _e(load(spark, sf_dir, "events"))
+
+
 def benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford's-law first-digit audit with per-digit chi-square
     decomposition — expected frequencies are pre-computed literals,
@@ -2337,6 +2347,7 @@ QUERIES: dict[str, QueryFn] = {
     "ts_changepoint": ts_changepoint,
     "benford_digits": benford_digits,
     "ab_kstest": ab_kstest,
+    "value_ecdf": value_ecdf,
     "snapshot_diff": snapshot_diff,
     "resample_ffill": resample_ffill,
     "ab_ttest": ab_ttest,
@@ -2489,6 +2500,8 @@ _UNTESTED_PRIORITY = [
     "bootstrap_ci", "ab_cuped", "ann_mrr", "hybrid_mmr",
     "prf_expand", "dedup_spans_cut", "dedup_recall", "l_diversity",
     "ts_changepoint", "benford_digits", "ab_kstest",
+    # round-6 additions
+    "value_ecdf",
 ]
 
 _rows = _driver_latest_rows()

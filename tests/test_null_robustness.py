@@ -38,6 +38,8 @@ AFFECTED = [
     # round-6 additions (ADVICE r5): NULL-value exclusion in the
     # bootstrap, NULL-ts day binning in the changepoint trace
     "bootstrap_ci", "ts_changepoint",
+    # blocked-ECDF kernel consumers (shared blocked_cumsum)
+    "value_ecdf",
 ]
 
 
