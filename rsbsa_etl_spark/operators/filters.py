@@ -103,3 +103,65 @@ def domain_audit(events: DataFrame) -> DataFrame:
         "'event_id_unique', n_checked, v_unique"
         ") AS (rule, n_checked, n_violations)"
     ).withColumn("passed", F.col("n_violations") == 0)
+
+
+def check_domains(df: DataFrame, table: str) -> DataFrame:
+    """schema-registry-driven CHECK validation for the 12 reference
+    target tables: Spark has no ENUM or ZEROFILL, so the DDL
+    inventory (``schemas.DOMAIN_TABLES``) records each ENUM column's
+    value set and each ZEROFILL geo code's display width, and this
+    op enforces them — ``isin()`` per ENUM column (NULL passes: the
+    reference columns are nullable and MySQL ENUM admits NULL), and
+    digits-only + ``lpad`` width conformance per ZEROFILL column
+    (``etlService.js:254,376,384`` ENUMs; ``:277-290,537-545``
+    zerofilled geo codes; mapping rules SURVEY §1.2).
+
+    Returns the input plus one ``_chk_<col>`` boolean per constrained
+    column and ``_valid`` (conjunction) — composable with
+    ``validity_split`` for the P4 valid/invalid routing. Pure
+    column expressions: whole-stage-codegen, no shuffle.
+    """
+    from rsbsa_etl_spark.schemas import ENUM_DOMAINS, ZEROFILL_WIDTHS
+
+    checks: list[Column] = []
+    out = df
+    for (tbl, col), domain in sorted(ENUM_DOMAINS.items()):
+        if tbl != table or col not in df.columns:
+            continue
+        c = F.col(col).isNull() | F.col(col).isin(*domain)
+        out = out.withColumn(f"_chk_{col}", c)
+        checks.append(c)
+    for (tbl, col), width in sorted(ZEROFILL_WIDTHS.items()):
+        if tbl != table or col not in df.columns:
+            continue
+        c = F.col(col).isNull() | (
+            F.col(col).rlike(r"^[0-9]+$")
+            & (F.length(col) <= F.lit(width))
+        )
+        out = out.withColumn(f"_chk_{col}", c)
+        checks.append(c)
+    valid = F.lit(True)
+    for c in checks:
+        valid = valid & c
+    return out.withColumn("_valid", valid)
+
+
+def zerofill_format(df: DataFrame, table: str) -> DataFrame:
+    """apply the ZEROFILL display rule on output: lpad each geo-code
+    column to its DDL width with '0' (``INT(3) UNSIGNED ZEROFILL``
+    renders 7 as '007' — digits-matter padding, SURVEY §1.2). NULLs
+    pass through. Pure projection, codegen-friendly."""
+    from rsbsa_etl_spark.schemas import ZEROFILL_WIDTHS
+
+    out = df
+    for (tbl, col), width in sorted(ZEROFILL_WIDTHS.items()):
+        if tbl != table or col not in df.columns:
+            continue
+        out = out.withColumn(
+            col,
+            F.when(
+                F.col(col).isNotNull(),
+                F.lpad(F.col(col), width, "0"),
+            ),
+        )
+    return out
