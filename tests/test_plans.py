@@ -686,3 +686,91 @@ def test_dsir_and_rocchio_models_reaggregate_not_rescan(spark):
         assert "SortMergeJoin" not in plan, key
         assert "BatchEvalPython" not in plan, key
         assert "CartesianProduct" not in plan, key
+
+
+# ------------------------------------------- global-window audit
+
+
+#: keys allowed to carry an unpartitioned (single-partition) window,
+#: with the exact count observed in their audited plan. Every entry
+#: is bounded by construction — NOT by row count:
+#:   limit_offset         1  page-sized output under a total order
+#:   bootstrap_ci         1  rank over B=32 replicate means
+#:   sketch_merge         2  bottom-k over a k=256-row KMV sketch
+#:   sample_token_budget  1  offsets over the 64-bucket totals table
+#:   ab_kstest            2  blocked-ECDF carry over block totals
+#:   value_ecdf           1  (domain/2^16 rows; plan prints the
+#:                           reused carry subtree twice in ab_kstest)
+#:   ts_changepoint       3  day-calendar series: cum + t + peak rank
+#: WindowExec's "No Partition Defined" WARN is logger-suppressed in
+#: session.py because these sites made it wall-to-wall noise; THIS
+#: audit is the replacement signal — an unplanned global window in
+#: any other key (or an extra one here) fails instead of scrolling
+#: past in a log tail.
+GLOBAL_WINDOW_ALLOWLIST = {
+    "ab_kstest": 2,
+    "bootstrap_ci": 1,
+    "limit_offset": 1,
+    "sample_token_budget": 1,
+    "sketch_merge": 2,
+    "ts_changepoint": 3,
+    "value_ecdf": 1,
+}
+
+#: plan-buildable batch keys: building these DataFrames is lazy. The
+#: exclusions execute work at build time (streaming replays, write
+#: paths, iterative driver loops) — same set PLANAUDIT uses.
+_AUDIT_EXCLUDE_PREFIXES = ("stream_", "sync_", "upsert_", "overwrite_")
+_AUDIT_EXCLUDE = {
+    "bpe_train", "bpe_segment", "mmr_rerank", "hybrid_mmr",
+    "dedup_clusters", "graph_pagerank", "merge_cdc", "compact_plan",
+    "dedup_embedding_incremental", "dedup_incremental",
+    "scan_file_provenance", "curation_pipeline", "rocchio_classify",
+    "prf_expand", "hybrid_search_rrf", "hard_negatives",
+}
+
+
+def _unpartitioned_windows(plan: str) -> int:
+    import re
+
+    n = 0
+    for m in re.finditer(
+        r"windowspecdefinition\(([^)]*?)specifiedwindowframe", plan
+    ):
+        first = m.group(1).split(",")[0]
+        if " ASC" in first or " DESC" in first:
+            n += 1
+    return n
+
+
+def test_no_unplanned_global_windows(spark):
+    """registry-wide: every single-partition window must be on the
+    documented allowlist with its exact count — the machine-checked
+    replacement for the suppressed WindowExec warning."""
+    import json
+    from pathlib import Path
+
+    audited = [
+        r["key"]
+        for r in json.loads(
+            (Path(__file__).resolve().parent.parent / "PLANAUDIT.json")
+            .read_text()
+        )
+    ]
+    keys = [
+        k
+        for k in QUERIES
+        if (k in audited or k not in _AUDIT_EXCLUDE)
+        and not k.startswith(_AUDIT_EXCLUDE_PREFIXES)
+        and k not in _AUDIT_EXCLUDE
+    ]
+    got = {}
+    for k in keys:
+        plan = _plan(QUERIES[k](spark, SF_DIR))
+        n = _unpartitioned_windows(plan)
+        if n:
+            got[k] = n
+    assert got == GLOBAL_WINDOW_ALLOWLIST, (
+        "unpartitioned-window audit drifted — new unplanned global "
+        f"window or stale allowlist: got {got}"
+    )
