@@ -1526,3 +1526,311 @@ def ts_changepoint(events: DataFrame) -> DataFrame:
             (F.col("pk") == 1).alias("is_peak"),
         )
     )
+
+
+def hll_sketch(events: DataFrame, m: int = 64) -> DataFrame:
+    """deterministic HyperLogLog (Flajolet et al. 2007) distinct-user
+    estimate per event_type plus the MERGED global sketch — the
+    register-max mergeability twin of ``kmv_merge_eval``: the global
+    row's registers are the per-bucket MAX over the group sketches,
+    computed from the (groups × m)-row register table rather than a
+    second corpus pass — HLL union is register max, the property that
+    lets 1000 shards sketch 100 TB locally and ship m bytes each.
+
+    Determinism/portability discipline (the engine-parity contract):
+    the standard HLL uses leading-zero counts and a log-based
+    small-range correction — both engine-divergent. Here every step
+    is integer-exact in both engines:
+
+    - hash: first 8 md5 hex digits → u32 (the shared draw kernel);
+    - bucket: ``hash % m``; rank: ``27 − bitlen(hash >> 6)`` via the
+      binary-string length (``bin()`` exists in Spark AND DuckDB;
+      w = 0 ranks 27) — no clz, no log2;
+    - the harmonic denominator Z = Σ 2^−M_j is held SCALED as the
+      integer Σ 2^(27−M_j) (shiftleft; M ≤ 27 so each term and the
+      64-term sum fit easily in a long), so the raw estimate
+      α·m²·2^27 / Z_scaled is ONE correctly-rounded double division
+      of exact integers — bit-identical everywhere. No log-based
+      linear-counting correction (n_zero_registers is emitted so a
+      consumer can apply their own); at m = 64 the raw estimate's
+      ~13% rse is the documented trade for 64 longs of state.
+
+    Plan: ONE partial-agg shuffle of the corpus to (group, bucket)
+    register maxima; the merge and the per-group folds run on
+    register tables of ≤ groups × m rows.
+    """
+    alpha = 0.709  # α_64 (Flajolet et al., Fig. 3 constants)
+    u32 = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("hll|"), F.col("user_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+    )
+    rows = events.where(F.col("user_id").isNotNull()).select(
+        "event_type", u32.alias("h")
+    )
+    w = F.shiftrightunsigned(F.col("h"), 6)
+    rank = F.when(w == 0, F.lit(27)).otherwise(
+        F.lit(27) - F.length(F.bin(w))
+    )
+    regs = (
+        rows.select(
+            "event_type",
+            (F.col("h") % m).alias("bucket"),
+            rank.alias("r"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.max("r").alias("reg"))
+    )
+    # the union sketch IS the per-bucket register max of the group
+    # sketches — computed from the (groups × m)-row register table,
+    # not a second corpus pass: the mergeability property, executed
+    merged = (
+        regs.groupBy("bucket")
+        .agg(F.max("reg").alias("reg"))
+        .select(F.lit("ALL").alias("event_type"), "bucket", "reg")
+    )
+    per_group = regs.unionByName(merged).groupBy("event_type").agg(
+        # shiftleft's PySpark wrapper wants a literal bit count; the
+        # SQL form takes a column
+        F.sum(F.expr("shiftleft(1L, CAST(27 - reg AS INT))")).alias(
+            "z_scaled"
+        ),
+        F.count("*").alias("n_used"),
+    )
+    est = (
+        F.lit(alpha * m * m * float(1 << 27))
+        / (
+            F.col("z_scaled")
+            # empty registers contribute 2^0·2^27 each to Z_scaled
+            + (F.lit(m) - F.col("n_used")) * F.lit(float(1 << 27))
+        )
+    )
+    return per_group.select(
+        "event_type",
+        (F.lit(m) - F.col("n_used").cast("long")).alias("n_zero_registers"),
+        F.col("z_scaled").cast("long").alias("z_scaled"),
+        dec_round(est, 4).alias("hll_raw_est"),
+    )
+
+
+def window_ewma(events: DataFrame, depth: int = 8) -> DataFrame:
+    """exponentially weighted moving average of ``value`` per user —
+    the trend-smoothing primitive time-series dashboards apply before
+    thresholding. The textbook recursive EWMA (s_t = α·x_t +
+    (1−α)·s_{t−1}) is order-serial and float-drifting; this is the
+    α = 1/2 truncated form: the trailing ``depth`` observations
+    weighted 2^0 (oldest in window) … 2^(depth−1) (current).
+
+    Exactness: dyadic weights make every term integer — value in
+    1e-4 fixed point times a power of two, summed as longs; missing
+    lags (the first rows of each user) drop both their term AND
+    their weight from the denominator, so early rows average over
+    what exists. One correctly-rounded double division at the end —
+    bit-identical across engines, no pow(), no float accumulation.
+    NULL value/ts rows carry no position and are filtered (engine
+    NULL-ordering convention).
+
+    Plan: one shuffle on user_id; the ``depth`` lag() terms all share
+    ONE partitioned window sort. State per row is ``depth`` longs —
+    constant — and partitions parallelize by user at any scale.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    vi = F.floor(F.col("value") * 1e4 + F.lit(0.5)).cast("long")
+    base = events.where(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    ).select("event_id", "user_id", "ts", vi.alias("vi"))
+    num = F.lit(0).cast("long")
+    den = F.lit(0).cast("long")
+    for i in range(depth):
+        weight = 1 << (depth - 1 - i)
+        lagged = F.lag("vi", i).over(w) if i else F.col("vi")
+        num = num + F.coalesce(lagged * F.lit(weight), F.lit(0))
+        den = den + F.when(lagged.isNotNull(), F.lit(weight)).otherwise(
+            F.lit(0)
+        )
+    return base.select(
+        "event_id",
+        "user_id",
+        dec_round(num.cast("double") / den / F.lit(1e4), 6).alias("ewma"),
+    )
+
+
+def skyline_pareto(orders: DataFrame) -> DataFrame:
+    """2-D Pareto skyline of orders under (higher total price, more
+    recent order date) — the multi-criteria "best offers" operator
+    (Börzsönyi et al., ICDE 2001): a row survives iff no other row is
+    ≥ on both axes and > on at least one. Exact duplicates (same
+    price, same day) are mutually non-dominating and all survive.
+
+    The naive skyline is an all-pairs dominance test. The sort-based
+    identity used here: with prices grouped distinct and D(p) =
+    max order-day at price p, a row (p, d) is in the skyline iff
+    d > max{D(p') : p' > p} (no strictly-pricier order is as recent)
+    AND d = D(p) (it is its own price group's most recent — same-price
+    rows with older dates are dominated within the group). That outer
+    running max over descending price is ``blocked_running`` with
+    agg=max, exclusive — the third consumer of the blocked kernel,
+    so the only global pass runs over price-block maxima, never rows.
+
+    Exactness: price in cents, date in epoch days — integer dominance
+    tests, no float compares. Plan: one groupBy(price) shuffle, the
+    blocked running max, one equi-join back on price (both sides
+    already hashed by price).
+    """
+    from rsbsa_etl_spark.operators.profiling import blocked_running
+
+    pi = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    di = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("long")
+    base = orders.where(
+        F.col("o_totalprice").isNotNull() & F.col("o_orderdate").isNotNull()
+    ).select(
+        "o_orderkey",
+        pi.alias("pi"),
+        di.alias("di"),
+    )
+    per_p = base.groupBy("pi").agg(F.max("di").alias("dmax"))
+    # ascending -pi == descending price; arithmetic shift keeps
+    # block order correct for the negated key
+    runs = blocked_running(
+        per_p.withColumn("np", -F.col("pi")), "np", ["dmax"], "max", False
+    ).select("pi", "dmax", F.col("dmax_run").alias("m_pricier"))
+    return (
+        base.join(runs, "pi")
+        .where(
+            (F.col("m_pricier").isNull() | (F.col("di") > F.col("m_pricier")))
+            & (F.col("di") == F.col("dmax"))
+        )
+        .select(
+            "o_orderkey",
+            dec_round(F.col("pi").cast("double") / 100, 2).alias(
+                "o_totalprice"
+            ),
+            F.date_add(F.lit("1970-01-01").cast("date"), F.col("di").cast("int")).alias(
+                "o_orderdate"
+            ),
+        )
+    )
+
+
+def source_overlap_kmv(docs: DataFrame, k: int | None = None) -> DataFrame:
+    """pairwise corpus-overlap matrix: for every pair of sources, the
+    exact Jaccard similarity of their shingle vocabularies AND the
+    bottom-k (KMV) sketch estimate of it — the curation question
+    "how much does crawl A duplicate crawl B" answered two ways, so
+    the sketch's error is itself part of the checked output
+    (Beyer et al. 2007, "distinct-value synopses over set
+    operations": J_est = |U_k ∩ A ∩ B| / k over the union's
+    bottom-k).
+
+    Scale split, stated: the EXACT column is the expensive path — a
+    self-equi-join of the (source, hash) vocabulary on hash, one
+    shuffle, pair-linear output — priced acceptable here because
+    vocabulary tables are corpus-sublinear. The SKETCH column's
+    inputs are sources × k rows TOTAL after the per-source bottom-k
+    (partitioned window); at 100 TB one keeps only the sketch column
+    and the per-pair cost stops depending on the corpus entirely —
+    the estimate's observed error at every SF is the evidence for
+    cutting the exact path, which is why both ship in one row.
+
+    Pairs are ordered a < b lexicographically; the pair table itself
+    is a tiny distinct-sources self-join (no driver collect).
+    """
+    from rsbsa_etl_spark import params as P
+    from rsbsa_etl_spark.functions.dedup import shingle_windows
+
+    k = P.SKETCH_MERGE_K if k is None else k
+    h = (
+        F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10)
+        .cast("bigint")
+    )
+    sh = (
+        docs.select(
+            "source", F.explode(shingle_windows(F.col("text"))).alias("term")
+        )
+        .where(F.col("term").isNotNull())
+        .select("source", h.alias("h"))
+        .distinct()
+        .persist()
+    )
+
+    # exact pair overlap: one equi-join on hash; |A∪B| by inclusion-
+    # exclusion from per-source totals (broadcast — one row/source)
+    sizes = sh.groupBy("source").agg(F.count("*").alias("n"))
+    inter = (
+        sh.alias("x")
+        .join(sh.alias("y"), "h")
+        .where(F.col("x.source") < F.col("y.source"))
+        .groupBy(
+            F.col("x.source").alias("a"), F.col("y.source").alias("b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    pairs = (
+        sizes.alias("sa")
+        .join(sizes.alias("sb"))
+        .where(F.col("sa.source") < F.col("sb.source"))
+        .select(
+            F.col("sa.source").alias("a"),
+            F.col("sb.source").alias("b"),
+            F.col("sa.n").alias("na"),
+            F.col("sb.n").alias("nb"),
+        )
+        .join(F.broadcast(inter), ["a", "b"], "left")
+        .withColumn("n_inter", F.coalesce("n_inter", F.lit(0)))
+    )
+
+    # sketch estimate: per-source bottom-k, then per-pair union
+    # bottom-k over ≤ 2k rows — corpus-independent
+    wk = Window.partitionBy("source").orderBy("h")
+    skt = (
+        sh.withColumn("rn", F.row_number().over(wk))
+        .where(F.col("rn") <= k)
+        .select("source", "h")
+    )
+    u = (
+        pairs.select("a", "b")
+        .join(skt, (F.col("source") == F.col("a")) | (F.col("source") == F.col("b")))
+        .groupBy("a", "b", "h")
+        .agg(
+            F.max((F.col("source") == F.col("a")).cast("int")).alias("in_a"),
+            F.max((F.col("source") == F.col("b")).cast("int")).alias("in_b"),
+        )
+    )
+    wu = Window.partitionBy("a", "b").orderBy("h")
+    est = (
+        u.withColumn("rn", F.row_number().over(wu))
+        .where(F.col("rn") <= k)
+        .groupBy("a", "b")
+        .agg(
+            F.count("*").alias("k_eff"),
+            F.sum(F.col("in_a") * F.col("in_b")).alias("n_both"),
+        )
+    )
+    return (
+        pairs.join(est, ["a", "b"])
+        .select(
+            "a",
+            "b",
+            F.col("n_inter").cast("long").alias("n_inter"),
+            (F.col("na") + F.col("nb") - F.col("n_inter"))
+            .cast("long")
+            .alias("n_union"),
+            dec_round(
+                F.col("n_inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_inter")),
+                6,
+            ).alias("j_exact"),
+            dec_round(
+                F.col("n_both").cast("double") / F.col("k_eff"), 6
+            ).alias("j_kmv"),
+        )
+    )

@@ -582,8 +582,12 @@ def benford_digits(events: DataFrame) -> DataFrame:
 ECDF_BLOCK_BITS = 16
 
 
-def blocked_cumsum(
-    per_v: DataFrame, order_col: str, sum_cols: list[str]
+def blocked_running(
+    per_v: DataFrame,
+    order_col: str,
+    cols: list[str],
+    agg: str = "sum",
+    inclusive: bool = True,
 ) -> DataFrame:
     """exact running (inclusive) sums over a totally-ordered column
     — the range-partitioned cumulative sum with carry, the shared
@@ -608,46 +612,67 @@ def blocked_cumsum(
     DuckDB oracles keep their plain ``ORDER BY v ROWS UNBOUNDED
     PRECEDING`` formulation and still hash-match.
 
-    Returns ``per_v`` columns plus ``<c>_cum`` for each ``sum_cols``.
+    Returns ``per_v`` columns plus ``<c>_cum`` (sum) / ``<c>_run``
+    (max) for each entry of ``cols``.
     """
+    agg_fn = {"sum": F.sum, "max": F.max}[agg]
+
+    def combine(a: Column, b: Column) -> Column:
+        if agg == "sum":
+            return F.coalesce(a, F.lit(0)) + F.coalesce(b, F.lit(0))
+        return F.greatest(a, b)  # greatest skips NULL operands
+
+    end = 0 if inclusive else -1
     v = F.col(order_col)
     b = per_v.withColumn("_blk", F.shiftright(v, ECDF_BLOCK_BITS))
     win = (
         Window.partitionBy("_blk")
         .orderBy(order_col)
-        .rowsBetween(Window.unboundedPreceding, 0)
+        .rowsBetween(Window.unboundedPreceding, end)
     )
     within = b.select(
-        "*", *[F.sum(c).over(win).alias(f"_w_{c}") for c in sum_cols]
+        "*", *[agg_fn(c).over(win).alias(f"_w_{c}") for c in cols]
     )
     totals = b.groupBy("_blk").agg(
-        *[F.sum(c).alias(f"_t_{c}") for c in sum_cols]
+        *[agg_fn(c).alias(f"_t_{c}") for c in cols]
     )
     # the one residual global window — over block totals only (see
-    # step 3 above); partitionBy a constant would not help, the
-    # point is the input is already tiny
+    # step 3 above), always EXCLUSIVE: the carry is what strictly
+    # precedes the block
     carry_w = Window.orderBy("_blk").rowsBetween(
         Window.unboundedPreceding, -1
     )
     carry = totals.select(
         "_blk",
         *[
-            F.coalesce(F.sum(f"_t_{c}").over(carry_w), F.lit(0)).alias(
-                f"_p_{c}"
-            )
-            for c in sum_cols
+            F.sum(f"_t_{c}").over(carry_w).alias(f"_p_{c}")
+            if agg == "sum"
+            else F.max(f"_t_{c}").over(carry_w).alias(f"_p_{c}")
+            for c in cols
         ],
     )
+    out_suffix = "_cum" if agg == "sum" else "_run"
     return (
         within.join(F.broadcast(carry), "_blk")
         .select(
             *per_v.columns,
             *[
-                (F.col(f"_w_{c}") + F.col(f"_p_{c}")).alias(f"{c}_cum")
-                for c in sum_cols
+                combine(F.col(f"_w_{c}"), F.col(f"_p_{c}")).alias(
+                    f"{c}{out_suffix}"
+                )
+                for c in cols
             ],
         )
     )
+
+
+def blocked_cumsum(
+    per_v: DataFrame, order_col: str, sum_cols: list[str]
+) -> DataFrame:
+    """inclusive running sums — the original ECDF form; see
+    ``blocked_running`` for the generalized kernel (sum/max,
+    inclusive/exclusive) that ``skyline_pareto`` reuses."""
+    return blocked_running(per_v, order_col, sum_cols, "sum", True)
 
 
 def value_ecdf(events: DataFrame) -> DataFrame:
@@ -782,4 +807,69 @@ def ab_kstest(events: DataFrame) -> DataFrame:
                 4,
             ).alias("at_value"),
         )
+    )
+
+
+def ab_chisq(events: DataFrame) -> DataFrame:
+    """chi-square test of independence between arm assignment and
+    event_type — the categorical-outcome companion that completes the
+    experiment readout family (ab_ttest means, ab_cuped variance
+    reduction, ab_kstest distributions, bootstrap_ci error bars):
+    "did the treatment change WHAT users do, not just how much".
+
+    Exact-integer construction: observed cell counts O, row totals
+    r_a, column totals c_t and n are integers, so each cell's
+    statistic term (O·n − r·c)² / (r·c·n) has an exactly-represented
+    numerator and denominator (longs < 2^53 at any fixture SF; the
+    100 TB move is DECIMAL(38,0) for the products, numeric.py's
+    documented convention). Each term is ONE correctly-rounded
+    double division, quantized to 1e-9 fixed point, and the SUM runs
+    over integers — float-addition order, the cross-engine killer in
+    a naive Σ(O−E)²/E, never occurs. NULL user_id / event_type rows
+    carry no cell and are filtered in both engines.
+
+    Output (one row): n, dof = (arms−1)(types−1), chi2 (6 dp).
+    Plan: one partial-agg shuffle to the arms × types cell table;
+    everything after folds over ≤ dozens of rows.
+    """
+    cells = (
+        events.where(
+            F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+        )
+        .select(_arm().alias("arm"), "event_type")
+        .groupBy("arm", "event_type")
+        .agg(F.count("*").alias("o"))
+    )
+    rows_t = cells.groupBy("arm").agg(F.sum("o").alias("r"))
+    cols_t = cells.groupBy("event_type").agg(F.sum("o").alias("c"))
+    tot = cells.agg(
+        F.sum("o").alias("n"),
+        F.countDistinct("arm").alias("n_arms"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+    term = (
+        (F.col("o") * F.col("n") - F.col("r") * F.col("c"))
+        * (F.col("o") * F.col("n") - F.col("r") * F.col("c"))
+    ).cast("double") / (F.col("r") * F.col("c") * F.col("n")).cast("double")
+    per_cell = (
+        cells.join(F.broadcast(rows_t), "arm")
+        .join(F.broadcast(cols_t), "event_type")
+        .join(F.broadcast(tot))
+        .select(
+            "n",
+            "n_arms",
+            "n_types",
+            F.floor(term * F.lit(1e9) + F.lit(0.5)).cast("long").alias("t9"),
+        )
+    )
+    return per_cell.groupBy("n", "n_arms", "n_types").agg(
+        F.sum("t9").alias("chi9")
+    ).select(
+        F.col("n").cast("long").alias("n"),
+        ((F.col("n_arms") - 1) * (F.col("n_types") - 1))
+        .cast("long")
+        .alias("dof"),
+        dec_round(F.col("chi9").cast("double") / F.lit(1e9), 6).alias(
+            "chi2"
+        ),
     )

@@ -4399,3 +4399,170 @@ SELECT {_dec("CAST(v AS DOUBLE) / 10000.0", 4)} AS value,
          " AS DOUBLE) / n", 6)} AS cdf
 FROM per_v, tot
 """
+
+
+ORACLES["sketch_hll"] = f"""
+WITH rows AS (
+  SELECT event_type,
+         {_hexpoly(
+             "md5('hll|' || CAST(user_id AS VARCHAR))", 1
+         )} AS h
+  FROM events WHERE user_id IS NOT NULL
+), ranked AS (
+  SELECT event_type, h % 64 AS bucket,
+         CASE WHEN h // 64 = 0 THEN 27
+              ELSE 27 - length(bin(h // 64)) END AS r
+  FROM rows
+), regs AS (
+  SELECT event_type, bucket, CAST(max(r) AS BIGINT) AS reg
+  FROM ranked GROUP BY event_type, bucket
+), merged AS (
+  SELECT 'ALL' AS event_type, bucket, CAST(max(reg) AS BIGINT) AS reg
+  FROM regs GROUP BY bucket
+), allregs AS (
+  SELECT * FROM regs UNION ALL SELECT * FROM merged
+), folded AS (
+  SELECT event_type,
+         CAST(sum(1::BIGINT << CAST(27 - reg AS INT)) AS BIGINT)
+           AS z_scaled,
+         CAST(count(*) AS BIGINT) AS n_used
+  FROM allregs GROUP BY event_type
+)
+SELECT event_type,
+       CAST(64 - n_used AS BIGINT) AS n_zero_registers,
+       z_scaled,
+       {_dec(
+         "0.709 * 64 * 64 * 134217728.0"
+         " / (z_scaled + (64 - n_used) * 134217728.0)", 4
+       )} AS hll_raw_est
+FROM folded
+"""
+
+
+ORACLES["window_ewma"] = f"""
+WITH base AS (
+  SELECT event_id, user_id, ts,
+         CAST(floor(CAST(value AS DOUBLE) * 10000.0 + 0.5) AS BIGINT) AS vi
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+), terms AS (
+  SELECT event_id, user_id,
+         CAST(vi * 128 + COALESCE(lag(vi, 1) OVER w * 64, 0) + COALESCE(lag(vi, 2) OVER w * 32, 0) + COALESCE(lag(vi, 3) OVER w * 16, 0) + COALESCE(lag(vi, 4) OVER w * 8, 0) + COALESCE(lag(vi, 5) OVER w * 4, 0) + COALESCE(lag(vi, 6) OVER w * 2, 0) + COALESCE(lag(vi, 7) OVER w * 1, 0) AS BIGINT) AS num,
+         CAST(128 + CASE WHEN lag(vi, 1) OVER w IS NOT NULL THEN 64 ELSE 0 END + CASE WHEN lag(vi, 2) OVER w IS NOT NULL THEN 32 ELSE 0 END + CASE WHEN lag(vi, 3) OVER w IS NOT NULL THEN 16 ELSE 0 END + CASE WHEN lag(vi, 4) OVER w IS NOT NULL THEN 8 ELSE 0 END + CASE WHEN lag(vi, 5) OVER w IS NOT NULL THEN 4 ELSE 0 END + CASE WHEN lag(vi, 6) OVER w IS NOT NULL THEN 2 ELSE 0 END + CASE WHEN lag(vi, 7) OVER w IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS den
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_id, user_id,
+       {_dec("CAST(num AS DOUBLE) / den / 10000.0", 6)} AS ewma
+FROM terms
+"""
+
+
+ORACLES["skyline_pareto"] = f"""
+WITH base AS (
+  SELECT o_orderkey,
+         CAST(floor(CAST(o_totalprice AS DOUBLE) * 100.0 + 0.5) AS BIGINT)
+           AS pi,
+         CAST(datediff('day', DATE '1970-01-01',
+                       CAST(o_orderdate AS DATE)) AS BIGINT) AS di
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+), per_p AS (
+  SELECT pi, CAST(max(di) AS BIGINT) AS dmax FROM base GROUP BY pi
+), runs AS (
+  SELECT pi, dmax,
+         max(dmax) OVER (ORDER BY pi DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING) AS m_pricier
+  FROM per_p
+)
+SELECT b.o_orderkey,
+       {_dec("CAST(b.pi AS DOUBLE) / 100.0", 2)} AS o_totalprice,
+       DATE '1970-01-01' + CAST(b.di AS INT) AS o_orderdate
+FROM base b JOIN runs r USING (pi)
+WHERE (r.m_pricier IS NULL OR b.di > r.m_pricier)
+  AND b.di = r.dmax
+"""
+
+
+ORACLES["source_overlap_kmv"] = f"""
+WITH stoks AS (SELECT source, {TOKS} AS toks FROM documents),
+ssh AS (
+  SELECT source,
+         CASE WHEN len(toks) >= {_K}
+              THEN list_transform(range(1, len(toks) - {_K} + 2),
+                                  i -> array_to_string(toks[i:i+{_K - 1}], ' '))
+              ELSE [array_to_string(toks, ' ')] END AS shingles
+  FROM stoks
+),
+sterm AS (SELECT DISTINCT source, unnest(shingles) AS term FROM ssh),
+hs AS (SELECT DISTINCT source, {_hexpoly("md5(term)", 1)} AS h FROM sterm),
+sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM hs GROUP BY source),
+inter AS (
+  SELECT x.source AS a, y.source AS b, CAST(count(*) AS BIGINT) AS n_inter
+  FROM hs x JOIN hs y ON x.h = y.h AND x.source < y.source
+  GROUP BY x.source, y.source
+),
+pairs AS (
+  SELECT sa.source AS a, sb.source AS b, sa.n AS na, sb.n AS nb,
+         COALESCE(i.n_inter, 0) AS n_inter
+  FROM sizes sa JOIN sizes sb ON sa.source < sb.source
+  LEFT JOIN inter i ON i.a = sa.source AND i.b = sb.source
+),
+shard AS (SELECT source, h,
+                 row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+          FROM hs),
+skt AS (SELECT source, h FROM shard WHERE rn <= {_KM}),
+u AS (
+  SELECT p.a, p.b, s.h,
+         max(CASE WHEN s.source = p.a THEN 1 ELSE 0 END) AS in_a,
+         max(CASE WHEN s.source = p.b THEN 1 ELSE 0 END) AS in_b
+  FROM pairs p JOIN skt s ON s.source = p.a OR s.source = p.b
+  GROUP BY p.a, p.b, s.h
+),
+uk AS (SELECT *, row_number() OVER (PARTITION BY a, b ORDER BY h) AS rn
+       FROM u),
+est AS (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS k_eff,
+         CAST(sum(in_a * in_b) AS BIGINT) AS n_both
+  FROM uk WHERE rn <= {_KM} GROUP BY a, b
+)
+SELECT p.a, p.b, p.n_inter,
+       CAST(p.na + p.nb - p.n_inter AS BIGINT) AS n_union,
+       {_dec("CAST(p.n_inter AS DOUBLE) / (p.na + p.nb - p.n_inter)", 6)}
+         AS j_exact,
+       {_dec("CAST(e.n_both AS DOUBLE) / e.k_eff", 6)} AS j_kmv
+FROM pairs p JOIN est e ON e.a = p.a AND e.b = p.b
+"""
+
+
+ORACLES["ab_chisq"] = f"""
+WITH cells AS (
+  SELECT ({_hexpoly("md5('ab1' || '|' || CAST(user_id AS VARCHAR))", 1)}) % 2
+           AS arm,
+         event_type, CAST(count(*) AS BIGINT) AS o
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY arm, event_type
+), rows_t AS (SELECT arm, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY arm),
+cols_t AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS c
+           FROM cells GROUP BY event_type),
+tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+               CAST(count(DISTINCT arm) AS BIGINT) AS n_arms,
+               CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+        FROM cells),
+per_cell AS (
+  SELECT t.n, t.n_arms, t.n_types,
+         CAST(floor(
+           CAST((ce.o * t.n - rt.r * ct.c) * (ce.o * t.n - rt.r * ct.c)
+                AS DOUBLE)
+           / CAST(rt.r * ct.c * t.n AS DOUBLE) * 1e9 + 0.5
+         ) AS BIGINT) AS t9
+  FROM cells ce
+  JOIN rows_t rt ON rt.arm = ce.arm
+  JOIN cols_t ct ON ct.event_type = ce.event_type
+  CROSS JOIN tot t
+)
+SELECT n, CAST((n_arms - 1) * (n_types - 1) AS BIGINT) AS dof,
+       {_dec("CAST(sum(t9) AS DOUBLE) / 1e9", 6)} AS chi2
+FROM per_cell GROUP BY n, n_arms, n_types
+"""

@@ -1762,6 +1762,47 @@ def ab_kstest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _k(load(spark, sf_dir, "events"))
 
 
+def ab_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """chi-square independence test arm x event_type — exact-integer
+    cell terms, fixed-point sum; completes the experiment family."""
+    from rsbsa_etl_spark.operators.profiling import ab_chisq as _c
+
+    return _c(load(spark, sf_dir, "events"))
+
+
+def source_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pairwise source-vocabulary overlap: exact Jaccard plus the
+    KMV union-sketch estimate, one row per source pair."""
+    from rsbsa_etl_spark.operators.analytics import source_overlap_kmv as _ov
+
+    return _ov(load(spark, sf_dir, "documents"))
+
+
+def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto frontier of orders (price x recency): sort-based
+    skyline on the blocked running-max kernel — no all-pairs test."""
+    from rsbsa_etl_spark.operators.analytics import skyline_pareto as _sky
+
+    return _sky(load(spark, sf_dir, "orders"))
+
+
+def window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """per-user truncated dyadic EWMA (alpha=1/2, depth 8): integer
+    lag terms, one partitioned window sort, exact in both engines."""
+    from rsbsa_etl_spark.operators.analytics import window_ewma as _e
+
+    return _e(load(spark, sf_dir, "events"))
+
+
+def sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """deterministic HyperLogLog distinct-user sketch per event_type
+    plus the merged (register-max) global sketch — integer-exact
+    registers, one corpus shuffle."""
+    from rsbsa_etl_spark.operators.analytics import hll_sketch
+
+    return hll_sketch(load(spark, sf_dir, "events"))
+
+
 def value_ecdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """empirical CDF of value at every distinct value — second
     consumer of the shared blocked_cumsum ECDF kernel (with
@@ -2348,6 +2389,11 @@ QUERIES: dict[str, QueryFn] = {
     "benford_digits": benford_digits,
     "ab_kstest": ab_kstest,
     "value_ecdf": value_ecdf,
+    "sketch_hll": sketch_hll,
+    "window_ewma": window_ewma,
+    "skyline_pareto": skyline_pareto,
+    "source_overlap_kmv": source_overlap_kmv,
+    "ab_chisq": ab_chisq,
     "snapshot_diff": snapshot_diff,
     "resample_ffill": resample_ffill,
     "ab_ttest": ab_ttest,
@@ -2501,7 +2547,8 @@ _UNTESTED_PRIORITY = [
     "prf_expand", "dedup_spans_cut", "dedup_recall", "l_diversity",
     "ts_changepoint", "benford_digits", "ab_kstest",
     # round-6 additions
-    "value_ecdf",
+    "value_ecdf", "sketch_hll", "window_ewma", "skyline_pareto",
+    "source_overlap_kmv", "ab_chisq",
 ]
 
 _rows = _driver_latest_rows()

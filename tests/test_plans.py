@@ -709,6 +709,7 @@ def test_dsir_and_rocchio_models_reaggregate_not_rescan(spark):
 #: past in a log tail.
 GLOBAL_WINDOW_ALLOWLIST = {
     "ab_kstest": 2,
+    "skyline_pareto": 1,  # blocked running-max carry: price-block maxima
     "bootstrap_ci": 1,
     "limit_offset": 1,
     "sample_token_budget": 1,
