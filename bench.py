@@ -194,6 +194,13 @@ HEADLINE = [
     "ts_changepoint",
     "benford_digits",
     "ab_kstest",
+    # round-6 additions
+    "value_ecdf",
+    "sketch_hll",
+    "window_ewma",
+    "skyline_pareto",
+    "source_overlap_kmv",
+    "ab_chisq",
 ]
 
 
