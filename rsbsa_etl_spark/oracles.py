@@ -4495,7 +4495,11 @@ ssh AS (
   FROM stoks
 ),
 sterm AS (SELECT DISTINCT source, unnest(shingles) AS term FROM ssh),
-hs AS (SELECT DISTINCT source, {_hexpoly("md5(term)", 1)} AS h FROM sterm),
+-- NULL text yields a NULL whole-text shingle here; the engine's
+-- explode+isNotNull drops it, so the oracle must too or every
+-- NULL-doc source gains one phantom vocabulary entry
+hs AS (SELECT DISTINCT source, {_hexpoly("md5(term)", 1)} AS h FROM sterm
+       WHERE term IS NOT NULL),
 sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM hs GROUP BY source),
 inter AS (
   SELECT x.source AS a, y.source AS b, CAST(count(*) AS BIGINT) AS n_inter

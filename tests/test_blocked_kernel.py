@@ -1,0 +1,121 @@
+"""Property tests for the blocked running-aggregate kernel and its
+round-6 consumers: the decomposition must be EXACTLY the plain
+single-window form on adversarial inputs (negative keys, block
+boundaries, duplicates), the skyline must contain no dominated row
+and every non-dominated one, EWMA must equal its per-row recursive
+definition, and HLL registers must respect their arithmetic bounds."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, Window, functions as F
+
+from rsbsa_etl_spark.operators.profiling import (
+    ECDF_BLOCK_BITS,
+    blocked_running,
+)
+
+
+#: adversarial key sets: negatives (arithmetic-shift block ids),
+#: exact block boundaries (k*2^16 - 1, k*2^16), one-block, and a
+#: spread forcing many singleton blocks
+KEYSETS = [
+    [-(3 << ECDF_BLOCK_BITS) - 1, -1, 0, 1, (1 << ECDF_BLOCK_BITS) - 1,
+     (1 << ECDF_BLOCK_BITS), (1 << ECDF_BLOCK_BITS) + 1,
+     (5 << ECDF_BLOCK_BITS)],
+    [0, 1, 2, 3],
+    [i << ECDF_BLOCK_BITS for i in range(-4, 5)],
+]
+
+
+@pytest.mark.parametrize("keys", KEYSETS)
+@pytest.mark.parametrize("agg,inclusive", [
+    ("sum", True), ("sum", False), ("max", True), ("max", False),
+])
+def test_blocked_running_equals_plain_window(spark, keys, agg, inclusive):
+    rows = [Row(v=int(k), x=int((k * 7 + 3) % 11 - 5)) for k in keys]
+    df = spark.createDataFrame(rows).repartition(4)
+    got = {
+        r["v"]: r["x_cum" if agg == "sum" else "x_run"]
+        for r in blocked_running(df, "v", ["x"], agg, inclusive).collect()
+    }
+    end = 0 if inclusive else -1
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, end)
+    fn = F.sum if agg == "sum" else F.max
+    ref_col = fn("x").over(w)
+    if agg == "sum" and not inclusive:
+        ref_col = F.coalesce(ref_col, F.lit(0))
+    want = {r["v"]: r["ref"] for r in df.select("v", ref_col.alias("ref")).collect()}
+    assert got == want
+
+
+def test_skyline_has_exactly_the_undominated_rows(spark, sf_dir):
+    from rsbsa_etl_spark.operators.analytics import skyline_pareto
+    from rsbsa_etl_spark.sources.fixtures import load
+
+    orders = load(spark, sf_dir, "orders")
+    pts = [
+        (r["o_orderkey"],
+         int(round(r["o_totalprice"] * 100)),
+         r["o_orderdate"].date())
+        for r in orders.where(
+            F.col("o_totalprice").isNotNull()
+            & F.col("o_orderdate").isNotNull()
+        ).collect()
+    ]
+    def dominated(p):
+        return any(
+            q[1] >= p[1] and q[2] >= p[2] and (q[1] > p[1] or q[2] > p[2])
+            for q in pts
+        )
+    want = {k for k, _, _ in (p for p in pts if not dominated(p))}
+    got = {r["o_orderkey"] for r in skyline_pareto(orders).collect()}
+    assert got == want
+
+
+def test_ewma_matches_rowwise_definition(spark, sf_dir):
+    from rsbsa_etl_spark.operators.analytics import window_ewma
+    from rsbsa_etl_spark.sources.fixtures import load
+
+    events = load(spark, sf_dir, "events")
+    rows = sorted(
+        (
+            (r["user_id"], r["ts"], r["event_id"],
+             int(round(r["value"] * 1e4)))
+            for r in events.where(
+                F.col("value").isNotNull() & F.col("ts").isNotNull()
+            ).collect()
+        ),
+    )
+    import collections
+    hist = collections.defaultdict(list)
+    want = {}
+    for uid, ts, eid, vi in rows:
+        hist[uid].append(vi)
+        tail = hist[uid][-8:]
+        num = sum(x * (1 << i) for i, x in enumerate(tail))
+        den = sum(1 << i for i in range(len(tail)))
+        import math
+        want[eid] = math.floor(num / den / 1e4 * 1e6 + 0.5) / 1e6
+    got = {r["event_id"]: r["ewma"] for r in window_ewma(events).collect()}
+    assert got == want
+
+
+def test_hll_register_bounds_and_merge_dominance(spark, sf_dir):
+    """every group estimate ≤ sum of group estimates is NOT a sketch
+    guarantee — what IS guaranteed: merged z_scaled ≤ every group's
+    (register max can only shrink 2^-M terms), hence merged estimate
+    ≥ each group's, and zero-register counts are within [0, 64]."""
+    from rsbsa_etl_spark.operators.analytics import hll_sketch
+    from rsbsa_etl_spark.sources.fixtures import load
+
+    out = {r["event_type"]: r for r in hll_sketch(
+        load(spark, sf_dir, "events")).collect()}
+    assert "ALL" in out and len(out) >= 2
+    merged = out.pop("ALL")
+    for g, r in out.items():
+        assert 0 <= r["n_zero_registers"] <= 64, g
+        denom_g = r["z_scaled"] + r["n_zero_registers"] * (1 << 27)
+        denom_m = merged["z_scaled"] + merged["n_zero_registers"] * (1 << 27)
+        assert denom_m <= denom_g, g
+        assert merged["hll_raw_est"] >= r["hll_raw_est"], g

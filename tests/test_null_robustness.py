@@ -40,6 +40,9 @@ AFFECTED = [
     "bootstrap_ci", "ts_changepoint",
     # blocked-ECDF kernel consumers (shared blocked_cumsum)
     "value_ecdf",
+    # round-6 operators over null-injected columns: EWMA reads
+    # value+ts, the overlap matrix shingles NULL-able text
+    "window_ewma", "source_overlap_kmv",
 ]
 
 
