@@ -201,6 +201,9 @@ HEADLINE = [
     "skyline_pareto",
     "source_overlap_kmv",
     "ab_chisq",
+    "seq_trigrams",
+    "basket_pairs",
+    "attribution_first_touch",
 ]
 
 

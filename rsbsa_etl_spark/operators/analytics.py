@@ -1834,3 +1834,142 @@ def source_overlap_kmv(docs: DataFrame, k: int | None = None) -> DataFrame:
             ).alias("j_kmv"),
         )
     )
+
+
+def seq_trigrams(events: DataFrame, topk: int = 25) -> DataFrame:
+    """top event-type TRIGRAMS across user journeys — order-sensitive
+    behavioral pattern mining ("view → click → purchase"), the
+    sequence analogue of event_transitions' bigram matrix.
+
+    Each user's event stream (ordered by ts with event_id tiebreak)
+    contributes one trigram per position; two lag() reads over ONE
+    partitioned window sort build them — no per-user collect, no
+    explode, state per row is two strings. Counting is a plain
+    partial-agg; the final top-k is a TakeOrdered over the (types³
+    ≤ 125)-row pattern table. Ties break lexicographically for a
+    total order. NULL ts/event_type rows carry no position and are
+    filtered in both engines.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    base = events.where(
+        F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("user_id").isNotNull()
+    ).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lag("event_type", 2).over(w).alias("t1"),
+        F.lag("event_type", 1).over(w).alias("t2"),
+        F.col("event_type").alias("t3"),
+    )
+    counts = (
+        base.where(F.col("t1").isNotNull())
+        .groupBy("t1", "t2", "t3")
+        .agg(F.count("*").alias("n"))
+    )
+    # top-k via orderBy+limit (TakeOrderedAndProject — distributed
+    # heap, no global sort); the rank window then runs over ≤ topk
+    # rows, so the global-window audit sees a bounded input
+    order = [
+        F.col("n").desc(), F.col("t1").asc(), F.col("t2").asc(),
+        F.col("t3").asc(),
+    ]
+    wr = Window.orderBy(*order)
+    return (
+        counts.orderBy(*order)
+        .limit(topk)
+        .withColumn("rk", F.row_number().over(wr))
+        .select("t1", "t2", "t3", F.col("n").cast("long").alias("n"),
+                F.col("rk").cast("long").alias("rk"))
+    )
+
+
+def basket_pairs(lineitem: DataFrame, topk: int = 25) -> DataFrame:
+    """market-basket co-occurrence: the part pairs most often bought
+    in the SAME order (the support count of 2-itemsets — the Apriori
+    first rung, and the input to lift/confidence scoring).
+
+    The pair explosion self-joins lineitem on orderkey — quadratic
+    PER ORDER, linear over orders, the canonical shape (an order has
+    a handful of lines; the join never pairs across orders). Parts
+    are deduped within an order first (distinct) so quantity splits
+    don't double-count, and p1 < p2 keeps each pair once. The final
+    top-k runs over the pair-count table, ties broken by part keys
+    for a total order.
+    """
+    op = lineitem.where(
+        F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull()
+    ).select("l_orderkey", "l_partkey").distinct()
+    pairs = (
+        op.alias("a")
+        .join(op.alias("b"), "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"),
+            F.col("b.l_partkey").alias("p2"),
+        )
+        .agg(F.count("*").alias("support"))
+    )
+    # top-k via orderBy+limit (TakeOrderedAndProject) — the pair
+    # table is corpus-shaped at scale, so it must never feed a
+    # single-partition rank; the rank window sees ≤ topk rows
+    order = [
+        F.col("support").desc(), F.col("p1").asc(), F.col("p2").asc()
+    ]
+    wr = Window.orderBy(*order)
+    return (
+        pairs.orderBy(*order)
+        .limit(topk)
+        .withColumn("rk", F.row_number().over(wr))
+        .select(
+            F.col("p1").cast("long").alias("p1"),
+            F.col("p2").cast("long").alias("p2"),
+            F.col("support").cast("long").alias("support"),
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )
+
+
+def attribution_first_touch(events: DataFrame) -> DataFrame:
+    """first-touch attribution: every purchase credited to the
+    user's EARLIEST click at-or-before the purchase — the marketing
+    twin of ``join_asof`` (which is last-touch by construction).
+
+    One partitioned window, no join: a running min over the
+    click-only ts (struct-ordered so the credited click's value
+    rides along atomically — the same whole-row trick the as-of
+    join uses to avoid stitching fields from different rows).
+    Purchases with no prior click keep NULLs (outer semantics).
+    NULL ts rows are filtered; Spark's nulls-first ordering would
+    otherwise feed them into every running min.
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    base = events.where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    click_struct = F.when(
+        F.col("event_type") == "click",
+        F.struct(F.col("ts").alias("cts"), F.col("event_id").alias("cid"),
+                 F.col("value").alias("cval")),
+    )
+    credited = base.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        "value",
+        F.min(click_struct).over(w).alias("first_click"),
+    )
+    return credited.where(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.col("value").alias("purchase_value"),
+        F.col("first_click.cid").alias("click_event_id"),
+        F.unix_micros(F.col("first_click.cts")).alias("click_ts_us"),
+        F.col("first_click.cval").alias("click_value"),
+    )

@@ -4570,3 +4570,69 @@ SELECT n, CAST((n_arms - 1) * (n_types - 1) AS BIGINT) AS dof,
        {_dec("CAST(sum(t9) AS DOUBLE) / 1e9", 6)} AS chi2
 FROM per_cell GROUP BY n, n_arms, n_types
 """
+
+
+ORACLES["seq_trigrams"] = """
+WITH base AS (
+  SELECT user_id, ts, event_id,
+         lag(event_type, 2) OVER w AS t1,
+         lag(event_type, 1) OVER w AS t2,
+         event_type AS t3
+  FROM events
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+    AND user_id IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), counts AS (
+  SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n
+  FROM base WHERE t1 IS NOT NULL GROUP BY t1, t2, t3
+)
+SELECT t1, t2, t3, n, rk FROM (
+  SELECT *, CAST(row_number() OVER (ORDER BY n DESC, t1, t2, t3)
+                 AS BIGINT) AS rk
+  FROM counts
+) WHERE rk <= 25
+"""
+
+
+ORACLES["basket_pairs"] = """
+WITH op AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+), pairs AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+         CAST(count(*) AS BIGINT) AS support
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY p1, p2
+)
+SELECT p1, p2, support, rk FROM (
+  SELECT *, CAST(row_number() OVER (ORDER BY support DESC, p1, p2)
+                 AS BIGINT) AS rk
+  FROM pairs
+) WHERE rk <= 25
+"""
+
+
+ORACLES["attribution_first_touch"] = """
+WITH base AS (
+  SELECT * FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+), marked AS (
+  SELECT event_id, user_id, ts, event_type, value,
+         CASE WHEN event_type = 'click'
+              THEN lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                   || lpad(CAST(event_id AS VARCHAR), 12, '0') END AS ck
+  FROM base
+), run AS (
+  SELECT *, min(ck) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS fck
+  FROM marked
+)
+SELECT r.event_id, r.user_id, r.value AS purchase_value,
+       c.event_id AS click_event_id,
+       epoch_us(c.ts) AS click_ts_us,
+       c.value AS click_value
+FROM run r
+LEFT JOIN events c ON c.event_id = CAST(substr(r.fck, 21, 12) AS BIGINT)
+WHERE r.event_type = 'purchase'
+"""

@@ -1762,6 +1762,32 @@ def ab_kstest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _k(load(spark, sf_dir, "events"))
 
 
+def seq_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """top event-type trigrams across user journeys — two lag()
+    reads over one partitioned window, no per-user collect."""
+    from rsbsa_etl_spark.operators.analytics import seq_trigrams as _t
+
+    return _t(load(spark, sf_dir, "events"))
+
+
+def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """market-basket 2-itemset support: per-order part-pair counts
+    (quadratic per order, linear over orders), top-k."""
+    from rsbsa_etl_spark.operators.analytics import basket_pairs as _b
+
+    return _b(load(spark, sf_dir, "lineitem"))
+
+
+def attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first-touch attribution: purchases credited to the user's
+    earliest at-or-before click via one struct-ordered running min."""
+    from rsbsa_etl_spark.operators.analytics import (
+        attribution_first_touch as _a,
+    )
+
+    return _a(load(spark, sf_dir, "events"))
+
+
 def ab_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """chi-square independence test arm x event_type — exact-integer
     cell terms, fixed-point sum; completes the experiment family."""
@@ -2394,6 +2420,9 @@ QUERIES: dict[str, QueryFn] = {
     "skyline_pareto": skyline_pareto,
     "source_overlap_kmv": source_overlap_kmv,
     "ab_chisq": ab_chisq,
+    "seq_trigrams": seq_trigrams,
+    "basket_pairs": basket_pairs,
+    "attribution_first_touch": attribution_first_touch,
     "snapshot_diff": snapshot_diff,
     "resample_ffill": resample_ffill,
     "ab_ttest": ab_ttest,
@@ -2548,7 +2577,8 @@ _UNTESTED_PRIORITY = [
     "ts_changepoint", "benford_digits", "ab_kstest",
     # round-6 additions
     "value_ecdf", "sketch_hll", "window_ewma", "skyline_pareto",
-    "source_overlap_kmv", "ab_chisq",
+    "source_overlap_kmv", "ab_chisq", "seq_trigrams", "basket_pairs",
+    "attribution_first_touch",
 ]
 
 _rows = _driver_latest_rows()

@@ -43,6 +43,8 @@ AFFECTED = [
     # round-6 operators over null-injected columns: EWMA reads
     # value+ts, the overlap matrix shingles NULL-able text
     "window_ewma", "source_overlap_kmv",
+    # sequence/attribution ops read the null-injected ts column
+    "seq_trigrams", "attribution_first_touch",
 ]
 
 

@@ -710,6 +710,8 @@ def test_dsir_and_rocchio_models_reaggregate_not_rescan(spark):
 GLOBAL_WINDOW_ALLOWLIST = {
     "ab_kstest": 2,
     "skyline_pareto": 1,  # blocked running-max carry: price-block maxima
+    "seq_trigrams": 1,    # rank over the post-limit top-25 rows
+    "basket_pairs": 1,    # rank over the post-limit top-25 rows
     "bootstrap_ci": 1,
     "limit_offset": 1,
     "sample_token_budget": 1,
