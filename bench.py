@@ -204,6 +204,7 @@ HEADLINE = [
     "seq_trigrams",
     "basket_pairs",
     "attribution_first_touch",
+    "trend_theil_sen",
 ]
 
 

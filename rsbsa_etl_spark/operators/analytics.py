@@ -1973,3 +1973,68 @@ def attribution_first_touch(events: DataFrame) -> DataFrame:
         F.unix_micros(F.col("first_click.cts")).alias("click_ts_us"),
         F.col("first_click.cval").alias("click_value"),
     )
+
+
+def trend_theil_sen(events: DataFrame) -> DataFrame:
+    """per-user Theil–Sen trend: the MEDIAN of all pairwise slopes —
+    the robust companion to ``group_ols_slope`` (OLS breaks under a
+    single wild outlier; the pairwise-slope median has a 29.3%
+    breakdown point — Sen 1968).
+
+    Pair generation self-joins each user's events against themselves
+    — quadratic PER USER, linear over users (the ``basket_pairs``
+    shape): group sizes are bounded by per-user activity, never by
+    the corpus, and the join never pairs across users. Same-timestamp
+    pairs carry no slope and are dropped (the standard convention).
+
+    Exactness: slope in cents/day = (Δcents · 86 400 000) / Δms —
+    the scaled numerator stays under 2^53 so the single double
+    division is correctly rounded, then quantized to 1e-6 before the
+    median pick. Median = the lower median (element at ceil(n/2) in
+    slope order, deterministic under duplicates), selected by a
+    PARTITIONED rank window — no global sort anywhere.
+    """
+    pts = events.where(
+        F.col("value").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+    ).select(
+        "user_id",
+        "event_id",
+        F.unix_millis(F.col("ts")).alias("x_ms"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("y_q"),
+    )
+    a, b = pts.alias("a"), pts.alias("b")
+    slopes = (
+        a.join(b, "user_id")
+        .where(
+            (F.col("a.event_id") < F.col("b.event_id"))
+            & (F.col("a.x_ms") != F.col("b.x_ms"))
+        )
+        .select(
+            "user_id",
+            F.floor(
+                (F.col("b.y_q") - F.col("a.y_q")).cast("double")
+                * F.lit(86400000.0)
+                / (F.col("b.x_ms") - F.col("a.x_ms")).cast("double")
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("s6"),
+        )
+    )
+    wm = Window.partitionBy("user_id").orderBy("s6")
+    counted = slopes.withColumn("rn", F.row_number().over(wm)).withColumn(
+        "n", F.count("*").over(Window.partitionBy("user_id"))
+    )
+    return (
+        counted.where(F.col("rn") == F.ceil(F.col("n") / 2))
+        .select(
+            "user_id",
+            F.col("n").cast("long").alias("n_pairs"),
+            dec_round(F.col("s6").cast("double") / F.lit(1e6), 6).alias(
+                "slope_cents_per_day"
+            ),
+        )
+    )

@@ -4636,3 +4636,30 @@ FROM run r
 LEFT JOIN events c ON c.event_id = CAST(substr(r.fck, 21, 12) AS BIGINT)
 WHERE r.event_type = 'purchase'
 """
+
+
+ORACLES["trend_theil_sen"] = f"""
+WITH pts AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS x_ms,
+         CAST(floor(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT) AS y_q
+  FROM events
+  WHERE value IS NOT NULL AND ts IS NOT NULL AND user_id IS NOT NULL
+), slopes AS (
+  SELECT a.user_id,
+         CAST(floor(
+           CAST((b.y_q - a.y_q) AS DOUBLE) * 86400000.0
+           / CAST((b.x_ms - a.x_ms) AS DOUBLE) * 1e6 + 0.5
+         ) AS BIGINT) AS s6
+  FROM pts a JOIN pts b
+    ON a.user_id = b.user_id AND a.event_id < b.event_id
+   AND a.x_ms <> b.x_ms
+), ranked AS (
+  SELECT user_id, s6,
+         row_number() OVER (PARTITION BY user_id ORDER BY s6) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM slopes
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_pairs,
+       {_dec("CAST(s6 AS DOUBLE) / 1e6", 6)} AS slope_cents_per_day
+FROM ranked WHERE rn = CAST(ceil(n / 2.0) AS BIGINT)
+"""

@@ -1762,6 +1762,14 @@ def ab_kstest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _k(load(spark, sf_dir, "events"))
 
 
+def trend_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """per-user Theil-Sen slope (median of pairwise slopes) — the
+    robust companion to agg_ols_slope; quadratic per user only."""
+    from rsbsa_etl_spark.operators.analytics import trend_theil_sen as _ts
+
+    return _ts(load(spark, sf_dir, "events"))
+
+
 def seq_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """top event-type trigrams across user journeys — two lag()
     reads over one partitioned window, no per-user collect."""
@@ -2423,6 +2431,7 @@ QUERIES: dict[str, QueryFn] = {
     "seq_trigrams": seq_trigrams,
     "basket_pairs": basket_pairs,
     "attribution_first_touch": attribution_first_touch,
+    "trend_theil_sen": trend_theil_sen,
     "snapshot_diff": snapshot_diff,
     "resample_ffill": resample_ffill,
     "ab_ttest": ab_ttest,
@@ -2578,7 +2587,7 @@ _UNTESTED_PRIORITY = [
     # round-6 additions
     "value_ecdf", "sketch_hll", "window_ewma", "skyline_pareto",
     "source_overlap_kmv", "ab_chisq", "seq_trigrams", "basket_pairs",
-    "attribution_first_touch",
+    "attribution_first_touch", "trend_theil_sen",
 ]
 
 _rows = _driver_latest_rows()

@@ -44,7 +44,7 @@ AFFECTED = [
     # value+ts, the overlap matrix shingles NULL-able text
     "window_ewma", "source_overlap_kmv",
     # sequence/attribution ops read the null-injected ts column
-    "seq_trigrams", "attribution_first_touch",
+    "seq_trigrams", "attribution_first_touch", "trend_theil_sen",
 ]
 
 
