@@ -4663,3 +4663,9 @@ SELECT user_id, CAST(n AS BIGINT) AS n_pairs,
        {_dec("CAST(s6 AS DOUBLE) / 1e6", 6)} AS slope_cents_per_day
 FROM ranked WHERE rn = CAST(ceil(n / 2.0) AS BIGINT)
 """
+
+
+# streaming twin: the replayed register fold must equal the batch
+# sketch exactly — same SQL as sketch_hll (stream/batch equivalence
+# pin #5)
+ORACLES["stream_hll"] = ORACLES["sketch_hll"]

@@ -1762,6 +1762,14 @@ def ab_kstest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _k(load(spark, sf_dir, "events"))
 
 
+def stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """streaming HLL register-max fold through the checkpointed
+    engine; final state == batch sketch_hll exactly (5th pin)."""
+    from rsbsa_etl_spark.streaming.stateful import hll_stream_replay
+
+    return hll_stream_replay(load(spark, sf_dir, "events"))
+
+
 def trend_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """per-user Theil-Sen slope (median of pairwise slopes) — the
     robust companion to agg_ols_slope; quadratic per user only."""
@@ -2432,6 +2440,7 @@ QUERIES: dict[str, QueryFn] = {
     "basket_pairs": basket_pairs,
     "attribution_first_touch": attribution_first_touch,
     "trend_theil_sen": trend_theil_sen,
+    "stream_hll": stream_hll,
     "snapshot_diff": snapshot_diff,
     "resample_ffill": resample_ffill,
     "ab_ttest": ab_ttest,
@@ -2587,7 +2596,7 @@ _UNTESTED_PRIORITY = [
     # round-6 additions
     "value_ecdf", "sketch_hll", "window_ewma", "skyline_pareto",
     "source_overlap_kmv", "ab_chisq", "seq_trigrams", "basket_pairs",
-    "attribution_first_touch", "trend_theil_sen",
+    "attribution_first_touch", "trend_theil_sen", "stream_hll",
 ]
 
 _rows = _driver_latest_rows()

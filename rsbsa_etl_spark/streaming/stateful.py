@@ -493,3 +493,128 @@ def cdc_apply_replay(events: DataFrame) -> DataFrame:
         F.col("ts_us").alias("last_ts_us"),
         dec_round(F.col("value"), 4).alias("last_value"),
     )
+
+
+def hll_stream_replay(events: DataFrame) -> DataFrame:
+    """streaming HyperLogLog: per-micro-batch register tables folded
+    into persistent state by REGISTER MAX — the fifth stream/batch
+    equivalence pin, and the one that demonstrates why sketches are
+    the native streaming aggregate: the merge is idempotent AND
+    commutative (max of maxes), so out-of-order or re-delivered
+    micro-batches cannot change the registers, no batch-id fencing
+    needed (contrast ``cdc_apply_replay``, whose additive count
+    component requires it).
+
+    Final state == the batch ``hll_sketch`` output EXACTLY (the
+    oracle is that batch SQL verbatim). State is groups × 64
+    register rows, constant forever at any event rate.
+
+    Mechanics follow the reservoir replay: file-source stream split
+    into two micro-batches (event-id parity interleaves users and
+    types across batches), ``foreachBatch`` merges registers through
+    the crash-safe write-new-then-swap protocol, AvailableNow run.
+    """
+    import os
+    import tempfile
+
+    spark = events.sparkSession
+    base = tempfile.mkdtemp(prefix="rsbsa_shll_")
+    src, ckpt, state = f"{base}/src", f"{base}/ckpt", f"{base}/state"
+    os.makedirs(src)
+
+    proj = events.select("event_id", "user_id", "event_type")
+
+    def dump(df: DataFrame, name: str) -> None:
+        from rsbsa_etl_spark.streaming.windows import dump_single_file
+
+        dump_single_file(df, base, src, name)
+
+    dump(proj.where(F.col("event_id") % 2 == 0), "f0.parquet")
+    dump(proj.where(F.col("event_id") % 2 == 1), "f1.parquet")
+
+    u32 = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("hll|"), F.col("user_id").cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+    )
+
+    def registers(batch: DataFrame) -> DataFrame:
+        w = F.shiftrightunsigned(F.col("h"), 6)
+        rank = F.when(w == 0, F.lit(27)).otherwise(
+            F.lit(27) - F.length(F.bin(w))
+        )
+        return (
+            batch.where(F.col("user_id").isNotNull())
+            .select("event_type", u32.alias("h"))
+            .select(
+                "event_type",
+                (F.col("h") % 64).alias("bucket"),
+                rank.alias("r"),
+            )
+            .groupBy("event_type", "bucket")
+            .agg(F.max("r").alias("reg"))
+        )
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        recover_state_dir(base)
+        regs = registers(batch)
+        if os.path.isdir(state):
+            regs = spark.read.parquet(state).unionByName(regs)
+        merged = regs.groupBy("event_type", "bucket").agg(
+            F.max("reg").alias("reg")
+        )
+        merged.write.mode("overwrite").parquet(f"{base}/state_new")
+        swap_state_dir(base)
+
+    q = (
+        spark.readStream.schema("event_id bigint, user_id bigint, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(merge)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # fold the final registers to estimates through the SAME tail the
+    # batch operator uses — re-derive group+merged rows from state
+    regs = spark.read.parquet(state)
+    merged_all = (
+        regs.groupBy("bucket")
+        .agg(F.max("reg").alias("reg"))
+        .select(F.lit("ALL").alias("event_type"), "bucket", "reg")
+    )
+    per_group = regs.unionByName(merged_all).groupBy("event_type").agg(
+        F.sum(F.expr("shiftleft(1L, CAST(27 - reg AS INT))")).alias(
+            "z_scaled"
+        ),
+        F.count("*").alias("n_used"),
+    )
+    m = 64
+    est = (
+        F.lit(0.709 * m * m * float(1 << 27))
+        / (
+            F.col("z_scaled")
+            + (F.lit(m) - F.col("n_used")) * F.lit(float(1 << 27))
+        )
+    )
+    from rsbsa_etl_spark.functions.numeric import dec_round
+
+    return per_group.select(
+        "event_type",
+        (F.lit(m) - F.col("n_used").cast("long")).alias("n_zero_registers"),
+        F.col("z_scaled").cast("long").alias("z_scaled"),
+        dec_round(est, 4).alias("hll_raw_est"),
+    )
