@@ -2518,10 +2518,16 @@ def _is_green(row: dict) -> bool:
     )
 
 
-# Round-5 sweep head = the two r4 reds (multimodal_features fixed to
-# scalar f0..f7, stream_tail upgraded to a value check) + the next 48
-# untested keys — all 50 re-verified at sf0.01 from /tmp after the
-# round-5 fixes (LOCAL_SWEEP_r05.md). The round-6 remainder is the
+# Round-6 queue: zero reds; pending = the 32 round-5 leftovers plus
+# the 11 round-6 additions (value_ecdf sketch_hll window_ewma
+# skyline_pareto source_overlap_kmv ab_chisq seq_trigrams
+# basket_pairs attribution_first_touch trend_theil_sen stream_hll) —
+# 43 keys, all within ONE sweep budget, every one replica-green at
+# sf0.01 AND sf0.1 from /tmp (LOCAL_SWEEP_r06.md). After this sweep
+# every registered key has a driver row.
+# (Historical note, round-5 head was the two r4 reds + 48 untested —
+# all 50 drained green, see CORRECTNESS_r05.json.) The prior
+# round-6 remainder comment listed the
 # exact tail `rfm_segments hard_negatives graph_triangles
 # ts_autocorr k_anonymity feature_hashing quantile_bucketize
 # stream_cdc_apply window_rolling_median state_durations
