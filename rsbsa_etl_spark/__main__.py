@@ -61,6 +61,14 @@ def main(argv: list[str] | None = None) -> int:
         "--full", action="store_true", help="also print the formatted plan"
     )
 
+    aud = sub.add_parser(
+        "audit",
+        help="regenerate PLANAUDIT.json: per-key physical-plan "
+        "counters over every plan-buildable registry key",
+    )
+    aud.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    aud.add_argument("--out", default="PLANAUDIT.json")
+
     args = p.parse_args(argv)
 
     from rsbsa_etl_spark.registry import QUERIES
@@ -138,6 +146,55 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"  {pf[:100]}")
             if args.full:
                 print(plan)
+            return 0
+        if args.cmd == "audit":
+            # the registry-wide counterpart of `explain` — one row of
+            # plan counters per key, written as the committed
+            # PLANAUDIT.json record (previously regenerated ad hoc;
+            # a CLI command makes the audit reproducible). Exclusions
+            # mirror tests/test_plans.py: keys whose DataFrame BUILD
+            # executes work (streaming replays, write paths,
+            # iterative driver loops).
+            import json as _json
+            import re as _re
+
+            from rsbsa_etl_spark.registry import (
+                AUDIT_EXCLUDE,
+                AUDIT_EXCLUDE_PREFIXES,
+            )
+
+            def counters(plan: str) -> dict:
+                c = lambda pat: len(_re.findall(pat, plan))  # noqa: E731
+                return {
+                    "exchanges": c("Exchange (hash|range)partitioning"),
+                    "bhj": c("BroadcastHashJoin"),
+                    "smj": c("SortMergeJoin"),
+                    "nlj": c("BroadcastNestedLoopJoin|CartesianProduct"),
+                    "scans": c("FileScan"),
+                    "windows": c("Window "),
+                    "arrow": c(
+                        "MapInPandas|FlatMapGroupsInPandas|ArrowEvalPython"
+                    ),
+                    "rowpy": c("BatchEvalPython"),
+                }
+
+            rows = []
+            for k in sorted(QUERIES):
+                if k.startswith(AUDIT_EXCLUDE_PREFIXES) or k in AUDIT_EXCLUDE:
+                    continue
+                plan = (
+                    QUERIES[k](spark, args.sf_dir)
+                    ._jdf.queryExecution()
+                    .executedPlan()
+                    .toString()
+                )
+                rows.append({"key": k, **counters(plan)})
+            with open(args.out, "w") as fh:
+                _json.dump(rows, fh, indent=0)
+            print(
+                f"audited {len(rows)} keys -> {args.out}; "
+                f"rowpy total: {sum(r['rowpy'] for r in rows)}"
+            )
             return 0
         if args.cmd == "status":
             # the reference's GET /api/etl-status (``index.js:329-342``)

@@ -2485,6 +2485,18 @@ QUERIES: dict[str, QueryFn] = {
 # and the next untested tranche surfaces.
 
 
+#: keys whose DataFrame BUILD executes work (streaming replays,
+#: write paths, iterative driver loops) — excluded from plan-only
+#: audits (the `audit` CLI command and tests/test_plans.py both
+#: read these, so the two can't drift).
+AUDIT_EXCLUDE_PREFIXES = ("stream_", "sync_", "upsert_", "overwrite_")
+AUDIT_EXCLUDE = frozenset({
+    # per-round driver loops: building the DataFrame RUNS the loop
+    "bpe_train", "bpe_segment", "mmr_rerank", "hybrid_mmr",
+    "hybrid_search_rrf", "merge_cdc",
+})
+
+
 def _driver_latest_rows() -> dict:
     """Latest committed driver-correctness row per key.
 

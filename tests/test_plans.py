@@ -721,16 +721,12 @@ GLOBAL_WINDOW_ALLOWLIST = {
 }
 
 #: plan-buildable batch keys: building these DataFrames is lazy. The
-#: exclusions execute work at build time (streaming replays, write
-#: paths, iterative driver loops) — same set PLANAUDIT uses.
-_AUDIT_EXCLUDE_PREFIXES = ("stream_", "sync_", "upsert_", "overwrite_")
-_AUDIT_EXCLUDE = {
-    "bpe_train", "bpe_segment", "mmr_rerank", "hybrid_mmr",
-    "dedup_clusters", "graph_pagerank", "merge_cdc", "compact_plan",
-    "dedup_embedding_incremental", "dedup_incremental",
-    "scan_file_provenance", "curation_pipeline", "rocchio_classify",
-    "prf_expand", "hybrid_search_rrf", "hard_negatives",
-}
+#: exclusion set lives in the registry (shared with the `audit` CLI
+#: command so the two can't drift).
+from rsbsa_etl_spark.registry import (  # noqa: E402
+    AUDIT_EXCLUDE as _AUDIT_EXCLUDE,
+    AUDIT_EXCLUDE_PREFIXES as _AUDIT_EXCLUDE_PREFIXES,
+)
 
 
 def _unpartitioned_windows(plan: str) -> int:
