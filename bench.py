@@ -205,6 +205,8 @@ HEADLINE = [
     "basket_pairs",
     "attribution_first_touch",
     "trend_theil_sen",
+    "stream_hll",
+    "trend_theil_sen_capped",
 ]
 
 

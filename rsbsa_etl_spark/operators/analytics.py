@@ -1994,7 +1994,11 @@ def trend_theil_sen(events: DataFrame) -> DataFrame:
     slope order, deterministic under duplicates), selected by a
     PARTITIONED rank window — no global sort anywhere.
     """
-    pts = events.where(
+    return _theil_sen(_ts_points(events))
+
+
+def _ts_points(events: DataFrame) -> DataFrame:
+    return events.where(
         F.col("value").isNotNull()
         & F.col("ts").isNotNull()
         & F.col("user_id").isNotNull()
@@ -2004,6 +2008,34 @@ def trend_theil_sen(events: DataFrame) -> DataFrame:
         F.unix_millis(F.col("ts")).alias("x_ms"),
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("y_q"),
     )
+
+
+def trend_theil_sen_capped(events: DataFrame, cap: int = 32) -> DataFrame:
+    """the documented skew dial for ``trend_theil_sen``: a
+    deterministic hash-min sample of ≤ ``cap`` events per user
+    BEFORE pairing bounds the per-user work at cap·(cap−1)/2 pairs
+    (496 at the default) regardless of how power-law the activity
+    distribution is — the ``dedup_containment_capped`` pattern
+    applied to robust trends. The sample is a pure function of
+    (salt, event_id), so the capped estimate is reproducible and the
+    oracle replays it exactly. On users at or under the cap the two
+    keys agree exactly.
+    """
+    from rsbsa_etl_spark.functions.numeric import salted_pri
+
+    pts = _ts_points(events)
+    wk = Window.partitionBy("user_id").orderBy(
+        salted_pri("tsen", F.col("event_id")), "event_id"
+    )
+    capped = (
+        pts.withColumn("rn", F.row_number().over(wk))
+        .where(F.col("rn") <= cap)
+        .drop("rn")
+    )
+    return _theil_sen(capped)
+
+
+def _theil_sen(pts: DataFrame) -> DataFrame:
     a, b = pts.alias("a"), pts.alias("b")
     slopes = (
         a.join(b, "user_id")

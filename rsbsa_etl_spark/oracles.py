@@ -4665,6 +4665,41 @@ FROM ranked WHERE rn = CAST(ceil(n / 2.0) AS BIGINT)
 """
 
 
+ORACLES["trend_theil_sen_capped"] = f"""
+WITH pts AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS x_ms,
+         CAST(floor(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT) AS y_q
+  FROM events
+  WHERE value IS NOT NULL AND ts IS NOT NULL AND user_id IS NOT NULL
+), ranked_pts AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY user_id
+           ORDER BY {_hexpoly("md5('tsen' || '|' || CAST(event_id AS VARCHAR))", 1)},
+                    event_id) AS prn
+  FROM pts
+), pts_c AS (
+  SELECT user_id, event_id, x_ms, y_q FROM ranked_pts WHERE prn <= 32
+), slopes AS (
+  SELECT a.user_id,
+         CAST(floor(
+           CAST((b.y_q - a.y_q) AS DOUBLE) * 86400000.0
+           / CAST((b.x_ms - a.x_ms) AS DOUBLE) * 1e6 + 0.5
+         ) AS BIGINT) AS s6
+  FROM pts_c a JOIN pts_c b
+    ON a.user_id = b.user_id AND a.event_id < b.event_id
+   AND a.x_ms <> b.x_ms
+), ranked AS (
+  SELECT user_id, s6,
+         row_number() OVER (PARTITION BY user_id ORDER BY s6) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM slopes
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_pairs,
+       {_dec("CAST(s6 AS DOUBLE) / 1e6", 6)} AS slope_cents_per_day
+FROM ranked WHERE rn = CAST(ceil(n / 2.0) AS BIGINT)
+"""
+
+
 # streaming twin: the replayed register fold must equal the batch
 # sketch exactly — same SQL as sketch_hll (stream/batch equivalence
 # pin #5)

@@ -1762,6 +1762,16 @@ def ab_kstest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _k(load(spark, sf_dir, "events"))
 
 
+def trend_theil_sen_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen with a deterministic <=32-events-per-user hash-min
+    sample before pairing — the skew dial (496-pair bound/user)."""
+    from rsbsa_etl_spark.operators.analytics import (
+        trend_theil_sen_capped as _tc,
+    )
+
+    return _tc(load(spark, sf_dir, "events"))
+
+
 def stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """streaming HLL register-max fold through the checkpointed
     engine; final state == batch sketch_hll exactly (5th pin)."""
@@ -2441,6 +2451,7 @@ QUERIES: dict[str, QueryFn] = {
     "attribution_first_touch": attribution_first_touch,
     "trend_theil_sen": trend_theil_sen,
     "stream_hll": stream_hll,
+    "trend_theil_sen_capped": trend_theil_sen_capped,
     "snapshot_diff": snapshot_diff,
     "resample_ffill": resample_ffill,
     "ab_ttest": ab_ttest,
@@ -2615,6 +2626,7 @@ _UNTESTED_PRIORITY = [
     "value_ecdf", "sketch_hll", "window_ewma", "skyline_pareto",
     "source_overlap_kmv", "ab_chisq", "seq_trigrams", "basket_pairs",
     "attribution_first_touch", "trend_theil_sen", "stream_hll",
+    "trend_theil_sen_capped",
 ]
 
 _rows = _driver_latest_rows()
