@@ -119,3 +119,50 @@ def test_hll_register_bounds_and_merge_dominance(spark, sf_dir):
         denom_m = merged["z_scaled"] + merged["n_zero_registers"] * (1 << 27)
         assert denom_m <= denom_g, g
         assert merged["hll_raw_est"] >= r["hll_raw_est"], g
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    kv=st.lists(
+        st.tuples(
+            st.integers(min_value=-(1 << 40), max_value=1 << 40),
+            st.integers(min_value=-1000, max_value=1000),
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_blocked_running_fuzz(spark, kv):
+    """hypothesis: arbitrary (unique-key, value) sets — including
+    huge negative keys and values summing through zero — must match
+    the plain window exactly for every (agg, inclusive) combination."""
+    df = spark.createDataFrame(
+        [Row(v=int(k), x=int(x)) for k, x in kv]
+    ).repartition(3)
+    for agg, inclusive in (
+        ("sum", True), ("sum", False), ("max", True), ("max", False)
+    ):
+        out = "x_cum" if agg == "sum" else "x_run"
+        got = {
+            r["v"]: r[out]
+            for r in blocked_running(df, "v", ["x"], agg, inclusive).collect()
+        }
+        end = 0 if inclusive else -1
+        w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, end)
+        fn = F.sum if agg == "sum" else F.max
+        ref = fn("x").over(w)
+        if agg == "sum" and not inclusive:
+            ref = F.coalesce(ref, F.lit(0))
+        want = {
+            r["v"]: r["ref"] for r in df.select("v", ref.alias("ref")).collect()
+        }
+        assert got == want, (agg, inclusive)
