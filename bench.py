@@ -207,6 +207,7 @@ HEADLINE = [
     "trend_theil_sen",
     "stream_hll",
     "trend_theil_sen_capped",
+    "resample_interpolate",
 ]
 
 

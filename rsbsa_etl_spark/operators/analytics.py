@@ -2070,3 +2070,82 @@ def _theil_sen(pts: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+def resample_interpolate(events: DataFrame) -> DataFrame:
+    """linear interpolation across empty grid buckets — the
+    two-sided companion to ``resample_ffill``: where ffill carries
+    the LAST observation forward (a step function), this draws the
+    line between the surrounding observations, the gap-fill a chart
+    or a feature pipeline usually actually wants. Buckets before the
+    first / after the last observation stay NULL (no extrapolation).
+
+    Same distributed grid as ffill (sequence+explode per user, no
+    driver loop, no global calendar cross join). The fill needs the
+    PREVIOUS and NEXT observed (hour, value) around each gap: one
+    ascending last(ignorenulls) window and one descending — two
+    window passes over ONE user-partitioned sort order (Spark reuses
+    the exchange; the second pass re-sorts within partitions only).
+    Observations ride as structs so hour and value never come from
+    different rows.
+
+    Exactness: with prev (h0, v0) and next (h1, v1) in cents, the
+    interpolated value is v0 + (v1−v0)·(h−h0)/(h1−h0): the products
+    are exact longs, the division is one correctly-rounded double
+    op, and the final add is a second single rounding — the same
+    two-step in both engines, then 2 dp quantization.
+    """
+    hr = (F.unix_seconds("ts") / F.lit(3600)).cast("long")
+    base = events.where(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    observed = base.groupBy(F.col("user_id"), hr.alias("hr")).agg(
+        F.count("*").alias("n_events"),
+        F.sum(
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        ).alias("qs"),
+    )
+    spans = base.groupBy("user_id").agg(
+        F.min(hr).alias("hr_min"), F.max(hr).alias("hr_max")
+    )
+    grid = spans.select(
+        "user_id", F.explode(F.sequence("hr_min", "hr_max")).alias("hr")
+    )
+    j = grid.join(observed, ["user_id", "hr"], "left")
+    obs = F.when(
+        F.col("qs").isNotNull(),
+        F.struct(F.col("hr").alias("oh"), F.col("qs").alias("ov")),
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("hr").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    k = (
+        j.withColumn("prev", F.last(obs, ignorenulls=True).over(wb))
+        .withColumn("nxt", F.last(obs, ignorenulls=True).over(wf))
+    )
+    interp = F.when(
+        F.col("qs").isNotNull(), F.col("qs").cast("double")
+    ).otherwise(
+        F.when(
+            F.col("prev").isNotNull() & F.col("nxt").isNotNull(),
+            F.col("prev.ov").cast("double")
+            + (F.col("nxt.ov") - F.col("prev.ov")).cast("double")
+            * (F.col("hr") - F.col("prev.oh")).cast("double")
+            / (F.col("nxt.oh") - F.col("prev.oh")).cast("double"),
+        )
+    )
+    return k.select(
+        "user_id",
+        "hr",
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        dec_round(interp / F.lit(100.0), 2).alias("interp_sum"),
+    )

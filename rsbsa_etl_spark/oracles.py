@@ -4700,6 +4700,52 @@ FROM ranked WHERE rn = CAST(ceil(n / 2.0) AS BIGINT)
 """
 
 
+ORACLES["resample_interpolate"] = f"""
+WITH base AS (
+  SELECT user_id, CAST(floor(epoch(ts) / 3600.0) AS BIGINT) AS hr,
+         CAST(floor(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT) AS vq
+  FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL AND value IS NOT NULL
+), observed AS (
+  SELECT user_id, hr, CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(vq) AS BIGINT) AS qs
+  FROM base GROUP BY user_id, hr
+), spans AS (
+  SELECT user_id, min(hr) AS hr_min, max(hr) AS hr_max
+  FROM base GROUP BY user_id
+), grid AS (
+  SELECT user_id, unnest(generate_series(hr_min, hr_max)) AS hr FROM spans
+), j AS (
+  SELECT g.user_id, g.hr, o.n_events, o.qs
+  FROM grid g LEFT JOIN observed o
+    ON o.user_id = g.user_id AND o.hr = g.hr
+), k AS (
+  SELECT *,
+         last_value(CASE WHEN qs IS NOT NULL
+                         THEN struct_pack(oh := hr, ov := qs) END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY hr
+                 ROWS UNBOUNDED PRECEDING) AS prev,
+         last_value(CASE WHEN qs IS NOT NULL
+                         THEN struct_pack(oh := hr, ov := qs) END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY hr DESC
+                 ROWS UNBOUNDED PRECEDING) AS nxt
+  FROM j
+)
+SELECT user_id, hr,
+       CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events,
+       {_dec(
+         "CASE WHEN qs IS NOT NULL THEN CAST(qs AS DOUBLE) "
+         "WHEN prev IS NOT NULL AND nxt IS NOT NULL "
+         "THEN CAST(prev.ov AS DOUBLE) "
+         "+ CAST(nxt.ov - prev.ov AS DOUBLE) "
+         "* CAST(hr - prev.oh AS DOUBLE) "
+         "/ CAST(nxt.oh - prev.oh AS DOUBLE) END / 100.0", 2)} AS interp_sum
+FROM k
+"""
+
+
 # streaming twin: the replayed register fold must equal the batch
 # sketch exactly — same SQL as sketch_hll (stream/batch equivalence
 # pin #5)

@@ -1762,6 +1762,16 @@ def ab_kstest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _k(load(spark, sf_dir, "events"))
 
 
+def resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hourly grid with linear interpolation across gaps (two-sided
+    companion to resample_ffill); no extrapolation past the ends."""
+    from rsbsa_etl_spark.operators.analytics import (
+        resample_interpolate as _ri,
+    )
+
+    return _ri(load(spark, sf_dir, "events"))
+
+
 def trend_theil_sen_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theil-Sen with a deterministic <=32-events-per-user hash-min
     sample before pairing — the skew dial (496-pair bound/user)."""
@@ -2452,6 +2462,7 @@ QUERIES: dict[str, QueryFn] = {
     "trend_theil_sen": trend_theil_sen,
     "stream_hll": stream_hll,
     "trend_theil_sen_capped": trend_theil_sen_capped,
+    "resample_interpolate": resample_interpolate,
     "snapshot_diff": snapshot_diff,
     "resample_ffill": resample_ffill,
     "ab_ttest": ab_ttest,
@@ -2626,7 +2637,7 @@ _UNTESTED_PRIORITY = [
     "value_ecdf", "sketch_hll", "window_ewma", "skyline_pareto",
     "source_overlap_kmv", "ab_chisq", "seq_trigrams", "basket_pairs",
     "attribution_first_touch", "trend_theil_sen", "stream_hll",
-    "trend_theil_sen_capped",
+    "trend_theil_sen_capped", "resample_interpolate",
 ]
 
 _rows = _driver_latest_rows()

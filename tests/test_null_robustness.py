@@ -45,6 +45,7 @@ AFFECTED = [
     "window_ewma", "source_overlap_kmv",
     # sequence/attribution ops read the null-injected ts column
     "seq_trigrams", "attribution_first_touch", "trend_theil_sen",
+    "resample_interpolate",
 ]
 
 
