@@ -629,6 +629,31 @@ def activity_histogram(events: DataFrame) -> DataFrame:
     )
 
 
+def _hour_grid(base: DataFrame):
+    """shared resample scaffolding: hour bucket (FLOOR of
+    epoch-seconds/3600 — truncation would disagree with the oracles'
+    integer floor-division for pre-1970 timestamps), per-bucket
+    observation agg, per-user span, and the distributed dense grid
+    (sequence+explode — no driver loop, no global calendar cross
+    join). ``base`` carries each caller's row filter so the two
+    resample flavors can differ in NULL policy without duplicating
+    the grid construction."""
+    hr = F.floor(F.unix_seconds("ts") / F.lit(3600)).cast("long")
+    observed = base.groupBy(F.col("user_id"), hr.alias("hr")).agg(
+        F.count("*").alias("n_events"),
+        F.sum(
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        ).alias("qs"),
+    )
+    spans = base.groupBy("user_id").agg(
+        F.min(hr).alias("hr_min"), F.max(hr).alias("hr_max")
+    )
+    grid = spans.select(
+        "user_id", F.explode(F.sequence("hr_min", "hr_max")).alias("hr")
+    )
+    return grid.join(observed, ["user_id", "hr"], "left")
+
+
 def resample_ffill(events: DataFrame) -> DataFrame:
     """time-series regularization: resample each user's event stream
     onto a dense hourly grid (min→max hour per user), with event
@@ -645,20 +670,7 @@ def resample_ffill(events: DataFrame) -> DataFrame:
     noted here because a dense grid over years × millions of users
     is itself big data.
     """
-    hr = (F.unix_seconds("ts") / F.lit(3600)).cast("long")
-    observed = events.groupBy(
-        F.col("user_id"), hr.alias("hr")
-    ).agg(
-        F.count("*").alias("n_events"),
-        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("qs"),
-    )
-    spans = events.groupBy("user_id").agg(
-        F.min(hr).alias("hr_min"), F.max(hr).alias("hr_max")
-    )
-    grid = spans.select(
-        "user_id", F.explode(F.sequence("hr_min", "hr_max")).alias("hr")
-    )
-    j = grid.join(observed, ["user_id", "hr"], "left")
+    j = _hour_grid(events)
     w = (
         Window.partitionBy("user_id")
         .orderBy("hr")
@@ -1528,7 +1540,77 @@ def ts_changepoint(events: DataFrame) -> DataFrame:
     )
 
 
-def hll_sketch(events: DataFrame, m: int = 64) -> DataFrame:
+#: HyperLogLog constants — m = 64 registers, 6 bucket bits, ranks in
+#: [1, 27] over the remaining 26 hash bits, α_64 from Flajolet et al.
+#: Fig. 3. NOT parameters: bucket shift, max rank, and alpha are a
+#: matched set; exposing m alone (an earlier draft did) silently
+#: biased any non-default value. Registers and estimates are shared
+#: verbatim by the streaming twin via _hll_registers/_hll_fold.
+HLL_M = 64
+HLL_BUCKET_BITS = 6
+HLL_MAX_RANK = 27
+HLL_ALPHA = 0.709
+
+
+def _hll_registers(events: DataFrame) -> DataFrame:
+    """(event_type, bucket) → max rank — the one corpus pass."""
+    from rsbsa_etl_spark.functions.numeric import salted_pri
+
+    h = salted_pri("hll", F.col("user_id"))
+    w = F.shiftrightunsigned(h, HLL_BUCKET_BITS)
+    rank = F.when(w == 0, F.lit(HLL_MAX_RANK)).otherwise(
+        F.lit(HLL_MAX_RANK) - F.length(F.bin(w))
+    )
+    return (
+        events.where(F.col("user_id").isNotNull())
+        .select(
+            "event_type",
+            (h % HLL_M).alias("bucket"),
+            rank.alias("r"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.max("r").alias("reg"))
+    )
+
+
+def _hll_fold(regs: DataFrame) -> DataFrame:
+    """register tables → per-group + merged ('ALL') estimates."""
+    # the union sketch IS the per-bucket register max of the group
+    # sketches — computed from the (groups × m)-row register table,
+    # not a second corpus pass: the mergeability property, executed
+    merged = (
+        regs.groupBy("bucket")
+        .agg(F.max("reg").alias("reg"))
+        .select(F.lit("ALL").alias("event_type"), "bucket", "reg")
+    )
+    per_group = regs.unionByName(merged).groupBy("event_type").agg(
+        # shiftleft's PySpark wrapper wants a literal bit count; the
+        # SQL form takes a column
+        F.sum(
+            F.expr(f"shiftleft(1L, CAST({HLL_MAX_RANK} - reg AS INT))")
+        ).alias("z_scaled"),
+        F.count("*").alias("n_used"),
+    )
+    full = float(1 << HLL_MAX_RANK)
+    est = (
+        F.lit(HLL_ALPHA * HLL_M * HLL_M * full)
+        / (
+            F.col("z_scaled")
+            # empty registers contribute 2^0·2^27 each to Z_scaled
+            + (F.lit(HLL_M) - F.col("n_used")) * F.lit(full)
+        )
+    )
+    return per_group.select(
+        "event_type",
+        (F.lit(HLL_M) - F.col("n_used").cast("long")).alias(
+            "n_zero_registers"
+        ),
+        F.col("z_scaled").cast("long").alias("z_scaled"),
+        dec_round(est, 4).alias("hll_raw_est"),
+    )
+
+
+def hll_sketch(events: DataFrame) -> DataFrame:
     """deterministic HyperLogLog (Flajolet et al. 2007) distinct-user
     estimate per event_type plus the MERGED global sketch — the
     register-max mergeability twin of ``kmv_merge_eval``: the global
@@ -1542,8 +1624,8 @@ def hll_sketch(events: DataFrame, m: int = 64) -> DataFrame:
     small-range correction — both engine-divergent. Here every step
     is integer-exact in both engines:
 
-    - hash: first 8 md5 hex digits → u32 (the shared draw kernel);
-    - bucket: ``hash % m``; rank: ``27 − bitlen(hash >> 6)`` via the
+    - hash: the shared ``salted_pri`` u32 draw (salt 'hll');
+    - bucket: ``hash % 64``; rank: ``27 − bitlen(hash >> 6)`` via the
       binary-string length (``bin()`` exists in Spark AND DuckDB;
       w = 0 ranks 27) — no clz, no log2;
     - the harmonic denominator Z = Σ 2^−M_j is held SCALED as the
@@ -1559,65 +1641,7 @@ def hll_sketch(events: DataFrame, m: int = 64) -> DataFrame:
     register maxima; the merge and the per-group folds run on
     register tables of ≤ groups × m rows.
     """
-    alpha = 0.709  # α_64 (Flajolet et al., Fig. 3 constants)
-    u32 = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("hll|"), F.col("user_id").cast("string"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        )
-        .cast("bigint")
-    )
-    rows = events.where(F.col("user_id").isNotNull()).select(
-        "event_type", u32.alias("h")
-    )
-    w = F.shiftrightunsigned(F.col("h"), 6)
-    rank = F.when(w == 0, F.lit(27)).otherwise(
-        F.lit(27) - F.length(F.bin(w))
-    )
-    regs = (
-        rows.select(
-            "event_type",
-            (F.col("h") % m).alias("bucket"),
-            rank.alias("r"),
-        )
-        .groupBy("event_type", "bucket")
-        .agg(F.max("r").alias("reg"))
-    )
-    # the union sketch IS the per-bucket register max of the group
-    # sketches — computed from the (groups × m)-row register table,
-    # not a second corpus pass: the mergeability property, executed
-    merged = (
-        regs.groupBy("bucket")
-        .agg(F.max("reg").alias("reg"))
-        .select(F.lit("ALL").alias("event_type"), "bucket", "reg")
-    )
-    per_group = regs.unionByName(merged).groupBy("event_type").agg(
-        # shiftleft's PySpark wrapper wants a literal bit count; the
-        # SQL form takes a column
-        F.sum(F.expr("shiftleft(1L, CAST(27 - reg AS INT))")).alias(
-            "z_scaled"
-        ),
-        F.count("*").alias("n_used"),
-    )
-    est = (
-        F.lit(alpha * m * m * float(1 << 27))
-        / (
-            F.col("z_scaled")
-            # empty registers contribute 2^0·2^27 each to Z_scaled
-            + (F.lit(m) - F.col("n_used")) * F.lit(float(1 << 27))
-        )
-    )
-    return per_group.select(
-        "event_type",
-        (F.lit(m) - F.col("n_used").cast("long")).alias("n_zero_registers"),
-        F.col("z_scaled").cast("long").alias("z_scaled"),
-        dec_round(est, 4).alias("hll_raw_est"),
-    )
+    return _hll_fold(_hll_registers(events))
 
 
 def window_ewma(events: DataFrame, depth: int = 8) -> DataFrame:
@@ -2095,25 +2119,12 @@ def resample_interpolate(events: DataFrame) -> DataFrame:
     op, and the final add is a second single rounding — the same
     two-step in both engines, then 2 dp quantization.
     """
-    hr = (F.unix_seconds("ts") / F.lit(3600)).cast("long")
     base = events.where(
         F.col("ts").isNotNull()
         & F.col("user_id").isNotNull()
         & F.col("value").isNotNull()
     )
-    observed = base.groupBy(F.col("user_id"), hr.alias("hr")).agg(
-        F.count("*").alias("n_events"),
-        F.sum(
-            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
-        ).alias("qs"),
-    )
-    spans = base.groupBy("user_id").agg(
-        F.min(hr).alias("hr_min"), F.max(hr).alias("hr_max")
-    )
-    grid = spans.select(
-        "user_id", F.explode(F.sequence("hr_min", "hr_max")).alias("hr")
-    )
-    j = grid.join(observed, ["user_id", "hr"], "left")
+    j = _hour_grid(base)
     obs = F.when(
         F.col("qs").isNotNull(),
         F.struct(F.col("hr").alias("oh"), F.col("qs").alias("ov")),

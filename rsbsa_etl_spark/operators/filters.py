@@ -149,19 +149,24 @@ def check_domains(df: DataFrame, table: str) -> DataFrame:
 def zerofill_format(df: DataFrame, table: str) -> DataFrame:
     """apply the ZEROFILL display rule on output: lpad each geo-code
     column to its DDL width with '0' (``INT(3) UNSIGNED ZEROFILL``
-    renders 7 as '007' — digits-matter padding, SURVEY §1.2). NULLs
-    pass through. Pure projection, codegen-friendly."""
+    renders 7 as '007' — digits-matter padding, SURVEY §1.2).
+    Values already at or beyond the width pass through unchanged
+    (ZEROFILL never truncates), as do NULLs. Pure projection,
+    codegen-friendly."""
     from rsbsa_etl_spark.schemas import ZEROFILL_WIDTHS
 
     out = df
     for (tbl, col), width in sorted(ZEROFILL_WIDTHS.items()):
         if tbl != table or col not in df.columns:
             continue
+        # MySQL ZEROFILL pads but NEVER truncates; Spark's lpad
+        # truncates to the target length, so values already at or
+        # over the display width must pass through untouched
         out = out.withColumn(
             col,
             F.when(
-                F.col(col).isNotNull(),
+                F.col(col).isNotNull() & (F.length(col) < width),
                 F.lpad(F.col(col), width, "0"),
-            ),
+            ).otherwise(F.col(col)),
         )
     return out

@@ -817,16 +817,19 @@ def ab_chisq(events: DataFrame) -> DataFrame:
     reduction, ab_kstest distributions, bootstrap_ci error bars):
     "did the treatment change WHAT users do, not just how much".
 
-    Exact-integer construction: observed cell counts O, row totals
-    r_a, column totals c_t and n are integers, so each cell's
-    statistic term (O·n − r·c)² / (r·c·n) has an exactly-represented
-    numerator and denominator (longs < 2^53 at any fixture SF; the
-    100 TB move is DECIMAL(38,0) for the products, numeric.py's
-    documented convention). Each term is ONE correctly-rounded
-    double division, quantized to 1e-9 fixed point, and the SUM runs
-    over integers — float-addition order, the cross-engine killer in
-    a naive Σ(O−E)²/E, never occurs. NULL user_id / event_type rows
-    carry no cell and are filtered in both engines.
+    Exact-wide-integer construction: observed cell counts O, row
+    totals r_a, column totals c_t and n are integers, and the
+    products O·n, r·c, r·c·n are carried in DECIMAL(38,0) (DuckDB
+    mirrors with HUGEINT) — int64 wraps silently in Spark and RAISES
+    in DuckDB once |O·n − r·c| passes ~3e9, so the wide type is a
+    cross-engine parity requirement, not just headroom (the
+    ab_kstest convention). The term (O·n − r·c)² / (r·c·n) is then
+    two double ops on correctly-rounded conversions of the same
+    exact integers — bit-identical in both engines — quantized to
+    1e-9 fixed point in DECIMAL(38,0), and SUMMED as decimals:
+    float-addition order, the cross-engine killer in a naive
+    Σ(O−E)²/E, never occurs. NULL user_id / event_type rows carry
+    no cell and are filtered in both engines.
 
     Output (one row): n, dof = (arms−1)(types−1), chi2 (6 dp).
     Plan: one partial-agg shuffle to the arms × types cell table;
@@ -847,10 +850,12 @@ def ab_chisq(events: DataFrame) -> DataFrame:
         F.countDistinct("arm").alias("n_arms"),
         F.countDistinct("event_type").alias("n_types"),
     )
-    term = (
-        (F.col("o") * F.col("n") - F.col("r") * F.col("c"))
-        * (F.col("o") * F.col("n") - F.col("r") * F.col("c"))
-    ).cast("double") / (F.col("r") * F.col("c") * F.col("n")).cast("double")
+    d38 = "decimal(38,0)"
+    diff = F.col("o").cast(d38) * F.col("n") - F.col("r").cast(d38) * F.col(
+        "c"
+    )
+    den = (F.col("r").cast(d38) * F.col("c") * F.col("n")).cast("double")
+    term = diff.cast("double") * diff.cast("double") / den
     per_cell = (
         cells.join(F.broadcast(rows_t), "arm")
         .join(F.broadcast(cols_t), "event_type")
@@ -859,7 +864,7 @@ def ab_chisq(events: DataFrame) -> DataFrame:
             "n",
             "n_arms",
             "n_types",
-            F.floor(term * F.lit(1e9) + F.lit(0.5)).cast("long").alias("t9"),
+            F.floor(term * F.lit(1e9) + F.lit(0.5)).cast(d38).alias("t9"),
         )
     )
     return per_cell.groupBy("n", "n_arms", "n_types").agg(

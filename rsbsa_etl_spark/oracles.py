@@ -4555,12 +4555,17 @@ tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
                CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
         FROM cells),
 per_cell AS (
+  -- HUGEINT products: BIGINT would RAISE here (and Spark would
+  -- silently wrap) once |O*n - r*c| passes ~3e9; the Spark side
+  -- carries the same products as DECIMAL(38,0)
   SELECT t.n, t.n_arms, t.n_types,
          CAST(floor(
-           CAST((ce.o * t.n - rt.r * ct.c) * (ce.o * t.n - rt.r * ct.c)
+           CAST(CAST(ce.o AS HUGEINT) * t.n - CAST(rt.r AS HUGEINT) * ct.c
                 AS DOUBLE)
-           / CAST(rt.r * ct.c * t.n AS DOUBLE) * 1e9 + 0.5
-         ) AS BIGINT) AS t9
+           * CAST(CAST(ce.o AS HUGEINT) * t.n - CAST(rt.r AS HUGEINT) * ct.c
+                  AS DOUBLE)
+           / CAST(CAST(rt.r AS HUGEINT) * ct.c * t.n AS DOUBLE) * 1e9 + 0.5
+         ) AS HUGEINT) AS t9
   FROM cells ce
   JOIN rows_t rt ON rt.arm = ce.arm
   JOIN cols_t ct ON ct.event_type = ce.event_type
@@ -4619,8 +4624,13 @@ WITH base AS (
   WHERE ts IS NOT NULL AND user_id IS NOT NULL
 ), marked AS (
   SELECT event_id, user_id, ts, event_type, value,
+         -- the sort key must be lexicographic-safe: raw epoch_us
+         -- goes negative before 1970 and '-12' < '-19' as strings
+         -- would mis-order; a 2^62 offset keeps every representable
+         -- timestamp positive and 19 digits wide
          CASE WHEN event_type = 'click'
-              THEN lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+              THEN lpad(CAST(epoch_us(ts) + 4611686018427387904
+                             AS VARCHAR), 20, '0')
                    || lpad(CAST(event_id AS VARCHAR), 12, '0') END AS ck
   FROM base
 ), run AS (

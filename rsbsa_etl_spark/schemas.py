@@ -425,5 +425,5 @@ def _build_domain_tables() -> tuple[
 #: the literal 12-table target inventory; ENUM_DOMAINS holds the
 #: CHECK-style isin() domains (Spark has no ENUM type) and
 #: ZEROFILL_WIDTHS the lpad display widths for geo codes — both keyed
-#: (table, column), consumed by ``operators.validation.check_domains``.
+#: (table, column), consumed by ``operators.filters.check_domains``.
 DOMAIN_TABLES, ENUM_DOMAINS, ZEROFILL_WIDTHS = _build_domain_tables()

@@ -532,43 +532,11 @@ def hll_stream_replay(events: DataFrame) -> DataFrame:
     dump(proj.where(F.col("event_id") % 2 == 0), "f0.parquet")
     dump(proj.where(F.col("event_id") % 2 == 1), "f1.parquet")
 
-    u32 = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.lit("hll|"), F.col("user_id").cast("string")
-                    )
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        )
-        .cast("bigint")
-    )
-
-    def registers(batch: DataFrame) -> DataFrame:
-        w = F.shiftrightunsigned(F.col("h"), 6)
-        rank = F.when(w == 0, F.lit(27)).otherwise(
-            F.lit(27) - F.length(F.bin(w))
-        )
-        return (
-            batch.where(F.col("user_id").isNotNull())
-            .select("event_type", u32.alias("h"))
-            .select(
-                "event_type",
-                (F.col("h") % 64).alias("bucket"),
-                rank.alias("r"),
-            )
-            .groupBy("event_type", "bucket")
-            .agg(F.max("r").alias("reg"))
-        )
-
     def merge(batch: DataFrame, batch_id: int) -> None:
+        from rsbsa_etl_spark.operators.analytics import _hll_registers
+
         recover_state_dir(base)
-        regs = registers(batch)
+        regs = _hll_registers(batch)
         if os.path.isdir(state):
             regs = spark.read.parquet(state).unionByName(regs)
         merged = regs.groupBy("event_type", "bucket").agg(
@@ -588,33 +556,9 @@ def hll_stream_replay(events: DataFrame) -> DataFrame:
     )
     q.awaitTermination()
 
-    # fold the final registers to estimates through the SAME tail the
-    # batch operator uses — re-derive group+merged rows from state
-    regs = spark.read.parquet(state)
-    merged_all = (
-        regs.groupBy("bucket")
-        .agg(F.max("reg").alias("reg"))
-        .select(F.lit("ALL").alias("event_type"), "bucket", "reg")
-    )
-    per_group = regs.unionByName(merged_all).groupBy("event_type").agg(
-        F.sum(F.expr("shiftleft(1L, CAST(27 - reg AS INT))")).alias(
-            "z_scaled"
-        ),
-        F.count("*").alias("n_used"),
-    )
-    m = 64
-    est = (
-        F.lit(0.709 * m * m * float(1 << 27))
-        / (
-            F.col("z_scaled")
-            + (F.lit(m) - F.col("n_used")) * F.lit(float(1 << 27))
-        )
-    )
-    from rsbsa_etl_spark.functions.numeric import dec_round
+    # fold the final registers through the SAME tail the batch
+    # operator uses — shared _hll_fold, so a constant fix cannot
+    # break the stream/batch equivalence pin
+    from rsbsa_etl_spark.operators.analytics import _hll_fold
 
-    return per_group.select(
-        "event_type",
-        (F.lit(m) - F.col("n_used").cast("long")).alias("n_zero_registers"),
-        F.col("z_scaled").cast("long").alias("z_scaled"),
-        dec_round(est, 4).alias("hll_raw_est"),
-    )
+    return _hll_fold(spark.read.parquet(state))

@@ -143,7 +143,7 @@ def test_check_domains_flags_enum_and_zerofill_violations(spark):
 
 def test_zerofill_format_pads_geo_codes(spark):
     df = spark.createDataFrame(
-        [("P-1", "7", "1"), ("P-2", None, "12")],
+        [("P-1", "7", "1"), ("P-2", None, "12"), ("P-3", "1234", "999")],
         ["parcel_id", "bgy", "mun"],
     )
     got = {
@@ -152,6 +152,8 @@ def test_zerofill_format_pads_geo_codes(spark):
     }
     assert got["P-1"] == ("007", "01")
     assert got["P-2"] == (None, "12")
+    # MySQL ZEROFILL never truncates: over-width values pass through
+    assert got["P-3"] == ("1234", "999")
 
 
 def test_check_domains_covers_every_registered_constraint():

@@ -746,21 +746,10 @@ def test_no_unplanned_global_windows(spark):
     """registry-wide: every single-partition window must be on the
     documented allowlist with its exact count — the machine-checked
     replacement for the suppressed WindowExec warning."""
-    import json
-    from pathlib import Path
-
-    audited = [
-        r["key"]
-        for r in json.loads(
-            (Path(__file__).resolve().parent.parent / "PLANAUDIT.json")
-            .read_text()
-        )
-    ]
     keys = [
         k
         for k in QUERIES
-        if (k in audited or k not in _AUDIT_EXCLUDE)
-        and not k.startswith(_AUDIT_EXCLUDE_PREFIXES)
+        if not k.startswith(_AUDIT_EXCLUDE_PREFIXES)
         and k not in _AUDIT_EXCLUDE
     ]
     got = {}
