@@ -208,6 +208,9 @@ HEADLINE = [
     "stream_hll",
     "trend_theil_sen_capped",
     "resample_interpolate",
+    "group_percentiles",
+    "join_nearest",
+    "window_zscore_rolling",
 ]
 
 

@@ -2160,3 +2160,169 @@ def resample_interpolate(events: DataFrame) -> DataFrame:
         F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
         dec_round(interp / F.lit(100.0), 2).alias("interp_sum"),
     )
+
+
+def group_percentiles(lineitem: DataFrame) -> DataFrame:
+    """exact per-group quartiles (p25/p50/p75) of extended price by
+    return flag — PERCENTILE_DISC semantics: the value returned is an
+    actual element of the group (the one at rank ceil(q·n)), never an
+    interpolation. Interpolating forms (percentile_cont,
+    percentile_approx) are engine-divergent in their tie/lerp
+    arithmetic; discrete selection is exact and portable by
+    construction.
+
+    Scale shape: the naive form — one rank window per group — is a
+    trap with FEW LARGE groups (3 return flags over 100 TB = 3 giant
+    single-task sorts). Instead: collapse to (group, distinct value)
+    counts, run the blocked grouped ECDF (``blocked_running`` with
+    ``group_cols`` — every window partitioned by (group, value
+    block), the carry partitioned by group), and pick each quantile
+    as the SMALLEST value whose cumulative count reaches ceil(q·n) —
+    identical to the rank pick on the sorted multiset, without any
+    group-sized sort anywhere. Prices compared in cents.
+    """
+    from rsbsa_etl_spark.operators.profiling import blocked_running
+
+    q = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    base = lineitem.where(
+        F.col("l_extendedprice").isNotNull()
+        & F.col("l_returnflag").isNotNull()
+    ).select(F.col("l_returnflag").alias("flag"), q.alias("pq"))
+    per_v = base.groupBy("flag", "pq").agg(F.count("*").alias("c"))
+    cum = blocked_running(
+        per_v, "pq", ["c"], "sum", True, group_cols=["flag"]
+    )
+    tot = per_v.groupBy("flag").agg(F.sum("c").alias("n"))
+    j = cum.join(F.broadcast(tot), "flag")
+    picks = []
+    for name, num in (("p25", 1), ("p50", 2), ("p75", 3)):
+        at = F.ceil(F.col("n") * num / 4)
+        picks.append(
+            F.min(F.when(F.col("c_cum") >= at, F.col("pq"))).alias(name)
+        )
+    out = j.groupBy("flag").agg(F.max("n").alias("n"), *picks)
+    return out.select(
+        "flag",
+        F.col("n").cast("long").alias("n"),
+        *[
+            dec_round(F.col(c).cast("double") / 100, 2).alias(c)
+            for c in ("p25", "p50", "p75")
+        ],
+    )
+
+
+def join_nearest(events: DataFrame) -> DataFrame:
+    """nearest-event join: every click paired with the user's view
+    CLOSEST in time, either direction — what "match the reading
+    nearest the event" actually means when the as-of join's
+    backward-only convention is wrong for the domain.
+
+    Built from two as-of passes over the shared union-window kernel:
+    the backward pass (latest view ≤ click) and the forward pass
+    (earliest view ≥ click, via negated timestamps through the SAME
+    asof_join — no second implementation), then one row-local pick of
+    the closer side (ties break backward, the deterministic
+    convention). Cost: two key-partitioned window sorts, no range
+    join, no explosion.
+    """
+    from rsbsa_etl_spark.operators.joins import asof_join
+
+    clicks = events.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = events.where(F.col("event_type") == "view").select(
+        "user_id", "ts", "value"
+    )
+    back = asof_join(clicks, views, "user_id", "ts", ["ts", "value"]).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("ts_asof").alias("b_ts"),
+        F.col("value_asof").alias("b_val"),
+    )
+    # forward pass = backward pass on the time-reversed axis: negate
+    # microseconds on both sides and reuse the identical kernel
+    neg = lambda df: df.withColumn("nts", -F.unix_micros("ts"))  # noqa: E731
+    fwd = asof_join(
+        neg(clicks).select("event_id", "user_id", "nts"),
+        neg(views).select("user_id", "nts", "value"),
+        "user_id",
+        "nts",
+        ["nts", "value"],
+    ).select(
+        "event_id",
+        F.col("nts_asof").alias("f_nts"),
+        F.col("value_asof").alias("f_val"),
+    )
+    j = back.join(fwd, "event_id")
+    db = F.unix_micros("ts") - F.unix_micros("b_ts")  # ≥ 0 or NULL
+    df_ = (-F.col("f_nts")) - F.unix_micros("ts")  # ≥ 0 or NULL
+    take_back = F.col("b_ts").isNotNull() & (
+        F.col("f_nts").isNull() | (db <= df_)
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.when(take_back, F.unix_micros("b_ts"))
+        .otherwise(-F.col("f_nts"))
+        .alias("view_ts_us"),
+        F.when(take_back, F.col("b_val"))
+        .otherwise(F.col("f_val"))
+        .alias("v_view"),
+        F.when(take_back, db).otherwise(df_).alias("gap_us"),
+    )
+
+
+def window_zscore_rolling(events: DataFrame, n: int = 16) -> DataFrame:
+    """rolling standardization: each event's value as a z-score
+    against the TRAILING ``n`` observations of the same user — the
+    feature-engineering normalization that makes heterogeneous users
+    comparable to one model, and the streaming-friendly cousin of the
+    global zscore outlier pass (state = one window, not the corpus).
+
+    Exactness: rolling Σx and Σx² accumulate the 1e-4 fixed-point
+    integers (x² ≤ 1e14 per term, ×16 terms — far inside int64), the
+    scaled variance V = n·Σx² − (Σx)² stays integer in
+    DECIMAL(38,0) (the squared sum amplifies past int64 on wide
+    windows of large values), and z = (n·x − Σx) / sqrt(V) — the
+    population z-score with every rational cleared — is one
+    division + one sqrt, both correctly-rounded IEEE ops, identical
+    in every engine. Windows shorter than 2 observations or with zero
+    variance yield NULL. One user-partitioned sort serves both
+    rolling sums.
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(n - 1), 0)
+    )
+    vi = F.floor(F.col("value") * 1e4 + F.lit(0.5)).cast("long")
+    base = events.where(
+        F.col("value").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+    ).select("event_id", "user_id", "ts", vi.alias("vi"))
+    d38 = "decimal(38,0)"
+    stats = base.select(
+        "event_id",
+        "user_id",
+        "vi",
+        F.count("*").over(w).alias("m"),
+        F.sum("vi").over(w).alias("s"),
+        F.sum(F.col("vi") * F.col("vi")).over(w).alias("ss"),
+    )
+    var_scaled = (
+        F.col("m").cast(d38) * F.col("ss") - F.col("s").cast(d38) * F.col("s")
+    )
+    z = (
+        (F.col("m").cast(d38) * F.col("vi") - F.col("s")).cast("double")
+        / F.sqrt(var_scaled.cast("double"))
+    )
+    return stats.select(
+        "event_id",
+        "user_id",
+        F.col("m").cast("long").alias("n_window"),
+        dec_round(
+            F.when((F.col("m") >= 2) & (var_scaled > 0), z), 6
+        ).alias("z"),
+    )

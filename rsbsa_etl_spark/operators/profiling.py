@@ -588,6 +588,7 @@ def blocked_running(
     cols: list[str],
     agg: str = "sum",
     inclusive: bool = True,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """exact running (inclusive) sums over a totally-ordered column
     — the range-partitioned cumulative sum with carry, the shared
@@ -616,6 +617,7 @@ def blocked_running(
     (max) for each entry of ``cols``.
     """
     agg_fn = {"sum": F.sum, "max": F.max}[agg]
+    gc = list(group_cols or [])
 
     def combine(a: Column, b: Column) -> Column:
         if agg == "sum":
@@ -626,23 +628,28 @@ def blocked_running(
     v = F.col(order_col)
     b = per_v.withColumn("_blk", F.shiftright(v, ECDF_BLOCK_BITS))
     win = (
-        Window.partitionBy("_blk")
+        Window.partitionBy(*gc, "_blk")
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, end)
     )
     within = b.select(
         "*", *[agg_fn(c).over(win).alias(f"_w_{c}") for c in cols]
     )
-    totals = b.groupBy("_blk").agg(
+    totals = b.groupBy(*gc, "_blk").agg(
         *[agg_fn(c).alias(f"_t_{c}") for c in cols]
     )
-    # the one residual global window — over block totals only (see
-    # step 3 above), always EXCLUSIVE: the carry is what strictly
-    # precedes the block
-    carry_w = Window.orderBy("_blk").rowsBetween(
+    # the one residual near-global window — over block totals only
+    # (see step 3 above), always EXCLUSIVE: the carry is what
+    # strictly precedes the block. With group_cols it is PARTITIONED
+    # by group and fully parallel; without, it is the documented
+    # bounded global pass.
+    carry_w = Window.partitionBy(*gc).orderBy("_blk").rowsBetween(
+        Window.unboundedPreceding, -1
+    ) if gc else Window.orderBy("_blk").rowsBetween(
         Window.unboundedPreceding, -1
     )
     carry = totals.select(
+        *gc,
         "_blk",
         *[
             F.sum(f"_t_{c}").over(carry_w).alias(f"_p_{c}")
@@ -653,7 +660,7 @@ def blocked_running(
     )
     out_suffix = "_cum" if agg == "sum" else "_run"
     return (
-        within.join(F.broadcast(carry), "_blk")
+        within.join(F.broadcast(carry), [*gc, "_blk"])
         .select(
             *per_v.columns,
             *[

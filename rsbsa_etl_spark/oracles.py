@@ -4756,6 +4756,93 @@ FROM k
 """
 
 
+ORACLES["group_percentiles"] = f"""
+WITH base AS (
+  SELECT l_returnflag AS flag,
+         CAST(floor(CAST(l_extendedprice AS DOUBLE) * 100.0 + 0.5)
+              AS BIGINT) AS pq
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL
+), ranked AS (
+  SELECT flag, pq,
+         row_number() OVER (PARTITION BY flag ORDER BY pq) AS rn,
+         count(*) OVER (PARTITION BY flag) AS n
+  FROM base
+)
+SELECT flag, CAST(max(n) AS BIGINT) AS n,
+       {_dec("CAST(max(CASE WHEN rn = CAST(ceil(n * 1 / 4.0) AS BIGINT)"
+             " THEN pq END) AS DOUBLE) / 100.0", 2)} AS p25,
+       {_dec("CAST(max(CASE WHEN rn = CAST(ceil(n * 2 / 4.0) AS BIGINT)"
+             " THEN pq END) AS DOUBLE) / 100.0", 2)} AS p50,
+       {_dec("CAST(max(CASE WHEN rn = CAST(ceil(n * 3 / 4.0) AS BIGINT)"
+             " THEN pq END) AS DOUBLE) / 100.0", 2)} AS p75
+FROM ranked GROUP BY flag
+"""
+
+
+ORACLES["join_nearest"] = """
+WITH l AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'click'),
+     r AS (SELECT user_id, ts, value FROM events
+           WHERE event_type = 'view'
+             AND ts IS NOT NULL AND user_id IS NOT NULL),
+back AS (
+  SELECT l.event_id, l.user_id, l.ts,
+         epoch_us(r.ts) AS b_us, r.value AS b_val
+  FROM (SELECT * FROM l WHERE ts IS NOT NULL) l
+  ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+  UNION ALL
+  SELECT event_id, user_id, ts, NULL, NULL FROM l WHERE ts IS NULL
+),
+fwd AS (
+  SELECT l.event_id, epoch_us(r.ts) AS f_us, r.value AS f_val
+  FROM (SELECT * FROM l WHERE ts IS NOT NULL) l
+  ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts
+  UNION ALL
+  SELECT event_id, NULL, NULL FROM l WHERE ts IS NULL
+)
+SELECT b.event_id, b.user_id,
+       CASE WHEN take_back THEN b_us ELSE f_us END AS view_ts_us,
+       CASE WHEN take_back THEN b_val ELSE f_val END AS v_view,
+       CASE WHEN take_back THEN epoch_us(b.ts) - b_us
+            ELSE f_us - epoch_us(b.ts) END AS gap_us
+FROM (
+  SELECT b.*, f.f_us, f.f_val,
+         b.b_us IS NOT NULL AND
+         (f.f_us IS NULL OR
+          epoch_us(b.ts) - b.b_us <= f.f_us - epoch_us(b.ts))
+           AS take_back
+  FROM back b JOIN fwd f USING (event_id)
+) b
+"""
+
+
+ORACLES["window_zscore_rolling"] = f"""
+WITH base AS (
+  SELECT event_id, user_id, ts,
+         CAST(floor(CAST(value AS DOUBLE) * 10000.0 + 0.5) AS BIGINT) AS vi
+  FROM events
+  WHERE value IS NOT NULL AND ts IS NOT NULL AND user_id IS NOT NULL
+), stats AS (
+  SELECT event_id, user_id, vi,
+         CAST(count(*) OVER w AS BIGINT) AS m,
+         CAST(sum(vi) OVER w AS BIGINT) AS s,
+         CAST(sum(vi * vi) OVER w AS BIGINT) AS ss
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 15 PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, m AS n_window,
+       {_dec(
+         "CASE WHEN m >= 2 AND CAST(m AS HUGEINT) * ss - "
+         "CAST(s AS HUGEINT) * s > 0 "
+         "THEN CAST(CAST(m AS HUGEINT) * vi - s AS DOUBLE) "
+         "/ sqrt(CAST(CAST(m AS HUGEINT) * ss - CAST(s AS HUGEINT) * s "
+         "AS DOUBLE)) END", 6)} AS z
+FROM stats
+"""
+
+
 # streaming twin: the replayed register fold must equal the batch
 # sketch exactly — same SQL as sketch_hll (stream/batch equivalence
 # pin #5)

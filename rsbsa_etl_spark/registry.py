@@ -1762,6 +1762,33 @@ def ab_kstest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _k(load(spark, sf_dir, "events"))
 
 
+def group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exact per-returnflag price quartiles, PERCENTILE_DISC
+    semantics (actual elements, no engine-divergent interpolation)."""
+    from rsbsa_etl_spark.operators.analytics import group_percentiles as _g
+
+    return _g(load(spark, sf_dir, "lineitem"))
+
+
+def join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nearest-view-in-time join (either direction) for every click:
+    two as-of passes over the shared union-window kernel, closer
+    side wins, ties backward."""
+    from rsbsa_etl_spark.operators.analytics import join_nearest as _jn
+
+    return _jn(load(spark, sf_dir, "events"))
+
+
+def window_zscore_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """per-user trailing-16 rolling z-score with integer-exact
+    scaled variance in DECIMAL(38,0)."""
+    from rsbsa_etl_spark.operators.analytics import (
+        window_zscore_rolling as _wz,
+    )
+
+    return _wz(load(spark, sf_dir, "events"))
+
+
 def resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """hourly grid with linear interpolation across gaps (two-sided
     companion to resample_ffill); no extrapolation past the ends."""
@@ -2463,6 +2490,9 @@ QUERIES: dict[str, QueryFn] = {
     "stream_hll": stream_hll,
     "trend_theil_sen_capped": trend_theil_sen_capped,
     "resample_interpolate": resample_interpolate,
+    "group_percentiles": group_percentiles,
+    "join_nearest": join_nearest,
+    "window_zscore_rolling": window_zscore_rolling,
     "snapshot_diff": snapshot_diff,
     "resample_ffill": resample_ffill,
     "ab_ttest": ab_ttest,
@@ -2638,6 +2668,7 @@ _UNTESTED_PRIORITY = [
     "source_overlap_kmv", "ab_chisq", "seq_trigrams", "basket_pairs",
     "attribution_first_touch", "trend_theil_sen", "stream_hll",
     "trend_theil_sen_capped", "resample_interpolate",
+    "group_percentiles", "join_nearest", "window_zscore_rolling",
 ]
 
 _rows = _driver_latest_rows()

@@ -46,6 +46,7 @@ AFFECTED = [
     # sequence/attribution ops read the null-injected ts column
     "seq_trigrams", "attribution_first_touch", "trend_theil_sen",
     "resample_interpolate",
+    "join_nearest", "window_zscore_rolling",
 ]
 
 
