@@ -2583,12 +2583,14 @@ def _is_green(row: dict) -> bool:
 
 
 # Round-6 queue: zero reds; pending = the 32 round-5 leftovers plus
-# the 11 round-6 additions (value_ecdf sketch_hll window_ewma
+# the 16 round-6 additions (value_ecdf sketch_hll window_ewma
 # skyline_pareto source_overlap_kmv ab_chisq seq_trigrams
-# basket_pairs attribution_first_touch trend_theil_sen stream_hll) —
-# 43 keys, all within ONE sweep budget, every one replica-green at
-# sf0.01 AND sf0.1 from /tmp (LOCAL_SWEEP_r06.md). After this sweep
-# every registered key has a driver row.
+# basket_pairs attribution_first_touch trend_theil_sen(_capped)
+# stream_hll resample_interpolate group_percentiles join_nearest
+# window_zscore_rolling) — 48 keys, within ONE sweep budget, every
+# one replica-green at sf0.01 AND sf0.1 from /tmp
+# (LOCAL_SWEEP_r06.md). After this sweep every registered key has a
+# driver row. Key additions stop at 48 pending by design.
 # (Historical note, round-5 head was the two r4 reds + 48 untested —
 # all 50 drained green, see CORRECTNESS_r05.json.) The prior
 # round-6 remainder comment listed the
