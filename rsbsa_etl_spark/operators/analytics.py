@@ -2230,8 +2230,14 @@ def join_nearest(events: DataFrame) -> DataFrame:
     clicks = events.where(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts"
     )
-    views = events.where(F.col("event_type") == "view").select(
-        "user_id", "ts", "value"
+    # the asof kernel's contract: right-side (key, ts) ties resolve
+    # arbitrarily unless the caller disambiguates — collapse tied
+    # views to one row (max value, the deterministic convention both
+    # engines can state) BEFORE either pass
+    views = (
+        events.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
     )
     back = asof_join(clicks, views, "user_id", "ts", ["ts", "value"]).select(
         "event_id",
@@ -2273,15 +2279,22 @@ def join_nearest(events: DataFrame) -> DataFrame:
     )
 
 
-def window_zscore_rolling(events: DataFrame, n: int = 16) -> DataFrame:
+def window_zscore_rolling(events: DataFrame) -> DataFrame:
     """rolling standardization: each event's value as a z-score
     against the TRAILING ``n`` observations of the same user — the
     feature-engineering normalization that makes heterogeneous users
     comparable to one model, and the streaming-friendly cousin of the
     global zscore outlier pass (state = one window, not the corpus).
 
-    Exactness: rolling Σx and Σx² accumulate the 1e-4 fixed-point
-    integers (x² ≤ 1e14 per term, ×16 terms — far inside int64), the
+    The window length is ``params.ZSCORE_WINDOW`` — one constant
+    feeding BOTH the operator and its oracle frame (a free parameter
+    here with a hard-coded oracle frame was a silent-divergence
+    trap).
+
+    Exactness: rolling Σx accumulates the 1e-4 fixed-point integers
+    and Σx² accumulates in DECIMAL(38,0) (vi² wraps int64 silently
+    in Spark and raises in DuckDB once |value| passes ~3e5 — the
+    ab_chisq overflow class, enforced not just documented), the
     scaled variance V = n·Σx² − (Σx)² stays integer in
     DECIMAL(38,0) (the squared sum amplifies past int64 on wide
     windows of large values), and z = (n·x − Σx) / sqrt(V) — the
@@ -2291,10 +2304,12 @@ def window_zscore_rolling(events: DataFrame, n: int = 16) -> DataFrame:
     variance yield NULL. One user-partitioned sort serves both
     rolling sums.
     """
+    from rsbsa_etl_spark.params import ZSCORE_WINDOW
+
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
-        .rowsBetween(-(n - 1), 0)
+        .rowsBetween(-(ZSCORE_WINDOW - 1), 0)
     )
     vi = F.floor(F.col("value") * 1e4 + F.lit(0.5)).cast("long")
     base = events.where(
@@ -2309,7 +2324,7 @@ def window_zscore_rolling(events: DataFrame, n: int = 16) -> DataFrame:
         "vi",
         F.count("*").over(w).alias("m"),
         F.sum("vi").over(w).alias("s"),
-        F.sum(F.col("vi") * F.col("vi")).over(w).alias("ss"),
+        F.sum(F.col("vi").cast(d38) * F.col("vi")).over(w).alias("ss"),
     )
     var_scaled = (
         F.col("m").cast(d38) * F.col("ss") - F.col("s").cast(d38) * F.col("s")

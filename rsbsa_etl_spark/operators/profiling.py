@@ -643,9 +643,10 @@ def blocked_running(
     # strictly precedes the block. With group_cols it is PARTITIONED
     # by group and fully parallel; without, it is the documented
     # bounded global pass.
+    # empty partitionBy(*[]) IS the global window, so one spec
+    # serves both the grouped (partition-parallel) and ungrouped
+    # (documented bounded global) carry
     carry_w = Window.partitionBy(*gc).orderBy("_blk").rowsBetween(
-        Window.unboundedPreceding, -1
-    ) if gc else Window.orderBy("_blk").rowsBetween(
         Window.unboundedPreceding, -1
     )
     carry = totals.select(
@@ -659,8 +660,20 @@ def blocked_running(
         ],
     )
     out_suffix = "_cum" if agg == "sum" else "_run"
+    # NULL-SAFE equi-join on the group keys: a plain join would drop
+    # NULL-group rows that Window.partitionBy keeps as their own
+    # partition — the grouped form must stay bit-identical to the
+    # plain grouped window for NULLable keys too
+    carry_r = carry.select(
+        *[F.col(c).alias(f"_cg_{c}") for c in gc],
+        F.col("_blk").alias("_cblk"),
+        *[F.col(f"_p_{c}") for c in cols],
+    )
+    cond = F.col("_blk") == F.col("_cblk")
+    for c in gc:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"_cg_{c}"))
     return (
-        within.join(F.broadcast(carry), [*gc, "_blk"])
+        within.join(F.broadcast(carry_r), cond)
         .select(
             *per_v.columns,
             *[

@@ -1494,9 +1494,10 @@ WITH l AS (SELECT event_id, user_id, ts, value FROM events
      -- engine contract is "a NULL key or ts is 'as of' nothing",
      -- so the right side drops them and NULL-ts left rows bypass
      -- the ASOF entirely, union-ed back with NULL payload.
-     r AS (SELECT user_id, ts, value FROM events
+     r AS (SELECT user_id, ts, max(value) AS value FROM events
            WHERE event_type = 'view'
-             AND ts IS NOT NULL AND user_id IS NOT NULL)
+             AND ts IS NOT NULL AND user_id IS NOT NULL
+           GROUP BY user_id, ts)
 SELECT l.event_id, l.user_id, l.value AS v_click,
        epoch_us(r.ts) AS view_ts_us, r.value AS v_view
 FROM (SELECT * FROM l WHERE ts IS NOT NULL) l
@@ -4783,9 +4784,13 @@ FROM ranked GROUP BY flag
 ORACLES["join_nearest"] = """
 WITH l AS (SELECT event_id, user_id, ts FROM events
            WHERE event_type = 'click'),
-     r AS (SELECT user_id, ts, value FROM events
+     -- tied (user_id, ts) views collapse to max(value): ASOF's tie
+     -- pick is unspecified in both engines, so the dedup IS the
+     -- determinism guarantee
+     r AS (SELECT user_id, ts, max(value) AS value FROM events
            WHERE event_type = 'view'
-             AND ts IS NOT NULL AND user_id IS NOT NULL),
+             AND ts IS NOT NULL AND user_id IS NOT NULL
+           GROUP BY user_id, ts),
 back AS (
   SELECT l.event_id, l.user_id, l.ts,
          epoch_us(r.ts) AS b_us, r.value AS b_val
@@ -4827,10 +4832,13 @@ WITH base AS (
   SELECT event_id, user_id, vi,
          CAST(count(*) OVER w AS BIGINT) AS m,
          CAST(sum(vi) OVER w AS BIGINT) AS s,
-         CAST(sum(vi * vi) OVER w AS BIGINT) AS ss
+         -- HUGEINT: vi*vi wraps int64 in Spark / raises here once
+         -- |value| passes ~3e5 (Spark mirrors with DECIMAL(38,0))
+         sum(CAST(vi AS HUGEINT) * vi) OVER w AS ss
   FROM base
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN 15 PRECEDING AND CURRENT ROW)
+               ROWS BETWEEN {P.ZSCORE_WINDOW - 1} PRECEDING
+               AND CURRENT ROW)
 )
 SELECT event_id, user_id, m AS n_window,
        {_dec(

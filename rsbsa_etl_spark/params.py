@@ -389,3 +389,7 @@ PRF_EXPANSION_TERMS = 10
 #: − 1 tokens is guaranteed to share a fingerprint (the winnowing
 #: guarantee), at ~2/(w+1) of the posting volume.
 WINNOW_W = 5
+
+#: trailing-window length for window_zscore_rolling — shared by the
+#: Spark operator and its oracle so the frame cannot drift
+ZSCORE_WINDOW = 16

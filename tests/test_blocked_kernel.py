@@ -166,3 +166,41 @@ def test_blocked_running_fuzz(spark, kv):
             r["v"]: r["ref"] for r in df.select("v", ref.alias("ref")).collect()
         }
         assert got == want, (agg, inclusive)
+
+
+@pytest.mark.parametrize("agg,inclusive", [
+    ("sum", True), ("sum", False), ("max", True), ("max", False),
+])
+def test_blocked_running_grouped_equals_plain_window(spark, agg, inclusive):
+    """grouped mode (group_cols) vs Window.partitionBy(group) — must
+    agree including NULL group keys (a plain equi-join would drop
+    them; the kernel joins null-safe) and negative values."""
+    rows = [
+        Row(g="a", v=0, x=-3), Row(g="a", v=1, x=5),
+        Row(g="a", v=(1 << ECDF_BLOCK_BITS), x=-1),
+        Row(g="b", v=-(1 << ECDF_BLOCK_BITS), x=2), Row(g="b", v=7, x=0),
+        Row(g=None, v=2, x=4), Row(g=None, v=(2 << ECDF_BLOCK_BITS), x=-9),
+    ]
+    df = spark.createDataFrame(rows).repartition(3)
+    out = "x_cum" if agg == "sum" else "x_run"
+    got = {
+        (r["g"], r["v"]): r[out]
+        for r in blocked_running(
+            df, "v", ["x"], agg, inclusive, group_cols=["g"]
+        ).collect()
+    }
+    end = 0 if inclusive else -1
+    w = (
+        Window.partitionBy("g")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, end)
+    )
+    fn = F.sum if agg == "sum" else F.max
+    ref = fn("x").over(w)
+    if agg == "sum" and not inclusive:
+        ref = F.coalesce(ref, F.lit(0))
+    want = {
+        (r["g"], r["v"]): r["ref"]
+        for r in df.select("g", "v", ref.alias("ref")).collect()
+    }
+    assert got == want, (agg, inclusive)
