@@ -2230,14 +2230,11 @@ def join_nearest(events: DataFrame) -> DataFrame:
     clicks = events.where(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts"
     )
-    # the asof kernel's contract: right-side (key, ts) ties resolve
-    # arbitrarily unless the caller disambiguates — collapse tied
-    # views to one row (max value, the deterministic convention both
-    # engines can state) BEFORE either pass
-    views = (
-        events.where(F.col("event_type") == "view")
-        .groupBy("user_id", "ts")
-        .agg(F.max("value").alias("value"))
+    # tied (user_id, ts) views resolve inside the asof kernel to
+    # the max payload struct (= max value at the tied instant) — the
+    # same convention the oracle states as a max() pre-aggregation
+    views = events.where(F.col("event_type") == "view").select(
+        "user_id", "ts", "value"
     )
     back = asof_join(clicks, views, "user_id", "ts", ["ts", "value"]).select(
         "event_id",

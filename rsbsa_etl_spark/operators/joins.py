@@ -173,9 +173,13 @@ def asof_join(
     form is one shuffle on ``key`` and one partition-local sort over
     |L|+|R| rows — the same plan shape whether right has 10 rows or
     10 billion. Right rows sort before left rows at equal (key, ts),
-    giving the inclusive <= bound. Right-side ties on (key, ts) would
-    be resolved arbitrarily — callers needing that guarantee add a
-    tiebreak column to ``ts`` upstream.
+    giving the inclusive <= bound. Right-side ties on (key, ts)
+    resolve DETERMINISTICALLY to the maximum payload struct (the
+    window orders tied right rows by ``_p`` ascending, so the
+    running ``last`` sees the max last) — field order in ``payload``
+    is therefore the tiebreak order, at zero extra shuffle cost.
+    Oracles state the same convention as a max() pre-aggregation per
+    (key, ts), since SQL ASOF's own tie pick is unspecified.
 
     The carried state is ONE struct per right row (non-null whenever
     a right row exists), not per-column ``last(ignorenulls)`` — the
@@ -206,7 +210,7 @@ def asof_join(
     u = l2.unionByName(r2, allowMissingColumns=True)
     w = (
         Window.partitionBy(key)
-        .orderBy(ts, "_side")
+        .orderBy(ts, "_side", "_p")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = u.select(

@@ -755,14 +755,12 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = events.where(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts", "value"
     )
-    # tied (user_id, ts) views collapse to max(value) BEFORE the
-    # asof kernel — its right-side tie pick is arbitrary by contract,
-    # so the dedup is what makes the key deterministic on real data
-    # (fixtures have no collisions; output unchanged there)
-    views = (
-        events.where(F.col("event_type") == "view")
-        .groupBy("user_id", "ts")
-        .agg(F.max("value").alias("value"))
+    # tied (user_id, ts) views resolve inside the asof kernel to the
+    # max payload struct = max(value) here — deterministic with NO
+    # extra shuffle (the oracle states the same rule as a max()
+    # pre-aggregation; fixtures have no collisions either way)
+    views = events.where(F.col("event_type") == "view").select(
+        "user_id", "ts", "value"
     )
     joined = asof_join(clicks, views, "user_id", "ts", ["ts", "value"])
     return joined.select(

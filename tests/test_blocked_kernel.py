@@ -204,3 +204,26 @@ def test_blocked_running_grouped_equals_plain_window(spark, agg, inclusive):
         for r in df.select("g", "v", ref.alias("ref")).collect()
     }
     assert got == want, (agg, inclusive)
+
+
+def test_asof_join_tie_resolves_to_max_payload(spark):
+    """right-side (key, ts) ties must deterministically yield the MAX
+    payload struct — the kernel's documented convention (ordering
+    tied right rows by payload inside the one window; no dedup
+    shuffle)."""
+    import datetime
+
+    from rsbsa_etl_spark.operators.joins import asof_join
+
+    t = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame(
+        [(1, 10, t)], ["event_id", "k", "ts"]
+    )
+    right = spark.createDataFrame(
+        [(10, t, 5.0), (10, t, 9.0), (10, t, 1.0)], ["k", "ts", "value"]
+    ).repartition(3)
+    out = asof_join(
+        left, right, "k", "ts", ["ts", "value"]
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["value_asof"] == 9.0  # max among the tied rows
