@@ -227,3 +227,63 @@ def test_asof_join_tie_resolves_to_max_payload(spark):
     ).collect()
     assert len(out) == 1
     assert out[0]["value_asof"] == 9.0  # max among the tied rows
+
+
+def test_join_nearest_is_bruteforce_nearest(spark, sf_dir):
+    """every click's matched view must be the truly closest view by
+    |Δts| (ties backward), verified against a brute-force pass."""
+    from rsbsa_etl_spark.operators.analytics import join_nearest
+    from rsbsa_etl_spark.sources.fixtures import load
+
+    events = load(spark, sf_dir, "events")
+    rows = events.select(
+        "event_id", "user_id", "event_type",
+        F.unix_micros("ts").alias("us"), "value",
+    ).collect()
+    views = {}
+    for r in rows:
+        if r["event_type"] == "view":
+            views.setdefault(r["user_id"], []).append((r["us"], r["value"]))
+    got = {r["event_id"]: r for r in join_nearest(events).collect()}
+    n_checked = 0
+    for r in rows:
+        if r["event_type"] != "click":
+            continue
+        vs = views.get(r["user_id"], [])
+        out = got[r["event_id"]]
+        if not vs:
+            assert out["view_ts_us"] is None
+            continue
+        best_gap = min(abs(v[0] - r["us"]) for v in vs)
+        assert out["gap_us"] == best_gap, r["event_id"]
+        # ties backward: if both directions achieve the gap, the
+        # backward (earlier) view must win
+        back = [v for v in vs if r["us"] - v[0] == best_gap]
+        if back:
+            assert out["view_ts_us"] == r["us"] - best_gap
+        n_checked += 1
+    assert n_checked > 50
+
+
+def test_basket_pairs_matches_bruteforce(spark, sf_dir):
+    from itertools import combinations
+
+    from rsbsa_etl_spark.operators.analytics import basket_pairs
+    from rsbsa_etl_spark.sources.fixtures import load
+
+    li = load(spark, sf_dir, "lineitem")
+    orders = {}
+    for r in li.select("l_orderkey", "l_partkey").collect():
+        orders.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+    support = {}
+    for parts in orders.values():
+        for a, b in combinations(sorted(parts), 2):
+            support[(a, b)] = support.get((a, b), 0) + 1
+    want = sorted(
+        support.items(), key=lambda kv: (-kv[1], kv[0])
+    )[:25]
+    got = [
+        ((r["p1"], r["p2"]), r["support"])
+        for r in basket_pairs(li).orderBy("rk").collect()
+    ]
+    assert got == want
