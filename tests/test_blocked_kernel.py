@@ -287,3 +287,64 @@ def test_basket_pairs_matches_bruteforce(spark, sf_dir):
         for r in basket_pairs(li).orderBy("rk").collect()
     ]
     assert got == want
+
+
+def test_attribution_first_touch_matches_bruteforce(spark, sf_dir):
+    from rsbsa_etl_spark.operators.analytics import attribution_first_touch
+    from rsbsa_etl_spark.sources.fixtures import load
+
+    events = load(spark, sf_dir, "events")
+    rows = sorted(
+        (
+            (r["user_id"], r["us"], r["event_id"], r["event_type"],
+             r["value"])
+            for r in events.select(
+                "user_id", F.unix_micros("ts").alias("us"), "event_id",
+                "event_type", "value",
+            ).collect()
+        ),
+        key=lambda t: (t[0], t[1], t[2]),
+    )
+    first_click = {}
+    want = {}
+    for uid, us, eid, typ, val in rows:
+        if typ == "click" and uid not in first_click:
+            first_click[uid] = (eid, us, val)
+        if typ == "purchase":
+            want[eid] = first_click.get(uid)
+    got = {
+        r["event_id"]: (r["click_event_id"], r["click_ts_us"],
+                        r["click_value"])
+        for r in attribution_first_touch(events).collect()
+    }
+    assert set(got) == set(want)
+    for eid, w in want.items():
+        assert got[eid] == (w if w else (None, None, None)), eid
+
+
+def test_seq_trigrams_matches_bruteforce(spark, sf_dir):
+    from collections import Counter
+
+    from rsbsa_etl_spark.operators.analytics import seq_trigrams
+    from rsbsa_etl_spark.sources.fixtures import load
+
+    events = load(spark, sf_dir, "events")
+    per_user = {}
+    for r in sorted(
+        events.select(
+            "user_id", F.unix_micros("ts").alias("us"), "event_id",
+            "event_type",
+        ).collect(),
+        key=lambda r: (r["user_id"], r["us"], r["event_id"]),
+    ):
+        per_user.setdefault(r["user_id"], []).append(r["event_type"])
+    c = Counter()
+    for seq in per_user.values():
+        for i in range(len(seq) - 2):
+            c[(seq[i], seq[i + 1], seq[i + 2])] += 1
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:25]
+    got = [
+        ((r["t1"], r["t2"], r["t3"]), r["n"])
+        for r in seq_trigrams(events).orderBy("rk").collect()
+    ]
+    assert got == want
