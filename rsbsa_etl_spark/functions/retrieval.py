@@ -232,53 +232,60 @@ def _greedy_mmr(slim: DataFrame, pairs: DataFrame, k: int) -> DataFrame:
     (query_id, a_id, b_id, sim_i) pairwise pool similarities —
     both 1e-6 fixed-point integers, both persisted by the caller
     (the caller also releases them). Returns
-    (query_id, doc_id, rel_i, pick_order, mmr_i), lineage
-    truncated per round with eager localCheckpoints."""
+    (query_id, doc_id, rel_i, pick_order, mmr_i).
+
+    Execution shape: the greedy fold runs DRIVER-SIDE over a
+    collected pool — a deliberate bounded collect (the repo's
+    BPE-argmax exception class): the pool is queries × pool_k rows
+    and pairs ≤ queries × pool_k², both CONSTANT in corpus size by
+    construction (only the retrieval stage ever touches the corpus).
+    The earlier form ran k Spark jobs of joins + windows over these
+    same tiny tables with a localCheckpoint per round — measured
+    ~0.4s of scheduler overhead per pick (2-4s per key at any SF,
+    invariant in the data); the in-memory fold is the identical
+    integer arithmetic (Python ints are exact) at microseconds, and
+    the oracles' shared SQL unroll pins every pick either way."""
     from rsbsa_etl_spark.params import MMR_W_DIV, MMR_W_REL
 
-    selected = None
-    for r in range(1, k + 1):
-        if selected is None:
-            scores = slim.withColumn("ms_i", F.lit(0).cast("long"))
-        else:
-            sel_ids = selected.select("query_id", "doc_id")
-            remaining = slim.join(
-                sel_ids, ["query_id", "doc_id"], "left_anti"
-            )
-            ms = (
-                pairs.join(
-                    sel_ids.withColumnRenamed("doc_id", "b_id"),
-                    ["query_id", "b_id"],
+    spark = slim.sparkSession
+    pool_rows = slim.select("query_id", "doc_id", "rel_i").collect()
+    sim: dict = {}
+    for r in pairs.select("query_id", "a_id", "b_id", "sim_i").collect():
+        sim[(r["query_id"], r["a_id"], r["b_id"])] = r["sim_i"]
+    by_q: dict = {}
+    for r in pool_rows:
+        by_q.setdefault(r["query_id"], {})[r["doc_id"]] = r["rel_i"]
+    out = []
+    for qid in sorted(by_q):
+        cand = by_q[qid]
+        selected: list = []
+        for pick_no in range(1, k + 1):
+            best = None
+            for did in sorted(cand):
+                if did in (d for d, _ in selected):
+                    continue
+                ms_i = max(
+                    (
+                        sim.get((qid, did, sd), sim.get((qid, sd, did), 0))
+                        for sd, _ in selected
+                    ),
+                    default=0,
                 )
-                .groupBy("query_id", F.col("a_id").alias("doc_id"))
-                .agg(F.max("sim_i").alias("ms_i"))
+                mmr_i = MMR_W_REL * cand[did] - MMR_W_DIV * ms_i
+                # argmax with doc_id-asc tiebreak: strict > keeps the
+                # smallest doc_id among equals (candidates iterate in
+                # doc_id order)
+                if best is None or mmr_i > best[1]:
+                    best = (did, mmr_i)
+            if best is None:
+                break
+            selected.append(best)
+            out.append(
+                (qid, best[0], cand[best[0]], pick_no, best[1])
             )
-            scores = remaining.join(ms, ["query_id", "doc_id"]).select(
-                "query_id", "doc_id", "rel_i", "ms_i"
-            )
-        mmr_i = (
-            F.lit(MMR_W_REL) * F.col("rel_i")
-            - F.lit(MMR_W_DIV) * F.col("ms_i")
-        ).cast("long")
-        ws = Window.partitionBy("query_id").orderBy(
-            F.col("mmr_i").desc(), F.col("doc_id").asc()
-        )
-        pick = (
-            scores.withColumn("mmr_i", mmr_i)
-            .withColumn("rn", F.row_number().over(ws))
-            .where(F.col("rn") == 1)
-            .select(
-                "query_id",
-                "doc_id",
-                "rel_i",
-                F.lit(r).cast("int").alias("pick_order"),
-                "mmr_i",
-            )
-        )
-        selected = (
-            pick if selected is None else selected.unionByName(pick)
-        ).localCheckpoint(eager=True)
-    return selected
+    return spark.createDataFrame(
+        out, "query_id long, doc_id long, rel_i long, pick_order int, mmr_i long"
+    )
 
 
 def mmr_rerank(
