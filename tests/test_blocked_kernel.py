@@ -348,3 +348,30 @@ def test_seq_trigrams_matches_bruteforce(spark, sf_dir):
         for r in seq_trigrams(events).orderBy("rk").collect()
     ]
     assert got == want
+
+
+def test_greedy_mmr_tiebreaks_and_pair_symmetry(spark):
+    """driver-side MMR fold: equal mmr scores pick the smallest
+    doc_id; pairwise sims must be found whichever (a,b) order the
+    pairs table stores them in."""
+    from rsbsa_etl_spark.functions.retrieval import _greedy_mmr
+
+    slim = spark.createDataFrame(
+        [(1, 10, 100), (1, 11, 100), (1, 12, 90)],
+        "query_id long, doc_id long, rel_i long",
+    )
+    # only (10,11) similar — stored in ONE direction only
+    pairs = spark.createDataFrame(
+        [(1, 10, 11, 1_000_000)],
+        "query_id long, a_id long, b_id long, sim_i long",
+    )
+    out = {
+        r["pick_order"]: (r["doc_id"], r["mmr_i"])
+        for r in _greedy_mmr(slim, pairs, 3).collect()
+    }
+    # pick 1: rel tie 10 vs 11 → smallest doc_id (10)
+    assert out[1][0] == 10
+    # pick 2: 11 is penalized by sim(10,11) through the REVERSED
+    # stored order; 12 (rel 90, no sim) must beat it
+    assert out[2][0] == 12
+    assert out[3][0] == 11
