@@ -375,3 +375,62 @@ def test_greedy_mmr_tiebreaks_and_pair_symmetry(spark):
     # stored order; 12 (rel 90, no sim) must beat it
     assert out[2][0] == 12
     assert out[3][0] == 11
+
+
+def test_hll_estimate_within_error_bound(spark, sf_dir):
+    """accuracy evidence per Flajolet's two ranges: below 2.5·m the
+    raw estimator is KNOWN-biased and the consumer-side linear count
+    m·ln(m/V) from the emitted n_zero_registers must track truth;
+    above it the raw estimate itself must land within ~4 rse
+    (1.04/sqrt(64) ≈ 13%). A sketch drifting outside these is wired
+    wrong, not just noisy."""
+    import math
+
+    from rsbsa_etl_spark.operators.analytics import HLL_M, hll_sketch
+    from rsbsa_etl_spark.sources.fixtures import load
+
+    events = load(spark, sf_dir, "events")
+    truth = {
+        r["event_type"]: r["n"]
+        for r in events.where(F.col("user_id").isNotNull())
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    truth["ALL"] = (
+        events.where(F.col("user_id").isNotNull())
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    checked = 0
+    for r in hll_sketch(events).collect():
+        exact = truth[r["event_type"]]
+        if exact <= 2.5 * HLL_M:
+            v = r["n_zero_registers"]
+            assert v > 0, r["event_type"]  # small n must leave zeros
+            linear = HLL_M * math.log(HLL_M / v)
+            assert abs(linear - exact) <= 0.35 * exact + 6, (
+                r["event_type"], linear, exact,
+            )
+        else:
+            assert abs(r["hll_raw_est"] - exact) <= 0.52 * exact, (
+                r["event_type"], r["hll_raw_est"], exact,
+            )
+        checked += 1
+    assert checked >= 2
+
+
+def test_source_overlap_sketch_tracks_exact_jaccard(spark, sf_dir):
+    """j_kmv is an estimate of j_exact — every pair must stay within
+    the k=256 sketch's plausible band (|err| ≤ ~4/sqrt(k) + small
+    slack), and the two must correlate in rank ordering overall."""
+    from rsbsa_etl_spark.operators.analytics import source_overlap_kmv
+    from rsbsa_etl_spark.sources.fixtures import load
+
+    rows = source_overlap_kmv(load(spark, sf_dir, "documents")).collect()
+    assert rows
+    errs = [abs(r["j_kmv"] - r["j_exact"]) for r in rows]
+    assert max(errs) <= 0.3, max(errs)
+    # aggregate calibration: mean error well under the per-pair cap
+    assert sum(errs) / len(errs) <= 0.1
