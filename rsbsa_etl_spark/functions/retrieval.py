@@ -249,37 +249,71 @@ def _greedy_mmr(slim: DataFrame, pairs: DataFrame, k: int) -> DataFrame:
 
     spark = slim.sparkSession
     pool_rows = slim.select("query_id", "doc_id", "rel_i").collect()
+    # two structures, pinning the oracle unroll's edge semantics:
+    # `present` records that a pairs ROW exists (the unroll's rounds
+    # >= 2 INNER JOIN pool->pairs->selected: a pool doc with no pairs
+    # row to any selected doc is UNPICKABLE after round 1 — e.g. a
+    # hybrid pool doc with no embedding row, dropped by the pv inner
+    # join); `sim` holds only NON-NULL sim_i (SQL max() skips NULLs —
+    # a NULL sim_i is producible by safe_div when a pool doc has a
+    # zero-norm embedding). A candidate whose every sim-to-selected
+    # is NULL gets mmr_i = NULL, which ranks LAST (the oracle's
+    # ORDER BY mmr_i DESC under DuckDB's NULLS LAST default).
     sim: dict = {}
+    present: set = set()
     for r in pairs.select("query_id", "a_id", "b_id", "sim_i").collect():
-        sim[(r["query_id"], r["a_id"], r["b_id"])] = r["sim_i"]
+        key = (r["query_id"], r["a_id"], r["b_id"])
+        present.add(key)
+        if r["sim_i"] is not None:
+            sim[key] = r["sim_i"]
     by_q: dict = {}
     for r in pool_rows:
         by_q.setdefault(r["query_id"], {})[r["doc_id"]] = r["rel_i"]
+
+    def _beats(a, b) -> bool:
+        # strict > with NULL = -infinity (NULLS LAST): keeps the
+        # smallest doc_id among equals (candidates iterate in
+        # doc_id order)
+        if a is None:
+            return False
+        return b is None or a > b
+
     out = []
     for qid in sorted(by_q):
         cand = by_q[qid]
         selected: list = []
+        sel_ids: set = set()
         for pick_no in range(1, k + 1):
             best = None
             for did in sorted(cand):
-                if did in (d for d, _ in selected):
+                if did in sel_ids:
                     continue
-                ms_i = max(
-                    (
-                        sim.get((qid, did, sd), sim.get((qid, sd, did), 0))
-                        for sd, _ in selected
-                    ),
-                    default=0,
-                )
-                mmr_i = MMR_W_REL * cand[did] - MMR_W_DIV * ms_i
-                # argmax with doc_id-asc tiebreak: strict > keeps the
-                # smallest doc_id among equals (candidates iterate in
-                # doc_id order)
-                if best is None or mmr_i > best[1]:
+                if selected:
+                    linked = False
+                    sims = []
+                    for sd in sel_ids:
+                        for kk in ((qid, did, sd), (qid, sd, did)):
+                            if kk in present:
+                                linked = True
+                                if kk in sim:
+                                    sims.append(sim[kk])
+                    if not linked:
+                        continue  # oracle: inner join excludes it
+                    ms_i = max(sims) if sims else None
+                    mmr_i = (
+                        MMR_W_REL * cand[did] - MMR_W_DIV * ms_i
+                        if ms_i is not None
+                        else None
+                    )
+                else:
+                    # round 1: every pool doc competes, max-sim term 0
+                    mmr_i = MMR_W_REL * cand[did]
+                if best is None or _beats(mmr_i, best[1]):
                     best = (did, mmr_i)
             if best is None:
                 break
             selected.append(best)
+            sel_ids.add(best[0])
             out.append(
                 (qid, best[0], cand[best[0]], pick_no, best[1])
             )
@@ -319,12 +353,12 @@ def mmr_rerank(
     re-ranker behind an ANN retriever. The corpus-sized work is one
     broadcast-queries scan (the ann_bruteforce plan — swap in the
     IVF/LSH arm at billion-vector scale; the re-rank stage is
-    unchanged). ``k`` driver-side rounds of tiny-DataFrame ops with
-    lineage truncated per round (the pagerank localCheckpoint
-    pattern). The pool/pairs persists are released before returning
-    — the eager per-round checkpoints mean the returned DataFrame no
-    longer depends on their lineage, so no executor storage leaks
-    across repeated calls.
+    unchanged). The greedy selection itself runs DRIVER-SIDE over
+    the collected pool/pairs (see ``_greedy_mmr`` — a documented
+    bounded collect, constant in corpus size); the result comes back
+    via ``createDataFrame``, so it carries no lineage into pool or
+    pairs and both persists release before returning — no executor
+    storage leaks across repeated calls.
     """
     from rsbsa_etl_spark.params import (
         MMR_FIXED_SCALE,
@@ -369,10 +403,10 @@ def mmr_rerank(
     try:
         selected = _greedy_mmr(slim, pairs, k)
     finally:
-        # the eager checkpoints hold the picks as materialized
-        # blocks — pool/pairs lineage is not referenced by the
-        # result, so release even on a mid-loop failure (a retrying
-        # caller must not accumulate orphaned cached blocks)
+        # the fold's result is a fresh createDataFrame — pool/pairs
+        # lineage is not referenced by it, so release even on a
+        # mid-loop failure (a retrying caller must not accumulate
+        # orphaned cached blocks)
         pool.unpersist()
         pairs.unpersist()
     return selected.select(
@@ -443,7 +477,7 @@ def hybrid_mmr(
     finally:
         # release everything this call cached — including the
         # hybrid pipeline's corpus (held via _hybrid_parts): the
-        # eager checkpoints mean nothing downstream re-reads it
+        # fold's createDataFrame result re-reads none of it
         pool.unpersist()
         pairs.unpersist()
         corpus.unpersist()

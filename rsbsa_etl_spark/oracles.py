@@ -13,10 +13,13 @@ two sides cannot drift. Portability rules mirrored here:
 - DuckDB replacement backrefs are ``\\1`` where Spark uses ``$1``;
 - md5() of a VARCHAR hashes its UTF-8 bytes in both engines.
 
-The only key absent from this dict is ``stream_tail`` — a push
-source with no SQL equivalent (rows-only check); pytest covers its
-behavior. Every other key, including the Arrow-batched multimodal
-path, is value-checked here.
+EVERY registry key has an oracle here — 1:1 with ``queries()``
+(tests/test_oracle_parity.py::test_every_query_is_value_checked
+pins ROWS_ONLY empty). That includes the
+stateful/streaming keys: ``stream_tail`` (deterministic replay →
+ORDER-BY-SQL since round 5) and ``stream_cdc_apply`` (keyed
+last-write-wins over the CDC log), and the Arrow-batched multimodal
+path — all value-checked, none rows-only.
 """
 
 from __future__ import annotations

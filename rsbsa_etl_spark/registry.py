@@ -2527,13 +2527,16 @@ QUERIES: dict[str, QueryFn] = {
 #      CORRECTNESS_r*.json, in the curated risk order of
 #      _UNTESTED_PRIORITY (streaming/stateful first — the riskiest
 #      surface — then curation, windows, extension joins, …);
-#   3. keys already driver-green demote to the tail. Their evidence
-#      stays on record, and every one of them is still value-checked
-#      against its DuckDB oracle locally on every pytest run
+#   3. keys already driver-green demote to the tail, ordered by the
+#      AGE of their latest driver row (oldest committed round first,
+#      registry order within a round). Their evidence stays on
+#      record, and every one of them is still value-checked against
+#      its DuckDB oracle locally on every pytest run
 #      (tests/test_oracle_parity.py covers ALL keys at sf0.001, now
 #      including result-type parity), so demotion never removes
-#      correctness coverage — it only spends the driver's budget on
-#      keys with no row yet.
+#      correctness coverage. Once the backlog is drained (round 6),
+#      the age tier makes the sweep a rolling freshness check: each
+#      round re-confirms the ~50 stalest greens against current code.
 #
 # Because the green set is parsed from the committed driver records at
 # import time, the rotation is self-maintaining: when a round's
@@ -2553,25 +2556,38 @@ AUDIT_EXCLUDE = frozenset({
 })
 
 
-def _driver_latest_rows() -> dict:
-    """Latest committed driver-correctness row per key.
+def _driver_latest_rows_and_rounds() -> tuple[dict, dict]:
+    """Latest committed driver-correctness row per key, plus the round
+    number that row came from (the age tier's sort key).
 
     Reads the in-repo ``CORRECTNESS_r*.json`` records the external
     driver writes each round (sorted so later rounds override).
     """
     import json as _json
+    import re as _re
     from pathlib import Path as _Path
 
     rows: dict = {}
+    rounds: dict = {}
     root = _Path(__file__).resolve().parent.parent
     for p in sorted(root.glob("CORRECTNESS_r*.json")):
         try:
             data = _json.loads(p.read_text())
         except (OSError, ValueError):
             continue
+        m = _re.search(r"r(\d+)", p.name)
+        rnd = int(m.group(1)) if m else 0
         if isinstance(data, dict):
-            rows.update({k: v for k, v in data.items() if isinstance(v, dict)})
-    return rows
+            for k, v in data.items():
+                if isinstance(v, dict):
+                    rows[k] = v
+                    rounds[k] = rnd
+    return rows, rounds
+
+
+def _driver_latest_rows() -> dict:
+    """Latest committed driver-correctness row per key (rows only)."""
+    return _driver_latest_rows_and_rounds()[0]
 
 
 def _is_green(row: dict) -> bool:
@@ -2677,7 +2693,7 @@ _UNTESTED_PRIORITY = [
     "group_percentiles", "join_nearest", "window_zscore_rolling",
 ]
 
-_rows = _driver_latest_rows()
+_rows, _row_rounds = _driver_latest_rows_and_rounds()
 _red = [k for k in QUERIES if k in _rows and not _is_green(_rows[k])]
 _green = {k for k, r in _rows.items() if _is_green(r)}
 _untested = [k for k in _UNTESTED_PRIORITY if k in QUERIES and k not in _rows]
@@ -2685,5 +2701,16 @@ _rest = [
     k for k in QUERIES
     if k not in set(_red) and k not in set(_untested) and k not in _green
 ]
-_tail = [k for k in QUERIES if k in _green and k not in set(_red)]
+# Age tier (round 7): once every key is driver-green, the rotation
+# would otherwise degenerate to a frozen order and the driver's 50-key
+# sweep would re-confirm the same head forever. Instead, order the
+# green tail by driver-row AGE — oldest committed round first (stable
+# within a round, so registry order breaks ties). Each round the
+# driver then re-confirms the 50 stalest greens against CURRENT code,
+# so "green once, many rounds of churn ago" converts into fresh
+# evidence automatically as new CORRECTNESS files land.
+_tail = sorted(
+    (k for k in QUERIES if k in _green and k not in set(_red)),
+    key=lambda k: _row_rounds.get(k, 0),
+)
 QUERIES = {k: QUERIES[k] for k in (*_red, *_untested, *_rest, *_tail)}

@@ -353,14 +353,18 @@ def test_seq_trigrams_matches_bruteforce(spark, sf_dir):
 def test_greedy_mmr_tiebreaks_and_pair_symmetry(spark):
     """driver-side MMR fold: equal mmr scores pick the smallest
     doc_id; pairwise sims must be found whichever (a,b) order the
-    pairs table stores them in."""
+    pairs table stores them in; and a pool doc with NO pairs row to
+    any selected doc is UNPICKABLE after round 1 — the oracle
+    unroll's rounds>=2 INNER JOIN pool→pairs→selected (e.g. a hybrid
+    pool doc whose embedding row was dropped by the pv inner join)."""
     from rsbsa_etl_spark.functions.retrieval import _greedy_mmr
 
     slim = spark.createDataFrame(
         [(1, 10, 100), (1, 11, 100), (1, 12, 90)],
         "query_id long, doc_id long, rel_i long",
     )
-    # only (10,11) similar — stored in ONE direction only
+    # only (10,11) similar — stored in ONE direction only; doc 12
+    # has no pairs row at all
     pairs = spark.createDataFrame(
         [(1, 10, 11, 1_000_000)],
         "query_id long, a_id long, b_id long, sim_i long",
@@ -371,10 +375,46 @@ def test_greedy_mmr_tiebreaks_and_pair_symmetry(spark):
     }
     # pick 1: rel tie 10 vs 11 → smallest doc_id (10)
     assert out[1][0] == 10
-    # pick 2: 11 is penalized by sim(10,11) through the REVERSED
-    # stored order; 12 (rel 90, no sim) must beat it
-    assert out[2][0] == 12
-    assert out[3][0] == 11
+    # pick 2: doc 12 (rel 90, NO pairs rows) is excluded by the
+    # oracle's inner join; 11 wins even though heavily penalized by
+    # sim(10,11) found through the REVERSED stored order
+    assert out[2][0] == 11
+    # pick 3: only 12 remains and it still has no pairs row to any
+    # selected doc → no further pick (matches the oracle's empty
+    # r3 CTE)
+    assert 3 not in out and len(out) == 2
+
+
+def test_greedy_mmr_null_sims_rank_last(spark):
+    """oracle-parity for NULL sim_i (safe_div on a zero-norm pool
+    embedding): SQL max() skips NULLs, so a candidate whose every
+    sim-to-selected is NULL gets mmr_i = NULL and ranks LAST
+    (DuckDB's NULLS LAST under ORDER BY mmr_i DESC) — but remains
+    pickable when every candidate is NULL, smallest doc_id first.
+    The fold must not crash on None (the pre-fix TypeError) nor
+    silently treat NULL as sim 0."""
+    from rsbsa_etl_spark.functions.retrieval import _greedy_mmr
+    from rsbsa_etl_spark.params import MMR_W_DIV, MMR_W_REL
+
+    slim = spark.createDataFrame(
+        [(1, 10, 100), (1, 11, 95), (1, 12, 10)],
+        "query_id long, doc_id long, rel_i long",
+    )
+    # 11→10 has a NULL sim (zero-norm); 12→10 a real tiny sim.
+    pairs = spark.createDataFrame(
+        [(1, 11, 10, None), (1, 12, 10, 5)],
+        "query_id long, a_id long, b_id long, sim_i long",
+    )
+    out = {
+        r["pick_order"]: (r["doc_id"], r["mmr_i"])
+        for r in _greedy_mmr(slim, pairs, 3).collect()
+    }
+    assert out[1][0] == 10
+    # round 2: 11's only sim is NULL → mmr NULL → ranks below 12's
+    # real score despite rel 95 vs 10
+    assert out[2] == (12, MMR_W_REL * 10 - MMR_W_DIV * 5)
+    # round 3: only 11 left; all-NULL sims → picked with NULL mmr
+    assert out[3] == (11, None)
 
 
 def test_hll_estimate_within_error_bound(spark, sf_dir):

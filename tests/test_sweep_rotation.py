@@ -19,7 +19,11 @@ from __spark_entry__ import queries
 # the SAME predicate/merge the production rotation uses — importing
 # (rather than copy-pasting) means a bug fixed in one place can't
 # leave the guard test pinning stale logic
-from rsbsa_etl_spark.registry import _driver_latest_rows, _is_green
+from rsbsa_etl_spark.registry import (
+    _driver_latest_rows,
+    _driver_latest_rows_and_rounds,
+    _is_green,
+)
 
 ROOT = Path(__file__).resolve().parent.parent
 SWEEP_BUDGET = 50
@@ -103,6 +107,37 @@ def test_sweep_queue_is_work_conserving():
         f"driver backlog {n} exceeds three sweep budgets — stop adding "
         "keys until the driver catches up"
     )
+
+
+def test_green_tail_is_age_ordered():
+    """Round-7 age tier: within the green tail, keys are ordered by
+    the round of their latest driver row, oldest first — so once the
+    untested backlog is drained, each sweep re-confirms the ~50
+    stalest greens against current code instead of freezing on a
+    fixed head. Stability within a round is the registry's own
+    order, which we don't pin (it's an implementation detail); the
+    non-decreasing round sequence is the contract."""
+    rows, rounds = _driver_latest_rows_and_rounds()
+    order = list(queries())
+    green_tail = [k for k in order if k in rows and _is_green(rows[k])]
+    # strip any endgame back-filled greens ahead of pending keys:
+    # the tail proper is the maximal green suffix of the order
+    suffix = []
+    for k in reversed(order):
+        if k in rows and _is_green(rows[k]):
+            suffix.append(k)
+        else:
+            break
+    suffix.reverse()
+    tail_rounds = [rounds[k] for k in suffix]
+    assert tail_rounds == sorted(tail_rounds), (
+        "green tail not age-ordered: a fresher driver row precedes a "
+        "staler one, wasting sweep budget on recently-confirmed keys"
+    )
+    # and when EVERYTHING is green, the whole order is the tail —
+    # i.e. the sweep head is exactly the stalest-evidence keys
+    if len(green_tail) == len(order):
+        assert suffix == order
 
 
 def test_readme_query_count_matches_registry():
