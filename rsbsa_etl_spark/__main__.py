@@ -16,6 +16,11 @@ metrics, scheduling belongs to an external scheduler per SURVEY
     python -m rsbsa_etl_spark status    # GET /api/etl-status
     python -m rsbsa_etl_spark explain <query-key> [--full]
                                         # plan-hygiene audit
+    python -m rsbsa_etl_spark audit [--out PLANAUDIT.json]
+                                        # registry-wide plan counters
+    python -m rsbsa_etl_spark verify --all-keys | --keys a,b
+                                        # the driver's correctness
+                                        # gate, reproducibly
 """
 
 from __future__ import annotations
@@ -68,6 +73,23 @@ def main(argv: list[str] | None = None) -> int:
     )
     aud.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     aud.add_argument("--out", default="PLANAUDIT.json")
+
+    ver = sub.add_parser(
+        "verify",
+        help="replicate the driver's correctness gate: run registry "
+        "queries AND their DuckDB oracles, compare rows/schema/values",
+    )
+    vg = ver.add_mutually_exclusive_group(required=True)
+    vg.add_argument(
+        "--all-keys", action="store_true",
+        help="verify the entire registry (the end-of-round gate)",
+    )
+    vg.add_argument("--keys", help="comma-separated registry keys")
+    ver.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ver.add_argument(
+        "--out", default=None,
+        help="also write the per-key results as JSON (driver row shape)",
+    )
 
     args = p.parse_args(argv)
 
@@ -127,18 +149,15 @@ def main(argv: list[str] | None = None) -> int:
             plan = df._jdf.queryExecution().executedPlan().toString()
             import re as _re
 
-            def count(pat: str) -> int:
-                return len(_re.findall(pat, plan))
+            from rsbsa_etl_spark.plans.audit import (
+                COUNTER_PATTERNS,
+                plan_counters,
+            )
 
             print(f"key: {args.key}")
-            print(f"  shuffles (Exchange):        {count('Exchange (hash|range)partitioning')}")
-            print(f"  broadcast joins:            {count('BroadcastHashJoin')}")
-            print(f"  sort-merge joins:           {count('SortMergeJoin')}")
-            print(f"  nested-loop/cartesian:      {count('BroadcastNestedLoopJoin|CartesianProduct')}")
-            print(f"  file scans:                 {count('FileScan')}")
-            print(f"  windows:                    {count('Window ')}")
-            print(f"  python (Arrow) stages:      {count('MapInPandas|FlatMapGroupsInPandas|ArrowEvalPython')}")
-            print(f"  row-at-a-time python UDFs:  {count('BatchEvalPython')}")
+            for key, n in plan_counters(plan).items():
+                label = COUNTER_PATTERNS[key][0]
+                print(f"  {label + ':':<28}{n}")
             # Spark elides long filter lists with "..." (no closing
             # bracket), so cut at the line end and cap the width
             pushed = _re.findall(r"PushedFilters: \[[^\n]*", plan)
@@ -156,27 +175,12 @@ def main(argv: list[str] | None = None) -> int:
             # executes work (streaming replays, write paths,
             # iterative driver loops).
             import json as _json
-            import re as _re
 
+            from rsbsa_etl_spark.plans.audit import plan_counters
             from rsbsa_etl_spark.registry import (
                 AUDIT_EXCLUDE,
                 AUDIT_EXCLUDE_PREFIXES,
             )
-
-            def counters(plan: str) -> dict:
-                c = lambda pat: len(_re.findall(pat, plan))  # noqa: E731
-                return {
-                    "exchanges": c("Exchange (hash|range)partitioning"),
-                    "bhj": c("BroadcastHashJoin"),
-                    "smj": c("SortMergeJoin"),
-                    "nlj": c("BroadcastNestedLoopJoin|CartesianProduct"),
-                    "scans": c("FileScan"),
-                    "windows": c("Window "),
-                    "arrow": c(
-                        "MapInPandas|FlatMapGroupsInPandas|ArrowEvalPython"
-                    ),
-                    "rowpy": c("BatchEvalPython"),
-                }
 
             rows = []
             for k in sorted(QUERIES):
@@ -188,7 +192,7 @@ def main(argv: list[str] | None = None) -> int:
                     .executedPlan()
                     .toString()
                 )
-                rows.append({"key": k, **counters(plan)})
+                rows.append({"key": k, **plan_counters(plan)})
             with open(args.out, "w") as fh:
                 _json.dump(rows, fh, indent=0)
             print(
@@ -196,6 +200,38 @@ def main(argv: list[str] | None = None) -> int:
                 f"rowpy total: {sum(r['rowpy'] for r in rows)}"
             )
             return 0
+        if args.cmd == "verify":
+            # the end-of-round full-registry gate (LOCAL_SWEEP_r*.md),
+            # as one reproducible command. Exit 0 only if every key
+            # is green by the driver's own three flags.
+            import json as _json
+
+            from rsbsa_etl_spark.verify import verify_keys
+
+            if args.all_keys:
+                keys = sorted(QUERIES)
+            else:
+                keys = [k for k in args.keys.split(",") if k]
+                unknown = [k for k in keys if k not in QUERIES]
+                if unknown:
+                    print(f"unknown query keys: {unknown}", file=sys.stderr)
+                    return 2
+            results = verify_keys(spark, keys, args.sf_dir)
+            n_green = 0
+            for k, r in results.items():
+                green = bool(
+                    r["rows_match"] and r["schema_match"]
+                    and r["hash_match"] and r["err"] is None
+                )
+                n_green += green
+                mark = "PASS" if green else "FAIL"
+                detail = "" if green else f"  {r['err'] or r}"
+                print(f"{mark} {k}  rows={r['spark_rows']}{detail}")
+            if args.out:
+                with open(args.out, "w") as fh:
+                    _json.dump(results, fh, indent=2)
+            print(f"verify: {n_green}/{len(results)} green @ {args.sf_dir}")
+            return 0 if n_green == len(results) else 1
         if args.cmd == "status":
             # the reference's GET /api/etl-status (``index.js:329-342``)
             active = spark.streams.active

@@ -1644,7 +1644,7 @@ def hll_sketch(events: DataFrame) -> DataFrame:
     return _hll_fold(_hll_registers(events))
 
 
-def window_ewma(events: DataFrame, depth: int = 8) -> DataFrame:
+def window_ewma(events: DataFrame, depth: int | None = None) -> DataFrame:
     """exponentially weighted moving average of ``value`` per user —
     the trend-smoothing primitive time-series dashboards apply before
     thresholding. The textbook recursive EWMA (s_t = α·x_t +
@@ -1664,7 +1664,15 @@ def window_ewma(events: DataFrame, depth: int = 8) -> DataFrame:
     Plan: one shuffle on user_id; the ``depth`` lag() terms all share
     ONE partitioned window sort. State per row is ``depth`` longs —
     constant — and partitions parallelize by user at any scale.
+
+    ``depth`` defaults to ``params.EWMA_DEPTH`` — the SAME constant
+    the oracle's lag unroll is generated from (the ZSCORE_WINDOW
+    single-sourcing pattern), so a depth change cannot silently
+    diverge the two engines.
     """
+    from rsbsa_etl_spark.params import EWMA_DEPTH
+
+    depth = EWMA_DEPTH if depth is None else depth
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     vi = F.floor(F.col("value") * 1e4 + F.lit(0.5)).cast("long")
     base = events.where(

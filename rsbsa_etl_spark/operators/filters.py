@@ -112,9 +112,13 @@ def check_domains(df: DataFrame, table: str) -> DataFrame:
     value set and each ZEROFILL geo code's display width, and this
     op enforces them — ``isin()`` per ENUM column (NULL passes: the
     reference columns are nullable and MySQL ENUM admits NULL), and
-    digits-only + ``lpad`` width conformance per ZEROFILL column
-    (``etlService.js:254,376,384`` ENUMs; ``:277-290,537-545``
-    zerofilled geo codes; mapping rules SURVEY §1.2).
+    digits-only per ZEROFILL column (``etlService.js:254,376,384``
+    ENUMs; ``:277-290,537-545`` zerofilled geo codes; mapping rules
+    SURVEY §1.2). The ZEROFILL check is deliberately NOT a max-length
+    check: MySQL display width is a rendering hint, not a storage
+    constraint — an over-width code is legal, and ``zerofill_format``
+    passes it through unchanged (ZEROFILL never truncates), so the
+    two ops agree on which values are valid.
 
     Returns the input plus one ``_chk_<col>`` boolean per constrained
     column and ``_valid`` (conjunction) — composable with
@@ -131,13 +135,10 @@ def check_domains(df: DataFrame, table: str) -> DataFrame:
         c = F.col(col).isNull() | F.col(col).isin(*domain)
         out = out.withColumn(f"_chk_{col}", c)
         checks.append(c)
-    for (tbl, col), width in sorted(ZEROFILL_WIDTHS.items()):
+    for (tbl, col), _width in sorted(ZEROFILL_WIDTHS.items()):
         if tbl != table or col not in df.columns:
             continue
-        c = F.col(col).isNull() | (
-            F.col(col).rlike(r"^[0-9]+$")
-            & (F.length(col) <= F.lit(width))
-        )
+        c = F.col(col).isNull() | F.col(col).rlike(r"^[0-9]+$")
         out = out.withColumn(f"_chk_{col}", c)
         checks.append(c)
     valid = F.lit(True)

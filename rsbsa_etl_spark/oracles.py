@@ -4443,6 +4443,23 @@ FROM folded
 """
 
 
+# lag unroll generated from params.EWMA_DEPTH — the SAME constant
+# window_ewma defaults to, so depth cannot silently diverge between
+# the operator and this oracle (the ZSCORE_WINDOW single-sourcing
+# pattern). Weight of lag i is 2^(depth-1-i); lag 0 is vi itself.
+_EWMA_NUM = " + ".join(
+    f"COALESCE(lag(vi, {i}) OVER w * {1 << (P.EWMA_DEPTH - 1 - i)}, 0)"
+    if i
+    else f"vi * {1 << (P.EWMA_DEPTH - 1)}"
+    for i in range(P.EWMA_DEPTH)
+)
+_EWMA_DEN = " + ".join(
+    f"CASE WHEN lag(vi, {i}) OVER w IS NOT NULL"
+    f" THEN {1 << (P.EWMA_DEPTH - 1 - i)} ELSE 0 END"
+    if i
+    else f"{1 << (P.EWMA_DEPTH - 1)}"
+    for i in range(P.EWMA_DEPTH)
+)
 ORACLES["window_ewma"] = f"""
 WITH base AS (
   SELECT event_id, user_id, ts,
@@ -4450,8 +4467,8 @@ WITH base AS (
   FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
 ), terms AS (
   SELECT event_id, user_id,
-         CAST(vi * 128 + COALESCE(lag(vi, 1) OVER w * 64, 0) + COALESCE(lag(vi, 2) OVER w * 32, 0) + COALESCE(lag(vi, 3) OVER w * 16, 0) + COALESCE(lag(vi, 4) OVER w * 8, 0) + COALESCE(lag(vi, 5) OVER w * 4, 0) + COALESCE(lag(vi, 6) OVER w * 2, 0) + COALESCE(lag(vi, 7) OVER w * 1, 0) AS BIGINT) AS num,
-         CAST(128 + CASE WHEN lag(vi, 1) OVER w IS NOT NULL THEN 64 ELSE 0 END + CASE WHEN lag(vi, 2) OVER w IS NOT NULL THEN 32 ELSE 0 END + CASE WHEN lag(vi, 3) OVER w IS NOT NULL THEN 16 ELSE 0 END + CASE WHEN lag(vi, 4) OVER w IS NOT NULL THEN 8 ELSE 0 END + CASE WHEN lag(vi, 5) OVER w IS NOT NULL THEN 4 ELSE 0 END + CASE WHEN lag(vi, 6) OVER w IS NOT NULL THEN 2 ELSE 0 END + CASE WHEN lag(vi, 7) OVER w IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS den
+         CAST({_EWMA_NUM} AS BIGINT) AS num,
+         CAST({_EWMA_DEN} AS BIGINT) AS den
   FROM base
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 )

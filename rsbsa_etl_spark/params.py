@@ -393,3 +393,9 @@ WINNOW_W = 5
 #: trailing-window length for window_zscore_rolling — shared by the
 #: Spark operator and its oracle so the frame cannot drift
 ZSCORE_WINDOW = 16
+
+#: truncation depth of window_ewma's dyadic-weight EWMA (trailing
+#: lags 2^0..2^(depth-1)) — shared by the Spark operator and the
+#: oracle's lag unroll so the frame cannot drift (the ZSCORE_WINDOW
+#: pattern)
+EWMA_DEPTH = 8

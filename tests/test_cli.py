@@ -41,3 +41,32 @@ def test_explain_audits_plan(spark, capsys):
     assert "sort-merge joins:           0" in out
     assert "broadcast joins:            2" in out
     assert main(["explain", "no_such_key"]) == 2
+
+
+def test_verify_gate_smoke(spark, tmp_path, capsys):
+    """`verify --keys ...` replicates the driver gate on demand: the
+    three sampled keys must come back green, the exit code must be 0,
+    and the JSON record must carry the driver's row shape. Unknown
+    keys exit 2 without touching Spark."""
+    import json
+
+    from tests.conftest import SF_DIR
+
+    out_json = tmp_path / "gate.json"
+    rc = main([
+        "verify",
+        "--keys", "scan_project,agg_sum_groups,cond_coalesce",
+        "--sf-dir", SF_DIR,
+        "--out", str(out_json),
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    assert out.count("PASS") == 3 and "FAIL" not in out
+    assert "verify: 3/3 green" in out
+    rec = json.loads(out_json.read_text())
+    assert set(rec) == {"scan_project", "agg_sum_groups", "cond_coalesce"}
+    for row in rec.values():
+        assert row["rows_match"] and row["schema_match"]
+        assert row["hash_match"] and row["err"] is None
+        assert row["spark_rows"] == row["oracle_rows"] > 0
+    assert main(["verify", "--keys", "nope", "--sf-dir", SF_DIR]) == 2

@@ -156,6 +156,28 @@ def test_zerofill_format_pads_geo_codes(spark):
     assert got["P-3"] == ("1234", "999")
 
 
+def test_check_domains_and_zerofill_format_agree_on_overwidth(spark):
+    """MySQL display width is a rendering hint, not a storage
+    constraint: a digits-only geo code LONGER than its DDL width must
+    be VALID to check_domains AND pass through zerofill_format
+    unchanged — the two ops may not disagree on the same value
+    (non-digits stay invalid)."""
+    df = spark.createDataFrame(
+        [("P-1", "1234"), ("P-2", "12x4")], ["parcel_id", "bgy"]
+    )
+    chk = {
+        r["parcel_id"]: r["_chk_bgy"]
+        for r in check_domains(df, "farmparcel").collect()
+    }
+    assert chk["P-1"] is True   # over-width but digits-only: legal
+    assert chk["P-2"] is False  # non-digits: still invalid
+    fmt = {
+        r["parcel_id"]: r["bgy"]
+        for r in zerofill_format(df, "farmparcel").collect()
+    }
+    assert fmt["P-1"] == "1234"  # never truncated
+
+
 def test_check_domains_covers_every_registered_constraint():
     """every ENUM/ZEROFILL registry entry points at a real column of
     its table's declared schema — no orphaned constraints."""

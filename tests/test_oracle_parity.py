@@ -16,14 +16,20 @@ cross-class pair fails here before the driver ever sees it.
 
 from __future__ import annotations
 
-import math
-
-import duckdb
 import pandas as pd
 import pytest
 
 from __spark_entry__ import oracle_sql, queries
-from rsbsa_etl_spark.sources.fixtures import FIXTURE_TABLES
+
+# the comparator is the engine's own (rsbsa_etl_spark/verify.py) —
+# the SAME code behind `python -m rsbsa_etl_spark verify`, so the
+# pytest sweep and the CLI gate cannot drift
+from rsbsa_etl_spark.verify import (
+    canon as _canon,
+    duck_con,
+    duck_type_class as _duck_type_class,
+    spark_type_class as _spark_type_class,
+)
 
 from tests.conftest import SF_DIR
 
@@ -31,94 +37,6 @@ ORACLES = oracle_sql()
 QUERIES = queries()
 CHECKED = sorted(k for k in QUERIES if k in ORACLES)
 ROWS_ONLY = sorted(k for k in QUERIES if k not in ORACLES)
-
-
-def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
-    con = duckdb.connect()
-    for t in FIXTURE_TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
-    return con
-
-
-def _spark_type_class(dt) -> str:
-    """Collapse a Spark DataType onto the shared type lattice."""
-    from pyspark.sql import types as T
-
-    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
-        return "INT"
-    if isinstance(dt, (T.FloatType, T.DoubleType)):
-        return "FLOAT"
-    if isinstance(dt, T.DecimalType):
-        return f"DECIMAL({dt.precision},{dt.scale})"
-    if isinstance(dt, T.StringType):
-        return "STRING"
-    if isinstance(dt, T.BooleanType):
-        return "BOOL"
-    if isinstance(dt, T.DateType):
-        return "DATE"
-    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
-        return "TIMESTAMP"
-    if isinstance(dt, T.ArrayType):
-        return f"LIST<{_spark_type_class(dt.elementType)}>"
-    if isinstance(dt, T.BinaryType):
-        return "BINARY"
-    if isinstance(dt, T.MapType):
-        return "MAP"
-    if isinstance(dt, T.StructType):
-        return "STRUCT"
-    return str(dt)
-
-
-def _duck_type_class(name: str) -> str:
-    """Collapse a DuckDB type name onto the shared type lattice.
-
-    HUGEINT/UBIGINT intentionally map to their own class (they exceed
-    int64, and the driver's typed hash treats them differently from
-    BIGINT), so an oracle producing one fails against a Spark LongType
-    column instead of silently "matching" after int64 coercion.
-    """
-    s = str(name).upper()
-    if s.endswith("[]"):
-        return f"LIST<{_duck_type_class(s[:-2])}>"
-    if s.startswith("DECIMAL"):
-        return s.replace(" ", "")
-    if s in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
-             "UTINYINT", "USMALLINT", "UINTEGER"):
-        return "INT"
-    if s in ("HUGEINT", "UHUGEINT", "UBIGINT"):
-        return "INT128"
-    if s in ("FLOAT", "REAL", "DOUBLE"):
-        return "FLOAT"
-    if s in ("VARCHAR", "TEXT", "STRING"):
-        return "STRING"
-    if s == "BOOLEAN":
-        return "BOOL"
-    if s == "DATE":
-        return "DATE"
-    if s.startswith("TIMESTAMP"):
-        return "TIMESTAMP"
-    if s in ("BLOB", "BYTEA", "BINARY"):
-        return "BINARY"
-    if s.startswith("MAP"):
-        return "MAP"
-    if s.startswith("STRUCT"):
-        return "STRUCT"
-    return s
-
-
-def _canon(df: pd.DataFrame) -> pd.DataFrame:
-    out = df.reindex(sorted(df.columns), axis=1).copy()
-    for c in out.columns:
-        s = out[c]
-        if pd.api.types.is_float_dtype(s):
-            out[c] = s.astype(float).round(9)
-        elif pd.api.types.is_integer_dtype(s):
-            out[c] = s.astype("int64")
-        else:
-            out[c] = s.astype(str)
-    return out.sort_values(by=list(out.columns)).reset_index(drop=True)
 
 
 @pytest.mark.parametrize("name", CHECKED)
