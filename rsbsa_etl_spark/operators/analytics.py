@@ -1753,28 +1753,35 @@ def skyline_pareto(orders: DataFrame) -> DataFrame:
     )
 
 
-def source_overlap_kmv(docs: DataFrame, k: int | None = None) -> DataFrame:
+def source_overlap_kmv(
+    docs: DataFrame, k: int | None = None, exact: bool = True
+) -> DataFrame:
     """pairwise corpus-overlap matrix: for every pair of sources, the
-    exact Jaccard similarity of their shingle vocabularies AND the
-    bottom-k (KMV) sketch estimate of it — the curation question
-    "how much does crawl A duplicate crawl B" answered two ways, so
-    the sketch's error is itself part of the checked output
-    (Beyer et al. 2007, "distinct-value synopses over set
-    operations": J_est = |U_k ∩ A ∩ B| / k over the union's
-    bottom-k).
+    bottom-k (KMV) sketch estimate of the Jaccard similarity of
+    their shingle vocabularies — and, in the default verification
+    mode, the exact Jaccard alongside it, so the sketch's error is
+    itself part of the checked output (Beyer et al. 2007,
+    "distinct-value synopses over set operations": J_est =
+    |U_k ∩ A ∩ B| / k over the union's bottom-k). The curation
+    question is "how much does crawl A duplicate crawl B".
 
-    Scale split, stated: the EXACT column is the expensive path — a
-    self-equi-join of the (source, hash) vocabulary on hash, one
-    shuffle, pair-linear output — priced acceptable here because
-    vocabulary tables are corpus-sublinear. The SKETCH column's
-    inputs are sources × k rows TOTAL after the per-source bottom-k
-    (partitioned window); at 100 TB one keeps only the sketch column
-    and the per-pair cost stops depending on the corpus entirely —
-    the estimate's observed error at every SF is the evidence for
-    cutting the exact path, which is why both ship in one row.
+    Scale split, now a dial: ``exact=True`` (the verification arm)
+    adds the expensive path — a self-equi-join of the (source, hash)
+    vocabulary on hash, one corpus-vocabulary-shaped shuffle —
+    priced acceptable at test SFs because vocabulary tables are
+    corpus-sublinear. ``exact=False`` (the 100 TB mode, registry key
+    ``source_overlap_kmv_sketch``) drops that join entirely: after
+    the one deduped-vocabulary shuffle that every mode needs, the
+    sketch path touches only sources × k rows TOTAL (per-source
+    bottom-k via a partitioned window), so per-pair cost is
+    corpus-independent and the plan has no sort-merge join. The
+    exact arm's observed error at every SF is the evidence that the
+    sketch-only mode is safe to ship.
 
-    Pairs are ordered a < b lexicographically; the pair table itself
-    is a tiny distinct-sources self-join (no driver collect).
+    Outputs: exact mode → (a, b, n_inter, n_union, j_exact, j_kmv);
+    sketch mode → (a, b, k_eff, j_kmv). Pairs are ordered a < b
+    lexicographically; the pair table itself is a tiny
+    distinct-sources self-join (no driver collect).
     """
     from rsbsa_etl_spark import params as P
     from rsbsa_etl_spark.functions.dedup import shingle_windows
@@ -1794,40 +1801,59 @@ def source_overlap_kmv(docs: DataFrame, k: int | None = None) -> DataFrame:
         .persist()
     )
 
-    # exact pair overlap: one equi-join on hash; |A∪B| by inclusion-
-    # exclusion from per-source totals (broadcast — one row/source)
-    sizes = sh.groupBy("source").agg(F.count("*").alias("n"))
-    inter = (
-        sh.alias("x")
-        .join(sh.alias("y"), "h")
-        .where(F.col("x.source") < F.col("y.source"))
-        .groupBy(
-            F.col("x.source").alias("a"), F.col("y.source").alias("b")
-        )
-        .agg(F.count("*").alias("n_inter"))
-    )
-    pairs = (
-        sizes.alias("sa")
-        .join(sizes.alias("sb"))
-        .where(F.col("sa.source") < F.col("sb.source"))
-        .select(
-            F.col("sa.source").alias("a"),
-            F.col("sb.source").alias("b"),
-            F.col("sa.n").alias("na"),
-            F.col("sb.n").alias("nb"),
-        )
-        .join(F.broadcast(inter), ["a", "b"], "left")
-        .withColumn("n_inter", F.coalesce("n_inter", F.lit(0)))
-    )
-
-    # sketch estimate: per-source bottom-k, then per-pair union
-    # bottom-k over ≤ 2k rows — corpus-independent
+    # per-source bottom-k sketch: sources × k rows total after the
+    # partitioned window — every downstream sketch op is
+    # corpus-independent
     wk = Window.partitionBy("source").orderBy("h")
     skt = (
         sh.withColumn("rn", F.row_number().over(wk))
         .where(F.col("rn") <= k)
         .select("source", "h")
     )
+
+    if exact:
+        # exact pair overlap (verification arm): one equi-join on
+        # hash; |A∪B| by inclusion-exclusion from per-source totals
+        # (broadcast — one row/source)
+        sizes = sh.groupBy("source").agg(F.count("*").alias("n"))
+        inter = (
+            sh.alias("x")
+            .join(sh.alias("y"), "h")
+            .where(F.col("x.source") < F.col("y.source"))
+            .groupBy(
+                F.col("x.source").alias("a"), F.col("y.source").alias("b")
+            )
+            .agg(F.count("*").alias("n_inter"))
+        )
+        pairs = (
+            sizes.alias("sa")
+            .join(sizes.alias("sb"))
+            .where(F.col("sa.source") < F.col("sb.source"))
+            .select(
+                F.col("sa.source").alias("a"),
+                F.col("sb.source").alias("b"),
+                F.col("sa.n").alias("na"),
+                F.col("sb.n").alias("nb"),
+            )
+            .join(F.broadcast(inter), ["a", "b"], "left")
+            .withColumn("n_inter", F.coalesce("n_inter", F.lit(0)))
+        )
+    else:
+        # sketch-only: pair enumeration from the sketch's own source
+        # set (sources × k rows) — the vocabulary table is touched
+        # exactly once, by the bottom-k window above
+        srcs = skt.select("source").distinct()
+        pairs = (
+            srcs.alias("sa")
+            .join(srcs.alias("sb"))
+            .where(F.col("sa.source") < F.col("sb.source"))
+            .select(
+                F.col("sa.source").alias("a"),
+                F.col("sb.source").alias("b"),
+            )
+        )
+
+    # per-pair union bottom-k over ≤ 2k rows — corpus-independent
     u = (
         pairs.select("a", "b")
         .join(skt, (F.col("source") == F.col("a")) | (F.col("source") == F.col("b")))
@@ -1847,8 +1873,18 @@ def source_overlap_kmv(docs: DataFrame, k: int | None = None) -> DataFrame:
             F.sum(F.col("in_a") * F.col("in_b")).alias("n_both"),
         )
     )
+    j_kmv = dec_round(
+        F.col("n_both").cast("double") / F.col("k_eff"), 6
+    ).alias("j_kmv")
+    if not exact:
+        # est already carries every (a, b) pair — no join back
+        return est.select(
+            "a", "b", F.col("k_eff").cast("long").alias("k_eff"), j_kmv
+        )
     return (
-        pairs.join(est, ["a", "b"])
+        # est is sources²-bounded: broadcast it rather than letting
+        # the planner sort-merge two window outputs with no stats
+        pairs.join(F.broadcast(est), ["a", "b"])
         .select(
             "a",
             "b",
@@ -1861,9 +1897,7 @@ def source_overlap_kmv(docs: DataFrame, k: int | None = None) -> DataFrame:
                 / (F.col("na") + F.col("nb") - F.col("n_inter")),
                 6,
             ).alias("j_exact"),
-            dec_round(
-                F.col("n_both").cast("double") / F.col("k_eff"), 6
-            ).alias("j_kmv"),
+            j_kmv,
         )
     )
 

@@ -4505,8 +4505,10 @@ WHERE (r.m_pricier IS NULL OR b.di > r.m_pricier)
 """
 
 
-ORACLES["source_overlap_kmv"] = f"""
-WITH stoks AS (SELECT source, {TOKS} AS toks FROM documents),
+# shared vocabulary + bottom-k sketch prefix of the two
+# source_overlap_kmv oracles (exact+sketch, and sketch-only), so the
+# sketch semantics cannot drift between them
+_SRCOV_VOCAB = f"""stoks AS (SELECT source, {TOKS} AS toks FROM documents),
 ssh AS (
   SELECT source,
          CASE WHEN len(toks) >= {_K}
@@ -4521,23 +4523,12 @@ sterm AS (SELECT DISTINCT source, unnest(shingles) AS term FROM ssh),
 -- NULL-doc source gains one phantom vocabulary entry
 hs AS (SELECT DISTINCT source, {_hexpoly("md5(term)", 1)} AS h FROM sterm
        WHERE term IS NOT NULL),
-sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM hs GROUP BY source),
-inter AS (
-  SELECT x.source AS a, y.source AS b, CAST(count(*) AS BIGINT) AS n_inter
-  FROM hs x JOIN hs y ON x.h = y.h AND x.source < y.source
-  GROUP BY x.source, y.source
-),
-pairs AS (
-  SELECT sa.source AS a, sb.source AS b, sa.n AS na, sb.n AS nb,
-         COALESCE(i.n_inter, 0) AS n_inter
-  FROM sizes sa JOIN sizes sb ON sa.source < sb.source
-  LEFT JOIN inter i ON i.a = sa.source AND i.b = sb.source
-),
 shard AS (SELECT source, h,
                  row_number() OVER (PARTITION BY source ORDER BY h) AS rn
           FROM hs),
-skt AS (SELECT source, h FROM shard WHERE rn <= {_KM}),
-u AS (
+skt AS (SELECT source, h FROM shard WHERE rn <= {_KM})"""
+
+_SRCOV_EST = f"""u AS (
   SELECT p.a, p.b, s.h,
          max(CASE WHEN s.source = p.a THEN 1 ELSE 0 END) AS in_a,
          max(CASE WHEN s.source = p.b THEN 1 ELSE 0 END) AS in_b
@@ -4550,13 +4541,42 @@ est AS (
   SELECT a, b, CAST(count(*) AS BIGINT) AS k_eff,
          CAST(sum(in_a * in_b) AS BIGINT) AS n_both
   FROM uk WHERE rn <= {_KM} GROUP BY a, b
-)
+)"""
+
+ORACLES["source_overlap_kmv"] = f"""
+WITH {_SRCOV_VOCAB},
+sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM hs GROUP BY source),
+inter AS (
+  SELECT x.source AS a, y.source AS b, CAST(count(*) AS BIGINT) AS n_inter
+  FROM hs x JOIN hs y ON x.h = y.h AND x.source < y.source
+  GROUP BY x.source, y.source
+),
+pairs AS (
+  SELECT sa.source AS a, sb.source AS b, sa.n AS na, sb.n AS nb,
+         COALESCE(i.n_inter, 0) AS n_inter
+  FROM sizes sa JOIN sizes sb ON sa.source < sb.source
+  LEFT JOIN inter i ON i.a = sa.source AND i.b = sb.source
+),
+{_SRCOV_EST}
 SELECT p.a, p.b, p.n_inter,
        CAST(p.na + p.nb - p.n_inter AS BIGINT) AS n_union,
        {_dec("CAST(p.n_inter AS DOUBLE) / (p.na + p.nb - p.n_inter)", 6)}
          AS j_exact,
        {_dec("CAST(e.n_both AS DOUBLE) / e.k_eff", 6)} AS j_kmv
 FROM pairs p JOIN est e ON e.a = p.a AND e.b = p.b
+"""
+
+ORACLES["source_overlap_kmv_sketch"] = f"""
+WITH {_SRCOV_VOCAB},
+srcs AS (SELECT DISTINCT source FROM skt),
+pairs AS (
+  SELECT sa.source AS a, sb.source AS b
+  FROM srcs sa JOIN srcs sb ON sa.source < sb.source
+),
+{_SRCOV_EST}
+SELECT e.a, e.b, e.k_eff,
+       {_dec("CAST(e.n_both AS DOUBLE) / e.k_eff", 6)} AS j_kmv
+FROM est e
 """
 
 

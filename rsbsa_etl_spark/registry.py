@@ -1871,6 +1871,17 @@ def source_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ov(load(spark, sf_dir, "documents"))
 
 
+def source_overlap_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """the 100 TB mode of source_overlap_kmv: KMV sketch estimate
+    only — no vocabulary self-equi-join anywhere in the plan (the
+    exact-Jaccard arm is the verification dial, priced for test SFs);
+    after the one deduped-vocabulary shuffle the whole computation is
+    sources × k rows."""
+    from rsbsa_etl_spark.operators.analytics import source_overlap_kmv as _ov
+
+    return _ov(load(spark, sf_dir, "documents"), exact=False)
+
+
 def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-D Pareto frontier of orders (price x recency): sort-based
     skyline on the blocked running-max kernel — no all-pairs test."""
@@ -2486,6 +2497,7 @@ QUERIES: dict[str, QueryFn] = {
     "window_ewma": window_ewma,
     "skyline_pareto": skyline_pareto,
     "source_overlap_kmv": source_overlap_kmv,
+    "source_overlap_kmv_sketch": source_overlap_kmv_sketch,
     "ab_chisq": ab_chisq,
     "seq_trigrams": seq_trigrams,
     "basket_pairs": basket_pairs,
@@ -2691,6 +2703,8 @@ _UNTESTED_PRIORITY = [
     "attribution_first_touch", "trend_theil_sen", "stream_hll",
     "trend_theil_sen_capped", "resample_interpolate",
     "group_percentiles", "join_nearest", "window_zscore_rolling",
+    # round-7 additions
+    "source_overlap_kmv_sketch",
 ]
 
 _rows, _row_rounds = _driver_latest_rows_and_rounds()
