@@ -264,3 +264,114 @@ def test_cdc_merge_skips_redelivered_batch(spark, tmp_path):
     merge_cdc_batch(spark, base, batch4, 3)
     assert state()[30] == (2, 60, 8.0)
     assert not os.path.isdir(f"{base}/state_old")
+
+
+def test_cdc_stream_restart_resumes_exactly(spark, tmp_path):
+    """kill-and-restart coverage for the CDC apply — the
+    checkpoint-recovery twin of the stream-join eviction replay
+    documented in SCALING.md. The engine dies AFTER ``foreachBatch``
+    merged micro-batch 1 but BEFORE the offset log committed it —
+    the worst crash point, because the restart re-delivers batch 1
+    and only the batch-id fence persisted INSIDE the state dir
+    stops the additive ``n`` component double-counting. The
+    restarted run's state table must equal an uninterrupted run's
+    EXACTLY (same rows, same counts, same argmax records).
+
+    ``RSBSA_RESTART_SF_DIR`` overrides the fixture dir so the
+    SCALING.md recovery-time measurement can run this same body at
+    sf0.1.
+    """
+    import time
+
+    import pytest
+    from pyspark.errors import StreamingQueryException
+
+    from rsbsa_etl_spark.streaming.stateful import merge_cdc_batch
+    from rsbsa_etl_spark.streaming.windows import dump_single_file
+
+    sf_dir = os.environ.get("RSBSA_RESTART_SF_DIR", SF_DIR)
+    proj = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "value",
+    )
+    schema = "event_id bigint, user_id bigint, ts_us bigint, value double"
+
+    def scaffold(base: str, crash_after_batch: int | None = None):
+        src, ckpt = f"{base}/src", f"{base}/ckpt"
+        os.makedirs(src)
+        dump_single_file(
+            proj.where(F.col("event_id") % 2 == 0), base, src, "f0.parquet"
+        )
+        dump_single_file(
+            proj.where(F.col("event_id") % 2 == 1), base, src, "f1.parquet"
+        )
+        seen: list[int] = []  # batch ids delivered (foreachBatch is driver-side)
+
+        def merge(batch, batch_id):
+            seen.append(batch_id)
+            merge_cdc_batch(spark, base, batch, batch_id)
+            crashmark = f"{base}/_crashed"
+            if batch_id == crash_after_batch and not os.path.exists(crashmark):
+                open(crashmark, "w").close()
+                raise RuntimeError(
+                    "injected crash: merge done, offset not committed"
+                )
+
+        def start():
+            return (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+                .writeStream.foreachBatch(merge)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        return start, seen
+
+    def state_rows(base: str):
+        return sorted(
+            (r.user_id, r.n, r.ts_us, r.event_id, r.value)
+            for r in spark.read.parquet(f"{base}/state").collect()
+        )
+
+    # reference: uninterrupted run over the identical two-file replay
+    base_ok = str(tmp_path / "ok")
+    os.makedirs(base_ok)
+    start_ok, _ = scaffold(base_ok)
+    q = start_ok()
+    q.awaitTermination()
+
+    # crash run: dies after batch 1's state merge
+    base_cr = str(tmp_path / "crash")
+    os.makedirs(base_cr)
+    start, seen = scaffold(base_cr, crash_after_batch=1)
+    q = start()
+    with pytest.raises(StreamingQueryException):
+        q.awaitTermination()
+    assert os.path.exists(f"{base_cr}/_crashed")  # injection really fired
+    # state already holds BOTH batches (merge ran before the crash) —
+    # the dangerous precondition for double-counting on re-delivery
+    assert state_rows(base_cr) == state_rows(base_ok)
+
+    # restart from the same checkpoint: batch 1 is re-delivered, the
+    # fence must skip it, and the run must complete cleanly
+    n_before = len(seen)
+    t0 = time.time()
+    q2 = start()
+    q2.awaitTermination()
+    recovery_s = time.time() - t0
+    print(f"cdc restart recovery: {recovery_s:.2f}s @ {sf_dir}")
+
+    # the uncommitted batch really was delivered again — without this
+    # the equality below would pass without exercising the fence
+    assert 1 in seen[n_before:], (
+        f"restart did not re-deliver the uncommitted batch: {seen}"
+    )
+    assert state_rows(base_cr) == state_rows(base_ok), (
+        "restarted CDC state diverged from the uninterrupted run — "
+        "re-delivered batch double-counted or dropped"
+    )
