@@ -211,6 +211,10 @@ HEADLINE = [
     "group_percentiles",
     "join_nearest",
     "window_zscore_rolling",
+    # round-7 additions
+    "source_overlap_kmv_sketch",
+    "winsorize_stats",
+    "token_gini",
 ]
 
 
@@ -286,6 +290,38 @@ def main() -> None:
     full_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
     )
+
+    # Round-over-round comparison, machine-derived: before overwriting
+    # the committed BENCH_FULL.json (the previous round's record),
+    # compute the common-key-set total ratio — raw, and normalized by
+    # the scan-floor ratio of the two windows, so "is this round
+    # actually slower or was the host just busier" stops being a
+    # hand-computed claim.
+    comparison: dict = {}
+    try:
+        with open(full_path) as fh:
+            prev = json.load(fh)
+    except (OSError, ValueError):
+        prev = None
+    if prev and isinstance(prev.get("queries"), dict):
+        common = [k for k in timings if k in prev["queries"]]
+        prev_sum = sum(prev["queries"][k] for k in common)
+        now_sum = sum(timings[k] for k in common)
+        if common and prev_sum > 0:
+            raw = now_sum / prev_sum
+            comparison = {
+                "common_set_n": len(common),
+                "common_set_prev_sec": round(prev_sum, 3),
+                "common_set_now_sec": round(now_sum, 3),
+                "common_set_ratio_raw": round(raw, 3),
+                "prev_scan_floor_sec": prev.get("scan_floor_sec"),
+            }
+            pf = prev.get("scan_floor_sec")
+            if pf and scan_floor:
+                comparison["common_set_ratio_normalized"] = round(
+                    raw / (scan_floor / pf), 3
+                )
+
     with open(full_path, "w") as fh:
         json.dump(
             {
@@ -297,6 +333,7 @@ def main() -> None:
                 "n_queries": len(timings),
                 "scan_floor_sec": scan_floor,
                 "cpu_floor_sec": cpu_floor,
+                **comparison,
             },
             fh,
             indent=1,
@@ -318,6 +355,7 @@ def main() -> None:
                 "n_queries": len(timings),
                 "scan_floor_sec": scan_floor,
                 "cpu_floor_sec": cpu_floor,
+                **comparison,
                 "full": "BENCH_FULL.json",
             },
             separators=(",", ":"),

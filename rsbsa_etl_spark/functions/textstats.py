@@ -159,6 +159,55 @@ def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def token_gini(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """per-document lexical-diversity signals: type-token ratio and
+    unigram Gini impurity (1 − Σ pᵢ²) — the transcendental-free
+    stand-in for Shannon entropy in the repeated-token quality
+    family (a spam page shouting one token has gini → 0; natural
+    prose sits high). Entropy itself needs log(); Gini impurity is a
+    RATIONAL function of the counts, so it lands bit-identical in
+    any engine — the same discipline as ``rational_idf``.
+
+    Exactness: per-doc token counts c are exact longs; Σc and Σc²
+    are exact longs; gini = (n² − Σc²) / n² is ONE correctly-rounded
+    double division of exact integers (ttr likewise n_distinct / n),
+    then the shared half-up rounding at 6 decimals. Docs with NULL
+    text or no tokens after normalization carry no row (the token
+    source is the same normalize→split→drop-empties pipeline as
+    ``term_topk``).
+
+    Plan: explode → (doc, term) partial-agg → (doc) partial-agg —
+    two doc-keyed map-side-combining shuffles, state per doc two
+    longs; no global structure, corpus-parallel at any scale.
+    """
+    toks = (
+        docs.where(F.col(text_col).isNotNull())
+        .select(
+            "doc_id",
+            F.explode(
+                F.split(normalized_text(F.col(text_col)), " ")
+            ).alias("term"),
+        )
+        .where(F.length("term") > 0)
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("c"))
+    g = tf.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("ss"),
+        F.count("*").cast("long").alias("n_distinct"),
+    )
+    n2 = F.col("n") * F.col("n")
+    return g.select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        "n_distinct",
+        dec_round(F.col("n_distinct").cast("double") / F.col("n"), 6).alias(
+            "ttr"
+        ),
+        dec_round((n2 - F.col("ss")).cast("double") / n2, 6).alias("gini"),
+    )
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """content fingerprint: md5 over normalized text + a coarse
     locality fingerprint (md5 of the sorted distinct token set —

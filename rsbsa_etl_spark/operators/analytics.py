@@ -2253,6 +2253,87 @@ def group_percentiles(lineitem: DataFrame) -> DataFrame:
     )
 
 
+def winsorize_stats(events: DataFrame) -> DataFrame:
+    """per-group winsorized mean of ``value`` — clip every
+    observation into the group's [p05, p95] band before averaging,
+    the standard robust-mean treatment for heavy-tailed metrics
+    (outlier_zscore/outlier_mad FLAG extremes; this op bounds their
+    influence instead). Output per event_type: n, the two clip
+    bounds, the raw and winsorized means, and how many rows were
+    clipped — the winsorized-vs-raw gap is itself the tail-mass
+    diagnostic.
+
+    Determinism discipline: bounds are PERCENTILE_DISC picks
+    (actual elements, never interpolated) at ranks computed in
+    INTEGER arithmetic — ``ceil(n·num/den)`` as ``(n·num + den−1)
+    div den`` with the num/den constants shared with the oracle via
+    params (a float ``q·n`` drifts at exact multiples:
+    0.05·40000 = 2000.0000000000002 in doubles). Values are 1e-4
+    fixed point; sums are exact longs; each mean is the one
+    correctly-rounded double division at the end.
+
+    Scale shape: same as ``group_percentiles`` — collapse to
+    (group, distinct value) counts, blocked grouped ECDF
+    (``blocked_running``, no group-sized sort anywhere), rank-pick
+    the bounds, then ONE broadcast of the per-group bounds back onto
+    the corpus scan for the clip+sum pass. Two corpus passes total,
+    both map-side combining; no window over raw rows.
+    """
+    from rsbsa_etl_spark.operators.profiling import blocked_running
+    from rsbsa_etl_spark.params import (
+        WINSOR_DEN,
+        WINSOR_HI_NUM,
+        WINSOR_LO_NUM,
+    )
+
+    vi = F.floor(F.col("value") * 1e4 + F.lit(0.5)).cast("long")
+    base = events.where(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    ).select("event_type", vi.alias("vi"))
+    per_v = base.groupBy("event_type", "vi").agg(F.count("*").alias("c"))
+    cum = blocked_running(
+        per_v, "vi", ["c"], "sum", True, group_cols=["event_type"]
+    )
+    tot = per_v.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("n")
+    )
+    j = cum.join(F.broadcast(tot), "event_type")
+    lo_rank = F.expr(
+        f"(n * {WINSOR_LO_NUM} + {WINSOR_DEN - 1}) div {WINSOR_DEN}"
+    )
+    hi_rank = F.expr(
+        f"(n * {WINSOR_HI_NUM} + {WINSOR_DEN - 1}) div {WINSOR_DEN}"
+    )
+    bounds = j.groupBy("event_type").agg(
+        F.min(F.when(F.col("c_cum") >= lo_rank, F.col("vi"))).alias("lo"),
+        F.min(F.when(F.col("c_cum") >= hi_rank, F.col("vi"))).alias("hi"),
+    )
+    b2 = base.join(F.broadcast(bounds), "event_type")
+    clipped = F.greatest(F.least(F.col("vi"), F.col("hi")), F.col("lo"))
+    out_of_band = (F.col("vi") < F.col("lo")) | (F.col("vi") > F.col("hi"))
+    agg = b2.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.max("lo").alias("lo"),
+        F.max("hi").alias("hi"),
+        F.sum("vi").cast("long").alias("s_raw"),
+        F.sum(clipped).cast("long").alias("s_win"),
+        F.sum(out_of_band.cast("long")).cast("long").alias("n_clipped"),
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        dec_round(F.col("lo").cast("double") / 1e4, 4).alias("p_lo"),
+        dec_round(F.col("hi").cast("double") / 1e4, 4).alias("p_hi"),
+        dec_round(
+            F.col("s_raw").cast("double") / F.col("n") / F.lit(1e4), 6
+        ).alias("mean_raw"),
+        dec_round(
+            F.col("s_win").cast("double") / F.col("n") / F.lit(1e4), 6
+        ).alias("mean_winsorized"),
+        "n_clipped",
+    )
+
+
 def join_nearest(events: DataFrame) -> DataFrame:
     """nearest-event join: every click paired with the user's view
     CLOSEST in time, either direction — what "match the reading

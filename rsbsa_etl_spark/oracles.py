@@ -4579,6 +4579,81 @@ SELECT e.a, e.b, e.k_eff,
 FROM est e
 """
 
+ORACLES["token_gini"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKS}) AS term
+  FROM documents WHERE text IS NOT NULL
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS c
+  FROM toks WHERE length(term) > 0 GROUP BY doc_id, term
+),
+g AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n,
+         CAST(sum(c * c) AS BIGINT) AS ss,
+         CAST(count(*) AS BIGINT) AS n_distinct
+  FROM tf GROUP BY doc_id
+)
+SELECT doc_id, n AS n_tokens, n_distinct,
+       {_dec("CAST(n_distinct AS DOUBLE) / n", 6)} AS ttr,
+       {_dec("CAST(n * n - ss AS DOUBLE) / (n * n)", 6)} AS gini
+FROM g
+"""
+
+ORACLES["winsorize_stats"] = f"""
+WITH base AS (
+  SELECT event_type,
+         CAST(floor(CAST(value AS DOUBLE) * 10000.0 + 0.5) AS BIGINT) AS vi
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+),
+per_v AS (
+  SELECT event_type, vi, CAST(count(*) AS BIGINT) AS c
+  FROM base GROUP BY event_type, vi
+),
+cum AS (
+  SELECT event_type, vi,
+         CAST(sum(c) OVER (PARTITION BY event_type ORDER BY vi)
+              AS BIGINT) AS c_cum
+  FROM per_v
+),
+tot AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n
+  FROM base GROUP BY event_type
+),
+bounds AS (
+  SELECT c.event_type,
+         min(CASE WHEN c_cum >=
+               (n * {P.WINSOR_LO_NUM} + {P.WINSOR_DEN - 1}) // {P.WINSOR_DEN}
+             THEN vi END) AS lo,
+         min(CASE WHEN c_cum >=
+               (n * {P.WINSOR_HI_NUM} + {P.WINSOR_DEN - 1}) // {P.WINSOR_DEN}
+             THEN vi END) AS hi
+  FROM cum c JOIN tot t ON t.event_type = c.event_type
+  GROUP BY c.event_type
+),
+agg AS (
+  SELECT b.event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         max(lo) AS lo, max(hi) AS hi,
+         CAST(sum(b.vi) AS BIGINT) AS s_raw,
+         CAST(sum(CASE WHEN b.vi < lo THEN lo
+                       WHEN b.vi > hi THEN hi ELSE b.vi END)
+              AS BIGINT) AS s_win,
+         CAST(sum(CASE WHEN b.vi < lo OR b.vi > hi THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_clipped
+  FROM base b JOIN bounds USING (event_type)
+  GROUP BY b.event_type
+)
+SELECT event_type, n,
+       {_dec("CAST(lo AS DOUBLE) / 10000.0", 4)} AS p_lo,
+       {_dec("CAST(hi AS DOUBLE) / 10000.0", 4)} AS p_hi,
+       {_dec("CAST(s_raw AS DOUBLE) / n / 10000.0", 6)} AS mean_raw,
+       {_dec("CAST(s_win AS DOUBLE) / n / 10000.0", 6)} AS mean_winsorized,
+       n_clipped
+FROM agg
+"""
+
 
 ORACLES["ab_chisq"] = f"""
 WITH cells AS (

@@ -399,3 +399,10 @@ ZSCORE_WINDOW = 16
 #: oracle's lag unroll so the frame cannot drift (the ZSCORE_WINDOW
 #: pattern)
 EWMA_DEPTH = 8
+
+#: winsorize_stats clip ranks as EXACT fractions of the group size:
+#: lo at rank ceil(n·1/20), hi at rank ceil(n·19/20), both computed
+#: in integer arithmetic (`(n·num + den−1) div den`) in BOTH engines
+#: — a float q·n would drift the rank at exact multiples
+#: (0.05·40000 = 2000.0000000000002 in doubles → ceil picks 2001)
+WINSOR_LO_NUM, WINSOR_HI_NUM, WINSOR_DEN = 1, 19, 20

@@ -1783,6 +1783,23 @@ def join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jn(load(spark, sf_dir, "events"))
 
 
+def winsorize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """per-event-type winsorized mean of value: clip into the exact
+    [p05, p95] band (integer rank-pick bounds) before averaging —
+    raw vs winsorized mean plus clip counts."""
+    from rsbsa_etl_spark.operators.analytics import winsorize_stats as _w
+
+    return _w(load(spark, sf_dir, "events"))
+
+
+def token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """per-document type-token ratio + unigram Gini impurity — the
+    transcendental-free lexical-diversity quality signal."""
+    from rsbsa_etl_spark.functions.textstats import token_gini as _tg
+
+    return _tg(load(spark, sf_dir, "documents"))
+
+
 def window_zscore_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """per-user trailing-16 rolling z-score with integer-exact
     scaled variance in DECIMAL(38,0)."""
@@ -2498,6 +2515,8 @@ QUERIES: dict[str, QueryFn] = {
     "skyline_pareto": skyline_pareto,
     "source_overlap_kmv": source_overlap_kmv,
     "source_overlap_kmv_sketch": source_overlap_kmv_sketch,
+    "winsorize_stats": winsorize_stats,
+    "token_gini": token_gini,
     "ab_chisq": ab_chisq,
     "seq_trigrams": seq_trigrams,
     "basket_pairs": basket_pairs,
@@ -2704,7 +2723,7 @@ _UNTESTED_PRIORITY = [
     "trend_theil_sen_capped", "resample_interpolate",
     "group_percentiles", "join_nearest", "window_zscore_rolling",
     # round-7 additions
-    "source_overlap_kmv_sketch",
+    "source_overlap_kmv_sketch", "winsorize_stats", "token_gini",
 ]
 
 _rows, _row_rounds = _driver_latest_rows_and_rounds()

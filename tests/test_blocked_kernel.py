@@ -474,3 +474,98 @@ def test_source_overlap_sketch_tracks_exact_jaccard(spark, sf_dir):
     assert max(errs) <= 0.3, max(errs)
     # aggregate calibration: mean error well under the per-pair cap
     assert sum(errs) / len(errs) <= 0.1
+
+
+def test_winsorize_stats_matches_bruteforce(spark, sf_dir):
+    """winsorize_stats vs a pure-Python reference: exact rank-pick
+    bounds (lo at ceil(n/20), hi at ceil(19n/20) over the sorted
+    multiset), clip, exact fixed-point sums — every column must
+    match, including the clip counts."""
+    from rsbsa_etl_spark.operators.analytics import winsorize_stats
+    from rsbsa_etl_spark.params import (
+        WINSOR_DEN,
+        WINSOR_HI_NUM,
+        WINSOR_LO_NUM,
+    )
+    from rsbsa_etl_spark.sources.fixtures import load
+
+    events = load(spark, sf_dir, "events")
+    rows = events.where(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    ).select("event_type", "value").collect()
+    import math
+
+    by_g: dict = {}
+    for r in rows:
+        vi = math.floor(r["value"] * 1e4 + 0.5)  # the engine's floor form
+        by_g.setdefault(r["event_type"], []).append(vi)
+
+    def ceil_div(a, b):
+        return (a + b - 1) // b
+
+    want = {}
+    for g, vs in by_g.items():
+        vs.sort()
+        n = len(vs)
+        lo = vs[ceil_div(n * WINSOR_LO_NUM, WINSOR_DEN) - 1]
+        hi = vs[ceil_div(n * WINSOR_HI_NUM, WINSOR_DEN) - 1]
+        clipped = [min(max(v, lo), hi) for v in vs]
+        n_clip = sum(1 for v in vs if v < lo or v > hi)
+        rnd = lambda x, s: math.floor(x * 10**s + 0.5) / 10**s  # noqa: E731
+        want[g] = (
+            n,
+            rnd(lo / 1e4, 4),
+            rnd(hi / 1e4, 4),
+            rnd(sum(vs) / n / 1e4, 6),
+            rnd(sum(clipped) / n / 1e4, 6),
+            n_clip,
+        )
+
+    got = {
+        r["event_type"]: (
+            r["n"], r["p_lo"], r["p_hi"],
+            r["mean_raw"], r["mean_winsorized"], r["n_clipped"],
+        )
+        for r in winsorize_stats(events).collect()
+    }
+    assert got == want
+
+
+def test_token_gini_matches_bruteforce(spark, sf_dir):
+    """token_gini vs a pure-Python recomputation over the same
+    normalize→split→drop-empties token stream: exact n/n_distinct
+    and the one-division ttr/gini doubles."""
+    import math
+    import re
+
+    from rsbsa_etl_spark.functions.textstats import token_gini
+    from rsbsa_etl_spark.sources.fixtures import load
+
+    docs = load(spark, sf_dir, "documents")
+    want = {}
+    for r in docs.select("doc_id", "text").collect():
+        if r["text"] is None:
+            continue
+        toks = [
+            t for t in re.sub(r"\s+", " ", r["text"].strip().lower()).split(" ")
+            if t
+        ]
+        if not toks:
+            continue
+        n = len(toks)
+        from collections import Counter
+
+        cnt = Counter(toks)
+        ss = sum(c * c for c in cnt.values())
+        rnd = lambda x, s: math.floor(x * 10**s + 0.5) / 10**s  # noqa: E731
+        want[r["doc_id"]] = (
+            n,
+            len(cnt),
+            rnd(len(cnt) / n, 6),
+            rnd((n * n - ss) / (n * n), 6),
+        )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_distinct"], r["ttr"], r["gini"])
+        for r in token_gini(docs).collect()
+    }
+    assert got == want
