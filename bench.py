@@ -296,14 +296,21 @@ def main() -> None:
     # compute the common-key-set total ratio — raw, and normalized by
     # the scan-floor ratio of the two windows, so "is this round
     # actually slower or was the host just busier" stops being a
-    # hand-computed claim.
+    # hand-computed claim. Only comparable records compare: a prior
+    # record at a DIFFERENT scale factor (e.g. a one-off sf0.01 run)
+    # would make every ratio a bogus ~10x artifact, so the comparison
+    # is emitted only when prev.sf == this run's sf.
     comparison: dict = {}
     try:
         with open(full_path) as fh:
             prev = json.load(fh)
     except (OSError, ValueError):
         prev = None
-    if prev and isinstance(prev.get("queries"), dict):
+    if (
+        prev
+        and isinstance(prev.get("queries"), dict)
+        and prev.get("sf") == sf_val
+    ):
         common = [k for k in timings if k in prev["queries"]]
         prev_sum = sum(prev["queries"][k] for k in common)
         now_sum = sum(timings[k] for k in common)

@@ -100,6 +100,24 @@ def main(argv: list[str] | None = None) -> int:
             print(k)
         return 0
 
+    # verify key-list validation happens BEFORE the session exists: a
+    # typo'd or empty --keys must not boot a JVM to print an error,
+    # and an empty list must be a usage error (exit 2), never a
+    # vacuous "0/0 green" success from the correctness gate
+    verify_keys_arg: list[str] | None = None
+    if args.cmd == "verify":
+        if args.all_keys:
+            verify_keys_arg = sorted(QUERIES)
+        else:
+            verify_keys_arg = [k for k in (args.keys or "").split(",") if k]
+            if not verify_keys_arg:
+                print("verify: --keys given but empty", file=sys.stderr)
+                return 2
+            unknown = [k for k in verify_keys_arg if k not in QUERIES]
+            if unknown:
+                print(f"unknown query keys: {unknown}", file=sys.stderr)
+                return 2
+
     from pyspark.sql import SparkSession
 
     from rsbsa_etl_spark.session import get_spark
@@ -203,20 +221,13 @@ def main(argv: list[str] | None = None) -> int:
         if args.cmd == "verify":
             # the end-of-round full-registry gate (LOCAL_SWEEP_r*.md),
             # as one reproducible command. Exit 0 only if every key
-            # is green by the driver's own three flags.
+            # is green by the driver's own three flags. (Key-list
+            # validation already happened pre-session, above.)
             import json as _json
 
             from rsbsa_etl_spark.verify import verify_keys
 
-            if args.all_keys:
-                keys = sorted(QUERIES)
-            else:
-                keys = [k for k in args.keys.split(",") if k]
-                unknown = [k for k in keys if k not in QUERIES]
-                if unknown:
-                    print(f"unknown query keys: {unknown}", file=sys.stderr)
-                    return 2
-            results = verify_keys(spark, keys, args.sf_dir)
+            results = verify_keys(spark, verify_keys_arg, args.sf_dir)
             n_green = 0
             for k, r in results.items():
                 green = bool(

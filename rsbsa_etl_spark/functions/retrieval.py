@@ -259,6 +259,12 @@ def _greedy_mmr(slim: DataFrame, pairs: DataFrame, k: int) -> DataFrame:
     # zero-norm embedding). A candidate whose every sim-to-selected
     # is NULL gets mmr_i = NULL, which ranks LAST (the oracle's
     # ORDER BY mmr_i DESC under DuckDB's NULLS LAST default).
+    # The lookup is DIRECTIONAL — a pairs row counts only as
+    # (a_id = candidate, b_id = selected), exactly the oracle join
+    # `pr.a_id = p.doc_id AND s.doc_id = pr.b_id` — so the two
+    # engines agree on ANY pairs input; producers of symmetric
+    # similarities must emit both orientations (``_pairwise_sims``
+    # does, by construction).
     sim: dict = {}
     present: set = set()
     for r in pairs.select("query_id", "a_id", "b_id", "sim_i").collect():
@@ -292,11 +298,11 @@ def _greedy_mmr(slim: DataFrame, pairs: DataFrame, k: int) -> DataFrame:
                     linked = False
                     sims = []
                     for sd in sel_ids:
-                        for kk in ((qid, did, sd), (qid, sd, did)):
-                            if kk in present:
-                                linked = True
-                                if kk in sim:
-                                    sims.append(sim[kk])
+                        kk = (qid, did, sd)  # directional: see above
+                        if kk in present:
+                            linked = True
+                            if kk in sim:
+                                sims.append(sim[kk])
                     if not linked:
                         continue  # oracle: inner join excludes it
                     ms_i = max(sims) if sims else None

@@ -350,23 +350,28 @@ def test_seq_trigrams_matches_bruteforce(spark, sf_dir):
     assert got == want
 
 
-def test_greedy_mmr_tiebreaks_and_pair_symmetry(spark):
+def test_greedy_mmr_tiebreaks_and_directional_pairs(spark):
     """driver-side MMR fold: equal mmr scores pick the smallest
-    doc_id; pairwise sims must be found whichever (a,b) order the
-    pairs table stores them in; and a pool doc with NO pairs row to
-    any selected doc is UNPICKABLE after round 1 — the oracle
-    unroll's rounds>=2 INNER JOIN pool→pairs→selected (e.g. a hybrid
-    pool doc whose embedding row was dropped by the pv inner join)."""
+    doc_id; the pairs lookup is DIRECTIONAL, matching the oracle
+    unroll's rounds>=2 join exactly (a_id = candidate, b_id =
+    selected) — a row stored only in the REVERSE orientation does
+    NOT link the candidate (producers of symmetric sims must emit
+    both orientations, as _pairwise_sims does by construction), and
+    a pool doc with no candidate→selected row at all is UNPICKABLE
+    after round 1 (e.g. a hybrid pool doc whose embedding row was
+    dropped by the pv inner join)."""
     from rsbsa_etl_spark.functions.retrieval import _greedy_mmr
+    from rsbsa_etl_spark.params import MMR_W_DIV, MMR_W_REL
 
     slim = spark.createDataFrame(
         [(1, 10, 100), (1, 11, 100), (1, 12, 90)],
         "query_id long, doc_id long, rel_i long",
     )
-    # only (10,11) similar — stored in ONE direction only; doc 12
-    # has no pairs row at all
+    # (11→10): candidate-oriented row — links AND penalizes 11.
+    # (10→12): REVERSE-only for candidate 12 — by the oracle's join
+    # this does NOT link 12; doc 12 has no candidate-oriented row.
     pairs = spark.createDataFrame(
-        [(1, 10, 11, 1_000_000)],
+        [(1, 11, 10, 1_000_000), (1, 10, 12, 500_000)],
         "query_id long, a_id long, b_id long, sim_i long",
     )
     out = {
@@ -375,13 +380,12 @@ def test_greedy_mmr_tiebreaks_and_pair_symmetry(spark):
     }
     # pick 1: rel tie 10 vs 11 → smallest doc_id (10)
     assert out[1][0] == 10
-    # pick 2: doc 12 (rel 90, NO pairs rows) is excluded by the
-    # oracle's inner join; 11 wins even though heavily penalized by
-    # sim(10,11) found through the REVERSED stored order
-    assert out[2][0] == 11
-    # pick 3: only 12 remains and it still has no pairs row to any
-    # selected doc → no further pick (matches the oracle's empty
-    # r3 CTE)
+    # pick 2: 12 is unlinked (its only row is reverse-oriented) so
+    # the oracle's inner join excludes it; 11 wins even though
+    # heavily penalized by sim(11→10)
+    assert out[2] == (11, MMR_W_REL * 100 - MMR_W_DIV * 1_000_000)
+    # pick 3: only 12 remains, still no candidate-oriented row to
+    # any selected doc → no further pick (the oracle's empty r3 CTE)
     assert 3 not in out and len(out) == 2
 
 

@@ -46,8 +46,10 @@ def test_explain_audits_plan(spark, capsys):
 def test_verify_gate_smoke(spark, tmp_path, capsys):
     """`verify --keys ...` replicates the driver gate on demand: the
     three sampled keys must come back green, the exit code must be 0,
-    and the JSON record must carry the driver's row shape. Unknown
-    keys exit 2 without touching Spark."""
+    and the JSON record must carry the driver's row shape. Unknown or
+    EMPTY key lists are usage errors (exit 2) validated before the
+    session is created — an empty list must never report a vacuous
+    '0/0 green' success."""
     import json
 
     from tests.conftest import SF_DIR
@@ -70,3 +72,6 @@ def test_verify_gate_smoke(spark, tmp_path, capsys):
         assert row["hash_match"] and row["err"] is None
         assert row["spark_rows"] == row["oracle_rows"] > 0
     assert main(["verify", "--keys", "nope", "--sf-dir", SF_DIR]) == 2
+    # empty / comma-only key lists: usage error, not a 0/0 pass
+    assert main(["verify", "--keys", "", "--sf-dir", SF_DIR]) == 2
+    assert main(["verify", "--keys", ",,", "--sf-dir", SF_DIR]) == 2
