@@ -204,6 +204,13 @@ def main(argv: list[str] | None = None) -> int:
             for k in sorted(QUERIES):
                 if k.startswith(AUDIT_EXCLUDE_PREFIXES) or k in AUDIT_EXCLUDE:
                     continue
+                # audit each key against an EMPTY cache registry:
+                # persisted fragments registered by earlier keys
+                # rewrite later plans (FileScan → InMemoryTableScan),
+                # making counters depend on audit order — clearing
+                # makes every row the key's own fresh-session plan
+                # (tests/test_plans.py's drift guard relies on this)
+                spark.catalog.clearCache()
                 plan = (
                     QUERIES[k](spark, args.sf_dir)
                     ._jdf.queryExecution()

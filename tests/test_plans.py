@@ -762,3 +762,53 @@ def test_no_unplanned_global_windows(spark):
         "unpartitioned-window audit drifted — new unplanned global "
         f"window or stale allowlist: got {got}"
     )
+
+
+def test_committed_planaudit_matches_live_plans(spark):
+    """drift guard for the committed PLANAUDIT.json: the record is
+    regenerated by hand (`python -m rsbsa_etl_spark audit`), so a
+    code change that alters plan shape could silently stale it. A
+    deterministic sample of keys spanning the counter space (joins,
+    windows, Arrow stages, the round-7 additions) must match the
+    committed rows counter-for-counter at the audit's own SF; a
+    mismatch means re-run the audit CLI and commit the refreshed
+    JSON alongside the code change."""
+    import json
+    from pathlib import Path
+
+    from rsbsa_etl_spark.plans.audit import plan_counters
+
+    committed = {
+        r["key"]: r
+        for r in json.loads(
+            (Path(__file__).resolve().parent.parent / "PLANAUDIT.json")
+            .read_text()
+        )
+    }
+    sample = [
+        "scan_filter_in", "join_semi", "agg_sum_groups",
+        "window_ewma", "dedup_minhash", "multimodal_features",
+        "source_overlap_kmv", "source_overlap_kmv_sketch",
+        "winsorize_stats", "token_gini",
+    ]
+    drift = {}
+    for k in sample:
+        assert k in committed, f"{k} missing from PLANAUDIT.json"
+        # same fresh-cache discipline as the audit CLI: persisted
+        # fragments registered by earlier keys/tests rewrite plans
+        # (FileScan → InMemoryTableScan) and would flake the counters
+        spark.catalog.clearCache()
+        plan = (
+            QUERIES[k](spark, "/root/testdata/sf0.001")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        live = plan_counters(plan)
+        want = {c: committed[k][c] for c in live}
+        if live != want:
+            drift[k] = {"live": live, "committed": want}
+    assert drift == {}, (
+        "PLANAUDIT.json is stale for these keys — regenerate with "
+        f"`python -m rsbsa_etl_spark audit` and commit: {drift}"
+    )
