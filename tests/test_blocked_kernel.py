@@ -573,3 +573,45 @@ def test_token_gini_matches_bruteforce(spark, sf_dir):
         for r in token_gini(docs).collect()
     }
     assert got == want
+
+
+def test_winsorize_rank_picks_on_ties_and_tiny_groups(spark):
+    """adversarial bound picks: heavy ties exactly at the rank
+    boundary, a group smaller than the clip denominators (n < 20 →
+    lo rank = ceil(n/20) = 1 → lo = min, hi rank = ceil(19n/20) ≤ n),
+    and a single-value group (lo = hi = the value, nothing clipped).
+    The integer rank arithmetic must land on actual elements."""
+    from rsbsa_etl_spark.operators.analytics import winsorize_stats
+
+    rows = []
+    # group "ties": 40 values — twenty 1.0s then twenty 9.0s.
+    # n=40: lo rank = ceil(40/20) = 2 → sorted[2-1] = 1.0;
+    # hi rank = ceil(760/20) = 38 → sorted[37] = 9.0 → nothing clips.
+    for i in range(20):
+        rows.append(("ties", 1.0))
+        rows.append(("ties", 9.0))
+    # group "tiny": 3 values — lo rank ceil(3/20)=1 → min (2.0);
+    # hi rank ceil(57/20)=3 → max (8.0) → nothing clips.
+    rows += [("tiny", 2.0), ("tiny", 5.0), ("tiny", 8.0)]
+    # group "one": single value — lo = hi = 4.0.
+    rows += [("one", 4.0)]
+    # group "tail": 1..100 — lo rank 5 → 5.0, hi rank 95 → 95.0,
+    # 4 clipped below + 5 clipped above = 9.
+    rows += [("tail", float(i)) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    got = {
+        r["event_type"]: (
+            r["n"], r["p_lo"], r["p_hi"], r["n_clipped"],
+            r["mean_raw"], r["mean_winsorized"],
+        )
+        for r in winsorize_stats(df).collect()
+    }
+    assert got["ties"] == (40, 1.0, 9.0, 0, 5.0, 5.0)
+    assert got["tiny"] == (3, 2.0, 8.0, 0, 5.0, 5.0)
+    assert got["one"] == (1, 4.0, 4.0, 0, 4.0, 4.0)
+    n, lo, hi, clipped, mean_raw, mean_w = got["tail"]
+    assert (n, lo, hi, clipped) == (100, 5.0, 95.0, 9)
+    assert mean_raw == 50.5
+    # winsorized: values 1-4 → 5 (adds 4+3+2+1=10), 96-100 → 95
+    # (removes 1+2+3+4+5=15): (5050 + 10 - 15) / 100 = 50.45
+    assert mean_w == 50.45
