@@ -266,6 +266,14 @@ def main() -> None:
         ).groupBy("k").sum("v").count()
         cfloor = min(cfloor, time.perf_counter() - t0)
     cpu_floor = round(cfloor, 3)
+    # third calibration axis: OS load average BEFORE this run's own
+    # work — external tenant load on the shared host steals a roughly
+    # proportional slice from every 32-thread stage while leaving the
+    # IO-bound scan floor (and a short cpu probe) nearly untouched;
+    # round 7 measured a broad ~10% query drift at BETTER floors that
+    # matched a 3.9/32 background load exactly. Recorded so future
+    # cross-round comparisons can see all three environment axes.
+    load_1m, load_5m, _ = os.getloadavg()
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
@@ -340,6 +348,7 @@ def main() -> None:
                 "n_queries": len(timings),
                 "scan_floor_sec": scan_floor,
                 "cpu_floor_sec": cpu_floor,
+                "load_avg_prerun": [round(load_1m, 2), round(load_5m, 2)],
                 **comparison,
             },
             fh,
@@ -362,6 +371,7 @@ def main() -> None:
                 "n_queries": len(timings),
                 "scan_floor_sec": scan_floor,
                 "cpu_floor_sec": cpu_floor,
+                "load_avg_prerun": [round(load_1m, 2), round(load_5m, 2)],
                 **comparison,
                 "full": "BENCH_FULL.json",
             },
