@@ -47,6 +47,10 @@ AFFECTED = [
     "seq_trigrams", "attribution_first_touch", "trend_theil_sen",
     "resample_interpolate",
     "join_nearest", "window_zscore_rolling",
+    # round-7 operators over null-injected columns: the sketch-only
+    # overlap shingles NULL-able text, token_gini tokenizes it,
+    # winsorize reads the null-injected value column
+    "source_overlap_kmv_sketch", "token_gini", "winsorize_stats",
 ]
 
 
