@@ -375,3 +375,99 @@ def test_cdc_stream_restart_resumes_exactly(spark, tmp_path):
         "restarted CDC state diverged from the uninterrupted run — "
         "re-delivered batch double-counted or dropped"
     )
+
+
+def test_stateful_totals_state_rolls_back_on_midbatch_crash(spark, tmp_path):
+    """engine-managed state-store recovery — the applyInPandasWithState
+    twin of the CDC foreachBatch-parquet restart test. The sink
+    appends batch 1's update rows and THEN dies, so the state store
+    version produced for batch 1 exists but was never committed. On
+    restart the engine must roll state back to the batch-0 version
+    and recompute batch 1 from there: if the uncommitted state delta
+    leaked, per-user counts would double-count phase-2 rows; if the
+    retry started from empty state, phase-1 rows would vanish. Either
+    failure breaks equality with the plain batch aggregate. Duplicate
+    OUTPUT rows from the failed attempt are expected (foreachBatch is
+    at-least-once) and absorbed by the monotone max reduction — the
+    test asserts they are really there, so the recovery path is
+    proven exercised, not skipped."""
+    import pytest
+    from pyspark.errors import StreamingQueryException
+
+    from rsbsa_etl_spark.streaming.stateful import running_user_totals
+    from rsbsa_etl_spark.streaming.windows import dump_single_file
+
+    base = str(tmp_path / "totals")
+    src, ckpt, out = f"{base}/src", f"{base}/ckpt", f"{base}/out"
+    os.makedirs(src)
+    os.makedirs(out)
+
+    events = load(spark, SF_DIR, "events")
+    proj = events.select("event_id", "user_id", "value")
+    schema = "event_id bigint, user_id bigint, value double"
+    crashmark = f"{base}/_crashed"
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out)
+        if batch_id == 1 and not os.path.exists(crashmark):
+            open(crashmark, "w").close()
+            raise RuntimeError("injected crash after sink, before commit")
+
+    def run_phase():
+        stream = spark.readStream.schema(schema).parquet(src)
+        return (
+            running_user_totals(stream)
+            .writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    dump_single_file(
+        proj.where(F.col("event_id") % 2 == 0), base, src, "f1.parquet"
+    )
+    q = run_phase()
+    q.awaitTermination()
+
+    dump_single_file(
+        proj.where(F.col("event_id") % 2 != 0), base, src, "f2.parquet"
+    )
+    q = run_phase()
+    with pytest.raises(StreamingQueryException):
+        q.awaitTermination()
+    assert os.path.exists(crashmark)  # the injection really fired
+
+    q = run_phase()  # restart: state rolls back, batch 1 recomputes
+    q.awaitTermination()
+
+    updates = spark.read.parquet(out)
+    # the failed attempt's rows are present alongside the retry's —
+    # at-least-once output, same user twice at batch 1
+    per_user_rows = updates.groupBy("user_id").count()
+    assert per_user_rows.agg(F.max("count")).collect()[0][0] >= 3
+
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in updates.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("total_value").alias("total_value"),
+        )
+        .collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], r["tv"])
+        for r in proj.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            (
+                F.sum(
+                    F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+                ).cast("double")
+                / 100.0
+            ).alias("tv"),
+        )
+        .collect()
+    }
+    assert got == want, "state store did not roll back to the committed version"
