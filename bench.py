@@ -215,6 +215,8 @@ HEADLINE = [
     "source_overlap_kmv_sketch",
     "winsorize_stats",
     "token_gini",
+    "scan_jsonl_corrupt",
+    "scan_csv_typed",
 ]
 
 

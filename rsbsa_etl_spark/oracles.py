@@ -4601,6 +4601,32 @@ SELECT doc_id, n AS n_tokens, n_distinct,
 FROM g
 """
 
+# the JSONL key's oracle never parses broken JSON: the corruption
+# rule (every 97th doc_id's line truncated) is deterministic, so the
+# expected good/quarantined split and the good-side checksum are
+# derivable analytically from the original table — value-checking
+# the engine's write→corrupt→parse→quarantine path end to end
+ORACLES["scan_jsonl_corrupt"] = """
+SELECT CAST(count(*) FILTER (WHERE doc_id % 97 <> 0) AS BIGINT)
+         AS n_good,
+       CAST(sum(n_chars) FILTER (WHERE doc_id % 97 <> 0) AS BIGINT)
+         AS sum_chars_good,
+       CAST(count(DISTINCT doc_id) FILTER (WHERE doc_id % 97 <> 0)
+            AS BIGINT) AS n_distinct_good,
+       CAST(count(*) FILTER (WHERE doc_id % 97 = 0) AS BIGINT)
+         AS n_quarantined
+FROM documents
+"""
+
+ORACLES["scan_csv_typed"] = """
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(floor(CAST(l_quantity AS DOUBLE) * 100.0 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS qty_cents,
+       CAST(sum(l_orderkey) AS BIGINT) AS key_sum
+FROM lineitem GROUP BY l_returnflag
+"""
+
 ORACLES["winsorize_stats"] = f"""
 WITH base AS (
   SELECT event_type,

@@ -1783,6 +1783,112 @@ def join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jn(load(spark, sf_dir, "events"))
 
 
+def scan_jsonl_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL ingestion with corrupt-record quarantine, end to end:
+    render the documents table to JSON-Lines with every 97th doc_id's
+    line deterministically truncated (the byte-level corruption real
+    crawls contain), read it back with a DECLARED schema in
+    PERMISSIVE mode capturing bad lines, and report the
+    good/quarantined split plus a value checksum over the good side.
+    The oracle derives the same numbers analytically from the
+    original table (it knows the corruption rule), so the whole
+    write→corrupt→parse→quarantine path is value-checked without the
+    oracle ever parsing broken JSON.
+
+    100 TB notes in sources/textdata.py: declared schema (inference
+    is a second full scan), PERMISSIVE+capture (FAILFAST kills the
+    job on shard 40,000's one bad line; DROPMALFORMED silently loses
+    data), quarantine side output. The fixture render coalesces to
+    one file only to keep the tempdir tidy at test SFs — production
+    reads the sharded layout as-is.
+    """
+    import os
+    import tempfile
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from rsbsa_etl_spark.sources.textdata import read_jsonl, split_corrupt
+
+    docs = load(spark, sf_dir, "documents")
+    line = F.to_json(F.struct("doc_id", "text", "lang", "source", "n_chars"))
+    corrupted = F.when(
+        F.col("doc_id") % 97 == 0,
+        F.substring(line, 1, F.length(line) - 1),
+    ).otherwise(line)
+    path = os.path.join(tempfile.mkdtemp(prefix="rsbsa_jsonl_"), "docs")
+    docs.select(corrupted.alias("value")).coalesce(1).write.mode(
+        "overwrite"
+    ).text(path)
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    good, bad = split_corrupt(read_jsonl(spark, path, schema))
+    g = good.agg(
+        F.count("*").cast("long").alias("n_good"),
+        F.sum("n_chars").cast("long").alias("sum_chars_good"),
+        F.countDistinct("doc_id").cast("long").alias("n_distinct_good"),
+    )
+    b = bad.agg(F.count("*").cast("long").alias("n_quarantined"))
+    return g.join(b)
+
+
+def scan_csv_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """typed CSV round-trip: render (orderkey, linenumber, quantity,
+    returnflag) from lineitem to headered CSV, read it back with a
+    DECLARED schema (no inference — see scan_jsonl_corrupt), and
+    aggregate a per-flag checksum the oracle computes from the
+    original table — pinning that the CSV writer/parser pair loses
+    nothing (doubles round-trip through Spark's repr)."""
+    import os
+    import tempfile
+
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from rsbsa_etl_spark.sources.textdata import read_csv, split_corrupt
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="rsbsa_csv_"), "li")
+    li.coalesce(1).write.mode("overwrite").option("header", True).csv(path)
+
+    schema = StructType(
+        [
+            StructField("l_orderkey", LongType()),
+            StructField("l_linenumber", IntegerType()),
+            StructField("l_quantity", DoubleType()),
+            StructField("l_returnflag", StringType()),
+        ]
+    )
+    good, _bad = split_corrupt(read_csv(spark, path, schema))
+    return good.groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(
+            F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long")
+        ).alias("qty_cents"),
+        F.sum("l_orderkey").cast("long").alias("key_sum"),
+    )
+
+
 def winsorize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """per-event-type winsorized mean of value: clip into the exact
     [p05, p95] band (integer rank-pick bounds) before averaging —
@@ -2517,6 +2623,8 @@ QUERIES: dict[str, QueryFn] = {
     "source_overlap_kmv_sketch": source_overlap_kmv_sketch,
     "winsorize_stats": winsorize_stats,
     "token_gini": token_gini,
+    "scan_jsonl_corrupt": scan_jsonl_corrupt,
+    "scan_csv_typed": scan_csv_typed,
     "ab_chisq": ab_chisq,
     "seq_trigrams": seq_trigrams,
     "basket_pairs": basket_pairs,
@@ -2584,6 +2692,9 @@ AUDIT_EXCLUDE = frozenset({
     # per-round driver loops: building the DataFrame RUNS the loop
     "bpe_train", "bpe_segment", "mmr_rerank", "hybrid_mmr",
     "hybrid_search_rrf", "merge_cdc",
+    # ingestion round-trips: building the DataFrame WRITES the
+    # JSONL/CSV tempdir it then reads back
+    "scan_jsonl_corrupt", "scan_csv_typed",
 })
 
 
@@ -2724,6 +2835,7 @@ _UNTESTED_PRIORITY = [
     "group_percentiles", "join_nearest", "window_zscore_rolling",
     # round-7 additions
     "source_overlap_kmv_sketch", "winsorize_stats", "token_gini",
+    "scan_jsonl_corrupt", "scan_csv_typed",
 ]
 
 _rows, _row_rounds = _driver_latest_rows_and_rounds()
