@@ -217,6 +217,8 @@ HEADLINE = [
     "token_gini",
     "scan_jsonl_corrupt",
     "scan_csv_typed",
+    "scan_schema_evolution",
+    "scan_orc_roundtrip",
 ]
 
 

@@ -4618,6 +4618,32 @@ SELECT CAST(count(*) FILTER (WHERE doc_id % 97 <> 0) AS BIGINT)
 FROM documents
 """
 
+ORACLES["scan_schema_evolution"] = """
+SELECT CAST(1 AS INT) AS batch,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(0 AS BIGINT) AS n_status_nonnull,
+       CAST(sum(CAST(floor(CAST(o_totalprice AS DOUBLE) * 100.0 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS price_cents
+FROM orders WHERE o_orderkey % 2 = 0
+UNION ALL
+SELECT CAST(2 AS INT),
+       CAST(count(*) AS BIGINT),
+       CAST(count(o_orderstatus) AS BIGINT),
+       CAST(sum(CAST(floor(CAST(o_totalprice AS DOUBLE) * 100.0 + 0.5)
+                     AS BIGINT)) AS BIGINT)
+FROM orders WHERE o_orderkey % 2 = 1
+"""
+
+ORACLES["scan_orc_roundtrip"] = """
+SELECT l_linestatus,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(floor(CAST(l_quantity AS DOUBLE) * 100.0 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS qty_cents,
+       CAST(min(l_orderkey) AS BIGINT) AS min_key,
+       CAST(max(l_orderkey) AS BIGINT) AS max_key
+FROM lineitem GROUP BY l_linestatus
+"""
+
 ORACLES["scan_csv_typed"] = """
 SELECT l_returnflag,
        CAST(count(*) AS BIGINT) AS n_rows,

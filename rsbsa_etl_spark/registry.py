@@ -1889,6 +1889,73 @@ def scan_csv_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """schema drift across shards — the 100 TB reality that year-2
+    data has columns year-1 data lacks: write two parquet batches of
+    orders under partition-style dirs (``batch=1`` without
+    o_orderstatus, ``batch=2`` with it), read the parent with
+    ``mergeSchema`` so the union schema applies and missing columns
+    null-fill, and report per-batch counts / non-null status counts /
+    a price checksum. The oracle derives all of it analytically from
+    the original table. Also exercises partition-column discovery
+    (``batch`` comes from the directory name, not the files).
+
+    mergeSchema is a read-time footer union — at scale prefer a
+    declared union schema (footer merging lists every file), which
+    this op's declared-schema read would mirror; the key pins the
+    null-fill semantics either way.
+    """
+    import os
+    import tempfile
+
+    orders = load(spark, sf_dir, "orders")
+    base = os.path.join(tempfile.mkdtemp(prefix="rsbsa_evo_"), "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    a = orders.where(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", cents.alias("cents")
+    )
+    b = orders.where(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", cents.alias("cents"), "o_orderstatus"
+    )
+    a.write.mode("overwrite").parquet(f"{base}/batch=1")
+    b.write.mode("overwrite").parquet(f"{base}/batch=2")
+
+    merged = spark.read.option("mergeSchema", True).parquet(base)
+    return merged.groupBy("batch").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.count("o_orderstatus").cast("long").alias("n_status_nonnull"),
+        F.sum("cents").cast("long").alias("price_cents"),
+    ).select(F.col("batch").cast("int").alias("batch"), "n_rows",
+             "n_status_nonnull", "price_cents")
+
+
+def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round-trip (the other columnar format Spark bundles):
+    write a lineitem projection as ORC, read it back, aggregate a
+    per-linestatus checksum the oracle computes from the original
+    parquet — pinning that the second columnar path loses nothing
+    (types, nulls, values)."""
+    import os
+    import tempfile
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linestatus",
+        F.floor(F.col("l_quantity") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("qty_cents"),
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="rsbsa_orc_"), "li")
+    li.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("l_linestatus").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("qty_cents").cast("long").alias("qty_cents"),
+        F.min("l_orderkey").cast("long").alias("min_key"),
+        F.max("l_orderkey").cast("long").alias("max_key"),
+    )
+
+
 def winsorize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """per-event-type winsorized mean of value: clip into the exact
     [p05, p95] band (integer rank-pick bounds) before averaging —
@@ -2625,6 +2692,8 @@ QUERIES: dict[str, QueryFn] = {
     "token_gini": token_gini,
     "scan_jsonl_corrupt": scan_jsonl_corrupt,
     "scan_csv_typed": scan_csv_typed,
+    "scan_schema_evolution": scan_schema_evolution,
+    "scan_orc_roundtrip": scan_orc_roundtrip,
     "ab_chisq": ab_chisq,
     "seq_trigrams": seq_trigrams,
     "basket_pairs": basket_pairs,
@@ -2693,8 +2762,9 @@ AUDIT_EXCLUDE = frozenset({
     "bpe_train", "bpe_segment", "mmr_rerank", "hybrid_mmr",
     "hybrid_search_rrf", "merge_cdc",
     # ingestion round-trips: building the DataFrame WRITES the
-    # JSONL/CSV tempdir it then reads back
+    # tempdir it then reads back
     "scan_jsonl_corrupt", "scan_csv_typed",
+    "scan_schema_evolution", "scan_orc_roundtrip",
 })
 
 
@@ -2836,6 +2906,7 @@ _UNTESTED_PRIORITY = [
     # round-7 additions
     "source_overlap_kmv_sketch", "winsorize_stats", "token_gini",
     "scan_jsonl_corrupt", "scan_csv_typed",
+    "scan_schema_evolution", "scan_orc_roundtrip",
 ]
 
 _rows, _row_rounds = _driver_latest_rows_and_rounds()
