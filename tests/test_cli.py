@@ -75,3 +75,39 @@ def test_verify_gate_smoke(spark, tmp_path, capsys):
     # empty / comma-only key lists: usage error, not a 0/0 pass
     assert main(["verify", "--keys", "", "--sf-dir", SF_DIR]) == 2
     assert main(["verify", "--keys", ",,", "--sf-dir", SF_DIR]) == 2
+
+
+def test_verify_key_actually_detects_mismatches(spark, monkeypatch):
+    """the gate must be falsifiable: sabotage a key's oracle three
+    ways (row count, column set, values) and assert each is caught —
+    a comparator that can only say green is no gate at all."""
+    from rsbsa_etl_spark import oracles
+    from rsbsa_etl_spark.verify import verify_key
+
+    from tests.conftest import SF_DIR
+
+    base = oracles.ORACLES["scan_project"]
+
+    monkeypatch.setitem(
+        oracles.ORACLES, "scan_project", f"SELECT * FROM ({base}) LIMIT 1"
+    )
+    r = verify_key(spark, "scan_project", SF_DIR)
+    assert not r["rows_match"] and not r["hash_match"]
+
+    monkeypatch.setitem(
+        oracles.ORACLES,
+        "scan_project",
+        f"SELECT *, 1 AS extra FROM ({base})",
+    )
+    r = verify_key(spark, "scan_project", SF_DIR)
+    assert not r["schema_match"] and not r["hash_match"]
+
+    # same shape, wrong VALUES: negate one numeric column
+    monkeypatch.setitem(
+        oracles.ORACLES,
+        "scan_project",
+        f"SELECT * REPLACE (-l_extendedprice AS l_extendedprice) FROM ({base})",
+    )
+    r = verify_key(spark, "scan_project", SF_DIR)
+    assert r["rows_match"] and r["schema_match"] and not r["hash_match"]
+    assert r["err"] and "value mismatch" in r["err"]
