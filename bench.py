@@ -328,14 +328,14 @@ def main() -> None:
         now_sum = sum(timings[k] for k in common)
         if common and prev_sum > 0:
             raw = now_sum / prev_sum
+            pf = prev.get("scan_floor_sec")
             comparison = {
                 "common_set_n": len(common),
                 "common_set_prev_sec": round(prev_sum, 3),
                 "common_set_now_sec": round(now_sum, 3),
                 "common_set_ratio_raw": round(raw, 3),
-                "prev_scan_floor_sec": prev.get("scan_floor_sec"),
+                "prev_scan_floor_sec": pf,
             }
-            pf = prev.get("scan_floor_sec")
             if pf and scan_floor:
                 comparison["common_set_ratio_normalized"] = round(
                     raw / (scan_floor / pf), 3

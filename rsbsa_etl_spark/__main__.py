@@ -100,10 +100,13 @@ def main(argv: list[str] | None = None) -> int:
             print(k)
         return 0
 
-    # verify key-list validation happens BEFORE the session exists: a
-    # typo'd or empty --keys must not boot a JVM to print an error,
-    # and an empty list must be a usage error (exit 2), never a
-    # vacuous "0/0 green" success from the correctness gate
+    # key validation happens BEFORE the session exists: a typo'd key
+    # must not boot a JVM just to print an error — and verify's empty
+    # list must be a usage error (exit 2), never a vacuous
+    # "0/0 green" success from the correctness gate
+    if args.cmd in ("run", "explain") and args.key not in QUERIES:
+        print(f"unknown query key: {args.key}", file=sys.stderr)
+        return 2
     verify_keys_arg: list[str] | None = None
     if args.cmd == "verify":
         if args.all_keys:
@@ -128,9 +131,6 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(app_name=f"rsbsa_cli_{args.cmd}")
     try:
         if args.cmd == "run":
-            if args.key not in QUERIES:
-                print(f"unknown query key: {args.key}", file=sys.stderr)
-                return 2
             df = QUERIES[args.key](spark, args.sf_dir)
             df.show(args.show, truncate=False)
             print(f"rows: {df.count()}")
@@ -159,10 +159,7 @@ def main(argv: list[str] | None = None) -> int:
         if args.cmd == "explain":
             # the plan-shape audit tests/test_plans.py runs per-key,
             # as an interactive tool: what would this query do to a
-            # 100 TB cluster?
-            if args.key not in QUERIES:
-                print(f"unknown query key: {args.key}", file=sys.stderr)
-                return 2
+            # 100 TB cluster? (key validated pre-session, above)
             df = QUERIES[args.key](spark, args.sf_dir)
             plan = df._jdf.queryExecution().executedPlan().toString()
             import re as _re
@@ -232,15 +229,12 @@ def main(argv: list[str] | None = None) -> int:
             # validation already happened pre-session, above.)
             import json as _json
 
-            from rsbsa_etl_spark.verify import verify_keys
+            from rsbsa_etl_spark.verify import row_green, verify_keys
 
             results = verify_keys(spark, verify_keys_arg, args.sf_dir)
             n_green = 0
             for k, r in results.items():
-                green = bool(
-                    r["rows_match"] and r["schema_match"]
-                    and r["hash_match"] and r["err"] is None
-                )
+                green = row_green(r)
                 n_green += green
                 mark = "PASS" if green else "FAIL"
                 detail = "" if green else f"  {r['err'] or r}"

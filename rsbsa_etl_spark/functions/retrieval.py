@@ -287,14 +287,14 @@ def _greedy_mmr(slim: DataFrame, pairs: DataFrame, k: int) -> DataFrame:
     out = []
     for qid in sorted(by_q):
         cand = by_q[qid]
-        selected: list = []
+        cand_order = sorted(cand)  # doc_id-asc: the tiebreak order
         sel_ids: set = set()
         for pick_no in range(1, k + 1):
             best = None
-            for did in sorted(cand):
+            for did in cand_order:
                 if did in sel_ids:
                     continue
-                if selected:
+                if sel_ids:
                     linked = False
                     sims = []
                     for sd in sel_ids:
@@ -318,7 +318,6 @@ def _greedy_mmr(slim: DataFrame, pairs: DataFrame, k: int) -> DataFrame:
                     best = (did, mmr_i)
             if best is None:
                 break
-            selected.append(best)
             sel_ids.add(best[0])
             out.append(
                 (qid, best[0], cand[best[0]], pick_no, best[1])

@@ -194,6 +194,19 @@ def verify_key(
     return row
 
 
+def row_green(row: dict) -> bool:
+    """the gate's strict green predicate — all three match flags true
+    and no error. ONE definition shared by the CLI and the tests (the
+    driver-side rotation has its own, laxer ``registry._is_green``,
+    which tolerates absent flags on historical rows-only records)."""
+    return bool(
+        row.get("rows_match")
+        and row.get("schema_match")
+        and row.get("hash_match")
+        and row.get("err") is None
+    )
+
+
 def verify_keys(
     spark: "SparkSession", keys: list[str], sf_dir: str
 ) -> dict[str, dict]:
