@@ -114,18 +114,27 @@ def check_domains(df: DataFrame, table: str) -> DataFrame:
     reference columns are nullable and MySQL ENUM admits NULL), and
     digits-only per ZEROFILL column (``etlService.js:254,376,384``
     ENUMs; ``:277-290,537-545`` zerofilled geo codes; mapping rules
-    SURVEY §1.2). The ZEROFILL check is deliberately NOT a max-length
+    SURVEY §1.2). The ZEROFILL check is deliberately NOT a max-LENGTH
     check: MySQL display width is a rendering hint, not a storage
-    constraint — an over-width code is legal, and ``zerofill_format``
-    passes it through unchanged (ZEROFILL never truncates), so the
-    two ops agree on which values are valid.
+    constraint — an over-width code is legal as long as it fits the
+    column's INTEGER TYPE, and ``zerofill_format`` passes it through
+    unchanged (ZEROFILL never truncates). What IS enforced is the
+    storage range (``schemas.ZEROFILL_MAX``): brgy1/mun1 etc. are
+    TINYINT UNSIGNED in the DDL, so '1234' can never exist there and
+    flags invalid, while the INT UNSIGNED geo codes accept any value
+    up to 2^32-1 regardless of display width — the width-vs-range
+    distinction the r7 advisor pinned.
 
     Returns the input plus one ``_chk_<col>`` boolean per constrained
     column and ``_valid`` (conjunction) — composable with
     ``validity_split`` for the P4 valid/invalid routing. Pure
     column expressions: whole-stage-codegen, no shuffle.
     """
-    from rsbsa_etl_spark.schemas import ENUM_DOMAINS, ZEROFILL_WIDTHS
+    from rsbsa_etl_spark.schemas import (
+        ENUM_DOMAINS,
+        ZEROFILL_MAX,
+        ZEROFILL_WIDTHS,
+    )
 
     checks: list[Column] = []
     out = df
@@ -138,7 +147,17 @@ def check_domains(df: DataFrame, table: str) -> DataFrame:
     for (tbl, col), _width in sorted(ZEROFILL_WIDTHS.items()):
         if tbl != table or col not in df.columns:
             continue
-        c = F.col(col).isNull() | F.col(col).rlike(r"^[0-9]+$")
+        # digits-only AND within the integer type's unsigned storage
+        # range. The length bound keeps the bigint cast from
+        # overflowing to NULL on absurd inputs (>18 digits exceeds
+        # every range here anyway), so the check is always a
+        # deterministic boolean, never a NULL that would poison the
+        # _valid conjunction.
+        c = F.col(col).isNull() | (
+            F.col(col).rlike(r"^[0-9]+$")
+            & (F.length(col) <= 18)
+            & (F.col(col).cast("bigint") <= F.lit(ZEROFILL_MAX[(tbl, col)]))
+        )
         out = out.withColumn(f"_chk_{col}", c)
         checks.append(c)
     valid = F.lit(True)

@@ -4607,14 +4607,15 @@ FROM g
 # derivable analytically from the original table — value-checking
 # the engine's write→corrupt→parse→quarantine path end to end
 ORACLES["scan_jsonl_corrupt"] = """
-SELECT CAST(count(*) FILTER (WHERE doc_id % 97 <> 0) AS BIGINT)
-         AS n_good,
-       CAST(sum(n_chars) FILTER (WHERE doc_id % 97 <> 0) AS BIGINT)
-         AS sum_chars_good,
-       CAST(count(DISTINCT doc_id) FILTER (WHERE doc_id % 97 <> 0)
+SELECT CAST(count(*) FILTER (WHERE coalesce(doc_id, 1) % 97 <> 0)
+            AS BIGINT) AS n_good,
+       CAST(sum(n_chars) FILTER (WHERE coalesce(doc_id, 1) % 97 <> 0)
+            AS BIGINT) AS sum_chars_good,
+       CAST(count(DISTINCT doc_id)
+            FILTER (WHERE coalesce(doc_id, 1) % 97 <> 0)
             AS BIGINT) AS n_distinct_good,
-       CAST(count(*) FILTER (WHERE doc_id % 97 = 0) AS BIGINT)
-         AS n_quarantined
+       CAST(count(*) FILTER (WHERE coalesce(doc_id, 1) % 97 = 0)
+            AS BIGINT) AS n_quarantined
 FROM documents
 """
 

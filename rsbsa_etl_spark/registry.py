@@ -1816,8 +1816,14 @@ def scan_jsonl_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     line = F.to_json(F.struct("doc_id", "text", "lang", "source", "n_chars"))
+    # NULL-explicit corruption rule: coalesce(doc_id, 1) keeps a
+    # hypothetical NULL-doc_id row on the good side in BOTH the rule
+    # and the oracle's analytic mirror (a bare `doc_id % 97 == 0`
+    # is NULL for NULL keys — Spark's `when` would route it good
+    # while the oracle's FILTER would drop it, a latent divergence
+    # flagged by the r7 advisor).
     corrupted = F.when(
-        F.col("doc_id") % 97 == 0,
+        F.coalesce(F.col("doc_id"), F.lit(1)) % 97 == 0,
         F.substring(line, 1, F.length(line) - 1),
     ).otherwise(line)
     path = os.path.join(tempfile.mkdtemp(prefix="rsbsa_jsonl_"), "docs")
@@ -1834,14 +1840,21 @@ def scan_jsonl_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
             StructField("n_chars", LongType()),
         ]
     )
-    good, bad = split_corrupt(read_jsonl(spark, path, schema))
+    good, bad, parsed = split_corrupt(read_jsonl(spark, path, schema))
     g = good.agg(
         F.count("*").cast("long").alias("n_good"),
         F.sum("n_chars").cast("long").alias("sum_chars_good"),
         F.countDistinct("doc_id").cast("long").alias("n_distinct_good"),
     )
     b = bad.agg(F.count("*").cast("long").alias("n_quarantined"))
-    return g.join(b)
+    # materialize the 1-row aggregate eagerly (this key already does
+    # eager work: the corrupt-file write above), then release the
+    # cached parse — callers own the persist per split_corrupt's
+    # contract, and holding it would leak one cached parse per
+    # invocation across verify/bench sweeps (r7 advisor).
+    out = g.join(b).localCheckpoint(eager=True)
+    parsed.unpersist()
+    return out
 
 
 def scan_csv_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1879,14 +1892,16 @@ def scan_csv_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
             StructField("l_returnflag", StringType()),
         ]
     )
-    good, _bad = split_corrupt(read_csv(spark, path, schema))
-    return good.groupBy("l_returnflag").agg(
+    good, _bad, parsed = split_corrupt(read_csv(spark, path, schema))
+    out = good.groupBy("l_returnflag").agg(
         F.count("*").cast("long").alias("n_rows"),
         F.sum(
             F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long")
         ).alias("qty_cents"),
         F.sum("l_orderkey").cast("long").alias("key_sum"),
-    )
+    ).localCheckpoint(eager=True)  # per-flag rows only; then release
+    parsed.unpersist()
+    return out
 
 
 def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2782,13 +2797,21 @@ def _driver_latest_rows_and_rounds() -> tuple[dict, dict]:
     rows: dict = {}
     rounds: dict = {}
     root = _Path(__file__).resolve().parent.parent
-    for p in sorted(root.glob("CORRECTNESS_r*.json")):
+
+    def _round_of(p: _Path) -> int:
+        m = _re.search(r"r(\d+)", p.name)
+        return int(m.group(1)) if m else 0
+
+    # sort by the PARSED round number, not the filename: lexicographic
+    # order breaks at r100 ('r100' < 'r99') and for unpadded rN, and
+    # the later-round-overrides rule below depends on iteration order
+    # (r7 advisor).
+    for p in sorted(root.glob("CORRECTNESS_r*.json"), key=_round_of):
         try:
             data = _json.loads(p.read_text())
         except (OSError, ValueError):
             continue
-        m = _re.search(r"r(\d+)", p.name)
-        rnd = int(m.group(1)) if m else 0
+        rnd = _round_of(p)
         if isinstance(data, dict):
             for k, v in data.items():
                 if isinstance(v, dict):

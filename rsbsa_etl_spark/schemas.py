@@ -212,9 +212,15 @@ ONE_TO_ONE_TABLES = frozenset(
 #   i     INT(n)                              -> IntegerType
 #   b     TINYINT(n)  (incl. (1) booleans)    -> ByteType (0/1/2
 #         ternaries like validated ENUM('1','0','2') stay intact)
-#   z:N   TINYINT/INT UNSIGNED ZEROFILL geo   -> StringType, lpad to N
+#   z:N   INT(N) UNSIGNED ZEROFILL geo        -> StringType, lpad to N
+#   z:N:t TINYINT(N) UNSIGNED ZEROFILL geo    -> StringType, lpad to N
 #         (ZEROFILL is digits-matter display padding — width recorded
-#         in ZEROFILL_WIDTHS for the lpad-on-output rule)
+#         in ZEROFILL_WIDTHS for the lpad-on-output rule; the STORAGE
+#         type's unsigned range is recorded in ZEROFILL_MAX, because
+#         display width is a rendering hint but TINYINT vs INT is a
+#         hard storage bound: '1234' can never exist in a
+#         TINYINT UNSIGNED column — etlService.js:277-280,537-540 are
+#         TINYINT, :283-290,542-545 INT)
 #   e:dom ENUM(...)                           -> StringType + domain
 #         recorded in ENUM_DOMAINS for isin() CHECK-style validation
 #   d2/d4 DECIMAL(10,2) / DECIMAL(10,4)       -> DecimalType
@@ -247,8 +253,8 @@ _DOMAIN_SPECS: dict[str, list[tuple[str, str]]] = {
         ("maiden_mname", "s"), ("maiden_lname", "s"),
         ("maiden_extname", "s"), ("sex", "b"), ("birthday", "dt"),
         ("birth_place", "s"), ("birth_prv", "s"), ("birth_prv_mun", "s"),
-        ("house_no", "s"), ("street", "s"), ("brgy1", "z:3"),
-        ("mun1", "z:2"), ("prv1", "z:2"), ("reg1", "z:2"),
+        ("house_no", "s"), ("street", "s"), ("brgy1", "z:3:t"),
+        ("mun1", "z:2:t"), ("prv1", "z:2:t"), ("reg1", "z:2:t"),
         ("geo_code", "s"), ("geocode", "s"), ("brgy", "z:3"),
         ("mun", "z:2"), ("prv", "z:3"), ("reg", "z:2"),
         ("ncr_brgy", "z:3"), ("ncr_mun", "z:2"), ("ncr_prv", "z:3"),
@@ -363,8 +369,8 @@ _DOMAIN_SPECS: dict[str, list[tuple[str, str]]] = {
     # etlService.js:530-573 — `long` is the reserved-word column (F3)
     "farmparcel": [
         ("parcel_id", "spk"), ("parcel_no", "b"), ("arb", "b"),
-        ("ancestral", "b"), ("bgy1", "z:3"), ("mun1", "z:2"),
-        ("prv1", "z:2"), ("reg1", "z:2"), ("geo_code", "s"),
+        ("ancestral", "b"), ("bgy1", "z:3:t"), ("mun1", "z:2:t"),
+        ("prv1", "z:2:t"), ("reg1", "z:2:t"), ("geo_code", "s"),
         ("bgy", "z:3"), ("mun", "z:2"), ("prv", "z:3"), ("reg", "z:2"),
         ("desc_location", "s"), ("parcel_geo_pol", "geo"),
         ("parcel_geo_point", "geo"), ("lat", "f"), ("long", "f"),
@@ -400,10 +406,12 @@ def _build_domain_tables() -> tuple[
     dict[str, T.StructType],
     dict[tuple[str, str], tuple[str, ...]],
     dict[tuple[str, str], int],
+    dict[tuple[str, str], int],
 ]:
     tables: dict[str, T.StructType] = {}
     enums: dict[tuple[str, str], tuple[str, ...]] = {}
     zerofill: dict[tuple[str, str], int] = {}
+    zmax: dict[tuple[str, str], int] = {}
     for name, spec in _DOMAIN_SPECS.items():
         fields = []
         for col, code in spec:
@@ -411,7 +419,13 @@ def _build_domain_tables() -> tuple[
                 enums[(name, col)] = ENUM_VALUE_SETS[code[2:]]
                 dtype: T.DataType = T.StringType()
             elif code.startswith("z:"):
-                zerofill[(name, col)] = int(code[2:])
+                parts = code.split(":")
+                zerofill[(name, col)] = int(parts[1])
+                # unsigned storage range of the DDL's integer type —
+                # TINYINT UNSIGNED caps at 255, INT UNSIGNED at 2^32-1
+                zmax[(name, col)] = (
+                    255 if len(parts) > 2 and parts[2] == "t" else 4294967295
+                )
                 dtype = T.StringType()
             else:
                 dtype = _CODE_TYPES[code]
@@ -419,11 +433,16 @@ def _build_domain_tables() -> tuple[
                 T.StructField(col, dtype, nullable=code not in ("pk", "spk"))
             )
         tables[name] = T.StructType(fields)
-    return tables, enums, zerofill
+    return tables, enums, zerofill, zmax
 
 
 #: the literal 12-table target inventory; ENUM_DOMAINS holds the
-#: CHECK-style isin() domains (Spark has no ENUM type) and
-#: ZEROFILL_WIDTHS the lpad display widths for geo codes — both keyed
-#: (table, column), consumed by ``operators.filters.check_domains``.
-DOMAIN_TABLES, ENUM_DOMAINS, ZEROFILL_WIDTHS = _build_domain_tables()
+#: CHECK-style isin() domains (Spark has no ENUM type),
+#: ZEROFILL_WIDTHS the lpad display widths for geo codes, and
+#: ZEROFILL_MAX each geo code's unsigned STORAGE range bound (display
+#: width is a rendering hint; the integer type is a hard constraint) —
+#: all keyed (table, column), consumed by
+#: ``operators.filters.check_domains``.
+DOMAIN_TABLES, ENUM_DOMAINS, ZEROFILL_WIDTHS, ZEROFILL_MAX = (
+    _build_domain_tables()
+)

@@ -85,16 +85,22 @@ def read_csv(
 
 def split_corrupt(
     df: DataFrame, corrupt_col: str = CORRUPT_COL
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """route a PERMISSIVE parse into (good, quarantine): good rows
     with the capture column dropped, bad rows as (raw_line,) for a
     side sink. Persists the parse first — Spark rejects filters that
     reference only the internal corrupt column on an unmaterialized
     JSON/CSV relation, and the two sides would otherwise re-read the
-    files twice anyway."""
+    files twice anyway.
+
+    Returns ``(good, bad, parsed)`` where ``parsed`` is the persisted
+    parse itself: the CALLER owns the release and must
+    ``parsed.unpersist()`` once its aggregates (or sink writes) over
+    the two sides have materialized — otherwise every invocation
+    leaks one cached parse for the session lifetime (r7 advisor)."""
     df = df.persist()
     good = df.where(F.col(corrupt_col).isNull()).drop(corrupt_col)
     bad = df.where(F.col(corrupt_col).isNotNull()).select(
         F.col(corrupt_col).alias("raw_line")
     )
-    return good, bad
+    return good, bad, df

@@ -178,6 +178,35 @@ def test_check_domains_and_zerofill_format_agree_on_overwidth(spark):
     assert fmt["P-1"] == "1234"  # never truncated
 
 
+def test_check_domains_enforces_integer_storage_range(spark):
+    """display width is a rendering hint, but the DDL's integer TYPE
+    is a hard bound: bgy1 is TINYINT(3) UNSIGNED ZEROFILL
+    (etlService.js:537), so digits-only values above 255 can never
+    exist in the reference and must flag invalid — while bgy is
+    INT(3) UNSIGNED (js:542), so the same '1234' is legal there
+    (r7 advisor)."""
+    df = spark.createDataFrame(
+        [
+            ("P-1", "255", "1234"),   # both at/inside their ranges
+            ("P-2", "256", "1234"),   # bgy1 exceeds TINYINT UNSIGNED
+            ("P-3", "1234", "7"),     # over-width AND over-range
+            ("P-4", "007", None),     # zero-padded in range; NULL ok
+            ("P-5", "9" * 25, "7"),   # absurd length: no NULL poison
+        ],
+        ["parcel_id", "bgy1", "bgy"],
+    )
+    got = {
+        r["parcel_id"]: (r["_chk_bgy1"], r["_chk_bgy"])
+        for r in check_domains(df, "farmparcel").collect()
+    }
+    assert got["P-1"] == (True, True)
+    assert got["P-2"] == (False, True)
+    assert got["P-3"] == (False, True)
+    assert got["P-4"] == (True, True)
+    # >18 digits must be a deterministic False, never NULL
+    assert got["P-5"] == (False, True)
+
+
 def test_check_domains_covers_every_registered_constraint():
     """every ENUM/ZEROFILL registry entry points at a real column of
     its table's declared schema — no orphaned constraints."""

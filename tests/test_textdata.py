@@ -45,11 +45,15 @@ def test_jsonl_quarantine_routes_bad_lines(spark, tmp_path):
             '{"id": 3}',                      # missing field: still good
         ],
     )
-    good, bad = split_corrupt(read_jsonl(spark, path, SCHEMA))
+    good, bad, parsed = split_corrupt(read_jsonl(spark, path, SCHEMA))
     g = {r["id"]: r["name"] for r in good.collect()}
     assert g == {1: "ok", 3: None}
     raws = set(r["raw_line"] for r in bad.collect())
     assert raws == {'{"id": 2, "name": "truncated', "not json at all"}
+    # caller-owned release (split_corrupt's contract)
+    assert parsed.is_cached
+    parsed.unpersist()
+    assert not parsed.is_cached
 
 
 def test_jsonl_failfast_raises_on_corrupt(spark, tmp_path):
@@ -64,7 +68,8 @@ def test_csv_quarantine_routes_untypeable_rows(spark, tmp_path):
         "cv",
         ["id,name", "1,alpha", "zzz,beta", "3,gamma"],
     )
-    good, bad = split_corrupt(read_csv(spark, path, SCHEMA))
+    good, bad, parsed = split_corrupt(read_csv(spark, path, SCHEMA))
     g = {r["id"]: r["name"] for r in good.collect()}
     assert g == {1: "alpha", 3: "gamma"}
     assert [r["raw_line"] for r in bad.collect()] == ["zzz,beta"]
+    parsed.unpersist()
