@@ -1286,6 +1286,71 @@ def ann_recall(
     )
 
 
+def ann_eval(
+    emb: DataFrame,
+    query_ids: Sequence[int] = ANN_QUERY_IDS,
+    k: int = ANN_TOP_K,
+) -> DataFrame:
+    """combined ANN evaluation — recall@k AND MRR@k per index from
+    ONE set of index scans. ``ann_recall`` and ``ann_mrr`` each
+    rebuild the same four plans (exact + LSH + multiprobe + IVF);
+    run together in a sweep that is 8 index builds for 2 metrics.
+    Here each index's top-k is computed once and persisted
+    (query×k rows), the exact ranking once (also persisted), and
+    both metrics read the cached results — the r7 verdict's
+    consolidation item. The per-system numbers are bit-identical to
+    the standalone keys' (same rankings, same fixed-point fold).
+
+    Output: one row per index system —
+    (system, n_queries, n_hit_k, recall_at_k, n_hit_top1, mrr).
+
+    Scale: index scans are the already-scale-shaped ANN plans; the
+    persisted intermediates are query-set-sized (|Q|·k rows),
+    constant in corpus size, so the cache cost never grows with the
+    data.
+    """
+    exact = (
+        brute_force_topk(emb, query_ids, k)
+        .select("query_id", "neighbor_id", "rank")
+        .persist()
+    )
+    exact_pairs = exact.select("query_id", "neighbor_id")
+    exact1 = exact.where(F.col("rank") == 1).select(
+        "query_id", "neighbor_id"
+    )
+    nq = float(len(list(query_ids)))
+
+    def one(df: DataFrame, name: str) -> DataFrame:
+        idx = df.select("query_id", "neighbor_id", "rank").persist()
+        hk = idx.join(
+            F.broadcast(exact_pairs), ["query_id", "neighbor_id"]
+        ).agg(F.count("*").cast("long").alias("n_hit_k"))
+        h1 = idx.join(
+            F.broadcast(exact1), ["query_id", "neighbor_id"]
+        ).agg(
+            F.count("*").cast("long").alias("n_hit_top1"),
+            dec_round(
+                fixed_sum(F.lit(1.0) / F.col("rank"), 6) / F.lit(nq), 6
+            ).alias("mrr"),
+        )
+        return hk.join(h1).select(
+            F.lit(name).alias("system"),
+            F.lit(int(nq)).cast("long").alias("n_queries"),
+            "n_hit_k",
+            dec_round(
+                F.col("n_hit_k") / F.lit(nq * float(k)), 4
+            ).alias("recall_at_k"),
+            "n_hit_top1",
+            F.coalesce(F.col("mrr"), F.lit(0.0)).alias("mrr"),
+        )
+
+    return (
+        one(lsh_topk(emb, query_ids, k), "lsh")
+        .unionByName(one(lsh_multiprobe_topk(emb, query_ids, k), "lsh_mp"))
+        .unionByName(one(ivf_topk(emb, query_ids, k), "ivf"))
+    )
+
+
 def cosine_pairs_bipartite(
     new: DataFrame,
     corpus: DataFrame,

@@ -4162,6 +4162,45 @@ UNION ALL
 """
 
 
+def _eval_arm(src_sql: str, name: str) -> str:
+    """one system row of the consolidated ann_eval: recall@k via a
+    scalar subselect against the full exact set, top-1 hit count +
+    MRR from the exact1 join (same fixed-point fold as _mrr_arm, so
+    ann_eval's mrr column is bit-identical to ann_mrr's)."""
+    nq = float(len(P.ANN_QUERY_IDS))
+    denom = nq * float(P.ANN_TOP_K)
+    s = sql_sum_fixed("CAST(1.0 AS DOUBLE) / rank", 6)
+    return f"""SELECT '{name}' AS system,
+       CAST({len(P.ANN_QUERY_IDS)} AS BIGINT) AS n_queries,
+       CAST((SELECT count(*) FROM ({src_sql}) a
+             JOIN exact USING (query_id, neighbor_id)) AS BIGINT)
+         AS n_hit_k,
+       {_dec(
+           f"(SELECT count(*) FROM ({src_sql}) a "
+           f"JOIN exact USING (query_id, neighbor_id)) / {denom!r}", 4
+       )} AS recall_at_k,
+       CAST(count(*) AS BIGINT) AS n_hit_top1,
+       coalesce({_dec(f"({s}) / {nq!r}", 6)}, 0.0) AS mrr
+FROM ({src_sql}) t
+JOIN exact1 USING (query_id, neighbor_id)"""
+
+
+ORACLES["ann_eval"] = f"""
+WITH exact AS (
+  SELECT query_id, neighbor_id FROM ({_ann_sql(bucketed=False)}) t
+),
+exact1 AS (
+  SELECT query_id, neighbor_id
+  FROM ({_ann_sql(bucketed=False)}) t WHERE rank = 1
+)
+{_eval_arm(_ann_sql(bucketed=True), "lsh")}
+UNION ALL
+{_eval_arm(_ann_sql(bucketed=True, multiprobe=True), "lsh_mp")}
+UNION ALL
+{_eval_arm(_ivf_sql(), "ivf")}
+"""
+
+
 ORACLES["prf_expand"] = f"""
 WITH hybrid AS (SELECT * FROM ({ORACLES["hybrid_search_rrf"]}) t),
 corpus AS (

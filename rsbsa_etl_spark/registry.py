@@ -970,6 +970,15 @@ def ann_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_mrr(load(spark, sf_dir, "embeddings"))
 
 
+def ann_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k + MRR@k per index from ONE set of persisted index
+    scans — the consolidated form of ann_recall/ann_mrr (those keys
+    stay registered for the per-query/standalone shapes; an eval
+    SWEEP should run this one: half the index builds for both
+    metrics)."""
+    return similarity.ann_eval(load(spark, sf_dir, "embeddings"))
+
+
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.lang_id(load(spark, sf_dir, "documents"))
 
@@ -2689,6 +2698,7 @@ QUERIES: dict[str, QueryFn] = {
     "bootstrap_ci": bootstrap_ci,
     "ab_cuped": ab_cuped,
     "ann_mrr": ann_mrr,
+    "ann_eval": ann_eval,
     "hybrid_mmr": hybrid_mmr,
     "prf_expand": prf_expand,
     "dedup_spans_cut": dedup_spans_cut,

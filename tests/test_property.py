@@ -1055,6 +1055,39 @@ def test_ann_mrr_bounds_and_index_ordering(spark):
     assert rows["ivf"].mrr >= rows["lsh"].mrr
 
 
+def test_ann_eval_is_bit_identical_to_standalone_metrics(spark):
+    """the consolidated ann_eval (one persisted set of index scans
+    for both metrics) must reproduce ann_mrr's per-system rows
+    exactly AND ann_recall's aggregate hit counts — consolidation
+    may change the plan, never the numbers."""
+    from rsbsa_etl_spark.functions.similarity import (
+        ann_eval,
+        ann_mrr,
+        ann_recall,
+    )
+    from rsbsa_etl_spark.params import ANN_TOP_K
+    from rsbsa_etl_spark.sources.fixtures import load
+
+    from tests.conftest import SF_DIR
+
+    emb = load(spark, SF_DIR, "embeddings")
+    ev = {r.system: r for r in ann_eval(emb).collect()}
+    mrr = {r.system: r for r in ann_mrr(emb).collect()}
+    assert set(ev) == set(mrr) == {"lsh", "lsh_mp", "ivf"}
+    for s in ev:
+        assert ev[s].mrr == mrr[s].mrr, s
+        assert ev[s].n_hit_top1 == mrr[s].n_hit, s
+        assert ev[s].n_queries == mrr[s].n_queries, s
+    rec = ann_recall(emb).collect()
+    col = {"lsh": "recall_lsh", "lsh_mp": "recall_lsh_mp", "ivf": "recall_ivf"}
+    for s, c in col.items():
+        # per-query recalls are k-quantized, so the hit-count sum is
+        # exact: sum over queries of recall*k == consolidated n_hit_k
+        assert ev[s].n_hit_k == round(
+            sum(r[c] * ANN_TOP_K for r in rec)
+        ), s
+
+
 def _hash_slot(tok, dim):
     import hashlib
 
