@@ -178,6 +178,21 @@ def main(argv: list[str] | None = None) -> int:
             pushed = _re.findall(r"PushedFilters: \[[^\n]*", plan)
             for pf in pushed[:4]:
                 print(f"  {pf[:100]}")
+            # scale-dial pointers (registry.SCALE_DIALS): if this
+            # key's exact arm has a shipped sub-quadratic sibling,
+            # say so — the interactive audience of `explain` is
+            # exactly who should pick the scale-safe arm by default
+            from rsbsa_etl_spark.registry import SCALE_DIAL_OF, SCALE_DIALS
+
+            if args.key in SCALE_DIALS:
+                dial, why = SCALE_DIALS[args.key]
+                print(f"  at scale use: {dial} — {why}")
+            if args.key in SCALE_DIAL_OF:
+                print(
+                    f"  exact audit arm: {SCALE_DIAL_OF[args.key]} "
+                    "(full recall/exact form; priced for audit runs, "
+                    "see SCALING.md)"
+                )
             if args.full:
                 print(plan)
             return 0

@@ -1650,6 +1650,12 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exact directed containment pairs via AllPairs prefix filter —
+    full recall by construction. At scale use
+    ``dedup_containment_capped`` (capped-LSH candidates, exact
+    verify): the exact arm's candidate volume grows with per-shingle
+    posting density^2 on template-heavy corpora (SCALING.md measured
+    the three-point growth)."""
     return dedup.containment_pairs(load(spark, sf_dir, "documents"))
 
 
@@ -2037,7 +2043,10 @@ def stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def trend_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """per-user Theil-Sen slope (median of pairwise slopes) — the
-    robust companion to agg_ols_slope; quadratic per user only."""
+    robust companion to agg_ols_slope; quadratic per user only. At
+    scale use ``trend_theil_sen_capped``: a deterministic <=32
+    events/user sample bounds pairing at 496 pairs/user and agrees
+    exactly with this arm for users at or under the cap."""
     from rsbsa_etl_spark.operators.analytics import trend_theil_sen as _ts
 
     return _ts(load(spark, sf_dir, "events"))
@@ -2079,7 +2088,10 @@ def ab_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def source_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pairwise source-vocabulary overlap: exact Jaccard plus the
-    KMV union-sketch estimate, one row per source pair."""
+    KMV union-sketch estimate, one row per source pair. At scale use
+    ``source_overlap_kmv_sketch``: the exact-Jaccard arm's vocabulary
+    self-equi-join is corpus-shaped; the sketch mode is sources x k
+    rows after one deduped-vocab shuffle."""
     from rsbsa_etl_spark.operators.analytics import source_overlap_kmv as _ov
 
     return _ov(load(spark, sf_dir, "documents"))
@@ -2747,6 +2759,56 @@ QUERIES: dict[str, QueryFn] = {
     "ann_ivfpq": ann_ivfpq,
     "stream_session": stream_session,
     "stream_tail": stream_tail,
+}
+
+#: exact-arm -> (scale-dial key, why) — keys whose headline form is
+#: the full-recall/exact computation but whose cost grows
+#: superlinearly on adversarial data; the dial is the shipped
+#: sub-quadratic sibling with the SAME verified semantics on what it
+#: emits. The CLI `explain` prints this pointer both ways so a future
+#: operator picks the scale-safe arm by default (r7 verdict item 6);
+#: SCALING.md carries the measured three-point growth for each.
+SCALE_DIALS: dict[str, tuple[str, str]] = {
+    "dedup_containment": (
+        "dedup_containment_capped",
+        "capped-LSH candidates -> exact verify: every emitted pair "
+        "still exactly verified, recall ~0.9 at 2x+ less cost; the "
+        "exact prefix arm's candidate volume grows with per-shingle "
+        "posting density^2",
+    ),
+    "dedup_ngram_jaccard": (
+        "dedup_minhash",
+        "banded MinHash-LSH thresholds candidate volume by "
+        "construction; the exact AllPairs prefix arm is the "
+        "full-recall audit dial on template-heavy corpora",
+    ),
+    "trend_theil_sen": (
+        "trend_theil_sen_capped",
+        "deterministic hash-min sample of <=32 events/user bounds "
+        "pairing at 496 pairs/user (exact agreement at or under the "
+        "cap); the uncapped arm is quadratic per user",
+    ),
+    "source_overlap_kmv": (
+        "source_overlap_kmv_sketch",
+        "KMV estimate only — drops the vocabulary self-equi-join "
+        "entirely (0 SMJ; sources x k rows after one deduped-vocab "
+        "shuffle); the exact-Jaccard arm is the verification dial",
+    ),
+    "ann_recall": (
+        "ann_eval",
+        "recall@k AND MRR@k from one persisted set of index scans "
+        "(half the index builds when both metrics are wanted)",
+    ),
+    "ann_mrr": (
+        "ann_eval",
+        "recall@k AND MRR@k from one persisted set of index scans "
+        "(half the index builds when both metrics are wanted)",
+    ),
+}
+
+#: reverse view: dial key -> the exact/audit arm it relieves
+SCALE_DIAL_OF: dict[str, str] = {
+    dial: exact for exact, (dial, _why) in SCALE_DIALS.items()
 }
 
 # The driver's correctness sweep walks QUERIES in dict order and

@@ -43,6 +43,33 @@ def test_explain_audits_plan(spark, capsys):
     assert main(["explain", "no_such_key"]) == 2
 
 
+def test_explain_points_at_scale_dial(spark, capsys):
+    """every SCALE_DIALS exact arm must tell the interactive user
+    which shipped sibling to use at scale, and the dial must point
+    back at its audit arm — both keys must really exist in the
+    registry (r7 verdict item 6)."""
+    from rsbsa_etl_spark.__main__ import main
+    from rsbsa_etl_spark.registry import (
+        QUERIES,
+        SCALE_DIAL_OF,
+        SCALE_DIALS,
+    )
+
+    from tests.conftest import SF_DIR
+
+    for exact, (dial, _why) in SCALE_DIALS.items():
+        assert exact in QUERIES and dial in QUERIES, (exact, dial)
+    assert main(["explain", "trend_theil_sen", "--sf-dir", SF_DIR]) == 0
+    out = capsys.readouterr().out
+    assert "at scale use: trend_theil_sen_capped" in out
+    assert main(
+        ["explain", "trend_theil_sen_capped", "--sf-dir", SF_DIR]
+    ) == 0
+    out = capsys.readouterr().out
+    assert "exact audit arm: trend_theil_sen" in out
+    assert SCALE_DIAL_OF["dedup_containment_capped"] == "dedup_containment"
+
+
 def test_verify_gate_smoke(spark, tmp_path, capsys):
     """`verify --keys ...` replicates the driver gate on demand: the
     three sampled keys must come back green, the exit code must be 0,
