@@ -65,6 +65,7 @@ HEADLINE = [
     "dedup_incremental",
     "decontam_fuzzy",
     "knn_graph",
+    "knn_graph_ivf",
     "embedding_outliers",
     "split_assign",
     "tfidf_topk",

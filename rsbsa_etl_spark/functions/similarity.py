@@ -330,6 +330,143 @@ def knn_graph(
     )
 
 
+def knn_graph_ivf(
+    emb: DataFrame,
+    k: int = ANN_TOP_K,
+    n_centroids: int | None = None,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """approximate k-NN graph via IVF cells — the scale dial for
+    ``knn_graph``: the exact tiled all-pairs form is O(n²/tiles)
+    FLOPs by definition (round-8 measurement: growth exponent ~1.4
+    over the sf0.1→sf1 decade, and asymptotically 2), so the graph a
+    SemDeDup/cluster pipeline builds over a 100 TB corpus needs the
+    same coarse-quantizer cut every production ANN system makes:
+    assign each vector to its nearest of ~√n Voronoi cells, probe
+    each vector against its ``nprobe`` nearest cells only, exact
+    block top-k within the probed cells.
+
+    Work = Σ_cells |probers| · |members| ≈ n²·nprobe/ncells FLOPs;
+    with the default ``n_centroids = max(16, floor(√n))`` (sized by
+    one corpus count — the same one-pass sizing IVF training does)
+    that is O(n^1.5·nprobe) — the standard IVF trade. Recall misses
+    concentrate on true neighbors living across an unprobed cell
+    boundary, exactly the class ``ann_recall``/``ann_eval`` price
+    for the query-set form of this index.
+
+    Plan shape: ONE distance pass of the corpus against the
+    broadcast centroid array serves both the cell assignment
+    (argmin expression fold — zero shuffle) and the nprobe probe
+    list (per-vector rank window over n·ncents rows); candidates
+    then meet in ONE cid-keyed shuffle into per-cell BLAS blocks
+    (``applyInPandas``, block-local top-k — the lossless-cut
+    argument of ``knn_graph``: every member belongs to exactly one
+    cell, so a source's global candidate top-k is the union of its
+    per-cell top-k under the same total order); a final per-source
+    window keeps the global top-k over n·nprobe·k rows. Per-task
+    memory is one cell's members + its probers.
+
+    Deterministic end to end (deterministic centroids, (d2, cid)
+    tie-break, 1e-4-quantized cosine, (sim desc, neighbor asc)
+    rank), so the whole approximate GRAPH is value-checked by the
+    DuckDB oracle — same contract as the ann_* family.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    if n_centroids is None:
+        n_centroids = max(16, int(math.floor(math.sqrt(emb.count()))))
+
+    e = with_norm(emb)
+    cents = e.where(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cid"), F.col("_vd").alias("vc")
+    )
+    carr = F.broadcast(_collected_centroids(cents))
+
+    # members: argmin cell via the shuffle-free expression fold
+    best = _argmin_cell(F.col("_vd"), F.col("cs"))
+    members = e.join(carr).select(
+        "vec_id",
+        "embedding",
+        best["cid"].alias("cid"),
+        F.lit(False).alias("is_probe"),
+    )
+    # probers: nprobe nearest cells per vector — the one window over
+    # n·ncents rows (same (d2, cid) order as the argmin fold, so
+    # rn=1 here IS the member cell)
+    d2 = F.aggregate(
+        F.zip_with(F.col("_vd"), F.col("vc"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wp = Window.partitionBy("vec_id").orderBy(
+        F.col("d2").asc(), F.col("cid").asc()
+    )
+    probes = (
+        e.join(F.broadcast(cents), F.lit(True))
+        .select("vec_id", "embedding", "cid", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(wp))
+        .where(F.col("rn") <= nprobe)
+        .select("vec_id", "embedding", "cid", F.lit(True).alias("is_probe"))
+    )
+
+    kern = _make_cosine_kernel()
+
+    def block(key, pdf):
+        P_ = pdf[pdf["is_probe"]]
+        M = pdf[~pdf["is_probe"]]
+        if P_.empty or M.empty:
+            return pd.DataFrame(
+                {
+                    "vec_id": np.array([], dtype=np.int64),
+                    "neighbor_id": np.array([], dtype=np.int64),
+                    "cosine": np.array([], dtype=np.float64),
+                }
+            )
+        q = kern(P_["embedding"], M["embedding"])
+        src = P_["vec_id"].to_numpy()
+        dst = M["vec_id"].to_numpy()
+        srcs, dsts, sims = [], [], []
+        for i in range(q.shape[0]):
+            row = q[i]
+            mask = (dst != src[i]) & np.isfinite(row)
+            cd, cs_ = dst[mask], row[mask]
+            if cd.size == 0:
+                continue
+            order = np.lexsort((cd, -cs_))[:k]
+            srcs.extend([src[i]] * len(order))
+            dsts.extend(cd[order])
+            sims.extend(cs_[order])
+        return pd.DataFrame(
+            {
+                "vec_id": np.array(srcs, dtype=np.int64),
+                "neighbor_id": np.array(dsts, dtype=np.int64),
+                "cosine": np.array(sims, dtype=np.float64),
+            }
+        )
+
+    per_cell = (
+        probes.unionByName(members)
+        .groupBy("cid")
+        .applyInPandas(block, "vec_id bigint, neighbor_id bigint, cosine double")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        per_cell.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "vec_id",
+            "neighbor_id",
+            dec_round(F.col("cosine"), 4).alias("cosine"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 def hard_negatives(emb: DataFrame, k: int = ANN_TOP_K) -> DataFrame:
     """hard-negative mining for contrastive training: for EVERY
     vector, its top-k most-similar vectors carrying a DIFFERENT

@@ -896,6 +896,53 @@ SELECT vec_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= {P.ANN_TOP_K}
 """
 
+# knn_graph_ivf: the approximate graph is deterministic end to end
+# (first-√n centroids, (d2, cid) tie-break, 1e-4-quantized cosine),
+# so the ORACLE replays the same coarse quantization generically —
+# one corpus×centroid distance table feeds both the rn=1 cell
+# assignment and the rn<=nprobe probe list, exactly like the Spark
+# plan's single distance pass.
+ORACLES["knn_graph_ivf"] = f"""
+WITH {_EMB_CTE.strip()},
+nc AS (
+  SELECT greatest(16, CAST(floor(sqrt(CAST(count(*) AS DOUBLE)))
+                       AS BIGINT)) AS ncents
+  FROM n
+),
+cents AS (
+  SELECT vec_id AS cid, v AS vc FROM n, nc WHERE vec_id < nc.ncents
+),
+dists AS (
+  SELECT a.vec_id AS nid, c.cid,
+         list_sum(list_transform(range(1, 65),
+                  i -> (a.v[i] - c.vc[i]) * (a.v[i] - c.vc[i]))) AS d2,
+         row_number() OVER (PARTITION BY a.vec_id
+                            ORDER BY list_sum(list_transform(range(1, 65),
+                                     i -> (a.v[i] - c.vc[i]) * (a.v[i] - c.vc[i]))) ASC,
+                                     c.cid ASC) AS rn
+  FROM n a, cents c
+),
+cells  AS (SELECT nid, cid FROM dists WHERE rn = 1),
+probes AS (SELECT nid, cid FROM dists WHERE rn <= {P.IVF_NPROBE}),
+scored AS (
+  SELECT p.nid AS vec_id, m.nid AS neighbor_id,
+         {_dec(f"{_DOT} / (a.nrm * b.nrm)", 4)} AS cosine
+  FROM probes p
+  JOIN cells m ON m.cid = p.cid
+  JOIN n a ON a.vec_id = p.nid
+  JOIN n b ON b.vec_id = m.nid
+  WHERE p.nid <> m.nid AND a.nrm > 0 AND b.nrm > 0
+),
+ranked AS (
+  SELECT vec_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT vec_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {P.ANN_TOP_K}
+"""
+
 ORACLES["embedding_outliers"] = f"""
 WITH {_EMB_CTE.strip()},
 scored AS (

@@ -2200,7 +2200,19 @@ def decontam_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exact all-pairs k-NN graph (tiled BLAS; O(n²/tiles) FLOPs by
+    definition — round-8 measured exponent ~1.4 over the top
+    decade). At scale use ``knn_graph_ivf``: √n-cell coarse
+    quantization cuts the work to O(n^1.5·nprobe)."""
     return similarity.knn_graph(load(spark, sf_dir, "embeddings"))
+
+
+def knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate k-NN graph — the scale dial for
+    ``knn_graph`` (cells sized √n by one corpus count; probe-vs-cell
+    BLAS blocks; deterministic, so the approximate graph itself is
+    value-checked)."""
+    return similarity.knn_graph_ivf(load(spark, sf_dir, "embeddings"))
 
 
 def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2592,6 +2604,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_incremental": dedup_incremental,
     "decontam_fuzzy": decontam_fuzzy,
     "knn_graph": knn_graph,
+    "knn_graph_ivf": knn_graph_ivf,
     "embedding_outliers": embedding_outliers,
     "dedup_embedding": dedup_embedding,
     "dedup_semantic": dedup_semantic,
@@ -2794,6 +2807,13 @@ SCALE_DIALS: dict[str, tuple[str, str]] = {
         "entirely (0 SMJ; sources x k rows after one deduped-vocab "
         "shuffle); the exact-Jaccard arm is the verification dial",
     ),
+    "knn_graph": (
+        "knn_graph_ivf",
+        "√n-cell IVF coarse quantization: O(n^1.5·nprobe) instead of "
+        "the exact tiled form's O(n²/tiles) FLOPs (round-8 measured "
+        "exponent 1.4 at the top decade); recall misses concentrate "
+        "on neighbors across unprobed cell boundaries",
+    ),
     "ann_recall": (
         "ann_eval",
         "recall@k AND MRR@k from one persisted set of index scans "
@@ -2852,6 +2872,8 @@ AUDIT_EXCLUDE = frozenset({
     # tempdir it then reads back
     "scan_jsonl_corrupt", "scan_csv_typed",
     "scan_schema_evolution", "scan_orc_roundtrip",
+    # building the DataFrame runs the one-pass √n cell-count sizing
+    "knn_graph_ivf",
 })
 
 

@@ -1088,6 +1088,37 @@ def test_ann_eval_is_bit_identical_to_standalone_metrics(spark):
         ), s
 
 
+def test_knn_graph_ivf_edges_are_exact_and_recall_reasonable(spark):
+    """the IVF graph is APPROXIMATE in which neighbors it finds but
+    EXACT in what it says about them: every emitted edge's cosine
+    must equal the exact graph kernel's value for that pair, ranks
+    must be contiguous per source, and recall against the exact
+    top-k must clear a floor on the fixture geometry (misses are
+    the documented unprobed-cell-boundary class)."""
+    from rsbsa_etl_spark.functions.similarity import knn_graph, knn_graph_ivf
+    from rsbsa_etl_spark.sources.fixtures import load
+
+    from tests.conftest import SF_DIR
+
+    emb = load(spark, SF_DIR, "embeddings")
+    exact = {
+        (r.vec_id, r.neighbor_id): r.cosine for r in knn_graph(emb).collect()
+    }
+    approx = knn_graph_ivf(emb).collect()
+    per_src: dict[int, list[int]] = {}
+    for r in approx:
+        per_src.setdefault(r.vec_id, []).append(r.rank)
+        if (r.vec_id, r.neighbor_id) in exact:
+            assert exact[(r.vec_id, r.neighbor_id)] == r.cosine
+    for ranks in per_src.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    hits = sum(1 for pair in exact if pair in {
+        (r.vec_id, r.neighbor_id) for r in approx
+    })
+    recall = hits / len(exact)
+    assert recall > 0.3, recall
+
+
 def _hash_slot(tok, dim):
     import hashlib
 

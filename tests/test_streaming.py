@@ -266,7 +266,27 @@ def test_cdc_merge_skips_redelivered_batch(spark, tmp_path):
     assert not os.path.isdir(f"{base}/state_old")
 
 
-def test_cdc_stream_restart_resumes_exactly(spark, tmp_path):
+import pytest as _pytest
+
+_SF1_GEN = "/tmp/sfgen/sf1"
+
+
+@_pytest.mark.parametrize(
+    "sf_dir_param",
+    [
+        None,
+        _pytest.param(
+            _SF1_GEN,
+            marks=_pytest.mark.skipif(
+                not os.path.isdir(_SF1_GEN),
+                reason="sf1 fixture not generated (tools/gen_sf.py "
+                "--sf 1.0 --out /tmp/sfgen/sf1)",
+            ),
+        ),
+    ],
+    ids=["default_sf", "sf1"],
+)
+def test_cdc_stream_restart_resumes_exactly(spark, tmp_path, sf_dir_param):
     """kill-and-restart coverage for the CDC apply — the
     checkpoint-recovery twin of the stream-join eviction replay
     documented in SCALING.md. The engine dies AFTER ``foreachBatch``
@@ -277,9 +297,10 @@ def test_cdc_stream_restart_resumes_exactly(spark, tmp_path):
     restarted run's state table must equal an uninterrupted run's
     EXACTLY (same rows, same counts, same argmax records).
 
-    ``RSBSA_RESTART_SF_DIR`` overrides the fixture dir so the
-    SCALING.md recovery-time measurement can run this same body at
-    sf0.1.
+    Parametrized over the generated sf1 fixture (1M events, 15k-key
+    state) when present, so the recovery-time-vs-state-size claim in
+    SCALING.md is re-measured per run; ``RSBSA_RESTART_SF_DIR``
+    still overrides the default arm for ad-hoc SFs.
     """
     import time
 
@@ -289,7 +310,7 @@ def test_cdc_stream_restart_resumes_exactly(spark, tmp_path):
     from rsbsa_etl_spark.streaming.stateful import merge_cdc_batch
     from rsbsa_etl_spark.streaming.windows import dump_single_file
 
-    sf_dir = os.environ.get("RSBSA_RESTART_SF_DIR", SF_DIR)
+    sf_dir = sf_dir_param or os.environ.get("RSBSA_RESTART_SF_DIR", SF_DIR)
     proj = load(spark, sf_dir, "events").select(
         "event_id",
         "user_id",

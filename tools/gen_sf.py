@@ -69,9 +69,27 @@ EPOCH_2024 = np.datetime64("2024-01-01T00:00:00", "us")
 DAY_US = 86_400_000_000
 
 
+_PARTS = 1  # set per-sf in main(): max(1, round(32*sf))
+
+
 def _write(out: str, name: str, table: pa.Table) -> None:
-    pq.write_table(table, os.path.join(out, f"{name}.parquet"))
-    print(f"  {name}: {table.num_rows} rows")
+    """write <name>.parquet as a DIRECTORY of _PARTS part files
+    (Spark reads it transparently). A single small file is ONE scan
+    split no matter how many cores exist — the dedup_spans lesson in
+    SCALING.md — and real 100 TB inputs are many-file; growing the
+    file count with sf keeps the series' scan parallelism honest."""
+    n = table.num_rows
+    if _PARTS <= 1:
+        pq.write_table(table, os.path.join(out, f"{name}.parquet"))
+    else:
+        d = os.path.join(out, f"{name}.parquet")
+        os.makedirs(d, exist_ok=True)
+        step = (n + _PARTS - 1) // _PARTS
+        for i in range(_PARTS):
+            sl = table.slice(i * step, step)
+            if sl.num_rows:
+                pq.write_table(sl, os.path.join(d, f"part-{i:05d}.parquet"))
+    print(f"  {name}: {n} rows ({max(1, _PARTS)} files)")
 
 
 def gen_documents(rng: np.random.Generator, n: int) -> tuple[list, pa.Table]:
@@ -252,6 +270,8 @@ def main() -> None:
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
     rng = np.random.default_rng(args.seed)
+    global _PARTS
+    _PARTS = max(1, round(32 * args.sf))
 
     for t in ("region", "nation"):
         shutil.copyfile(

@@ -55,6 +55,7 @@ WATCH_KEYS = [
     "knn_graph",
     "ann_mrr",
     "ann_recall",
+    "ann_eval",  # consolidated form: should beat ann_mrr+ann_recall summed
     # posting-list substring dedup
     "dedup_spans",
     "fingerprint_winnow",
