@@ -1451,34 +1451,51 @@ def ann_eval(
         .select("query_id", "neighbor_id", "rank")
         .persist()
     )
-    exact_pairs = exact.select("query_id", "neighbor_id")
+    exact_pairs = exact.select(
+        "query_id", "neighbor_id", F.lit(1).alias("_hk")
+    )
     exact1 = exact.where(F.col("rank") == 1).select(
-        "query_id", "neighbor_id"
+        "query_id", "neighbor_id", F.lit(1).alias("_h1")
     )
     nq = float(len(list(query_ids)))
 
     def one(df: DataFrame, name: str) -> DataFrame:
-        idx = df.select("query_id", "neighbor_id", "rank").persist()
-        hk = idx.join(
-            F.broadcast(exact_pairs), ["query_id", "neighbor_id"]
-        ).agg(F.count("*").cast("long").alias("n_hit_k"))
-        h1 = idx.join(
-            F.broadcast(exact1), ["query_id", "neighbor_id"]
-        ).agg(
-            F.count("*").cast("long").alias("n_hit_top1"),
-            dec_round(
-                fixed_sum(F.lit(1.0) / F.col("rank"), 6) / F.lit(nq), 6
-            ).alias("mrr"),
-        )
-        return hk.join(h1).select(
+        # BOTH metrics from ONE scan of the index plan: two broadcast
+        # left-joins flag each returned neighbor as (in exact top-k,
+        # is exact top-1), then a single aggregate folds recall AND
+        # MRR. (A first cut persisted the index top-k and aggregated
+        # it twice — but two unmaterialized-cache branches inside one
+        # action can both compute the subtree before either populates
+        # the cache, so the index plans still built twice and the
+        # consolidation won nothing; the flag form makes single
+        # computation structural rather than cache-dependent.)
+        idx = df.select("query_id", "neighbor_id", "rank")
+        flagged = idx.join(
+            F.broadcast(exact_pairs), ["query_id", "neighbor_id"], "left"
+        ).join(F.broadcast(exact1), ["query_id", "neighbor_id"], "left")
+        return flagged.agg(
             F.lit(name).alias("system"),
             F.lit(int(nq)).cast("long").alias("n_queries"),
-            "n_hit_k",
+            F.coalesce(F.sum("_hk"), F.lit(0))
+            .cast("long")
+            .alias("n_hit_k"),
             dec_round(
-                F.col("n_hit_k") / F.lit(nq * float(k)), 4
+                F.coalesce(F.sum("_hk"), F.lit(0)) / F.lit(nq * float(k)), 4
             ).alias("recall_at_k"),
-            "n_hit_top1",
-            F.coalesce(F.col("mrr"), F.lit(0.0)).alias("mrr"),
+            F.coalesce(F.sum("_h1"), F.lit(0))
+            .cast("long")
+            .alias("n_hit_top1"),
+            F.coalesce(
+                dec_round(
+                    fixed_sum(
+                        F.when(F.col("_h1") == 1, F.lit(1.0) / F.col("rank")),
+                        6,
+                    )
+                    / F.lit(nq),
+                    6,
+                ),
+                F.lit(0.0),
+            ).alias("mrr"),
         )
 
     return (
