@@ -130,10 +130,14 @@ def test_minhash_buckets_track_content_not_metadata_skew(spark):
     )
     assert hot_max == 40  # bucket size == duplicate class, by design
     # the cure the pipeline composes FIRST: exact dedup collapses the
-    # class before any LSH join sees it
+    # class before any LSH join sees it (exact_dedup returns the
+    # fingerprint->keeper table; keep the surviving rows)
     from rsbsa_etl_spark.functions.dedup import exact_dedup
 
-    deduped = exact_dedup(hot)
+    keepers = exact_dedup(hot).select(
+        F.col("keep_doc_id").alias("doc_id")
+    )
+    deduped = hot.join(keepers, "doc_id")
     cured_max = (
         minhash_bands(minhash_signature(deduped))
         .groupBy("band", "band_hash")
