@@ -59,6 +59,7 @@ HEADLINE = [
     "window_time_range",
     "merge_cdc",
     "sample_stratified",
+    "sample_weighted",
     "agg_cube",
     "dedup_minhash_capped",
     "dedup_minhash_est",

@@ -352,6 +352,100 @@ def token_budget_sample(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def weighted_sample(
+    docs: DataFrame,
+    weight_col: str = "n_chars",
+    k: int | None = None,
+) -> DataFrame:
+    """Weighted multinomial corpus sampling: ``k`` draws WITH
+    replacement, P(doc) ∝ weight — the mixture-assembly primitive
+    ("draw the next training document proportional to source weight /
+    length") that rounds out the sampling family
+    (``sample_temperature`` rebalances, ``sample_fixed_n`` counts,
+    ``sample_token_budget`` meters tokens; this one draws from the
+    weight distribution itself).
+
+    Why not A-ExpJ/A-Res weighted reservoirs: their keys are
+    ``u^(1/w)`` / ``-ln(u)/w`` — exp/log/pow transcendentals whose
+    low bits differ across libm implementations, so a reservoir
+    boundary can flip between engines and the result is not
+    oracle-checkable bit-for-bit. The multinomial form is INTEGER
+    end to end: a distributed prefix sum lays every doc's weight as
+    the interval ``[hi−w, hi)`` on the 0..W line (hash-shuffled
+    order — with-replacement draws are order-free, and the hash
+    order reuses ``token_budget_sample``'s bucket decomposition:
+    64 parallel intra-bucket windows + a broadcast 64-row offset
+    table, never ONE global window task), and draw ``j`` lands at
+    ``hash60('wsm'|j) mod W``. Sixty-bit draw hashes keep the mod
+    unbiased-enough (W ≤ 2^40 even at petabyte corpora of
+    byte-weights) and inside BIGINT exactly in both engines.
+
+    The k-row draw table is broadcast against the interval table —
+    the containment join is a broadcast NLJ over n·k comparisons,
+    linear in the corpus for fixed k. Output one row per draw
+    (draw_id, doc_id, weight) — duplicates across draws are the
+    with-replacement semantics.
+    """
+    kk = P.WSAMPLE_DRAWS if k is None else k
+    spark = docs.sparkSession
+    pri = salted_pri("ws1", F.col("doc_id"))
+    shift = 1 << P.BUDGET_BUCKET_SHIFT
+    base = docs.where(
+        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+    ).select(
+        "doc_id",
+        F.col(weight_col).cast("long").alias("w"),
+        pri.alias("pri"),
+        F.floor(pri / shift).cast("long").alias("bucket"),
+    )
+    intra_w = (
+        Window.partitionBy("bucket")
+        .orderBy("pri", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    intra = base.withColumn("intra_cum", F.sum("w").over(intra_w)).persist()
+    btot = intra.groupBy("bucket").agg(F.max("intra_cum").alias("b_w"))
+    offset_w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = btot.select(
+        "bucket",
+        (F.sum("b_w").over(offset_w) - F.col("b_w")).alias("offset"),
+    )
+    intervals = intra.join(F.broadcast(offsets), "bucket").select(
+        "doc_id",
+        "w",
+        (F.col("offset") + F.col("intra_cum")).cast("long").alias("hi"),
+    )
+    total = intervals.agg(F.max("hi").alias("W"))
+    draws = (
+        spark.range(kk)
+        .select(
+            F.col("id").alias("draw_id"),
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("|", F.lit("wsm"), F.col("id").cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            )
+            .cast("bigint")
+            .alias("h60"),
+        )
+        .join(F.broadcast(total))
+        .select("draw_id", F.pmod(F.col("h60"), F.col("W")).alias("u"))
+    )
+    return (
+        intervals.join(
+            F.broadcast(draws),
+            (F.col("u") >= F.col("hi") - F.col("w")) & (F.col("u") < F.col("hi")),
+        )
+        .select("draw_id", "doc_id", F.col("w").alias("weight"))
+    )
+
+
 def adaptive_quality_filter(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-language adaptive quality thresholding (the CCNet recipe):
     keep the best ``P.QUALITY_KEEP_PCT`` % of each language's

@@ -71,13 +71,14 @@ def _dec(expr: str, scale: int) -> str:
     return sql_round(expr, scale)
 
 
-def _hexpoly(col: str, start: int) -> str:
-    """8 hex digits of ``col`` from 1-based ``start`` → BIGINT, equal
-    to Spark ``conv(substring(col, start, 8), 16, 10)``."""
+def _hexpoly(col: str, start: int, ndigits: int = 8) -> str:
+    """``ndigits`` hex digits of ``col`` from 1-based ``start`` →
+    BIGINT, equal to Spark ``conv(substring(col, start, n), 16, 10)``
+    (n ≤ 15 keeps the polynomial inside BIGINT exactly)."""
     terms = " + ".join(
         f"(strpos('0123456789abcdef', substr({col}, {start + i}, 1)) - 1)"
-        f" * {16 ** (8 - 1 - i)}"
-        for i in range(8)
+        f" * {16 ** (ndigits - 1 - i)}"
+        for i in range(ndigits)
     )
     return f"CAST({terms} AS BIGINT)"
 
@@ -2293,6 +2294,33 @@ cum AS (
 )
 SELECT doc_id, n_tokens, cum_tokens FROM cum
 WHERE cum_tokens <= {P.TOKEN_BUDGET}
+"""
+
+# weighted multinomial draws: the oracle's global SUM() OVER window
+# is the single-task formulation the Spark side's 64-bucket prefix
+# sum decomposes (same bit-equality contract as sample_token_budget);
+# draws are 60-bit salted hashes mod the total weight — all integer
+ORACLES["sample_weighted"] = f"""
+WITH base AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+         {_hexpoly("md5('ws1' || '|' || CAST(doc_id AS VARCHAR))", 1)} AS pri
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+),
+cum AS (
+  SELECT doc_id, w,
+         CAST(sum(w) OVER (ORDER BY pri, doc_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS hi
+  FROM base
+),
+tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM base),
+draws AS (
+  SELECT j AS draw_id,
+         {_hexpoly("md5('wsm' || '|' || CAST(j AS VARCHAR))", 1, 15)}
+           % tw AS u
+  FROM range({P.WSAMPLE_DRAWS}) t(j), tot
+)
+SELECT d.draw_id, c.doc_id, c.w AS weight
+FROM draws d JOIN cum c ON d.u >= c.hi - c.w AND d.u < c.hi
 """
 
 # per-language adaptive quality cutoff: the histogram formulation the

@@ -243,6 +243,14 @@ QUALITY_KEEP_PCT = 60
 #: (fixture domains are 2^d-sized, d = floor(log2(doc_id+1))).
 SAMPLE_K = 6
 
+#: weighted multinomial sampling (sample_weighted): number of draws
+#: WITH replacement; each draw lands at a 60-bit salted hash of the
+#: draw index mod the total corpus weight — all integer arithmetic,
+#: so the sample is bit-identical across engines (the A-ExpJ/A-Res
+#: reservoir-key forms need exp/log/pow, which are platform-libm
+#: transcendentals and NOT cross-engine stable — rejected for that).
+WSAMPLE_DRAWS = 64
+
 #: spatial grid join: synthesized integer coordinates (LCG-style
 #: mixes of the key, both engines identical) on a GEO_MOD² plane;
 #: radius == grid cell width so the 3×3 neighborhood is complete.

@@ -1328,6 +1328,15 @@ def sample_fixed_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.fixed_n_sample(load(spark, sf_dir, "documents"))
 
 
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """weighted multinomial draws (with replacement, P ∝ n_chars) via
+    an integer prefix-sum weight line — the mixture-assembly
+    primitive; bit-exact (no transcendental reservoir keys)."""
+    from rsbsa_etl_spark.functions import curation
+
+    return curation.weighted_sample(load(spark, sf_dir, "documents"))
+
+
 def burst_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """hourly event-rate bins flagged against their trailing 24h mean
     (integer arithmetic, RANGE frame over epoch-hour)."""
@@ -2661,6 +2670,7 @@ QUERIES: dict[str, QueryFn] = {
     "window_rolling_median": window_rolling_median,
     "state_durations": state_durations,
     "sample_fixed_n": sample_fixed_n,
+    "sample_weighted": sample_weighted,
     "dedup_segments": dedup_segments,
     "window_ntile": window_ntile,
     "window_first_last": window_first_last,

@@ -1119,6 +1119,31 @@ def test_knn_graph_ivf_edges_are_exact_and_recall_reasonable(spark):
     assert recall > 0.3, recall
 
 
+def test_weighted_sample_draws_follow_weights(spark):
+    """multinomial contract: exactly one doc per draw (every u lands
+    in exactly one interval), zero/NULL-weight docs are never drawn,
+    and a doc holding ~90% of the total weight receives the bulk of
+    the draws — the deterministic hash draws must actually follow
+    the weight line, not the doc count."""
+    from rsbsa_etl_spark.functions.curation import weighted_sample
+    from rsbsa_etl_spark.params import WSAMPLE_DRAWS
+
+    docs = spark.createDataFrame(
+        [(0, 9000), (1, 250), (2, 250), (3, 500), (4, 0), (5, None)],
+        "doc_id long, n_chars long",
+    )
+    rows = weighted_sample(docs).collect()
+    assert len(rows) == WSAMPLE_DRAWS
+    assert sorted({r.draw_id for r in rows}) == list(range(WSAMPLE_DRAWS))
+    drawn = [r.doc_id for r in rows]
+    assert 4 not in drawn and 5 not in drawn
+    # doc 0 holds 90% of the weight; binomial(64, .9) puts P(<45) ~ 1e-6
+    assert drawn.count(0) >= 45
+    # determinism: a second run is identical
+    again = [r.doc_id for r in weighted_sample(docs).collect()]
+    assert drawn == again
+
+
 def _hash_slot(tok, dim):
     import hashlib
 
