@@ -417,7 +417,10 @@ def weighted_sample(
         "w",
         (F.col("offset") + F.col("intra_cum")).cast("long").alias("hi"),
     )
-    total = intervals.agg(F.max("hi").alias("W"))
+    # total weight from the 64-row bucket totals (NOT max(hi) over
+    # intervals — that would re-reference the offsets window subtree
+    # and double it in the plan)
+    total = btot.agg(F.sum("b_w").cast("long").alias("W"))
     draws = (
         spark.range(kk)
         .select(

@@ -715,6 +715,7 @@ GLOBAL_WINDOW_ALLOWLIST = {
     "bootstrap_ci": 1,
     "limit_offset": 1,
     "sample_token_budget": 1,
+    "sample_weighted": 1,  # 64-row bucket-offset cumsum (prefix-sum line)
     "sketch_merge": 2,
     "ts_changepoint": 3,
     "value_ecdf": 1,
