@@ -38,11 +38,16 @@ def duck_con(sf_dir: str) -> "duckdb.DuckDBPyConnection":
 
     from rsbsa_etl_spark.sources.fixtures import FIXTURE_TABLES
 
+    import os
+
     con = duckdb.connect()
     for t in FIXTURE_TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+        p = f"{sf_dir}/{t}.parquet"
+        # Spark-style multi-file table dirs (tools/gen_sf.py writes
+        # them; any real pipeline output looks like this) need the
+        # glob form — a single file keeps the direct path
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     return con
 
 

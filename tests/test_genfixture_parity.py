@@ -1,0 +1,60 @@
+"""Dataset-independence parity — round 8.
+
+Every oracle-parity check before this round ran against the one
+driver fixture family; a key could in principle pass by fitting that
+dataset's accidents (its value ranges, its tie patterns, its NULL
+absence). `tools/gen_sf.py` produces an independently-generated
+dataset with the same schema but different values, different planted
+pairs, different hash landings — so a risk-weighted sample of keys
+verified against DuckDB on it pins that the engine matches the
+oracle *as a function*, not on one input. (Round 8's one-off full
+runs: 246/246 green on the generated sf0.01 AND on its hot-key
+--skew variant; this test keeps a fast standing subset of that.)
+
+Auto-skips when the fixture has not been generated:
+    python tools/gen_sf.py --sf 0.01 --out /tmp/sfgen/sf0.01 --skew
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+GEN_DIR = "/tmp/sfgen/sf0.01"
+
+#: one or two keys per family, weighted toward value-sensitive math
+#: (fixed-point folds, hash landings, tie-breaks, window frames)
+SAMPLE_KEYS = [
+    "agg_sum_groups",            # flagship relational agg
+    "join_bridge_2step",         # multi-join
+    "window_session",            # event-time sessionize
+    "topk_recent",               # rank/limit
+    "dedup_minhash",             # hash landings
+    "dedup_ngram_jaccard",       # prefix-filter exactness
+    "dedup_spans",               # posting-list spans
+    "ann_eval",                  # consolidated ANN metrics
+    "knn_graph_ivf",             # dynamic sqrt(n) quantization
+    "tfidf_topk",                # fixed-point text stats
+    "token_gini",                # transcendental-free stats
+    "trend_theil_sen_capped",    # salted-sample determinism
+    "sample_weighted",           # integer weight line
+    "sample_token_budget",       # distributed prefix sum
+    "winsorize_stats",           # blocked ECDF rank picks
+    "source_overlap_kmv_sketch", # KMV sketch estimate
+    "ts_format_tz",              # tz-pinned formatting
+    "json_roundtrip",            # JSON fidelity
+]
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(GEN_DIR),
+    reason="generated fixture absent (tools/gen_sf.py --sf 0.01 "
+    "--out /tmp/sfgen/sf0.01)",
+)
+@pytest.mark.parametrize("name", SAMPLE_KEYS)
+def test_key_matches_oracle_on_generated_fixture(spark, name):
+    from rsbsa_etl_spark.verify import row_green, verify_key
+
+    row = verify_key(spark, name, GEN_DIR)
+    assert row_green(row), (name, row)
