@@ -44,6 +44,9 @@ SAMPLE_KEYS = [
     "source_overlap_kmv_sketch", # KMV sketch estimate
     "ts_format_tz",              # tz-pinned formatting
     "json_roundtrip",            # JSON fidelity
+    "scan_file_provenance",      # layout-bound: the generated
+                                 # multi-file sweep caught its oracle
+                                 # hardcoding the single-file layout
 ]
 
 
