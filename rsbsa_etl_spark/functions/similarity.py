@@ -352,7 +352,13 @@ def knn_graph_ivf(
     that is O(n^1.5·nprobe) — the standard IVF trade. Recall misses
     concentrate on true neighbors living across an unprobed cell
     boundary, exactly the class ``ann_recall``/``ann_eval`` price
-    for the query-set form of this index.
+    for the query-set form of this index. ``nprobe`` is the
+    cost/recall dial (work ∝ nprobe): SCALING.md's round-8 curve on
+    ISOTROPIC random vectors — the adversarial geometry, with no
+    cluster structure for cells to capture — measures graph
+    recall@10 of 0.19/0.30/0.46/0.66 at nprobe 4/8/16/32 over 141
+    cells; clustered real-world embeddings sit far above that floor
+    at the same nprobe.
 
     Plan shape: ONE distance pass of the corpus against the
     broadcast centroid array serves both the cell assignment
