@@ -92,12 +92,27 @@ def _write(out: str, name: str, table: pa.Table) -> None:
     print(f"  {name}: {n} rows ({max(1, _PARTS)} files)")
 
 
-def gen_documents(rng: np.random.Generator, n: int) -> tuple[list, pa.Table]:
+def gen_documents(
+    rng: np.random.Generator, n: int, vocab_size: int | None = None
+) -> tuple[list, pa.Table]:
+    """``vocab_size=None`` reproduces the driver fixture's 30-word
+    uniform vocabulary (pathologically dense: at sf1 nearly every
+    4-gram is df≥2 — the adversarial case for posting-list dedup).
+    A positive ``vocab_size`` draws tokens from a Zipf(1.0)
+    distribution over that many words instead — the realistic text
+    regime where gram density stays low and the dedup exponents
+    measure what real corpora would see."""
     lens = rng.integers(10, 101, size=n)
     langs = rng.choice(LANGS, size=n, p=LANG_P)
+    if vocab_size:
+        vocab = np.array([f"w{i}" for i in range(vocab_size)])
+        p = 1.0 / np.arange(1, vocab_size + 1)
+        p /= p.sum()
+    else:
+        vocab, p = np.array(VOCAB), None
     texts: list[str] = []
     for i in range(n):
-        toks = rng.choice(VOCAB, size=lens[i])
+        toks = rng.choice(vocab, size=lens[i], p=p)
         texts.append(" ".join(toks))
     # plant near-copies: ~0.051 pairs per doc, partner earlier, one
     # token swapped for the out-of-vocab marker (measured Jaccard
@@ -264,6 +279,12 @@ def main() -> None:
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--skew", action="store_true")
     ap.add_argument(
+        "--vocab-size", type=int, default=None,
+        help="documents vocabulary: None = the driver fixture's "
+        "30-word uniform vocab; N = Zipf(1.0) over N words "
+        "(realistic gram density)",
+    )
+    ap.add_argument(
         "--ref", default="/root/testdata/sf0.1",
         help="source of the sf-invariant region/nation tables",
     )
@@ -280,7 +301,7 @@ def main() -> None:
         )
         print(f"  {t}: copied from {args.ref}")
 
-    pairs, docs = gen_documents(rng, int(50_000 * args.sf))
+    pairs, docs = gen_documents(rng, int(50_000 * args.sf), args.vocab_size)
     _write(args.out, "documents", docs)
     with open(os.path.join(args.out, "planted_pairs.json"), "w") as fh:
         json.dump(pairs, fh)

@@ -79,8 +79,19 @@ def main() -> None:
     ap.add_argument("--keys", default=",".join(WATCH_KEYS))
     ap.add_argument("--out", default="/tmp/scaling_r8.json")
     ap.add_argument("--skip-driver-check", action="store_true")
+    ap.add_argument(
+        "--dirs", default=None,
+        help="override the fixture series: comma list of label=path "
+        "(exponent fits the LAST TWO entries, assumed a decade apart)",
+    )
     args = ap.parse_args()
     keys = [k for k in args.keys.split(",") if k]
+    global SF_DIRS
+    if args.dirs:
+        SF_DIRS = [
+            (lbl, path, None)
+            for lbl, path in (e.split("=", 1) for e in args.dirs.split(","))
+        ]
 
     from rsbsa_etl_spark.registry import QUERIES
     from rsbsa_etl_spark.session import get_spark
@@ -98,7 +109,7 @@ def main() -> None:
         fn = QUERIES[key]
         row: dict = {"walls": {}, "rows": {}}
         for label, d, sf in SF_DIRS:
-            reps = 2 if sf >= 1.0 else 3
+            reps = 2 if (sf is None or sf >= 1.0) else 3
             best = float("inf")
             nrows = None
             for _ in range(reps):
@@ -117,9 +128,10 @@ def main() -> None:
                 best = min(best, time.perf_counter() - t0)
                 spark.catalog.clearCache()
             row["driver_sf0.1_wall"] = round(best, 3)
-        w01, w1 = row["walls"]["sf0.1"], row["walls"]["sf1"]
+        labels = [lbl for lbl, _d, _sf in SF_DIRS]
+        w01, w1 = row["walls"][labels[-2]], row["walls"][labels[-1]]
         row["exponent_top_decade"] = round(math.log10(w1 / w01), 3)
-        r01, r1 = row["rows"]["sf0.1"], row["rows"]["sf1"]
+        r01, r1 = row["rows"][labels[-2]], row["rows"][labels[-1]]
         if r01 and r1:
             row["rows_exponent_top_decade"] = round(math.log10(r1 / r01), 3)
         results[key] = row
