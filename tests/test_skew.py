@@ -2,7 +2,7 @@
 
 The 100 TB claims assumed AQE + the shipped dials absorb skew;
 nothing in tests/ actually created one. These tests build the skew
-(one key holding ~10-50%% of all rows) and assert the BOUND, not the
+(one key holding ~10-50% of all rows) and assert the BOUND, not the
 hope:
 
 - a per-key cap really bounds per-user work no matter how power-law
