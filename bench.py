@@ -26,7 +26,8 @@ HEADLINE = [
     "upsert_merge",        # CDC merge semantics
     "overwrite_by_key",
     "sync_pipeline_o2m",   # full §3.1 pipeline end-to-end
-    "window_session",      # sessionization (window functions)
+    "window_session",          # sessionization (window functions)
+    "window_session_chunked",  # its hot-key dial (bit-identical)
     "window_tumbling",
     "topk_recent",
     # extension surface

@@ -748,6 +748,11 @@ SELECT user_id, session_seq,
 FROM s GROUP BY 1, 2
 """
 
+# the chunked (hot-key dial) form is CONTRACTUALLY bit-identical to
+# the flat sessionize, so it shares the oracle verbatim — the
+# strongest possible equivalence check for a plan-shape rewrite
+ORACLES["window_session_chunked"] = ORACLES["window_session"]
+
 # Streaming semantics as SQL (see streaming/windows.py and
 # streaming/stateful.py for why these are deterministic): all window
 # math in integer microseconds, matching Spark's UTC-aligned

@@ -814,7 +814,20 @@ def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """per-user inactivity-gap sessions (flat per-user window —
+    semantically one task per user). At scale use
+    ``window_session_chunked``: bit-identical sessions with per-task
+    input bounded by (user, time-chunk)."""
     return win.sessionize(load(spark, sf_dir, "events"), P.SESSION_GAP_S)
+
+
+def window_session_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """the hot-key dial for window_session: two-level sessionize
+    (within (user, 6h-chunk), then merge boundary sessions) —
+    bit-identical output, shares the flat key's oracle verbatim."""
+    return win.sessionize_chunked(
+        load(spark, sf_dir, "events"), P.SESSION_GAP_S
+    )
 
 
 def stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2599,6 +2612,7 @@ QUERIES: dict[str, QueryFn] = {
     "window_tumbling": window_tumbling,
     "window_sliding": window_sliding,
     "window_session": window_session,
+    "window_session_chunked": window_session_chunked,
     "stream_late_drop": stream_late_drop,
     "stream_dedup": stream_dedup,
     "stream_stateful_totals": stream_stateful_totals,
@@ -2816,6 +2830,14 @@ SCALE_DIALS: dict[str, tuple[str, str]] = {
         "KMV estimate only — drops the vocabulary self-equi-join "
         "entirely (0 SMJ; sources x k rows after one deduped-vocab "
         "shuffle); the exact-Jaccard arm is the verification dial",
+    ),
+    "window_session": (
+        "window_session_chunked",
+        "two-level sessionize: level 1 within (user, 6h chunk) "
+        "bounds per-task input for any activity rate, level 2 "
+        "merges only boundary SESSIONS — bit-identical output "
+        "(shares the flat key's oracle verbatim); the flat per-user "
+        "window measured a 1.29x hot-key straggler at sf1 skew",
     ),
     "knn_graph": (
         "knn_graph_ivf",

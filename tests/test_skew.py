@@ -148,6 +148,56 @@ def test_minhash_buckets_track_content_not_metadata_skew(spark):
     assert cured_max <= 2
 
 
+def test_chunked_sessionize_is_bit_identical_to_flat(spark):
+    """the window_session hot-key dial must reproduce the flat
+    form's sessions EXACTLY — including session chains that straddle
+    chunk boundaries (the merge case) and sessions that END within
+    gap_s of a boundary but have no successor (the no-merge case).
+    The skewed-events fixture plus hand-built boundary chains
+    exercise both."""
+    import datetime as dt2
+
+    from rsbsa_etl_spark.params import SESSION_GAP_S
+    from rsbsa_etl_spark.streaming.windows import (
+        sessionize,
+        sessionize_chunked,
+    )
+
+    ev = _skewed_events(spark)
+    # hand-built chains around a 6h chunk boundary (21600s):
+    # user 100 has events at boundary-10s and boundary+10s (one
+    # session across chunks); user 101 at boundary-10s and
+    # boundary + gap + 11s (two sessions) — plus a 3-chunk chain
+    # for user 102 (transitive merge)
+    b = dt2.datetime(2024, 1, 2, 6, 0, 0)  # epoch multiple of 21600
+    extra = [
+        (90001, b - dt2.timedelta(seconds=10), 100, "view", 1.0, "{}"),
+        (90002, b + dt2.timedelta(seconds=10), 100, "view", 1.0, "{}"),
+        (90003, b - dt2.timedelta(seconds=10), 101, "view", 1.0, "{}"),
+        (90004, b + dt2.timedelta(seconds=SESSION_GAP_S + 11), 101,
+         "view", 1.0, "{}"),
+        (90005, b - dt2.timedelta(seconds=5), 102, "view", 1.0, "{}"),
+        (90006, b + dt2.timedelta(seconds=21595), 102, "view", 1.0, "{}"),
+        (90007, b + dt2.timedelta(seconds=21600 + 5), 102, "view", 1.0,
+         "{}"),
+    ]
+    ev = ev.unionByName(spark.createDataFrame(extra, ev.schema))
+    flat = sorted(map(tuple, sessionize(ev, SESSION_GAP_S).collect()))
+    chunked = sorted(
+        map(tuple, sessionize_chunked(ev, SESSION_GAP_S).collect())
+    )
+    assert flat == chunked
+    # the boundary chains really exercised the merge paths
+    flat_d = {(r[0], r[1]): r for r in flat}
+    assert flat_d[(100, 1)][4] == 2          # merged across boundary
+    assert (101, 2) in flat_d                # split stayed split
+    u102 = [r for r in flat if r[0] == 102]
+    # user 102: singleton at b-5 (gap 21600s > gap_s to the next),
+    # then a pair merged ACROSS the next boundary (10s gap)
+    assert len(u102) == 2
+    assert flat_d[(102, 2)][4] == 2
+
+
 def test_groupby_collect_partial_aggregates_before_shuffle(spark, tmp_path):
     """the hash-agg family's skew defense is map-side combine:
     reduce-side input is distinct-groups-per-partition, not rows.
