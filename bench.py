@@ -173,6 +173,7 @@ HEADLINE = [
     "rfm_segments",
     "hard_negatives",
     "graph_triangles",
+    "graph_triangles_ivf",
     "ts_autocorr",
     "k_anonymity",
     "feature_hashing",

@@ -1044,6 +1044,41 @@ SELECT deg.vec_id AS vec_id, CAST(d AS BIGINT) AS degree,
 FROM deg LEFT JOIN tcnt ON tcnt.vec_id = deg.vec_id
 """
 
+# triangles over the IVF graph: the knn_graph_ivf oracle nests as a
+# derived table (the prf_expand pattern) and the wedge/close SQL is
+# the graph_triangles tail verbatim — the dial changes the GRAPH,
+# never the triangle semantics
+ORACLES["graph_triangles_ivf"] = f"""
+WITH g AS (SELECT * FROM ({ORACLES["knn_graph_ivf"]}) t),
+edges AS (
+  SELECT DISTINCT least(vec_id, neighbor_id) AS u,
+                  greatest(vec_id, neighbor_id) AS v
+  FROM g
+),
+wedge AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM edges e1 JOIN edges e2 ON e2.u = e1.v
+),
+tri AS (
+  SELECT a, b, c FROM wedge
+  JOIN edges e3 ON e3.u = wedge.a AND e3.v = wedge.c
+),
+tcnt AS (
+  SELECT vec_id, count(*) AS t
+  FROM (SELECT unnest([a, b, c]) AS vec_id FROM tri) GROUP BY vec_id
+),
+deg AS (
+  SELECT vec_id, count(*) AS d
+  FROM (SELECT unnest([u, v]) AS vec_id FROM edges) GROUP BY vec_id
+)
+SELECT deg.vec_id AS vec_id, CAST(d AS BIGINT) AS degree,
+       CAST(coalesce(t, 0) AS BIGINT) AS tri_count,
+       CASE WHEN d >= 2
+            THEN {_dec("2.0 * coalesce(t, 0) / (d * (d - 1))", 4)}
+            ELSE CAST(0.0 AS DOUBLE) END AS clustering
+FROM deg LEFT JOIN tcnt ON tcnt.vec_id = deg.vec_id
+"""
+
 ORACLES["rfm_segments"] = f"""
 WITH o AS (
   SELECT o_custkey AS custkey,

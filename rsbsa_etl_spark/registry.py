@@ -1227,10 +1227,21 @@ def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """per-node degree / triangle count / clustering coefficient of
     the exact kNN graph — node-iterator triangle join, edges
-    node-linear and persisted once."""
+    node-linear and persisted once. At scale use
+    ``graph_triangles_ivf``: the cost here is the inherited exact
+    graph build (measured exponent 1.11), not the triangle join."""
     from rsbsa_etl_spark.functions.similarity import knn_triangles
 
     return knn_triangles(load(spark, sf_dir, "embeddings"))
+
+
+def graph_triangles_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """the scale dial: identical triangle core over the
+    ``knn_graph_ivf`` graph (O(n^1.5·nprobe) build); the stats stay
+    fully value-checked via the composed oracle."""
+    from rsbsa_etl_spark.functions.similarity import knn_triangles_ivf
+
+    return knn_triangles_ivf(load(spark, sf_dir, "embeddings"))
 
 
 def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2676,6 +2687,7 @@ QUERIES: dict[str, QueryFn] = {
     "rfm_segments": rfm_segments,
     "hard_negatives": hard_negatives,
     "graph_triangles": graph_triangles,
+    "graph_triangles_ivf": graph_triangles_ivf,
     "ts_autocorr": ts_autocorr,
     "k_anonymity": k_anonymity,
     "feature_hashing": feature_hashing,
@@ -2846,6 +2858,14 @@ SCALE_DIALS: dict[str, tuple[str, str]] = {
         "exponent 1.4 at the top decade); recall misses concentrate "
         "on neighbors across unprobed cell boundaries",
     ),
+    "graph_triangles": (
+        "graph_triangles_ivf",
+        "the triangles key's cost is the inherited EXACT graph build "
+        "(round-8 exponent 1.11; the triangle join is node-linear) — "
+        "the dial swaps in the knn_graph_ivf graph and keeps the "
+        "identical triangle core, fully value-checked via the "
+        "composed oracle",
+    ),
     "ann_recall": (
         "ann_eval",
         "recall@k AND MRR@k from one persisted set of index scans "
@@ -2905,7 +2925,7 @@ AUDIT_EXCLUDE = frozenset({
     "scan_jsonl_corrupt", "scan_csv_typed",
     "scan_schema_evolution", "scan_orc_roundtrip",
     # building the DataFrame runs the one-pass √n cell-count sizing
-    "knn_graph_ivf",
+    "knn_graph_ivf", "graph_triangles_ivf",
 })
 
 
