@@ -47,6 +47,8 @@ SAMPLE_KEYS = [
     "scan_file_provenance",      # layout-bound: the generated
                                  # multi-file sweep caught its oracle
                                  # hardcoding the single-file layout
+    "window_session_chunked",    # hot-key dial, flat-oracle verbatim
+    "graph_triangles_ivf",       # composed IVF-graph oracle
 ]
 
 
