@@ -189,7 +189,8 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"  at scale use: {dial} — {why}")
             if args.key in SCALE_DIAL_OF:
                 print(
-                    f"  exact audit arm: {SCALE_DIAL_OF[args.key]} "
+                    "  exact audit arm: "
+                    f"{', '.join(SCALE_DIAL_OF[args.key])} "
                     "(full recall/exact form; priced for audit runs, "
                     "see SCALING.md)"
                 )

@@ -353,24 +353,34 @@ def knn_graph_ivf(
     concentrate on true neighbors living across an unprobed cell
     boundary, exactly the class ``ann_recall``/``ann_eval`` price
     for the query-set form of this index. ``nprobe`` is the
-    cost/recall dial (work ∝ nprobe): SCALING.md's round-8 curve on
-    ISOTROPIC random vectors — the adversarial geometry, with no
-    cluster structure for cells to capture — measures graph
-    recall@10 of 0.19/0.30/0.46/0.66 at nprobe 4/8/16/32 over 141
-    cells; clustered real-world embeddings sit far above that floor
-    at the same nprobe.
+    cost/recall dial (work ∝ nprobe), and the default (8) is picked
+    from the round-9 TWO-geometry curve (tools/measure_recall.py,
+    SCALING.md) at 20k vectors / 141 cells: graph recall@10 at
+    nprobe 4/8/16/32 is 0.19/0.30/0.46/0.66 on isotropic random
+    vectors — the adversarial floor, no cluster structure for cells
+    to capture — and 0.66/0.78/0.88/0.95 on a Zipf-weighted
+    200-cluster mixture, the geometry real embedding corpora have.
+    nprobe=8 is the knee of the clustered curve (~0.8 recall); each
+    doubling past it buys ~+0.1 recall for 2× probe work.
 
     Plan shape: ONE distance pass of the corpus against the
-    broadcast centroid array serves both the cell assignment
-    (argmin expression fold — zero shuffle) and the nprobe probe
-    list (per-vector rank window over n·ncents rows); candidates
-    then meet in ONE cid-keyed shuffle into per-cell BLAS blocks
-    (``applyInPandas``, block-local top-k — the lossless-cut
-    argument of ``knn_graph``: every member belongs to exactly one
-    cell, so a source's global candidate top-k is the union of its
-    per-cell top-k under the same total order); a final per-source
-    window keeps the global top-k over n·nprobe·k rows. Per-task
-    memory is one cell's members + its probers.
+    broadcast centroid array scores every centroid per vector as a
+    pure expression fold (``_top_cells`` — the top-nprobe sibling of
+    ``_argmin_cell``), so BOTH the cell assignment and the probe
+    list come out of the same scan with ZERO shuffle: the sorted
+    probe array's position 0 IS the argmin member cell, so one
+    ``posexplode`` to n·nprobe rows carries each vector into its
+    probed cells with an ``is_member`` flag (pos==0) — no
+    corpus×ncents rank window, no embedding-payload shuffle, no
+    member/prober union (the r8 advisor flagged the windowed form
+    as re-introducing the exact shuffle the argmin fold avoids).
+    Candidates then meet in ONE cid-keyed shuffle into per-cell
+    BLAS blocks (``applyInPandas``, block-local top-k — the
+    lossless-cut argument of ``knn_graph``: every member belongs to
+    exactly one cell, so a source's global candidate top-k is the
+    union of its per-cell top-k under the same total order); a
+    final per-source window keeps the global top-k over n·nprobe·k
+    rows. Per-task memory is one cell's members + its probers.
 
     Deterministic end to end (deterministic centroids, (d2, cid)
     tie-break, 1e-4-quantized cosine, (sim desc, neighbor asc)
@@ -391,38 +401,32 @@ def knn_graph_ivf(
     )
     carr = F.broadcast(_collected_centroids(cents))
 
-    # members: argmin cell via the shuffle-free expression fold
-    best = _argmin_cell(F.col("_vd"), F.col("cs"))
-    members = e.join(carr).select(
-        "vec_id",
-        "embedding",
-        best["cid"].alias("cid"),
-        F.lit(False).alias("is_probe"),
-    )
-    # probers: nprobe nearest cells per vector — the one window over
-    # n·ncents rows (same (d2, cid) order as the argmin fold, so
-    # rn=1 here IS the member cell)
-    d2 = F.aggregate(
-        F.zip_with(F.col("_vd"), F.col("vc"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    wp = Window.partitionBy("vec_id").orderBy(
-        F.col("d2").asc(), F.col("cid").asc()
-    )
-    probes = (
-        e.join(F.broadcast(cents), F.lit(True))
-        .select("vec_id", "embedding", "cid", d2.alias("d2"))
-        .withColumn("rn", F.row_number().over(wp))
-        .where(F.col("rn") <= nprobe)
-        .select("vec_id", "embedding", "cid", F.lit(True).alias("is_probe"))
+    # ONE broadcast-fold pass: top-nprobe cell ids per vector as a
+    # pure expression (pos==0 is the argmin member cell — same
+    # (d2, cid) order as _argmin_cell), posexploded to n·nprobe rows.
+    # Members and probers ride the same rows via the is_member flag:
+    # zero pre-shuffle, one scan, no union.
+    probe_cids = _top_cells(F.col("_vd"), F.col("cs"), nprobe)
+    exploded = (
+        e.join(carr)
+        .select(
+            "vec_id",
+            "embedding",
+            F.posexplode(probe_cids).alias("pos", "cid"),
+        )
+        .select(
+            "vec_id",
+            "embedding",
+            "cid",
+            (F.col("pos") == 0).alias("is_member"),
+        )
     )
 
     kern = _make_cosine_kernel()
 
     def block(key, pdf):
-        P_ = pdf[pdf["is_probe"]]
-        M = pdf[~pdf["is_probe"]]
+        P_ = pdf  # every row probes this cell (members probe their own)
+        M = pdf[pdf["is_member"]]
         if P_.empty or M.empty:
             return pd.DataFrame(
                 {
@@ -453,10 +457,8 @@ def knn_graph_ivf(
             }
         )
 
-    per_cell = (
-        probes.unionByName(members)
-        .groupBy("cid")
-        .applyInPandas(block, "vec_id bigint, neighbor_id bigint, cosine double")
+    per_cell = exploded.groupBy("cid").applyInPandas(
+        block, "vec_id bigint, neighbor_id bigint, cosine double"
     )
     w = Window.partitionBy("vec_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -920,6 +922,31 @@ def _argmin_cell(vec: Column, cents_arr: Column) -> Column:
         ),
     )
     return F.array_min(scored)
+
+
+def _top_cells(vec: Column, cents_arr: Column, nprobe: int) -> Column:
+    """top-``nprobe`` cell ids by (d2, cid) from the broadcast
+    centroid-struct array — the probe-list sibling of
+    ``_argmin_cell``. ``array_sort``'s lexicographic struct order is
+    the identical (d2 asc, cid asc) tie-break the old rank window
+    used, so the probe SET is bit-identical while the n·n_centroids
+    window shuffle (which carried the full embedding payload on
+    every row) disappears into a per-row expression. Position 0 of
+    the result is exactly ``_argmin_cell``'s cid."""
+    scored = F.transform(
+        cents_arr,
+        lambda c: F.struct(
+            F.aggregate(
+                F.zip_with(vec, c["vc"], lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d2"),
+            c["cid"].alias("cid"),
+        ),
+    )
+    return F.transform(
+        F.slice(F.array_sort(scored), 1, nprobe), lambda c: c["cid"]
+    )
 
 
 def _collected_centroids(cents: DataFrame) -> DataFrame:
@@ -1404,13 +1431,16 @@ def ann_recall(
     corpus — each already scale-shaped — then joins and aggregation
     over query×k rows, which is negligible at any corpus size.
     """
-    # persisted: the exact ranking feeds all three hit joins plus the
-    # query base — uncached, the brute-force scan would run 4×
+    # persisted AND eagerly materialized: the exact ranking feeds all
+    # three hit joins plus the query base — lazily, branches within
+    # one action can race the cache and rebuild the brute-force scan
+    # up to 4× (r8 advisor); the count() makes single-build structural
     exact = (
         brute_force_topk(emb, query_ids, k)
         .select("query_id", "neighbor_id")
         .persist()
     )
+    exact.count()
     hits_lsh = (
         lsh_topk(emb, query_ids, k)
         .select("query_id", "neighbor_id")
@@ -1461,25 +1491,34 @@ def ann_eval(
     ONE set of index scans. ``ann_recall`` and ``ann_mrr`` each
     rebuild the same four plans (exact + LSH + multiprobe + IVF);
     run together in a sweep that is 8 index builds for 2 metrics.
-    Here each index's top-k is computed once and persisted
-    (query×k rows), the exact ranking once (also persisted), and
-    both metrics read the cached results — the r7 verdict's
-    consolidation item. The per-system numbers are bit-identical to
-    the standalone keys' (same rankings, same fixed-point fold).
+    Here each index plan is scanned ONCE and both metrics fold out
+    of that scan structurally: two broadcast left-joins flag each
+    returned neighbor as (in exact top-k, is exact top-1), then a
+    single aggregate computes recall AND MRR — the r7 verdict's
+    consolidation item, done without relying on caching for the
+    index side at all. Only the EXACT ranking is persisted (it feeds
+    all three flag joins), and it is eagerly materialized with one
+    count() before the metric joins so the brute-force scan runs
+    exactly once — lazily, two of its three consumers could race the
+    cache within one action and rebuild the subtree (r8 advisor).
+    The per-system numbers are bit-identical to the standalone keys'
+    (same rankings, same fixed-point fold).
 
     Output: one row per index system —
     (system, n_queries, n_hit_k, recall_at_k, n_hit_top1, mrr).
 
     Scale: index scans are the already-scale-shaped ANN plans; the
-    persisted intermediates are query-set-sized (|Q|·k rows),
+    persisted exact ranking is query-set-sized (|Q|·k rows),
     constant in corpus size, so the cache cost never grows with the
-    data.
+    data. Sweep harnesses (bench.py, verify_key) clear the session
+    cache per key, so the persist does not outlive its invocation.
     """
     exact = (
         brute_force_topk(emb, query_ids, k)
         .select("query_id", "neighbor_id", "rank")
         .persist()
     )
+    exact.count()  # eager: one brute-force build, race-free cache
     exact_pairs = exact.select(
         "query_id", "neighbor_id", F.lit(1).alias("_hk")
     )
@@ -1632,6 +1671,7 @@ def ann_mrr(
         .select("query_id", "neighbor_id")
         .persist()
     )
+    top1.count()  # eager: one brute-force build (ann_recall contract)
     nq = float(len(list(query_ids)))
 
     def one(df: DataFrame, name: str) -> DataFrame:

@@ -123,7 +123,16 @@ def hadamard_sign(row: int, j: int) -> int:
     the DuckDB oracle so both mix identically."""
     return -1 if bin(row & j).count("1") % 2 else 1
 IVF_CENTROIDS = 16  # IVF cells (deterministic init: first N vec_ids)
-IVF_NPROBE = 4  # cells probed per query
+#: cells probed per query — picked from the round-9 two-geometry
+#: recall curve (SCALING.md, tools/measure_recall.py): at 20k vectors
+#: / 141 cells, graph recall@10 at nprobe 4/8/16/32 is
+#: 0.19/0.30/0.46/0.66 on ISOTROPIC vectors (the adversarial floor)
+#: and 0.66/0.78/0.88/0.95 on a Zipf-weighted 200-cluster mixture
+#: (the realistic geometry). 8 is the knee: +0.12 clustered recall
+#: over 4 for 2× probe work (wall within noise at 20k), while 16
+#: buys the next +0.10 only at another 2×. Work ∝ nprobe, so this
+#: stays the documented cost/recall dial for callers.
+IVF_NPROBE = 8
 PQ_SUBSPACES = 4  # product-quantization subspaces (64 dims -> 4x16)
 #: embedding_outliers flags a vector when its mean top-k neighbor
 #: cosine falls below this percentage of the corpus-wide mean — a

@@ -2878,10 +2878,13 @@ SCALE_DIALS: dict[str, tuple[str, str]] = {
     ),
 }
 
-#: reverse view: dial key -> the exact/audit arm it relieves
-SCALE_DIAL_OF: dict[str, str] = {
-    dial: exact for exact, (dial, _why) in SCALE_DIALS.items()
-}
+#: reverse view: dial key -> ALL the exact/audit arms it relieves
+#: (a dial can serve several standalone keys — ann_eval consolidates
+#: both ann_recall and ann_mrr; a plain dict comprehension would keep
+#: only the last arm and silently drop the rest, r8 advisor)
+SCALE_DIAL_OF: dict[str, list[str]] = {}
+for _exact, (_dial, _why) in SCALE_DIALS.items():
+    SCALE_DIAL_OF.setdefault(_dial, []).append(_exact)
 
 # The driver's correctness sweep walks QUERIES in dict order and
 # checks the first ~50 keys per round. The ordering rule below is
@@ -2926,6 +2929,10 @@ AUDIT_EXCLUDE = frozenset({
     "scan_schema_evolution", "scan_orc_roundtrip",
     # building the DataFrame runs the one-pass √n cell-count sizing
     "knn_graph_ivf", "graph_triangles_ivf",
+    # building the DataFrame eagerly materializes the persisted exact
+    # ranking (one count() so the brute-force scan builds exactly
+    # once — r9; see ann_eval's docstring)
+    "ann_recall", "ann_mrr", "ann_eval",
 })
 
 

@@ -220,6 +220,16 @@ def verify_key(
     finally:
         if own_con and con is not None:
             con.close()
+        # release per-key persists (ann_eval's exact ranking,
+        # knn_triangles' edge set, weighted_sample's intra table, …):
+        # the keys' results are lazy so they cannot unpersist their own
+        # intermediates, and without this every sweep invocation leaks
+        # one cached dataset for the session lifetime (r8 advisor).
+        # Same per-key discipline as bench.py's timing loop.
+        try:
+            spark.catalog.clearCache()
+        except Exception:  # noqa: BLE001 — cleanup must never mask a row
+            pass
     return row
 
 

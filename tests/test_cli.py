@@ -67,7 +67,13 @@ def test_explain_points_at_scale_dial(spark, capsys):
     ) == 0
     out = capsys.readouterr().out
     assert "exact audit arm: trend_theil_sen" in out
-    assert SCALE_DIAL_OF["dedup_containment_capped"] == "dedup_containment"
+    assert SCALE_DIAL_OF["dedup_containment_capped"] == ["dedup_containment"]
+    # a dial serving SEVERAL exact arms must list them all — the plain
+    # dict comprehension kept only the last one (r8 advisor)
+    assert sorted(SCALE_DIAL_OF["ann_eval"]) == ["ann_mrr", "ann_recall"]
+    assert main(["explain", "ann_eval", "--sf-dir", SF_DIR]) == 0
+    out = capsys.readouterr().out
+    assert "ann_recall" in out and "ann_mrr" in out
 
 
 def test_verify_gate_smoke(spark, tmp_path, capsys):

@@ -147,8 +147,47 @@ def gen_documents(
     return pairs, tbl
 
 
-def gen_embeddings(rng: np.random.Generator, n: int) -> pa.Table:
-    m = rng.standard_normal((n, 64)).astype(np.float32)
+def gen_embeddings(
+    rng: np.random.Generator,
+    n: int,
+    clusters: int | None = None,
+    tau: float = 1.0,
+) -> pa.Table:
+    """``clusters=None`` reproduces the driver fixture: isotropic
+    unit-norm gaussians — the ADVERSARIAL geometry for coarse
+    quantization (no cluster structure for IVF cells to capture; the
+    r8 recall floor was measured here). A positive ``clusters`` draws
+    a mixture instead — the shape real embedding corpora have:
+
+    - cluster weights ~ Zipf(1.0) over ``clusters`` topics (topic
+      frequency follows a power law in every published topic-model /
+      web-corpus study — a handful of head topics, a long tail);
+    - centers isotropic on the unit sphere;
+    - point = normalize(center + tau·u), u unit-norm gaussian, so
+      E[cos(point, center)] ≈ 1/sqrt(1+tau²). The default tau=1.0
+      puts intra-cluster cosine ~0.71 — the intra-topic band
+      (~0.6-0.8) that public sentence-embedding corpora (STS /
+      paraphrase suites) report, vs inter-topic ~0.0-0.3;
+    - label = cluster_id mod 10 (labels correlate with topics, as
+      real class labels do — keeps hard_negatives meaningful).
+
+    The isotropic branch draws in the EXACT order of the original
+    generator so previously published fixtures (sf1 series,
+    SCALING.md) regenerate bit-identically.
+    """
+    if clusters:
+        centers = rng.standard_normal((clusters, 64)).astype(np.float32)
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        p = 1.0 / np.arange(1, clusters + 1)
+        p /= p.sum()
+        cid = rng.choice(clusters, size=n, p=p)
+        u = rng.standard_normal((n, 64)).astype(np.float32)
+        u /= np.linalg.norm(u, axis=1, keepdims=True)
+        m = centers[cid] + np.float32(tau) * u
+        labels = (cid % 10).astype(np.int64)
+    else:
+        m = rng.standard_normal((n, 64)).astype(np.float32)
+        labels = rng.integers(0, 10, size=n)
     m /= np.linalg.norm(m, axis=1, keepdims=True)
     return pa.table(
         {
@@ -156,7 +195,7 @@ def gen_embeddings(rng: np.random.Generator, n: int) -> pa.Table:
             "embedding": pa.FixedSizeListArray.from_arrays(
                 pa.array(m.ravel(), pa.float32()), 64
             ).cast(pa.list_(pa.float32())),
-            "label": pa.array(rng.integers(0, 10, size=n), pa.int32()),
+            "label": pa.array(labels, pa.int32()),
         }
     )
 
@@ -285,14 +324,46 @@ def main() -> None:
         "(realistic gram density)",
     )
     ap.add_argument(
+        "--emb-clusters", type=int, default=None,
+        help="embeddings geometry: None = the driver fixture's "
+        "isotropic gaussians (IVF-adversarial); N = Zipf-weighted "
+        "mixture of N gaussian clusters on the sphere (realistic)",
+    )
+    ap.add_argument(
+        "--emb-tau", type=float, default=1.0,
+        help="clustered-embedding noise scale: intra-cluster cosine "
+        "≈ 1/sqrt(1+tau²) (default 1.0 → ~0.71)",
+    )
+    ap.add_argument(
         "--ref", default="/root/testdata/sf0.1",
         help="source of the sf-invariant region/nation tables",
     )
+    ap.add_argument(
+        "--only", default=None,
+        help="comma list of tables to emit (e.g. 'embeddings' for the "
+        "recall-geometry fixtures); default = the full set",
+    )
     args = ap.parse_args()
+    only = set(args.only.split(",")) if args.only else None
     os.makedirs(args.out, exist_ok=True)
     rng = np.random.default_rng(args.seed)
     global _PARTS
     _PARTS = max(1, round(32 * args.sf))
+
+    if only is not None:
+        if "embeddings" in only:
+            _write(
+                args.out,
+                "embeddings",
+                gen_embeddings(
+                    rng,
+                    max(500, int(20_000 * args.sf)),
+                    clusters=args.emb_clusters,
+                    tau=args.emb_tau,
+                ),
+            )
+        print("done (only:", ",".join(sorted(only)), "):", args.out)
+        return
 
     for t in ("region", "nation"):
         shutil.copyfile(
@@ -305,7 +376,16 @@ def main() -> None:
     _write(args.out, "documents", docs)
     with open(os.path.join(args.out, "planted_pairs.json"), "w") as fh:
         json.dump(pairs, fh)
-    _write(args.out, "embeddings", gen_embeddings(rng, max(500, int(20_000 * args.sf))))
+    _write(
+        args.out,
+        "embeddings",
+        gen_embeddings(
+            rng,
+            max(500, int(20_000 * args.sf)),
+            clusters=args.emb_clusters,
+            tau=args.emb_tau,
+        ),
+    )
     n_ev = int(1_000_000 * args.sf)
     n_users = int(15_000 * args.sf)
     _write(args.out, "events", gen_events(rng, n_ev, n_users))
