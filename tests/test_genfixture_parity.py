@@ -63,3 +63,41 @@ def test_key_matches_oracle_on_generated_fixture(spark, name):
 
     row = verify_key(spark, name, GEN_DIR)
     assert row_green(row), (name, row)
+
+
+#: round 9 (r8 verdict item 5): the dedup/text family's sf1 growth
+#: EXPONENTS were measured on the Zipf-10k fixture (realistic gram
+#: density), but its correctness evidence stopped at sf0.01 — this
+#: standing sample pins oracle parity AT sf1 on both vocabularies:
+#: zipf1 (realistic density — where the exponents live) and the
+#: 30-word sf1 (adversarial density — saturated posting lists).
+#: (dataset, key) pairs chosen per-family, each ≤ ~20 s round-trip.
+SF1_PARITY = [
+    ("/tmp/sfgen/zipf1", "dedup_exact"),
+    ("/tmp/sfgen/zipf1", "dedup_minhash"),
+    ("/tmp/sfgen/zipf1", "dedup_ngram_jaccard"),
+    ("/tmp/sfgen/zipf1", "dedup_containment_capped"),
+    ("/tmp/sfgen/zipf1", "dedup_spans"),
+    ("/tmp/sfgen/zipf1", "dedup_recall"),
+    ("/tmp/sfgen/zipf1", "fingerprint_winnow"),
+    ("/tmp/sfgen/zipf1", "token_gini"),
+    ("/tmp/sfgen/zipf1", "tfidf_topk"),
+    ("/tmp/sfgen/zipf1", "bm25_topk"),
+    ("/tmp/sfgen/sf1", "dedup_minhash"),
+    ("/tmp/sfgen/sf1", "dedup_spans"),
+]
+
+
+@pytest.mark.parametrize("sf_dir,name", SF1_PARITY)
+def test_dedup_text_parity_at_sf1(spark, sf_dir, name):
+    if not os.path.isdir(sf_dir):
+        pytest.skip(
+            f"sf1 fixture absent (tools/gen_sf.py --sf 1.0 --out "
+            f"{sf_dir}"
+            + (" --vocab-size 10000" if "zipf" in sf_dir else "")
+            + ")"
+        )
+    from rsbsa_etl_spark.verify import row_green, verify_key
+
+    row = verify_key(spark, name, sf_dir)
+    assert row_green(row), (sf_dir, name, row)

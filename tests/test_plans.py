@@ -377,6 +377,14 @@ def test_curation_pipeline_fused(spark):
     plan = _plan(QUERIES["curation_pipeline"](spark, SF_DIR))
     assert plan.count("FileScan parquet") == 1
     assert plan.count("Exchange hashpartitioning") == 1
+    # r8 verdict item 7: a composition must embed the SCALE-SAFE arm
+    # of each stage, never an exact audit arm. The pipeline's dedup
+    # is the exact-HASH window (linear, the one exchange above) —
+    # assert the plan contains no AllPairs shape: no join of any
+    # kind (a prefix self-join would plan as a join), no grouped-map
+    # BLAS stage, no second corpus scan
+    assert "Join" not in plan, "composed pipeline grew a join stage"
+    assert "FlatMapGroupsInPandas" not in plan
 
 
 def test_dedup_embedding_is_tiled_not_driver_collected(spark):

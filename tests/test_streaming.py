@@ -492,3 +492,36 @@ def test_stateful_totals_state_rolls_back_on_midbatch_crash(spark, tmp_path):
         .collect()
     }
     assert got == want, "state store did not roll back to the committed version"
+
+
+def test_evicting_join_rocksdb_provider_parity(spark):
+    """the state-store provider is a CONFIG, not a semantics: the
+    evicting stream-stream join must emit the identical pair set
+    under RocksDBStateStoreProvider as under the default in-heap
+    HDFS-backed provider. This parity (measured at sf1 in SCALING.md
+    round 9 — identical per-batch state rows, identical watermark
+    commits, 62.7 MB heap vs 10.4 MB off-heap SST) is what makes the
+    one-config flip safe when event-rate x window outgrows executor
+    heap at the 100 TB design point."""
+    from rsbsa_etl_spark.registry import QUERIES
+
+    key = "stream_join_evicting"
+    base = {tuple(r) for r in QUERIES[key](spark, SF_DIR).collect()}
+    conf = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        prev = spark.conf.get(conf)
+    except Exception:
+        prev = None
+    spark.conf.set(
+        conf,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        rocks = {tuple(r) for r in QUERIES[key](spark, SF_DIR).collect()}
+    finally:
+        if prev:
+            spark.conf.set(conf, prev)
+        else:
+            spark.conf.unset(conf)
+    assert rocks == base and len(base) > 0

@@ -351,6 +351,16 @@ def main() -> None:
     _PARTS = max(1, round(32 * args.sf))
 
     if only is not None:
+        # NOTE: draw order matches the full run (documents first,
+        # then embeddings), so `--only documents,embeddings` emits
+        # the same tables a full run would
+        if "documents" in only:
+            pairs, docs = gen_documents(
+                rng, int(50_000 * args.sf), args.vocab_size
+            )
+            _write(args.out, "documents", docs)
+            with open(os.path.join(args.out, "planted_pairs.json"), "w") as fh:
+                json.dump(pairs, fh)
         if "embeddings" in only:
             _write(
                 args.out,

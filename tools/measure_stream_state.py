@@ -27,6 +27,15 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/tmp/sfgen/sf1")
     ap.add_argument("--out", default="/tmp/stream_state_r8.json")
+    ap.add_argument(
+        "--state-store", choices=["hdfs", "rocksdb"], default="hdfs",
+        help="state-store provider: 'hdfs' = the default in-JVM-heap "
+        "HDFSBackedStateStoreProvider; 'rocksdb' = the off-heap "
+        "RocksDB provider (the SCALING.md escape hatch for state "
+        "that outgrows executor heap — r8 verdict item 6 asks for "
+        "one measured point proving semantic parity + the memory "
+        "profile difference)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql.streaming import StreamingQueryListener
@@ -37,6 +46,12 @@ def main() -> None:
     from rsbsa_etl_spark.streaming.joins import click_view_join_evicting
 
     spark = get_spark(app_name="rsbsa_stream_state_r8")
+    if args.state_store == "rocksdb":
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
     captured: list[dict] = []
 
     class StateCapture(StreamingQueryListener):
@@ -55,6 +70,18 @@ def main() -> None:
                         "memoryUsedBytes": so.get("memoryUsedBytes"),
                         "watermark": p.get("eventTime", {}).get("watermark"),
                         "inputRows": p.get("numInputRows"),
+                        # RocksDB provider reports its real footprint
+                        # in customMetrics (memoryUsedBytes is the
+                        # JVM-heap view, ~0 for an off-heap store)
+                        "custom": {
+                            m: v
+                            for m, v in (so.get("customMetrics") or {}).items()
+                            if m in (
+                                "rocksdbTotalMemoryUsageBytes",
+                                "rocksdbSstFileSize",
+                                "rocksdbPinnedBlocksMemoryUsage",
+                            )
+                        },
                     }
                 )
 
@@ -75,6 +102,7 @@ def main() -> None:
 
     out = {
         "sf_dir": args.sf_dir,
+        "state_store": args.state_store,
         "emitted_pairs": n_pairs,
         "state_batches": captured,
     }
