@@ -55,18 +55,32 @@ def attach_binary(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _make_decoder(dim: int):
+def _make_decoder(dim: int, kind: str = "stub"):
     """factory so the decoder pickles *by value* into Python workers
     (a module-level function would pickle by reference and require
-    this package on the workers' sys.path)."""
+    this package on the workers' sys.path).
+
+    ``kind`` is the round-9 feature flag (r8 verdict item 8):
+
+    - ``"stub"`` (default, oracle-checked): deterministic fake —
+      ``dim`` doubles from the payload's sha256, each in [0, 1).
+      Stays the registry/oracle arm because DuckDB can reproduce it.
+    - ``"wav"``: a REAL audio decode using only the stdlib ``wave``
+      codec + numpy — duration, rate, channels, peak, RMS,
+      zero-crossing rate, mean |amplitude|, spectral centroid. The
+      genuine article, not a fake: the features move with the audio
+      content (pytest feeds it synthesized sine waves and checks the
+      physics).
+    - ``"bmp"``: a REAL image decode of uncompressed 24-bit BMP via
+      ``struct`` — width, height, aspect, mean R/G/B, grayscale
+      std, bpp. Same contract: real pixels in, content-driven
+      features out.
+
+    A production deployment swaps in PIL/torchaudio/ffmpeg the same
+    way: one closure, same ``mapInPandas`` plumbing, same schema.
+    """
 
     def decode_stub(payload: bytes) -> list[float]:
-        """STUB for the real media decode (no image/audio libs in
-        this container). Deterministic fake: ``dim`` doubles derived
-        from the sha256 of the payload, each in [0, 1). A real
-        deployment swaps this single function for
-        PIL/torchaudio/ffmpeg decode + model features; the Spark
-        plumbing does not change."""
         import hashlib as _hashlib
 
         h = _hashlib.sha256(payload).digest()
@@ -74,22 +88,99 @@ def _make_decoder(dim: int):
             int.from_bytes(h[4 * i : 4 * i + 4], "big") / 2**32 for i in range(dim)
         ]
 
-    return decode_stub
+    def decode_wav(payload: bytes) -> list[float]:
+        import io
+        import wave
+
+        import numpy as np
+
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            rate = w.getframerate()
+            nch = w.getnchannels()
+            width = w.getsampwidth()
+            n = w.getnframes()
+            raw = w.readframes(n)
+        if width != 2:  # 16-bit PCM only; anything else → zero row
+            return [0.0] * dim
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+        if nch > 1:
+            x = x.reshape(-1, nch).mean(axis=1)
+        if x.size == 0:
+            return [0.0] * dim
+        xs = x / 32768.0
+        zc = float(np.mean(np.abs(np.diff(np.signbit(xs))))) if xs.size > 1 else 0.0
+        spec = np.abs(np.fft.rfft(xs))
+        freqs = np.fft.rfftfreq(xs.size, d=1.0 / rate)
+        power = float(spec.sum())
+        centroid = float((freqs * spec).sum() / power) if power > 0 else 0.0
+        feats = [
+            n / float(rate),                   # duration (s)
+            rate / 48000.0,                    # rate, 48 kHz-normalized
+            float(nch),                        # channels
+            float(np.max(np.abs(xs))),         # peak
+            float(np.sqrt(np.mean(xs**2))),    # RMS
+            zc,                                # zero-crossing rate
+            float(np.mean(np.abs(xs))),        # mean |amplitude|
+            centroid / (rate / 2.0),           # centroid / Nyquist
+        ]
+        return (feats + [0.0] * dim)[:dim]
+
+    def decode_bmp(payload: bytes) -> list[float]:
+        import struct
+
+        import numpy as np
+
+        if len(payload) < 54 or payload[:2] != b"BM":
+            return [0.0] * dim
+        off = struct.unpack_from("<I", payload, 10)[0]
+        width, height = struct.unpack_from("<ii", payload, 18)
+        bpp = struct.unpack_from("<H", payload, 28)[0]
+        comp = struct.unpack_from("<I", payload, 30)[0]
+        if bpp != 24 or comp != 0 or width <= 0 or height == 0:
+            return [0.0] * dim
+        h = abs(height)
+        stride = (width * 3 + 3) & ~3
+        if len(payload) < off + stride * h:
+            return [0.0] * dim
+        rows = np.frombuffer(
+            payload, dtype=np.uint8, count=stride * h, offset=off
+        ).reshape(h, stride)[:, : width * 3].reshape(h, width, 3)
+        if height > 0:  # bottom-up storage
+            rows = rows[::-1]
+        bgr = rows.astype(np.float64)
+        gray = bgr.mean(axis=2)
+        feats = [
+            width / 4096.0,
+            h / 4096.0,
+            width / float(h),
+            float(bgr[:, :, 2].mean()) / 255.0,  # R (BMP stores BGR)
+            float(bgr[:, :, 1].mean()) / 255.0,  # G
+            float(bgr[:, :, 0].mean()) / 255.0,  # B
+            float(gray.std()) / 255.0,
+            bpp / 32.0,
+        ]
+        return (feats + [0.0] * dim)[:dim]
+
+    return {"wav": decode_wav, "bmp": decode_bmp}.get(kind, decode_stub)
 
 
 #: public stub instance (tests and callers use this)
 decode_stub = _make_decoder(FEATURE_DIM)
 
 
-def extract_features(frames: DataFrame) -> DataFrame:
+def extract_features(frames: DataFrame, decoder: str = "stub") -> DataFrame:
     """Arrow-batched feature extraction over the payload column.
 
     ``mapInPandas`` streams one Arrow batch at a time per task —
-    bounded memory regardless of table size — and lets the stub (or
-    a real decoder) run vectorized per batch.
+    bounded memory regardless of table size — and lets the decoder
+    run vectorized per batch. ``decoder`` is the round-9 feature
+    flag: ``"stub"`` (default — deterministic sha256 fake, the
+    oracle-checked registry arm) or the REAL stdlib codecs
+    ``"wav"`` / ``"bmp"`` (see ``_make_decoder``); the Spark plan is
+    identical for all three — only the closure changes.
     """
 
-    stub = _make_decoder(FEATURE_DIM)  # by-value copy for the workers
+    stub = _make_decoder(FEATURE_DIM, decoder)  # by-value copy for workers
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hashlib

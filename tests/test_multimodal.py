@@ -69,3 +69,111 @@ def test_meta_supports_predicate_pushdown(spark, tmp_path):
         in plan
     )
     assert small.count() == 1
+
+
+def _sine_wav(freq: float, rate: int = 8000, secs: float = 1.0,
+              amp: float = 0.5, nch: int = 1) -> bytes:
+    import io
+    import wave
+
+    import numpy as np
+
+    t = np.arange(int(rate * secs)) / rate
+    x = (amp * 32767 * np.sin(2 * np.pi * freq * t)).astype("<i2")
+    if nch > 1:
+        x = np.repeat(x[:, None], nch, axis=1).ravel()
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(nch)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(x.tobytes())
+    return buf.getvalue()
+
+
+def _bmp(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
+    import struct
+
+    stride = (width * 3 + 3) & ~3
+    img = bytearray()
+    row = (bytes([rgb[2], rgb[1], rgb[0]]) * width).ljust(stride, b"\0")
+    for _ in range(height):
+        img += row
+    off = 54
+    size = off + len(img)
+    header = (
+        b"BM" + struct.pack("<IHHI", size, 0, 0, off)
+        + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                      len(img), 2835, 2835, 0, 0)
+    )
+    return header + bytes(img)
+
+
+def test_wav_decoder_measures_real_audio(spark):
+    """the flag-gated REAL audio decode (r8 verdict item 8): features
+    must track the CONTENT of a genuine RIFF/WAVE payload — duration,
+    channel count, amplitude, and the spectral centroid landing on
+    the sine's frequency — through the same mapInPandas plan as the
+    stub arm."""
+    a440 = _sine_wav(440.0, rate=8000, secs=1.0, amp=0.5)
+    a2k = _sine_wav(2000.0, rate=8000, secs=2.0, amp=0.25, nch=2)
+    frames = spark.createDataFrame(
+        [(1, bytearray(a440)), (2, bytearray(a2k))],
+        "doc_id bigint, payload binary",
+    )
+    rows = {
+        r["doc_id"]: r["feature"]
+        for r in multimodal.extract_features(frames, decoder="wav").collect()
+    }
+    dur, rate, nch, peak, rms, _zc, _ma, cent = range(8)
+    f1, f2 = rows[1], rows[2]
+    assert abs(f1[dur] - 1.0) < 1e-9 and abs(f2[dur] - 2.0) < 1e-9
+    assert f1[nch] == 1.0 and f2[nch] == 2.0
+    assert abs(f1[rate] - 8000 / 48000) < 1e-9
+    # sine amplitude 0.5 -> peak ~0.5, rms ~0.5/sqrt(2)
+    assert abs(f1[peak] - 0.5) < 0.01
+    assert abs(f1[rms] - 0.3536) < 0.01
+    assert f2[peak] < f1[peak]  # quieter file measures quieter
+    # spectral centroid: 440 Hz vs 2 kHz of a 4 kHz Nyquist
+    assert abs(f1[cent] - 440 / 4000) < 0.02
+    assert abs(f2[cent] - 2000 / 4000) < 0.02
+
+
+def test_bmp_decoder_measures_real_pixels(spark):
+    """the flag-gated REAL image decode: geometry and channel means
+    must come from the actual BMP pixels (BGR order, bottom-up rows,
+    4-byte stride padding all handled)."""
+    red = _bmp(5, 3, (255, 0, 0))
+    grey = _bmp(16, 16, (128, 128, 128))
+    frames = spark.createDataFrame(
+        [(1, bytearray(red)), (2, bytearray(grey))],
+        "doc_id bigint, payload binary",
+    )
+    rows = {
+        r["doc_id"]: r["feature"]
+        for r in multimodal.extract_features(frames, decoder="bmp").collect()
+    }
+    w, h, aspect, r_, g_, b_, gstd, bpp = range(8)
+    f1, f2 = rows[1], rows[2]
+    assert f1[w] == 5 / 4096.0 and f1[h] == 3 / 4096.0
+    assert abs(f1[aspect] - 5 / 3) < 1e-9
+    assert f1[r_] == 1.0 and f1[g_] == 0.0 and f1[b_] == 0.0
+    assert abs(f2[r_] - 128 / 255) < 1e-9 and f2[gstd] == 0.0
+    assert f1[bpp] == 24 / 32.0
+    # malformed payload degrades to the zero row, never crashes
+    bad = spark.createDataFrame(
+        [(3, bytearray(b"not a bitmap"))], "doc_id bigint, payload binary"
+    )
+    (zrow,) = multimodal.extract_features(bad, decoder="bmp").collect()
+    assert zrow["feature"] == [0.0] * multimodal.FEATURE_DIM
+
+
+def test_stub_stays_the_default_decoder(spark):
+    """the oracle-checked sha256 stub must remain the default arm —
+    the real codecs are opt-in flags, exactly as SURVEY/VERDICT
+    document the fixture limitation."""
+    frames = spark.createDataFrame(
+        [(1, bytearray(b"abc"))], "doc_id bigint, payload binary"
+    )
+    (row,) = multimodal.extract_features(frames).collect()
+    assert row["feature"] == multimodal.decode_stub(b"abc")
