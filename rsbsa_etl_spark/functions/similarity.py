@@ -62,27 +62,62 @@ def safe_div(num: Column, den: Column) -> Column:
     return F.when(den != 0, num / den)
 
 
-def _make_cosine_kernel():
-    """factory for the shared tiled-block BLAS kernel: two embedding
-    Series → the 1e-4-quantized cosine matrix. ONE implementation
-    for cosine_pairs / knn_graph / cosine_pairs_bipartite, so the
-    quantization scale and the zero-norm (0/0 → NaN, masked by the
-    callers) contract cannot drift between an operator and its
-    oracle. Factory-made so the kernel ships BY VALUE inside each
-    applyInPandas closure — a module-level function referenced from
-    a closure pickles by name and crashes Python workers whenever
-    the driver runs outside the repo root (see the verify notes).
+#: per-task cap on the materialized cosine-block size, in MATRIX
+#: ELEMENTS (float64): 1<<24 = 128 MB per in-flight block. The tiled
+#: all-pairs operators' per-task memory is (tile × tile) — at a fixed
+#: n_tiles that grows QUADRATICALLY with the corpus (measured: 200k
+#: vectors / 8 tiles = a 25k×25k = 5 GB q matrix per task × 32
+#: concurrent tasks → Python workers OOM-crash, round 9). The block
+#: kernels therefore sweep the left side in row chunks of
+#: ``MAX_BLOCK_ELEMS // |R|`` whenever |L|·|R| exceeds this cap —
+#: bit-identical values (each output row's arithmetic is unchanged;
+#: only the materialization granularity changes), bounded memory at
+#: ANY corpus/tile ratio. n_tiles remains the parallelism dial;
+#: this cap removes it as a CORRECTNESS-of-memory dial.
+MAX_BLOCK_ELEMS = 1 << 24
+
+
+def _make_cosine_parts():
+    """factory for the shared tiled-block BLAS primitives, shipped BY
+    VALUE into applyInPandas closures (a module-level function
+    referenced from a closure pickles by name and crashes Python
+    workers whenever the driver runs outside the repo root — see the
+    verify notes). Returns ``(stack, mm)``: ``stack`` decodes an
+    embedding Series to a dense float64 matrix + norms once per
+    block side; ``mm`` multiplies any (sub)matrix pair into the
+    1e-4-quantized cosine block — ONE implementation for
+    cosine_pairs / knn_graph / cosine_pairs_bipartite / the IVF
+    cells, so the quantization scale and the zero-norm (0/0 → NaN,
+    masked by the callers) contract cannot drift between an operator
+    and its oracle. Callers sweep the left side in row chunks
+    against ``MAX_BLOCK_ELEMS`` to keep the q matrix bounded.
     """
     import numpy as np
 
-    def kernel(L_emb, R_emb):
-        A = np.stack([np.asarray(v, dtype=np.float64) for v in L_emb])
-        B = np.stack([np.asarray(v, dtype=np.float64) for v in R_emb])
-        na = np.sqrt((A * A).sum(axis=1))
-        nb = np.sqrt((B * B).sum(axis=1))
+    def stack(emb_series):
+        A = np.stack([np.asarray(v, dtype=np.float64) for v in emb_series])
+        return A, np.sqrt((A * A).sum(axis=1))
+
+    def mm(A, na, B, nb):
         return np.floor((A @ B.T) / np.outer(na, nb) * 1e4 + 0.5) / 1e4
 
-    return kernel
+    return stack, mm
+
+
+def _make_cosine_kernel():
+    """the whole-block form of ``_make_cosine_parts`` — two embedding
+    Series → the full quantized cosine matrix. For callers whose
+    block sizes are bounded by construction (IVF cells ~√n rows,
+    bipartite ingest tiles); the all-pairs tile operators use the
+    parts directly with the chunked sweep."""
+    stack, mm = _make_cosine_parts()
+
+    def series_kernel(L_emb, R_emb):
+        A, na = stack(L_emb)
+        B, nb = stack(R_emb)
+        return mm(A, na, B, nb)
+
+    return series_kernel
 
 
 def cosine_pairs_hof(
@@ -116,12 +151,17 @@ def cosine_pairs(
 
     Rows hash to ``n_tiles`` deterministic tiles (vec_id mod n_tiles);
     every unordered tile pair (ta ≤ tb) becomes one ``applyInPandas``
-    group holding exactly the two tiles, which does one ``A @ B.T``
-    BLAS block and emits only the above-threshold pairs. Each row is
-    replicated n_tiles+1 ways through a single shuffle — the
-    O(n·√tasks) replication that distributed exact all-pairs costs —
-    and per-task memory is two tiles, so ``n_tiles`` scales the task
-    size down to executor memory at any corpus size. (The earlier
+    group holding exactly the two tiles, which runs the ``A @ B.T``
+    BLAS block in bounded row chunks (``MAX_BLOCK_ELEMS``) and emits
+    only the above-threshold pairs. Each row is replicated n_tiles+1
+    ways through a single shuffle — the O(n·√tasks) replication that
+    distributed exact all-pairs costs. Per-task memory is two tiles
+    of EMBEDDINGS plus one ≤128 MB q chunk: before round 9 the full
+    tile×tile q matrix materialized at once, which grows
+    quadratically with the corpus at fixed n_tiles (measured: 25k²
+    = 5 GB/task at 200k vectors — worker OOM); the chunk sweep makes
+    task memory independent of the corpus/tile ratio, leaving
+    ``n_tiles`` purely a parallelism dial. (The earliest
     implementation collected the whole corpus via ``toPandas`` and
     broadcast it — a driver OOM at cluster scale.)
 
@@ -148,7 +188,8 @@ def cosine_pairs(
         F.lit(False).alias("is_left"),
     )
 
-    kern = _make_cosine_kernel()
+    stack, mm = _make_cosine_parts()
+    max_elems = MAX_BLOCK_ELEMS
 
     def block(key, pdf):
         ta, tb = key
@@ -162,26 +203,45 @@ def cosine_pairs(
                     "cosine": np.array([], dtype=np.float64),
                 }
             )
-        q = kern(L["embedding"], R["embedding"])
-        # NaN (zero-norm 0/0) fails the >= comparison and drops out,
-        # same as safe_div's NULL under the threshold predicate;
-        # isfinite makes that contract explicit.
-        ia, ib = np.where(np.isfinite(q) & (q >= threshold))
-        la = L["vec_id"].to_numpy()[ia]
-        rb = R["vec_id"].to_numpy()[ib]
-        sims = q[ia, ib]
-        if ta == tb:
-            # diagonal tile: both roles hold the full tile, so each
-            # pair shows up in both orders — keep the (a < b) one
-            keep = la < rb
-            la, rb, sims = la[keep], rb[keep], sims[keep]
-            va, vb = la, rb
-        else:
-            # off-diagonal: each unordered pair appears exactly once;
-            # normalize to (min, max) for the a < b output contract
-            va = np.minimum(la, rb)
-            vb = np.maximum(la, rb)
-        return pd.DataFrame({"vec_a": va, "vec_b": vb, "cosine": sims})
+        A, na = stack(L["embedding"])
+        B, nb = stack(R["embedding"])
+        all_la = L["vec_id"].to_numpy()
+        all_rb = R["vec_id"].to_numpy()
+        # chunked sweep: never materialize more than MAX_BLOCK_ELEMS
+        # of the q matrix at once — at a fixed n_tiles the full tile²
+        # block grows quadratically with the corpus and OOMs workers
+        step = max(1, max_elems // max(len(all_rb), 1))
+        outs_a, outs_b, outs_s = [], [], []
+        for lo in range(0, len(all_la), step):
+            q = mm(A[lo : lo + step], na[lo : lo + step], B, nb)
+            # NaN (zero-norm 0/0) fails the >= comparison and drops
+            # out, same as safe_div's NULL under the threshold
+            # predicate; isfinite makes that contract explicit.
+            ia, ib = np.where(np.isfinite(q) & (q >= threshold))
+            la = all_la[lo : lo + step][ia]
+            rb = all_rb[ib]
+            sims = q[ia, ib]
+            if ta == tb:
+                # diagonal tile: both roles hold the full tile, so
+                # each pair shows up in both orders — keep (a < b)
+                keep = la < rb
+                la, rb, sims = la[keep], rb[keep], sims[keep]
+                va, vb = la, rb
+            else:
+                # off-diagonal: each unordered pair appears exactly
+                # once; normalize to (min, max) for the contract
+                va = np.minimum(la, rb)
+                vb = np.maximum(la, rb)
+            outs_a.append(va)
+            outs_b.append(vb)
+            outs_s.append(sims)
+        return pd.DataFrame(
+            {
+                "vec_a": np.concatenate(outs_a),
+                "vec_b": np.concatenate(outs_b),
+                "cosine": np.concatenate(outs_s),
+            }
+        )
 
     return (
         left.unionByName(right)
@@ -238,7 +298,8 @@ def knn_graph(
         F.lit(False).alias("is_left"),
     )
 
-    kern = _make_cosine_kernel()
+    stack, mm = _make_cosine_parts()
+    max_elems = MAX_BLOCK_ELEMS
 
     def block(key, pdf):
         ta, tb = key
@@ -258,7 +319,8 @@ def knn_graph(
         R = pdf[~pdf["is_left"]]
         if L.empty or R.empty:
             return frame([], [], [], [], [])
-        q = kern(L["embedding"], R["embedding"])
+        A, na = stack(L["embedding"])
+        B, nb = stack(R["embedding"])
         la = L["vec_id"].to_numpy()
         rb = R["vec_id"].to_numpy()
         if diff_label:
@@ -295,14 +357,39 @@ def knn_graph(
                     dlabs.extend(dst_lab[mask][order])
             return srcs, dsts, sims, slabs, dlabs
 
-        r1 = topk_rows(q, la, rb, la_lab, rb_lab)
-        if ta == tb:
-            # diagonal: L and R hold the same tile — one direction
-            # already covers every source in the tile
-            r2 = ([], [], [], [], [])
-        else:
-            r2 = topk_rows(q.T, rb, la, rb_lab, la_lab)
-        return frame(*(a + b for a, b in zip(r1, r2)))
+        if len(la) * len(rb) <= max_elems:
+            # small block: one matmul, transpose reused for the
+            # reverse direction (the pre-round-9 fast path)
+            q = mm(A, na, B, nb)
+            r1 = topk_rows(q, la, rb, la_lab, rb_lab)
+            if ta == tb:
+                # diagonal: L and R hold the same tile — one
+                # direction already covers every source in the tile
+                r2 = ([], [], [], [], [])
+            else:
+                r2 = topk_rows(q.T, rb, la, rb_lab, la_lab)
+            return frame(*(a + b for a, b in zip(r1, r2)))
+
+        # large block: sweep each direction in bounded row chunks —
+        # at a fixed n_tiles the full tile² q matrix grows
+        # quadratically with the corpus and OOMs workers (measured at
+        # 200k vectors, round 9). Off-diagonal pays the reverse
+        # matmul again instead of transposing; memory-bounded beats
+        # 2× FLOPs exactly where blocks are too big to hold.
+        acc = ([], [], [], [], [])
+
+        def sweep(S, ns, sids, slab, T, nt, tids, tlab):
+            step = max(1, max_elems // max(len(tids), 1))
+            for lo in range(0, len(sids), step):
+                qc = mm(S[lo : lo + step], ns[lo : lo + step], T, nt)
+                r = topk_rows(qc, sids[lo : lo + step], tids, slab[lo : lo + step], tlab)
+                for a, b in zip(acc, r):
+                    a.extend(b)
+
+        sweep(A, na, la, la_lab, B, nb, rb, rb_lab)
+        if ta != tb:
+            sweep(B, nb, rb, rb_lab, A, na, la, la_lab)
+        return frame(*acc)
 
     schema = "vec_id bigint, neighbor_id bigint, cosine double" + (
         ", label bigint, neighbor_label bigint" if diff_label else ""
@@ -1609,7 +1696,8 @@ def cosine_pairs_bipartite(
         F.lit(True).alias("is_left"),
     )
 
-    kern = _make_cosine_kernel()
+    stack, mm = _make_cosine_parts()
+    max_elems = MAX_BLOCK_ELEMS
 
     def block(key, pdf):
         L = pdf[pdf["is_left"]]
@@ -1622,15 +1710,27 @@ def cosine_pairs_bipartite(
                     "cosine": np.array([], dtype=np.float64),
                 }
             )
-        q = kern(L["embedding"], R["embedding"])
-        ia, ib = np.where(np.isfinite(q) & (q >= threshold))
-        return pd.DataFrame(
-            {
-                "new_id": L["vec_id"].to_numpy()[ia],
-                "corpus_id": R["vec_id"].to_numpy()[ib],
-                "cosine": q[ia, ib],
-            }
-        )
+        A, na = stack(L["embedding"])
+        B, nb = stack(R["embedding"])
+        lids = L["vec_id"].to_numpy()
+        rids = R["vec_id"].to_numpy()
+        # same bounded chunk sweep as cosine_pairs: batch × tile can
+        # exceed worker memory when both sides grow
+        step = max(1, max_elems // max(len(rids), 1))
+        outs = []
+        for lo in range(0, len(lids), step):
+            q = mm(A[lo : lo + step], na[lo : lo + step], B, nb)
+            ia, ib = np.where(np.isfinite(q) & (q >= threshold))
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "new_id": lids[lo : lo + step][ia],
+                        "corpus_id": rids[ib],
+                        "cosine": q[ia, ib],
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
 
     return (
         nw.unionByName(c)

@@ -2876,6 +2876,15 @@ SCALE_DIALS: dict[str, tuple[str, str]] = {
         "recall@k AND MRR@k from one persisted set of index scans "
         "(half the index builds when both metrics are wanted)",
     ),
+    "dedup_embedding": (
+        "dedup_semantic",
+        "SemDeDup cluster-then-prune: Voronoi cells -> per-cell "
+        "exemplar flags, LINEAR in the corpus (r9 second decade "
+        "measured the exact all-pairs arm's OUTPUT going quadratic: "
+        "5.0M pairs at 200k isotropic vectors, wall exponent 1.56 "
+        "even with the bounded-chunk kernel); the exact arm is the "
+        "audit/threshold-screen dial",
+    ),
 }
 
 #: reverse view: dial key -> ALL the exact/audit arms it relieves

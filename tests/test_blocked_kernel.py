@@ -615,3 +615,32 @@ def test_winsorize_rank_picks_on_ties_and_tiny_groups(spark):
     # winsorized: values 1-4 → 5 (adds 4+3+2+1=10), 96-100 → 95
     # (removes 1+2+3+4+5=15): (5050 + 10 - 15) / 100 = 50.45
     assert mean_w == 50.45
+
+
+def test_chunked_block_sweep_is_bit_identical(spark, monkeypatch):
+    """round 9: the bounded-memory chunk sweep (MAX_BLOCK_ELEMS) must
+    be invisible to results. Force pathologically tiny chunks (7
+    matrix elements → every block takes the chunked path, many chunks
+    per block, off-diagonal pays the reverse matmul) and compare
+    cosine_pairs / knn_graph / cosine_pairs_bipartite bit-for-bit
+    against the default path on the driver fixture."""
+    from rsbsa_etl_spark.functions import similarity as S
+    from rsbsa_etl_spark.sources.fixtures import load
+
+    from tests.conftest import SF_DIR
+
+    emb = load(spark, SF_DIR, "embeddings")
+    new = emb.where(S.F.col("vec_id") % 7 == 0).select(
+        (S.F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+
+    def snap():
+        pairs = {tuple(r) for r in S.cosine_pairs(emb).collect()}
+        graph = {tuple(r) for r in S.knn_graph(emb, 5).collect()}
+        bip = {tuple(r) for r in S.cosine_pairs_bipartite(new, emb).collect()}
+        return pairs, graph, bip
+
+    base = snap()
+    assert all(len(s) > 0 for s in base)
+    monkeypatch.setattr(S, "MAX_BLOCK_ELEMS", 7)
+    assert snap() == base
