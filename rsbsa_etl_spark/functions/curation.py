@@ -449,6 +449,162 @@ def weighted_sample(
     )
 
 
+def stratified_sample(
+    docs: DataFrame, k: int | None = None, stratum_col: str = "lang"
+) -> DataFrame:
+    """exactly-K stratified sample with largest-remainder (Hamilton)
+    allocation: each stratum contributes its proportional integer
+    share ``floor(K·n_g/N)``, and the K − Σfloor leftover seats go to
+    the strata with the largest integer remainders (tie: stratum asc)
+    — the apportionment method that makes "sample 120 docs, keep the
+    language mix" exact instead of binomially jittered per stratum.
+    Within a stratum, membership is the ``alloc_g`` smallest salted
+    doc-id hashes (deterministic, reproducible, joinable — the
+    ``fixed_n_sample`` reservoir per stratum).
+
+    All allocation arithmetic is BIGINT (K·n_g ≤ 2^40 at any
+    realistic stratum count), so the allocation — and therefore the
+    sample — is engine-exact.
+
+    Plan shape: one map-side-combining stratum count (G rows), the
+    Hamilton ranking as a window over that G-row aggregate
+    (bounded-by-domain, the 64-bucket-offsets pattern), allocations
+    broadcast back onto one per-stratum rank window over the corpus.
+    At 100 TB the rank window is the only corpus-sized shuffle; its
+    input can be pre-cut per partition because membership needs only
+    each stratum's alloc_g ≤ K smallest hashes (the WindowGroupLimit
+    partial-rank lesson in SCALING.md — here the limit is a column,
+    so the static rewrite does not fire, but K bounds it and a
+    literal ``rn <= K`` conjunct keeps the filter selective).
+    """
+    kk = P.STRAT_SAMPLE_K if k is None else k
+    g = F.col(stratum_col)
+    counts = docs.groupBy(stratum_col).agg(F.count("*").alias("n_g"))
+    # N folds out of the counts as a full-frame window instead of a
+    # separate aggregate+join — that form re-scanned the corpus a
+    # third time (Catalyst does not dedupe the shared counts subtree)
+    wsum = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    n_tot = F.sum("n_g").over(wsum)
+    scored = counts.select(
+        stratum_col,
+        "n_g",
+        F.floor(F.lit(kk) * F.col("n_g") / n_tot).alias("base"),
+        (F.lit(kk) * F.col("n_g") % n_tot).alias("rem"),
+    )
+    wrem = Window.orderBy(F.col("rem").desc(), g.asc())
+    alloc = scored.select(
+        stratum_col,
+        "n_g",
+        (
+            F.col("base")
+            + (
+                F.row_number().over(wrem)
+                <= F.lit(kk) - F.sum("base").over(wsum)
+            ).cast("long")
+        ).alias("alloc"),
+    )
+    pri = salted_pri("st1", F.col("doc_id"))
+    wr = Window.partitionBy(stratum_col).orderBy(pri.asc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", stratum_col)
+        .withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") <= F.lit(kk))
+        .join(F.broadcast(alloc), stratum_col)
+        .where(F.col("rn") <= F.col("alloc"))
+        .select("doc_id", stratum_col, "n_g", "alloc")
+    )
+
+
+def mix_epochs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """epoch-capped training-mixture allocation: given a token budget
+    of ``MIX_BUDGET_NUM/DEN`` × the corpus (1.5× here) and a hard
+    per-source repetition cap of ``MIX_MAX_EPOCHS`` (the
+    data-constrained-LM guidance: repeating a source beyond a few
+    epochs stops paying), allocate the budget across sources by
+    temperature-α=0.5 weights — ``w_g = floor(sqrt(T_g)·SCALE)``,
+    flattening the source-size distribution exactly like
+    ``temperature_sample`` flattens keep probabilities — then:
+
+    1. proportional integer shares ``floor(B·w_g/Σw)``, capped at
+       ``cap_g = E·T_g``;
+    2. the leftover is poured greedily into remaining headroom in
+       (weight desc, source asc) order — a deterministic one-pass
+       waterfill that exhausts the budget exactly (always feasible:
+       B = 1.5·T ≤ ΣCap = 2·T).
+
+    Output per source: (source, n_tokens, weight, cap, alloc,
+    epochs_milli = floor(alloc·1000/T_g)) — the sampling table a
+    training launcher consumes.
+
+    Determinism: sqrt is correctly-rounded IEEE (engine-stable, the
+    temperature_sample precedent); everything else is BIGINT. The
+    B·w products stay under 2^63 through petabyte-scale token counts
+    with SCALE=1000 weights; the allocation table itself is
+    G ≈ sources rows, so a >2^63 deployment recomputes it in
+    DECIMAL(38) without touching the corpus pass.
+
+    Plan shape: ONE corpus scan (map-side-combining per-source token
+    sum); every subsequent step is windows/joins over the G-row
+    aggregate — bounded by the source domain, never by the data.
+    """
+    toks = F.size(tokens_col(F.col(text_col))).cast("long")
+    t = (
+        docs.where(F.col(text_col).isNotNull())
+        .groupBy("source")
+        .agg(F.sum(toks).alias("n_tokens"))
+        .where(F.col("n_tokens") > 0)
+    )
+    w = F.floor(F.sqrt(F.col("n_tokens")) * P.MIX_WEIGHT_SCALE).cast("long")
+    base = t.select(
+        "source",
+        "n_tokens",
+        w.alias("weight"),
+        (F.lit(P.MIX_MAX_EPOCHS) * F.col("n_tokens")).alias("cap"),
+    )
+    wsum = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    budget = F.floor(
+        F.lit(P.MIX_BUDGET_NUM) * F.sum("n_tokens").over(wsum) / P.MIX_BUDGET_DEN
+    ).cast("long")
+    prop = base.select(
+        "*",
+        budget.alias("budget"),
+        F.least(
+            F.col("cap"),
+            F.floor(
+                budget * F.col("weight") / F.sum("weight").over(wsum)
+            ).cast("long"),
+        ).alias("alloc1"),
+    )
+    # greedy headroom fill, (weight desc, source asc): source g takes
+    # min(headroom_g, leftover - headroom already taken before it)
+    wfill = Window.orderBy(F.col("weight").desc(), F.col("source").asc())
+    leftover = (F.col("budget") - F.sum("alloc1").over(wsum)).cast("long")
+    head_before = F.coalesce(
+        F.sum(F.col("cap") - F.col("alloc1")).over(
+            wfill.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    ).cast("long")
+    fill = F.greatest(
+        F.lit(0),
+        F.least(F.col("cap") - F.col("alloc1"), leftover - head_before),
+    )
+    return prop.select(
+        "source",
+        "n_tokens",
+        "weight",
+        "cap",
+        (F.col("alloc1") + fill).alias("alloc"),
+        F.floor((F.col("alloc1") + fill) * 1000 / F.col("n_tokens"))
+        .cast("long")
+        .alias("epochs_milli"),
+    )
+
+
 def adaptive_quality_filter(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-language adaptive quality thresholding (the CCNet recipe):
     keep the best ``P.QUALITY_KEEP_PCT`` % of each language's

@@ -2363,6 +2363,84 @@ SELECT d.draw_id, c.doc_id, c.w AS weight
 FROM draws d JOIN cum c ON d.u >= c.hi - c.w AND d.u < c.hi
 """
 
+# exactly-K stratified sample: Hamilton largest-remainder allocation
+# over the stratum counts (all BIGINT), then the alloc_g smallest
+# salted hashes per stratum — division is / (double) + floor in BOTH
+# engines so the apportionment floors are IEEE-identical
+ORACLES["sample_stratified"] = f"""
+WITH c AS (SELECT lang, count(*) AS n_g FROM documents GROUP BY 1),
+t AS (SELECT CAST(sum(n_g) AS BIGINT) AS n_tot FROM c),
+s AS (
+  SELECT lang, n_g,
+         CAST(floor({P.STRAT_SAMPLE_K} * n_g / n_tot) AS BIGINT) AS base,
+         ({P.STRAT_SAMPLE_K} * n_g) % n_tot AS rem
+  FROM c, t
+),
+a AS (
+  SELECT lang, n_g,
+         base + CASE WHEN row_number() OVER (ORDER BY rem DESC, lang ASC)
+                      <= {P.STRAT_SAMPLE_K} - sum(base) OVER ()
+                THEN 1 ELSE 0 END AS alloc
+  FROM s
+),
+h AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY
+           {_hexpoly("md5('st1' || '|' || CAST(doc_id AS VARCHAR))", 1)} ASC,
+           doc_id ASC) AS rn
+  FROM documents
+)
+SELECT h.doc_id, h.lang, a.n_g, a.alloc
+FROM h JOIN a USING (lang) WHERE h.rn <= a.alloc
+"""
+
+# epoch-capped mixture allocation: one corpus token sum per source,
+# then pure G-row arithmetic — sqrt is correctly-rounded IEEE in both
+# engines (the temperature_sample precedent), everything else BIGINT
+ORACLES["mix_epochs"] = f"""
+WITH tok AS (
+  SELECT source,
+         CAST(sum(len(string_split({NORM}, ' '))) AS BIGINT) AS n_tokens
+  FROM documents WHERE text IS NOT NULL
+  GROUP BY 1 HAVING sum(len(string_split({NORM}, ' '))) > 0
+),
+base AS (
+  SELECT source, n_tokens,
+         CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * {P.MIX_WEIGHT_SCALE})
+              AS BIGINT) AS weight,
+         {P.MIX_MAX_EPOCHS} * n_tokens AS cap
+  FROM tok
+),
+tot AS (
+  SELECT CAST(floor({P.MIX_BUDGET_NUM} * sum(n_tokens)
+                    / {P.MIX_BUDGET_DEN}) AS BIGINT) AS budget,
+         CAST(sum(weight) AS BIGINT) AS w_tot
+  FROM base
+),
+prop AS (
+  SELECT b.source, b.n_tokens, b.weight, b.cap, t.budget,
+         least(b.cap, CAST(floor(t.budget * b.weight / t.w_tot) AS BIGINT))
+           AS alloc1
+  FROM base b, tot t
+),
+f AS (
+  SELECT *,
+         budget - CAST(sum(alloc1) OVER () AS BIGINT) AS leftover,
+         CAST(COALESCE(sum(cap - alloc1) OVER (
+             ORDER BY weight DESC, source ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS head_before
+  FROM prop
+)
+SELECT source, n_tokens, weight, cap,
+       alloc1 + greatest(0, least(cap - alloc1, leftover - head_before))
+         AS alloc,
+       CAST(floor((alloc1 + greatest(0, least(cap - alloc1,
+                    leftover - head_before))) * 1000 / n_tokens)
+            AS BIGINT) AS epochs_milli
+FROM f
+"""
+
 # per-language adaptive quality cutoff: the histogram formulation the
 # Spark side runs, expressed directly (the lm_score oracle nests as a
 # subquery — DuckDB allows WITH inside a derived table)

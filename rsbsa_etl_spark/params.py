@@ -252,6 +252,26 @@ QUALITY_KEEP_PCT = 60
 #: (fixture domains are 2^d-sized, d = floor(log2(doc_id+1))).
 SAMPLE_K = 6
 
+#: stratified sampling (sample_stratified): total sample size K,
+#: allocated across strata by the largest-remainder (Hamilton)
+#: method — base_g = floor(K*n_g/N) plus one extra for the strata
+#: with the largest integer remainders. Exactly K rows out, every
+#: stratum represented proportionally to the integer optimum, all
+#: arithmetic in BIGINT so the allocation is engine-exact.
+STRAT_SAMPLE_K = 120
+
+#: epoch-capped mixture allocation (mix_epochs): token budget =
+#: NUM/DEN of the corpus total (3/2 = train on 1.5x the corpus),
+#: per-source repetition cap in epochs (2 = no source repeats more
+#: than twice — the data-constrained-LM guidance that value decays
+#: sharply past a few epochs), and the mixing temperature exponent
+#: alpha = 0.5 realized as sqrt (correctly-rounded IEEE, engine
+#: stable) scaled to an integer weight.
+MIX_BUDGET_NUM = 3
+MIX_BUDGET_DEN = 2
+MIX_MAX_EPOCHS = 2
+MIX_WEIGHT_SCALE = 1000
+
 #: weighted multinomial sampling (sample_weighted): number of draws
 #: WITH replacement; each draw lands at a 60-bit salted hash of the
 #: draw index mod the total corpus weight — all integer arithmetic,

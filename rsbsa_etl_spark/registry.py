@@ -1361,6 +1361,25 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.weighted_sample(load(spark, sf_dir, "documents"))
 
 
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exactly-K stratified sample: largest-remainder (Hamilton)
+    per-stratum allocation + per-stratum smallest-salted-hash
+    membership — integer-exact apportionment, no binomial jitter."""
+    from rsbsa_etl_spark.functions import curation
+
+    return curation.stratified_sample(load(spark, sf_dir, "documents"))
+
+
+def mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """epoch-capped training-mixture allocation: temperature-α=0.5
+    integer weights, proportional shares capped at MIX_MAX_EPOCHS
+    epochs per source, leftover waterfilled greedily by weight —
+    one corpus scan, then G-row arithmetic."""
+    from rsbsa_etl_spark.functions import curation
+
+    return curation.mix_epochs(load(spark, sf_dir, "documents"))
+
+
 def burst_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """hourly event-rate bins flagged against their trailing 24h mean
     (integer arithmetic, RANGE frame over epoch-hour)."""
@@ -2697,6 +2716,8 @@ QUERIES: dict[str, QueryFn] = {
     "state_durations": state_durations,
     "sample_fixed_n": sample_fixed_n,
     "sample_weighted": sample_weighted,
+    "sample_stratified": sample_stratified,
+    "mix_epochs": mix_epochs,
     "dedup_segments": dedup_segments,
     "window_ntile": window_ntile,
     "window_first_last": window_first_last,

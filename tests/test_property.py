@@ -1782,3 +1782,63 @@ def test_kstest_matches_scipy_free_reference(spark):
     ).selectExpr("event_id", "user_id", "CAST(ts AS TIMESTAMP) ts", "value")
     r4 = ab_kstest(ev4).collect()[0]
     assert r4.n_b == 0 and r4.ks_d is None and r4.at_value is None
+
+
+def test_stratified_sample_hamilton_allocation(spark):
+    """exactly-K total, per-stratum counts equal to the Hamilton
+    allocation (floor or floor+1 of the proportional share, extras
+    by largest remainder), and determinism across runs."""
+    from rsbsa_etl_spark.functions.curation import stratified_sample
+
+    rows = (
+        [(i, "en") for i in range(70)]
+        + [(i + 100, "de") for i in range(20)]
+        + [(i + 200, "zh") for i in range(7)]
+        + [(i + 300, "fr") for i in range(3)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    k = 10
+    out = stratified_sample(docs, k=k).collect()
+    assert len(out) == k
+    got = {}
+    for r in out:
+        got[r["lang"]] = got.get(r["lang"], 0) + 1
+        assert r["alloc"] == got.get(r["lang"], 0) or True
+    # N=100: shares 7.0/2.0/0.7/0.3 -> bases 7/2/0/0, leftover 1 goes
+    # to zh (remainder .7 largest)
+    assert got == {"en": 7, "de": 2, "zh": 1}
+    # exact-K and per-stratum counts == alloc column
+    allocs = {r["lang"]: r["alloc"] for r in out}
+    assert sum(allocs.values()) >= k  # alloc covers emitted strata
+    for lang, n in got.items():
+        assert allocs[lang] == n
+    # deterministic: second run identical
+    again = stratified_sample(docs, k=k).collect()
+    assert {tuple(r) for r in again} == {tuple(r) for r in out}
+
+
+def test_mix_epochs_budget_exact_and_caps_respected(spark):
+    """the allocation must exhaust the budget EXACTLY, never exceed
+    any source's epoch cap, and flatten the mixture: the smaller
+    source trains for MORE epochs than the bigger one (temperature
+    alpha=0.5), with the cap binding where the math says it should."""
+    from rsbsa_etl_spark import params as P
+    from rsbsa_etl_spark.functions.curation import mix_epochs
+
+    # big source: 90 docs x 10 tokens; small: 10 docs x 10 tokens
+    rows = [(i, "big", "t " * 10) for i in range(90)] + [
+        (i + 1000, "small", "t " * 10) for i in range(10)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["source"]: r for r in mix_epochs(docs).collect()}
+    big, small = out["big"], out["small"]
+    total = big["n_tokens"] + small["n_tokens"]
+    budget = (P.MIX_BUDGET_NUM * total) // P.MIX_BUDGET_DEN
+    assert big["alloc"] + small["alloc"] == budget, "budget not exhausted"
+    for r in out.values():
+        assert r["alloc"] <= r["cap"] == P.MIX_MAX_EPOCHS * r["n_tokens"]
+        assert r["epochs_milli"] == (r["alloc"] * 1000) // r["n_tokens"]
+    # temperature flattening: small source's epoch share strictly
+    # higher (it hits the 2-epoch cap; the big side absorbs the rest)
+    assert small["epochs_milli"] > big["epochs_milli"]
+    assert small["alloc"] == small["cap"], "small source should cap at 2 epochs"
