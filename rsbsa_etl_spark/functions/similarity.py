@@ -422,6 +422,7 @@ def knn_graph_ivf(
     k: int = ANN_TOP_K,
     n_centroids: int | None = None,
     nprobe: int = IVF_NPROBE,
+    diff_label: bool = False,
 ) -> DataFrame:
     """approximate k-NN graph via IVF cells — the scale dial for
     ``knn_graph``: the exact tiled all-pairs form is O(n²/tiles)
@@ -473,6 +474,13 @@ def knn_graph_ivf(
     tie-break, 1e-4-quantized cosine, (sim desc, neighbor asc)
     rank), so the whole approximate GRAPH is value-checked by the
     DuckDB oracle — same contract as the ann_* family.
+
+    ``diff_label=True`` is the hard-negative-mining variant
+    (``hard_negatives_ivf``): same-label candidates are masked
+    inside each cell block BEFORE the block top-k (the same
+    lossless-cut argument over the filtered candidate set that
+    ``knn_graph(diff_label=True)`` makes), and the output carries
+    both endpoints' labels. Requires a ``label`` column.
     """
     import math
 
@@ -493,73 +501,114 @@ def knn_graph_ivf(
     # (d2, cid) order as _argmin_cell), posexploded to n·nprobe rows.
     # Members and probers ride the same rows via the is_member flag:
     # zero pre-shuffle, one scan, no union.
+    lab_cols = ["label"] if diff_label else []
     probe_cids = _top_cells(F.col("_vd"), F.col("cs"), nprobe)
     exploded = (
         e.join(carr)
         .select(
             "vec_id",
             "embedding",
+            *lab_cols,
             F.posexplode(probe_cids).alias("pos", "cid"),
         )
         .select(
             "vec_id",
             "embedding",
+            *lab_cols,
             "cid",
             (F.col("pos") == 0).alias("is_member"),
         )
     )
 
-    kern = _make_cosine_kernel()
+    stack, mm = _make_cosine_parts()
+    max_elems = MAX_BLOCK_ELEMS
 
     def block(key, pdf):
-        P_ = pdf  # every row probes this cell (members probe their own)
+        empty_cols = {
+            "vec_id": np.array([], dtype=np.int64),
+            "neighbor_id": np.array([], dtype=np.int64),
+            "cosine": np.array([], dtype=np.float64),
+        }
+        if diff_label:
+            empty_cols["label"] = np.array([], dtype=np.int64)
+            empty_cols["neighbor_label"] = np.array([], dtype=np.int64)
         M = pdf[pdf["is_member"]]
-        if P_.empty or M.empty:
-            return pd.DataFrame(
-                {
-                    "vec_id": np.array([], dtype=np.int64),
-                    "neighbor_id": np.array([], dtype=np.int64),
-                    "cosine": np.array([], dtype=np.float64),
-                }
-            )
-        q = kern(P_["embedding"], M["embedding"])
-        src = P_["vec_id"].to_numpy()
+        if pdf.empty or M.empty:
+            return pd.DataFrame(empty_cols)
+        # every row probes this cell (members probe their own)
+        A, na = stack(pdf["embedding"])
+        B, nb = stack(M["embedding"])
+        src_all = pdf["vec_id"].to_numpy()
         dst = M["vec_id"].to_numpy()
-        srcs, dsts, sims = [], [], []
-        for i in range(q.shape[0]):
-            row = q[i]
-            mask = (dst != src[i]) & np.isfinite(row)
-            cd, cs_ = dst[mask], row[mask]
-            if cd.size == 0:
-                continue
-            order = np.lexsort((cd, -cs_))[:k]
-            srcs.extend([src[i]] * len(order))
-            dsts.extend(cd[order])
-            sims.extend(cs_[order])
-        return pd.DataFrame(
-            {
-                "vec_id": np.array(srcs, dtype=np.int64),
-                "neighbor_id": np.array(dsts, dtype=np.int64),
-                "cosine": np.array(sims, dtype=np.float64),
-            }
-        )
+        if diff_label:
+            slab_all = pdf["label"].to_numpy()
+            dlab = M["label"].to_numpy()
+        srcs, dsts, sims, slabs, dlabs = [], [], [], [], []
+        # chunked sweep: a hot Voronoi cell on clustered corpora can
+        # hold far more than √n rows — bound the q block like the
+        # all-pairs tile operators do
+        step = max(1, max_elems // max(len(dst), 1))
+        for lo in range(0, len(src_all), step):
+            q = mm(A[lo : lo + step], na[lo : lo + step], B, nb)
+            src = src_all[lo : lo + step]
+            for i in range(q.shape[0]):
+                row = q[i]
+                mask = (dst != src[i]) & np.isfinite(row)
+                if diff_label:
+                    mask &= dlab != slab_all[lo + i]
+                cd, cs_ = dst[mask], row[mask]
+                if cd.size == 0:
+                    continue
+                order = np.lexsort((cd, -cs_))[:k]
+                srcs.extend([src[i]] * len(order))
+                dsts.extend(cd[order])
+                sims.extend(cs_[order])
+                if diff_label:
+                    slabs.extend([slab_all[lo + i]] * len(order))
+                    dlabs.extend(dlab[mask][order])
+        out = {
+            "vec_id": np.array(srcs, dtype=np.int64),
+            "neighbor_id": np.array(dsts, dtype=np.int64),
+            "cosine": np.array(sims, dtype=np.float64),
+        }
+        if diff_label:
+            out["label"] = np.array(slabs, dtype=np.int64)
+            out["neighbor_label"] = np.array(dlabs, dtype=np.int64)
+        return pd.DataFrame(out)
 
-    per_cell = exploded.groupBy("cid").applyInPandas(
-        block, "vec_id bigint, neighbor_id bigint, cosine double"
+    schema = "vec_id bigint, neighbor_id bigint, cosine double" + (
+        ", label bigint, neighbor_label bigint" if diff_label else ""
     )
+    per_cell = exploded.groupBy("cid").applyInPandas(block, schema)
     w = Window.partitionBy("vec_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
+    out_cols = [
+        F.col("vec_id"),
+        F.col("neighbor_id"),
+        dec_round(F.col("cosine"), 4).alias("cosine"),
+        F.col("rank").cast("int").alias("rank"),
+    ]
+    if diff_label:
+        out_cols[2:2] = [F.col("label"), F.col("neighbor_label")]
     return (
         per_cell.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select(
-            "vec_id",
-            "neighbor_id",
-            dec_round(F.col("cosine"), 4).alias("cosine"),
-            F.col("rank").cast("int").alias("rank"),
-        )
+        .select(*out_cols)
     )
+
+
+def hard_negatives_ivf(emb: DataFrame, k: int = ANN_TOP_K) -> DataFrame:
+    """``hard_negatives`` over the IVF graph — the scale dial: exact
+    hard-negative mining inherits ``knn_graph``'s O(n²/tiles) FLOPs
+    (label masking happens inside the blocks, so the candidate pass
+    is the full all-pairs sweep), while the IVF form prices
+    O(n^1.5·nprobe) for the same top-k-by-different-label semantics
+    within the probed cells. Deterministic like the parent, so the
+    mined negative set is value-checked by its own composed oracle
+    (the knn_graph_ivf SQL with the label mask added to the scored
+    CTE — the graph_triangles_ivf composition pattern)."""
+    return knn_graph_ivf(emb, k, diff_label=True)
 
 
 def hard_negatives(emb: DataFrame, k: int = ANN_TOP_K) -> DataFrame:

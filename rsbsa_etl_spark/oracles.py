@@ -949,6 +949,55 @@ SELECT vec_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= {P.ANN_TOP_K}
 """
 
+# hard negatives over the IVF graph: the knn_graph_ivf coarse
+# quantization verbatim, with the different-label mask added to the
+# scored CTE (the graph_triangles_ivf composition pattern — the dial
+# changes the CANDIDATE set, never the label semantics)
+ORACLES["hard_negatives_ivf"] = f"""
+WITH {_EMB_CTE.strip()},
+lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+nc AS (
+  SELECT greatest(16, CAST(floor(sqrt(CAST(count(*) AS DOUBLE)))
+                       AS BIGINT)) AS ncents
+  FROM n
+),
+cents AS (
+  SELECT vec_id AS cid, v AS vc FROM n, nc WHERE vec_id < nc.ncents
+),
+dists AS (
+  SELECT a.vec_id AS nid, c.cid,
+         row_number() OVER (PARTITION BY a.vec_id
+                            ORDER BY list_sum(list_transform(range(1, 65),
+                                     i -> (a.v[i] - c.vc[i]) * (a.v[i] - c.vc[i]))) ASC,
+                                     c.cid ASC) AS rn
+  FROM n a, cents c
+),
+cells  AS (SELECT nid, cid FROM dists WHERE rn = 1),
+probes AS (SELECT nid, cid FROM dists WHERE rn <= {P.IVF_NPROBE}),
+scored AS (
+  SELECT p.nid AS vec_id, la.label AS label,
+         m.nid AS neighbor_id, lb.label AS neighbor_label,
+         {_dec(f"{_DOT} / (a.nrm * b.nrm)", 4)} AS cosine
+  FROM probes p
+  JOIN cells m ON m.cid = p.cid
+  JOIN n a ON a.vec_id = p.nid
+  JOIN n b ON b.vec_id = m.nid
+  JOIN lab la ON la.vec_id = p.nid
+  JOIN lab lb ON lb.vec_id = m.nid
+  WHERE p.nid <> m.nid AND la.label <> lb.label
+        AND a.nrm > 0 AND b.nrm > 0
+),
+ranked AS (
+  SELECT vec_id, neighbor_id, label, neighbor_label, cosine,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT vec_id, neighbor_id, label, neighbor_label, cosine,
+       CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {P.ANN_TOP_K}
+"""
+
 ORACLES["embedding_outliers"] = f"""
 WITH {_EMB_CTE.strip()},
 scored AS (

@@ -1224,6 +1224,18 @@ def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _hn(load(spark, sf_dir, "embeddings"))
 
 
+def hard_negatives_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hard-negative mining over the IVF graph — the scale dial for
+    hard_negatives: O(n^1.5·nprobe) probed-cell blocks with the
+    same-label mask applied inside each block; value-checked by the
+    composed knn_graph_ivf+label oracle."""
+    from rsbsa_etl_spark.functions.similarity import (
+        hard_negatives_ivf as _hni,
+    )
+
+    return _hni(load(spark, sf_dir, "embeddings"))
+
+
 def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """per-node degree / triangle count / clustering coefficient of
     the exact kNN graph — node-iterator triangle join, edges
@@ -2705,6 +2717,7 @@ QUERIES: dict[str, QueryFn] = {
     "lang_confusion": lang_confusion,
     "rfm_segments": rfm_segments,
     "hard_negatives": hard_negatives,
+    "hard_negatives_ivf": hard_negatives_ivf,
     "graph_triangles": graph_triangles,
     "graph_triangles_ivf": graph_triangles_ivf,
     "ts_autocorr": ts_autocorr,
@@ -2897,6 +2910,13 @@ SCALE_DIALS: dict[str, tuple[str, str]] = {
         "recall@k AND MRR@k from one persisted set of index scans "
         "(half the index builds when both metrics are wanted)",
     ),
+    "hard_negatives": (
+        "hard_negatives_ivf",
+        "the same top-k-by-different-label semantics within IVF "
+        "probed cells — O(n^1.5*nprobe) instead of the exact tiled "
+        "all-pairs sweep the label mask rides on; deterministic and "
+        "value-checked like the parent graph",
+    ),
     "dedup_embedding": (
         "dedup_semantic",
         "SemDeDup cluster-then-prune: Voronoi cells -> per-cell "
@@ -2958,7 +2978,7 @@ AUDIT_EXCLUDE = frozenset({
     "scan_jsonl_corrupt", "scan_csv_typed",
     "scan_schema_evolution", "scan_orc_roundtrip",
     # building the DataFrame runs the one-pass √n cell-count sizing
-    "knn_graph_ivf", "graph_triangles_ivf",
+    "knn_graph_ivf", "graph_triangles_ivf", "hard_negatives_ivf",
     # building the DataFrame eagerly materializes the persisted exact
     # ranking (one count() so the brute-force scan builds exactly
     # once — r9; see ann_eval's docstring)

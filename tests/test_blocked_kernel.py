@@ -638,7 +638,8 @@ def test_chunked_block_sweep_is_bit_identical(spark, monkeypatch):
         pairs = {tuple(r) for r in S.cosine_pairs(emb).collect()}
         graph = {tuple(r) for r in S.knn_graph(emb, 5).collect()}
         bip = {tuple(r) for r in S.cosine_pairs_bipartite(new, emb).collect()}
-        return pairs, graph, bip
+        ivf = {tuple(r) for r in S.knn_graph_ivf(emb, 5).collect()}
+        return pairs, graph, bip, ivf
 
     base = snap()
     assert all(len(s) > 0 for s in base)

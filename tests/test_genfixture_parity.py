@@ -39,6 +39,8 @@ SAMPLE_KEYS = [
     "token_gini",                # transcendental-free stats
     "trend_theil_sen_capped",    # salted-sample determinism
     "sample_weighted",           # integer weight line
+    "sample_stratified",         # Hamilton apportionment (r9)
+    "mix_epochs",                # epoch-capped waterfill (r9)
     "sample_token_budget",       # distributed prefix sum
     "winsorize_stats",           # blocked ECDF rank picks
     "source_overlap_kmv_sketch", # KMV sketch estimate

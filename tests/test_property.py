@@ -1842,3 +1842,38 @@ def test_mix_epochs_budget_exact_and_caps_respected(spark):
     # higher (it hits the 2-epoch cap; the big side absorbs the rest)
     assert small["epochs_milli"] > big["epochs_milli"]
     assert small["alloc"] == small["cap"], "small source should cap at 2 epochs"
+
+
+def test_hard_negatives_ivf_edges_exact_and_label_filtered(spark):
+    """the IVF hard-negative set is approximate in WHICH candidates
+    it sees but exact in what it emits: every edge must cross labels,
+    carry the exact-arm cosine for that pair, have contiguous ranks,
+    and recover a reasonable fraction of the exact mined set."""
+    from rsbsa_etl_spark.functions.similarity import (
+        hard_negatives,
+        hard_negatives_ivf,
+    )
+    from rsbsa_etl_spark.sources.fixtures import load
+
+    from tests.conftest import SF_DIR
+
+    emb = load(spark, SF_DIR, "embeddings")
+    exact = {
+        (r.vec_id, r.neighbor_id): r.cosine
+        for r in hard_negatives(emb).collect()
+    }
+    approx = hard_negatives_ivf(emb).collect()
+    per_src: dict[int, list[int]] = {}
+    for r in approx:
+        assert r.label != r.neighbor_label
+        per_src.setdefault(r.vec_id, []).append(r.rank)
+        if (r.vec_id, r.neighbor_id) in exact:
+            assert exact[(r.vec_id, r.neighbor_id)] == r.cosine
+    for ranks in per_src.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    hits = sum(
+        1
+        for pair in exact
+        if pair in {(r.vec_id, r.neighbor_id) for r in approx}
+    )
+    assert hits / len(exact) > 0.3, hits / len(exact)
