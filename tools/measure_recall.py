@@ -62,52 +62,77 @@ def main() -> None:
     ap.add_argument("--out", default="/tmp/recall_r9.json")
     ap.add_argument("--k", type=int, default=K)
     ap.add_argument("--nprobes", default=",".join(map(str, NPROBES)))
+    ap.add_argument(
+        "--query-only", action="store_true",
+        help="skip the exact GRAPH truth (O(n²) — infeasible past "
+        "~50k vectors) and measure query-set recall only: "
+        "ivf_topk vs brute_force_topk over ANN_QUERY_IDS, one "
+        "corpus pass each — the scale point for the recall curve",
+    )
     args = ap.parse_args()
     dirs = [e.split("=", 1) for e in args.dirs.split(",")]
     nprobes = [int(x) for x in args.nprobes.split(",") if x]
 
     from rsbsa_etl_spark.functions.similarity import (
         ANN_QUERY_IDS,
+        brute_force_topk,
+        ivf_topk,
         knn_graph,
         knn_graph_ivf,
-        with_norm,
     )
     from rsbsa_etl_spark.session import get_spark
 
     spark = get_spark(app_name="rsbsa_recall_r9")
+    qset = set(ANN_QUERY_IDS)
     results: dict[str, dict] = {}
     for label, d in dirs:
         emb = spark.read.parquet(os.path.join(d, "embeddings.parquet"))
         n = emb.count()
-        # intra/inter-cluster cosine diagnostic: mean |cos| of 2k
-        # random pairs — isotropic sits ~E|cos|=sqrt(2/(64*pi))≈0.11,
-        # clustered mixtures show the bimodal lift
-        exact = knn_graph(emb, args.k)
         t0 = time.perf_counter()
-        truth = edge_set(exact)
+        if args.query_only:
+            truth = {
+                (r["query_id"], r["neighbor_id"])
+                for r in brute_force_topk(emb, k=args.k).collect()
+            }
+            truth_q = truth
+        else:
+            truth = edge_set(knn_graph(emb, args.k))
+            truth_q = {e for e in truth if e[0] in qset}
         exact_wall = round(time.perf_counter() - t0, 1)
-        qset = set(ANN_QUERY_IDS)
-        truth_q = {e for e in truth if e[0] in qset}
         row: dict = {
             "n": n,
             "k": args.k,
+            "query_only": bool(args.query_only),
             "exact_wall_s": exact_wall,
             "nprobe": {},
         }
         for np_ in nprobes:
             t0 = time.perf_counter()
-            got = edge_set(knn_graph_ivf(emb, args.k, nprobe=np_))
-            wall = round(time.perf_counter() - t0, 1)
-            got_q = {e for e in got if e[0] in qset}
-            row["nprobe"][np_] = {
-                "graph_recall": round(len(got & truth) / len(truth), 4),
-                "query_recall": round(
-                    len(got_q & truth_q) / max(len(truth_q), 1), 4
-                ),
-                "wall_s": wall,
-            }
+            if args.query_only:
+                got = {
+                    (r["query_id"], r["neighbor_id"])
+                    for r in ivf_topk(
+                        emb,
+                        k=args.k,
+                        n_centroids=max(16, int(n**0.5)),
+                        nprobe=np_,
+                    ).collect()
+                }
+                got_q = got
+                cell = {"query_recall": round(len(got_q & truth_q) / max(len(truth_q), 1), 4)}
+            else:
+                got = edge_set(knn_graph_ivf(emb, args.k, nprobe=np_))
+                got_q = {e for e in got if e[0] in qset}
+                cell = {
+                    "graph_recall": round(len(got & truth) / len(truth), 4),
+                    "query_recall": round(
+                        len(got_q & truth_q) / max(len(truth_q), 1), 4
+                    ),
+                }
+            cell["wall_s"] = round(time.perf_counter() - t0, 1)
+            row["nprobe"][np_] = cell
             spark.catalog.clearCache()
-            print(f"[{label}] nprobe={np_}: {row['nprobe'][np_]}", flush=True)
+            print(f"[{label}] nprobe={np_}: {cell}", flush=True)
         results[label] = row
 
     with open(args.out, "w") as fh:
@@ -118,7 +143,12 @@ def main() -> None:
     print("|" + "---|" * (2 + len(nprobes)))
     for label, row in results.items():
         cells = " | ".join(
-            str(row["nprobe"][p]["graph_recall"]) for p in nprobes
+            str(
+                row["nprobe"][p].get(
+                    "graph_recall", row["nprobe"][p].get("query_recall")
+                )
+            )
+            for p in nprobes
         )
         print(f"| {label} | {row['n']} | {cells} |")
     print(f"\nwrote {args.out}")
