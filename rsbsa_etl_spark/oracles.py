@@ -1781,6 +1781,10 @@ ORACLES["ann_lsh"] = _ann_sql(bucketed=True)
 ORACLES["ann_lsh_multiprobe"] = _ann_sql(bucketed=True, multiprobe=True)
 
 ORACLES["ann_ivf"] = _ivf_sql()
+# the persisted-index path serves the identical semantics from a
+# partitionBy(cid) parquet layout — one semantics, two physical
+# strategies, one oracle
+ORACLES["ann_index_roundtrip"] = _ivf_sql()
 
 ORACLES["embedding_pq"] = f"""
 WITH e AS (

@@ -1224,6 +1224,29 @@ def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _hn(load(spark, sf_dir, "embeddings"))
 
 
+def ann_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """persisted-IVF lifecycle: build the index (members parquet
+    partitioned by cell id + centroid table) into a tempdir, then
+    serve the benchmark queries from it — the probed cells become a
+    literal partition filter, so the members scan prunes to
+    nprobe/n_centroids of the data at planning time. Semantics (and
+    the oracle) are ann_ivf's verbatim: one semantics, two physical
+    strategies."""
+    import os
+    import tempfile
+
+    from rsbsa_etl_spark.sources.ann_index import (
+        build_ivf_index,
+        query_ivf_index,
+        query_vectors_from_table,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    path = os.path.join(tempfile.mkdtemp(prefix="rsbsa_ivf_"), "index")
+    build_ivf_index(emb, path)
+    return query_ivf_index(spark, path, query_vectors_from_table(emb))
+
+
 def hard_negatives_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """hard-negative mining over the IVF graph — the scale dial for
     hard_negatives: O(n^1.5·nprobe) probed-cell blocks with the
@@ -2718,6 +2741,7 @@ QUERIES: dict[str, QueryFn] = {
     "rfm_segments": rfm_segments,
     "hard_negatives": hard_negatives,
     "hard_negatives_ivf": hard_negatives_ivf,
+    "ann_index_roundtrip": ann_index_roundtrip,
     "graph_triangles": graph_triangles,
     "graph_triangles_ivf": graph_triangles_ivf,
     "ts_autocorr": ts_autocorr,
@@ -2974,9 +2998,11 @@ AUDIT_EXCLUDE = frozenset({
     "bpe_train", "bpe_segment", "mmr_rerank", "hybrid_mmr",
     "hybrid_search_rrf", "merge_cdc",
     # ingestion round-trips: building the DataFrame WRITES the
-    # tempdir it then reads back
+    # tempdir it then reads back (ann_index_roundtrip also collects
+    # the centroid table driver-side to plant the partition filter)
     "scan_jsonl_corrupt", "scan_csv_typed",
     "scan_schema_evolution", "scan_orc_roundtrip",
+    "ann_index_roundtrip",
     # building the DataFrame runs the one-pass √n cell-count sizing
     "knn_graph_ivf", "graph_triangles_ivf", "hard_negatives_ivf",
     # building the DataFrame eagerly materializes the persisted exact
@@ -3133,6 +3159,9 @@ _UNTESTED_PRIORITY = [
     "source_overlap_kmv_sketch", "winsorize_stats", "token_gini",
     "scan_jsonl_corrupt", "scan_csv_typed",
     "scan_schema_evolution", "scan_orc_roundtrip",
+    # round-9 additions
+    "sample_stratified", "mix_epochs", "hard_negatives_ivf",
+    "ann_index_roundtrip",
 ]
 
 _rows, _row_rounds = _driver_latest_rows_and_rounds()

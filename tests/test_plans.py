@@ -821,3 +821,32 @@ def test_committed_planaudit_matches_live_plans(spark):
         "PLANAUDIT.json is stale for these keys — regenerate with "
         f"`python -m rsbsa_etl_spark audit` and commit: {drift}"
     )
+
+
+def test_ann_index_query_prunes_partitions(spark, tmp_path):
+    """the persisted IVF index's whole point: the members scan must
+    prune to the probed cells at PLANNING time (PartitionFilters on
+    the cid partition column — zero I/O for unprobed cells), and the
+    served result must equal the in-plan ivf_topk ranking exactly
+    (one semantics, two physical strategies)."""
+    from rsbsa_etl_spark.functions.similarity import ivf_topk
+    from rsbsa_etl_spark.sources.ann_index import (
+        build_ivf_index,
+        query_ivf_index,
+        query_vectors_from_table,
+    )
+    from rsbsa_etl_spark.sources.fixtures import load
+
+    from tests.conftest import SF_DIR
+
+    emb = load(spark, SF_DIR, "embeddings")
+    path = str(tmp_path / "index")
+    build_ivf_index(emb, path)
+    served = query_ivf_index(spark, path, query_vectors_from_table(emb))
+    plan = _plan(served)
+    assert "PartitionFilters" in plan
+    seg = plan[plan.index("PartitionFilters"):][:200]
+    assert "cid" in seg and ("IN" in seg or "isin" in seg.lower()), seg
+    assert {tuple(r) for r in served.collect()} == {
+        tuple(r) for r in ivf_topk(emb).collect()
+    }

@@ -1877,3 +1877,30 @@ def test_hard_negatives_ivf_edges_exact_and_label_filtered(spark):
         if pair in {(r.vec_id, r.neighbor_id) for r in approx}
     )
     assert hits / len(exact) > 0.3, hits / len(exact)
+
+
+def test_stratified_sample_edge_cases(spark):
+    """contract pins: (a) K larger than a stratum's proportional
+    share never over-draws a stratum beyond its population — the
+    emitted count per stratum is min(n_g, alloc_g); (b) a NULL
+    stratum participates in the allocation arithmetic but can never
+    emit (equi-join semantics drop NULL keys in BOTH engines — the
+    oracle's USING join behaves identically, so parity holds); (c) a
+    single-stratum corpus degenerates to fixed_n_sample semantics."""
+    from rsbsa_etl_spark.functions.curation import stratified_sample
+
+    # (a)+(b): 5 en docs, 3 NULL-lang docs, K=6 over N=8
+    docs = spark.createDataFrame(
+        [(i, "en") for i in range(5)] + [(i + 10, None) for i in range(3)],
+        "doc_id long, lang string",
+    )
+    out = stratified_sample(docs, k=6).collect()
+    # en's share: floor(6*5/8)=3 (+maybe remainder); NULL never emits
+    assert all(r["lang"] == "en" for r in out)
+    assert 3 <= len(out) <= 5
+    # (c): one stratum takes all K seats
+    docs1 = spark.createDataFrame(
+        [(i, "en") for i in range(50)], "doc_id long, lang string"
+    )
+    out1 = stratified_sample(docs1, k=7).collect()
+    assert len(out1) == 7 and all(r["alloc"] == 7 for r in out1)
