@@ -227,6 +227,11 @@ HEADLINE = [
     "scan_csv_typed",
     "scan_schema_evolution",
     "scan_orc_roundtrip",
+    # round-9 additions
+    "sample_stratified",
+    "mix_epochs",
+    "hard_negatives_ivf",
+    "ann_index_roundtrip",
 ]
 
 
