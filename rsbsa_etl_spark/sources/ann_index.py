@@ -81,6 +81,39 @@ def build_ivf_index(
     ).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
 
 
+def append_to_ivf_index(new_emb: DataFrame, path: str) -> None:
+    """incremental ingest: assign a NEW batch of vectors to cells
+    using the index's STORED centroids (not re-derived — the
+    quantizer is frozen at build time, the property that makes an
+    inverted file append-only) and append them to the partitioned
+    members layout. Only the touched cells' directories gain files;
+    queries pick the new vectors up with no rebuild and no change to
+    the probe computation.
+
+    At 100 TB this is the ingest path: one narrow pass over the
+    batch (broadcast argmin fold), a partitioned append, zero
+    contact with the existing members data.
+    """
+    spark = new_emb.sparkSession
+    cents = spark.read.parquet(os.path.join(path, "centroids")).select(
+        F.col("cid"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "vc"
+        ),
+    )
+    e = with_norm(new_emb)
+    best = _argmin_cell(F.col("_vd"), F.col("cs"))
+    members = e.join(F.broadcast(_collected_centroids(cents))).select(
+        "vec_id",
+        "embedding",
+        F.col("_norm").alias("nrm"),
+        best["cid"].alias("cid"),
+    )
+    members.write.mode("append").partitionBy("cid").parquet(
+        os.path.join(path, "members")
+    )
+
+
 def query_ivf_index(
     spark: SparkSession,
     path: str,

@@ -724,6 +724,10 @@ GLOBAL_WINDOW_ALLOWLIST = {
     "limit_offset": 1,
     "sample_token_budget": 1,
     "sample_weighted": 1,  # 64-row bucket-offset cumsum (prefix-sum line)
+    "sample_stratified": 1,  # Hamilton remainder rank over the G-row
+                             # stratum-count table (bounded by domain)
+    "mix_epochs": 2,  # allocation windows over the G-row per-source
+                      # table (budget/weight totals + waterfill order)
     "sketch_merge": 2,
     "ts_changepoint": 3,
     "value_ecdf": 1,
@@ -850,3 +854,40 @@ def test_ann_index_query_prunes_partitions(spark, tmp_path):
     assert {tuple(r) for r in served.collect()} == {
         tuple(r) for r in ivf_topk(emb).collect()
     }
+
+
+def test_ann_index_append_matches_full_build(spark, tmp_path):
+    """incremental ingest contract: build on half the corpus, append
+    the other half (cells assigned by the STORED centroids), and the
+    served ranking must be byte-identical to a one-shot full build —
+    the frozen-quantizer property that makes the inverted file
+    append-only. (Both halves must include the centroid seed rows,
+    so the split is by parity above the centroid range.)"""
+    from pyspark.sql import functions as F
+
+    from rsbsa_etl_spark.functions.similarity import IVF_CENTROIDS
+    from rsbsa_etl_spark.sources.ann_index import (
+        append_to_ivf_index,
+        build_ivf_index,
+        query_ivf_index,
+        query_vectors_from_table,
+    )
+    from rsbsa_etl_spark.sources.fixtures import load
+
+    from tests.conftest import SF_DIR
+
+    emb = load(spark, SF_DIR, "embeddings")
+    seed = F.col("vec_id") < IVF_CENTROIDS
+    first = emb.where(seed | (F.col("vec_id") % 2 == 0))
+    second = emb.where(~seed & (F.col("vec_id") % 2 == 1))
+
+    full = str(tmp_path / "full")
+    inc = str(tmp_path / "inc")
+    build_ivf_index(emb, full)
+    build_ivf_index(first, inc)
+    append_to_ivf_index(second, inc)
+
+    qv = query_vectors_from_table(emb)
+    got_full = {tuple(r) for r in query_ivf_index(spark, full, qv).collect()}
+    got_inc = {tuple(r) for r in query_ivf_index(spark, inc, qv).collect()}
+    assert got_inc == got_full and len(got_full) > 0
