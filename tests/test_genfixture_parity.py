@@ -41,6 +41,8 @@ SAMPLE_KEYS = [
     "sample_weighted",           # integer weight line
     "sample_stratified",         # Hamilton apportionment (r9)
     "mix_epochs",                # epoch-capped waterfill (r9)
+    "tokenizer_fertility",       # per-lang exact ratio sums (r9)
+    "text_strip_markup",         # synthesized-markup cleaning (r9)
     "sample_token_budget",       # distributed prefix sum
     "winsorize_stats",           # blocked ECDF rank picks
     "source_overlap_kmv_sketch", # KMV sketch estimate
