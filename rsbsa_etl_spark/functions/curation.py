@@ -487,11 +487,15 @@ def strip_markup(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.lit(">"),
     )
     clean = F.trim(F.regexp_replace(decoded, r"\s+", " "))
+    # lengths promoted to BIGINT before the ×1000: F.length is 32-bit,
+    # so a >2.1M-char document (realistic in a web corpus) would
+    # overflow under ANSI; the DuckDB oracle is already BIGINT here
     return docs.where(F.col(text_col).isNotNull()).select(
         "doc_id",
         clean.alias("clean_text"),
         F.floor(
-            F.length(clean) * 1000 / F.greatest(F.length(dirty), F.lit(1))
+            F.length(clean).cast("long") * 1000
+            / F.greatest(F.length(dirty).cast("long"), F.lit(1))
         )
         .cast("long")
         .alias("retained_milli"),
@@ -528,6 +532,12 @@ def stratified_sample(
     """
     kk = P.STRAT_SAMPLE_K if k is None else k
     g = F.col(stratum_col)
+    # NULL strata are excluded up front: a NULL stratum would absorb
+    # allocation seats that can never emit (the equi-join below drops
+    # NULL keys), silently yielding < K rows — and Spark's asc() is
+    # NULLS FIRST while the oracle's ORDER BY defaults NULLS LAST, so
+    # a NULL tying on remainder would also break engine lockstep.
+    docs = docs.where(g.isNotNull())
     counts = docs.groupBy(stratum_col).agg(F.count("*").alias("n_g"))
     # N folds out of the counts as a full-frame window instead of a
     # separate aggregate+join — that form re-scanned the corpus a
@@ -542,7 +552,7 @@ def stratified_sample(
         F.floor(F.lit(kk) * F.col("n_g") / n_tot).alias("base"),
         (F.lit(kk) * F.col("n_g") % n_tot).alias("rem"),
     )
-    wrem = Window.orderBy(F.col("rem").desc(), g.asc())
+    wrem = Window.orderBy(F.col("rem").desc(), g.asc_nulls_last())
     alloc = scored.select(
         stratum_col,
         "n_g",

@@ -2474,7 +2474,8 @@ FROM draws d JOIN cum c ON d.u >= c.hi - c.w AND d.u < c.hi
 # salted hashes per stratum — division is / (double) + floor in BOTH
 # engines so the apportionment floors are IEEE-identical
 ORACLES["sample_stratified"] = f"""
-WITH c AS (SELECT lang, count(*) AS n_g FROM documents GROUP BY 1),
+WITH c AS (SELECT lang, count(*) AS n_g FROM documents
+           WHERE lang IS NOT NULL GROUP BY 1),
 t AS (SELECT CAST(sum(n_g) AS BIGINT) AS n_tot FROM c),
 s AS (
   SELECT lang, n_g,
@@ -2484,7 +2485,8 @@ s AS (
 ),
 a AS (
   SELECT lang, n_g,
-         base + CASE WHEN row_number() OVER (ORDER BY rem DESC, lang ASC)
+         base + CASE WHEN row_number()
+                            OVER (ORDER BY rem DESC, lang ASC NULLS LAST)
                       <= {P.STRAT_SAMPLE_K} - sum(base) OVER ()
                 THEN 1 ELSE 0 END AS alloc
   FROM s
@@ -2494,7 +2496,7 @@ h AS (
          row_number() OVER (PARTITION BY lang ORDER BY
            {_hexpoly("md5('st1' || '|' || CAST(doc_id AS VARCHAR))", 1)} ASC,
            doc_id ASC) AS rn
-  FROM documents
+  FROM documents WHERE lang IS NOT NULL
 )
 SELECT h.doc_id, h.lang, a.n_g, a.alloc
 FROM h JOIN a USING (lang) WHERE h.rn <= a.alloc

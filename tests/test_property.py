@@ -1803,7 +1803,6 @@ def test_stratified_sample_hamilton_allocation(spark):
     got = {}
     for r in out:
         got[r["lang"]] = got.get(r["lang"], 0) + 1
-        assert r["alloc"] == got.get(r["lang"], 0) or True
     # N=100: shares 7.0/2.0/0.7/0.3 -> bases 7/2/0/0, leftover 1 goes
     # to zh (remainder .7 largest)
     assert got == {"en": 7, "de": 2, "zh": 1}
@@ -1815,6 +1814,30 @@ def test_stratified_sample_hamilton_allocation(spark):
     # deterministic: second run identical
     again = stratified_sample(docs, k=k).collect()
     assert {tuple(r) for r in again} == {tuple(r) for r in out}
+
+
+def test_stratified_sample_null_stratum_excluded(spark):
+    """NULL strata must not absorb allocation seats: the equi-join
+    drops NULL keys, so seats given to a NULL stratum could never
+    emit and the sample would silently come up short of K. With the
+    NULL rows excluded up front, the sample is still exactly K and
+    every emitted stratum is non-NULL."""
+    from rsbsa_etl_spark.functions.curation import stratified_sample
+
+    rows = (
+        [(i, "en") for i in range(40)]
+        + [(i + 100, "de") for i in range(20)]
+        + [(i + 200, None) for i in range(40)]  # 40% NULL stratum
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = stratified_sample(docs, k=6).collect()
+    assert len(out) == 6  # exact K despite the NULL mass
+    assert all(r["lang"] is not None for r in out)
+    # allocation computed over the 60 non-NULL docs: 40/60 and 20/60
+    got = {}
+    for r in out:
+        got[r["lang"]] = got.get(r["lang"], 0) + 1
+    assert got == {"en": 4, "de": 2}
 
 
 def test_mix_epochs_budget_exact_and_caps_respected(spark):
@@ -1940,7 +1963,7 @@ def test_strip_markup_cleans_and_decodes(spark):
     )
     (row,) = strip_markup(docs).collect()
     clean = row["clean_text"]
-    assert "<" not in clean.replace("<soon>", "") or True
+    assert "<" not in clean.replace("<soon>", "")
     assert clean == "srcA hello world & more <soon> home | about | login"
     assert row["retained_milli"] == len(clean) * 1000 // (
         len("<html><body><h1>srcA</h1><p>hello   world &amp; more "

@@ -351,9 +351,14 @@ def main() -> None:
     _PARTS = max(1, round(32 * args.sf))
 
     if only is not None:
-        # NOTE: draw order matches the full run (documents first,
-        # then embeddings), so `--only documents,embeddings` emits
-        # the same tables a full run would
+        # NOTE: draw ORDER matches the full run (documents first,
+        # then embeddings), but reproducibility vs a full run holds
+        # only when every preceding table is included too: with
+        # `--only embeddings` alone the documents draws are skipped,
+        # so the RNG stream — and the emitted embeddings — differ
+        # from what a full run at the same seed would produce. Tables
+        # emitted under --only are self-consistent and reproducible
+        # across --only runs with the same list+seed.
         if "documents" in only:
             pairs, docs = gen_documents(
                 rng, int(50_000 * args.sf), args.vocab_size
