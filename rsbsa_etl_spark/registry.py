@@ -3089,6 +3089,188 @@ def _is_green(row: dict) -> bool:
     )
 
 
+def _dep_closure(fn) -> dict[str, str]:
+    """Transitive, FUNCTION-granular dependency closure of a registry
+    callable inside the ``rsbsa_etl_spark`` package: every function /
+    class whose source the key's execution can reach (resolved
+    statically — AST ``Name`` and ``module.attr`` references through
+    each function's globals), plus the ``repr`` of every package
+    constant it reads (so a ``params`` change flags exactly the keys
+    that read that constant, not the whole registry).
+
+    Returns ``{dep_id: source_or_repr}`` with stable ids
+    (``module.qualname``) and deterministic values (sets are sorted
+    before repr — PYTHONHASHSEED must not leak into the hash).
+
+    Granularity rationale (r10, replacing a module-bytes prototype):
+    whole-module hashing flagged 71 of 253 keys as changed after a
+    routine round of edits — so coarse the change tier would crowd
+    the age tier out of the driver's 50-key sweep head. Function
+    granularity flags a key only when code it actually executes (or
+    a constant it actually reads) changed. Known blind spots, all
+    covered by the full local oracle-parity pytest gate: dynamic
+    dispatch through strings, and source reached only via data
+    tables of callables.
+    """
+    import ast as _ast
+    import inspect as _inspect
+    import sys as _sys
+    import textwrap as _textwrap
+    import types as _types
+
+    out: dict[str, str] = {}
+    seen: set[str] = set()
+
+    def _det_repr(v) -> str:
+        if isinstance(v, (set, frozenset)):
+            return "{" + ", ".join(sorted(repr(x) for x in v)) + "}"
+        if isinstance(v, dict):
+            return (
+                "{"
+                + ", ".join(
+                    f"{k!r}: {_det_repr(x)}"
+                    for k, x in sorted(v.items(), key=lambda kv: repr(kv[0]))
+                )
+                + "}"
+            )
+        if isinstance(v, (list, tuple)):
+            inner = ", ".join(_det_repr(x) for x in v)
+            return f"[{inner}]" if isinstance(v, list) else f"({inner})"
+        return repr(v)
+
+    def _unwrap(obj):
+        # pandas_udf / functools wrappers: hash the wrapped source
+        inner = getattr(obj, "func", None) or getattr(obj, "__wrapped__", None)
+        return inner if callable(inner) else obj
+
+    def _visit(obj):
+        obj = _unwrap(obj)
+        mod = getattr(obj, "__module__", "") or ""
+        if not mod.startswith("rsbsa_etl_spark"):
+            return
+        if not isinstance(obj, (_types.FunctionType, type)):
+            return
+        dep_id = f"{mod}.{getattr(obj, '__qualname__', '?')}"
+        if dep_id in seen:
+            return
+        seen.add(dep_id)
+        try:
+            src = _inspect.getsource(obj)
+        except (OSError, TypeError):
+            out[dep_id] = dep_id  # deterministic stand-in
+            return
+        out[dep_id] = src
+        g = getattr(obj, "__globals__", None)
+        if g is None:  # classes: resolve through their module
+            g = getattr(_sys.modules.get(mod), "__dict__", {})
+        try:
+            tree = _ast.parse(_textwrap.dedent(src))
+        except SyntaxError:
+            return
+        for node in _ast.walk(tree):
+            if isinstance(node, _ast.Attribute) and isinstance(
+                node.value, _ast.Name
+            ):
+                base = g.get(node.value.id)
+                if isinstance(base, _types.ModuleType) and (
+                    base.__name__.startswith("rsbsa_etl_spark")
+                ):
+                    _add(g, f"{base.__name__}.{node.attr}",
+                         getattr(base, node.attr, None))
+            elif isinstance(node, _ast.Name):
+                _add(g, node.id, g.get(node.id))
+
+    def _add(g, name: str, val) -> None:
+        if val is None or isinstance(val, _types.ModuleType):
+            return
+        if callable(val):
+            _visit(val)
+            return
+        # a package CONSTANT the code reads (params thresholds, rule
+        # tables, …) — include its value; determine package ownership
+        # by which module defines the name (constants imported into a
+        # function's globals came from an rsbsa module by definition
+        # of our import style, so include any non-callable global
+        # that is not a dunder/builtin)
+        if name.startswith("__"):
+            return
+        key = f"const.{name}"
+        if key not in out:
+            try:
+                out[key] = _det_repr(val)
+            except Exception:
+                out[key] = name
+
+    _visit(fn)
+    return out
+
+
+def _key_code_hash(key: str, fn=None, oracle: str | None = None) -> str:
+    """Content hash of what a key's driver-correctness row attests
+    to: the registered function's transitive function-level source
+    closure (``_dep_closure``) plus its DuckDB oracle string. Equal
+    hash ⇒ the code the driver verified is byte-identical to the
+    code that would run today; a mismatch sends the key back to the
+    sweep head (``_changed_since_checked``). The algorithm is
+    duplicated in ``tools/snapshot_keyhashes.py`` (which must run
+    inside historical trees that predate this helper) — the two are
+    pinned byte-equal by tests/test_sweep_rotation.py.
+    """
+    import hashlib as _hashlib
+
+    if fn is None:
+        fn = QUERIES[key]
+    if oracle is None:
+        from rsbsa_etl_spark.oracles import ORACLES as _O
+
+        oracle = _O.get(key, "")
+    closure = _dep_closure(fn)
+    h = _hashlib.sha256()
+    h.update((oracle or "").encode())
+    for dep_id in sorted(closure):
+        h.update(b"\x00")
+        h.update(dep_id.encode())
+        h.update(b"\x01")
+        h.update(closure[dep_id].encode())
+    return h.hexdigest()
+
+
+def _recorded_key_hashes() -> dict:
+    """KEYHASHES.json: per key, the code hash as of the key's latest
+    committed driver row (``tools/snapshot_keyhashes.py`` maintains
+    it — run at round start, when the new CORRECTNESS record lands
+    and the tree still equals what the driver tested)."""
+    import json as _json
+    from pathlib import Path as _Path
+
+    p = _Path(__file__).resolve().parent.parent / "KEYHASHES.json"
+    try:
+        data = _json.loads(p.read_text())
+    except (OSError, ValueError):
+        return {}
+    return data if isinstance(data, dict) else {}
+
+
+def _changed_since_checked(
+    green: set, recorded: dict | None = None
+) -> set:
+    """Greens whose CURRENT code hash differs from the hash recorded
+    at their latest driver row — their evidence verified a previous
+    implementation, so age alone under-ranks them (the r9
+    ``sample_stratified`` lesson: reimplemented in r9, newest driver
+    row r7, and the age tier could not see it). A green with NO
+    recorded hash is treated as changed (unknown provenance ⇒
+    re-check)."""
+    if recorded is None:
+        recorded = _recorded_key_hashes()
+    out = set()
+    for k in green:
+        rec = recorded.get(k)
+        if not isinstance(rec, dict) or rec.get("hash") != _key_code_hash(k):
+            out.add(k)
+    return out
+
+
 # Round-6 queue: zero reds; pending = the 32 round-5 leftovers plus
 # the 16 round-6 additions (value_ecdf sketch_hll window_ewma
 # skyline_pareto source_overlap_kmv ab_chisq seq_trigrams
@@ -3195,16 +3377,28 @@ _rest = [
     k for k in QUERIES
     if k not in set(_red) and k not in set(_untested) and k not in _green
 ]
-# Age tier (round 7): once every key is driver-green, the rotation
-# would otherwise degenerate to a frozen order and the driver's 50-key
-# sweep would re-confirm the same head forever. Instead, order the
-# green tail by driver-row AGE — oldest committed round first (stable
-# within a round, so registry order breaks ties). Each round the
-# driver then re-confirms the 50 stalest greens against CURRENT code,
-# so "green once, many rounds of churn ago" converts into fresh
-# evidence automatically as new CORRECTNESS files land.
+# Age tier (round 7) + change tier (round 10): once every key is
+# driver-green, the rotation would otherwise degenerate to a frozen
+# order and the driver's 50-key sweep would re-confirm the same head
+# forever. Instead, order the green tail by
+# ``max(evidence age, changed-since-checked)``:
+#
+#   1. greens whose CURRENT code hash no longer matches the hash
+#      recorded at their latest driver row (KEYHASHES.json) come
+#      first — their evidence verified a previous implementation, so
+#      it is stale regardless of how recent the row is (the r9
+#      ``sample_stratified`` lesson: reimplemented in r9 while its
+#      newest driver row, r7, silently attested to the old code);
+#   2. then by driver-row AGE — oldest committed round first (stable
+#      within a round, so registry order breaks ties).
+#
+# Each round the driver re-confirms the ~50 stalest-or-changed greens
+# against CURRENT code, so both "green many rounds of churn ago" and
+# "green for code that no longer exists" convert into fresh evidence
+# automatically as new CORRECTNESS files land.
+_changed = _changed_since_checked(_green)
 _tail = sorted(
     (k for k in QUERIES if k in _green and k not in set(_red)),
-    key=lambda k: _row_rounds.get(k, 0),
+    key=lambda k: (k not in _changed, _row_rounds.get(k, 0)),
 )
 QUERIES = {k: QUERIES[k] for k in (*_red, *_untested, *_rest, *_tail)}

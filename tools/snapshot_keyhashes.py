@@ -1,0 +1,285 @@
+#!/usr/bin/env python
+"""Maintain KEYHASHES.json — per registry key, the code hash as of
+the key's latest committed driver-correctness row.
+
+Why: the sweep rotation orders already-green keys by evidence age,
+but age is blind to a key REIMPLEMENTED after its last driver check
+(the r9 ``sample_stratified`` case: rewritten in round 9 while its
+newest driver row, r7, silently attested to the old code). The
+rotation therefore also compares each green key's CURRENT code hash
+(``registry._key_code_hash``) against the hash recorded here; a
+mismatch promotes the key to the head of the green tail so the
+driver re-verifies the new implementation next round.
+
+Protocol (one command per round):
+
+    python tools/snapshot_keyhashes.py          # at ROUND START
+
+Run it when the new ``CORRECTNESS_r{N}.json`` lands and BEFORE any
+code edits — at that moment the working tree still equals the tree
+the driver tested, so hashing the current tree records exactly the
+code each fresh row attests to. Keys not in the new record keep
+their previous entries.
+
+Seeding (one-time, round 10) used ``--seed``: for every round R with
+surviving latest rows, it extracted the tree the round-R driver
+record actually tested (the PARENT of the ``round R: verdict/...``
+driver commit — that commit only adds artifacts) via ``git archive``
+into a temp dir and ran this script there in ``--emit-json`` mode,
+so every key's recorded hash is the hash of the code its latest
+driver row really verified — including the pre-Hamilton
+``sample_stratified`` at r7, which is exactly how the rotation
+learns that key changed.
+
+The hash algorithm here MUST stay in lockstep with
+``registry._key_code_hash`` (the emit subprocess runs inside
+historical trees whose registry predates that helper, so the
+algorithm is duplicated); ``tests/test_sweep_rotation.py::
+test_tool_hash_matches_registry_hash`` pins the two byte-equal.
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import inspect
+import json
+import os
+import re
+import subprocess
+import sys
+import tempfile
+import types
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+
+
+def dep_closure(fn) -> dict[str, str]:
+    """Standalone mirror of ``registry._dep_closure`` — must stay
+    byte-identical in behavior (pinned by test). Duplicated because
+    this runs inside historical trees whose registry predates the
+    helper."""
+    import ast
+    import textwrap
+
+    out: dict[str, str] = {}
+    seen: set[str] = set()
+
+    def _det_repr(v) -> str:
+        if isinstance(v, (set, frozenset)):
+            return "{" + ", ".join(sorted(repr(x) for x in v)) + "}"
+        if isinstance(v, dict):
+            return (
+                "{"
+                + ", ".join(
+                    f"{k!r}: {_det_repr(x)}"
+                    for k, x in sorted(v.items(), key=lambda kv: repr(kv[0]))
+                )
+                + "}"
+            )
+        if isinstance(v, (list, tuple)):
+            inner = ", ".join(_det_repr(x) for x in v)
+            return f"[{inner}]" if isinstance(v, list) else f"({inner})"
+        return repr(v)
+
+    def _unwrap(obj):
+        inner = getattr(obj, "func", None) or getattr(obj, "__wrapped__", None)
+        return inner if callable(inner) else obj
+
+    def _visit(obj):
+        obj = _unwrap(obj)
+        mod = getattr(obj, "__module__", "") or ""
+        if not mod.startswith("rsbsa_etl_spark"):
+            return
+        if not isinstance(obj, (types.FunctionType, type)):
+            return
+        dep_id = f"{mod}.{getattr(obj, '__qualname__', '?')}"
+        if dep_id in seen:
+            return
+        seen.add(dep_id)
+        try:
+            src = inspect.getsource(obj)
+        except (OSError, TypeError):
+            out[dep_id] = dep_id
+            return
+        out[dep_id] = src
+        g = getattr(obj, "__globals__", None)
+        if g is None:
+            g = getattr(sys.modules.get(mod), "__dict__", {})
+        try:
+            tree = ast.parse(textwrap.dedent(src))
+        except SyntaxError:
+            return
+        for node in ast.walk(tree):
+            if isinstance(node, ast.Attribute) and isinstance(
+                node.value, ast.Name
+            ):
+                base = g.get(node.value.id)
+                if isinstance(base, types.ModuleType) and (
+                    base.__name__.startswith("rsbsa_etl_spark")
+                ):
+                    _add(g, f"{base.__name__}.{node.attr}",
+                         getattr(base, node.attr, None))
+            elif isinstance(node, ast.Name):
+                _add(g, node.id, g.get(node.id))
+
+    def _add(g, name: str, val) -> None:
+        if val is None or isinstance(val, types.ModuleType):
+            return
+        if callable(val):
+            _visit(val)
+            return
+        if name.startswith("__"):
+            return
+        key = f"const.{name}"
+        if key not in out:
+            try:
+                out[key] = _det_repr(val)
+            except Exception:
+                out[key] = name
+
+    _visit(fn)
+    return out
+
+
+def key_code_hash(key: str, fn, oracle: str) -> str:
+    """Standalone mirror of ``registry._key_code_hash`` — same bytes
+    in, same digest out (pinned by test)."""
+    closure = dep_closure(fn)
+    h = hashlib.sha256()
+    h.update((oracle or "").encode())
+    for dep_id in sorted(closure):
+        h.update(b"\x00")
+        h.update(dep_id.encode())
+        h.update(b"\x01")
+        h.update(closure[dep_id].encode())
+    return h.hexdigest()
+
+
+def compute_all_hashes() -> dict[str, str]:
+    """{key: hash} for every registry key, resolved from whatever
+    tree sys.path points at (PYTHONPATH in --emit-json mode)."""
+    import __spark_entry__ as E
+
+    queries = E.queries()
+    oracles = E.oracle_sql()
+    return {
+        k: key_code_hash(k, fn, oracles.get(k, ""))
+        for k, fn in queries.items()
+    }
+
+
+def _latest_rows_and_rounds(root: Path) -> tuple[dict, dict]:
+    rows: dict = {}
+    rounds: dict = {}
+
+    def _round_of(p: Path) -> int:
+        m = re.search(r"r(\d+)", p.name)
+        return int(m.group(1)) if m else 0
+
+    for p in sorted(root.glob("CORRECTNESS_r*.json"), key=_round_of):
+        try:
+            data = json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        if isinstance(data, dict):
+            for k, v in data.items():
+                if isinstance(v, dict):
+                    rows[k] = v
+                    rounds[k] = _round_of(p)
+    return rows, rounds
+
+
+def _driver_commit_parent(rnd: int) -> str | None:
+    """Commit whose tree the round-``rnd`` driver record tested: the
+    parent of the ``round {rnd}: verdict/...`` driver commit (the
+    driver commit itself only adds the round's artifact files)."""
+    out = subprocess.run(
+        ["git", "-C", str(ROOT), "log", "--format=%H %s"],
+        capture_output=True, text=True, check=True,
+    ).stdout
+    for line in out.splitlines():
+        sha, _, subj = line.partition(" ")
+        if re.match(rf"^round {rnd}: verdict", subj):
+            return f"{sha}^"
+    return None
+
+
+def _hashes_at_ref(ref: str) -> dict[str, str]:
+    """Extract ``ref``'s tree and run this script there in emit mode."""
+    with tempfile.TemporaryDirectory(prefix="keyhash_") as td:
+        tar = subprocess.run(
+            ["git", "-C", str(ROOT), "archive", ref],
+            capture_output=True, check=True,
+        ).stdout
+        subprocess.run(
+            ["tar", "-x", "-C", td], input=tar, check=True
+        )
+        env = dict(os.environ, PYTHONPATH=td)
+        out = subprocess.run(
+            [sys.executable, str(Path(__file__).resolve()), "--emit-json"],
+            capture_output=True, text=True, env=env, cwd=td, check=True,
+        ).stdout
+        # last line is the JSON (anything above is stray import noise)
+        return json.loads(out.strip().splitlines()[-1])
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument(
+        "--emit-json", action="store_true",
+        help="print {key: hash} for the tree on PYTHONPATH and exit",
+    )
+    ap.add_argument(
+        "--seed", action="store_true",
+        help="rebuild every entry from each key's actual tested tree "
+        "(parent of the per-round driver commit) — one-time bootstrap",
+    )
+    args = ap.parse_args()
+
+    if args.emit_json:
+        print(json.dumps(compute_all_hashes(), sort_keys=True))
+        return
+
+    path = ROOT / "KEYHASHES.json"
+    try:
+        recorded = json.loads(path.read_text())
+    except (OSError, ValueError):
+        recorded = {}
+
+    _, rounds = _latest_rows_and_rounds(ROOT)
+    if args.seed:
+        for rnd in sorted(set(rounds.values())):
+            keys = [k for k, r in rounds.items() if r == rnd]
+            ref = _driver_commit_parent(rnd)
+            if ref is None:
+                print(f"round {rnd}: no driver commit found — skipped "
+                      f"({len(keys)} keys keep existing entries)")
+                continue
+            hashes = _hashes_at_ref(ref)
+            hit = [k for k in keys if k in hashes]
+            for k in hit:
+                recorded[k] = {"hash": hashes[k], "round": rnd}
+            print(f"round {rnd}: {len(hit)}/{len(keys)} keys hashed "
+                  f"at {ref}")
+    else:
+        latest = max(rounds.values(), default=None)
+        if latest is None:
+            print("no CORRECTNESS records — nothing to do")
+            return
+        sys.path.insert(0, str(ROOT))
+        hashes = compute_all_hashes()
+        fresh = [k for k, r in rounds.items() if r == latest]
+        for k in fresh:
+            if k in hashes:
+                recorded[k] = {"hash": hashes[k], "round": latest}
+        print(f"round {latest}: updated {len(fresh)} entries from the "
+              "current tree (run this BEFORE editing key code)")
+
+    path.write_text(json.dumps(recorded, indent=1, sort_keys=True) + "\n")
+    print(f"wrote {path} ({len(recorded)} entries)")
+
+
+if __name__ == "__main__":
+    main()
