@@ -201,36 +201,18 @@ def main(argv: list[str] | None = None) -> int:
             # the registry-wide counterpart of `explain` — one row of
             # plan counters per key, written as the committed
             # PLANAUDIT.json record (previously regenerated ad hoc;
-            # a CLI command makes the audit reproducible). Exclusions
-            # mirror tests/test_plans.py: keys whose DataFrame BUILD
-            # executes work (streaming replays, write paths,
-            # iterative driver loops).
+            # a CLI command makes the audit reproducible). Round 11:
+            # ZERO exclusions — keys whose DataFrame build executes
+            # work simply run (the verify gate pays the same cost per
+            # key), and streaming replays contribute their real
+            # micro-batch executed plans via streaming.plan_capture
+            # (see plans.audit.audit_key, shared with the pytest
+            # drift guard).
             import json as _json
 
-            from rsbsa_etl_spark.plans.audit import plan_counters
-            from rsbsa_etl_spark.registry import (
-                AUDIT_EXCLUDE,
-                AUDIT_EXCLUDE_PREFIXES,
-            )
+            from rsbsa_etl_spark.plans.audit import audit_key
 
-            rows = []
-            for k in sorted(QUERIES):
-                if k.startswith(AUDIT_EXCLUDE_PREFIXES) or k in AUDIT_EXCLUDE:
-                    continue
-                # audit each key against an EMPTY cache registry:
-                # persisted fragments registered by earlier keys
-                # rewrite later plans (FileScan → InMemoryTableScan),
-                # making counters depend on audit order — clearing
-                # makes every row the key's own fresh-session plan
-                # (tests/test_plans.py's drift guard relies on this)
-                spark.catalog.clearCache()
-                plan = (
-                    QUERIES[k](spark, args.sf_dir)
-                    ._jdf.queryExecution()
-                    .executedPlan()
-                    .toString()
-                )
-                rows.append({"key": k, **plan_counters(plan)})
+            rows = [audit_key(spark, k, args.sf_dir) for k in sorted(QUERIES)]
             with open(args.out, "w") as fh:
                 _json.dump(rows, fh, indent=0)
             print(

@@ -167,7 +167,9 @@ def tokenizer_fertility(docs: DataFrame, text_col: str = "text") -> DataFrame:
     subwords, so its share of the TOKEN budget exceeds its share of
     the text; the number multilingual data-mix decisions are made
     on). Uses the same boundary-split + ceil(len/4) subword estimate
-    as ``token_counts`` so the two keys can never disagree.
+    as ``token_counts`` so the two keys can never disagree;
+    ``tokenizer_fertility_bpe`` is the TRAINED-tokenizer arm of this
+    report (same columns, subwords from the learned BPE merges).
 
     Exactness: per-doc counts are exact longs, the per-language sums
     are exact longs, and each ratio is ONE correctly-rounded double
@@ -1162,6 +1164,70 @@ def bpe_segment(
         dec_round(
             F.col("sum_chars") / F.col("n_symbols"), 4
         ).alias("chars_per_symbol"),
+    )
+
+
+def tokenizer_fertility_bpe(
+    docs: DataFrame, text_col: str = "text", rounds: int | None = None
+) -> DataFrame:
+    """per-language fertility under the TRAINED BPE tokenizer — the
+    trained counterpart of ``tokenizer_fertility``'s ceil(len/4)
+    heuristic arm: train ``rounds`` merges (``_bpe_merge_rounds``,
+    the same loop as ``bpe_train``/``bpe_segment``), segment every
+    distinct word once on the vocabulary table, then aggregate
+    subword counts PER LANGUAGE instead of per document. Fertility =
+    trained subwords per word; chars-per-token = corpus chars per
+    trained subword — the actual token-budget numbers a multilingual
+    mix is priced on once a real tokenizer exists, not an estimate.
+
+    Exactness: per-word symbol counts are exact longs from the
+    merged symbol string; per-language sums are exact longs; each
+    ratio is ONE correctly-rounded double division of exact integers
+    + the shared half-up rounding — engine-identical (the
+    ``tokenizer_fertility`` discipline).
+
+    Scale shape: identical to ``bpe_segment`` — segmentation cost is
+    vocabulary-sized, the corpus-sized work is one explode + one
+    vocab equi-join + one lang-keyed partial agg (state = |langs|
+    rows plus the distinct-doc count's doc_id set, bounded by the
+    corpus's doc count per language partition).
+    """
+    from rsbsa_etl_spark import params as P
+    from rsbsa_etl_spark.functions.dedup import tokens_col
+    from rsbsa_etl_spark.functions.numeric import dec_round
+
+    rr = P.BPE_TRAIN_ROUNDS if rounds is None else rounds
+    w = _bpe_vocab_frame(docs, text_col, keep_tok=True)
+    w, _ = _bpe_merge_rounds(w, rr)
+    vocab = w.select(
+        "tok",
+        F.size(_bpe_syms()).cast("long").alias("n_syms"),
+        F.length("tok").cast("long").alias("n_chars"),
+    )
+    tok_rows = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(tokens_col(F.col(text_col))).alias("tok"),
+    ).where(F.length("tok") >= 1)
+    per_lang = (
+        tok_rows.join(vocab, "tok")
+        .groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("words"),
+            F.sum("n_syms").cast("long").alias("subwords"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+    )
+    return per_lang.select(
+        "lang",
+        "n_docs",
+        "words",
+        "subwords",
+        dec_round(F.col("subwords") / F.col("words"), 4).alias("fertility"),
+        dec_round(F.col("sum_chars") / F.col("subwords"), 4).alias(
+            "chars_per_token"
+        ),
     )
 
 

@@ -2698,6 +2698,49 @@ FROM pd"""
 
 ORACLES["bpe_segment"] = _bpe_segment_sql(P.BPE_TRAIN_ROUNDS)
 
+
+def _tokenizer_fertility_bpe_sql(rounds: int) -> str:
+    """trained-BPE per-language fertility: the bpe_segment vocabulary
+    chain, aggregated by lang instead of doc_id — mirrors
+    textstats.tokenizer_fertility_bpe column for column."""
+    ctes = _bpe_rounds_ctes(rounds, carry_tok=True)
+    ctes.append(
+        f"""vocab AS (
+  SELECT tok,
+         CAST(len(list_filter(string_split(seq, '||'), x -> x <> ''))
+              AS BIGINT) AS n_syms,
+         CAST(length(tok) AS BIGINT) AS n_chars
+  FROM w{rounds}
+),
+tr AS (
+  SELECT doc_id, lang, unnest({TOKS}) AS tok FROM documents
+),
+pl AS (
+  SELECT t.lang,
+         CAST(count(DISTINCT t.doc_id) AS BIGINT) AS n_docs,
+         CAST(count(*) AS BIGINT) AS words,
+         CAST(sum(v.n_syms) AS BIGINT) AS subwords,
+         CAST(sum(v.n_chars) AS BIGINT) AS sum_chars
+  FROM tr t JOIN vocab v USING (tok)
+  WHERE length(t.tok) >= 1
+  GROUP BY t.lang
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT lang, n_docs, words, subwords,
+       {_dec('CAST(subwords AS DOUBLE) / words', 4)} AS fertility,
+       {_dec('CAST(sum_chars AS DOUBLE) / subwords', 4)} AS chars_per_token
+FROM pl"""
+    )
+
+
+ORACLES["tokenizer_fertility_bpe"] = _tokenizer_fertility_bpe_sql(
+    P.BPE_TRAIN_ROUNDS
+)
+
 ORACLES["lang_confusion"] = f"""
 SELECT d.lang AS lang_true, p.lang_pred, CAST(count(*) AS BIGINT) AS n
 FROM documents d JOIN ({_lang_sql()}) p USING (doc_id)

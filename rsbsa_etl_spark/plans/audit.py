@@ -41,3 +41,45 @@ def plan_counters(plan: str) -> dict[str, int]:
         key: len(re.findall(pat, plan))
         for key, (_label, pat) in COUNTER_PATTERNS.items()
     }
+
+
+def audit_key(spark, key: str, sf_dir: str) -> dict:
+    """ONE registry key's PLANAUDIT row — shared by the ``audit`` CLI
+    and tests/test_plans.py's drift guard so the two cannot diverge.
+
+    Builds the key against an EMPTY cache registry (persisted
+    fragments registered by earlier keys rewrite later plans —
+    FileScan → InMemoryTableScan — making counters depend on audit
+    order) and counts the returned DataFrame's executed plan. Since
+    round 11 there are NO excluded keys: keys whose BUILD executes
+    work (streaming replays, write-path sinks, iterative driver
+    loops, eager ANN materialization) simply run — the audit pays
+    one execution, which is exactly what the verify gate pays per
+    key anyway. Streaming replays additionally capture their real
+    micro-batch executed plans (``streaming.plan_capture``); those
+    counters are SUMMED into the key's row (the sink read-back plan
+    alone would trivially pass every invariant while the stateful
+    plan went unchecked) and the row records how many micro-batch
+    plans contributed under ``micro_batch_plans``.
+
+    Known blind spot, documented in PLANAUDIT.md: a driver-loop key
+    (bpe_*, mmr_*) launches intermediate per-round jobs whose plans
+    are not part of the final DataFrame; those loops are built from
+    the same audited building blocks, and their shapes are pinned
+    individually in tests/test_plans.py.
+    """
+    from rsbsa_etl_spark.registry import QUERIES
+    from rsbsa_etl_spark.streaming.plan_capture import CAPTURED
+
+    spark.catalog.clearCache()
+    CAPTURED.clear()
+    df = QUERIES[key](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    row = plan_counters(plan)
+    if CAPTURED:
+        for _tag, p in CAPTURED:
+            for ck, v in plan_counters(p).items():
+                row[ck] += v
+        row["micro_batch_plans"] = len(CAPTURED)
+    CAPTURED.clear()
+    return {"key": key, **row}

@@ -772,10 +772,6 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textstats.stratified_sample(load(spark, sf_dir, "events"))
-
-
 def split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rsbsa_etl_spark.functions.textstats import split_assign as _sa
 
@@ -1405,6 +1401,18 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return _tf(load(spark, sf_dir, "documents"))
+
+
+def tokenizer_fertility_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """per-language fertility under the TRAINED 3-merge BPE tokenizer
+    (the bpe_train/bpe_segment loop) — replaces the ceil(len/4)
+    estimate of ``tokenizer_fertility`` with learned subword counts;
+    vocabulary-sized training, one corpus scan + lang-keyed agg."""
+    from rsbsa_etl_spark.functions.textstats import (
+        tokenizer_fertility_bpe as _tfb,
+    )
+
+    return _tfb(load(spark, sf_dir, "documents"))
 
 
 def text_strip_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2686,7 +2694,6 @@ QUERIES: dict[str, QueryFn] = {
     "distinct_sketch": distinct_sketch,
     "lm_score": lm_score,
     "split_assign": split_assign,
-    "sample_stratified": sample_stratified,
     "join_asof": join_asof,
     "join_range": join_range,
     "join_full_outer_nullsafe": join_full_outer_nullsafe,
@@ -2777,6 +2784,7 @@ QUERIES: dict[str, QueryFn] = {
     "sample_stratified": sample_stratified,
     "mix_epochs": mix_epochs,
     "tokenizer_fertility": tokenizer_fertility,
+    "tokenizer_fertility_bpe": tokenizer_fertility_bpe,
     "text_strip_markup": text_strip_markup,
     "dedup_segments": dedup_segments,
     "window_ntile": window_ntile,
@@ -2994,16 +3002,19 @@ for _exact, (_dial, _why) in SCALE_DIALS.items():
 #      CORRECTNESS_r*.json, in the curated risk order of
 #      _UNTESTED_PRIORITY (streaming/stateful first — the riskiest
 #      surface — then curation, windows, extension joins, …);
-#   3. keys already driver-green demote to the tail, ordered by the
-#      AGE of their latest driver row (oldest committed round first,
-#      registry order within a round). Their evidence stays on
-#      record, and every one of them is still value-checked against
-#      its DuckDB oracle locally on every pytest run
-#      (tests/test_oracle_parity.py covers ALL keys at sf0.001, now
-#      including result-type parity), so demotion never removes
-#      correctness coverage. Once the backlog is drained (round 6),
-#      the age tier makes the sweep a rolling freshness check: each
-#      round re-confirms the ~50 stalest greens against current code.
+#   3. keys already driver-green demote to the tail, ordered
+#      (narrow-changed, closure-changed, AGE): greens whose own fn or
+#      oracle was edited since their latest driver row first, then
+#      greens whose transitive closure changed, then oldest committed
+#      round first (registry order within a segment+round). Their
+#      evidence stays on record, and every one of them is still
+#      value-checked against its DuckDB oracle locally on every
+#      pytest run (tests/test_oracle_parity.py covers ALL keys at
+#      sf0.001, including result-type parity), so demotion never
+#      removes correctness coverage. Once the backlog is drained
+#      (round 6), this makes the sweep a rolling freshness check:
+#      each round re-confirms the ~50 changed-or-stalest greens
+#      against current code.
 #
 # Because the green set is parsed from the committed driver records at
 # import time, the rotation is self-maintaining: when a round's
@@ -3012,14 +3023,16 @@ for _exact, (_dial, _why) in SCALE_DIALS.items():
 
 
 #: keys whose DataFrame BUILD executes work (streaming replays,
-#: write paths, iterative driver loops) — excluded from plan-only
-#: audits (the `audit` CLI command and tests/test_plans.py both
-#: read these, so the two can't drift).
+#: write paths, iterative driver loops) — excluded from PLAN-ONLY
+#: test passes (tests/test_plans.py's window allowlist), where
+#: building must stay lazy. The `audit` CLI no longer excludes
+#: anything (round 11): it executes every key via
+#: plans.audit.audit_key, capturing streaming micro-batch plans.
 AUDIT_EXCLUDE_PREFIXES = ("stream_", "sync_", "upsert_", "overwrite_")
 AUDIT_EXCLUDE = frozenset({
     # per-round driver loops: building the DataFrame RUNS the loop
-    "bpe_train", "bpe_segment", "mmr_rerank", "hybrid_mmr",
-    "hybrid_search_rrf", "merge_cdc",
+    "bpe_train", "bpe_segment", "tokenizer_fertility_bpe",
+    "mmr_rerank", "hybrid_mmr", "hybrid_search_rrf", "merge_cdc",
     # ingestion round-trips: building the DataFrame WRITES the
     # tempdir it then reads back (ann_index_roundtrip also collects
     # the centroid table driver-side to plant the partition filter)
@@ -3112,10 +3125,7 @@ def _dep_closure(fn) -> dict[str, str]:
     dispatch through strings, and source reached only via data
     tables of callables.
     """
-    import ast as _ast
-    import inspect as _inspect
     import sys as _sys
-    import textwrap as _textwrap
     import types as _types
 
     out: dict[str, str] = {}
@@ -3136,12 +3146,90 @@ def _dep_closure(fn) -> dict[str, str]:
         if isinstance(v, (list, tuple)):
             inner = ", ".join(_det_repr(x) for x in v)
             return f"[{inner}]" if isinstance(v, list) else f"({inner})"
-        return repr(v)
+        r = repr(v)
+        # id-based reprs (functions, instances without __repr__) embed
+        # process-specific addresses — substitute a stable stand-in so
+        # a key is never flagged changed-forever by a memory address
+        # (r10 advice item 5; mirrored in tools/snapshot_keyhashes.py)
+        if " at 0x" in r:
+            return (
+                f"<{type(v).__module__}.{type(v).__qualname__}:"
+                f"{getattr(v, '__qualname__', '')}>"
+            )
+        return r
 
     def _unwrap(obj):
         # pandas_udf / functools wrappers: hash the wrapped source
         inner = getattr(obj, "func", None) or getattr(obj, "__wrapped__", None)
         return inner if callable(inner) else obj
+
+    def _node(obj, dep_id: str, mod: str):
+        """Parse one dependency once per process: its source plus
+        the AST-discovered direct children (callables to recurse
+        into) and constants it reads. getsource + ast.parse dominate
+        closure cost, so memoizing the node (keyed by dep_id — a
+        function's source and globals are fixed within a process)
+        turns the all-keys sweep from ~2s of re-parsing shared
+        helpers 253× into one parse per function (r10 advice item 4).
+        Const VALUES are kept by reference; their reprs are taken at
+        walk time so semantics match the uncached form exactly (the
+        tool's mirror stays uncached — byte-equal digests are pinned
+        by tests/test_sweep_rotation.py)."""
+        import ast as _ast
+        import inspect as _inspect
+        import textwrap as _textwrap
+
+        cached = _DEP_NODE_CACHE.get(dep_id)
+        if cached is not None:
+            return cached
+        try:
+            src = _inspect.getsource(obj)
+        except (OSError, TypeError):
+            node = (dep_id, (), ())  # deterministic stand-in
+            _DEP_NODE_CACHE[dep_id] = node
+            return node
+        children: list = []
+        consts: list = []
+        g = getattr(obj, "__globals__", None)
+        if g is None:  # classes: resolve through their module
+            g = getattr(_sys.modules.get(mod), "__dict__", {})
+        try:
+            tree = _ast.parse(_textwrap.dedent(src))
+        except SyntaxError:
+            tree = None
+        refs: list = []
+        if tree is not None:
+            for node in _ast.walk(tree):
+                if isinstance(node, _ast.Attribute) and isinstance(
+                    node.value, _ast.Name
+                ):
+                    base = g.get(node.value.id)
+                    if isinstance(base, _types.ModuleType) and (
+                        base.__name__.startswith("rsbsa_etl_spark")
+                    ):
+                        refs.append(
+                            (f"{base.__name__}.{node.attr}",
+                             getattr(base, node.attr, None))
+                        )
+                elif isinstance(node, _ast.Name):
+                    refs.append((node.id, g.get(node.id)))
+        for name, val in refs:
+            if val is None or isinstance(val, _types.ModuleType):
+                continue
+            if callable(val):
+                children.append(val)
+                continue
+            # a package CONSTANT the code reads (params thresholds,
+            # rule tables, …) — include its value; constants imported
+            # into a function's globals came from an rsbsa module by
+            # definition of our import style, so include any
+            # non-callable global that is not a dunder/builtin
+            if name.startswith("__"):
+                continue
+            consts.append((f"const.{name}", val))
+        node = (src, tuple(children), tuple(consts))
+        _DEP_NODE_CACHE[dep_id] = node
+        return node
 
     def _visit(obj):
         obj = _unwrap(obj)
@@ -3154,55 +3242,25 @@ def _dep_closure(fn) -> dict[str, str]:
         if dep_id in seen:
             return
         seen.add(dep_id)
-        try:
-            src = _inspect.getsource(obj)
-        except (OSError, TypeError):
-            out[dep_id] = dep_id  # deterministic stand-in
-            return
-        out[dep_id] = src
-        g = getattr(obj, "__globals__", None)
-        if g is None:  # classes: resolve through their module
-            g = getattr(_sys.modules.get(mod), "__dict__", {})
-        try:
-            tree = _ast.parse(_textwrap.dedent(src))
-        except SyntaxError:
-            return
-        for node in _ast.walk(tree):
-            if isinstance(node, _ast.Attribute) and isinstance(
-                node.value, _ast.Name
-            ):
-                base = g.get(node.value.id)
-                if isinstance(base, _types.ModuleType) and (
-                    base.__name__.startswith("rsbsa_etl_spark")
-                ):
-                    _add(g, f"{base.__name__}.{node.attr}",
-                         getattr(base, node.attr, None))
-            elif isinstance(node, _ast.Name):
-                _add(g, node.id, g.get(node.id))
-
-    def _add(g, name: str, val) -> None:
-        if val is None or isinstance(val, _types.ModuleType):
-            return
-        if callable(val):
-            _visit(val)
-            return
-        # a package CONSTANT the code reads (params thresholds, rule
-        # tables, …) — include its value; determine package ownership
-        # by which module defines the name (constants imported into a
-        # function's globals came from an rsbsa module by definition
-        # of our import style, so include any non-callable global
-        # that is not a dunder/builtin)
-        if name.startswith("__"):
-            return
-        key = f"const.{name}"
-        if key not in out:
-            try:
-                out[key] = _det_repr(val)
-            except Exception:
-                out[key] = name
+        entry, children, consts = _node(obj, dep_id, mod)
+        out[dep_id] = entry
+        for key, val in consts:
+            if key not in out:
+                try:
+                    out[key] = _det_repr(val)
+                except Exception:
+                    out[key] = key[len("const."):]
+        for child in children:
+            _visit(child)
 
     _visit(fn)
     return out
+
+
+#: per-process memo for ``_dep_closure`` nodes: dep_id → (source,
+#: child callables, (const_key, value) pairs). Shared helpers are
+#: parsed once instead of once per registry key.
+_DEP_NODE_CACHE: dict = {}
 
 
 def _key_code_hash(key: str, fn=None, oracle: str | None = None) -> str:
@@ -3235,6 +3293,45 @@ def _key_code_hash(key: str, fn=None, oracle: str | None = None) -> str:
     return h.hexdigest()
 
 
+def _key_narrow_hash(key: str, fn=None, oracle: str | None = None) -> str:
+    """Narrow content hash: ONLY the key's registered function source
+    plus its DuckDB oracle string — no transitive closure. The
+    closure hash (``_key_code_hash``) is the sensitive tier but
+    saturates under shared-helper churn (one ``load`` edit flags all
+    253 keys — the r10 failure); this one cannot: a mismatch means
+    the key ITSELF or its correctness contract was edited since its
+    last driver row, the strongest possible re-sweep signal. The
+    algorithm is duplicated in ``tools/snapshot_keyhashes.py``
+    (which must run inside historical trees that predate this
+    helper) — the two are pinned byte-equal by
+    tests/test_sweep_rotation.py::test_tool_hash_matches_registry_hash.
+    """
+    import hashlib as _hashlib
+    import inspect as _inspect
+
+    if fn is None:
+        fn = QUERIES[key]
+    if oracle is None:
+        from rsbsa_etl_spark.oracles import ORACLES as _O
+
+        oracle = _O.get(key, "")
+    inner = getattr(fn, "func", None) or getattr(fn, "__wrapped__", None)
+    if callable(inner):
+        fn = inner
+    try:
+        src = _inspect.getsource(fn)
+    except (OSError, TypeError):
+        src = (
+            f"{getattr(fn, '__module__', '?')}."
+            f"{getattr(fn, '__qualname__', '?')}"
+        )
+    h = _hashlib.sha256()
+    h.update((oracle or "").encode())
+    h.update(b"\x00")
+    h.update(src.encode())
+    return h.hexdigest()
+
+
 def _recorded_key_hashes() -> dict:
     """KEYHASHES.json: per key, the code hash as of the key's latest
     committed driver row (``tools/snapshot_keyhashes.py`` maintains
@@ -3253,22 +3350,45 @@ def _recorded_key_hashes() -> dict:
 
 def _changed_since_checked(
     green: set, recorded: dict | None = None
-) -> set:
-    """Greens whose CURRENT code hash differs from the hash recorded
-    at their latest driver row — their evidence verified a previous
-    implementation, so age alone under-ranks them (the r9
-    ``sample_stratified`` lesson: reimplemented in r9, newest driver
-    row r7, and the age tier could not see it). A green with NO
-    recorded hash is treated as changed (unknown provenance ⇒
-    re-check)."""
+) -> tuple[set, set]:
+    """(narrow_changed, closure_changed): greens whose CURRENT code
+    hash differs from the hash recorded at their latest driver row —
+    their evidence verified a previous implementation, so age alone
+    under-ranks them (the r9 ``sample_stratified`` lesson:
+    reimplemented in r9, newest driver row r7, and the age tier
+    could not see it).
+
+    Two tiers (r11, after the r10 closure-only form saturated at
+    253/253 flagged and degenerated into pure age order):
+
+    * narrow — the key's OWN registered fn source or oracle string
+      changed (``_key_narrow_hash``). Immune to shared-helper churn;
+      the strongest re-sweep signal.
+    * closure — anything in the key's transitive closure changed
+      (``_key_code_hash``). Sensitive but saturating; ranked second.
+
+    A green with NO recorded hash is treated as changed on both
+    tiers (unknown provenance ⇒ re-check). Keys recorded green in a
+    CORRECTNESS file but since removed/renamed from the registry are
+    skipped — a stale driver row must not crash registry import
+    (r10 advice item 4)."""
     if recorded is None:
         recorded = _recorded_key_hashes()
-    out = set()
+    narrow: set = set()
+    closure: set = set()
     for k in green:
+        if k not in QUERIES:
+            continue
         rec = recorded.get(k)
-        if not isinstance(rec, dict) or rec.get("hash") != _key_code_hash(k):
-            out.add(k)
-    return out
+        if not isinstance(rec, dict):
+            narrow.add(k)
+            closure.add(k)
+            continue
+        if rec.get("narrow") != _key_narrow_hash(k):
+            narrow.add(k)
+        if rec.get("hash") != _key_code_hash(k):
+            closure.add(k)
+    return narrow, closure
 
 
 # Round-6 queue: zero reds; pending = the 32 round-5 leftovers plus
@@ -3367,6 +3487,8 @@ _UNTESTED_PRIORITY = [
     # round-9 additions
     "sample_stratified", "mix_epochs", "hard_negatives_ivf",
     "ann_index_roundtrip", "tokenizer_fertility", "text_strip_markup",
+    # round-11 additions
+    "tokenizer_fertility_bpe",
 ]
 
 _rows, _row_rounds = _driver_latest_rows_and_rounds()
@@ -3377,28 +3499,38 @@ _rest = [
     k for k in QUERIES
     if k not in set(_red) and k not in set(_untested) and k not in _green
 ]
-# Age tier (round 7) + change tier (round 10): once every key is
-# driver-green, the rotation would otherwise degenerate to a frozen
-# order and the driver's 50-key sweep would re-confirm the same head
-# forever. Instead, order the green tail by
-# ``max(evidence age, changed-since-checked)``:
+# Age tier (round 7) + change tiers (round 10, split in round 11):
+# once every key is driver-green, the rotation would otherwise
+# degenerate to a frozen order and the driver's 50-key sweep would
+# re-confirm the same head forever. Instead, order the green tail:
 #
-#   1. greens whose CURRENT code hash no longer matches the hash
-#      recorded at their latest driver row (KEYHASHES.json) come
-#      first — their evidence verified a previous implementation, so
-#      it is stale regardless of how recent the row is (the r9
-#      ``sample_stratified`` lesson: reimplemented in r9 while its
-#      newest driver row, r7, silently attested to the old code);
-#   2. then by driver-row AGE — oldest committed round first (stable
-#      within a round, so registry order breaks ties).
+#   1. NARROW-changed greens first — the key's own registered fn or
+#      oracle string differs from what its latest driver row attested
+#      (KEYHASHES.json): the evidence verified a previous
+#      implementation, stale regardless of how recent the row is
+#      (the r9 ``sample_stratified`` lesson: reimplemented in r9
+#      while its newest driver row, r7, silently attested to the old
+#      code). This tier is immune to shared-helper churn, so it
+#      cannot saturate the way the r10 closure-only tier did
+#      (253/253 flagged ⇒ pure age order ⇒ the motivating key missed
+#      two consecutive sweeps).
+#   2. then CLOSURE-changed greens — something in the key's
+#      transitive dependency closure changed;
+#   3. then by driver-row AGE — oldest committed round first (the
+#      round also orders keys WITHIN each changed tier; registry
+#      order breaks remaining ties, stable sort).
 #
 # Each round the driver re-confirms the ~50 stalest-or-changed greens
-# against CURRENT code, so both "green many rounds of churn ago" and
-# "green for code that no longer exists" convert into fresh evidence
-# automatically as new CORRECTNESS files land.
-_changed = _changed_since_checked(_green)
+# against CURRENT code, so "green many rounds of churn ago" and
+# "green for code that no longer exists" both convert into fresh
+# evidence automatically as new CORRECTNESS files land.
+_narrow_changed, _closure_changed = _changed_since_checked(_green)
 _tail = sorted(
     (k for k in QUERIES if k in _green and k not in set(_red)),
-    key=lambda k: (k not in _changed, _row_rounds.get(k, 0)),
+    key=lambda k: (
+        k not in _narrow_changed,
+        k not in _closure_changed,
+        _row_rounds.get(k, 0),
+    ),
 )
 QUERIES = {k: QUERIES[k] for k in (*_red, *_untested, *_rest, *_tail)}

@@ -120,6 +120,7 @@ def query_ivf_index(
     query_vecs: Sequence[tuple[int, list[float]]],
     k: int = ANN_TOP_K,
     nprobe: int = IVF_NPROBE,
+    prune: bool = True,
 ) -> DataFrame:
     """ANN top-k for externally supplied query vectors against the
     persisted index — the serving path.
@@ -132,6 +133,12 @@ def query_ivf_index(
     The result is a literal ``cid IN (...)`` on the partition
     column: the members scan shows ``PartitionFilters`` and reads
     only the probed directories.
+
+    ``prune=False`` is the MEASUREMENT CONTROL, never the serving
+    path: it drops the literal cell filter so the members scan reads
+    every partition (the probe join still restricts rows afterward,
+    so the result is identical) — tools/measure_serving.py uses it
+    to price exactly what partition pruning saves.
     """
     cents = sorted(
         (r["cid"], [float(x) for x in r["embedding"]])
@@ -150,9 +157,12 @@ def query_ivf_index(
         probe_rows += [(qid, cid) for _d2, cid in scored[:nprobe]]
     probe_cids = sorted({cid for _q, cid in probe_rows})
 
+    members = spark.read.parquet(os.path.join(path, "members"))
+    if prune:
+        # literal → partition pruning at planning time
+        members = members.where(F.col("cid").isin(probe_cids))
     members = (
-        spark.read.parquet(os.path.join(path, "members"))
-        .where(F.col("cid").isin(probe_cids))  # literal → partition pruning
+        members
         .select(
             F.col("vec_id").alias("neighbor_id"),
             F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(

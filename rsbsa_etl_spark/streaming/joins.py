@@ -21,6 +21,8 @@ import tempfile
 
 from pyspark.sql import DataFrame, functions as F
 
+from rsbsa_etl_spark.streaming.plan_capture import finish
+
 
 def _phased_join_replay(
     events: DataFrame,
@@ -78,7 +80,7 @@ def _phased_join_replay(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination()
+        finish(q, "joins.run_phase")
 
     views = proj.where(F.col("event_type") == "view").drop("event_type")
     clicks = proj.where(F.col("event_type") == "click").drop("event_type")

@@ -31,6 +31,8 @@ making a *custom stateful streaming operator* oracle-checkable.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+
+from rsbsa_etl_spark.streaming.plan_capture import finish
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
@@ -167,7 +169,7 @@ def run_totals_replay(events: DataFrame) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination()
+        finish(q, "stateful.run_phase")
 
     dump(proj.where(F.col("event_id") % 2 == 0), "f1.parquet")
     run_phase()
@@ -230,7 +232,7 @@ def dedup_replay(events: DataFrame, redeliver_mod: int = 6) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination()
+        finish(q, "stateful.run_phase")
 
     even = F.col("event_id") % 2 == 0
     dump(proj.where(even), "f1.parquet")
@@ -315,7 +317,7 @@ def sample_stream_replay(docs: DataFrame, n: int | None = None) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    finish(q, "stateful.q")
     return spark.read.parquet(state)
 
 
@@ -484,7 +486,7 @@ def cdc_apply_replay(events: DataFrame) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    finish(q, "stateful.q")
     from rsbsa_etl_spark.functions.numeric import dec_round
 
     return spark.read.parquet(state).select(
@@ -554,7 +556,7 @@ def hll_stream_replay(events: DataFrame) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    finish(q, "stateful.q")
 
     # fold the final registers through the SAME tail the batch
     # operator uses — shared _hll_fold, so a constant fix cannot

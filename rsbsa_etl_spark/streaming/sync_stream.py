@@ -28,6 +28,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from rsbsa_etl_spark.streaming.plan_capture import finish
+
 from rsbsa_etl_spark.functions.strings import apply_table_rules
 from rsbsa_etl_spark.operators.scans import keyed_scan_df
 from rsbsa_etl_spark.sources import sinks
@@ -77,5 +79,5 @@ def sync_stream(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    finish(q, "sync_stream.q")
     return q

@@ -16,6 +16,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from rsbsa_etl_spark.streaming.plan_capture import finish
+
 from rsbsa_etl_spark.functions.textparse import parse_log_lines
 
 
@@ -45,5 +47,5 @@ def run_tail_once(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    finish(q, "tail.run_tail_once")
     return spark.table(query_name)

@@ -17,6 +17,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from rsbsa_etl_spark.streaming.plan_capture import finish
+
 from rsbsa_etl_spark.operators.aggregates import decimal_sum
 
 
@@ -212,7 +214,7 @@ def availablenow_replay(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination()
+        finish(q, "windows.availablenow_replay")
     return spark.read.parquet(out)
 
 

@@ -328,14 +328,69 @@ def test_ngram_topk_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan
 
 
-@pytest.mark.parametrize("key", ["tpch_q3", "tpch_q5", "tpch_q10"])
-def test_tpch_shapes_all_broadcast(spark, key):
-    # multi-join decision-support plans: every dim join broadcasts,
-    # the fact spine never sort-merge-joins, predicates reach the scan
+# Per-query physical-plan contract for ALL 22 TPC-H shapes (r9/r10
+# verdict carry-over, extending the old q3/q5/q10 spot checks):
+# (BroadcastHashJoin, Exchange hashpartitioning, TakeOrderedAndProject,
+#  BroadcastNestedLoopJoin, FileScan parquet) counts at sf0.001 with
+# this repo's session config. The load-bearing invariants: every dim
+# join broadcasts (no SortMergeJoin on the fact spine — asserted
+# globally below), LIMIT queries (q2/q3/q10/q18/q21) compile to
+# TakeOrderedAndProject instead of a global sort, the only
+# BroadcastNestedLoopJoins are the 1-row scalar-aggregate comparisons
+# (q11's HAVING threshold, q22's avg-acctbal filter), and shuffle
+# counts stay at the single post-join aggregate (plus the documented
+# extra exchanges: q13's two-level count, q15/q16/q20's
+# distinct-then-agg, q21's exists/not-exists pair).
+_TPCH_PLAN_CONTRACTS = {
+    #            bhj  exch  topk  bnlj  scans
+    "tpch_q1":  (0,   1,    0,    0,    1),
+    "tpch_q2":  (4,   2,    1,    0,    5),
+    "tpch_q3":  (2,   1,    1,    0,    3),
+    "tpch_q4":  (1,   1,    0,    0,    2),
+    "tpch_q5":  (7,   1,    0,    0,    8),
+    "tpch_q6":  (0,   0,    0,    0,    1),
+    "tpch_q7":  (5,   1,    0,    0,    6),
+    "tpch_q8":  (7,   1,    0,    0,    8),
+    "tpch_q9":  (4,   1,    0,    0,    5),
+    "tpch_q10": (3,   1,    1,    0,    4),
+    "tpch_q11": (6,   2,    0,    1,    8),
+    "tpch_q12": (1,   1,    0,    0,    2),
+    "tpch_q13": (1,   2,    0,    0,    2),
+    "tpch_q14": (1,   0,    0,    0,    2),
+    "tpch_q15": (2,   2,    0,    0,    3),
+    "tpch_q16": (2,   3,    0,    0,    3),
+    "tpch_q17": (3,   1,    0,    0,    4),
+    "tpch_q18": (2,   1,    1,    0,    3),
+    "tpch_q19": (1,   0,    0,    0,    2),
+    "tpch_q20": (5,   3,    0,    0,    6),
+    "tpch_q21": (4,   5,    1,    0,    5),
+    "tpch_q22": (1,   1,    0,    1,    3),
+}
+
+
+@pytest.mark.parametrize("key", sorted(_TPCH_PLAN_CONTRACTS))
+def test_tpch_plan_contracts(spark, key):
+    bhj, exch, topk, bnlj, scans = _TPCH_PLAN_CONTRACTS[key]
     plan = _plan(QUERIES[key](spark, SF_DIR))
-    assert "BroadcastHashJoin" in plan
+    got = (
+        plan.count("BroadcastHashJoin"),
+        plan.count("Exchange hashpartitioning"),
+        plan.count("TakeOrderedAndProject"),
+        plan.count("BroadcastNestedLoopJoin"),
+        plan.count("FileScan parquet"),
+    )
+    assert got == (bhj, exch, topk, bnlj, scans), (
+        f"{key}: plan shape drifted — "
+        f"(bhj, exchange, topk, bnlj, scans) = {got}, "
+        f"pinned {(bhj, exch, topk, bnlj, scans)}"
+    )
+    # global invariants, every query: the fact spine never
+    # sort-merge-joins and nothing degenerates to a cross product
     assert "SortMergeJoin" not in plan
-    assert "PushedFilters: [IsNotNull" in plan
+    assert "CartesianProduct" not in plan
+    # predicates reach the parquet scan wherever the query filters
+    if key not in ("tpch_q1", "tpch_q13"):  # q1/q13: no pushable filter
+        assert "PushedFilters: [" in plan
 
 
 def test_registry_plan_hygiene(spark):
@@ -782,14 +837,16 @@ def test_committed_planaudit_matches_live_plans(spark):
     regenerated by hand (`python -m rsbsa_etl_spark audit`), so a
     code change that alters plan shape could silently stale it. A
     deterministic sample of keys spanning the counter space (joins,
-    windows, Arrow stages, the round-7 additions) must match the
+    windows, Arrow stages, the round-7 additions, and — round 11 —
+    a streaming replay with captured micro-batch plans plus two
+    previously-excluded build-executes-work keys) must match the
     committed rows counter-for-counter at the audit's own SF; a
     mismatch means re-run the audit CLI and commit the refreshed
     JSON alongside the code change."""
     import json
     from pathlib import Path
 
-    from rsbsa_etl_spark.plans.audit import plan_counters
+    from rsbsa_etl_spark.plans.audit import audit_key
 
     committed = {
         r["key"]: r
@@ -803,22 +860,17 @@ def test_committed_planaudit_matches_live_plans(spark):
         "window_ewma", "dedup_minhash", "multimodal_features",
         "source_overlap_kmv", "source_overlap_kmv_sketch",
         "winsorize_stats", "token_gini",
+        "stream_tail", "ann_eval", "scan_orc_roundtrip",
     ]
     drift = {}
     for k in sample:
         assert k in committed, f"{k} missing from PLANAUDIT.json"
-        # same fresh-cache discipline as the audit CLI: persisted
-        # fragments registered by earlier keys/tests rewrite plans
-        # (FileScan → InMemoryTableScan) and would flake the counters
-        spark.catalog.clearCache()
-        plan = (
-            QUERIES[k](spark, "/root/testdata/sf0.001")
-            ._jdf.queryExecution()
-            .executedPlan()
-            .toString()
-        )
-        live = plan_counters(plan)
-        want = {c: committed[k][c] for c in live}
+        # the SAME row builder the audit CLI runs (fresh-cache
+        # discipline, streaming micro-batch capture) — importing it
+        # means the guard can't pin a stale re-implementation
+        live = audit_key(spark, k, "/root/testdata/sf0.001")
+        live.pop("key")
+        want = {c: committed[k].get(c) for c in live}
         if live != want:
             drift[k] = {"live": live, "committed": want}
     assert drift == {}, (

@@ -109,35 +109,147 @@ def test_sweep_queue_is_work_conserving():
     )
 
 
-def test_green_tail_is_age_ordered():
-    """Round-7 age tier: within the green tail, keys are ordered by
-    the round of their latest driver row, oldest first — so once the
-    untested backlog is drained, each sweep re-confirms the ~50
-    stalest greens against current code instead of freezing on a
-    fixed head. Stability within a round is the registry's own
-    order, which we don't pin (it's an implementation detail); the
-    non-decreasing round sequence is the contract."""
+def test_green_tail_is_changed_then_age_ordered():
+    """Round-11 tail contract (replacing the round-7 pure-age form,
+    which the round-10 change tier made obsolete): the green tail is
+    partitioned into three segments —
+
+      [narrow-changed] [closure-only-changed] [unchanged]
+
+    and WITHIN each segment keys are ordered by the round of their
+    latest driver row, oldest first. Narrow-changed greens (own fn
+    or oracle edited since the driver last attested them) outrank
+    everything regardless of row freshness — a key reimplemented in
+    the round just swept must still re-enter the next head (the r9
+    ``sample_stratified`` lesson). Stability within (segment, round)
+    is the registry's own order, which we don't pin."""
+    from rsbsa_etl_spark.registry import _changed_since_checked
+
     rows, rounds = _driver_latest_rows_and_rounds()
     order = list(queries())
-    green_tail = [k for k in order if k in rows and _is_green(rows[k])]
+    green = {k for k, r in rows.items() if _is_green(r)}
+    green_tail = [k for k in order if k in green]
     # strip any endgame back-filled greens ahead of pending keys:
     # the tail proper is the maximal green suffix of the order
     suffix = []
     for k in reversed(order):
-        if k in rows and _is_green(rows[k]):
+        if k in green:
             suffix.append(k)
         else:
             break
     suffix.reverse()
-    tail_rounds = [rounds[k] for k in suffix]
-    assert tail_rounds == sorted(tail_rounds), (
-        "green tail not age-ordered: a fresher driver row precedes a "
-        "staler one, wasting sweep budget on recently-confirmed keys"
+    narrow, closure = _changed_since_checked(green)
+
+    def segment(k: str) -> int:
+        if k in narrow:
+            return 0
+        if k in closure:
+            return 1
+        return 2
+
+    keyed = [(segment(k), rounds[k]) for k in suffix]
+    assert keyed == sorted(keyed), (
+        "green tail violates (narrow-changed, closure-changed, age) "
+        "order — sweep budget is being spent on fresher/unchanged "
+        "keys while changed or staler ones wait"
     )
     # and when EVERYTHING is green, the whole order is the tail —
-    # i.e. the sweep head is exactly the stalest-evidence keys
+    # i.e. the sweep head is exactly the changed-or-stalest keys
     if len(green_tail) == len(order):
         assert suffix == order
+
+
+def test_change_tier_not_saturated():
+    """The r10 regression, pinned: the change tier is only useful if
+    it DISCRIMINATES. When every green is flagged changed, the sort
+    degenerates to pure age order and the motivating case (a
+    reimplemented key with a fresh-ish row) misses the sweep head.
+    The narrow tier hashes only each key's own fn + oracle, so
+    shared-helper churn cannot saturate it; if this fails, the
+    KEYHASHES round-start refresh was skipped or the seed used a
+    stale algorithm (r10 advice item 1)."""
+    from rsbsa_etl_spark.registry import _changed_since_checked
+
+    rows = _latest_rows()
+    green = {k for k, r in rows.items() if _is_green(r)}
+    if len(green) < SWEEP_BUDGET:
+        return  # too early in the build for saturation to mean anything
+    narrow, _closure = _changed_since_checked(green)
+    assert len(narrow) < len(green), (
+        f"narrow change tier saturated ({len(narrow)}/{len(green)} "
+        "greens flagged) — it no longer discriminates; re-run "
+        "tools/snapshot_keyhashes.py"
+    )
+
+
+def test_keyhashes_not_staler_than_correctness():
+    """Round-start protocol guard: when a new CORRECTNESS_r{N}.json
+    lands, `python tools/snapshot_keyhashes.py` must run BEFORE any
+    code edits so the fresh rows' hashes record the tree the driver
+    actually tested. A key whose latest driver row is NEWER than its
+    KEYHASHES entry means the refresh was forgotten — its recorded
+    hash points at code from an older round and the change tier will
+    mis-rank it (live for all 50 r10-swept keys when r11 started)."""
+    import json
+
+    rows, rounds = _driver_latest_rows_and_rounds()
+    recorded = json.loads((ROOT / "KEYHASHES.json").read_text())
+    order = set(queries())
+    stale = sorted(
+        k
+        for k, rnd in rounds.items()
+        if k in order
+        and (
+            not isinstance(recorded.get(k), dict)
+            or recorded[k].get("round", -1) < rnd
+            or "narrow" not in recorded[k]
+            or "hash" not in recorded[k]
+        )
+    )
+    assert stale == [], (
+        f"KEYHASHES.json is staler than the committed driver rows for "
+        f"{len(stale)} keys (e.g. {stale[:5]}) — run "
+        "`python tools/snapshot_keyhashes.py` at round start, before "
+        "editing key code"
+    )
+
+
+def test_tool_hash_matches_registry_hash():
+    """The lockstep invariant the whole change tier depends on:
+    ``tools/snapshot_keyhashes.py`` duplicates the two hash
+    algorithms (it must run inside historical trees whose registry
+    predates ``_key_code_hash``/``_key_narrow_hash``), so silent
+    drift between the copies would make every recorded hash
+    incomparable. Run the tool in ``--emit-json`` mode against the
+    CURRENT tree and require byte-equal digests for every key, both
+    tiers. (Promised by both docstrings since r10; this is the test
+    that was missing — r10 advice item 2.)"""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from rsbsa_etl_spark.registry import _key_code_hash, _key_narrow_hash
+
+    out = subprocess.run(
+        [sys.executable, str(ROOT / "tools" / "snapshot_keyhashes.py"),
+         "--emit-json"],
+        capture_output=True, text=True, check=True,
+        env=dict(os.environ, PYTHONPATH=str(ROOT)), cwd=str(ROOT),
+    ).stdout
+    tool = json.loads(out.strip().splitlines()[-1])
+    keys = queries()
+    assert set(tool) == set(keys)
+    mismatched = sorted(
+        k
+        for k in keys
+        if tool[k]["hash"] != _key_code_hash(k)
+        or tool[k]["narrow"] != _key_narrow_hash(k)
+    )
+    assert mismatched == [], (
+        f"hash algorithm drift between tools/snapshot_keyhashes.py and "
+        f"registry for {len(mismatched)} keys (e.g. {mismatched[:5]})"
+    )
 
 
 def test_readme_query_count_matches_registry():

@@ -21,21 +21,35 @@ the driver tested, so hashing the current tree records exactly the
 code each fresh row attests to. Keys not in the new record keep
 their previous entries.
 
-Seeding (one-time, round 10) used ``--seed``: for every round R with
-surviving latest rows, it extracted the tree the round-R driver
-record actually tested (the PARENT of the ``round R: verdict/...``
-driver commit — that commit only adds artifacts) via ``git archive``
-into a temp dir and ran this script there in ``--emit-json`` mode,
-so every key's recorded hash is the hash of the code its latest
-driver row really verified — including the pre-Hamilton
-``sample_stratified`` at r7, which is exactly how the rotation
-learns that key changed.
+Seeding (``--seed``, re-run in round 11 after the r10 seed turned
+out to have used a pre-final hash algorithm — r10 advice item 1):
+for every round R with surviving latest rows, it extracts the tree
+the round-R driver record actually tested (the PARENT of the
+``round R: verdict/...`` driver commit — that commit only adds
+artifact files) via ``git archive`` into a temp dir and runs THIS
+script there in ``--emit-json`` mode, so every key's recorded hash
+is the hash of the code its latest driver row really verified —
+including the pre-Hamilton ``sample_stratified`` at r7, which is
+exactly how the rotation learns that key changed.
 
-The hash algorithm here MUST stay in lockstep with
-``registry._key_code_hash`` (the emit subprocess runs inside
-historical trees whose registry predates that helper, so the
-algorithm is duplicated); ``tests/test_sweep_rotation.py::
-test_tool_hash_matches_registry_hash`` pins the two byte-equal.
+Two hashes per key (round 11):
+
+* ``hash`` — the full transitive closure hash. Sensitive but
+  saturating: one edit to a shared helper (``load``) flags every
+  key, collapsing the change tier into the age tier (the r10
+  failure mode: 253/253 flagged).
+* ``narrow`` — the key's OWN registered function source + its
+  DuckDB oracle string, nothing else. Cannot saturate from shared
+  churn; a mismatch means the key itself (or its correctness
+  contract) was edited since the driver last attested it. The
+  rotation ranks narrow-changed greens first.
+
+The hash algorithms here MUST stay in lockstep with
+``registry._key_code_hash`` / ``registry._key_narrow_hash`` (the
+emit subprocess runs inside historical trees whose registry
+predates those helpers, so the algorithms are duplicated);
+``tests/test_sweep_rotation.py::test_tool_hash_matches_registry_hash``
+pins the two byte-equal on the current tree.
 """
 
 from __future__ import annotations
@@ -81,7 +95,16 @@ def dep_closure(fn) -> dict[str, str]:
         if isinstance(v, (list, tuple)):
             inner = ", ".join(_det_repr(x) for x in v)
             return f"[{inner}]" if isinstance(v, list) else f"({inner})"
-        return repr(v)
+        r = repr(v)
+        # id-based reprs (functions, instances without __repr__) embed
+        # process-specific addresses — substitute a stable stand-in so
+        # a key is never flagged changed-forever by a memory address
+        if " at 0x" in r:
+            return (
+                f"<{type(v).__module__}.{type(v).__qualname__}:"
+                f"{getattr(v, '__qualname__', '')}>"
+            )
+        return r
 
     def _unwrap(obj):
         inner = getattr(obj, "func", None) or getattr(obj, "__wrapped__", None)
@@ -157,15 +180,40 @@ def key_code_hash(key: str, fn, oracle: str) -> str:
     return h.hexdigest()
 
 
-def compute_all_hashes() -> dict[str, str]:
-    """{key: hash} for every registry key, resolved from whatever
-    tree sys.path points at (PYTHONPATH in --emit-json mode)."""
+def key_narrow_hash(key: str, fn, oracle: str) -> str:
+    """Standalone mirror of ``registry._key_narrow_hash`` — same
+    bytes in, same digest out (pinned by test). Hashes ONLY the
+    registered function's own source plus its oracle string, so it
+    cannot saturate from shared-helper churn."""
+    inner = getattr(fn, "func", None) or getattr(fn, "__wrapped__", None)
+    if callable(inner):
+        fn = inner
+    try:
+        src = inspect.getsource(fn)
+    except (OSError, TypeError):
+        src = (
+            f"{getattr(fn, '__module__', '?')}."
+            f"{getattr(fn, '__qualname__', '?')}"
+        )
+    h = hashlib.sha256()
+    h.update((oracle or "").encode())
+    h.update(b"\x00")
+    h.update(src.encode())
+    return h.hexdigest()
+
+
+def compute_all_hashes() -> dict[str, dict]:
+    """{key: {hash, narrow}} for every registry key, resolved from
+    whatever tree sys.path points at (PYTHONPATH in emit mode)."""
     import __spark_entry__ as E
 
     queries = E.queries()
     oracles = E.oracle_sql()
     return {
-        k: key_code_hash(k, fn, oracles.get(k, ""))
+        k: {
+            "hash": key_code_hash(k, fn, oracles.get(k, "")),
+            "narrow": key_narrow_hash(k, fn, oracles.get(k, "")),
+        }
         for k, fn in queries.items()
     }
 
@@ -260,7 +308,7 @@ def main() -> None:
             hashes = _hashes_at_ref(ref)
             hit = [k for k in keys if k in hashes]
             for k in hit:
-                recorded[k] = {"hash": hashes[k], "round": rnd}
+                recorded[k] = {**hashes[k], "round": rnd}
             print(f"round {rnd}: {len(hit)}/{len(keys)} keys hashed "
                   f"at {ref}")
     else:
@@ -273,7 +321,7 @@ def main() -> None:
         fresh = [k for k, r in rounds.items() if r == latest]
         for k in fresh:
             if k in hashes:
-                recorded[k] = {"hash": hashes[k], "round": latest}
+                recorded[k] = {**hashes[k], "round": latest}
         print(f"round {latest}: updated {len(fresh)} entries from the "
               "current tree (run this BEFORE editing key code)")
 
