@@ -352,13 +352,25 @@ def main() -> None:
 
     if only is not None:
         # NOTE: draw ORDER matches the full run (documents first,
-        # then embeddings), but reproducibility vs a full run holds
-        # only when every preceding table is included too: with
-        # `--only embeddings` alone the documents draws are skipped,
-        # so the RNG stream — and the emitted embeddings — differ
-        # from what a full run at the same seed would produce. Tables
-        # emitted under --only are self-consistent and reproducible
-        # across --only runs with the same list+seed.
+        # then embeddings, then the star schema), but reproducibility
+        # vs a full run holds only when every preceding table is
+        # included too: with `--only embeddings` alone the documents
+        # draws are skipped, so the RNG stream — and the emitted
+        # embeddings — differ from what a full run at the same seed
+        # would produce. Tables emitted under --only are
+        # self-consistent and reproducible across --only runs with
+        # the same list+seed.
+        supported = {"documents", "embeddings", "star"}
+        unknown = only - supported
+        if unknown:
+            # the star schema draws one RNG chain (lineitem reuses
+            # orders' dates and part's prices), so it only comes as
+            # the whole group; events likewise has no solo path yet
+            raise SystemExit(
+                f"--only: unsupported table(s) {sorted(unknown)}; "
+                f"supported: {sorted(supported)} ('star' = customer/"
+                "supplier/part/orders/lineitem as one group)"
+            )
         if "documents" in only:
             pairs, docs = gen_documents(
                 rng, int(50_000 * args.sf), args.vocab_size
@@ -377,6 +389,13 @@ def main() -> None:
                     tau=args.emb_tau,
                 ),
             )
+        if "star" in only:
+            for t in ("region", "nation"):
+                shutil.copyfile(
+                    os.path.join(args.ref, f"{t}.parquet"),
+                    os.path.join(args.out, f"{t}.parquet"),
+                )
+            gen_star(rng, args.sf, args.out)
         print("done (only:", ",".join(sorted(only)), "):", args.out)
         return
 
