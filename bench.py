@@ -185,8 +185,10 @@ HEADLINE = [
     "dedup_embedding_incremental",
     "bpe_train",
     "bpe_segment",
+    "tokenizer_fertility_bpe",  # trained-BPE fertility (round 11)
     "hybrid_search_rrf",
     "mmr_rerank",
+    "mmr_rerank_dist",  # distributed greedy arm (round 11)
     "dsir_weights",
     "dsir_resample",
     "rocchio_classify",
@@ -227,8 +229,7 @@ HEADLINE = [
     "scan_csv_typed",
     "scan_schema_evolution",
     "scan_orc_roundtrip",
-    # round-9 additions
-    "sample_stratified",
+    # round-9 additions (sample_stratified already listed above)
     "mix_epochs",
     "hard_negatives_ivf",
     "ann_index_roundtrip",

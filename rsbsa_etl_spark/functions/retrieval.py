@@ -222,73 +222,54 @@ def _pairwise_sims(pv: DataFrame) -> DataFrame:
     )
 
 
-def _greedy_mmr(slim: DataFrame, pairs: DataFrame, k: int) -> DataFrame:
-    """the greedy MMR selection loop — ONE implementation shared by
-    ``mmr_rerank`` (cosine relevance) and ``hybrid_mmr`` (RRF
-    relevance), and mirrored round-for-round by the oracles'
-    shared unroll, so the integer-weight argmax semantics cannot
-    drift between entry points. Inputs: ``slim`` =
-    (query_id, doc_id, rel_i) candidate pool, ``pairs`` =
-    (query_id, a_id, b_id, sim_i) pairwise pool similarities —
-    both 1e-6 fixed-point integers, both persisted by the caller
-    (the caller also releases them). Returns
-    (query_id, doc_id, rel_i, pick_order, mmr_i).
+def _make_greedy_kernel():
+    """factory for the per-query greedy MMR kernel — pure-Python
+    exact-integer arithmetic shared by the driver-side fold, the
+    distributed per-group fold, and the kernel unit tests.
 
-    Execution shape: the greedy fold runs DRIVER-SIDE over a
-    collected pool — a deliberate bounded collect (the repo's
-    BPE-argmax exception class): the pool is queries × pool_k rows
-    and pairs ≤ queries × pool_k², both CONSTANT in corpus size by
-    construction (only the retrieval stage ever touches the corpus).
-    The earlier form ran k Spark jobs of joins + windows over these
-    same tiny tables with a localCheckpoint per round — measured
-    ~0.4s of scheduler overhead per pick (2-4s per key at any SF,
-    invariant in the data); the in-memory fold is the identical
-    integer arithmetic (Python ints are exact) at microseconds, and
-    the oracles' shared SQL unroll pins every pick either way."""
+    A FACTORY, not a plain module-level def, for ship-by-reference
+    pickling: the cogrouped fold closes over this kernel and ships
+    it to Python workers — a module-level function pickles by NAME
+    and crashes workers with ModuleNotFoundError whenever the driver
+    runs outside the repo root (the /tmp driver contract; pytest's
+    cwd=repo never catches it). A factory-made closure pickles by
+    VALUE, and the λ weights are captured here as plain ints so the
+    worker-side kernel never imports the package either.
+
+    Kernel contract — ``fold_one(cand, present, sim, k)``: ``cand``
+    maps doc_id → rel_i; ``present`` holds the (candidate, selected)
+    pairs that EXIST as rows, pinning the oracle unroll's edge
+    semantics (its rounds >= 2 INNER JOIN pool->pairs->selected: a
+    pool doc with no candidate-oriented row to any selected doc is
+    UNPICKABLE after round 1 — e.g. a hybrid pool doc whose
+    embedding row was dropped by the pv inner join); ``sim`` holds
+    only NON-NULL sim_i (SQL max() skips NULLs — a NULL sim_i is
+    producible by safe_div on a zero-norm pool embedding). A
+    candidate whose every sim-to-selected is NULL gets mmr_i = None,
+    which ranks LAST (the oracle's ORDER BY mmr_i DESC under
+    DuckDB's NULLS LAST default). The lookup is DIRECTIONAL — a
+    pairs row counts only as (a_id = candidate, b_id = selected),
+    exactly the oracle join ``pr.a_id = p.doc_id AND s.doc_id =
+    pr.b_id`` — so the two engines agree on ANY pairs input;
+    producers of symmetric similarities must emit both orientations
+    (``_pairwise_sims`` does, by construction). Returns
+    [(doc_id, rel_i, pick_order, mmr_i)] in pick order."""
     from rsbsa_etl_spark.params import MMR_W_DIV, MMR_W_REL
 
-    spark = slim.sparkSession
-    pool_rows = slim.select("query_id", "doc_id", "rel_i").collect()
-    # two structures, pinning the oracle unroll's edge semantics:
-    # `present` records that a pairs ROW exists (the unroll's rounds
-    # >= 2 INNER JOIN pool->pairs->selected: a pool doc with no pairs
-    # row to any selected doc is UNPICKABLE after round 1 — e.g. a
-    # hybrid pool doc with no embedding row, dropped by the pv inner
-    # join); `sim` holds only NON-NULL sim_i (SQL max() skips NULLs —
-    # a NULL sim_i is producible by safe_div when a pool doc has a
-    # zero-norm embedding). A candidate whose every sim-to-selected
-    # is NULL gets mmr_i = NULL, which ranks LAST (the oracle's
-    # ORDER BY mmr_i DESC under DuckDB's NULLS LAST default).
-    # The lookup is DIRECTIONAL — a pairs row counts only as
-    # (a_id = candidate, b_id = selected), exactly the oracle join
-    # `pr.a_id = p.doc_id AND s.doc_id = pr.b_id` — so the two
-    # engines agree on ANY pairs input; producers of symmetric
-    # similarities must emit both orientations (``_pairwise_sims``
-    # does, by construction).
-    sim: dict = {}
-    present: set = set()
-    for r in pairs.select("query_id", "a_id", "b_id", "sim_i").collect():
-        key = (r["query_id"], r["a_id"], r["b_id"])
-        present.add(key)
-        if r["sim_i"] is not None:
-            sim[key] = r["sim_i"]
-    by_q: dict = {}
-    for r in pool_rows:
-        by_q.setdefault(r["query_id"], {})[r["doc_id"]] = r["rel_i"]
+    w_rel, w_div = int(MMR_W_REL), int(MMR_W_DIV)
 
-    def _beats(a, b) -> bool:
-        # strict > with NULL = -infinity (NULLS LAST): keeps the
-        # smallest doc_id among equals (candidates iterate in
-        # doc_id order)
-        if a is None:
-            return False
-        return b is None or a > b
+    def fold_one(cand: dict, present: set, sim: dict, k: int) -> list:
+        def _beats(a, b) -> bool:
+            # strict > with NULL = -infinity (NULLS LAST): keeps the
+            # smallest doc_id among equals (candidates iterate in
+            # doc_id order)
+            if a is None:
+                return False
+            return b is None or a > b
 
-    out = []
-    for qid in sorted(by_q):
-        cand = by_q[qid]
         cand_order = sorted(cand)  # doc_id-asc: the tiebreak order
         sel_ids: set = set()
+        out = []
         for pick_no in range(1, k + 1):
             best = None
             for did in cand_order:
@@ -298,7 +279,7 @@ def _greedy_mmr(slim: DataFrame, pairs: DataFrame, k: int) -> DataFrame:
                     linked = False
                     sims = []
                     for sd in sel_ids:
-                        kk = (qid, did, sd)  # directional: see above
+                        kk = (did, sd)  # directional: see above
                         if kk in present:
                             linked = True
                             if kk in sim:
@@ -307,23 +288,158 @@ def _greedy_mmr(slim: DataFrame, pairs: DataFrame, k: int) -> DataFrame:
                         continue  # oracle: inner join excludes it
                     ms_i = max(sims) if sims else None
                     mmr_i = (
-                        MMR_W_REL * cand[did] - MMR_W_DIV * ms_i
+                        w_rel * cand[did] - w_div * ms_i
                         if ms_i is not None
                         else None
                     )
                 else:
                     # round 1: every pool doc competes, max-sim term 0
-                    mmr_i = MMR_W_REL * cand[did]
+                    mmr_i = w_rel * cand[did]
                 if best is None or _beats(mmr_i, best[1]):
                     best = (did, mmr_i)
             if best is None:
                 break
             sel_ids.add(best[0])
-            out.append(
-                (qid, best[0], cand[best[0]], pick_no, best[1])
+            out.append((best[0], cand[best[0]], pick_no, best[1]))
+        return out
+
+    return fold_one
+
+
+#: the shared kernel instance (factory-made closure — see above)
+_greedy_fold_one = _make_greedy_kernel()
+
+
+def _greedy_mmr(
+    slim: DataFrame, pairs: DataFrame, k: int, distributed: bool = False
+) -> DataFrame:
+    """the greedy MMR selection loop — ONE kernel
+    (``_greedy_fold_one``) shared by ``mmr_rerank`` (cosine
+    relevance) and ``hybrid_mmr`` (RRF relevance), and mirrored
+    round-for-round by the oracles' shared unroll, so the
+    integer-weight argmax semantics cannot drift between entry
+    points. Inputs: ``slim`` = (query_id, doc_id, rel_i) candidate
+    pool, ``pairs`` = (query_id, a_id, b_id, sim_i) pairwise pool
+    similarities — both 1e-6 fixed-point integers. Returns
+    (query_id, doc_id, rel_i, pick_order, mmr_i).
+
+    Execution shape — two arms, same kernel, same oracle:
+
+    - ``distributed=False`` (small query sets): the fold runs
+      DRIVER-SIDE over a collected pool — a deliberate bounded
+      collect (the repo's BPE-argmax exception class): the pool is
+      queries × pool_k rows and pairs ≤ queries × pool_k², both
+      CONSTANT in corpus size by construction (only the retrieval
+      stage ever touches the corpus). Zero shuffle and zero
+      Python-stage infrastructure: measured ~0.3-0.9s faster at
+      sf0.1 when the cogrouped arm's Python workers start cold
+      (isolated sessions); comparable in warm sessions (r11
+      BENCH_FULL: dist 0.633s vs driver 0.909s) — the driver arm's
+      real advantage is small interactive batches, its real limit
+      the serial wall above.
+    - ``distributed=True`` (serving-scale query batches): a
+      COGROUPED Arrow fold — both inputs shuffle by ``query_id``
+      (still pool-bounded) and each query's selection runs
+      independently as one pandas group, so the stage scales with
+      the QUERY SET instead of serializing on the driver (the
+      r9/r10 verdicts' linear-in-query-set watch item: a 10k-query
+      batch folds in parallel instead of ~30s serial). sim_i/rel_i
+      are 1e6-scaled longs, so Arrow's float64 transport of
+      nullable longs is exact far below 2^53.
+
+    Callers pick via ``MMR_DIST_MIN_QUERIES`` (params); the picks
+    are bit-identical either way — ``mmr_rerank_dist`` keeps the
+    distributed arm under the driver's oracle gate, and the kernel
+    unit tests run both arms.
+
+    An even earlier form ran k Spark jobs of joins + windows with a
+    localCheckpoint per pick — measured ~0.4s of scheduler overhead
+    per pick (2-4s per key at any SF, invariant in the data); both
+    current arms replaced it."""
+    import pandas as pd
+
+    if not distributed:
+        spark = slim.sparkSession
+        pool_rows = slim.select("query_id", "doc_id", "rel_i").collect()
+        sim: dict = {}
+        present: set = set()
+        for r in pairs.select("query_id", "a_id", "b_id", "sim_i").collect():
+            kk = (r["query_id"], r["a_id"], r["b_id"])
+            present.add(kk)
+            if r["sim_i"] is not None:
+                sim[kk] = r["sim_i"]
+        by_q: dict = {}
+        for r in pool_rows:
+            by_q.setdefault(r["query_id"], {})[r["doc_id"]] = r["rel_i"]
+        out = []
+        for qid in sorted(by_q):
+            picks = _greedy_fold_one(
+                by_q[qid],
+                {(a, b) for (q, a, b) in present if q == qid},
+                {(a, b): v for (q, a, b), v in sim.items() if q == qid},
+                k,
             )
-    return spark.createDataFrame(
-        out, "query_id long, doc_id long, rel_i long, pick_order int, mmr_i long"
+            out.extend((qid, *row) for row in picks)
+        return spark.createDataFrame(
+            out,
+            "query_id long, doc_id long, rel_i long, "
+            "pick_order int, mmr_i long",
+        )
+
+    def _result(rows_q) -> "pd.DataFrame":
+        return pd.DataFrame(
+            {
+                "query_id": pd.array([r[0] for r in rows_q], dtype="int64"),
+                "doc_id": pd.array([r[1] for r in rows_q], dtype="int64"),
+                "rel_i": pd.array([r[2] for r in rows_q], dtype="int64"),
+                "pick_order": pd.array(
+                    [r[3] for r in rows_q], dtype="int32"
+                ),
+                # nullable: an all-NULL-sims pick carries mmr_i NULL
+                "mmr_i": pd.array([r[4] for r in rows_q], dtype="Int64"),
+            }
+        )
+
+    def fold(left: "pd.DataFrame", right: "pd.DataFrame") -> "pd.DataFrame":
+        if len(left) == 0:
+            # cogroup emits keys present only in pairs: no pool rows,
+            # nothing pickable
+            return _result([])
+        qid = int(left["query_id"].iloc[0])
+        cand = {
+            int(d): int(r) for d, r in zip(left["doc_id"], left["rel_i"])
+        }
+        present: set = set()
+        sim: dict = {}
+        for a, b, s in zip(right["a_id"], right["b_id"], right["sim_i"]):
+            kk = (int(a), int(b))
+            present.add(kk)
+            if pd.notna(s):
+                sim[kk] = int(s)
+        return _result(
+            [(qid, *row) for row in _greedy_fold_one(cand, present, sim, k)]
+        )
+
+    # both inputs usually derive from the same cached pool plan —
+    # re-alias every column (fresh expression ids) so the cogroup's
+    # internal self-join never sees the shared query_id attribute
+    # (AnalysisException: "Column query_id are ambiguous" otherwise)
+    def _fresh(df: DataFrame, cols: list) -> DataFrame:
+        return df.select(*[F.col(c).alias(c) for c in cols])
+
+    return (
+        _fresh(slim, ["query_id", "doc_id", "rel_i"])
+        .groupBy("query_id")
+        .cogroup(
+            _fresh(pairs, ["query_id", "a_id", "b_id", "sim_i"]).groupBy(
+                "query_id"
+            )
+        )
+        .applyInPandas(
+            fold,
+            "query_id long, doc_id long, rel_i long, "
+            "pick_order int, mmr_i long",
+        )
     )
 
 
@@ -332,6 +448,7 @@ def mmr_rerank(
     query_ids=ANN_QUERY_IDS,
     pool_k: int | None = None,
     k: int | None = None,
+    distributed: bool | None = None,
 ) -> DataFrame:
     """Maximal Marginal Relevance diversity re-rank (Carbonell &
     Goldstein, SIGIR'98): per query, greedily pick ``k`` documents
@@ -358,14 +475,21 @@ def mmr_rerank(
     re-ranker behind an ANN retriever. The corpus-sized work is one
     broadcast-queries scan (the ann_bruteforce plan — swap in the
     IVF/LSH arm at billion-vector scale; the re-rank stage is
-    unchanged). The greedy selection itself runs DRIVER-SIDE over
-    the collected pool/pairs (see ``_greedy_mmr`` — a documented
-    bounded collect, constant in corpus size); the result comes back
-    via ``createDataFrame``, so it carries no lineage into pool or
-    pairs and both persists release before returning — no executor
-    storage leaks across repeated calls.
+    unchanged). The greedy selection has two bit-identical arms
+    (see ``_greedy_mmr``): ``distributed=None`` auto-picks the
+    driver fold below ``MMR_DIST_MIN_QUERIES`` queries (measured
+    faster there) and the cogrouped per-query Arrow fold above it
+    (serving-scale batches fold in parallel instead of serializing
+    on the driver). Driver arm: pool/pairs persists release before
+    returning (the fold is eager). Distributed arm: the pool persist
+    is eagerly materialized with one count() so the fold's two lazy
+    consumers (slim + pairwise) read the retrieval output once
+    instead of race-building it inside one action (the ann_eval
+    lesson); it is pool-sized — queries × pool_k rows, bytes — and
+    sweep harnesses clearCache per key (the repo's cache contract).
     """
     from rsbsa_etl_spark.params import (
+        MMR_DIST_MIN_QUERIES,
         MMR_FIXED_SCALE,
         MMR_POOL_K,
         MMR_SELECT_K,
@@ -373,6 +497,8 @@ def mmr_rerank(
 
     pool_k = MMR_POOL_K if pool_k is None else pool_k
     k = MMR_SELECT_K if k is None else k
+    if distributed is None:
+        distributed = len(list(query_ids)) >= MMR_DIST_MIN_QUERIES
     e = with_norm(emb)
     qset = [int(q) for q in query_ids]
     queries = e.where(F.col("vec_id").isin(qset)).select(
@@ -402,18 +528,26 @@ def mmr_rerank(
         .drop("rn")
         .persist()
     )
-    pairs = _pairwise_sims(pool).persist()
+    pairs = _pairwise_sims(pool)
     slim = pool.select("query_id", "doc_id", "rel_i")
-
-    try:
-        selected = _greedy_mmr(slim, pairs, k)
-    finally:
-        # the fold's result is a fresh createDataFrame — pool/pairs
-        # lineage is not referenced by it, so release even on a
-        # mid-loop failure (a retrying caller must not accumulate
-        # orphaned cached blocks)
-        pool.unpersist()
-        pairs.unpersist()
+    if distributed:
+        # eager: ONE retrieval job fills the pool cache; the fold's
+        # two lazy consumers (slim + the pairwise self-join) then
+        # both read it — unmaterialized, they could race-build the
+        # corpus-sized subtree twice within one action (the
+        # ann_eval lesson)
+        pool.count()
+        selected = _greedy_mmr(slim, pairs, k, distributed=True)
+    else:
+        try:
+            selected = _greedy_mmr(slim, pairs, k)
+        finally:
+            # the driver fold's result is a fresh createDataFrame —
+            # pool lineage is not referenced by it, so release even
+            # on a mid-fold failure (a retrying caller must not
+            # accumulate orphaned cached blocks); the slim collect
+            # fills the cache, the pairs collect reuses it
+            pool.unpersist()
     return selected.select(
         "query_id",
         "doc_id",
@@ -430,6 +564,7 @@ def hybrid_mmr(
     emb: DataFrame,
     query_ids=ANN_QUERY_IDS,
     k: int | None = None,
+    distributed: bool | None = None,
 ) -> DataFrame:
     """the full modern retrieval stack, composed: hybrid
     lexical+vector retrieval (RRF-fused top-``HYBRID_TOP_K``) →
@@ -448,13 +583,26 @@ def hybrid_mmr(
     so the two entry points cannot drift.
 
     Scale: the pool is ``queries × HYBRID_TOP_K`` rows — the greedy
-    stage never touches the corpus; corpus-sized work is exactly
-    the hybrid retrieval's (posting-list join + one broadcast-query
-    vector scan). Pool/pairs persists release before returning.
+    stage never touches the corpus, and it has the two bit-identical
+    arms of ``_greedy_mmr`` (``distributed=None`` auto-picks by
+    ``MMR_DIST_MIN_QUERIES``); corpus-sized work is exactly the
+    hybrid retrieval's (posting-list join + one broadcast-query
+    vector scan), and it runs ONCE: the pool persist is eagerly
+    materialized, after which the hybrid corpus cache is released
+    immediately. Driver arm: the pool cache also releases before
+    return (the fold is eager). Distributed arm: the retained pool
+    cache is bytes-sized and sweep harnesses clearCache per key
+    (the repo's cache contract).
     """
-    from rsbsa_etl_spark.params import MMR_FIXED_SCALE, MMR_SELECT_K
+    from rsbsa_etl_spark.params import (
+        MMR_DIST_MIN_QUERIES,
+        MMR_FIXED_SCALE,
+        MMR_SELECT_K,
+    )
 
     k = MMR_SELECT_K if k is None else k
+    if distributed is None:
+        distributed = len(list(query_ids)) >= MMR_DIST_MIN_QUERIES
     fused, corpus = _hybrid_parts(docs, emb, query_ids)
     wq = Window.partitionBy("query_id")
     pool = (
@@ -476,16 +624,25 @@ def hybrid_mmr(
         ),
         "doc_id",
     )
-    pairs = _pairwise_sims(pv).persist()
-    try:
-        selected = _greedy_mmr(pool, pairs, k)
-    finally:
-        # release everything this call cached — including the
-        # hybrid pipeline's corpus (held via _hybrid_parts): the
-        # fold's createDataFrame result re-reads none of it
-        pool.unpersist()
-        pairs.unpersist()
+    pairs = _pairwise_sims(pv)
+    if distributed:
+        # eager: one job runs the whole hybrid retrieval into the
+        # pool cache (all four corpus subtrees execute inside it),
+        # after which the corpus cache can be released — the fold's
+        # lazy consumers read the materialized pool, not the
+        # retrieval subplan
+        pool.count()
         corpus.unpersist()
+        selected = _greedy_mmr(pool, pairs, k, distributed=True)
+    else:
+        try:
+            # the driver fold's first collect fills the pool cache
+            # (no separate count job); its result is an eager
+            # createDataFrame, so every cache releases before return
+            selected = _greedy_mmr(pool, pairs, k)
+        finally:
+            pool.unpersist()
+            corpus.unpersist()
     return selected.select(
         "query_id",
         "doc_id",

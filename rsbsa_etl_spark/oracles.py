@@ -4261,6 +4261,9 @@ FROM sel{P.MMR_SELECT_K}"""
 
 
 ORACLES["mmr_rerank"] = _mmr_sql()
+# the distributed-arm key: SAME unroll — the two arms are
+# bit-identical by construction, and the driver gate proves it
+ORACLES["mmr_rerank_dist"] = _mmr_sql()
 
 ORACLES["hybrid_mmr"] = f"""
 WITH hybrid AS (SELECT * FROM ({ORACLES["hybrid_search_rrf"]}) t),

@@ -29,7 +29,8 @@ COUNTER_PATTERNS: dict[str, tuple[str, str]] = {
     "windows": ("windows", "Window "),
     "arrow": (
         "python (Arrow) stages",
-        "MapInPandas|FlatMapGroupsInPandas|ArrowEvalPython",
+        "MapInPandas|FlatMapGroupsInPandas|FlatMapCoGroupsInPandas"
+        "|ArrowEvalPython",
     ),
     "rowpy": ("row-at-a-time python UDFs", "BatchEvalPython"),
 }

@@ -1863,6 +1863,18 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _m(load(spark, sf_dir, "embeddings"))
 
 
+def mmr_rerank_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mmr_rerank`` with the DISTRIBUTED greedy arm forced — the
+    cogrouped per-query Arrow fold that serving-scale query batches
+    auto-select above ``MMR_DIST_MIN_QUERIES`` (the driver-fold arm
+    is serial in the query count, the r9/r10 verdicts' watch item).
+    Same kernel, same oracle unroll: the driver gate value-checks
+    that the distributed arm's picks are bit-identical."""
+    from rsbsa_etl_spark.functions.retrieval import mmr_rerank as _m
+
+    return _m(load(spark, sf_dir, "embeddings"), distributed=True)
+
+
 def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style importance weights (Xie et al. 2023): hashed-unigram
     target-vs-raw probability ratios, transcendental-free — the
@@ -2841,6 +2853,7 @@ QUERIES: dict[str, QueryFn] = {
     "bpe_segment": bpe_segment,
     "hybrid_search_rrf": hybrid_search_rrf,
     "mmr_rerank": mmr_rerank,
+    "mmr_rerank_dist": mmr_rerank_dist,
     "dsir_weights": dsir_weights,
     "dsir_resample": dsir_resample,
     "rocchio_classify": rocchio_classify,
@@ -3032,7 +3045,12 @@ AUDIT_EXCLUDE_PREFIXES = ("stream_", "sync_", "upsert_", "overwrite_")
 AUDIT_EXCLUDE = frozenset({
     # per-round driver loops: building the DataFrame RUNS the loop
     "bpe_train", "bpe_segment", "tokenizer_fertility_bpe",
-    "mmr_rerank", "hybrid_mmr", "hybrid_search_rrf", "merge_cdc",
+    "hybrid_search_rrf", "merge_cdc",
+    # building the DataFrame runs the driver-arm greedy fold
+    # eagerly (mmr_rerank/hybrid_mmr below MMR_DIST_MIN_QUERIES) or
+    # eagerly materializes the retrieval pool for the distributed
+    # cogrouped arm (mmr_rerank_dist; round 11)
+    "mmr_rerank", "hybrid_mmr", "mmr_rerank_dist",
     # ingestion round-trips: building the DataFrame WRITES the
     # tempdir it then reads back (ann_index_roundtrip also collects
     # the centroid table driver-side to plant the partition filter)

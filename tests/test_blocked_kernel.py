@@ -421,6 +421,38 @@ def test_greedy_mmr_null_sims_rank_last(spark):
     assert out[3] == (11, None)
 
 
+def test_greedy_mmr_distributed_arm_bit_identical(spark):
+    """the cogrouped Arrow arm must reproduce the driver arm's picks
+    exactly — same directional-pairs exclusion, same NULL-sims
+    ranking, same tiebreaks — on BOTH kernel fixtures above plus a
+    two-query pool (the distributed arm's whole point is per-query
+    groups; a bug that leaks state between groups only shows with
+    >1 query)."""
+    from rsbsa_etl_spark.functions.retrieval import _greedy_mmr
+
+    slim = spark.createDataFrame(
+        [(1, 10, 100), (1, 11, 100), (1, 12, 90),
+         (2, 10, 100), (2, 11, 95), (2, 12, 10)],
+        "query_id long, doc_id long, rel_i long",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 11, 10, 1_000_000), (1, 10, 12, 500_000),
+         (2, 11, 10, None), (2, 12, 10, 5)],
+        "query_id long, a_id long, b_id long, sim_i long",
+    )
+
+    def rows(df):
+        return sorted(
+            (r["query_id"], r["pick_order"], r["doc_id"],
+             r["rel_i"], r["mmr_i"])
+            for r in df.collect()
+        )
+
+    driver = rows(_greedy_mmr(slim, pairs, 3))
+    dist = rows(_greedy_mmr(slim, pairs, 3, distributed=True))
+    assert driver == dist and len(driver) == 5  # q1 picks 2, q2 picks 3
+
+
 def test_hll_estimate_within_error_bound(spark, sf_dir):
     """accuracy evidence per Flajolet's two ranges: below 2.5·m the
     raw estimator is KNOWN-biased and the consumer-side linear count
