@@ -1,0 +1,180 @@
+#!/usr/bin/env python
+"""Query-set scaling measurement for the two MMR greedy-fold arms
+(round 11: the distributed cogrouped fold that retired the r9/r10
+verdicts' linear-in-query-set watch item).
+
+The driver arm collects the pool/pairs tables and folds serially in
+one Python thread; the distributed arm cogroups by ``query_id`` and
+folds every query in parallel on executors. Both are CONSTANT in
+corpus size (the pool is queries × pool_k rows), so the only axis
+that separates them is the NUMBER OF QUERIES — exactly the axis a
+serving deployment scales on. This harness measures that axis:
+
+1. Build the pool/pairs inputs ONCE per query-set size N via the
+   same internals as ``mmr_rerank`` (brute-force cosine retrieval,
+   top-``MMR_POOL_K`` pool, pairwise sims), persist + materialize —
+   so the timed region is the FOLD, not the retrieval both arms
+   share;
+2. Time each arm over the identical persisted inputs (best of
+   ``--reps``, result row counts asserted equal and the actual
+   pick sets asserted identical — a timing harness that silently
+   diverges is worthless);
+3. Emit one JSON line per (N, arm) with wall seconds, plus a
+   fitted driver-arm growth exponent across the N series.
+
+Usage:
+    python tools/measure_mmr_scale.py [--sf-dir /root/testdata/sf0.1]
+        [--sizes 25,100,400,1600] [--reps 2] [--out /tmp/mmr_scale.json]
+
+Findings land in SCALING.md (round 11, "MMR fold arms vs query-set
+size").
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+
+def build_inputs(spark, sf_dir: str, n_queries: int):
+    """the mmr_rerank retrieval internals with an N-sized query set:
+    returns (slim, pairs) persisted + materialized, and the query
+    ids used. Query ids are the first N vec_ids — deterministic and
+    sf-independent."""
+    from pyspark.sql import Window
+
+    from rsbsa_etl_spark.functions.retrieval import _pairwise_sims
+    from rsbsa_etl_spark.functions.similarity import dot, safe_div, with_norm
+    from rsbsa_etl_spark.params import MMR_POOL_K
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qset = [r[0] for r in
+            emb.select("vec_id").orderBy("vec_id").limit(n_queries).collect()]
+    e = with_norm(emb)
+    queries = e.where(F.col("vec_id").isin(qset)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("_vd").alias("vq"),
+        F.col("_norm").alias("nq"),
+    )
+    cand = e.select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("_vd").alias("vd"),
+        F.col("_norm").alias("nd"),
+    )
+    rel_i = F.floor(
+        safe_div(dot(F.col("vq"), F.col("vd")), F.col("nq") * F.col("nd"))
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("rel_i").desc(), F.col("doc_id").asc()
+    )
+    pool = (
+        cand.join(F.broadcast(queries), F.col("query_id") != F.col("doc_id"))
+        .select("query_id", "doc_id", "vd", "nd", rel_i.alias("rel_i"))
+        .where(F.col("rel_i").isNotNull())
+        .withColumn("rn", F.row_number().over(wp))
+        .where(F.col("rn") <= MMR_POOL_K)
+        .drop("rn")
+        .persist()
+    )
+    pool.count()
+    pairs = _pairwise_sims(pool).persist()
+    pairs.count()
+    slim = pool.select("query_id", "doc_id", "rel_i").persist()
+    slim.count()
+    return pool, slim, pairs, qset
+
+
+def time_arm(slim, pairs, k: int, distributed: bool, reps: int):
+    from rsbsa_etl_spark.functions.retrieval import _greedy_mmr
+
+    best, picks = float("inf"), None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = _greedy_mmr(slim, pairs, k, distributed=distributed)
+        rows = out.collect()  # the arm's full result, driver-visible
+        best = min(best, time.perf_counter() - t0)
+        picks = sorted(
+            (r["query_id"], r["pick_order"], r["doc_id"], r["mmr_i"])
+            for r in rows
+        )
+    return best, picks
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--sizes", default="25,100,400,1600")
+    ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--out", default="/tmp/mmr_scale.json")
+    args = ap.parse_args()
+
+    from rsbsa_etl_spark.params import MMR_SELECT_K
+    from rsbsa_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="measure_mmr_scale")
+    # warm the Python workers once so the distributed arm's numbers
+    # price the steady state (a serving process), not worker fork
+    spark.range(1000).groupBy((F.col("id") % 8).alias("g")).cogroup(
+        spark.range(1000).groupBy((F.col("id") % 8).alias("g"))
+    ).applyInPandas(lambda l, r: l, "id long").count()
+
+    sizes = [int(s) for s in args.sizes.split(",")]
+    rows = []
+    for n in sizes:
+        pool, slim, pairs, qset = build_inputs(spark, args.sf_dir, n)
+        try:
+            t_drv, picks_drv = time_arm(
+                slim, pairs, MMR_SELECT_K, False, args.reps
+            )
+            t_dist, picks_dist = time_arm(
+                slim, pairs, MMR_SELECT_K, True, args.reps
+            )
+        finally:
+            pool.unpersist(), slim.unpersist(), pairs.unpersist()
+        assert picks_drv == picks_dist, (
+            f"arms diverged at N={n}: the timing is void"
+        )
+        rows.append(
+            {
+                "n_queries": n,
+                "driver_sec": round(t_drv, 3),
+                "distributed_sec": round(t_dist, 3),
+                "picks": len(picks_drv),
+            }
+        )
+        print(json.dumps(rows[-1]))
+
+    # driver-arm growth exponent across the decade-ish series
+    if len(rows) >= 2:
+        a, b = rows[0], rows[-1]
+        exp_drv = math.log(b["driver_sec"] / a["driver_sec"]) / math.log(
+            b["n_queries"] / a["n_queries"]
+        )
+        exp_dist = math.log(
+            b["distributed_sec"] / a["distributed_sec"]
+        ) / math.log(b["n_queries"] / a["n_queries"])
+        summary = {
+            "driver_growth_exponent": round(exp_drv, 3),
+            "distributed_growth_exponent": round(exp_dist, 3),
+            "sf_dir": args.sf_dir,
+            "reps": args.reps,
+        }
+        print(json.dumps(summary))
+        rows.append(summary)
+    with open(args.out, "w") as fh:
+        json.dump(rows, fh, indent=1)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
