@@ -453,6 +453,35 @@ def test_greedy_mmr_distributed_arm_bit_identical(spark):
     assert driver == dist and len(driver) == 5  # q1 picks 2, q2 picks 3
 
 
+def test_mmr_auto_switch_picks_arm_by_query_count(spark, sf_dir):
+    """the MMR_DIST_MIN_QUERIES dial must actually flip the arm:
+    below the threshold the plan is the driver fold's scanned
+    createDataFrame result (no Python stage); at/above it the plan
+    carries the cogrouped Arrow stage (FlatMapCoGroupsInPandas).
+    Wiring-level — a silently-ignored `distributed` arg would leave
+    serving batches on the serial driver fold with no test noticing."""
+    from rsbsa_etl_spark.functions.retrieval import mmr_rerank
+    from rsbsa_etl_spark.params import MMR_DIST_MIN_QUERIES
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    few = [r[0] for r in
+           emb.select("vec_id").orderBy("vec_id").limit(3).collect()]
+    many = [r[0] for r in
+            emb.select("vec_id").orderBy("vec_id")
+            .limit(MMR_DIST_MIN_QUERIES).collect()]
+    assert len(many) >= MMR_DIST_MIN_QUERIES, "fixture too small"
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    assert "FlatMapCoGroupsInPandas" not in plan(
+        mmr_rerank(emb, query_ids=few)
+    )
+    assert "FlatMapCoGroupsInPandas" in plan(
+        mmr_rerank(emb, query_ids=many)
+    )
+
+
 def test_hll_estimate_within_error_bound(spark, sf_dir):
     """accuracy evidence per Flajolet's two ranges: below 2.5·m the
     raw estimator is KNOWN-biased and the consumer-side linear count
