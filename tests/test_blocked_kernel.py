@@ -482,6 +482,32 @@ def test_mmr_auto_switch_picks_arm_by_query_count(spark, sf_dir):
     )
 
 
+def test_hybrid_mmr_auto_switch_matches_mmr_rerank(spark, sf_dir):
+    """hybrid_mmr carries its own parallel copy of the auto-switch
+    wiring — pin it too (same failure mode as the mmr_rerank test:
+    a silently-ignored flag strands serving batches on the serial
+    fold). Forced arms checked instead of a 128-query hybrid build
+    (the hybrid retrieval is eager, so threshold-sized query sets
+    would make this test pay a full 128-query retrieval)."""
+    from rsbsa_etl_spark.functions.retrieval import hybrid_mmr
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    lazy_dist = hybrid_mmr(docs, emb, distributed=True)
+    assert "FlatMapCoGroupsInPandas" in plan(lazy_dist)
+    eager_drv = hybrid_mmr(docs, emb, distributed=False)
+    assert "FlatMapCoGroupsInPandas" not in plan(eager_drv)
+    # both arms, same picks — the end-to-end twin of the kernel test
+    key = lambda r: (r["query_id"], r["pick_order"], r["doc_id"])
+    assert sorted(map(key, lazy_dist.collect())) == sorted(
+        map(key, eager_drv.collect())
+    )
+
+
 def test_hll_estimate_within_error_bound(spark, sf_dir):
     """accuracy evidence per Flajolet's two ranges: below 2.5·m the
     raw estimator is KNOWN-biased and the consumer-side linear count
