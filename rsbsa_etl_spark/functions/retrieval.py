@@ -222,6 +222,44 @@ def _pairwise_sims(pv: DataFrame) -> DataFrame:
     )
 
 
+def _mmr_pool(emb: DataFrame, qset: list, pool_k: int) -> DataFrame:
+    """``mmr_rerank``'s retrieval-pool plan, factored so the scaling
+    harness (tools/measure_mmr_scale.py) measures the SHIPPED pool
+    construction instead of a hand-copied twin that could silently
+    drift (r11 advice item 4). Returns the UNPERSISTED
+    (query_id, doc_id, vd, nd, rel_i) top-``pool_k`` plan: the
+    brute-force cosine retrieval with broadcast query vectors,
+    1e-6 fixed-point relevance, (rel desc, doc_id asc) ranked
+    window, self-matches and NULL relevance excluded."""
+    e = with_norm(emb)
+    queries = e.where(F.col("vec_id").isin(qset)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("_vd").alias("vq"),
+        F.col("_norm").alias("nq"),
+    )
+    cand = e.select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("_vd").alias("vd"),
+        F.col("_norm").alias("nd"),
+    )
+    rel_i = F.floor(
+        safe_div(dot(F.col("vq"), F.col("vd")), F.col("nq") * F.col("nd"))
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("rel_i").desc(), F.col("doc_id").asc()
+    )
+    return (
+        cand.join(F.broadcast(queries), F.col("query_id") != F.col("doc_id"))
+        .select("query_id", "doc_id", "vd", "nd", rel_i.alias("rel_i"))
+        .where(F.col("rel_i").isNotNull())
+        .withColumn("rn", F.row_number().over(wp))
+        .where(F.col("rn") <= pool_k)
+        .drop("rn")
+    )
+
+
 def _make_greedy_kernel():
     """factory for the per-query greedy MMR kernel — pure-Python
     exact-integer arithmetic shared by the driver-side fold, the
@@ -306,10 +344,6 @@ def _make_greedy_kernel():
     return fold_one
 
 
-#: the shared kernel instance (factory-made closure — see above)
-_greedy_fold_one = _make_greedy_kernel()
-
-
 def _greedy_mmr(
     slim: DataFrame, pairs: DataFrame, k: int, distributed: bool = False
 ) -> DataFrame:
@@ -358,6 +392,14 @@ def _greedy_mmr(
     current arms replaced it."""
     import pandas as pd
 
+    # build the kernel PER CALL, not at module import: the factory is
+    # cheap and reading MMR_W_REL/MMR_W_DIV at use keeps the engine in
+    # lockstep with the oracle SQL, which interpolates the params at
+    # its own build time — an import-time instance would freeze the
+    # weights and silently diverge from a monkeypatched oracle
+    # (r11 advice item 3)
+    fold_one = _make_greedy_kernel()
+
     if not distributed:
         spark = slim.sparkSession
         pool_rows = slim.select("query_id", "doc_id", "rel_i").collect()
@@ -378,7 +420,7 @@ def _greedy_mmr(
             by_q.setdefault(r["query_id"], {})[r["doc_id"]] = r["rel_i"]
         out = []
         for qid in sorted(by_q):
-            picks = _greedy_fold_one(
+            picks = fold_one(
                 by_q[qid],
                 present_q.get(qid, set()),
                 sim_q.get(qid, {}),
@@ -422,7 +464,7 @@ def _greedy_mmr(
             if pd.notna(s):
                 sim[kk] = int(s)
         return _result(
-            [(qid, *row) for row in _greedy_fold_one(cand, present, sim, k)]
+            [(qid, *row) for row in fold_one(cand, present, sim, k)]
         )
 
     # both inputs usually derive from the same cached pool plan —
@@ -485,13 +527,15 @@ def mmr_rerank(
     driver fold below ``MMR_DIST_MIN_QUERIES`` queries (measured
     faster there) and the cogrouped per-query Arrow fold above it
     (serving-scale batches fold in parallel instead of serializing
-    on the driver). Driver arm: pool/pairs persists release before
-    returning (the fold is eager). Distributed arm: the pool persist
-    is eagerly materialized with one count() so the fold's two lazy
+    on the driver). BOTH arms release the pool persist before
+    returning: the driver fold is eager by construction; the
+    distributed fold is eagerly materialized into a result-sized
+    persist (queries × k rows) after the pool cache is filled with
+    one count() — so the fold's two lazy
     consumers (slim + pairwise) read the retrieval output once
     instead of race-building it inside one action (the ann_eval
-    lesson); it is pool-sized — queries × pool_k rows, bytes — and
-    sweep harnesses clearCache per key (the repo's cache contract).
+    lesson), and a long-lived serving caller never accumulates
+    pool-sized cached blocks across calls (r11 advice item 2).
     """
     from rsbsa_etl_spark.params import (
         MMR_DIST_MIN_QUERIES,
@@ -502,47 +546,36 @@ def mmr_rerank(
 
     pool_k = MMR_POOL_K if pool_k is None else pool_k
     k = MMR_SELECT_K if k is None else k
-    if distributed is None:
-        distributed = len(list(query_ids)) >= MMR_DIST_MIN_QUERIES
-    e = with_norm(emb)
+    # normalize ONCE up front: the auto-switch length check and the
+    # pool build both consume query_ids — a one-shot iterator fed to
+    # len(list(...)) first would leave the pool's qset empty and
+    # silently return no rows (r11 advice item 1)
     qset = [int(q) for q in query_ids]
-    queries = e.where(F.col("vec_id").isin(qset)).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("_vd").alias("vq"),
-        F.col("_norm").alias("nq"),
-    )
-    cand = e.select(
-        F.col("vec_id").alias("doc_id"),
-        F.col("_vd").alias("vd"),
-        F.col("_norm").alias("nd"),
-    )
-    rel_i = F.floor(
-        safe_div(dot(F.col("vq"), F.col("vd")), F.col("nq") * F.col("nd"))
-        * F.lit(1e6)
-        + F.lit(0.5)
-    ).cast("long")
-    wp = Window.partitionBy("query_id").orderBy(
-        F.col("rel_i").desc(), F.col("doc_id").asc()
-    )
-    pool = (
-        cand.join(F.broadcast(queries), F.col("query_id") != F.col("doc_id"))
-        .select("query_id", "doc_id", "vd", "nd", rel_i.alias("rel_i"))
-        .where(F.col("rel_i").isNotNull())
-        .withColumn("rn", F.row_number().over(wp))
-        .where(F.col("rn") <= pool_k)
-        .drop("rn")
-        .persist()
-    )
+    if distributed is None:
+        distributed = len(qset) >= MMR_DIST_MIN_QUERIES
+    pool = _mmr_pool(emb, qset, pool_k).persist()
     pairs = _pairwise_sims(pool)
     slim = pool.select("query_id", "doc_id", "rel_i")
     if distributed:
-        # eager: ONE retrieval job fills the pool cache; the fold's
-        # two lazy consumers (slim + the pairwise self-join) then
-        # both read it — unmaterialized, they could race-build the
-        # corpus-sized subtree twice within one action (the
-        # ann_eval lesson)
-        pool.count()
-        selected = _greedy_mmr(slim, pairs, k, distributed=True)
+        try:
+            # eager: ONE retrieval job fills the pool cache; the
+            # fold's two lazy consumers (slim + the pairwise
+            # self-join) then both read it — unmaterialized, they
+            # could race-build the corpus-sized subtree twice within
+            # one action (the ann_eval lesson). The fold itself is
+            # then eagerly materialized into a result-sized persist
+            # (kept plan-visible, unlike a localCheckpoint, so the
+            # arm-wiring plan guard still sees the cogroup stage) so
+            # the pool cache can release before return — a long-lived serving
+            # process calling repeatedly must not accumulate
+            # queries × pool_k cached blocks per call (r11 advice
+            # item 2); the retained checkpoint is result-sized
+            # (queries × k rows).
+            pool.count()
+            selected = _greedy_mmr(slim, pairs, k, distributed=True).persist()
+            selected.count()
+        finally:
+            pool.unpersist()
     else:
         try:
             selected = _greedy_mmr(slim, pairs, k)
@@ -594,10 +627,11 @@ def hybrid_mmr(
     hybrid retrieval's (posting-list join + one broadcast-query
     vector scan), and it runs ONCE: the pool persist is eagerly
     materialized, after which the hybrid corpus cache is released
-    immediately. Driver arm: the pool cache also releases before
-    return (the fold is eager). Distributed arm: the retained pool
-    cache is bytes-sized and sweep harnesses clearCache per key
-    (the repo's cache contract).
+    immediately. BOTH arms release every cache before return: the
+    driver fold is eager by construction; the distributed fold
+    eagerly materializes into a result-sized persist (queries × k
+    rows) so a long-lived serving caller never accumulates pool
+    blocks across calls (r11 advice item 2).
     """
     from rsbsa_etl_spark.params import (
         MMR_DIST_MIN_QUERIES,
@@ -606,8 +640,12 @@ def hybrid_mmr(
     )
 
     k = MMR_SELECT_K if k is None else k
+    # normalize ONCE: the length check and _hybrid_parts both consume
+    # query_ids (r11 advice item 1 — a one-shot iterator would leave
+    # the retrieval's query set empty after the len())
+    query_ids = [int(q) for q in query_ids]
     if distributed is None:
-        distributed = len(list(query_ids)) >= MMR_DIST_MIN_QUERIES
+        distributed = len(query_ids) >= MMR_DIST_MIN_QUERIES
     fused, corpus = _hybrid_parts(docs, emb, query_ids)
     wq = Window.partitionBy("query_id")
     pool = (
@@ -631,14 +669,21 @@ def hybrid_mmr(
     )
     pairs = _pairwise_sims(pv)
     if distributed:
-        # eager: one job runs the whole hybrid retrieval into the
-        # pool cache (all four corpus subtrees execute inside it),
-        # after which the corpus cache can be released — the fold's
-        # lazy consumers read the materialized pool, not the
-        # retrieval subplan
-        pool.count()
-        corpus.unpersist()
-        selected = _greedy_mmr(pool, pairs, k, distributed=True)
+        try:
+            # eager: one job runs the whole hybrid retrieval into the
+            # pool cache (all four corpus subtrees execute inside it),
+            # after which the corpus cache can be released — the
+            # fold's lazy consumers read the materialized pool, not
+            # the retrieval subplan. The fold then materializes into
+            # a result-sized persist so the pool cache also
+            # releases before return (r11 advice item 2 — a serving
+            # caller must not accumulate pool blocks per call).
+            pool.count()
+            corpus.unpersist()
+            selected = _greedy_mmr(pool, pairs, k, distributed=True).persist()
+            selected.count()
+        finally:
+            pool.unpersist()
     else:
         try:
             # the driver fold's first collect fills the pool cache
@@ -689,8 +734,10 @@ def prf_expand(
     from rsbsa_etl_spark.params import PRF_EXPANSION_TERMS
 
     m = PRF_EXPANSION_TERMS if m is None else m
-    fused, corpus = _hybrid_parts(docs, emb, query_ids)
+    # normalize ONCE — _hybrid_parts and the local qset below both
+    # consume query_ids (r11 advice item 1)
     qset = [int(q) for q in query_ids]
+    fused, corpus = _hybrid_parts(docs, emb, qset)
     cand = corpus.where(~F.col("doc_id").isin(qset))
     tf_terms = (
         cand.select(

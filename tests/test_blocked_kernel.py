@@ -482,6 +482,85 @@ def test_mmr_auto_switch_picks_arm_by_query_count(spark, sf_dir):
     )
 
 
+def test_mmr_public_api_accepts_one_shot_iterator(spark, sf_dir):
+    """query_ids is public API and a generator is a legal argument:
+    the auto-switch's length check and the pool build both consume
+    it, so without up-front normalization a one-shot iterator would
+    be drained by the len() and silently produce an EMPTY result —
+    the r11 advice regression. Both entry points pinned."""
+    from rsbsa_etl_spark.functions.retrieval import hybrid_mmr, mmr_rerank
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ids = [r[0] for r in
+           emb.select("vec_id").orderBy("vec_id").limit(3).collect()]
+    from_list = mmr_rerank(emb, query_ids=ids).collect()
+    from_gen = mmr_rerank(emb, query_ids=(i for i in ids)).collect()
+    assert len(from_list) > 0 and sorted(map(tuple, from_gen)) == sorted(
+        map(tuple, from_list)
+    )
+    assert len(hybrid_mmr(docs, emb, query_ids=iter(ids)).collect()) > 0
+
+
+def test_greedy_kernel_reads_weights_at_call_time(spark, monkeypatch):
+    """the λ weights must be read when the fold RUNS, not frozen at
+    module import: the oracle SQL interpolates MMR_W_REL/MMR_W_DIV at
+    its own build time, so an import-time kernel instance would
+    silently diverge from a monkeypatched oracle (r11 advice item 3).
+    Patch the params, run the driver fold, expect the patched
+    arithmetic in mmr_i."""
+    from rsbsa_etl_spark.functions import retrieval
+    from rsbsa_etl_spark import params
+
+    monkeypatch.setattr(params, "MMR_W_REL", 9)
+    monkeypatch.setattr(params, "MMR_W_DIV", 1)
+    slim = spark.createDataFrame(
+        [(1, 10, 100), (1, 11, 95)],
+        "query_id long, doc_id long, rel_i long",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 11, 10, 7), (1, 10, 11, 7)],
+        "query_id long, a_id long, b_id long, sim_i long",
+    )
+    out = {
+        r["pick_order"]: (r["doc_id"], r["mmr_i"])
+        for r in retrieval._greedy_mmr(slim, pairs, 2).collect()
+    }
+    assert out[1] == (10, 9 * 100)
+    assert out[2] == (11, 9 * 95 - 1 * 7)
+
+
+def test_mmr_distributed_arm_releases_pool_cache(spark, sf_dir):
+    """the distributed arm's pool persist must release before return
+    (r11 advice item 2): a long-lived serving process calling
+    mmr_rerank per batch would otherwise accumulate queries × pool_k
+    cached blocks per call. After the call, the only surviving
+    persist is the result-sized selected frame."""
+    from rsbsa_etl_spark.functions.retrieval import hybrid_mmr, mmr_rerank
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ids = [r[0] for r in
+           emb.select("vec_id").orderBy("vec_id").limit(3).collect()]
+
+    def n_persisted() -> int:
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    spark.catalog.clearCache()
+    base = n_persisted()
+    out = mmr_rerank(emb, query_ids=ids, distributed=True)
+    assert len(out.collect()) > 0
+    assert n_persisted() - base <= 1, (
+        "mmr_rerank's distributed arm strands the pool persist"
+    )
+    spark.catalog.clearCache()
+    out = hybrid_mmr(docs, emb, query_ids=ids, distributed=True)
+    assert len(out.collect()) > 0
+    assert n_persisted() <= 1, (
+        "hybrid_mmr's distributed arm strands the pool/corpus persists"
+    )
+
+
 def test_hybrid_mmr_auto_switch_matches_mmr_rerank(spark, sf_dir):
     """hybrid_mmr carries its own parallel copy of the auto-switch
     wiring — pin it too (same failure mode as the mmr_rerank test:

@@ -182,29 +182,63 @@ def test_change_tier_not_saturated():
     )
 
 
+def _keyhash_stale_keys(recorded: dict, rounds: dict, order: set,
+                        narrow_of, code_of) -> list:
+    """The staleness predicate behind
+    ``test_keyhashes_not_staler_than_correctness``, factored out so a
+    companion test can prove it still fires on the real hazard.
+
+    A key is STALE (refresh forgotten before edits) when its latest
+    driver row is newer than its KEYHASHES entry AND the recorded
+    hashes no longer match the current tree — i.e. the round stamp
+    points at code that has since been edited, so the change tier
+    would mis-attribute an old round number to new code. A newer
+    driver round alone, with the recorded hash still equal to the
+    current-tree hash, is harmless: the driver tested exactly this
+    tree and only the stamp is old (the r11-verdict hand-off case —
+    the driver writes CORRECTNESS_r{N}.json AFTER the builder's
+    session, so at every judge checkpoint the record is one round
+    newer than the snapshot while the tree is unchanged)."""
+    stale = []
+    for k, rnd in rounds.items():
+        if k not in order:
+            continue
+        rec = recorded.get(k)
+        if (
+            not isinstance(rec, dict)
+            or "narrow" not in rec
+            or "hash" not in rec
+        ):
+            stale.append(k)
+            continue
+        if rec.get("round", -1) >= rnd:
+            continue
+        if rec["narrow"] != narrow_of(k) or rec["hash"] != code_of(k):
+            stale.append(k)
+    return sorted(stale)
+
+
 def test_keyhashes_not_staler_than_correctness():
     """Round-start protocol guard: when a new CORRECTNESS_r{N}.json
     lands, `python tools/snapshot_keyhashes.py` must run BEFORE any
     code edits so the fresh rows' hashes record the tree the driver
     actually tested. A key whose latest driver row is NEWER than its
-    KEYHASHES entry means the refresh was forgotten — its recorded
-    hash points at code from an older round and the change tier will
-    mis-rank it (live for all 50 r10-swept keys when r11 started)."""
+    KEYHASHES entry *and* whose recorded hash no longer matches the
+    current tree means the refresh was forgotten — its recorded hash
+    points at code from an older round and the change tier will
+    mis-rank it (live for all 50 r10-swept keys when r11 started).
+    A newer row over an UNCHANGED tree is tolerated (r11 verdict
+    "What's wrong" #1): the driver stamps its record after hand-off,
+    so requiring round >= would make every judge checkpoint red by
+    construction."""
     import json
+
+    from rsbsa_etl_spark.registry import _key_code_hash, _key_narrow_hash
 
     rows, rounds = _driver_latest_rows_and_rounds()
     recorded = json.loads((ROOT / "KEYHASHES.json").read_text())
-    order = set(queries())
-    stale = sorted(
-        k
-        for k, rnd in rounds.items()
-        if k in order
-        and (
-            not isinstance(recorded.get(k), dict)
-            or recorded[k].get("round", -1) < rnd
-            or "narrow" not in recorded[k]
-            or "hash" not in recorded[k]
-        )
+    stale = _keyhash_stale_keys(
+        recorded, rounds, set(queries()), _key_narrow_hash, _key_code_hash
     )
     assert stale == [], (
         f"KEYHASHES.json is staler than the committed driver rows for "
@@ -212,6 +246,34 @@ def test_keyhashes_not_staler_than_correctness():
         "`python tools/snapshot_keyhashes.py` at round start, before "
         "editing key code"
     )
+
+
+def test_keyhash_guard_fires_on_edit_before_refresh():
+    """The tripwire must still catch the real hazard: key code edited
+    (hash differs from the recorded one) while the driver row is newer
+    than the snapshot. Exercised against the factored predicate with a
+    synthetic record so greening the hand-off case above cannot have
+    silently disabled the guard."""
+    rounds = {"k_edited": 12, "k_unchanged": 12, "k_missing": 12,
+              "k_fresh_stamp": 12}
+    recorded = {
+        # round stamp old AND hash differs from current tree → STALE
+        "k_edited": {"round": 11, "narrow": "OLD", "hash": "OLD"},
+        # round stamp old but hashes match the current tree → tolerated
+        "k_unchanged": {"round": 11, "narrow": "N:k_unchanged",
+                        "hash": "C:k_unchanged"},
+        # malformed / missing entries → always stale
+        "k_missing": {"round": 11, "hash": "C:k_missing"},
+        # snapshot at or beyond the driver round → never stale,
+        # even if the tree has since been edited (the normal
+        # mid-round state: refresh ran, then the builder edits)
+        "k_fresh_stamp": {"round": 12, "narrow": "OLD", "hash": "OLD"},
+    }
+    stale = _keyhash_stale_keys(
+        recorded, rounds, set(rounds),
+        lambda k: f"N:{k}", lambda k: f"C:{k}",
+    )
+    assert stale == ["k_edited", "k_missing"]
 
 
 def test_tool_hash_matches_registry_hash():

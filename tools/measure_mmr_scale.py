@@ -48,44 +48,18 @@ def build_inputs(spark, sf_dir: str, n_queries: int):
     """the mmr_rerank retrieval internals with an N-sized query set:
     returns (slim, pairs) persisted + materialized, and the query
     ids used. Query ids are the first N vec_ids — deterministic and
-    sf-independent."""
-    from pyspark.sql import Window
-
-    from rsbsa_etl_spark.functions.retrieval import _pairwise_sims
-    from rsbsa_etl_spark.functions.similarity import dot, safe_div, with_norm
+    sf-independent. The pool plan is the SHARED ``_mmr_pool`` helper
+    — the same construction mmr_rerank ships — so a change to the
+    shipped pool logic is automatically what this harness measures
+    (r11 advice item 4: an earlier copy-pasted twin could silently
+    drift and keep timing a different workload)."""
+    from rsbsa_etl_spark.functions.retrieval import _mmr_pool, _pairwise_sims
     from rsbsa_etl_spark.params import MMR_POOL_K
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qset = [r[0] for r in
             emb.select("vec_id").orderBy("vec_id").limit(n_queries).collect()]
-    e = with_norm(emb)
-    queries = e.where(F.col("vec_id").isin(qset)).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("_vd").alias("vq"),
-        F.col("_norm").alias("nq"),
-    )
-    cand = e.select(
-        F.col("vec_id").alias("doc_id"),
-        F.col("_vd").alias("vd"),
-        F.col("_norm").alias("nd"),
-    )
-    rel_i = F.floor(
-        safe_div(dot(F.col("vq"), F.col("vd")), F.col("nq") * F.col("nd"))
-        * F.lit(1e6)
-        + F.lit(0.5)
-    ).cast("long")
-    wp = Window.partitionBy("query_id").orderBy(
-        F.col("rel_i").desc(), F.col("doc_id").asc()
-    )
-    pool = (
-        cand.join(F.broadcast(queries), F.col("query_id") != F.col("doc_id"))
-        .select("query_id", "doc_id", "vd", "nd", rel_i.alias("rel_i"))
-        .where(F.col("rel_i").isNotNull())
-        .withColumn("rn", F.row_number().over(wp))
-        .where(F.col("rn") <= MMR_POOL_K)
-        .drop("rn")
-        .persist()
-    )
+    pool = _mmr_pool(emb, qset, MMR_POOL_K).persist()
     pool.count()
     pairs = _pairwise_sims(pool).persist()
     pairs.count()
