@@ -237,10 +237,50 @@ HEADLINE = [
     "text_strip_markup",
 ]
 
+#: ``--sf1-headline`` key set (round 12, r11 verdict item 7): the
+#: top-20 most expensive keys of the r11 sf0.1 record, FROZEN so the
+#: once-per-round sf1 record compares the same work across rounds.
+#: Rationale: the TPC-H decade rows (SCALING.md) measured sf0.1 as
+#: overhead-dominated (growth exponents 0.32-0.84), so a pure-sf0.1
+#: bench can hide a data-bound regression behind the per-key floor;
+#: one decade up, the expensive keys are data-bound enough to show it.
+SF1_HEADLINE = [
+    "ann_eval", "hybrid_mmr", "ann_index_roundtrip",
+    "curation_pipeline", "dedup_containment", "prf_expand",
+    "trend_theil_sen", "source_overlap_kmv", "ann_ivfpq",
+    "graph_pagerank", "ivf_train3", "hard_negatives_ivf",
+    "stream_hll", "dedup_incremental", "knn_graph_ivf",
+    "ann_ivf", "ivf_train2", "fuzzy_match",
+    "dedup_containment_capped", "dedup_simhash",
+]
+
+#: where the sf1 fixture lives / is generated (same generator and
+#: location as SCALING.md's decade measurements and the sf1 parity
+#: tests — tools/gen_sf.py is deterministic at a fixed seed)
+SF1_DIR = "/tmp/sfgen/sf1"
+
+
+def _ensure_sf1_fixture() -> str:
+    """generate the sf1 fixture on demand (~15 s one-off; reused
+    across runs — the generator is seed-deterministic)."""
+    import subprocess
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    if not os.path.exists(os.path.join(SF1_DIR, "embeddings.parquet")):
+        subprocess.run(
+            [sys.executable, os.path.join(root, "tools", "gen_sf.py"),
+             "--sf", "1.0", "--out", SF1_DIR],
+            check=True, cwd=root,
+        )
+    return SF1_DIR
+
 
 def main() -> None:
+    sf1_mode = "--sf1-headline" in sys.argv
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    if sf1_mode:
+        sf_dir = _ensure_sf1_fixture()
 
     from rsbsa_etl_spark.registry import QUERIES
     from rsbsa_etl_spark.session import get_spark
@@ -258,7 +298,14 @@ def main() -> None:
     # best-of-N per query: the host is shared and noisy, and a single
     # timing can be 30-50% off; the min over repeats estimates the
     # engine's actual cost (repeat 1 also warms each query's own scan)
-    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
+    repeats = max(
+        1,
+        int(
+            os.environ.get(
+                "SPARK_GRAFT_BENCH_REPEATS", "2" if sf1_mode else "3"
+            )
+        ),
+    )
 
     # host-noise calibration: the raw warm-scan floor of one fixture
     # table, best-of-3. Query code never touches this number — it
@@ -295,7 +342,7 @@ def main() -> None:
     # cross-round comparisons can see all three environment axes.
     load_1m, load_5m, _ = os.getloadavg()
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in (SF1_HEADLINE if sf1_mode else HEADLINE):
         best = float("inf")
         for _ in range(repeats):
             t0 = time.perf_counter()
@@ -316,7 +363,8 @@ def main() -> None:
     # Full per-query map goes to a file — the driver's captured tail
     # truncates very long lines, which made r01/r02 BENCH unparseable.
     full_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+        os.path.dirname(os.path.abspath(__file__)),
+        "BENCH_SF1.json" if sf1_mode else "BENCH_FULL.json",
     )
 
     # Round-over-round comparison, machine-derived: before overwriting
@@ -328,6 +376,7 @@ def main() -> None:
     # record at a DIFFERENT scale factor (e.g. a one-off sf0.01 run)
     # would make every ratio a bogus ~10x artifact, so the comparison
     # is emitted only when prev.sf == this run's sf.
+    metric = "sf1_headline_total" if sf1_mode else "headline_queries_total"
     comparison: dict = {}
     try:
         with open(full_path) as fh:
@@ -360,7 +409,7 @@ def main() -> None:
     with open(full_path, "w") as fh:
         json.dump(
             {
-                "metric": "headline_queries_total",
+                "metric": metric,
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
@@ -383,7 +432,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total",
+                "metric": metric,
                 "value": total,
                 "unit": "sec",
                 "queries": slowest,
@@ -393,7 +442,7 @@ def main() -> None:
                 "cpu_floor_sec": cpu_floor,
                 "load_avg_prerun": [round(load_1m, 2), round(load_5m, 2)],
                 **comparison,
-                "full": "BENCH_FULL.json",
+                "full": os.path.basename(full_path),
             },
             separators=(",", ":"),
         )

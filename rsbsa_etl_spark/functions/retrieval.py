@@ -38,6 +38,7 @@ from rsbsa_etl_spark.functions.dedup import normalized_text
 from rsbsa_etl_spark.functions.numeric import dec_round, fixed_sum
 from rsbsa_etl_spark.functions.similarity import dot, safe_div, with_norm
 from rsbsa_etl_spark.functions.textstats import rational_idf
+from rsbsa_etl_spark.streaming import plan_capture
 from rsbsa_etl_spark.params import (
     ANN_QUERY_IDS,
     HYBRID_ARM_K,
@@ -402,7 +403,14 @@ def _greedy_mmr(
 
     if not distributed:
         spark = slim.sparkSession
-        pool_rows = slim.select("query_id", "doc_id", "rel_i").collect()
+        # audit evidence: the driver arm's two bounded collects are
+        # the fold's only Spark jobs — capture their executed plans
+        # (gate-closed no-op outside the audit; see plan_capture)
+        slim_df = slim.select("query_id", "doc_id", "rel_i")
+        pairs_df = pairs.select("query_id", "a_id", "b_id", "sim_i")
+        plan_capture.record(slim_df, "mmr_pool")
+        plan_capture.record(pairs_df, "mmr_pairs")
+        pool_rows = slim_df.collect()
         # group the pairs rows per query in ONE pass — a per-query
         # filter over the flat collect would rescan queries × pairs
         # rows, turning the serial arm quadratic in the query count
@@ -410,7 +418,7 @@ def _greedy_mmr(
         # 3s after; tools/measure_mmr_scale.py)
         present_q: dict = {}
         sim_q: dict = {}
-        for r in pairs.select("query_id", "a_id", "b_id", "sim_i").collect():
+        for r in pairs_df.collect():
             q, kk = r["query_id"], (r["a_id"], r["b_id"])
             present_q.setdefault(q, set()).add(kk)
             if r["sim_i"] is not None:

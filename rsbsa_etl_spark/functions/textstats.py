@@ -21,6 +21,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from rsbsa_etl_spark.functions.dedup import normalized_text
 from rsbsa_etl_spark.functions.numeric import dec_round
+from rsbsa_etl_spark.streaming import plan_capture
 from rsbsa_etl_spark.params import (
     CMS_DEPTH,
     CMS_WIDTH,
@@ -1043,9 +1044,11 @@ def _bpe_merge_rounds(w: DataFrame, rounds: int):
             .groupBy("p.l", "p.r")
             .agg(F.sum("cnt").cast("long").alias("n"))
         )
-        best = pairs.orderBy(
-            F.desc("n"), F.asc("l"), F.asc("r")
-        ).limit(1).collect()
+        best_df = pairs.orderBy(F.desc("n"), F.asc("l"), F.asc("r")).limit(1)
+        # audit evidence: each round's argmax plan (gate-closed no-op
+        # outside `python -m rsbsa_etl_spark audit` — see plan_capture)
+        plan_capture.record(best_df, f"bpe_round_{r}")
+        best = best_df.collect()
         if not best:
             break
         l, rt, n = best[0].l, best[0].r, best[0].n

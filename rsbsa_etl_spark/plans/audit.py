@@ -63,24 +63,36 @@ def audit_key(spark, key: str, sf_dir: str) -> dict:
     plan went unchecked) and the row records how many micro-batch
     plans contributed under ``micro_batch_plans``.
 
-    Known blind spot, documented in PLANAUDIT.md: a driver-loop key
-    (bpe_*, mmr_*) launches intermediate per-round jobs whose plans
-    are not part of the final DataFrame; those loops are built from
-    the same audited building blocks, and their shapes are pinned
-    individually in tests/test_plans.py.
+    Driver-loop keys are captured the same way since round 12
+    (closing the blind spot PLANAUDIT.md used to state): the build
+    runs with ``plan_capture.LOOP_GATE`` open, so each BPE merge
+    round's argmax plan and the MMR driver fold's two bounded-collect
+    plans land in ``CAPTURED`` (tagged ``loop:*``) and are SUMMED
+    into the key's counters alongside any streaming micro-batch
+    plans; the row records the contributing counts separately as
+    ``loop_plans`` / ``micro_batch_plans``.
     """
     from rsbsa_etl_spark.registry import QUERIES
-    from rsbsa_etl_spark.streaming.plan_capture import CAPTURED
+    from rsbsa_etl_spark.streaming.plan_capture import CAPTURED, LOOP_GATE
 
     spark.catalog.clearCache()
     CAPTURED.clear()
-    df = QUERIES[key](spark, sf_dir)
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    LOOP_GATE.enabled = True
+    try:
+        df = QUERIES[key](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        LOOP_GATE.enabled = False
     row = plan_counters(plan)
     if CAPTURED:
-        for _tag, p in CAPTURED:
+        n_loop = 0
+        for tag, p in CAPTURED:
+            n_loop += tag.startswith("loop:")
             for ck, v in plan_counters(p).items():
                 row[ck] += v
-        row["micro_batch_plans"] = len(CAPTURED)
+        if n_loop:
+            row["loop_plans"] = n_loop
+        if len(CAPTURED) - n_loop:
+            row["micro_batch_plans"] = len(CAPTURED) - n_loop
     CAPTURED.clear()
     return {"key": key, **row}

@@ -3138,10 +3138,18 @@ def _dep_closure(fn) -> dict[str, str]:
     routine round of edits — so coarse the change tier would crowd
     the age tier out of the driver's 50-key sweep head. Function
     granularity flags a key only when code it actually executes (or
-    a constant it actually reads) changed. Known blind spots, all
-    covered by the full local oracle-parity pytest gate: dynamic
-    dispatch through strings, and source reached only via data
-    tables of callables.
+    a constant it actually reads) changed.
+
+    FUNCTION-LOCAL IMPORTS are resolved since round 12: the registry
+    wrapper style is ``from rsbsa_etl_spark.x import y`` inside each
+    wrapper body, and those names never reach ``__globals__`` — the
+    globals-only walk left the entire implementation module OUT of
+    ~150 keys' closures (discovered when a round of retrieval.py
+    edits flagged zero keys). KEYHASHES was re-seeded from each
+    key's driver-tested tree under the extended algorithm the same
+    round. Remaining known blind spots, all covered by the full
+    local oracle-parity pytest gate: dynamic dispatch through
+    strings, and source reached only via data tables of callables.
     """
     import sys as _sys
     import types as _types
@@ -3216,12 +3224,51 @@ def _dep_closure(fn) -> dict[str, str]:
         except SyntaxError:
             tree = None
         refs: list = []
+        # pass 1 (round 12): FUNCTION-LOCAL package imports. The
+        # registry style is `from rsbsa_etl_spark.x import y` inside
+        # each wrapper body — those names never reach the function's
+        # __globals__, so the globals-only resolution below was blind
+        # to the entire implementation module of ~150 keys (found in
+        # round 12: editing functions/retrieval.py flagged NOTHING).
+        # Resolve the imported objects directly; imported modules
+        # join a local alias map consulted by the Attribute handler.
+        local_mods: dict = {}
+        if tree is not None:
+            import importlib as _importlib
+
+            for node in _ast.walk(tree):
+                if isinstance(node, _ast.ImportFrom):
+                    if node.level or not (node.module or "").startswith(
+                        "rsbsa_etl_spark"
+                    ):
+                        continue
+                    try:
+                        m = _importlib.import_module(node.module)
+                    except Exception:
+                        continue
+                    for a in node.names:
+                        if a.name == "*":
+                            continue
+                        val = getattr(m, a.name, None)
+                        if isinstance(val, _types.ModuleType):
+                            local_mods[a.asname or a.name] = val
+                        else:
+                            refs.append((a.name, val))
+                elif isinstance(node, _ast.Import):
+                    for a in node.names:
+                        if a.name.startswith("rsbsa_etl_spark") and a.asname:
+                            try:
+                                local_mods[a.asname] = (
+                                    _importlib.import_module(a.name)
+                                )
+                            except Exception:
+                                pass
         if tree is not None:
             for node in _ast.walk(tree):
                 if isinstance(node, _ast.Attribute) and isinstance(
                     node.value, _ast.Name
                 ):
-                    base = g.get(node.value.id)
+                    base = local_mods.get(node.value.id, g.get(node.value.id))
                     if isinstance(base, _types.ModuleType) and (
                         base.__name__.startswith("rsbsa_etl_spark")
                     ):

@@ -1,4 +1,6 @@
-"""Capture the EXECUTED micro-batch plans of streaming replays.
+"""Capture EXECUTED plans the final DataFrame doesn't carry:
+streaming micro-batches (round 11) and driver-loop iteration jobs
+(round 12 — see ``LOOP_GATE``/``record`` below).
 
 Until round 11 the plan-hygiene audit excluded every ``stream_*``
 key ("building the DataFrame runs real streaming jobs"), so the
@@ -60,6 +62,49 @@ class _CaptureBuffer:
 #: (tag, executed-plan string) per completed streaming query since
 #: the last ``CAPTURED.clear()`` — the audit clears per key.
 CAPTURED = _CaptureBuffer()
+
+
+class _LoopGate:
+    """Audit-time switch for DRIVER-LOOP plan capture.
+
+    Round 11 closed the streaming blind spot; this closes the other
+    one PLANAUDIT.md stated plainly: a driver-loop key (the BPE merge
+    loop's per-round argmax, the MMR greedy fold's pool/pairs
+    collects) launches intermediate jobs whose plans are not part of
+    the final DataFrame. ``record`` below captures them — but ONLY
+    while the audit holds this gate open: the loops are hot paths
+    (bpe_train runs in bench), and stringifying an executed plan per
+    merge round would tax production callers for evidence only the
+    audit reads. Same pinned-repr discipline as ``_CaptureBuffer``
+    (the closure-hash walk reprs module constants read by key code;
+    a state-dependent repr would re-flag keys as changed whenever an
+    audit ran in-process)."""
+
+    def __init__(self) -> None:
+        self.enabled = False
+
+    def __repr__(self) -> str:  # stable: gate state is not code identity
+        return "<driver-loop plan-capture gate>"
+
+
+#: open during ``plans.audit.audit_key`` builds only
+LOOP_GATE = _LoopGate()
+
+
+def record(df, tag: str) -> None:
+    """best-effort capture of a driver-loop intermediate DataFrame's
+    executed plan into ``CAPTURED`` under ``loop:<tag>`` — a zero-cost
+    boolean check unless the audit opened ``LOOP_GATE``. Call at the
+    loop's collect site, BEFORE the collect, with exactly the
+    DataFrame being collected."""
+    if not LOOP_GATE.enabled:
+        return
+    try:
+        CAPTURED.append(
+            (f"loop:{tag}", df._jdf.queryExecution().executedPlan().toString())
+        )
+    except Exception:  # noqa: BLE001 — capture must never fail the loop
+        pass
 
 
 def finish(q, tag: str) -> None:

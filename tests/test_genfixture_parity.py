@@ -11,8 +11,12 @@ oracle *as a function*, not on one input. (Round 8's one-off full
 runs: 246/246 green on the generated sf0.01 AND on its hot-key
 --skew variant; this test keeps a fast standing subset of that.)
 
-Auto-skips when the fixture has not been generated:
-    python tools/gen_sf.py --sf 0.01 --out /tmp/sfgen/sf0.01 --skew
+STANDING since round 12 (r11 verdict item 4): the sf0.01 generated
+fixture is produced on demand by the session-scoped ``gen_sf01_dir``
+conftest fixture (a <1 s ``tools/gen_sf.py`` one-off), so the sample
+runs on every machine instead of silently auto-skipping wherever
+/tmp/sfgen was absent. Only the sf1-sized variants below remain
+opt-in (their generation is minutes, not seconds).
 """
 
 from __future__ import annotations
@@ -20,8 +24,6 @@ from __future__ import annotations
 import os
 
 import pytest
-
-GEN_DIR = "/tmp/sfgen/sf0.01"
 
 #: one or two keys per family, weighted toward value-sensitive math
 #: (fixed-point folds, hash landings, tie-breaks, window frames)
@@ -56,16 +58,11 @@ SAMPLE_KEYS = [
 ]
 
 
-@pytest.mark.skipif(
-    not os.path.isdir(GEN_DIR),
-    reason="generated fixture absent (tools/gen_sf.py --sf 0.01 "
-    "--out /tmp/sfgen/sf0.01)",
-)
 @pytest.mark.parametrize("name", SAMPLE_KEYS)
-def test_key_matches_oracle_on_generated_fixture(spark, name):
+def test_key_matches_oracle_on_generated_fixture(spark, gen_sf01_dir, name):
     from rsbsa_etl_spark.verify import row_green, verify_key
 
-    row = verify_key(spark, name, GEN_DIR)
+    row = verify_key(spark, name, gen_sf01_dir)
     assert row_green(row), (name, row)
 
 

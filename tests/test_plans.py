@@ -839,7 +839,9 @@ def test_committed_planaudit_matches_live_plans(spark):
     deterministic sample of keys spanning the counter space (joins,
     windows, Arrow stages, the round-7 additions, and — round 11 —
     a streaming replay with captured micro-batch plans plus two
-    previously-excluded build-executes-work keys) must match the
+    previously-excluded build-executes-work keys, and — round 12 —
+    two driver-loop keys whose rows sum the captured per-iteration
+    plans, exercising the LOOP_GATE open/close path) must match the
     committed rows counter-for-counter at the audit's own SF; a
     mismatch means re-run the audit CLI and commit the refreshed
     JSON alongside the code change."""
@@ -861,6 +863,7 @@ def test_committed_planaudit_matches_live_plans(spark):
         "source_overlap_kmv", "source_overlap_kmv_sketch",
         "winsorize_stats", "token_gini",
         "stream_tail", "ann_eval", "scan_orc_roundtrip",
+        "bpe_train", "mmr_rerank",
     ]
     drift = {}
     for k in sample:

@@ -134,11 +134,45 @@ def dep_closure(fn) -> dict[str, str]:
             tree = ast.parse(textwrap.dedent(src))
         except SyntaxError:
             return
+        # pass 1 (round 12, mirroring registry._dep_closure):
+        # function-local package imports — the registry wrapper style
+        # — never reach __globals__, so resolve them directly;
+        # imported modules join a local alias map for pass 2.
+        import importlib
+
+        local_mods: dict = {}
+        for node in ast.walk(tree):
+            if isinstance(node, ast.ImportFrom):
+                if node.level or not (node.module or "").startswith(
+                    "rsbsa_etl_spark"
+                ):
+                    continue
+                try:
+                    m = importlib.import_module(node.module)
+                except Exception:
+                    continue
+                for a in node.names:
+                    if a.name == "*":
+                        continue
+                    val = getattr(m, a.name, None)
+                    if isinstance(val, types.ModuleType):
+                        local_mods[a.asname or a.name] = val
+                    else:
+                        _add(g, a.name, val)
+            elif isinstance(node, ast.Import):
+                for a in node.names:
+                    if a.name.startswith("rsbsa_etl_spark") and a.asname:
+                        try:
+                            local_mods[a.asname] = importlib.import_module(
+                                a.name
+                            )
+                        except Exception:
+                            pass
         for node in ast.walk(tree):
             if isinstance(node, ast.Attribute) and isinstance(
                 node.value, ast.Name
             ):
-                base = g.get(node.value.id)
+                base = local_mods.get(node.value.id, g.get(node.value.id))
                 if isinstance(base, types.ModuleType) and (
                     base.__name__.startswith("rsbsa_etl_spark")
                 ):
