@@ -314,6 +314,27 @@ def test_tool_hash_matches_registry_hash():
     )
 
 
+def test_dep_closure_resolves_function_local_imports():
+    """The round-12 walker fix, pinned: the registry wrapper style is
+    `from rsbsa_etl_spark.x import y` INSIDE the wrapper body, and
+    those names never reach __globals__ — a globals-only walk left
+    the entire implementation module out of ~150 keys' closures, so
+    implementation edits never re-entered the sweep head (found when
+    a full round of retrieval.py edits flagged zero keys). The
+    closure of a local-import wrapper must contain the imported
+    implementation function AND its transitive helpers."""
+    from rsbsa_etl_spark.registry import QUERIES, _dep_closure
+
+    closure = _dep_closure(QUERIES["mmr_rerank"])
+    assert "rsbsa_etl_spark.functions.retrieval.mmr_rerank" in closure
+    # transitive: the greedy fold the implementation calls
+    assert "rsbsa_etl_spark.functions.retrieval._greedy_mmr" in closure
+    # and a module-ALIAS local import (`from rsbsa_etl_spark import
+    # params as P` style) must resolve attribute reads through the
+    # alias — P.MMR_POOL_K etc. land as const entries
+    assert any(k.startswith("const.") for k in closure)
+
+
 def test_readme_query_count_matches_registry():
     """README's stated query count must track the registry (it went
     stale once: "182" while the registry held 198)."""
