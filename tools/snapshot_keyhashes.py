@@ -13,13 +13,16 @@ driver re-verifies the new implementation next round.
 
 Protocol (one command per round):
 
-    python tools/snapshot_keyhashes.py          # at ROUND START
+    python tools/snapshot_keyhashes.py          # any time in-round
 
-Run it when the new ``CORRECTNESS_r{N}.json`` lands and BEFORE any
-code edits — at that moment the working tree still equals the tree
-the driver tested, so hashing the current tree records exactly the
-code each fresh row attests to. Keys not in the new record keep
-their previous entries.
+ORDER-INDEPENDENT since round 12: the latest round's keys are
+hashed at the tree the driver actually tested — the parent of the
+``round N: verdict`` driver commit, extracted via ``git archive``
+(the seed path) — NOT the working tree, so running the refresh
+after code edits can no longer mis-attribute a round number to
+edited code (the r10/r11 hazard this used to carry as a manual
+round-START constraint). Keys not in the new record keep their
+previous entries.
 
 Seeding (``--seed``, re-run in round 11 after the r10 seed turned
 out to have used a pre-final hash algorithm — r10 advice item 1):
@@ -350,14 +353,32 @@ def main() -> None:
         if latest is None:
             print("no CORRECTNESS records — nothing to do")
             return
-        sys.path.insert(0, str(ROOT))
-        hashes = compute_all_hashes()
         fresh = [k for k, r in rounds.items() if r == latest]
+        # ORDER-INDEPENDENT since round 12 (r11 verdict "What's
+        # missing" #1: the refresh was a manual round-START step —
+        # a builder who edited key code first mis-hashed the fresh
+        # rows forever). The tree the round-N driver record tested
+        # is pinned in git (parent of the `round N: verdict` driver
+        # commit), so hash THAT tree via the seed path instead of
+        # whatever the working tree currently holds; running the
+        # refresh late is now harmless. Working-tree fallback only
+        # when the driver commit is not in history (never the case
+        # once CORRECTNESS_r{N}.json exists — it lands in that very
+        # commit — but kept so a detached/shallow checkout degrades
+        # to the old behavior instead of failing).
+        ref = _driver_commit_parent(latest)
+        if ref is not None:
+            hashes = _hashes_at_ref(ref)
+            src = f"the driver-tested tree ({ref})"
+        else:
+            sys.path.insert(0, str(ROOT))
+            hashes = compute_all_hashes()
+            src = "the CURRENT tree (driver commit not found — run " \
+                  "BEFORE editing key code)"
         for k in fresh:
             if k in hashes:
                 recorded[k] = {**hashes[k], "round": latest}
-        print(f"round {latest}: updated {len(fresh)} entries from the "
-              "current tree (run this BEFORE editing key code)")
+        print(f"round {latest}: updated {len(fresh)} entries from {src}")
 
     path.write_text(json.dumps(recorded, indent=1, sort_keys=True) + "\n")
     print(f"wrote {path} ({len(recorded)} entries)")
