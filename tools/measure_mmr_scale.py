@@ -68,6 +68,67 @@ def build_inputs(spark, sf_dir: str, n_queries: int):
     return pool, slim, pairs, qset
 
 
+def build_synthetic_inputs(spark, n_queries: int):
+    """pool/pairs with the EXACT shape the fold consumes — queries ×
+    MMR_POOL_K slim rows, queries × pool_k·(pool_k−1) directional
+    pairs — built by pure ``spark.range`` arithmetic instead of the
+    brute-force retrieval. The greedy fold's cost is pool-SHAPE
+    bounded (k picks × pool_k candidates × |selected| sim lookups
+    per query; data values only steer which candidate wins), so a
+    synthetic pool measures the same stage at a build cost linear in
+    the pool instead of corpus × queries — which is what makes the
+    10k+-query decade point affordable (the real ``_mmr_pool`` build
+    at sf1 is 20 000 × 12 800 cosine folds of setup for a ~30 s
+    timed region). The arm-vs-arm pick-equality assertion is
+    unchanged — both arms run the same kernel over these inputs.
+    Values are deterministic functions of (query, slot): rel_i
+    descends with slot (distinct per query), sim_i varies by
+    (a, b) slot pair with a NULL row per query (exercising the
+    NULLS-LAST path), matching the kernel-fixture patterns."""
+    from pyspark.sql import functions as F
+
+    from rsbsa_etl_spark.params import MMR_POOL_K
+
+    pk = MMR_POOL_K
+    slim = (
+        spark.range(n_queries * pk)
+        .select(
+            (F.col("id") / pk).cast("long").alias("query_id"),
+            F.pmod(F.col("id"), F.lit(pk)).alias("slot"),
+        )
+        .select(
+            "query_id",
+            (F.col("query_id") * 1000 + F.col("slot")).alias("doc_id"),
+            (F.lit(1_000_000) - F.col("slot") * 1000
+             - F.pmod(F.col("query_id") * 7919 + F.col("slot") * 104729,
+                      F.lit(997))).alias("rel_i"),
+        )
+        .persist()
+    )
+    slim.count()
+    a = slim.select("query_id", F.col("doc_id").alias("a_id"),
+                    F.col("rel_i").alias("ra"))
+    b = slim.select("query_id", F.col("doc_id").alias("b_id"),
+                    F.col("rel_i").alias("rb"))
+    pairs = (
+        a.join(b, "query_id")
+        .where(F.col("a_id") != F.col("b_id"))
+        .select(
+            "query_id", "a_id", "b_id",
+            F.when(
+                F.pmod(F.col("a_id") + F.col("b_id"), F.lit(37)) == 0,
+                F.lit(None).cast("long"),
+            ).otherwise(
+                F.pmod(F.col("a_id") * 31 + F.col("b_id") * 17,
+                       F.lit(900_000))
+            ).alias("sim_i"),
+        )
+        .persist()
+    )
+    pairs.count()
+    return slim, pairs
+
+
 def time_arm(slim, pairs, k: int, distributed: bool, reps: int):
     from rsbsa_etl_spark.functions.retrieval import _greedy_mmr
 
@@ -90,6 +151,13 @@ def main() -> None:
     ap.add_argument("--sizes", default="25,100,400,1600")
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--out", default="/tmp/mmr_scale.json")
+    ap.add_argument(
+        "--synthetic", action="store_true",
+        help="build pool/pairs by range arithmetic instead of the "
+        "shipped retrieval — same fold workload shape, corpus-free "
+        "setup; for decade-scale query counts (see "
+        "build_synthetic_inputs)",
+    )
     args = ap.parse_args()
 
     from rsbsa_etl_spark.params import MMR_SELECT_K
@@ -105,7 +173,11 @@ def main() -> None:
     sizes = [int(s) for s in args.sizes.split(",")]
     rows = []
     for n in sizes:
-        pool, slim, pairs, qset = build_inputs(spark, args.sf_dir, n)
+        if args.synthetic:
+            slim, pairs = build_synthetic_inputs(spark, n)
+            pool = slim  # one shared handle to release below
+        else:
+            pool, slim, pairs, qset = build_inputs(spark, args.sf_dir, n)
         try:
             t_drv, picks_drv = time_arm(
                 slim, pairs, MMR_SELECT_K, False, args.reps
@@ -120,6 +192,7 @@ def main() -> None:
         )
         rows.append(
             {
+                "synthetic": bool(args.synthetic),
                 "n_queries": n,
                 "driver_sec": round(t_drv, 3),
                 "distributed_sec": round(t_dist, 3),
