@@ -189,6 +189,7 @@ HEADLINE = [
     "hybrid_search_rrf",
     "mmr_rerank",
     "mmr_rerank_dist",  # distributed greedy arm (round 11)
+    "mmr_rerank_ivf",  # IVF-pool MMR composition (round 12)
     "dsir_weights",
     "dsir_resample",
     "rocchio_classify",

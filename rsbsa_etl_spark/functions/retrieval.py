@@ -605,6 +605,97 @@ def mmr_rerank(
     )
 
 
+def mmr_rerank_ivf(
+    emb: DataFrame,
+    query_ids=ANN_QUERY_IDS,
+    pool_k: int | None = None,
+    k: int | None = None,
+    distributed: bool | None = None,
+) -> DataFrame:
+    """MMR diversity re-rank over an IVF-retrieved pool — the
+    billion-vector deployment shape ``mmr_rerank``'s docstring
+    promises ("swap in the IVF arm at scale; the re-rank stage is
+    unchanged"), now shipped as its own oracle-checked operator:
+    the pool comes from ``ivf_topk`` (broadcast centroid probe,
+    ~nprobe/n_cells of the corpus touched per query) instead of the
+    brute-force scan, then the SAME pairwise quantization, greedy
+    kernel, auto-switch, and output contract as ``mmr_rerank``.
+
+    Relevance is the IVF arm's cosine (already dec-rounded to 1e-4)
+    requantized to the kernel's 1e-6 integer grid —
+    ``floor(cos·1e6 + 0.5)`` of an exact 1e-4-grid double is the
+    same integer in both engines, so the oracle composes the IVF SQL
+    with the shared MMR unroll verbatim. A query's pool can hold
+    fewer than ``pool_k`` docs (only probed cells compete — that is
+    the approximation being bought); the kernel and the unroll both
+    stop early on exhausted pools.
+
+    Scale: corpus-sized work drops from ``mmr_rerank``'s
+    O(corpus × queries) brute-force scan to the IVF probe's
+    O(corpus + queries × corpus · nprobe/n_cells); the greedy stage
+    is unchanged and pool-bounded. Cache discipline matches
+    ``mmr_rerank`` exactly (both arms release the pool persist
+    before returning; the distributed fold materializes into a
+    result-sized persist)."""
+    from rsbsa_etl_spark.functions.similarity import ivf_topk
+    from rsbsa_etl_spark.params import (
+        MMR_DIST_MIN_QUERIES,
+        MMR_FIXED_SCALE,
+        MMR_POOL_K,
+        MMR_SELECT_K,
+    )
+
+    pool_k = MMR_POOL_K if pool_k is None else pool_k
+    k = MMR_SELECT_K if k is None else k
+    qset = [int(q) for q in query_ids]
+    if distributed is None:
+        distributed = len(qset) >= MMR_DIST_MIN_QUERIES
+    e = with_norm(emb)
+    pool = (
+        ivf_topk(emb, qset, pool_k)
+        .select(
+            "query_id",
+            F.col("neighbor_id").alias("doc_id"),
+            F.floor(F.col("cosine") * F.lit(1e6) + F.lit(0.5))
+            .cast("long")
+            .alias("rel_i"),
+        )
+        .where(F.col("rel_i").isNotNull())
+        .join(
+            e.select(
+                F.col("vec_id").alias("doc_id"),
+                F.col("_vd").alias("vd"),
+                F.col("_norm").alias("nd"),
+            ),
+            "doc_id",
+        )
+        .persist()
+    )
+    pairs = _pairwise_sims(pool)
+    slim = pool.select("query_id", "doc_id", "rel_i")
+    if distributed:
+        try:
+            pool.count()
+            selected = _greedy_mmr(slim, pairs, k, distributed=True).persist()
+            selected.count()
+        finally:
+            pool.unpersist()
+    else:
+        try:
+            selected = _greedy_mmr(slim, pairs, k)
+        finally:
+            pool.unpersist()
+    return selected.select(
+        "query_id",
+        "doc_id",
+        "pick_order",
+        (F.col("rel_i").cast("double") / F.lit(1e6)).alias("relevance"),
+        (F.col("mmr_i").cast("double") / F.lit(MMR_FIXED_SCALE)).alias(
+            "mmr"
+        ),
+    )
+
+
 def hybrid_mmr(
     docs: DataFrame,
     emb: DataFrame,

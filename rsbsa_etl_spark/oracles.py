@@ -230,11 +230,14 @@ FROM ranked WHERE rank <= {P.ANN_TOP_K}
 """
 
 
-def _ivf_sql() -> str:
+def _ivf_sql(k: int = P.ANN_TOP_K) -> str:
     """IVF ANN — mirrors ``similarity.ivf_topk``: deterministic
     centroids (vec_id < n), argmin-L2² cell assignment, nprobe
     nearest cells per query, exact cosine rank within candidates.
-    All folds are sequential list_sum, matching F.aggregate."""
+    All folds are sequential list_sum, matching F.aggregate.
+    ``k`` parametrizes the final rank cut (round 12: the
+    mmr_rerank_ivf composition retrieves an MMR_POOL_K-sized pool
+    through the same plan)."""
     qids = sql_in_list(P.ANN_QUERY_IDS)
     d2 = "list_sum(list_transform(range(1, 65), i -> (a.v[i] - c.vc[i]) * (a.v[i] - c.vc[i])))"
     sim6 = _dec(f"{_DOT} / (a.nrm * b.nrm)", 6)
@@ -275,7 +278,7 @@ ranked AS (
   FROM scored
 )
 SELECT query_id, neighbor_id, {_dec("cosine", 4)} AS cosine, CAST(rank AS INT) AS rank
-FROM ranked WHERE rank <= {P.ANN_TOP_K}
+FROM ranked WHERE rank <= {k}
 """
 
 
@@ -4264,6 +4267,30 @@ ORACLES["mmr_rerank"] = _mmr_sql()
 # the distributed-arm key: SAME unroll — the two arms are
 # bit-identical by construction, and the driver gate proves it
 ORACLES["mmr_rerank_dist"] = _mmr_sql()
+
+# the IVF-pool composition (round 12): the SAME unroll over a pool
+# retrieved by the parametrized IVF SQL — relevance requantizes the
+# IVF arm's 1e-4 cosine onto the kernel's 1e-6 grid (exact in both
+# engines: floor of a 1e-4-grid double times 1e6 plus 0.5)
+ORACLES["mmr_rerank_ivf"] = f"""WITH {_EMB_CTE.strip()},
+ivfpool AS (SELECT * FROM ({_ivf_sql(P.MMR_POOL_K)}) t),
+pool AS (
+  SELECT query_id, neighbor_id AS doc_id,
+         CAST(floor(cosine * 1000000.0 + 0.5) AS BIGINT) AS rel_i
+  FROM ivfpool WHERE cosine IS NOT NULL
+),
+pairs AS (
+  SELECT p1.query_id, p1.doc_id AS a_id, p2.doc_id AS b_id, {_MMR_SIM} AS sim_i
+  FROM pool p1
+  JOIN pool p2 ON p1.query_id = p2.query_id AND p1.doc_id <> p2.doc_id
+  JOIN n a ON a.vec_id = p1.doc_id
+  JOIN n b ON b.vec_id = p2.doc_id
+),
+{_mmr_rounds()}
+SELECT query_id, doc_id, CAST(pick_order AS INT) AS pick_order,
+       CAST(rel_i AS DOUBLE) / 1000000.0 AS relevance,
+       CAST(mmr_i AS DOUBLE) / {P.MMR_FIXED_SCALE!r} AS mmr
+FROM sel{P.MMR_SELECT_K}"""
 
 ORACLES["hybrid_mmr"] = f"""
 WITH hybrid AS (SELECT * FROM ({ORACLES["hybrid_search_rrf"]}) t),

@@ -1875,6 +1875,17 @@ def mmr_rerank_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _m(load(spark, sf_dir, "embeddings"), distributed=True)
 
 
+def mmr_rerank_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mmr_rerank`` with the pool retrieved by the IVF probe
+    instead of the brute-force scan — the billion-vector deployment
+    shape (corpus work drops to ~nprobe/n_cells per query); the
+    greedy kernel, quantization, and oracle unroll are shared with
+    mmr_rerank, so only the retrieval approximation differs."""
+    from rsbsa_etl_spark.functions.retrieval import mmr_rerank_ivf as _m
+
+    return _m(load(spark, sf_dir, "embeddings"))
+
+
 def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style importance weights (Xie et al. 2023): hashed-unigram
     target-vs-raw probability ratios, transcendental-free — the
@@ -2854,6 +2865,7 @@ QUERIES: dict[str, QueryFn] = {
     "hybrid_search_rrf": hybrid_search_rrf,
     "mmr_rerank": mmr_rerank,
     "mmr_rerank_dist": mmr_rerank_dist,
+    "mmr_rerank_ivf": mmr_rerank_ivf,
     "dsir_weights": dsir_weights,
     "dsir_resample": dsir_resample,
     "rocchio_classify": rocchio_classify,
