@@ -890,3 +890,94 @@ def prf_expand(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def prf_requery(
+    docs: DataFrame,
+    emb: DataFrame,
+    query_ids=ANN_QUERY_IDS,
+    m: int | None = None,
+    top_k: int | None = None,
+) -> DataFrame:
+    """the retrieve→expand→RE-RETRIEVE loop's final pass (round 12,
+    completing the PRF story ``prf_expand`` is the middle stage of):
+    re-run lexical retrieval with the EXPANDED query — original
+    distinct query terms weighted ``PRF_W_ORIG`` plus the top-``m``
+    mined expansion terms weighted ``PRF_W_EXPANSION`` (the
+    RM3-style anchor-the-original interpolation as exact integer
+    weights) — scoring Σ weight·rational_idf over matched DISTINCT
+    terms, quantized per term BEFORE the sum (``fixed_sum``), ties
+    on doc_id. Output: (query_id, doc_id, requery_score, rank),
+    top-``HYBRID_TOP_K`` per query.
+
+    Scale: the expanded term set is queries × (|q| + m) rows —
+    broadcast onto the distinct-term posting list exactly like the
+    hybrid lexical arm (one corpus term scan, map-side partial agg);
+    the expensive stage is the nested ``prf_expand`` (hybrid
+    retrieval + feedback mining), which is already scale-shaped.
+    Corpus membership matches the hybrid pipeline (documents ⋈
+    embeddings), so the three loop stages rank over one universe.
+    Persist contract: shares the hybrid corpus session cache
+    (loop-running callers clearCache between runs, as bench.py
+    does)."""
+    from rsbsa_etl_spark.params import (
+        HYBRID_TOP_K as _TOPK,
+        PRF_EXPANSION_TERMS,
+        PRF_W_EXPANSION,
+        PRF_W_ORIG,
+    )
+
+    m = PRF_EXPANSION_TERMS if m is None else m
+    top_k = _TOPK if top_k is None else top_k
+    qset = [int(q) for q in query_ids]
+    exp_terms = prf_expand(docs, emb, qset, m).select(
+        "query_id", "term", F.lit(int(PRF_W_EXPANSION)).alias("w")
+    )
+    corpus = docs.select(
+        "doc_id", normalized_text(F.col("text")).alias("norm")
+    ).join(emb.select(F.col("vec_id").alias("doc_id")), "doc_id")
+    qterms = (
+        corpus.where(F.col("doc_id").isin(qset))
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.split("norm", " ")).alias("term"),
+        )
+        .where(F.length("term") > 0)
+        .distinct()
+        .select("query_id", "term", F.lit(int(PRF_W_ORIG)).alias("w"))
+    )
+    wterms = qterms.unionByName(exp_terms)
+    cand = corpus.where(~F.col("doc_id").isin(qset))
+    terms = (
+        cand.select("doc_id", F.explode(F.split("norm", " ")).alias("term"))
+        .where(F.length("term") > 0)
+        .distinct()
+    )
+    dfs = terms.groupBy("term").agg(F.count("*").alias("df"))
+    n_tbl = cand.select(F.count("*").alias("n_docs"))
+    scored = (
+        terms.join(F.broadcast(wterms), "term")
+        .join(F.broadcast(dfs), "term")
+        .join(F.broadcast(n_tbl))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            fixed_sum(
+                F.col("w") * rational_idf(F.col("n_docs"), F.col("df")),
+                6,
+                alias="requery_score",
+            )
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("requery_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= top_k)
+        .select(
+            "query_id",
+            "doc_id",
+            "requery_score",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -4620,6 +4620,52 @@ FROM rk WHERE rank <= {P.PRF_EXPANSION_TERMS}
 """
 
 
+ORACLES["prf_requery"] = f"""
+WITH prf AS (SELECT * FROM ({ORACLES["prf_expand"]}) t),
+corpus AS (
+  SELECT d.doc_id, {NORM} AS norm
+  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+),
+cand AS (SELECT * FROM corpus WHERE doc_id NOT IN ({_HQ})),
+terms AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id, unnest(string_split(norm, ' ')) AS term FROM cand
+  ) WHERE length(term) > 0
+),
+dfs AS (SELECT term, count(*) AS df FROM terms GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM cand),
+qterms AS (
+  SELECT DISTINCT doc_id AS query_id, term, {P.PRF_W_ORIG} AS w FROM (
+    SELECT doc_id, unnest(string_split(norm, ' ')) AS term
+    FROM corpus WHERE doc_id IN ({_HQ})
+  ) WHERE length(term) > 0
+),
+wterms AS (
+  SELECT query_id, term, w FROM qterms
+  UNION ALL
+  SELECT query_id, term, {P.PRF_W_EXPANSION} AS w FROM prf
+),
+scored AS (
+  SELECT w.query_id, t.doc_id,
+         {sql_sum_fixed(
+             "w.w * ((n.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))", 6
+         )} AS requery_score
+  FROM terms t
+  JOIN wterms w USING (term)
+  JOIN dfs USING (term), n
+  GROUP BY w.query_id, t.doc_id
+),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY requery_score DESC,
+                                        doc_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, doc_id, requery_score, CAST(rank AS INT) AS rank
+FROM rk WHERE rank <= {P.HYBRID_TOP_K}
+"""
+
+
 ORACLES["dedup_spans_cut"] = f"""
 WITH spans AS (SELECT * FROM ({ORACLES["dedup_spans"]}) t),
 sp AS (

@@ -430,6 +430,16 @@ BENFORD_P = (
 #: feedback documents.
 PRF_EXPANSION_TERMS = 10
 
+#: PRF RE-RETRIEVAL term weights (the retrieve→expand→re-retrieve
+#: loop's final pass, round 12): the second-pass lexical score is
+#: Σ weight·idf over matched DISTINCT terms, with original query
+#: terms weighted PRF_W_ORIG and mined expansion terms PRF_W_EXPANSION
+#: — the RM3-style anchor-the-original-query interpolation expressed
+#: as EXACT integer weights (λ = 2/3 on the original side), so both
+#: engines' fixed-point sums agree bit-for-bit.
+PRF_W_ORIG = 2
+PRF_W_EXPANSION = 1
+
 #: winnowing fingerprint window (Schleimer et al. 2003, the MOSS
 #: algorithm): one fingerprint — the rightmost-minimal gram hash —
 #: per WINNOW_W consecutive k-gram hashes. Grams reuse SPAN_NGRAM_K,

@@ -1886,6 +1886,18 @@ def mmr_rerank_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _m(load(spark, sf_dir, "embeddings"))
 
 
+def prf_requery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """the PRF loop's final pass: re-run lexical retrieval with the
+    expanded query (original terms weighted PRF_W_ORIG, mined
+    expansion terms PRF_W_EXPANSION), Σ weight·idf over matched
+    distinct terms in exact fixed point — completes the
+    retrieve→expand→re-retrieve loop prf_expand is the middle of."""
+    from rsbsa_etl_spark.functions.retrieval import prf_requery as _m
+
+    return _m(load(spark, sf_dir, "documents"),
+              load(spark, sf_dir, "embeddings"))
+
+
 def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style importance weights (Xie et al. 2023): hashed-unigram
     target-vs-raw probability ratios, transcendental-free — the
@@ -2866,6 +2878,7 @@ QUERIES: dict[str, QueryFn] = {
     "mmr_rerank": mmr_rerank,
     "mmr_rerank_dist": mmr_rerank_dist,
     "mmr_rerank_ivf": mmr_rerank_ivf,
+    "prf_requery": prf_requery,
     "dsir_weights": dsir_weights,
     "dsir_resample": dsir_resample,
     "rocchio_classify": rocchio_classify,
