@@ -191,6 +191,7 @@ HEADLINE = [
     "mmr_rerank_dist",  # distributed greedy arm (round 11)
     "mmr_rerank_ivf",  # IVF-pool MMR composition (round 12)
     "prf_requery",  # PRF re-retrieval final pass (round 12)
+    "decontam_embedding",  # embedding-arm decontamination (round 12)
     "dsir_weights",
     "dsir_resample",
     "rocchio_classify",

@@ -144,6 +144,53 @@ def decontam_overlap(docs: DataFrame, text_col: str = "text") -> DataFrame:
 # -------------------------------------------------------- sequence packing
 
 
+
+def decontam_embedding(emb: DataFrame) -> DataFrame:
+    """Benchmark decontamination, EMBEDDING arm (round 12 —
+    completing the trio with ``decontam_overlap``'s n-gram check and
+    ``decontam_fuzzy``'s near-match check): for every training
+    vector, the maximum cosine to any eval-set vector (the same
+    ``vec_id < P.EVAL_DOC_MAX`` held-out convention), flagged
+    contaminated at ``P.COSINE_THRESHOLD`` — the semantic-leak
+    screen n-gram overlap cannot see (a paraphrased eval example
+    shares no shingles but sits next to it in embedding space).
+
+    Output: (doc_id, max_cos, contaminated) — one row per training
+    vector; ``contaminated`` coalesces to FALSE when every cosine is
+    NULL (a zero-norm embedding), identically in both engines.
+
+    Plan shape: the eval side is broadcast (eval sets are thousands
+    of rows, not billions — the same bound ``decontam_overlap``
+    rides) against ONE training scan; cosine is the sequential-fold
+    expression, the per-doc max is a map-side-combining aggregate.
+    Zero large shuffles; at 100 TB the training side remains a
+    single pass. Mirrors the exact bipartite semantics of
+    ``similarity.cosine_pairs_bipartite`` at the dedup_embedding
+    quantization (1e-4), expressed in pure codegen because the
+    broadcast side is benchmark-bounded — no tiling needed.
+    """
+    from rsbsa_etl_spark.functions.similarity import dot, safe_div, with_norm
+
+    e = with_norm(emb)
+    ev = e.where(F.col("vec_id") < P.EVAL_DOC_MAX).select(
+        F.col("_vd").alias("ve"), F.col("_norm").alias("ne")
+    )
+    tr = e.where(F.col("vec_id") >= P.EVAL_DOC_MAX).select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("_vd").alias("vt"),
+        F.col("_norm").alias("nt"),
+    )
+    cos = dec_round(
+        safe_div(dot(F.col("vt"), F.col("ve")), F.col("nt") * F.col("ne")), 4
+    )
+    scored = tr.join(F.broadcast(ev)).select("doc_id", cos.alias("cos"))
+    return scored.groupBy("doc_id").agg(
+        F.max("cos").alias("max_cos"),
+        F.coalesce(
+            F.max("cos") >= F.lit(P.COSINE_THRESHOLD), F.lit(False)
+        ).alias("contaminated"),
+    )
+
 def pack_sequences(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Concat-then-chunk sequence packing: documents are concatenated
     in (source, doc_id) order into a token stream per source shard

@@ -1333,6 +1333,20 @@ _SEM_D2 = (
 )
 _SEM_COS_C = "list_sum(list_transform(range(1, 65), i -> a.v[i] * c.vc[i]))"
 
+ORACLES["decontam_embedding"] = f"""
+WITH {_EMB_CTE.strip()},
+s AS (
+  SELECT a.vec_id AS doc_id,
+         {_dec(f"{_DOT} / (a.nrm * b.nrm)", 4)} AS cos
+  FROM n a JOIN n b ON b.vec_id < {P.EVAL_DOC_MAX}
+  WHERE a.vec_id >= {P.EVAL_DOC_MAX}
+)
+SELECT doc_id, max(cos) AS max_cos,
+       COALESCE(max(cos) >= {P.COSINE_THRESHOLD}, FALSE) AS contaminated
+FROM s GROUP BY doc_id
+"""
+
+
 ORACLES["dedup_semantic"] = f"""
 WITH {_EMB_CTE.strip()},
 cents AS (SELECT vec_id AS cid, v AS vc, nrm AS nc FROM n

@@ -2346,6 +2346,14 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def decontam_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embedding-arm benchmark decontamination: max cosine of every
+    training vector to the broadcast eval set, flagged at the corpus
+    cosine threshold — the semantic-leak screen completing the
+    n-gram (decontam_ngram) / edit-distance (decontam_fuzzy) trio."""
+    return curation.decontam_embedding(load(spark, sf_dir, "embeddings"))
+
+
 def decontam_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.decontam_fuzzy(load(spark, sf_dir, "documents"))
 
@@ -2753,6 +2761,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_incremental": dedup_incremental,
+    "decontam_embedding": decontam_embedding,
     "decontam_fuzzy": decontam_fuzzy,
     "knn_graph": knn_graph,
     "knn_graph_ivf": knn_graph_ivf,
