@@ -192,6 +192,7 @@ HEADLINE = [
     "mmr_rerank_ivf",  # IVF-pool MMR composition (round 12)
     "prf_requery",  # PRF re-retrieval final pass (round 12)
     "decontam_embedding",  # embedding-arm decontamination (round 12)
+    "context_pack",  # budgeted context assembly after MMR (round 12)
     "dsir_weights",
     "dsir_resample",
     "rocchio_classify",

@@ -981,3 +981,58 @@ def prf_requery(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def context_pack(
+    docs: DataFrame,
+    emb: DataFrame,
+    query_ids=ANN_QUERY_IDS,
+    budget: int | None = None,
+) -> DataFrame:
+    """context-window assembly — the stage AFTER diversity re-rank
+    in a retrieval-augmented pipeline (round 12): fill each query's
+    context with its MMR picks in pick order until the cumulative
+    token count exceeds ``budget`` (greedy prefix — the standard
+    deployment: the re-ranker already ordered by marginal utility,
+    so the budget cut is a running-sum window, not a knapsack).
+
+    Output: (query_id, doc_id, pick_order, n_tokens, cum_tokens,
+    included) — every pick is reported with its running total so the
+    caller sees both the packed context AND what the budget cut;
+    token counts are the repo's whitespace-token convention
+    (``tokens_col``), NULL text counting 0. Picks without a document
+    row are excluded by the inner join (one id space in the fixture
+    corpus).
+
+    Scale: the corpus-sized side is ONE documents scan; the picks
+    table (queries × k rows) broadcasts onto it, and the running sum
+    is a window over the tiny joined result. The expensive stage is
+    the nested ``mmr_rerank`` retrieval, already scale-shaped.
+    """
+    from rsbsa_etl_spark.functions.dedup import tokens_col
+    from rsbsa_etl_spark.params import CONTEXT_TOKEN_BUDGET
+
+    budget = CONTEXT_TOKEN_BUDGET if budget is None else budget
+    qset = [int(q) for q in query_ids]
+    picks = mmr_rerank(emb, qset).select("query_id", "doc_id", "pick_order")
+    ntok = docs.select(
+        "doc_id",
+        F.when(F.col("text").isNull(), F.lit(0))
+        .otherwise(F.size(tokens_col(F.col("text"))))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    j = ntok.join(F.broadcast(picks), "doc_id")
+    wc = (
+        Window.partitionBy("query_id")
+        .orderBy("pick_order")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "query_id",
+        "doc_id",
+        "pick_order",
+        "n_tokens",
+        F.sum("n_tokens").over(wc).cast("long").alias("cum_tokens"),
+        (F.sum("n_tokens").over(wc) <= F.lit(budget)).alias("included"),
+    )

@@ -4680,6 +4680,32 @@ FROM rk WHERE rank <= {P.HYBRID_TOP_K}
 """
 
 
+ORACLES["context_pack"] = f"""
+WITH picks AS (SELECT * FROM ({ORACLES["mmr_rerank"]}) t),
+ntok AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL THEN 0 ELSE len({TOKS}) END AS n_tokens
+  FROM documents
+),
+j AS (
+  SELECT p.query_id, p.doc_id, p.pick_order,
+         CAST(n.n_tokens AS BIGINT) AS n_tokens
+  FROM picks p JOIN ntok n USING (doc_id)
+),
+c AS (
+  SELECT *, CAST(sum(n_tokens) OVER (
+              PARTITION BY query_id ORDER BY pick_order
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_tokens
+  FROM j
+)
+SELECT query_id, doc_id, CAST(pick_order AS INT) AS pick_order,
+       n_tokens, cum_tokens,
+       cum_tokens <= {P.CONTEXT_TOKEN_BUDGET} AS included
+FROM c
+"""
+
+
 ORACLES["dedup_spans_cut"] = f"""
 WITH spans AS (SELECT * FROM ({ORACLES["dedup_spans"]}) t),
 sp AS (

@@ -440,6 +440,14 @@ PRF_EXPANSION_TERMS = 10
 PRF_W_ORIG = 2
 PRF_W_EXPANSION = 1
 
+#: context-assembly token budget (round 12): ``context_pack`` fills
+#: a per-query context window with MMR picks in pick order until the
+#: cumulative whitespace-token count exceeds this — sized to the
+#: fixture corpus (docs average ~54 tokens, MMR_SELECT_K=5 picks)
+#: so the greedy prefix splits mid-list rather than trivially
+#: including or excluding everything.
+CONTEXT_TOKEN_BUDGET = 150
+
 #: winnowing fingerprint window (Schleimer et al. 2003, the MOSS
 #: algorithm): one fingerprint — the rightmost-minimal gram hash —
 #: per WINNOW_W consecutive k-gram hashes. Grams reuse SPAN_NGRAM_K,

@@ -1898,6 +1898,16 @@ def prf_requery(spark: SparkSession, sf_dir: str) -> DataFrame:
               load(spark, sf_dir, "embeddings"))
 
 
+def context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """context-window assembly after MMR: greedy prefix of each
+    query's diversity-ranked picks under CONTEXT_TOKEN_BUDGET — the
+    running-sum budget cut between retrieval and the model."""
+    from rsbsa_etl_spark.functions.retrieval import context_pack as _m
+
+    return _m(load(spark, sf_dir, "documents"),
+              load(spark, sf_dir, "embeddings"))
+
+
 def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style importance weights (Xie et al. 2023): hashed-unigram
     target-vs-raw probability ratios, transcendental-free — the
@@ -2888,6 +2898,7 @@ QUERIES: dict[str, QueryFn] = {
     "mmr_rerank_dist": mmr_rerank_dist,
     "mmr_rerank_ivf": mmr_rerank_ivf,
     "prf_requery": prf_requery,
+    "context_pack": context_pack,
     "dsir_weights": dsir_weights,
     "dsir_resample": dsir_resample,
     "rocchio_classify": rocchio_classify,
