@@ -55,6 +55,12 @@ SAMPLE_KEYS = [
                                  # hardcoding the single-file layout
     "window_session_chunked",    # hot-key dial, flat-oracle verbatim
     "graph_triangles_ivf",       # composed IVF-graph oracle
+    # round-12 additions — every new key earns dataset-independence
+    # coverage the round it lands
+    "mmr_rerank_ivf",            # IVF-pool MMR composition
+    "prf_requery",               # PRF re-retrieval, weighted idf
+    "decontam_embedding",        # broadcast eval-set cosine screen
+    "context_pack",              # budgeted running-sum packing
 ]
 
 
