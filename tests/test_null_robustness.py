@@ -123,3 +123,67 @@ def test_null_injected_parity(spark, null_sf, key):
     pd.testing.assert_frame_equal(
         got, want, check_dtype=False, rtol=0, atol=1e-9
     )
+
+
+def test_decontam_embedding_zero_norm_is_not_contaminated(spark):
+    """the coalesce path, pinned: a training vector whose every
+    cosine is NULL (zero-norm embedding — safe_div's NULL-on-zero
+    denominator) must land contaminated=FALSE with max_cos NULL,
+    not NULL/crash — the oracle's COALESCE(max(cos) >= T, FALSE)
+    twin. Eval side: ids < EVAL_DOC_MAX."""
+    from rsbsa_etl_spark.functions.curation import decontam_embedding
+    from rsbsa_etl_spark import params as P
+
+    dims = 64
+    unit = [1.0] + [0.0] * (dims - 1)
+    emb = spark.createDataFrame(
+        [(0, unit, 0),                       # eval vector
+         (P.EVAL_DOC_MAX, [0.0] * dims, 0),  # zero-norm train vector
+         (P.EVAL_DOC_MAX + 1, unit, 0)],     # exact-match train vector
+        "vec_id long, embedding array<float>, label int",
+    )
+    rows = {r["doc_id"]: r for r in decontam_embedding(emb).collect()}
+    z = rows[P.EVAL_DOC_MAX]
+    assert z["max_cos"] is None and z["contaminated"] is False
+    m = rows[P.EVAL_DOC_MAX + 1]
+    assert m["max_cos"] == 1.0 and m["contaminated"] is True
+
+
+def test_context_pack_null_text_counts_zero_tokens(spark):
+    """NULL text in a picked document must count 0 tokens (not NULL,
+    which would vanish from the running sum and desynchronize the
+    budget cut between engines) — the CASE/when twin pinned on a
+    synthetic corpus where the MMR picks include a NULL-text doc."""
+    from rsbsa_etl_spark.functions.retrieval import context_pack
+
+    dims = 64
+
+    def vec(seed: float):
+        v = [0.1] * dims
+        v[0] = seed
+        return v
+
+    emb = spark.createDataFrame(
+        [(i, vec(1.0 + 0.1 * i), 0) for i in range(6)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma", "en", "s"),
+         (1, None, "en", "s"),               # NULL text, still picked
+         (2, "one two", "en", "s"),
+         (3, "x y z w", "en", "s"),
+         (4, "lorem ipsum dolor", "en", "s"),
+         (5, "short", "en", "s")],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = context_pack(docs, emb, query_ids=[0], budget=5)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert 1 in rows, "the NULL-text doc must still appear as a pick"
+    assert rows[1]["n_tokens"] == 0
+    # running sums are monotone and the budget cut matches them
+    ordered = sorted(rows.values(), key=lambda r: r["pick_order"])
+    cum = 0
+    for r in ordered:
+        cum += r["n_tokens"]
+        assert r["cum_tokens"] == cum
+        assert r["included"] == (cum <= 5)

@@ -946,3 +946,19 @@ def test_ann_index_append_matches_full_build(spark, tmp_path):
     got_full = {tuple(r) for r in query_ivf_index(spark, full, qv).collect()}
     got_inc = {tuple(r) for r in query_ivf_index(spark, inc, qv).collect()}
     assert got_inc == got_full and len(got_full) > 0
+
+
+def test_decontam_embedding_broadcasts_eval_side(spark):
+    """the decontam trio's embedding arm (round 12) must stay the
+    documented bipartite shape: the benchmark/eval side BROADCAST
+    against ONE training scan (a BroadcastNestedLoopJoin — the join
+    has no equi-condition), never a shuffled or cartesian product —
+    the same eval-set-fits-in-a-broadcast bound decontam_overlap
+    rides. Backs PLANAUDIT.md's BNLJ-table row for this key."""
+    plan = _plan(QUERIES["decontam_embedding"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the eval side is the broadcast exchange; the training side
+    # scans once — two scans of the embeddings file total (the
+    # filtered eval subset + the filtered train subset)
+    assert plan.count("FileScan") == 2
