@@ -611,6 +611,8 @@ def mmr_rerank_ivf(
     pool_k: int | None = None,
     k: int | None = None,
     distributed: bool | None = None,
+    n_centroids: int | None = None,
+    nprobe: int | None = None,
 ) -> DataFrame:
     """MMR diversity re-rank over an IVF-retrieved pool — the
     billion-vector deployment shape ``mmr_rerank``'s docstring
@@ -650,9 +652,18 @@ def mmr_rerank_ivf(
     qset = [int(q) for q in query_ids]
     if distributed is None:
         distributed = len(qset) >= MMR_DIST_MIN_QUERIES
+    # the IVF dial passes through (defaults = the oracle-checked
+    # params config; a production caller sizes n_centroids ~ sqrt(n)
+    # like knn_graph_ivf so nprobe/n_cells actually prunes — the
+    # fixture's 16-cell default probes half the corpus, see
+    # SCALING.md "mmr_rerank_ivf vs mmr_rerank")
+    from rsbsa_etl_spark.params import IVF_CENTROIDS, IVF_NPROBE
+
+    n_centroids = IVF_CENTROIDS if n_centroids is None else n_centroids
+    nprobe = IVF_NPROBE if nprobe is None else nprobe
     e = with_norm(emb)
     pool = (
-        ivf_topk(emb, qset, pool_k)
+        ivf_topk(emb, qset, pool_k, n_centroids=n_centroids, nprobe=nprobe)
         .select(
             "query_id",
             F.col("neighbor_id").alias("doc_id"),
