@@ -379,6 +379,24 @@ def main() -> None:
             if k in hashes:
                 recorded[k] = {**hashes[k], "round": latest}
         print(f"round {latest}: updated {len(fresh)} entries from {src}")
+        # baseline-stamp NEVER-RECORDED keys (added this round, no
+        # driver row yet) from the CURRENT tree: their first
+        # CORRECTNESS row will be newer than any snapshot by
+        # construction, and the hash-aware staleness guard then needs
+        # a recorded hash to compare against — without this, every
+        # judge checkpoint after a round that added keys was red on
+        # exactly those keys (the r11 checkpoint's variant of the
+        # hand-off failure). Stamped at the latest known round; when
+        # their first row lands, the next refresh re-stamps them at
+        # the actually-tested tree.
+        sys.path.insert(0, str(ROOT))
+        cur = compute_all_hashes()
+        newkeys = sorted(k for k in cur if k not in recorded)
+        for k in newkeys:
+            recorded[k] = {**cur[k], "round": latest}
+        if newkeys:
+            print(f"baseline-stamped {len(newkeys)} never-recorded "
+                  f"keys from the current tree: {newkeys}")
 
     path.write_text(json.dumps(recorded, indent=1, sort_keys=True) + "\n")
     print(f"wrote {path} ({len(recorded)} entries)")
