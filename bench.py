@@ -193,6 +193,7 @@ HEADLINE = [
     "prf_requery",  # PRF re-retrieval final pass (round 12)
     "decontam_embedding",  # embedding-arm decontamination (round 12)
     "context_pack",  # budgeted context assembly after MMR (round 12)
+    "decontam_spans",  # span-level eval-leak decontamination (round 12)
     "dsir_weights",
     "dsir_resample",
     "rocchio_classify",

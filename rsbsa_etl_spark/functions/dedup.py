@@ -1321,6 +1321,78 @@ def duplicated_spans(
     )
 
 
+
+def decontam_spans(
+    docs: DataFrame, text_col: str = "text", k: int | None = None
+) -> DataFrame:
+    """span-level benchmark DECONTAMINATION (round 12): every maximal
+    token span of a TRAINING document contiguously covered by k-grams
+    that also occur in the EVAL set (``doc_id < P.EVAL_DOC_MAX`` —
+    the decontam family's held-out convention). Where
+    ``decontam_overlap`` answers "how contaminated is this doc?"
+    (a fraction, for drop decisions), this answers "WHICH exact
+    regions leak the benchmark?" — the unit a surgical pipeline cuts
+    so the rest of the document stays in the corpus (the Lee et al.
+    2022 cut-the-substring discipline applied to eval leakage;
+    ``cut_duplicated_spans`` consumes exactly this span schema).
+
+    Same distributed shape as ``duplicated_spans`` with the posting
+    list replaced by the eval gram SET: one shared gram kernel
+    (``gram_position_rows`` — tokenization and window rendering
+    single-sourced), the eval side distinct-ed (eval sets are
+    thousands of docs, so the semi-join side stays small and
+    co-partitions on the gram hash), the train side marked by one
+    equi-join, then the per-doc gap-islands window. Output:
+    (doc_id, span_start, span_end, span_tokens), token offsets of
+    the normalized text, end inclusive — training docs only.
+
+    Persist contract: the gram table stays cached after this returns
+    (it feeds the eval set AND the train mark); loop-running callers
+    clearCache between runs, as bench.py does.
+    """
+    from pyspark.sql import Window
+
+    from rsbsa_etl_spark.params import EVAL_DOC_MAX, SPAN_NGRAM_K
+
+    kk = SPAN_NGRAM_K if k is None else k
+    g = (
+        gram_position_rows(docs, text_col, kk)
+        .select("doc_id", "pos", F.md5("raw").alias("gram"))
+        .persist()
+    )
+    eval_grams = (
+        g.where(F.col("doc_id") < EVAL_DOC_MAX).select("gram").distinct()
+    )
+    marked = g.where(F.col("doc_id") >= EVAL_DOC_MAX).join(
+        eval_grams, "gram"
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    islands = (
+        marked.withColumn("prev", F.lag("pos").over(w))
+        .withColumn(
+            "new_span",
+            (F.col("prev").isNull() | (F.col("pos") > F.col("prev") + kk))
+            .cast("int"),
+        )
+        .withColumn("span_id", F.sum("new_span").over(w))
+    )
+    return (
+        islands.groupBy("doc_id", "span_id")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(kk - 1)).alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            F.col("span_start").cast("long").alias("span_start"),
+            F.col("span_end").cast("long").alias("span_end"),
+            (F.col("span_end") - F.col("span_start") + 1)
+            .cast("long")
+            .alias("span_tokens"),
+        )
+    )
+
+
 def winnow_fingerprints(
     docs: DataFrame, text_col: str = "text", k: int | None = None,
     w: int | None = None,

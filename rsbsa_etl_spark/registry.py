@@ -2364,6 +2364,17 @@ def decontam_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.decontam_embedding(load(spark, sf_dir, "embeddings"))
 
 
+def decontam_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """span-level benchmark decontamination: the maximal training-doc
+    token spans contiguously covered by k-grams that also occur in
+    the eval set — the surgical-cut unit (cut_duplicated_spans
+    consumes this schema), completing the decontam family's
+    drop-vs-cut axis."""
+    from rsbsa_etl_spark.functions.dedup import decontam_spans as _m
+
+    return _m(load(spark, sf_dir, "documents"))
+
+
 def decontam_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.decontam_fuzzy(load(spark, sf_dir, "documents"))
 
@@ -2772,6 +2783,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_incremental": dedup_incremental,
     "decontam_embedding": decontam_embedding,
+    "decontam_spans": decontam_spans,
     "decontam_fuzzy": decontam_fuzzy,
     "knn_graph": knn_graph,
     "knn_graph_ivf": knn_graph_ivf,

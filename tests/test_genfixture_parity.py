@@ -61,6 +61,7 @@ SAMPLE_KEYS = [
     "prf_requery",               # PRF re-retrieval, weighted idf
     "decontam_embedding",        # broadcast eval-set cosine screen
     "context_pack",              # budgeted running-sum packing
+    "decontam_spans",            # eval-leak posting-list spans
 ]
 
 
