@@ -183,22 +183,39 @@ def test_change_tier_not_saturated():
 
 
 def _keyhash_stale_keys(recorded: dict, rounds: dict, order: set,
-                        narrow_of, code_of) -> list:
+                        narrow_of, code_of, attested_of) -> list:
     """The staleness predicate behind
     ``test_keyhashes_not_staler_than_correctness``, factored out so a
     companion test can prove it still fires on the real hazard.
 
-    A key is STALE (refresh forgotten before edits) when its latest
-    driver row is newer than its KEYHASHES entry AND the recorded
-    hashes no longer match the current tree — i.e. the round stamp
-    points at code that has since been edited, so the change tier
-    would mis-attribute an old round number to new code. A newer
-    driver round alone, with the recorded hash still equal to the
-    current-tree hash, is harmless: the driver tested exactly this
-    tree and only the stamp is old (the r11-verdict hand-off case —
-    the driver writes CORRECTNESS_r{N}.json AFTER the builder's
-    session, so at every judge checkpoint the record is one round
-    newer than the snapshot while the tree is unchanged)."""
+    Round-13 form (git-aware — closing the class, not the instance,
+    after two consecutive judge checkpoints red on the round-stamp
+    form): the invariant that makes the change tier sound is that a
+    key's recorded hash equals its hash in the tree its latest driver
+    row ACTUALLY TESTED (``attested_of(rnd)[k]``, resolved from git
+    history exactly as tools/snapshot_keyhashes.py resolves it — the
+    parent of the ``round N: verdict`` driver commit). Against that
+    anchor there is exactly one dangerous mis-state, and it is the
+    only one this predicate flags:
+
+      recorded == current tree  BUT  recorded != attested tree
+
+    i.e. the change tier sees "unchanged since checked" while the
+    current code was never driver-verified (the edit-before-refresh
+    hazard: a non-git-aware refresh stamped edited code with an old
+    round number). Every other mismatch is self-healing — recorded
+    != current flags the key as changed, so the rotation re-sweeps
+    it next round regardless of whether the anchor is right. In
+    particular the judge-checkpoint hand-off case (driver record
+    lands AFTER the builder's last refresh, attesting keys edited
+    that round) lands in the self-healing bucket and is tolerated:
+    recorded is the previous round's tree, current is the attested
+    tree, recorded != current. The old round-stamp predicate redded
+    exactly that honest state (r11: all 50 swept keys; r12: 17).
+
+    When the attested tree is unresolvable (shallow clone, rewritten
+    history) the old round-stamp form is the fallback: stale iff the
+    row is newer than the stamp AND recorded != current."""
     stale = []
     for k, rnd in rounds.items():
         if k not in order:
@@ -211,69 +228,116 @@ def _keyhash_stale_keys(recorded: dict, rounds: dict, order: set,
         ):
             stale.append(k)
             continue
-        if rec.get("round", -1) >= rnd:
+        att = attested_of(rnd)
+        att = att.get(k) if att else None
+        if att is None:
+            # fallback: attested tree unresolvable → round-stamp form
+            if rec.get("round", -1) >= rnd:
+                continue
+            if rec["narrow"] != narrow_of(k) or rec["hash"] != code_of(k):
+                stale.append(k)
             continue
-        if rec["narrow"] != narrow_of(k) or rec["hash"] != code_of(k):
+        if rec["hash"] == code_of(k) and rec["hash"] != att["hash"]:
+            stale.append(k)
+        elif rec["narrow"] == narrow_of(k) and rec["narrow"] != att["narrow"]:
             stale.append(k)
     return sorted(stale)
 
 
 def test_keyhashes_not_staler_than_correctness():
-    """Round-start protocol guard: when a new CORRECTNESS_r{N}.json
-    lands, `python tools/snapshot_keyhashes.py` must run BEFORE any
-    code edits so the fresh rows' hashes record the tree the driver
-    actually tested. A key whose latest driver row is NEWER than its
-    KEYHASHES entry *and* whose recorded hash no longer matches the
-    current tree means the refresh was forgotten — its recorded hash
-    points at code from an older round and the change tier will
-    mis-rank it (live for all 50 r10-swept keys when r11 started).
-    A newer row over an UNCHANGED tree is tolerated (r11 verdict
-    "What's wrong" #1): the driver stamps its record after hand-off,
-    so requiring round >= would make every judge checkpoint red by
-    construction."""
+    """KEYHASHES anchoring guard, git-aware (r12 verdict item 1):
+    every key's recorded hash must be consistent with the tree its
+    latest driver row tested — mis-anchored entries whose hash ALSO
+    matches the current tree would blind the change tier (key looks
+    unchanged-since-verified while the driver never saw this code).
+    Resolves each present round's attested tree from git history via
+    the same helper the refresh tool uses, so a driver record landing
+    after hand-off can never red an honestly-refreshed tree, while an
+    edit that predates the refresh still fails (companion test below
+    proves the predicate fires)."""
+    import functools
     import json
+    import sys
 
     from rsbsa_etl_spark.registry import _key_code_hash, _key_narrow_hash
+
+    sys.path.insert(0, str(ROOT / "tools"))
+    try:
+        from snapshot_keyhashes import attested_hashes
+    finally:
+        sys.path.pop(0)
 
     rows, rounds = _driver_latest_rows_and_rounds()
     recorded = json.loads((ROOT / "KEYHASHES.json").read_text())
     stale = _keyhash_stale_keys(
-        recorded, rounds, set(queries()), _key_narrow_hash, _key_code_hash
+        recorded, rounds, set(queries()), _key_narrow_hash, _key_code_hash,
+        functools.lru_cache(maxsize=None)(attested_hashes),
     )
     assert stale == [], (
-        f"KEYHASHES.json is staler than the committed driver rows for "
-        f"{len(stale)} keys (e.g. {stale[:5]}) — run "
-        "`python tools/snapshot_keyhashes.py` at round start, before "
-        "editing key code"
+        f"KEYHASHES.json is mis-anchored for {len(stale)} keys (e.g. "
+        f"{stale[:5]}): recorded hash matches the current tree but not "
+        "the tree the key's latest driver row tested — run "
+        "`python tools/snapshot_keyhashes.py` (git-aware; safe at any "
+        "point in the round)"
     )
 
 
 def test_keyhash_guard_fires_on_edit_before_refresh():
-    """The tripwire must still catch the real hazard: key code edited
-    (hash differs from the recorded one) while the driver row is newer
-    than the snapshot. Exercised against the factored predicate with a
-    synthetic record so greening the hand-off case above cannot have
-    silently disabled the guard."""
-    rounds = {"k_edited": 12, "k_unchanged": 12, "k_missing": 12,
-              "k_fresh_stamp": 12}
+    """The tripwire must still catch the real hazard: a refresh that
+    stamped EDITED code with an old round number (recorded == current
+    != attested), which would blind the change tier. Exercised against
+    the factored predicate with synthetic records so greening the
+    hand-off case cannot have silently disabled the guard."""
+    rounds = {
+        "k_misanchored": 12,     # rec == current != attested → STALE
+        "k_handoff": 12,         # rec = old tree, current == attested → ok
+        "k_anchored_edited": 12,  # rec == attested, current edited → ok
+        "k_missing": 12,         # malformed entry → STALE
+        "k_narrow_misanchor": 12,  # narrow tier blind → STALE
+    }
     recorded = {
-        # round stamp old AND hash differs from current tree → STALE
+        "k_misanchored": {"round": 12, "narrow": "N:k_misanchored",
+                          "hash": "C:k_misanchored"},
+        "k_handoff": {"round": 11, "narrow": "OLD", "hash": "OLD"},
+        "k_anchored_edited": {"round": 12, "narrow": "ATT", "hash": "ATT"},
+        "k_missing": {"round": 12, "hash": "C:k_missing"},
+        "k_narrow_misanchor": {"round": 12,
+                               "narrow": "N:k_narrow_misanchor",
+                               "hash": "ATT"},
+    }
+    attested = {
+        "k_misanchored": {"hash": "ATT", "narrow": "ATT"},
+        "k_handoff": {"hash": "C:k_handoff", "narrow": "N:k_handoff"},
+        "k_anchored_edited": {"hash": "ATT", "narrow": "ATT"},
+        "k_missing": {"hash": "ATT", "narrow": "ATT"},
+        "k_narrow_misanchor": {"hash": "ATT", "narrow": "ATT"},
+    }
+    stale = _keyhash_stale_keys(
+        recorded, rounds, set(rounds),
+        lambda k: f"N:{k}", lambda k: f"C:{k}",
+        lambda rnd: attested,
+    )
+    assert stale == ["k_misanchored", "k_missing", "k_narrow_misanchor"]
+
+
+def test_keyhash_guard_fallback_without_git_history():
+    """When the attested tree is unresolvable the predicate degrades
+    to the round-stamp form: newer driver row + recorded != current →
+    stale; round stamp at/beyond the row, or hashes matching the
+    current tree → tolerated."""
+    rounds = {"k_edited": 12, "k_unchanged": 12, "k_fresh_stamp": 12}
+    recorded = {
         "k_edited": {"round": 11, "narrow": "OLD", "hash": "OLD"},
-        # round stamp old but hashes match the current tree → tolerated
         "k_unchanged": {"round": 11, "narrow": "N:k_unchanged",
                         "hash": "C:k_unchanged"},
-        # malformed / missing entries → always stale
-        "k_missing": {"round": 11, "hash": "C:k_missing"},
-        # snapshot at or beyond the driver round → never stale,
-        # even if the tree has since been edited (the normal
-        # mid-round state: refresh ran, then the builder edits)
         "k_fresh_stamp": {"round": 12, "narrow": "OLD", "hash": "OLD"},
     }
     stale = _keyhash_stale_keys(
         recorded, rounds, set(rounds),
         lambda k: f"N:{k}", lambda k: f"C:{k}",
+        lambda rnd: None,
     )
-    assert stale == ["k_edited", "k_missing"]
+    assert stale == ["k_edited"]
 
 
 def test_tool_hash_matches_registry_hash():

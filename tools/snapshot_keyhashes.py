@@ -292,7 +292,53 @@ def _driver_commit_parent(rnd: int) -> str | None:
 
 
 def _hashes_at_ref(ref: str) -> dict[str, str]:
-    """Extract ``ref``'s tree and run this script there in emit mode."""
+    """Extract ``ref``'s tree and run this script there in emit mode.
+
+    Cached on disk per resolved commit sha (a commit's tree is
+    immutable, so the cache can never go stale): the staleness guard
+    in tests/test_sweep_rotation.py resolves every present round's
+    attested tree on each suite run, and without the cache that is
+    ~6 archive+import subprocesses per run."""
+    try:
+        sha = subprocess.run(
+            ["git", "-C", str(ROOT), "rev-parse", ref],
+            capture_output=True, text=True, check=True,
+        ).stdout.strip()
+    except subprocess.CalledProcessError:
+        sha = None
+    cache = ROOT / ".keyhash_cache" / f"{sha}.json" if sha else None
+    if cache is not None and cache.exists():
+        try:
+            return json.loads(cache.read_text())
+        except (OSError, ValueError):
+            pass
+    out = _hashes_at_ref_uncached(ref)
+    if cache is not None:
+        try:
+            cache.parent.mkdir(exist_ok=True)
+            cache.write_text(json.dumps(out, sort_keys=True))
+        except OSError:
+            pass
+    return out
+
+
+def attested_hashes(rnd: int) -> dict[str, dict] | None:
+    """{key: {hash, narrow}} as of the tree the round-``rnd`` driver
+    record actually tested, or None when that commit is not in
+    history (shallow/detached checkout). This is the anchor the
+    staleness guard compares KEYHASHES entries against: an entry is
+    correctly anchored iff it matches the attested tree, regardless
+    of its round stamp."""
+    ref = _driver_commit_parent(rnd)
+    if ref is None:
+        return None
+    try:
+        return _hashes_at_ref(ref)
+    except (subprocess.CalledProcessError, OSError, ValueError):
+        return None
+
+
+def _hashes_at_ref_uncached(ref: str) -> dict[str, str]:
     with tempfile.TemporaryDirectory(prefix="keyhash_") as td:
         tar = subprocess.run(
             ["git", "-C", str(ROOT), "archive", ref],
@@ -388,12 +434,16 @@ def main() -> None:
         # exactly those keys (the r11 checkpoint's variant of the
         # hand-off failure). Stamped at the latest known round; when
         # their first row lands, the next refresh re-stamps them at
-        # the actually-tested tree.
+        # the actually-tested tree. The entry carries ``baseline:
+        # true`` so a stamp the driver never verified is never
+        # confusable with a driver-attested row (the round field
+        # alone would misrepresent verification — r12 advice); the
+        # re-stamp above drops the marker once a real row lands.
         sys.path.insert(0, str(ROOT))
         cur = compute_all_hashes()
         newkeys = sorted(k for k in cur if k not in recorded)
         for k in newkeys:
-            recorded[k] = {**cur[k], "round": latest}
+            recorded[k] = {**cur[k], "round": latest, "baseline": True}
         if newkeys:
             print(f"baseline-stamped {len(newkeys)} never-recorded "
                   f"keys from the current tree: {newkeys}")
