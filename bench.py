@@ -194,6 +194,7 @@ HEADLINE = [
     "decontam_embedding",  # embedding-arm decontamination (round 12)
     "context_pack",  # budgeted context assembly after MMR (round 12)
     "decontam_spans",  # span-level eval-leak decontamination (round 12)
+    "decontam_spans_cut",  # apply the eval-leak cut (round 13)
     "dsir_weights",
     "dsir_resample",
     "rocchio_classify",

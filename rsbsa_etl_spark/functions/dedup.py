@@ -1519,7 +1519,35 @@ def cut_duplicated_spans(
     persisted gram table with the detection pass (its documented
     cache contract).
     """
-    spans = duplicated_spans(docs, text_col, k)
+    return apply_span_cut(docs, duplicated_spans(docs, text_col, k), text_col)
+
+
+def apply_span_cut(
+    docs: DataFrame, spans: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """shared CUT kernel of the span family: given any span table in
+    the (doc_id, span_start, span_end) schema — duplicated spans,
+    eval-leak decontam spans — drop every covered token and
+    reassemble the cleaned text. Single-sourced so the two cut
+    operators (``cut_duplicated_spans``, ``cut_decontam_spans``)
+    cannot drift on tokenization, NULL handling, or the kept-token
+    filter; the detection pass is the caller's choice.
+
+    Spans are maximal and disjoint by construction in every producer,
+    so the kept-token filter is one pass: token position i survives
+    iff no span covers it (a two-arg HOF lambda over the collected
+    per-doc span list — span lists are doc-bounded). Docs with no
+    flagged region pass through unchanged (left join; NULL span list
+    → keep all). Output per doc: (doc_id, n_tokens, n_kept,
+    clean_md5) — the md5 stands in for the cleaned text so result
+    rows stay small while the WHOLE cleaned string is still
+    value-checked byte-for-byte.
+
+    Scale: the detection pass is the cost; the cut adds one
+    doc-keyed aggregation of the span rows (output-sized) and a
+    narrow per-doc array filter — no extra corpus shuffle beyond the
+    doc-keyed join, which co-partitions with the span aggregation.
+    """
     per_doc = spans.groupBy("doc_id").agg(
         F.collect_list(
             F.struct(
@@ -1550,6 +1578,30 @@ def cut_duplicated_spans(
         F.size("toks").cast("long").alias("n_tokens"),
         F.size(kept).cast("long").alias("n_kept"),
         F.md5(F.array_join(kept, " ")).alias("clean_md5"),
+    )
+
+
+def cut_decontam_spans(
+    docs: DataFrame, text_col: str = "text", k: int | None = None
+) -> DataFrame:
+    """APPLY the span-level decontamination: remove every eval-leak
+    span ``decontam_spans`` detects from the TRAINING documents and
+    reassemble the cleaned text — the Lee et al. 2022 cut-the-
+    substring discipline applied to benchmark leakage, completing the
+    decontam family's drop-vs-cut axis (``decontam_ngram`` et al.
+    decide drops; this performs the surgical cut that keeps the rest
+    of the document in the corpus). Output covers training docs only
+    (``doc_id >= P.EVAL_DOC_MAX``): eval docs are held out, not
+    corpus members, so they have no cleaned form. Shares the cut
+    kernel with ``cut_duplicated_spans`` (``apply_span_cut``) and the
+    persisted gram table with the detection pass — detection is the
+    cost; the cut is output-sized."""
+    from rsbsa_etl_spark.params import EVAL_DOC_MAX
+
+    return apply_span_cut(
+        docs.where(F.col("doc_id") >= EVAL_DOC_MAX),
+        decontam_spans(docs, text_col, k),
+        text_col,
     )
 
 

@@ -2375,6 +2375,17 @@ def decontam_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _m(load(spark, sf_dir, "documents"))
 
 
+def decontam_spans_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """apply the span-level decontamination: cut every detected
+    eval-leak span from the training docs and value-check the
+    reassembled cleaned text (md5) — the actionable half of
+    decontam_spans, sharing the cut kernel with dedup_spans_cut
+    (apply_span_cut — no second implementation)."""
+    from rsbsa_etl_spark.functions.dedup import cut_decontam_spans as _m
+
+    return _m(load(spark, sf_dir, "documents"))
+
+
 def decontam_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.decontam_fuzzy(load(spark, sf_dir, "documents"))
 
@@ -2784,6 +2795,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_incremental": dedup_incremental,
     "decontam_embedding": decontam_embedding,
     "decontam_spans": decontam_spans,
+    "decontam_spans_cut": decontam_spans_cut,
     "decontam_fuzzy": decontam_fuzzy,
     "knn_graph": knn_graph,
     "knn_graph_ivf": knn_graph_ivf,

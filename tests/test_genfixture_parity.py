@@ -62,6 +62,8 @@ SAMPLE_KEYS = [
     "decontam_embedding",        # broadcast eval-set cosine screen
     "context_pack",              # budgeted running-sum packing
     "decontam_spans",            # eval-leak posting-list spans
+    # round-13 additions
+    "decontam_spans_cut",        # eval-leak surgical cut (shared kernel)
 ]
 
 
