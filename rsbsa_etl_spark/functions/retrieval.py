@@ -543,7 +543,11 @@ def mmr_rerank(
     consumers (slim + pairwise) read the retrieval output once
     instead of race-building it inside one action (the ann_eval
     lesson), and a long-lived serving caller never accumulates
-    pool-sized cached blocks across calls (r11 advice item 2).
+    POOL-sized cached blocks across calls (r11 advice item 2). The
+    distributed arm's returned frame does retain a result-sized
+    (queries × k) persist that the CALLER owns — a serving loop
+    should ``result.unpersist()`` once the picks are consumed
+    (r12 advice item 3).
     """
     from rsbsa_etl_spark.params import (
         MMR_DIST_MIN_QUERIES,
@@ -638,7 +642,8 @@ def mmr_rerank_ivf(
     is unchanged and pool-bounded. Cache discipline matches
     ``mmr_rerank`` exactly (both arms release the pool persist
     before returning; the distributed fold materializes into a
-    result-sized persist)."""
+    result-sized — queries × k — persist that the CALLER owns and
+    should unpersist once consumed, r12 advice item 3)."""
     from rsbsa_etl_spark.functions.similarity import ivf_topk
     from rsbsa_etl_spark.params import (
         MMR_DIST_MIN_QUERIES,
@@ -707,6 +712,69 @@ def mmr_rerank_ivf(
     )
 
 
+def ivf_pool_min_queries(n_centroids: int, nprobe: int) -> int:
+    """the measured brute/IVF POOL crossover (SCALING.md, 200 k
+    vectors, round 12), as the formula both rows bracket: brute fold
+    work ∝ corpus × queries; in-plan IVF ∝ corpus × cells (the
+    assignment pass, paid once per plan) + corpus × nprobe/cells ×
+    queries (the probes). Equal at
+
+        queries = cells / (1 − nprobe/cells)
+
+    (≈ 455 at 447 cells / nprobe 8 — bracketed by the measured 25-
+    query 26× brute win and 1000-query 5.2× IVF win). Below this an
+    in-plan IVF pool is the WRONG plan at any corpus size: the
+    assignment dwarfs the brute scan until the batch outgrows the
+    cell count. Degenerate configs (nprobe ≥ cells — the probe scans
+    everything, IVF can never win in-plan) return a sentinel that
+    no batch reaches."""
+    if nprobe >= n_centroids:
+        return 2**62
+    import math
+
+    return max(1, math.ceil(n_centroids / (1.0 - nprobe / n_centroids)))
+
+
+def mmr_rerank_auto(
+    emb: DataFrame,
+    query_ids=ANN_QUERY_IDS,
+    pool_k: int | None = None,
+    k: int | None = None,
+    distributed: bool | None = None,
+    n_centroids: int | None = None,
+    nprobe: int | None = None,
+) -> DataFrame:
+    """params-driven POOL auto-dial over the two MMR retrieval arms
+    (r12 verdict item 3 — the greedy-fold auto-switch
+    ``MMR_DIST_MIN_QUERIES`` already picks the fold arm; this picks
+    the POOL arm by the same principle, from the measured crossover
+    instead of a guess): batches below ``ivf_pool_min_queries(cells,
+    nprobe)`` keep the brute-force pool (one broadcast-queries scan —
+    measured 26× faster at 25 queries / 200 k vectors, where the IVF
+    assignment pass dwarfs everything), batches at or above it take
+    the in-plan IVF pool (measured 5.2× faster at 1000 queries, gap
+    growing linearly past the crossover as the assignment amortizes).
+
+    Delegates verbatim — picks are bit-identical to the explicit arm
+    on each side of the threshold (pinned by test), and both explicit
+    keys stay registered and oracle-checked; this entry point only
+    chooses between them. A serving process with a PERSISTED IVF
+    index (sources/ann_index.py) should query that instead: the
+    assignment is paid at build time, which moves the crossover to
+    zero."""
+    from rsbsa_etl_spark.params import IVF_CENTROIDS, IVF_NPROBE
+
+    cells = IVF_CENTROIDS if n_centroids is None else n_centroids
+    probe = IVF_NPROBE if nprobe is None else nprobe
+    qset = [int(q) for q in query_ids]
+    if len(qset) >= ivf_pool_min_queries(cells, probe):
+        return mmr_rerank_ivf(
+            emb, qset, pool_k, k, distributed,
+            n_centroids=cells, nprobe=probe,
+        )
+    return mmr_rerank(emb, qset, pool_k, k, distributed)
+
+
 def hybrid_mmr(
     docs: DataFrame,
     emb: DataFrame,
@@ -740,8 +808,10 @@ def hybrid_mmr(
     immediately. BOTH arms release every cache before return: the
     driver fold is eager by construction; the distributed fold
     eagerly materializes into a result-sized persist (queries × k
-    rows) so a long-lived serving caller never accumulates pool
-    blocks across calls (r11 advice item 2).
+    rows) so a long-lived serving caller never accumulates POOL
+    blocks across calls (r11 advice item 2) — the returned
+    result-sized persist is the CALLER's to release once consumed
+    (r12 advice item 3).
     """
     from rsbsa_etl_spark.params import (
         MMR_DIST_MIN_QUERIES,
@@ -789,11 +859,17 @@ def hybrid_mmr(
             # releases before return (r11 advice item 2 — a serving
             # caller must not accumulate pool blocks per call).
             pool.count()
+            # happy-path early release (the fold's lazy consumers read
+            # the materialized pool, not the retrieval subplan); the
+            # finally repeats it so a mid-fold failure cannot strand
+            # the corpus-sized persist (unpersist is idempotent —
+            # r12 advice item 2)
             corpus.unpersist()
             selected = _greedy_mmr(pool, pairs, k, distributed=True).persist()
             selected.count()
         finally:
             pool.unpersist()
+            corpus.unpersist()
     else:
         try:
             # the driver fold's first collect fills the pool cache
@@ -966,9 +1042,18 @@ def prf_requery(
     )
     dfs = terms.groupBy("term").agg(F.count("*").alias("df"))
     n_tbl = cand.select(F.count("*").alias("n_docs"))
+    # df values are needed only for the weighted term set — semi-join
+    # the corpus-vocabulary df table down to wterms' terms (queries ×
+    # (|q| + m) rows) and broadcast THAT, never the full vocabulary:
+    # dfs grows with the corpus, and broadcasting it would OOM the
+    # driver at scale (r12 advice item 1 — prf_expand's own
+    # small-side-onto-dfs discipline, applied to the re-query pass)
+    dfs_w = dfs.join(
+        F.broadcast(wterms.select("term").distinct()), "term", "semi"
+    )
     scored = (
         terms.join(F.broadcast(wterms), "term")
-        .join(F.broadcast(dfs), "term")
+        .join(F.broadcast(dfs_w), "term")
         .join(F.broadcast(n_tbl))
         .groupBy("query_id", "doc_id")
         .agg(

@@ -716,6 +716,49 @@ def test_mmr_greedy_diversity_beats_pure_relevance(spark):
     assert by_doc[3].relevance == 0.88
 
 
+def test_mmr_pool_auto_dial_bit_identical_both_sides(spark):
+    """the r12-measured brute/IVF POOL crossover as an auto-dial
+    (r13): ``mmr_rerank_auto`` must pick the brute pool below
+    ``ivf_pool_min_queries`` and the in-plan IVF pool at/above it,
+    and the picks must be BIT-IDENTICAL to the explicit arm on each
+    side — the dial only chooses, it never re-implements. Dials are
+    shrunk (4 cells, nprobe 1 → threshold ceil(4/0.75) = 6) so both
+    sides are crossable at fixture scale."""
+    from rsbsa_etl_spark.functions.retrieval import (
+        ivf_pool_min_queries,
+        mmr_rerank,
+        mmr_rerank_auto,
+        mmr_rerank_ivf,
+    )
+    from rsbsa_etl_spark.sources.fixtures import load
+
+    from tests.conftest import SF_DIR
+
+    # formula pins: the measured 200k-vector config brackets ≈455;
+    # degenerate probe-everything configs can never win in-plan
+    assert ivf_pool_min_queries(4, 1) == 6
+    assert ivf_pool_min_queries(447, 8) == 456
+    assert ivf_pool_min_queries(8, 8) == 2**62
+
+    emb = load(spark, SF_DIR, "embeddings")
+
+    def rows(df):
+        return sorted(
+            (r.query_id, r.doc_id, r.pick_order, r.relevance, r.mmr)
+            for r in df.collect()
+        )
+
+    below = [1, 2, 3, 4, 5]
+    got = rows(mmr_rerank_auto(emb, below, n_centroids=4, nprobe=1))
+    want = rows(mmr_rerank(emb, below))
+    assert got == want and len(got) > 0
+
+    above = [1, 2, 3, 4, 5, 6]
+    got = rows(mmr_rerank_auto(emb, above, n_centroids=4, nprobe=1))
+    want = rows(mmr_rerank_ivf(emb, above, n_centroids=4, nprobe=1))
+    assert got == want and len(got) > 0
+
+
 def test_dsir_weights_favor_target_language(spark):
     """the point of DSIR: documents from the target domain (lang
     'en') must average a higher importance weight than the rest of
