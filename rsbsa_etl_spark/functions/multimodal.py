@@ -214,7 +214,11 @@ def sample_chunks(
 
     mapInPandas so a real decoder could decode-and-slice per Arrow
     batch with bounded memory; the stub emits (offset window, md5)
-    which pytest pins against golden values.
+    which pytest pins against golden values. This byte-offset arm
+    stays the oracle-checked registry default; the REAL-codec arm is
+    ``sample_chunks_wav`` (frame-boundary windows over decoded PCM,
+    physics-pinned — its output schema carries signal stats, hence a
+    separate entry point rather than a decoder flag).
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -233,6 +237,88 @@ def sample_chunks(
             yield pd.DataFrame(out)
 
     return frames.select("doc_id", "payload").mapInPandas(run, CHUNK_SCHEMA)
+
+
+#: output schema of the REAL-codec (frame-boundary) chunking arm:
+#: windows are whole PCM frames with per-chunk signal stats, not
+#: byte offsets
+WAV_CHUNK_SCHEMA = (
+    "doc_id bigint, chunk_idx int, start_frame bigint, n_frames bigint, "
+    "chunk_rms double, chunk_peak double"
+)
+
+
+def sample_chunks_wav(
+    frames: DataFrame, chunk_frames: int = 1024, stride_frames: int = 2048
+) -> DataFrame:
+    """flag-gated REAL-codec chunking arm (r12 verdict item 7): chunk
+    WAV payloads on PCM FRAME boundaries — every window is a whole
+    number of frames, never split mid-sample or mid-channel — which
+    is the property byte-offset slicing (``sample_chunks``, the
+    oracle-checked default arm) cannot guarantee on real media: a
+    byte window landing inside a 16-bit stereo frame shears every
+    later sample by one byte and turns the signal to noise. Reuses
+    the r9 stdlib ``wave`` decode discipline (16-bit PCM, channels
+    averaged) and reports per-chunk SIGNAL stats (RMS, peak) instead
+    of byte hashes, so the test pins the physics exactly like
+    ``extract_features``' wav arm: a sine chunk measures A/√2, a
+    silent chunk measures 0, boundaries land where the frame math
+    says. Non-WAV / non-16-bit payloads emit nothing (same zero-row
+    convention as ``decode_wav``'s zero vector — skip, don't crash
+    the worker).
+
+    Same Arrow-batched ``mapInPandas`` plumbing as every multimodal
+    stage — one media batch in memory per task; a production
+    deployment swaps the stdlib codec for torchaudio/ffmpeg inside
+    the same closure, schema and partitioning unchanged.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        import numpy as np
+
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "chunk_idx": [],
+                "start_frame": [],
+                "n_frames": [],
+                "chunk_rms": [],
+                "chunk_peak": [],
+            }
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                try:
+                    with wave.open(io.BytesIO(raw), "rb") as w:
+                        nch = w.getnchannels()
+                        width = w.getsampwidth()
+                        n = w.getnframes()
+                        pcm = w.readframes(n)
+                except (wave.Error, EOFError):
+                    continue
+                if width != 2 or n == 0:
+                    continue
+                x = np.frombuffer(pcm, dtype="<i2").astype(np.float64)
+                if nch > 1:
+                    x = x.reshape(-1, nch).mean(axis=1)
+                xs = x / 32768.0
+                for idx, start in enumerate(range(0, n, stride_frames)):
+                    seg = xs[start : start + chunk_frames]
+                    out["doc_id"].append(did)
+                    out["chunk_idx"].append(idx)
+                    out["start_frame"].append(start)
+                    out["n_frames"].append(len(seg))
+                    out["chunk_rms"].append(
+                        float(np.sqrt(np.mean(seg**2)))
+                    )
+                    out["chunk_peak"].append(float(np.max(np.abs(seg))))
+            yield pd.DataFrame(out)
+
+    return frames.select("doc_id", "payload").mapInPandas(
+        run, WAV_CHUNK_SCHEMA
+    )
 
 
 def multimodal_meta(docs: DataFrame) -> DataFrame:

@@ -177,3 +177,53 @@ def test_stub_stays_the_default_decoder(spark):
     )
     (row,) = multimodal.extract_features(frames).collect()
     assert row["feature"] == multimodal.decode_stub(b"abc")
+
+
+def test_wav_chunker_respects_frame_boundaries_and_physics(spark):
+    """the REAL-codec chunking arm (r12 verdict item 7): windows are
+    whole PCM frames over the DECODED signal, and the per-chunk stats
+    are the signal's physics — a 0.5-amplitude sine chunk measures
+    RMS ≈ 0.5/√2 and peak ≈ 0.5, a silent chunk measures exactly 0,
+    and boundaries land where the frame math says. The stereo file
+    would shear to noise under byte-offset slicing (4 bytes/frame),
+    which is exactly why this arm exists; the byte-offset stub stays
+    the oracle-checked registry default."""
+    import numpy as np
+
+    rate = 8000
+    # 1 s of 0.5-amp 440 Hz sine, then 1 s of silence — STEREO, so a
+    # mid-frame byte cut would misalign every later sample
+    t = np.arange(rate) / rate
+    sine = (0.5 * 32767 * np.sin(2 * np.pi * 440.0 * t)).astype("<i2")
+    x = np.concatenate([sine, np.zeros(rate, dtype="<i2")])
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(np.repeat(x[:, None], 2, axis=1).ravel().tobytes())
+    frames = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue())), (2, bytearray(b"not audio"))],
+        "doc_id bigint, payload binary",
+    )
+    rows = sorted(
+        multimodal.sample_chunks_wav(
+            frames, chunk_frames=1000, stride_frames=2000
+        ).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    # non-WAV payload emits nothing (skip, don't crash the worker)
+    assert {r["doc_id"] for r in rows} == {1}
+    # 16000 frames / stride 2000 → 8 chunks, frame-aligned starts
+    assert [r["start_frame"] for r in rows] == list(range(0, 16000, 2000))
+    assert all(r["n_frames"] == 1000 for r in rows)
+    first_half = [r for r in rows if r["start_frame"] < 8000]
+    second_half = [r for r in rows if r["start_frame"] >= 8000]
+    for r in first_half:  # sine chunks: RMS A/√2, peak A
+        assert abs(r["chunk_rms"] - 0.5 / np.sqrt(2)) < 0.01, r
+        assert abs(r["chunk_peak"] - 0.5) < 0.01, r
+    for r in second_half:  # silence: exactly zero
+        assert r["chunk_rms"] == 0.0 and r["chunk_peak"] == 0.0, r
