@@ -36,2684 +36,13 @@ from rsbsa_etl_spark.streaming import windows as win
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-# --------------------------------------------------------------------- scans
-
-
-def scan_filter_in(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S1: keyed full-row scan of lineitem (IN-list pushed to parquet)."""
-    df = scans.keyed_scan(load(spark, sf_dir, "lineitem"), "l_orderkey", P.ORDER_KEYS)
-    return df.withColumn("l_shipdate", F.unix_seconds("l_shipdate"))
-
-
-def scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S2/P1: projected keyed scan — only two column chunks read."""
-    return scans.projected_scan(
-        load(spark, sf_dir, "lineitem"),
-        ["l_orderkey", "l_extendedprice"],
-        "l_orderkey",
-        P.ORDER_KEYS,
-    )
-
-
-def scan_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S3/T2: watermark scan of the change-log analog (events)."""
-    df = scans.incremental_scan(
-        load(spark, sf_dir, "events"), "event_id", P.WATERMARK_EVENT_ID
-    )
-    return df.select("event_id", "user_id", "event_type", "value")
-
-
-def scan_file_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """per-file row provenance via the ``_metadata`` hidden column —
-    the lineage primitive of a data lake (which physical file fed
-    each row; the reference's logger tracks per-batch provenance,
-    ``utils/logger.js``). Reading ``_metadata.file_name`` costs no
-    extra I/O: it is populated from the scan's own file listing, and
-    the aggregate is the usual partial-then-final count per file."""
-    import os as _os
-
-    path = _os.path.join(sf_dir, "lineitem.parquet")
-    df = spark.read.parquet(path)
-    return (
-        df.select(F.col("_metadata.file_name").alias("file_name"))
-        .groupBy("file_name")
-        .agg(F.count("*").alias("n_rows"))
-        .orderBy("file_name")
-    )
-
-
-def agg_count_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S4/A1: filtered COUNT(*). Null-ness synthesized via nullif so
-    the predicate actually rejects rows (fixture has no NULLs)."""
-    ev = load(spark, sf_dir, "events").withColumn(
-        "maybe_type", F.nullif("event_type", F.lit("error"))
-    )
-    return scans.count_scan(ev, "maybe_type", "user_id")
-
-
-# ------------------------------------------------------------------- filters
-
-
-def filter_notnull(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P2: not-null conjunction over synthesized-null columns."""
-    ev = (
-        load(spark, sf_dir, "events")
-        .withColumn("maybe_type", F.nullif("event_type", F.lit("error")))
-        .withColumn("maybe_value", F.when(F.col("value") > 5.0, F.col("value")))
-    )
-    return filters.not_null_filter(ev, "maybe_type", "maybe_value").select(
-        "event_id", "maybe_type", "maybe_value"
-    )
-
-
-def filter_split_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P4: validity routing as a tagged single plan + per-side counts
-    (the processed/skipped accounting of ``etlService.js:604-607``)."""
-    ev = load(spark, sf_dir, "events")
-    cond = (F.col("event_type") != F.lit("error")) & (F.col("value") > 1.0)
-    tagged = filters.validity_tag(ev, cond)
-    return tagged.groupBy("validity").agg(F.count("*").alias("n_records"))
-
-
-# --------------------------------------------------------------------- joins
-
-
-def _high_value_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load(spark, sf_dir, "orders").where(
-        (F.col("o_totalprice") > P.TARGET_PRICE_MIN)
-        & (F.col("o_orderstatus") == P.TARGET_STATUS)
-    )
-
-
-def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J2: customers with ≥1 high-value order (the 'updates' side)."""
-    cust = load(spark, sf_dir, "customer")
-    keys = _high_value_orders(spark, sf_dir).select(
-        F.col("o_custkey").alias("c_custkey")
-    )
-    return joins.semi_join(cust, keys, "c_custkey").select("c_custkey", "c_name")
-
-
-def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J3: customers with none (the 'inserts' side)."""
-    cust = load(spark, sf_dir, "customer")
-    keys = _high_value_orders(spark, sf_dir).select(
-        F.col("o_custkey").alias("c_custkey")
-    )
-    return joins.anti_join(cust, keys, "c_custkey").select("c_custkey", "c_name")
-
-
-def join_bridge_2step(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J1: customer-keys → orders → lineitem(bridge) → part, as one
-    declared 3-way join (vs the reference's two SQL round-trips)."""
-    orders = scans.keyed_scan(
-        load(spark, sf_dir, "orders"), "o_custkey", P.CUST_KEYS
-    ).select("o_orderkey", "o_custkey")
-    li = load(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("o_orderkey"), F.col("l_partkey").alias("p_partkey")
-    )
-    part = load(spark, sf_dir, "part").select("p_partkey", "p_name")
-    return (
-        joins.bridge_join(orders, li, part, "o_orderkey", "p_partkey")
-        .select("o_orderkey", "p_partkey", "p_name")
-        .distinct()
-    )
-
-
-def join_dependent(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J4: distinct referenced keys from a loaded bridge batch →
-    fetch dim rows (``etlService.js:642-654``)."""
-    li = scans.keyed_scan(load(spark, sf_dir, "lineitem"), "l_orderkey", P.ORDER_KEYS)
-    bridge = li.select(F.col("l_partkey").alias("p_partkey"))
-    part = load(spark, sf_dir, "part")
-    return joins.dependent_join(bridge, part, "p_partkey").select(
-        "p_partkey", "p_name", "p_retailprice"
-    )
-
-
-# ---------------------------------------------------------------- aggregates
-
-
-def groupby_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A2/J5: the nested {table→{key→records}} build as a hash agg."""
-    return aggregates.grouped_counts(
-        load(spark, sf_dir, "events"), "event_type", "user_id"
-    )
-
-
-def distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A3: Set-dedup of keys."""
-    return aggregates.distinct_keys(
-        _high_value_orders(spark, sf_dir), "o_custkey"
-    )
-
-
-def agg_sum_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A5 + flagship (TPC-H-Q1-shaped pricing summary): two-key hash
-    agg with decimal-exact sums; partial aggregation means the
-    shuffle carries 6 groups, not 600 k rows."""
-    li = load(spark, sf_dir, "lineitem")
-    return (
-        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            decimal_sum("l_quantity", 2, "sum_qty"),
-            decimal_sum("l_extendedprice", 2, "sum_base_price"),
-            fixed_sum(
-                F.col("l_extendedprice") * (1 - F.col("l_discount")),
-                6,
-                "sum_disc_price",
-            ),
-            dec_round(
-                fixed_sum(F.col("l_quantity"), 2) / F.count("*"), 4
-            ).alias("avg_qty"),
-            F.count("*").alias("count_order"),
-        )
-    )
-
-
-# ------------------------------------------------------------- sorts / pages
-
-
-def sort_order(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O1: total order by unique key."""
-    ev = load(spark, sf_dir, "events").select(
-        "event_id", F.unix_millis("ts").alias("ts_ms")
-    )
-    return sorts.ordered(ev, "event_id")
-
-
-def limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O2: deterministic page under total order (row_number)."""
-    ev = load(spark, sf_dir, "events").select("event_id", "event_type")
-    return sorts.page(ev, "event_id", P.PAGE_OFFSET, P.PAGE_SIZE)
-
-
-def sort_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Z-order layout key over (user_id, value) — first 200 rows of
-    the space-filling-curve order (see ``sorts.zorder_key``)."""
-    ev = load(spark, sf_dir, "events")
-    out = sorts.zorder_layout(
-        ev.select("event_id", "user_id", "value"),
-        F.col("user_id") % 256,
-        F.floor(F.col("value")) % 256,
-        k=200,
-    )
-    return out.select("event_id", "zval")
-
-
-def topk_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O3: tail-N newest first → TakeOrderedAndProject, no global sort."""
-    ev = load(spark, sf_dir, "events")
-    out = sorts.top_k_recent(ev, "ts", "event_id", P.TOPK_N)
-    return out.select("event_id", F.unix_millis("ts").alias("ts_ms"), "event_type")
-
-
-# ------------------------------------------------------------------ set ops
-
-
-def union_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E1/P5: update/insert split + tagged recombination."""
-    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    target = _high_value_orders(spark, sf_dir).select(
-        F.col("o_custkey").alias("c_custkey")
-    )
-    updates, inserts = sync.split_update_insert(cust, target, "c_custkey")
-    return sync.union_paths(updates, inserts)
-
-
-def agg_incremental_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """incremental aggregation maintenance: per-user totals stored
-    before the watermark, folded with the post-watermark delta batch
-    only (``sync.merge_group_totals``). The oracle is the FULL
-    recompute over all events — asserting incremental == full, which
-    holds because totals are exact scaled-integer sums."""
-
-    def totals(df: DataFrame) -> DataFrame:
-        return df.groupBy("user_id").agg(
-            F.count("*").alias("n_rows"),
-            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias(
-                "total_cents"
-            ),
-        )
-
-    ev = load(spark, sf_dir, "events")
-    old = totals(ev.where(F.col("event_id") <= P.WATERMARK_EVENT_ID))
-    delta = totals(ev.where(F.col("event_id") > P.WATERMARK_EVENT_ID))
-    return sync.merge_group_totals(old, delta, "user_id")
-
-
-def set_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E2/E3: INTERSECT ∪ tagged EXCEPT of two customer slices."""
-    cust = load(spark, sf_dir, "customer").select(
-        "c_custkey", "c_name", "c_mktsegment"
-    )
-    a = cust.where(F.col("c_custkey") % 3 != 0)
-    b = cust.where(F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
-    return sync.set_compare(a, b)
-
-
-def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rsbsa_etl_spark.operators.analytics import lag_lead_deltas
-
-    return lag_lead_deltas(load(spark, sf_dir, "events"))
-
-
-def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rsbsa_etl_spark.operators.analytics import scd2_intervals as _scd2
-
-    return _scd2(load(spark, sf_dir, "events"))
-
-
-def agg_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rsbsa_etl_spark.operators.analytics import group_ols_slope
-
-    return group_ols_slope(load(spark, sf_dir, "events"))
-
-
-def quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rsbsa_etl_spark.operators.analytics import quantile_sketch as _qs
-
-    return _qs(load(spark, sf_dir, "events"), width=P.QSKETCH_WIDTH)
-
-
-# -------------------------------------------------------------- write paths
-
-
-def upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K2: last-write-wins merge — updates (even keys, +10% price)
-    over the high-value target set."""
-    orders = load(spark, sf_dir, "orders")
-    target = _high_value_orders(spark, sf_dir).select(
-        "o_orderkey", dec_round(F.col("o_totalprice"), 2).alias("o_totalprice")
-    )
-    updates = (
-        orders.where(F.col("o_orderkey") % P.UPSERT_KEY_MOD == 0)
-        .select(
-            "o_orderkey",
-            dec_round(F.col("o_totalprice") * 1.1, 2).alias("o_totalprice"),
-        )
-    )
-    return sync.upsert_merge(target, updates, "o_orderkey")
-
-
-def merge_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """three-action MERGE: deletes (keys %7), upserts (other even
-    keys, +10% price) against the high-value target set."""
-    orders = load(spark, sf_dir, "orders")
-    k = F.col("o_orderkey")
-    target = _high_value_orders(spark, sf_dir).select(
-        "o_orderkey", dec_round(F.col("o_totalprice"), 2).alias("o_totalprice")
-    )
-    changes = (
-        orders.where((k % 7 == 0) | (k % P.UPSERT_KEY_MOD == 0))
-        .select(
-            "o_orderkey",
-            dec_round(F.col("o_totalprice") * 1.1, 2).alias("o_totalprice"),
-            F.when(k % 7 == 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
-        )
-    )
-    return sync.merge_cdc(target, changes, "o_orderkey")
-
-
-def overwrite_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K3: delete-then-insert per key on a one-to-many table — the
-    incoming batch carries fewer rows per key (linenumber ≤ 2), so
-    surviving row-count per key actually shrinks (real delete)."""
-    li = load(spark, sf_dir, "lineitem")
-    target = li.where(F.col("l_orderkey") < 1000).select(
-        "l_orderkey", "l_linenumber", dec_round(F.col("l_quantity"), 2).alias("l_quantity")
-    )
-    incoming = (
-        li.where(F.col("l_orderkey").isin(list(P.ORDER_KEYS)))
-        .where(F.col("l_linenumber") <= 2)
-        .select(
-            "l_orderkey",
-            "l_linenumber",
-            dec_round(F.col("l_quantity") + 100, 2).alias("l_quantity"),
-        )
-    )
-    return sync.overwrite_by_key(target, incoming, "l_orderkey")
-
-
-# -------------------------------------------------------- pipeline (§3.1 e2e)
-
-
-def _sync_fixture_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """the fixture-derived change log shared by the sync pipeline and
-    its metrics query: events beyond the watermark routed to
-    'customer'/'lineitem' by ``user_id % 3`` (remainder 2 →
-    unroutable), key 0 nulled so the validity filter drops rows."""
-    ev = load(spark, sf_dir, "events")
-    return ev.select(
-        F.col("event_id").alias("log_id"),
-        F.nullif(F.col("user_id"), F.lit(0)).alias("rsbsa_no"),
-        F.when(F.col("user_id") % 3 == 0, F.lit("customer"))
-        .when(F.col("user_id") % 3 == 1, F.lit("lineitem"))
-        .alias("table"),
-    )
-
-
-def sync_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2 A6/A7 derived run metrics (errorRate ``etlService.js:674``,
-    capped progress ratio ``etlService.js:728``) over the same
-    fixture change log the sync pipeline consumes — one watermark
-    scan, one hash agg, per-table explicit columns."""
-    from rsbsa_etl_spark.plans.etl_pipeline import sync_metrics as _metrics
-
-    return _metrics(_sync_fixture_changelog(spark, sf_dir), P.WATERMARK_EVENT_ID)
-
-
-def _sync_fixture_state(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    """the FULL incremental-sync pipeline (``plans.etl_pipeline``,
-    SURVEY §3.1) over a fixture-derived change log, returning the
-    post-sync state of one table.
-
-    Change-log analog: events beyond the watermark, routed to
-    'customer' (one-to-one → upsert) or 'lineitem' (one-to-many →
-    keyed overwrite) by ``user_id % 3``; key 0 is nulled so the
-    validity filter (P4) actually drops rows. Pre-existing targets
-    diverge from the sources (lower-cased names / odd keys only) so
-    both merge paths do real work.
-    """
-    from rsbsa_etl_spark.plans.etl_pipeline import run_incremental_sync
-
-    changelog = _sync_fixture_changelog(spark, sf_dir)
-    cust = load(spark, sf_dir, "customer")
-    src_cust = cust.select(
-        F.col("c_custkey").alias("rsbsa_no"), "c_name", "c_mktsegment"
-    )
-    tgt_cust = cust.where(F.col("c_custkey") % 2 == 0).select(
-        F.col("c_custkey").alias("rsbsa_no"),
-        F.lower(F.col("c_name")).alias("c_name"),
-        "c_mktsegment",
-    )
-    li = load(spark, sf_dir, "lineitem")
-    li_proj = li.select(
-        F.col("l_orderkey").alias("rsbsa_no"),
-        "l_linenumber",
-        dec_round(F.col("l_quantity"), 2).alias("l_quantity"),
-    )
-    src_li = li_proj
-    tgt_li = li_proj.where(F.col("rsbsa_no") % 2 == 1)
-    res = run_incremental_sync(
-        changelog,
-        sources={"customer": src_cust, "lineitem": src_li},
-        targets={"customer": tgt_cust, "lineitem": tgt_li},
-        since_log_id=P.WATERMARK_EVENT_ID,
-    )
-    return res.targets[table]
-
-
-def sync_pipeline_o2o(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§3.1 end-to-end, one-to-one branch: watermark scan → validity
-    filter → per-table keys → keyed re-fetch → uppercase transform →
-    upsert merge. Returns the final customer state."""
-    out = _sync_fixture_state(spark, sf_dir, "customer")
-    return out.select(
-        F.col("rsbsa_no").alias("c_custkey"), "c_name", "c_mktsegment"
-    )
-
-
-def sync_pipeline_o2m(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§3.1 end-to-end, one-to-many branch: same pipeline, keyed
-    delete-then-insert. Returns the final lineitem state."""
-    out = _sync_fixture_state(spark, sf_dir, "lineitem")
-    return out.select(
-        F.col("rsbsa_no").alias("l_orderkey"), "l_linenumber", "l_quantity"
-    )
-
-
-# ------------------------------------------------------------------ scalars
-
-
-def string_upper_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F1/F2: per-table uppercase rule application."""
-    cust = load(spark, sf_dir, "customer")
-    return apply_table_rules(cust, "customer").select(
-        "c_custkey", "c_name", "c_mktsegment"
-    )
-
-
-def string_concat_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F8: composite key build + split (`${table}:${key}`)."""
-    ev = load(spark, sf_dir, "events")
-    ck = F.concat_ws(":", F.col("event_type"), F.col("user_id"))
-    return ev.select(
-        "event_id",
-        ck.alias("composite_key"),
-        F.split(ck, ":").getItem(1).alias("key_part"),
-    )
-
-
-def cond_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F9: coalesce defaulting + conditional banding."""
-    ev = load(spark, sf_dir, "events")
-    return ev.select(
-        "event_id",
-        F.coalesce(F.nullif("event_type", F.lit("error")), F.lit("unknown")).alias(
-            "type_nz"
-        ),
-        F.when(F.col("value") > 50.0, F.lit("high")).otherwise(F.lit("low")).alias(
-            "band"
-        ),
-    )
-
-
-def ts_format_tz(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F4: Asia/Manila rendering at the output edge (session stays UTC)."""
-    ev = load(spark, sf_dir, "events")
-    return ev.select("event_id", format_manila(F.col("ts")).alias("ts_manila"))
-
-
-def math_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F5/F10: per-user activity span, decomposed h/m/s."""
-    ev = load(spark, sf_dir, "events")
-    span = ev.groupBy("user_id").agg(
-        (F.unix_millis(F.max("ts")) - F.unix_millis(F.min("ts"))).alias("duration_ms")
-    )
-    return span.select(
-        "user_id", "duration_ms", duration_hms(F.col("duration_ms")).alias("duration_hms")
-    )
-
-
-def text_parse_log(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S7/F6/P6: render events as reference-format log lines (with
-    malformed + blank lines injected), then parse back."""
-    ev = load(spark, sf_dir, "events")
-    line = (
-        F.when(F.col("event_id") % 101 == 0, F.lit(""))  # blank → filtered (P6)
-        .when(F.col("event_id") % 50 == 0, F.col("event_type"))  # malformed (F9)
-        .otherwise(
-            F.concat(
-                F.lit("["),
-                F.date_format("ts", "yyyy-MM-dd HH:mm:ss"),
-                F.lit("] "),
-                F.col("event_type"),
-            )
-        )
-    )
-    lines = ev.select(line.alias("value"))
-    return parse_log_lines(lines)
-
-
-def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F11: parse the props JSON column + serialize a struct back."""
-    ev = load(spark, sf_dir, "events")
-    return ev.select(
-        "event_id",
-        F.get_json_object("props", "$.k").cast("long").alias("k_val"),
-        F.to_json(F.struct(F.col("event_id"), F.col("event_type"))).alias("j"),
-    )
-
-
-# ------------------------------------------------------ windowed analytics
-
-
-def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rsbsa_etl_spark.operators.analytics import moving_stats
-
-    return moving_stats(load(spark, sf_dir, "events"))
-
-
-def window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rsbsa_etl_spark.operators.analytics import trailing_time_stats
-
-    return trailing_time_stats(load(spark, sf_dir, "events"))
-
-
-def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rsbsa_etl_spark.operators.analytics import rollup_totals
-
-    return rollup_totals(load(spark, sf_dir, "lineitem"))
-
-
-def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rsbsa_etl_spark.operators.analytics import cube_totals
-
-    return cube_totals(load(spark, sf_dir, "lineitem"))
-
-
-def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rsbsa_etl_spark.operators.analytics import pivot_status_totals
-
-    return pivot_status_totals(load(spark, sf_dir, "orders"))
-
-
-def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rsbsa_etl_spark.operators.analytics import unpivot_lineitem_metrics
-
-    return unpivot_lineitem_metrics(load(spark, sf_dir, "lineitem"), P.ORDER_KEYS)
-
-
-def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rsbsa_etl_spark.operators.analytics import quantity_percentiles
-
-    return quantity_percentiles(load(spark, sf_dir, "lineitem"))
-
-
-def json_map_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rsbsa_etl_spark.operators.analytics import json_map_entries
-
-    return json_map_entries(load(spark, sf_dir, "events"))
-
-
-def fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rsbsa_etl_spark.operators.analytics import fuzzy_name_pairs
-
-    return fuzzy_name_pairs(load(spark, sf_dir, "customer"))
-
-
-def ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rsbsa_etl_spark.functions.similarity import ivf_assignments
-    from rsbsa_etl_spark.operators.analytics import embedding_centroids as _ec
-
-    assigned = ivf_assignments(load(spark, sf_dir, "embeddings"))
-    return _ec(assigned.select(F.col("cid").alias("label"), "embedding")).select(
-        F.col("label").alias("cid"), "dim", "centroid"
-    )
-
-
-def ivf_train2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """second Lloyd iteration: re-assign every vector to the
-    iteration-1 centroids (rebuilt as vectors from the long table —
-    fixed-point values, so distances stay engine-exact), then
-    recompute per-cell means. Demonstrates the E/M loop composes;
-    round N is this same plan stacked N times with the centroid
-    table localCheckpointed between rounds."""
-    from rsbsa_etl_spark.functions.similarity import assign_to_centroids
-    from rsbsa_etl_spark.operators.analytics import embedding_centroids as _ec
-
-    emb = load(spark, sf_dir, "embeddings")
-    c1 = ivf_train(spark, sf_dir)
-    cvec = c1.groupBy("cid").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("dim", "centroid"))),
-            lambda s: s["centroid"],
-        ).alias("vc")
-    )
-    assigned = assign_to_centroids(emb, cvec)
-    return _ec(assigned.select(F.col("cid").alias("label"), "embedding")).select(
-        F.col("label").alias("cid"), "dim", "centroid"
-    )
-
-
-def join_full_outer_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J-ext: full-outer null-safe reconciliation of per-key counts
-    from two tables (key 0 nulled on both sides so the NULL group
-    actually matches)."""
-    from rsbsa_etl_spark.operators.joins import full_outer_null_safe
-
-    ev = (
-        load(spark, sf_dir, "events")
-        .select(F.nullif(F.col("user_id") % 20, F.lit(0)).alias("k"))
-        .groupBy("k")
-        .agg(F.count("*").alias("n_events"))
-    )
-    cust = (
-        load(spark, sf_dir, "customer")
-        .where(F.col("c_custkey") < 1000)
-        .select(F.nullif(F.col("c_custkey") % 25, F.lit(0)).alias("k"))
-        .groupBy("k")
-        .agg(F.count("*").alias("n_custs"))
-    )
-    return full_outer_null_safe(ev, cust, "k")
-
-
-def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """interval join of event values against declared bands — the
-    bin-bucketed equi-join form (see ``joins.range_join``)."""
-    from rsbsa_etl_spark.operators.joins import range_join
-
-    ev = load(spark, sf_dir, "events").select("event_id", "value")
-    bands = spark.createDataFrame(
-        list(P.VALUE_BANDS), schema="band_id INT, lo DOUBLE, hi DOUBLE"
-    )
-    out = range_join(ev, bands, "value", bin_w=P.RANGE_BIN_W)
-    return out.select(
-        "event_id", dec_round(F.col("value"), 2).alias("value"), "band_id"
-    )
-
-
-def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """salted equi-join on a deliberately skewed key (~75% of fact
-    rows share key 0): dim replicates ×16, fact salts randomly — the
-    output is salt-independent, so the plain join is the oracle."""
-    from rsbsa_etl_spark.operators.joins import salted_join
-
-    ev = load(spark, sf_dir, "events")
-    fact = ev.select(
-        "event_id",
-        F.when(F.col("event_id") % 4 != 0, F.lit(0))
-        .otherwise(F.col("user_id") % 100)
-        .cast("long")
-        .alias("skew_key"),
-    )
-    dim = (
-        load(spark, sf_dir, "customer")
-        .where(F.col("c_custkey") < 100)
-        .select(F.col("c_custkey").cast("long").alias("skew_key"), "c_mktsegment")
-    )
-    return salted_join(fact, dim, "skew_key")
-
-
-def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """runtime-filter join: lineitem pruned by a broadcast hash
-    digest of high-value finished orders before the exact join. The
-    digest is cost-only — the oracle is the plain inner join."""
-    from rsbsa_etl_spark.operators.joins import bloom_pruned_join
-
-    fact = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
-    dim = _high_value_orders(spark, sf_dir).select(
-        F.col("o_orderkey").alias("l_orderkey"), "o_custkey"
-    )
-    return bloom_pruned_join(fact, dim, "l_orderkey")
-
-
-def ivf_train3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """the general n-iteration Lloyd loop (n=3): E-step (broadcast
-    centroids, per-row argmin fold, zero shuffle) then M-step (one
-    hash agg) per round. The centroid table (k·d rows) is
-    localCheckpointed between rounds — per-round lineage cuts keep
-    Catalyst's analysis cost constant instead of exponential (same
-    discipline as ``dedup_clusters``); the corpus itself is never
-    checkpointed, only re-scanned, which is the right trade at 100 TB
-    (centroids are tiny, the corpus is not).
-
-    Centroid values are fixed-point (1e-6), so rebuilt vectors — and
-    therefore distances and cell assignments — are engine-exact and
-    the unrolled DuckDB SQL is a value oracle for the whole loop.
-    """
-    from rsbsa_etl_spark.functions.similarity import (
-        assign_to_centroids,
-        ivf_assignments,
-    )
-    from rsbsa_etl_spark.operators.analytics import embedding_centroids as _ec
-
-    def mstep(assigned: DataFrame) -> DataFrame:
-        out = _ec(assigned.select(F.col("cid").alias("label"), "embedding"))
-        return out.select(F.col("label").alias("cid"), "dim", "centroid")
-
-    emb = load(spark, sf_dir, "embeddings")
-    cents = mstep(ivf_assignments(emb))
-    for _ in range(2):  # iterations 2..3
-        cents = cents.localCheckpoint(eager=True)
-        cvec = cents.groupBy("cid").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("dim", "centroid"))),
-                lambda s: s["centroid"],
-            ).alias("vc")
-        )
-        cents = mstep(assign_to_centroids(emb, cvec))
-    return cents
-
-
-def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rsbsa_etl_spark.operators.joins import asof_join
-
-    events = load(spark, sf_dir, "events")
-    clicks = events.where(F.col("event_type") == "click").select(
-        "event_id", "user_id", "ts", "value"
-    )
-    # tied (user_id, ts) views resolve inside the asof kernel to the
-    # max payload struct = max(value) here — deterministic with NO
-    # extra shuffle (the oracle states the same rule as a max()
-    # pre-aggregation; fixtures have no collisions either way)
-    views = events.where(F.col("event_type") == "view").select(
-        "user_id", "ts", "value"
-    )
-    joined = asof_join(clicks, views, "user_id", "ts", ["ts", "value"])
-    return joined.select(
-        "event_id",
-        "user_id",
-        F.col("value").alias("v_click"),
-        F.unix_micros("ts_asof").alias("view_ts_us"),
-        F.col("value_asof").alias("v_view"),
-    )
-
-
-def split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rsbsa_etl_spark.functions.textstats import split_assign as _sa
-
-    return _sa(load(spark, sf_dir, "documents"))
-
-
-def lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rsbsa_etl_spark.functions.textstats import lm_score as _lm
-
-    return _lm(load(spark, sf_dir, "documents"))
-
-
-def distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rsbsa_etl_spark.operators.analytics import kmv_distinct
-
-    return kmv_distinct(
-        load(spark, sf_dir, "orders"), "o_orderpriority", "o_custkey"
-    )
-
-
-def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rsbsa_etl_spark.operators.analytics import embedding_centroids as _ec
-
-    return _ec(load(spark, sf_dir, "embeddings"))
-
-
-# ------------------------------------------------------- event-time windows
-
-
-def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return win.tumbling_counts(load(spark, sf_dir, "events"))
-
-
-def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return win.sliding_counts(load(spark, sf_dir, "events"))
-
-
-def window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """per-user inactivity-gap sessions (flat per-user window —
-    semantically one task per user). At scale use
-    ``window_session_chunked``: bit-identical sessions with per-task
-    input bounded by (user, time-chunk)."""
-    return win.sessionize(load(spark, sf_dir, "events"), P.SESSION_GAP_S)
-
-
-def window_session_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """the hot-key dial for window_session: two-level sessionize
-    (within (user, 6h-chunk), then merge boundary sessions) —
-    bit-identical output, shares the flat key's oracle verbatim."""
-    return win.sessionize_chunked(
-        load(spark, sf_dir, "events"), P.SESSION_GAP_S
-    )
-
-
-def stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """watermark late-data semantics through the real streaming
-    engine (two checkpointed AvailableNow phases) — oracle-checked:
-    the emitted window set is a pure function of data + split +
-    delay (see ``streaming.windows.late_data_replay``)."""
-    return win.late_data_replay(
-        load(spark, sf_dir, "events"),
-        split_ts=P.STREAM_SPLIT_TS,
-        straggler_mod=P.STREAM_STRAGGLER_MOD,
-        delay=f"{P.STREAM_WM_DELAY_HOURS} hours",
-    )
-
-
-def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """custom stateful operator (applyInPandasWithState): per-user
-    running totals across two checkpointed micro-batches; the final
-    state per user equals one grouped aggregation, which is the
-    oracle. Values are fixed-point-quantized inside the state so
-    accumulation order cannot drift the double sum."""
-    from rsbsa_etl_spark.streaming.stateful import run_totals_replay
-
-    return run_totals_replay(load(spark, sf_dir, "events"))
-
-
-def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """streaming exactly-once dedup (dropDuplicatesWithinWatermark)
-    across a checkpoint restart with at-least-once redelivery; the
-    emitted set equals SELECT-one-row-per-event_id (the oracle)."""
-    from rsbsa_etl_spark.streaming.stateful import dedup_replay
-
-    return dedup_replay(load(spark, sf_dir, "events"))
-
-
-def cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textstats.cms_term_estimates(load(spark, sf_dir, "documents"))
-
-
-def stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """stream-stream interval join through the real engine across a
-    checkpoint restart (phase 2 clicks join view rows recovered from
-    phase 1 state); with an un-evicting watermark the emitted pairs
-    equal the batch interval join, which is the oracle."""
-    from rsbsa_etl_spark.streaming.joins import click_view_join_replay
-
-    return click_view_join_replay(load(spark, sf_dir, "events"))
-
-
-def stream_join_evicting(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """the watermark-advancing variant: phase-2 clicks behind the
-    restored watermark are dropped as late input — the emitted set
-    is the batch join minus late-click pairs, stated by the oracle
-    (see ``streaming.joins.click_view_join_evicting``)."""
-    from rsbsa_etl_spark.streaming.joins import click_view_join_evicting
-
-    return click_view_join_evicting(
-        load(spark, sf_dir, "events"),
-        delay=f"{P.STREAM_EVICT_DELAY_DAYS} days",
-        phase_mod=P.STREAM_EVICT_PHASE_MOD,
-    )
-
-
-# ----------------------------------------------------------------- dedup ops
-
-
-def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.exact_dedup(load(spark, sf_dir, "documents"))
-
-
-def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.minhash_candidate_pairs(load(spark, sf_dir, "documents"))
-
-
-def dedup_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.minhash_capped_pairs(load(spark, sf_dir, "documents"))
-
-
-def dedup_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """candidate pairs + signature-agreement Jaccard estimate — the
-    O(perms) screening score used before exact verification."""
-    return dedup.minhash_estimate_pairs(load(spark, sf_dir, "documents"))
-
-
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.simhash_pairs_banded(load(spark, sf_dir, "documents"))
-
-
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.ngram_jaccard_pairs(load(spark, sf_dir, "documents"))
-
-
-def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.cosine_pairs(load(spark, sf_dir, "embeddings"))
-
-
-def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup-style cluster-then-prune embedding dedup: Voronoi
-    cells → per-cell exemplar → keep/duplicate flag vs the exemplar.
-    Linear in corpus size (no pairwise stage); see
-    ``similarity.semantic_dedup``."""
-    return similarity.semantic_dedup(load(spark, sf_dir, "embeddings"))
-
-
-def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """duplicate-cluster resolution: connected components over the
-    minhash candidate pairs (iterative min-label propagation)."""
-    docs = load(spark, sf_dir, "documents")
-    return dedup.dedup_clusters(docs, dedup.minhash_candidate_pairs(docs))
-
-
-def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """fixed-point PageRank over the minhash dup-graph (3 power
-    iterations, quantized inflow sums — engine-exact oracle)."""
-    docs = load(spark, sf_dir, "documents")
-    return dedup.pagerank(docs, dedup.minhash_candidate_pairs(docs))
-
-
-# ------------------------------------------------------------------ ANN ops
-
-
-def ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.brute_force_topk(load(spark, sf_dir, "embeddings"))
-
-
-def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.lsh_topk(load(spark, sf_dir, "embeddings"))
-
-
-def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """multi-probe sign-LSH (home bucket + all 1-bit-flip buckets) —
-    the recall fix the ``ann_recall`` evaluation motivates."""
-    return similarity.lsh_multiprobe_topk(load(spark, sf_dir, "embeddings"))
-
-
-def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.ivf_topk(load(spark, sf_dir, "embeddings"))
-
-
-# ------------------------------------------------------------ text analysis
-
-
-def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """recall@k evaluation of the LSH and IVF indexes vs exact brute
-    force — deterministic, so the quality metric itself is
-    oracle-checked."""
-    return similarity.ann_recall(load(spark, sf_dir, "embeddings"))
-
-
-def ann_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MRR@k of the LSH/IVF indexes vs exact top-1 — the
-    rank-position complement to ann_recall, value-checked."""
-    return similarity.ann_mrr(load(spark, sf_dir, "embeddings"))
-
-
-def ann_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """recall@k + MRR@k per index from ONE set of persisted index
-    scans — the consolidated form of ann_recall/ann_mrr (those keys
-    stay registered for the per-query/standalone shapes; an eval
-    SWEEP should run this one: half the index builds for both
-    metrics)."""
-    return similarity.ann_eval(load(spark, sf_dir, "embeddings"))
-
-
-def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textstats.lang_id(load(spark, sf_dir, "documents"))
-
-
-def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textstats.quality_score(load(spark, sf_dir, "documents"))
-
-
-def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textstats.token_counts(load(spark, sf_dir, "documents"))
-
-
-def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textstats.fingerprint(load(spark, sf_dir, "documents"))
-
-
-def term_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textstats.term_topk(load(spark, sf_dir, "documents"))
-
-
-def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textstats.tfidf_topk(load(spark, sf_dir, "documents"))
-
-
-def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 term ranking (tf saturation + length normalization) —
-    the retrieval-grade upgrade of ``tfidf_topk``, transcendental-
-    free so the score is bit-exact cross-engine."""
-    return textstats.bm25_topk(load(spark, sf_dir, "documents"))
-
-
-def udtf_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textstats.chunk_tokens_udtf(load(spark, sf_dir, "documents"))
-
-
-# -------------------------------------------------------------- multimodal
-
-
-def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return multimodal.multimodal_meta(load(spark, sf_dir, "documents"))
-
-
-def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched stub decode over binary payloads. The stub is
-    sha256-derived (exact /2^32 binary scaling), so the FULL feature
-    vector is oracle-checked — the sfX fixture text is ASCII, making
-    payload bytes == text chars on the DuckDB side.
-
-    Driver-facing shape: the feature vector is projected to scalar
-    ``f0..f7`` double columns (array cells are unhashable in the
-    driver's pandas canonicalizer; the r4 row was red on exactly
-    that, with values verified equal)."""
-    frames = multimodal.attach_binary(load(spark, sf_dir, "documents"))
-    feats = multimodal.extract_features(frames)
-    return feats.select(
-        "doc_id",
-        "byte_len",
-        "content_md5",
-        *[
-            F.col("feature")[i].alias(f"f{i}")
-            for i in range(multimodal.FEATURE_DIM)
-        ],
-    )
-
-
-def multimodal_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rows-only: frame-sampling analog — byte-offset chunk windows
-    per payload; values pinned by pytest goldens."""
-    frames = multimodal.attach_binary(load(spark, sf_dir, "documents"))
-    return multimodal.sample_chunks(frames)
-
-
-# ---------------------------------------------------------------- curation
-
-
-def repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style repetition metrics (dup-token / dup-2gram
-    fractions) — the quality-filter rules of MassiveText."""
-    from rsbsa_etl_spark.functions import curation
-
-    return curation.repetition_stats(load(spark, sf_dir, "documents"))
-
-
-def decontam_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """benchmark-decontamination n-gram overlap vs an eval set
-    (broadcast semi-probe + per-doc agg)."""
-    from rsbsa_etl_spark.functions import curation
-
-    return curation.decontam_overlap(load(spark, sf_dir, "documents"))
-
-
-def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """concat-then-chunk LM sequence packing: per-shard token
-    offsets and block spans."""
-    from rsbsa_etl_spark.functions import curation
-
-    return curation.pack_sequences(load(spark, sf_dir, "documents"))
-
-
-def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """regex PII scrub (emails, phone numbers) with removal counts —
-    narrow codegen'd map, no shuffle."""
-    from rsbsa_etl_spark.functions import curation
-
-    return curation.pii_redact(load(spark, sf_dir, "customer"))
-
-
-def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """deterministic temperature (alpha=0.5) source rebalancing via
-    integer md5 thresholds."""
-    from rsbsa_etl_spark.functions import curation
-
-    return curation.temperature_sample(load(spark, sf_dir, "documents"))
-
-
-def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """hash-shuffled docs taken until the running token total hits
-    the budget — distributed two-pass prefix sum, not one global
-    window task."""
-    from rsbsa_etl_spark.functions import curation
-
-    return curation.token_budget_sample(load(spark, sf_dir, "documents"))
-
-
-def group_sample_n(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """exactly-N per event_type via the two-level exact top-N (no
-    one-task-per-group sort); oracle is the naive single window."""
-    from rsbsa_etl_spark.operators.analytics import group_sample_n as _gs
-
-    return _gs(load(spark, sf_dir, "events"))
-
-
-def bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """one BPE training count round: top adjacent char pairs."""
-    return textstats.bpe_pair_counts(load(spark, sf_dir, "documents"))
-
-
-def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE tokenizer training (3 merge rounds): count adjacent
-    symbol pairs -> merge the argmax, on a vocabulary-sized table --
-    emits the merges.txt artifact, value-checked per round."""
-    return textstats.bpe_train(load(spark, sf_dir, "documents"))
-
-
-def bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE inference: apply the 3 learned merges per distinct word,
-    join back per document -- (n_tokens, n_symbols,
-    chars_per_symbol), the corpus token-pricing numbers."""
-    return textstats.bpe_segment(load(spark, sf_dir, "documents"))
-
-
-def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lang_id vs stored label confusion counts (classifier eval)."""
-    return textstats.lang_confusion(load(spark, sf_dir, "documents"))
-
-
-def tokenize_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """token -> char offset map (span alignment primitive)."""
-    return textstats.tokenize_offsets(load(spark, sf_dir, "documents"))
-
-
-def corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """one-row dataset card: volume, coverage, exact-dup rate."""
-    return textstats.corpus_summary(load(spark, sf_dir, "documents"))
-
-
-def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """directory-partitioned rewrite + partition-predicate read:
-    the scan touches only the selected partition (plan-asserted)."""
-    from rsbsa_etl_spark.operators.scans import partition_pruned_scan
-
-    return partition_pruned_scan(load(spark, sf_dir, "events"))
-
-
-def ts_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """trend / day-of-week seasonality / residual of the daily event
-    series, in exact 7x-scaled integer arithmetic."""
-    from rsbsa_etl_spark.operators.analytics import ts_decompose as _td
-
-    return _td(load(spark, sf_dir, "events"))
-
-
-def window_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """per-user consecutive-day activity streaks (gaps-and-islands
-    via the day-minus-rownumber anchor)."""
-    from rsbsa_etl_spark.operators.analytics import gap_islands
-
-    return gap_islands(load(spark, sf_dir, "events"))
-
-
-def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """co-located join through bucketed tables: pay the bucketing
-    shuffle at write time, join exchange-free afterwards. Layout
-    only — the oracle is the plain join."""
-    from rsbsa_etl_spark.sources.sinks import bucketed_join
-
-    cust = load(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("custkey"), "c_mktsegment"
-    )
-    orders = load(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("custkey"), "o_orderkey"
-    )
-    return bucketed_join(spark, orders, cust, "custkey").select(
-        "o_orderkey", "custkey", "c_mktsegment"
-    )
-
-
-def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """byte-stride downsample of binary payloads (resize analog) —
-    Arrow-batched, metadata out, fully oracle-checked on ASCII."""
-    frames = multimodal.attach_binary(load(spark, sf_dir, "documents"))
-    return multimodal.resize_payloads(frames)
-
-
-def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RFM quartile segmentation of the orders fact — boundaries via
-    the percentile_disc aggregate + one broadcast row, no ntile
-    global-sort window anywhere."""
-    from rsbsa_etl_spark.operators.analytics import rfm_segments as _rfm
-
-    return _rfm(load(spark, sf_dir, "orders"))
-
-
-def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """contrastive-training hard negatives: every vector's top-k
-    most-similar DIFFERENT-label vectors — exact label-filtered kNN
-    through the same tiled block-matmul as knn_graph."""
-    from rsbsa_etl_spark.functions.similarity import hard_negatives as _hn
-
-    return _hn(load(spark, sf_dir, "embeddings"))
-
-
-def ann_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """persisted-IVF lifecycle: build the index (members parquet
-    partitioned by cell id + centroid table) into a tempdir, then
-    serve the benchmark queries from it — the probed cells become a
-    literal partition filter, so the members scan prunes to
-    nprobe/n_centroids of the data at planning time. Semantics (and
-    the oracle) are ann_ivf's verbatim: one semantics, two physical
-    strategies."""
-    import os
-    import tempfile
-
-    from rsbsa_etl_spark.sources.ann_index import (
-        build_ivf_index,
-        query_ivf_index,
-        query_vectors_from_table,
-    )
-
-    emb = load(spark, sf_dir, "embeddings")
-    path = os.path.join(tempfile.mkdtemp(prefix="rsbsa_ivf_"), "index")
-    build_ivf_index(emb, path)
-    return query_ivf_index(spark, path, query_vectors_from_table(emb))
-
-
-def hard_negatives_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """hard-negative mining over the IVF graph — the scale dial for
-    hard_negatives: O(n^1.5·nprobe) probed-cell blocks with the
-    same-label mask applied inside each block; value-checked by the
-    composed knn_graph_ivf+label oracle."""
-    from rsbsa_etl_spark.functions.similarity import (
-        hard_negatives_ivf as _hni,
-    )
-
-    return _hni(load(spark, sf_dir, "embeddings"))
-
-
-def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """per-node degree / triangle count / clustering coefficient of
-    the exact kNN graph — node-iterator triangle join, edges
-    node-linear and persisted once. At scale use
-    ``graph_triangles_ivf``: the cost here is the inherited exact
-    graph build (measured exponent 1.11), not the triangle join."""
-    from rsbsa_etl_spark.functions.similarity import knn_triangles
-
-    return knn_triangles(load(spark, sf_dir, "embeddings"))
-
-
-def graph_triangles_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """the scale dial: identical triangle core over the
-    ``knn_graph_ivf`` graph (O(n^1.5·nprobe) build); the stats stay
-    fully value-checked via the composed oracle."""
-    from rsbsa_etl_spark.functions.similarity import knn_triangles_ivf
-
-    return knn_triangles_ivf(load(spark, sf_dir, "embeddings"))
-
-
-def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """daily-series autocorrelation at lags 1..7 in exact integer
-    arithmetic — one binned-table self-equi-join via lag explode."""
-    from rsbsa_etl_spark.operators.analytics import ts_autocorr as _ac
-
-    return _ac(load(spark, sf_dir, "events"))
-
-
-def k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """quasi-identifier k-anonymity audit (privacy gate): group
-    sizes of (lang, source, generalized length), under-K flagged."""
-    from rsbsa_etl_spark.functions.curation import k_anonymity as _ka
-
-    return _ka(load(spark, sf_dir, "documents"))
-
-
-def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """centered 7-day rolling median of the daily series — the
-    missing median window re-expressed as a constant-frame
-    collect_list + array_sort + middle element."""
-    from rsbsa_etl_spark.operators.analytics import (
-        window_rolling_median as _rm,
-    )
-
-    return _rm(load(spark, sf_dir, "events"))
-
-
-def state_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """time-in-state rollup of the SCD2 value bands — exact integer
-    microseconds, one lead window + one grouped sum."""
-    from rsbsa_etl_spark.operators.analytics import state_durations as _sd
-
-    return _sd(load(spark, sf_dir, "events"))
-
-
-def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """streaming CDC apply through the checkpointed engine: keyed
-    last-write-wins state folded per micro-batch (mergeable argmax +
-    additive counts), final state == the batch aggregate exactly."""
-    from rsbsa_etl_spark.streaming.stateful import cdc_apply_replay
-
-    return cdc_apply_replay(load(spark, sf_dir, "events"))
-
-
-def feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """hashing-trick bag-of-words: dense FEATURE_HASH_DIM count
-    vector per doc, no vocabulary build or dictionary shuffle.
-
-    Driver-facing shape: the count vector is projected to scalar
-    ``v0..v{D-1}`` bigint columns (array cells are unhashable in
-    the driver's pandas canonicalizer)."""
-    vecs = textstats.feature_hash_vectors(load(spark, sf_dir, "documents"))
-    return vecs.select(
-        "doc_id",
-        "n_tokens",
-        *[
-            F.col("vec")[i].alias(f"v{i}")
-            for i in range(P.FEATURE_HASH_DIM)
-        ],
-    )
-
-
-def quantile_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """equi-depth decile binning of line-item prices — boundaries
-    via one percentile_disc aggregate, broadcast back; no ntile."""
-    from rsbsa_etl_spark.operators.analytics import quantile_bucketize as _qb
-
-    return _qb(load(spark, sf_dir, "lineitem"))
-
-
-def stream_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """streaming exactly-N reservoir (foreachBatch hash-min merge);
-    final state == the batch sample_fixed_n, oracle = batch SQL."""
-    from rsbsa_etl_spark.streaming.stateful import sample_stream_replay
-
-    return sample_stream_replay(load(spark, sf_dir, "documents"))
-
-
-def sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KMV sketch mergeability, value-checked: per-source bottom-k
-    sketches merged == the direct corpus sketch, exactly."""
-    from rsbsa_etl_spark.operators.analytics import kmv_merge_eval
-
-    return kmv_merge_eval(load(spark, sf_dir, "documents"))
-
-
-def stream_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """hourly rate bins maintained by the real streaming engine
-    (checkpointed, watermarked, sentinel-drained), flagged with the
-    same burst_flags as the batch path — oracle = batch SQL, so
-    stream/batch equivalence is value-checked."""
-    return win.burst_replay(load(spark, sf_dir, "events"))
-
-
-def novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """fraction of each doc's distinct shingles first seen in that
-    doc — posting list aggregated, never self-joined."""
-    return dedup.novelty_scores(load(spark, sf_dir, "documents"))
-
-
-def sample_fixed_n(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """exactly-N sample by smallest salted hash (distributed top-N,
-    no global sort)."""
-    from rsbsa_etl_spark.functions import curation
-
-    return curation.fixed_n_sample(load(spark, sf_dir, "documents"))
-
-
-def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """weighted multinomial draws (with replacement, P ∝ n_chars) via
-    an integer prefix-sum weight line — the mixture-assembly
-    primitive; bit-exact (no transcendental reservoir keys)."""
-    from rsbsa_etl_spark.functions import curation
-
-    return curation.weighted_sample(load(spark, sf_dir, "documents"))
-
-
-def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """per-language tokenizer fertility (subwords/word) and
-    chars-per-token — the multilingual token-budget diagnostic; one
-    scan + one language-keyed aggregate."""
-    from rsbsa_etl_spark.functions.textstats import (
-        tokenizer_fertility as _tf,
-    )
-
-    return _tf(load(spark, sf_dir, "documents"))
-
-
-def tokenizer_fertility_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """per-language fertility under the TRAINED 3-merge BPE tokenizer
-    (the bpe_train/bpe_segment loop) — replaces the ceil(len/4)
-    estimate of ``tokenizer_fertility`` with learned subword counts;
-    vocabulary-sized training, one corpus scan + lang-keyed agg."""
-    from rsbsa_etl_spark.functions.textstats import (
-        tokenizer_fertility_bpe as _tfb,
-    )
-
-    return _tfb(load(spark, sf_dir, "documents"))
-
-
-def text_strip_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HTML/markup stripping over deterministically synthesized
-    tag-soup (the pii_redact convention): tag removal, entity
-    decode, whitespace collapse, retained-text ratio — pure narrow
-    codegen map."""
-    from rsbsa_etl_spark.functions.curation import strip_markup
-
-    return strip_markup(load(spark, sf_dir, "documents"))
-
-
-def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """exactly-K stratified sample: largest-remainder (Hamilton)
-    per-stratum allocation + per-stratum smallest-salted-hash
-    membership — integer-exact apportionment, no binomial jitter."""
-    from rsbsa_etl_spark.functions import curation
-
-    return curation.stratified_sample(load(spark, sf_dir, "documents"))
-
-
-def mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """epoch-capped training-mixture allocation: temperature-α=0.5
-    integer weights, proportional shares capped at MIX_MAX_EPOCHS
-    epochs per source, leftover waterfilled greedily by weight —
-    one corpus scan, then G-row arithmetic."""
-    from rsbsa_etl_spark.functions import curation
-
-    return curation.mix_epochs(load(spark, sf_dir, "documents"))
-
-
-def burst_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """hourly event-rate bins flagged against their trailing 24h mean
-    (integer arithmetic, RANGE frame over epoch-hour)."""
-    from rsbsa_etl_spark.operators.analytics import burst_detect as _bd
-
-    return _bd(load(spark, sf_dir, "events"))
-
-
-def compact_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """streaming bin-fill compaction plan over the documents manifest
-    (source = storage partition, n_chars = file size)."""
-    from rsbsa_etl_spark.sources.sinks import compaction_plan
-
-    return compaction_plan(
-        load(spark, sf_dir, "documents").select("source", "doc_id", "n_chars"),
-        target=P.COMPACT_TARGET,
-    )
-
-
-def quality_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """per-language adaptive quality cutoff from the score histogram
-    (CCNet-style), never ranking the corpus itself."""
-    from rsbsa_etl_spark.functions import curation
-
-    return curation.adaptive_quality_filter(load(spark, sf_dir, "documents"))
-
-
-def dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """sub-document (paragraph-level) corpus dedup: keep the first
-    occurrence of each 16-token segment corpus-wide."""
-    from rsbsa_etl_spark.functions import curation
-
-    return curation.segment_dedup_stats(load(spark, sf_dir, "documents"))
-
-
-def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rank-family window functions (ntile / percent_rank /
-    cume_dist) per event_type; sort key includes event_id so ranks
-    are total-order deterministic."""
-    ev = load(spark, sf_dir, "events")
-    # asc_nulls_last pins the rank of NULL values to DuckDB's
-    # default null ordering (Spark ASC puts NULLs first) — the
-    # fixture is null-free, so ranks are unchanged there
-    w = Window.partitionBy("event_type").orderBy(
-        F.col("value").asc_nulls_last(), "event_id"
-    )
-    return ev.select(
-        "event_id",
-        "event_type",
-        F.ntile(4).over(w).alias("quartile"),
-        dec_round(F.percent_rank().over(w), 6).alias("pr"),
-        dec_round(F.cume_dist().over(w), 6).alias("cd"),
-    )
-
-
-def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """value-navigation window functions (first_value / last_value /
-    nth_value) over an explicit whole-partition ROWS frame — the
-    default RANGE-to-current-row frame makes last_value a footgun in
-    every engine, so the frame is pinned and the sort is tie-broken.
-    One window exchange serves all three."""
-    ev = load(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    )
-    return ev.select(
-        "event_id",
-        "user_id",
-        dec_round(F.first_value("value").over(w), 2).alias("first_v"),
-        dec_round(F.last_value("value").over(w), 2).alias("last_v"),
-        dec_round(F.nth_value("value", 3).over(w), 2).alias("third_v"),
-    )
-
-
-def join_temporal_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SCD2 point-in-time lookup: each click event joins the
-    purchase-derived dimension version whose [valid_from, valid_to)
-    interval contains the click timestamp — the warehouse-standard
-    "dimension as of event time" join, complementing ``join_asof``
-    (which is the union+window form over two event streams).
-
-    Scale shape: ONE equi-shuffle on user_id co-partitions fact and
-    versioned dim; the interval containment is then a narrow filter
-    inside the join — never a theta join. Intervals are disjoint per
-    user by construction (lead() windows), so each fact row matches
-    at most one version and the result is deterministic."""
-    from rsbsa_etl_spark.operators.analytics import scd2_intervals as _scd2
-
-    ev = load(spark, sf_dir, "events")
-    dim = _scd2(ev.where(F.col("event_type") == "purchase")).select(
-        F.col("user_id").alias("u"), "attr", "valid_from_us", "valid_to_us"
-    )
-    fact = ev.where(F.col("event_type") == "click").select(
-        "event_id", "user_id", F.unix_micros(F.col("ts")).alias("ts_us")
-    )
-    j = fact.join(
-        dim,
-        (fact.user_id == dim.u)
-        & (F.col("ts_us") >= F.col("valid_from_us"))
-        & (F.col("valid_to_us").isNull() | (F.col("ts_us") < F.col("valid_to_us"))),
-    )
-    return j.select("event_id", "user_id", "attr", "valid_from_us")
-
-
-def agg_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """hypertable-style time-hierarchy rollup: hour-level, day-level,
-    and grand totals in one ROLLUP pass (integer epoch buckets keep
-    the hierarchy portable across engines); one Expand + one shuffle
-    regardless of how many levels the hierarchy has."""
-    ev = load(spark, sf_dir, "events")
-    secs = F.unix_seconds(F.col("ts"))
-    return (
-        ev.select(
-            F.floor(secs / 86400).alias("day_b"),
-            F.floor(secs / 3600).alias("hour_b"),
-            "value",
-        )
-        .rollup("day_b", "hour_b")
-        .agg(
-            F.count("*").alias("n_events"),
-            fixed_sum(F.col("value"), 2, "sum_value"),
-        )
-        .select(
-            F.coalesce("day_b", F.lit(-1)).alias("day_b"),
-            F.coalesce("hour_b", F.lit(-1)).alias("hour_b"),
-            "n_events",
-            "sum_value",
-        )
-    )
-
-
-def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """grid-bucketed spatial radius join (Sedona-style): supplier
-    query points × customer points within an exact integer Euclidean
-    radius; the big side gets one cell key, the small side
-    replicates 9× and broadcasts."""
-    from rsbsa_etl_spark.functions import spatial
-
-    return spatial.radius_pairs(
-        load(spark, sf_dir, "customer"), load(spark, sf_dir, "supplier")
-    )
-
-
-def validate_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """single-pass declarative data-quality audit (ENUM-domain,
-    range, null, uniqueness rules → violations per rule)."""
-    return filters.domain_audit(load(spark, sf_dir, "events"))
-
-
-def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """explicit GROUPING SETS (the rollup/cube generalization):
-    per-flag totals, per-status totals, and the grand total in one
-    pass — Spark expands to a single shuffle-once Expand+hash-agg."""
-    li = load(spark, sf_dir, "lineitem")
-    li.createOrReplaceTempView("gs_lineitem")
-    return spark.sql(
-        f"""
-        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
-               coalesce(l_linestatus, 'ALL') AS linestatus,
-               CAST(sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
-               count(*) AS n_rows
-        FROM gs_lineitem
-        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-        """
-    )
-
-
-# --------------------------------------------------------------- streaming
-
-
-def stream_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S8/T3: drives the real Structured Streaming engine (text file
-    source → parse → AvailableNow → memory sink) over log lines
-    rendered from the events fixture. Every rendered line is a
-    well-formed ``[ts] event_type``, so the engine output is
-    value-checked against plain SQL over the same fixture."""
-    import os
-    import tempfile
-
-    from rsbsa_etl_spark.streaming.tail import run_tail_once
-
-    ev = load(spark, sf_dir, "events")
-    lines = render_log_lines(
-        ev.select(
-            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"), "event_type"
-        ),
-        "ts_s",
-        "event_type",
-    )
-    log_dir = os.path.join(tempfile.mkdtemp(prefix="rsbsa_tail_"), "logs")
-    lines.coalesce(1).write.mode("overwrite").text(log_dir)
-    return run_tail_once(spark, log_dir, query_name="stream_tail_out")
-
-
-# ------------------------------------------------------- profiling / funnels
-
-
-def profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rsbsa_etl_spark.operators.profiling import profile_columns
-
-    return profile_columns(load(spark, sf_dir, "lineitem"))
-
-
-def group_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rsbsa_etl_spark.operators.profiling import group_mode as _gm
-
-    return _gm(load(spark, sf_dir, "events"))
-
-
-def outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rsbsa_etl_spark.operators.profiling import zscore_outliers
-
-    return zscore_outliers(load(spark, sf_dir, "events"))
-
-
-def corr_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rsbsa_etl_spark.operators.profiling import corr_groups as _cg
-
-    return _cg(load(spark, sf_dir, "lineitem"))
-
-
-def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rsbsa_etl_spark.operators.analytics import funnel_steps
-
-    return funnel_steps(load(spark, sf_dir, "events"))
-
-
-def events_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """monthly DAU/MAU stickiness ratio — one distinct pass over
-    (day, user), counts fold from the deduplicated set."""
-    from rsbsa_etl_spark.operators.analytics import dau_mau
-
-    return dau_mau(load(spark, sf_dir, "events"))
-
-
-def retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rsbsa_etl_spark.operators.analytics import retention_cohorts
-
-    return retention_cohorts(load(spark, sf_dir, "events"))
-
-
-def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rsbsa_etl_spark.functions.curation import curation_pipeline as _cp
-
-    return _cp(load(spark, sf_dir, "documents"))
-
-
-def window_cumdistinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rsbsa_etl_spark.operators.analytics import cumulative_distinct
-
-    return cumulative_distinct(load(spark, sf_dir, "events"))
-
-
-def skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rsbsa_etl_spark.operators.profiling import skew_stats as _sk
-
-    return _sk(load(spark, sf_dir, "lineitem"))
-
-
-def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textstats.inverted_index(load(spark, sf_dir, "documents"))
-
-
-def term_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textstats.term_pmi(load(spark, sf_dir, "documents"))
-
-
-def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rsbsa_etl_spark.operators.analytics import string_concat_groups
-
-    return string_concat_groups(load(spark, sf_dir, "events"))
-
-
-def rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rsbsa_etl_spark.operators.analytics import rolling_active_users
-
-    return rolling_active_users(load(spark, sf_dir, "events"))
-
-
-def bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Poisson bootstrap CI for the mean: per-row pseudo-Poisson(1)
-    replicate weights, one map-side pass — error bars on a 100 TB
-    aggregate with constant-size state."""
-    from rsbsa_etl_spark.operators.profiling import bootstrap_ci as _b
-
-    return _b(load(spark, sf_dir, "events"))
-
-
-def ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUPED variance-reduced experiment readout (Deng et al. 2013):
-    pre-period covariate adjustment from exact integer moments —
-    the industry-standard CI-shrinking companion to ab_ttest."""
-    from rsbsa_etl_spark.operators.profiling import ab_cuped as _c
-
-    return _c(load(spark, sf_dir, "events"))
-
-
-def ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rsbsa_etl_spark.operators.profiling import ab_ttest as _ab
-
-    return _ab(load(spark, sf_dir, "events"))
-
-
-def resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rsbsa_etl_spark.operators.analytics import resample_ffill as _rf
-
-    return _rf(load(spark, sf_dir, "events"))
-
-
-def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rsbsa_etl_spark.operators.sync import snapshot_diff as _sd
-
-    return _sd(load(spark, sf_dir, "orders"))
-
-
-def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textstats.vocab_coverage(load(spark, sf_dir, "documents"))
-
-
-def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """exact directed containment pairs via AllPairs prefix filter —
-    full recall by construction. At scale use
-    ``dedup_containment_capped`` (capped-LSH candidates, exact
-    verify): the exact arm's candidate volume grows with per-shingle
-    posting density^2 on template-heavy corpora (SCALING.md measured
-    the three-point growth)."""
-    return dedup.containment_pairs(load(spark, sf_dir, "documents"))
-
-
-def dedup_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """the speed/recall dial on containment: capped-MinHash-LSH
-    candidates (``minhash_capped_pairs``) fed into the exact verify
-    via the ``candidates=`` hook — the documented 100 TB mitigation
-    for the exact prefix filter's superlinear candidate volume on
-    template-heavy corpora (SCALING.md). The verify is still exact
-    containment on every candidate; recall is the LSH collision
-    probability (low for subset pairs with very different sizes —
-    the exact ``dedup_containment`` path exists for full recall).
-    The oracle replicates the SAME deterministic capped-LSH
-    candidate set in SQL, so this key is value-checked end-to-end,
-    not oracle-relaxed."""
-    docs = load(spark, sf_dir, "documents")
-    cand = dedup.minhash_capped_pairs(docs)
-    return dedup.containment_pairs(docs, candidates=cand)
-
-
-def dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """embedding twin of dedup_incremental: the deterministic 20%
-    "new batch" (vec_id % 10 >= 8) screened against the 80% corpus —
-    bipartite tiled block-matmul, corpus shuffled once, never
-    self-joined."""
-    emb = load(spark, sf_dir, "embeddings")
-    return similarity.cosine_pairs_bipartite(
-        emb.where(F.col("vec_id") % 10 >= 8),
-        emb.where(F.col("vec_id") % 10 < 8),
-    )
-
-
-def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """hybrid retrieval: lexical idf-overlap arm + embedding cosine
-    arm, each top-K per query, fused by reciprocal rank fusion --
-    the modern two-arm search stack as one declarative plan."""
-    from rsbsa_etl_spark.functions.retrieval import hybrid_search_rrf as _h
-
-    return _h(
-        load(spark, sf_dir, "documents"), load(spark, sf_dir, "embeddings")
-    )
-
-
-def hybrid_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """the composed retrieval stack: hybrid RRF retrieval -> greedy
-    MMR diversity re-rank over the fused pool (retrieve, fuse,
-    de-duplicate the context) — same greedy kernel as mmr_rerank."""
-    from rsbsa_etl_spark.functions.retrieval import hybrid_mmr as _h
-
-    return _h(
-        load(spark, sf_dir, "documents"), load(spark, sf_dir, "embeddings")
-    )
-
-
-def prf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """pseudo-relevance-feedback query expansion (Rocchio PRF): top
-    expansion terms per query mined from its hybrid feedback docs
-    by tf·rational-idf, query terms excluded."""
-    from rsbsa_etl_spark.functions.retrieval import prf_expand as _p
-
-    return _p(
-        load(spark, sf_dir, "documents"), load(spark, sf_dir, "embeddings")
-    )
-
-
-def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """exact duplicated-span detection (Lee et al. 2022 substring
-    dedup, posting-list form): maximal token spans contiguously
-    covered by k-grams that also occur in other docs — the regions
-    a pipeline cuts, not the doc pairs."""
-    return dedup.duplicated_spans(load(spark, sf_dir, "documents"))
-
-
-def fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """winnowing fingerprints (Schleimer et al. 2003, MOSS):
-    rightmost-minimal gram hash per w-window — the sparse sampled
-    counterpart of dedup_spans' dense posting list, with the
-    k+w-1-token shared-run guarantee."""
-    return dedup.winnow_fingerprints(load(spark, sf_dir, "documents"))
-
-
-def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MMR diversity re-rank (Carbonell & Goldstein '98): greedy
-    λ·rel − (1−λ)·max-sim selection over the cosine top-pool, in
-    exact integer fixed point — the redundancy filter between
-    retrieval and a context window."""
-    from rsbsa_etl_spark.functions.retrieval import mmr_rerank as _m
-
-    return _m(load(spark, sf_dir, "embeddings"))
-
-
-def mmr_rerank_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``mmr_rerank`` with the DISTRIBUTED greedy arm forced — the
-    cogrouped per-query Arrow fold that serving-scale query batches
-    auto-select above ``MMR_DIST_MIN_QUERIES`` (the driver-fold arm
-    is serial in the query count, the r9/r10 verdicts' watch item).
-    Same kernel, same oracle unroll: the driver gate value-checks
-    that the distributed arm's picks are bit-identical."""
-    from rsbsa_etl_spark.functions.retrieval import mmr_rerank as _m
-
-    return _m(load(spark, sf_dir, "embeddings"), distributed=True)
-
-
-def mmr_rerank_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``mmr_rerank`` with the pool retrieved by the IVF probe
-    instead of the brute-force scan — the billion-vector deployment
-    shape (corpus work drops to ~nprobe/n_cells per query); the
-    greedy kernel, quantization, and oracle unroll are shared with
-    mmr_rerank, so only the retrieval approximation differs."""
-    from rsbsa_etl_spark.functions.retrieval import mmr_rerank_ivf as _m
-
-    return _m(load(spark, sf_dir, "embeddings"))
-
-
-def prf_requery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """the PRF loop's final pass: re-run lexical retrieval with the
-    expanded query (original terms weighted PRF_W_ORIG, mined
-    expansion terms PRF_W_EXPANSION), Σ weight·idf over matched
-    distinct terms in exact fixed point — completes the
-    retrieve→expand→re-retrieve loop prf_expand is the middle of."""
-    from rsbsa_etl_spark.functions.retrieval import prf_requery as _m
-
-    return _m(load(spark, sf_dir, "documents"),
-              load(spark, sf_dir, "embeddings"))
-
-
-def context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """context-window assembly after MMR: greedy prefix of each
-    query's diversity-ranked picks under CONTEXT_TOKEN_BUDGET — the
-    running-sum budget cut between retrieval and the model."""
-    from rsbsa_etl_spark.functions.retrieval import context_pack as _m
-
-    return _m(load(spark, sf_dir, "documents"),
-              load(spark, sf_dir, "embeddings"))
-
-
-def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DSIR-style importance weights (Xie et al. 2023): hashed-unigram
-    target-vs-raw probability ratios, transcendental-free — the
-    reweight-raw-toward-target data-selection signal."""
-    from rsbsa_etl_spark.functions.curation import dsir_weights as _d
-
-    return _d(load(spark, sf_dir, "documents"))
-
-
-def dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DSIR importance resampling: keep each doc with probability
-    min(1, weight/ref) by salted hash — deterministic, batch-
-    independent membership; the second half of the DSIR recipe."""
-    from rsbsa_etl_spark.functions.curation import dsir_resample as _r
-
-    return _r(load(spark, sf_dir, "documents"))
-
-
-def rocchio_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """nearest-centroid (Rocchio) hashed bag-of-words classifier,
-    trained on the corpus's own lang labels and evaluated per doc —
-    the trained counterpart of the rule-based lang_id."""
-    return textstats.rocchio_classify(load(spark, sf_dir, "documents"))
-
-
-def ab_kstest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """two-sample Kolmogorov-Smirnov distance between the hash-split
-    arms — exact cross-multiplied ECDF integers, nonparametric
-    companion to ab_ttest/ab_cuped."""
-    from rsbsa_etl_spark.operators.profiling import ab_kstest as _k
-
-    return _k(load(spark, sf_dir, "events"))
-
-
-def group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """exact per-returnflag price quartiles, PERCENTILE_DISC
-    semantics (actual elements, no engine-divergent interpolation)."""
-    from rsbsa_etl_spark.operators.analytics import group_percentiles as _g
-
-    return _g(load(spark, sf_dir, "lineitem"))
-
-
-def join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """nearest-view-in-time join (either direction) for every click:
-    two as-of passes over the shared union-window kernel, closer
-    side wins, ties backward."""
-    from rsbsa_etl_spark.operators.analytics import join_nearest as _jn
-
-    return _jn(load(spark, sf_dir, "events"))
-
-
-def scan_jsonl_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSONL ingestion with corrupt-record quarantine, end to end:
-    render the documents table to JSON-Lines with every 97th doc_id's
-    line deterministically truncated (the byte-level corruption real
-    crawls contain), read it back with a DECLARED schema in
-    PERMISSIVE mode capturing bad lines, and report the
-    good/quarantined split plus a value checksum over the good side.
-    The oracle derives the same numbers analytically from the
-    original table (it knows the corruption rule), so the whole
-    write→corrupt→parse→quarantine path is value-checked without the
-    oracle ever parsing broken JSON.
-
-    100 TB notes in sources/textdata.py: declared schema (inference
-    is a second full scan), PERMISSIVE+capture (FAILFAST kills the
-    job on shard 40,000's one bad line; DROPMALFORMED silently loses
-    data), quarantine side output. The fixture render coalesces to
-    one file only to keep the tempdir tidy at test SFs — production
-    reads the sharded layout as-is.
-    """
-    import os
-    import tempfile
-
-    from pyspark.sql.types import (
-        LongType,
-        StringType,
-        StructField,
-        StructType,
-    )
-
-    from rsbsa_etl_spark.sources.textdata import read_jsonl, split_corrupt
-
-    docs = load(spark, sf_dir, "documents")
-    line = F.to_json(F.struct("doc_id", "text", "lang", "source", "n_chars"))
-    # NULL-explicit corruption rule: coalesce(doc_id, 1) keeps a
-    # hypothetical NULL-doc_id row on the good side in BOTH the rule
-    # and the oracle's analytic mirror (a bare `doc_id % 97 == 0`
-    # is NULL for NULL keys — Spark's `when` would route it good
-    # while the oracle's FILTER would drop it, a latent divergence
-    # flagged by the r7 advisor).
-    corrupted = F.when(
-        F.coalesce(F.col("doc_id"), F.lit(1)) % 97 == 0,
-        F.substring(line, 1, F.length(line) - 1),
-    ).otherwise(line)
-    path = os.path.join(tempfile.mkdtemp(prefix="rsbsa_jsonl_"), "docs")
-    docs.select(corrupted.alias("value")).coalesce(1).write.mode(
-        "overwrite"
-    ).text(path)
-
-    schema = StructType(
-        [
-            StructField("doc_id", LongType()),
-            StructField("text", StringType()),
-            StructField("lang", StringType()),
-            StructField("source", StringType()),
-            StructField("n_chars", LongType()),
-        ]
-    )
-    good, bad, parsed = split_corrupt(read_jsonl(spark, path, schema))
-    g = good.agg(
-        F.count("*").cast("long").alias("n_good"),
-        F.sum("n_chars").cast("long").alias("sum_chars_good"),
-        F.countDistinct("doc_id").cast("long").alias("n_distinct_good"),
-    )
-    b = bad.agg(F.count("*").cast("long").alias("n_quarantined"))
-    # materialize the 1-row aggregate eagerly (this key already does
-    # eager work: the corrupt-file write above), then release the
-    # cached parse — callers own the persist per split_corrupt's
-    # contract, and holding it would leak one cached parse per
-    # invocation across verify/bench sweeps (r7 advisor).
-    out = g.join(b).localCheckpoint(eager=True)
-    parsed.unpersist()
-    return out
-
-
-def scan_csv_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """typed CSV round-trip: render (orderkey, linenumber, quantity,
-    returnflag) from lineitem to headered CSV, read it back with a
-    DECLARED schema (no inference — see scan_jsonl_corrupt), and
-    aggregate a per-flag checksum the oracle computes from the
-    original table — pinning that the CSV writer/parser pair loses
-    nothing (doubles round-trip through Spark's repr)."""
-    import os
-    import tempfile
-
-    from pyspark.sql.types import (
-        DoubleType,
-        IntegerType,
-        LongType,
-        StringType,
-        StructField,
-        StructType,
-    )
-
-    from rsbsa_etl_spark.sources.textdata import read_csv, split_corrupt
-
-    li = load(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
-    )
-    path = os.path.join(tempfile.mkdtemp(prefix="rsbsa_csv_"), "li")
-    li.coalesce(1).write.mode("overwrite").option("header", True).csv(path)
-
-    schema = StructType(
-        [
-            StructField("l_orderkey", LongType()),
-            StructField("l_linenumber", IntegerType()),
-            StructField("l_quantity", DoubleType()),
-            StructField("l_returnflag", StringType()),
-        ]
-    )
-    good, _bad, parsed = split_corrupt(read_csv(spark, path, schema))
-    out = good.groupBy("l_returnflag").agg(
-        F.count("*").cast("long").alias("n_rows"),
-        F.sum(
-            F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long")
-        ).alias("qty_cents"),
-        F.sum("l_orderkey").cast("long").alias("key_sum"),
-    ).localCheckpoint(eager=True)  # per-flag rows only; then release
-    parsed.unpersist()
-    return out
-
-
-def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """schema drift across shards — the 100 TB reality that year-2
-    data has columns year-1 data lacks: write two parquet batches of
-    orders under partition-style dirs (``batch=1`` without
-    o_orderstatus, ``batch=2`` with it), read the parent with
-    ``mergeSchema`` so the union schema applies and missing columns
-    null-fill, and report per-batch counts / non-null status counts /
-    a price checksum. The oracle derives all of it analytically from
-    the original table. Also exercises partition-column discovery
-    (``batch`` comes from the directory name, not the files).
-
-    mergeSchema is a read-time footer union — at scale prefer a
-    declared union schema (footer merging lists every file), which
-    this op's declared-schema read would mirror; the key pins the
-    null-fill semantics either way.
-    """
-    import os
-    import tempfile
-
-    orders = load(spark, sf_dir, "orders")
-    base = os.path.join(tempfile.mkdtemp(prefix="rsbsa_evo_"), "orders")
-    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
-    a = orders.where(F.col("o_orderkey") % 2 == 0).select(
-        "o_orderkey", cents.alias("cents")
-    )
-    b = orders.where(F.col("o_orderkey") % 2 == 1).select(
-        "o_orderkey", cents.alias("cents"), "o_orderstatus"
-    )
-    a.write.mode("overwrite").parquet(f"{base}/batch=1")
-    b.write.mode("overwrite").parquet(f"{base}/batch=2")
-
-    merged = spark.read.option("mergeSchema", True).parquet(base)
-    return merged.groupBy("batch").agg(
-        F.count("*").cast("long").alias("n_rows"),
-        F.count("o_orderstatus").cast("long").alias("n_status_nonnull"),
-        F.sum("cents").cast("long").alias("price_cents"),
-    ).select(F.col("batch").cast("int").alias("batch"), "n_rows",
-             "n_status_nonnull", "price_cents")
-
-
-def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ORC round-trip (the other columnar format Spark bundles):
-    write a lineitem projection as ORC, read it back, aggregate a
-    per-linestatus checksum the oracle computes from the original
-    parquet — pinning that the second columnar path loses nothing
-    (types, nulls, values)."""
-    import os
-    import tempfile
-
-    li = load(spark, sf_dir, "lineitem").select(
-        "l_orderkey",
-        "l_linestatus",
-        F.floor(F.col("l_quantity") * 100 + F.lit(0.5))
-        .cast("long")
-        .alias("qty_cents"),
-    )
-    path = os.path.join(tempfile.mkdtemp(prefix="rsbsa_orc_"), "li")
-    li.write.mode("overwrite").orc(path)
-    back = spark.read.orc(path)
-    return back.groupBy("l_linestatus").agg(
-        F.count("*").cast("long").alias("n_rows"),
-        F.sum("qty_cents").cast("long").alias("qty_cents"),
-        F.min("l_orderkey").cast("long").alias("min_key"),
-        F.max("l_orderkey").cast("long").alias("max_key"),
-    )
-
-
-def winsorize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """per-event-type winsorized mean of value: clip into the exact
-    [p05, p95] band (integer rank-pick bounds) before averaging —
-    raw vs winsorized mean plus clip counts."""
-    from rsbsa_etl_spark.operators.analytics import winsorize_stats as _w
-
-    return _w(load(spark, sf_dir, "events"))
-
-
-def token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """per-document type-token ratio + unigram Gini impurity — the
-    transcendental-free lexical-diversity quality signal."""
-    from rsbsa_etl_spark.functions.textstats import token_gini as _tg
-
-    return _tg(load(spark, sf_dir, "documents"))
-
-
-def window_zscore_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """per-user trailing-16 rolling z-score with integer-exact
-    scaled variance in DECIMAL(38,0)."""
-    from rsbsa_etl_spark.operators.analytics import (
-        window_zscore_rolling as _wz,
-    )
-
-    return _wz(load(spark, sf_dir, "events"))
-
-
-def resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """hourly grid with linear interpolation across gaps (two-sided
-    companion to resample_ffill); no extrapolation past the ends."""
-    from rsbsa_etl_spark.operators.analytics import (
-        resample_interpolate as _ri,
-    )
-
-    return _ri(load(spark, sf_dir, "events"))
-
-
-def trend_theil_sen_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Theil-Sen with a deterministic <=32-events-per-user hash-min
-    sample before pairing — the skew dial (496-pair bound/user)."""
-    from rsbsa_etl_spark.operators.analytics import (
-        trend_theil_sen_capped as _tc,
-    )
-
-    return _tc(load(spark, sf_dir, "events"))
-
-
-def stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """streaming HLL register-max fold through the checkpointed
-    engine; final state == batch sketch_hll exactly (5th pin)."""
-    from rsbsa_etl_spark.streaming.stateful import hll_stream_replay
-
-    return hll_stream_replay(load(spark, sf_dir, "events"))
-
-
-def trend_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """per-user Theil-Sen slope (median of pairwise slopes) — the
-    robust companion to agg_ols_slope; quadratic per user only. At
-    scale use ``trend_theil_sen_capped``: a deterministic <=32
-    events/user sample bounds pairing at 496 pairs/user and agrees
-    exactly with this arm for users at or under the cap."""
-    from rsbsa_etl_spark.operators.analytics import trend_theil_sen as _ts
-
-    return _ts(load(spark, sf_dir, "events"))
-
-
-def seq_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """top event-type trigrams across user journeys — two lag()
-    reads over one partitioned window, no per-user collect."""
-    from rsbsa_etl_spark.operators.analytics import seq_trigrams as _t
-
-    return _t(load(spark, sf_dir, "events"))
-
-
-def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """market-basket 2-itemset support: per-order part-pair counts
-    (quadratic per order, linear over orders), top-k."""
-    from rsbsa_etl_spark.operators.analytics import basket_pairs as _b
-
-    return _b(load(spark, sf_dir, "lineitem"))
-
-
-def attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """first-touch attribution: purchases credited to the user's
-    earliest at-or-before click via one struct-ordered running min."""
-    from rsbsa_etl_spark.operators.analytics import (
-        attribution_first_touch as _a,
-    )
-
-    return _a(load(spark, sf_dir, "events"))
-
-
-def ab_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """chi-square independence test arm x event_type — exact-integer
-    cell terms, fixed-point sum; completes the experiment family."""
-    from rsbsa_etl_spark.operators.profiling import ab_chisq as _c
-
-    return _c(load(spark, sf_dir, "events"))
-
-
-def source_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """pairwise source-vocabulary overlap: exact Jaccard plus the
-    KMV union-sketch estimate, one row per source pair. At scale use
-    ``source_overlap_kmv_sketch``: the exact-Jaccard arm's vocabulary
-    self-equi-join is corpus-shaped; the sketch mode is sources x k
-    rows after one deduped-vocab shuffle."""
-    from rsbsa_etl_spark.operators.analytics import source_overlap_kmv as _ov
-
-    return _ov(load(spark, sf_dir, "documents"))
-
-
-def source_overlap_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """the 100 TB mode of source_overlap_kmv: KMV sketch estimate
-    only — no vocabulary self-equi-join anywhere in the plan (the
-    exact-Jaccard arm is the verification dial, priced for test SFs);
-    after the one deduped-vocabulary shuffle the whole computation is
-    sources × k rows."""
-    from rsbsa_etl_spark.operators.analytics import source_overlap_kmv as _ov
-
-    return _ov(load(spark, sf_dir, "documents"), exact=False)
-
-
-def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """2-D Pareto frontier of orders (price x recency): sort-based
-    skyline on the blocked running-max kernel — no all-pairs test."""
-    from rsbsa_etl_spark.operators.analytics import skyline_pareto as _sky
-
-    return _sky(load(spark, sf_dir, "orders"))
-
-
-def window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """per-user truncated dyadic EWMA (alpha=1/2, depth 8): integer
-    lag terms, one partitioned window sort, exact in both engines."""
-    from rsbsa_etl_spark.operators.analytics import window_ewma as _e
-
-    return _e(load(spark, sf_dir, "events"))
-
-
-def sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """deterministic HyperLogLog distinct-user sketch per event_type
-    plus the merged (register-max) global sketch — integer-exact
-    registers, one corpus shuffle."""
-    from rsbsa_etl_spark.operators.analytics import hll_sketch
-
-    return hll_sketch(load(spark, sf_dir, "events"))
-
-
-def value_ecdf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """empirical CDF of value at every distinct value — second
-    consumer of the shared blocked_cumsum ECDF kernel (with
-    ab_kstest): per-block windows parallelize, the only global pass
-    is over block totals."""
-    from rsbsa_etl_spark.operators.profiling import value_ecdf as _e
-
-    return _e(load(spark, sf_dir, "events"))
-
-
-def benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benford's-law first-digit audit with per-digit chi-square
-    decomposition — expected frequencies are pre-computed literals,
-    the digit comes off the fixed-point integer's decimal string."""
-    from rsbsa_etl_spark.operators.profiling import benford_digits as _b
-
-    return _b(load(spark, sf_dir, "events"))
-
-
-def ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUSUM mean-shift changepoint over the daily value series
-    (Page 1954) — the full trace with the peak flagged, in exact
-    scaled-integer arithmetic."""
-    from rsbsa_etl_spark.operators.analytics import ts_changepoint as _c
-
-    return _c(load(spark, sf_dir, "events"))
-
-
-def l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """l-diversity audit (Machanavajjhala et al.): quasi-identifier
-    groups spanning fewer than L distinct sensitive values are
-    flagged — the homogeneity leak k-anonymity misses."""
-    from rsbsa_etl_spark.functions.curation import l_diversity as _l
-
-    return _l(load(spark, sf_dir, "documents"))
-
-
-def dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """recall/precision of banded MinHash-LSH candidates vs the
-    exact Jaccard pair truth — the dedup counterpart of
-    ann_recall; the metric itself is value-checked."""
-    return dedup.dedup_recall_eval(load(spark, sf_dir, "documents"))
-
-
-def dedup_spans_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """apply the substring dedup: remove every detected duplicated
-    span and value-check the reassembled cleaned text (md5) — the
-    actionable half of Lee et al. 2022."""
-    return dedup.cut_duplicated_spans(load(spark, sf_dir, "documents"))
-
-
-def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # the "new batch" is the deterministic 20% slice doc_id % 10 ≥ 8
-    # — scale-invariant (works at every sf) and disjoint from the
-    # "existing corpus" slice by construction
-    docs = load(spark, sf_dir, "documents")
-    return dedup.incremental_dedup_pairs(
-        docs.where(F.col("doc_id") % 10 >= 8),
-        docs.where(F.col("doc_id") % 10 < 8),
-    )
-
-
-def decontam_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """embedding-arm benchmark decontamination: max cosine of every
-    training vector to the broadcast eval set, flagged at the corpus
-    cosine threshold — the semantic-leak screen completing the
-    n-gram (decontam_ngram) / edit-distance (decontam_fuzzy) trio."""
-    return curation.decontam_embedding(load(spark, sf_dir, "embeddings"))
-
-
-def decontam_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """span-level benchmark decontamination: the maximal training-doc
-    token spans contiguously covered by k-grams that also occur in
-    the eval set — the surgical-cut unit (cut_duplicated_spans
-    consumes this schema), completing the decontam family's
-    drop-vs-cut axis."""
-    from rsbsa_etl_spark.functions.dedup import decontam_spans as _m
-
-    return _m(load(spark, sf_dir, "documents"))
-
-
-def decontam_spans_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """apply the span-level decontamination: cut every detected
-    eval-leak span from the training docs and value-check the
-    reassembled cleaned text (md5) — the actionable half of
-    decontam_spans, sharing the cut kernel with dedup_spans_cut
-    (apply_span_cut — no second implementation)."""
-    from rsbsa_etl_spark.functions.dedup import cut_decontam_spans as _m
-
-    return _m(load(spark, sf_dir, "documents"))
-
-
-def decontam_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return curation.decontam_fuzzy(load(spark, sf_dir, "documents"))
-
-
-def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """exact all-pairs k-NN graph (tiled BLAS; O(n²/tiles) FLOPs by
-    definition — round-8 measured exponent ~1.4 over the top
-    decade). At scale use ``knn_graph_ivf``: √n-cell coarse
-    quantization cuts the work to O(n^1.5·nprobe)."""
-    return similarity.knn_graph(load(spark, sf_dir, "embeddings"))
-
-
-def knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed approximate k-NN graph — the scale dial for
-    ``knn_graph`` (cells sized √n by one corpus count; probe-vs-cell
-    BLAS blocks; deterministic, so the approximate graph itself is
-    value-checked)."""
-    return similarity.knn_graph_ivf(load(spark, sf_dir, "embeddings"))
-
-
-def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.embedding_outliers(load(spark, sf_dir, "embeddings"))
-
-
-def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rsbsa_etl_spark.plans import tpch
-
-    return tpch.q3_segment_top_orders(
-        load(spark, sf_dir, "customer"),
-        load(spark, sf_dir, "orders"),
-        load(spark, sf_dir, "lineitem"),
-    )
-
-
-def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rsbsa_etl_spark.plans import tpch
-
-    return tpch.q5_nation_volume(
-        load(spark, sf_dir, "customer"),
-        load(spark, sf_dir, "orders"),
-        load(spark, sf_dir, "lineitem"),
-        load(spark, sf_dir, "supplier"),
-        load(spark, sf_dir, "nation"),
-        load(spark, sf_dir, "region"),
-    )
-
-
-def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rsbsa_etl_spark.plans import tpch
-
-    return tpch.q10_returned_customers(
-        load(spark, sf_dir, "customer"),
-        load(spark, sf_dir, "orders"),
-        load(spark, sf_dir, "lineitem"),
-        load(spark, sf_dir, "nation"),
-    )
-
-
-def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rsbsa_etl_spark.plans import tpch
-
-    return tpch.q1_pricing_summary(load(spark, sf_dir, "lineitem"))
-
-
-def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rsbsa_etl_spark.plans import tpch
-
-    return tpch.q4_priority_late_ship(
-        load(spark, sf_dir, "orders"), load(spark, sf_dir, "lineitem")
-    )
-
-
-def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rsbsa_etl_spark.plans import tpch
-
-    return tpch.q6_forecast_revenue(load(spark, sf_dir, "lineitem"))
-
-
-def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rsbsa_etl_spark.plans import tpch
-
-    return tpch.q12_late_shipment_priority(
-        load(spark, sf_dir, "orders"), load(spark, sf_dir, "lineitem")
-    )
-
-
-def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rsbsa_etl_spark.plans import tpch
-
-    return tpch.q13_order_count_distribution(
-        load(spark, sf_dir, "customer"), load(spark, sf_dir, "orders")
-    )
-
-
-def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rsbsa_etl_spark.plans import tpch
-
-    return tpch.q14_promo_revenue_share(
-        load(spark, sf_dir, "lineitem"), load(spark, sf_dir, "part")
-    )
-
-
-def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rsbsa_etl_spark.plans import tpch
-
-    return tpch.q7_nation_trade(
-        load(spark, sf_dir, "customer"),
-        load(spark, sf_dir, "orders"),
-        load(spark, sf_dir, "lineitem"),
-        load(spark, sf_dir, "supplier"),
-        load(spark, sf_dir, "nation"),
-    )
-
-
-def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rsbsa_etl_spark.plans import tpch
-
-    return tpch.q8_market_share(
-        load(spark, sf_dir, "customer"),
-        load(spark, sf_dir, "orders"),
-        load(spark, sf_dir, "lineitem"),
-        load(spark, sf_dir, "supplier"),
-        load(spark, sf_dir, "nation"),
-        load(spark, sf_dir, "region"),
-        load(spark, sf_dir, "part"),
-    )
-
-
-def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rsbsa_etl_spark.plans import tpch
-
-    return tpch.q9_product_profit(
-        load(spark, sf_dir, "orders"),
-        load(spark, sf_dir, "lineitem"),
-        load(spark, sf_dir, "supplier"),
-        load(spark, sf_dir, "nation"),
-        load(spark, sf_dir, "part"),
-    )
-
-
-def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rsbsa_etl_spark.plans import tpch
-
-    return tpch.q15_top_supplier(
-        load(spark, sf_dir, "lineitem"), load(spark, sf_dir, "supplier")
-    )
-
-
-def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rsbsa_etl_spark.plans import tpch
-
-    return tpch.q17_small_quantity_revenue(
-        load(spark, sf_dir, "lineitem"), load(spark, sf_dir, "part")
-    )
-
-
-def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rsbsa_etl_spark.plans import tpch
-
-    return tpch.q18_large_volume_customers(
-        load(spark, sf_dir, "customer"),
-        load(spark, sf_dir, "orders"),
-        load(spark, sf_dir, "lineitem"),
-    )
-
-
-def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rsbsa_etl_spark.plans import tpch
-
-    return tpch.q19_disjunctive_revenue(
-        load(spark, sf_dir, "lineitem"), load(spark, sf_dir, "part")
-    )
-
-
-def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rsbsa_etl_spark.plans import tpch
-
-    return tpch.q2_min_cost_supplier(
-        load(spark, sf_dir, "lineitem"),
-        load(spark, sf_dir, "part"),
-        load(spark, sf_dir, "supplier"),
-        load(spark, sf_dir, "nation"),
-        load(spark, sf_dir, "region"),
-    )
-
-
-def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rsbsa_etl_spark.plans import tpch
-
-    return tpch.q11_important_stock(
-        load(spark, sf_dir, "lineitem"),
-        load(spark, sf_dir, "part"),
-        load(spark, sf_dir, "supplier"),
-        load(spark, sf_dir, "nation"),
-    )
-
-
-def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rsbsa_etl_spark.plans import tpch
-
-    return tpch.q16_supplier_count_by_part(
-        load(spark, sf_dir, "lineitem"),
-        load(spark, sf_dir, "part"),
-        load(spark, sf_dir, "supplier"),
-    )
-
-
-def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rsbsa_etl_spark.plans import tpch
-
-    return tpch.q20_dominant_suppliers(
-        load(spark, sf_dir, "lineitem"),
-        load(spark, sf_dir, "part"),
-        load(spark, sf_dir, "supplier"),
-        load(spark, sf_dir, "nation"),
-    )
-
-
-def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rsbsa_etl_spark.plans import tpch
-
-    return tpch.q21_waiting_suppliers(
-        load(spark, sf_dir, "orders"),
-        load(spark, sf_dir, "lineitem"),
-        load(spark, sf_dir, "supplier"),
-    )
-
-
-def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rsbsa_etl_spark.plans import tpch
-
-    return tpch.q22_dormant_customers(
-        load(spark, sf_dir, "customer"), load(spark, sf_dir, "orders")
-    )
-
-
-def outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rsbsa_etl_spark.operators.analytics import outlier_mad as _mad
-
-    return _mad(load(spark, sf_dir, "events"))
-
-
-def hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rsbsa_etl_spark.operators.analytics import supplier_hhi
-
-    return supplier_hhi(
-        load(spark, sf_dir, "lineitem"),
-        load(spark, sf_dir, "supplier"),
-        load(spark, sf_dir, "nation"),
-    )
-
-
-def embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rsbsa_etl_spark.functions.similarity import pq_codes
-
-    return pq_codes(load(spark, sf_dir, "embeddings"))
-
-
-def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rsbsa_etl_spark.functions.similarity import ivfpq_topk
-
-    return ivfpq_topk(load(spark, sf_dir, "embeddings"))
-
-
-def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rsbsa_etl_spark.operators.joins import cross_pairs
-
-    return cross_pairs(load(spark, sf_dir, "region"), load(spark, sf_dir, "nation"))
-
-
-def agg_filtered_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rsbsa_etl_spark.operators.aggregates import conditional_aggs
-
-    return conditional_aggs(load(spark, sf_dir, "lineitem"))
-
-
-def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rsbsa_etl_spark.functions.similarity import quantize_int8
-
-    return quantize_int8(load(spark, sf_dir, "embeddings"))
-
-
-def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """native session_window through two checkpointed AvailableNow
-    phases; a far-future sentinel advances the watermark so every
-    real session closes and emits (see ``windows.session_replay``)."""
-    return win.session_replay(load(spark, sf_dir, "events"), gap_s=P.SESSION_GAP_S)
-
-
-def shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rsbsa_etl_spark.functions.curation import deterministic_shuffle
-
-    return deterministic_shuffle(load(spark, sf_dir, "documents"))
-
-
-def mix_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rsbsa_etl_spark.functions.curation import interleave_sources
-
-    return interleave_sources(load(spark, sf_dir, "documents"))
-
-
-def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rsbsa_etl_spark.operators.analytics import event_transitions as _et
-
-    return _et(load(spark, sf_dir, "events"))
-
-
-def group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rsbsa_etl_spark.operators.analytics import group_topk as _gt
-
-    return _gt(load(spark, sf_dir, "events"))
-
-
-def activity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rsbsa_etl_spark.operators.analytics import activity_histogram as _ah
-
-    return _ah(load(spark, sf_dir, "events"))
-
-
-def ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textstats.ngram_topk(load(spark, sf_dir, "documents"))
-
-
-def dedup_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rsbsa_etl_spark.functions.curation import priority_dedup
-
-    return priority_dedup(load(spark, sf_dir, "documents"))
-
+from rsbsa_etl_spark.families.relational import *  # noqa: F401,F403
+from rsbsa_etl_spark.families.dedup import *  # noqa: F401,F403
+from rsbsa_etl_spark.families.ann import *  # noqa: F401,F403
+from rsbsa_etl_spark.families.text import *  # noqa: F401,F403
+from rsbsa_etl_spark.families.curation import *  # noqa: F401,F403
+from rsbsa_etl_spark.families.streaming import *  # noqa: F401,F403
+from rsbsa_etl_spark.families.analytics import *  # noqa: F401,F403
 
 # ------------------------------------------------------------------ registry
 
