@@ -411,3 +411,33 @@ def test_readme_query_count_matches_registry():
         f"README says {m.group(1)} named queries; registry has "
         f"{len(queries())} — update README.md"
     )
+
+
+def test_family_modules_fully_registered():
+    """r13 registry-split drift guard: every PUBLIC (spark, sf_dir)
+    wrapper in a families module must be a registered QUERIES key —
+    a wrapper added to a family file but forgotten in the registry
+    dict would silently ship without oracle coverage, which is
+    exactly the drift the split made possible."""
+    import importlib
+    import inspect
+
+    from rsbsa_etl_spark.registry import QUERIES
+
+    fams = ["relational", "dedup", "ann", "text", "curation",
+            "streaming", "analytics"]
+    orphans = []
+    for m in fams:
+        mod = importlib.import_module(f"rsbsa_etl_spark.families.{m}")
+        for name, fn in vars(mod).items():
+            if (
+                inspect.isfunction(fn)
+                and fn.__module__ == mod.__name__
+                and not name.startswith("_")
+            ):
+                params = list(inspect.signature(fn).parameters)
+                if params[:2] == ["spark", "sf_dir"] and name not in QUERIES:
+                    orphans.append(f"{m}.{name}")
+    assert orphans == [], (
+        f"family wrappers not registered in QUERIES: {orphans}"
+    )
