@@ -182,6 +182,7 @@ HEADLINE = [
     "window_rolling_median",
     "state_durations",
     "dedup_spans",
+    "dedup_spans_intra",  # within-doc repeated spans (round 13)
     "dedup_embedding_incremental",
     "bpe_train",
     "bpe_segment",

@@ -131,6 +131,17 @@ def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.duplicated_spans(load(spark, sf_dir, "documents"))
 
 
+def dedup_spans_intra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-document repeated-span detection: maximal token spans
+    contiguously covered by k-grams occurring more than once in the
+    same document — template loops / boilerplate stutter that the
+    cross-doc posting list (dedup_spans) by construction never
+    marks; same schema, so apply_span_cut cuts these too."""
+    return dedup.intra_doc_duplicated_spans(
+        load(spark, sf_dir, "documents")
+    )
+
+
 def dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall/precision of banded MinHash-LSH candidates vs the
     exact Jaccard pair truth — the dedup counterpart of

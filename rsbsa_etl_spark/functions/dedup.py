@@ -1204,6 +1204,46 @@ def gram_position_rows(
     return docs.select("doc_id", F.posexplode(grams).alias("pos", "raw"))
 
 
+def _spans_from_marked(marked: DataFrame, kk: int) -> DataFrame:
+    """shared gap-islands tail of the span family (``duplicated_
+    spans`` / ``decontam_spans`` / ``intra_doc_duplicated_spans``):
+    merge marked gram positions into maximal spans per doc — windows
+    [p, p+k-1] and [p', p'+k-1] touch iff p' ≤ p + k, so a new span
+    starts when this gram's window cannot touch the previous marked
+    gram's window, guaranteeing contiguous token coverage inside each
+    span. One per-doc window, parallel across docs; single-sourced so
+    the three producers cannot drift on the merge rule or the output
+    schema (doc_id, span_start, span_end, span_tokens — token
+    offsets, end inclusive)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    islands = (
+        marked.withColumn("prev", F.lag("pos").over(w))
+        .withColumn(
+            "new_span",
+            (F.col("prev").isNull() | (F.col("pos") > F.col("prev") + kk))
+            .cast("int"),
+        )
+        .withColumn("span_id", F.sum("new_span").over(w))
+    )
+    return (
+        islands.groupBy("doc_id", "span_id")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(kk - 1)).alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            F.col("span_start").cast("long").alias("span_start"),
+            F.col("span_end").cast("long").alias("span_end"),
+            (F.col("span_end") - F.col("span_start") + 1)
+            .cast("long")
+            .alias("span_tokens"),
+        )
+    )
+
+
 def duplicated_spans(
     docs: DataFrame, text_col: str = "text", k: int | None = None
 ) -> DataFrame:
@@ -1252,7 +1292,6 @@ def duplicated_spans(
     Callers looping many queries should ``spark.catalog.clearCache()``
     between runs, as bench.py does.
     """
-    from pyspark.sql import Window
 
     from rsbsa_etl_spark.params import SPAN_NGRAM_K
 
@@ -1289,37 +1328,7 @@ def duplicated_spans(
         .where(F.col("n_docs") >= 2)
     )
     marked = g.join(df_counts.select("gram"), "gram")
-    # gap-islands per doc: windows [p, p+k-1] and [p', p'+k-1]
-    # touch (overlap: p' <= p+k-1, or exactly adjacent: p' = p+k)
-    # iff p' <= p + k — a new span starts when this gram's window
-    # cannot touch the previous marked gram's window, so token
-    # coverage inside each span is contiguous
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    islands = (
-        marked.withColumn("prev", F.lag("pos").over(w))
-        .withColumn(
-            "new_span",
-            (F.col("prev").isNull() | (F.col("pos") > F.col("prev") + kk))
-            .cast("int"),
-        )
-        .withColumn("span_id", F.sum("new_span").over(w))
-    )
-    return (
-        islands.groupBy("doc_id", "span_id")
-        .agg(
-            F.min("pos").alias("span_start"),
-            (F.max("pos") + F.lit(kk - 1)).alias("span_end"),
-        )
-        .select(
-            "doc_id",
-            F.col("span_start").cast("long").alias("span_start"),
-            F.col("span_end").cast("long").alias("span_end"),
-            (F.col("span_end") - F.col("span_start") + 1)
-            .cast("long")
-            .alias("span_tokens"),
-        )
-    )
-
+    return _spans_from_marked(marked, kk)
 
 
 def decontam_spans(
@@ -1350,7 +1359,6 @@ def decontam_spans(
     (it feeds the eval set AND the train mark); loop-running callers
     clearCache between runs, as bench.py does.
     """
-    from pyspark.sql import Window
 
     from rsbsa_etl_spark.params import EVAL_DOC_MAX, SPAN_NGRAM_K
 
@@ -1366,31 +1374,55 @@ def decontam_spans(
     marked = g.where(F.col("doc_id") >= EVAL_DOC_MAX).join(
         eval_grams, "gram"
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    islands = (
-        marked.withColumn("prev", F.lag("pos").over(w))
-        .withColumn(
-            "new_span",
-            (F.col("prev").isNull() | (F.col("pos") > F.col("prev") + kk))
-            .cast("int"),
-        )
-        .withColumn("span_id", F.sum("new_span").over(w))
+    return _spans_from_marked(marked, kk)
+
+
+def intra_doc_duplicated_spans(
+    docs: DataFrame, text_col: str = "text", k: int | None = None
+) -> DataFrame:
+    """WITHIN-document repeated-span detection — the intra-doc
+    complement of ``duplicated_spans``: every maximal token span
+    contiguously covered by k-grams that occur MORE THAN ONCE in the
+    SAME document. Cross-doc dedup (the posting-list form) marks a
+    gram when it appears in ≥2 documents and by construction never
+    sees template loops, repeated boilerplate headers, or copy-paste
+    stutter INSIDE one document — the pattern quality filters score
+    (``repetition_score``) but cannot localize. This emits the exact
+    regions, in the same (doc_id, span_start, span_end, span_tokens)
+    schema the span family's cut kernel (``apply_span_cut``)
+    consumes, so intra-doc repeats can be cut surgically like any
+    other span.
+
+    Distributed shape: the shared gram kernel
+    (``gram_position_rows`` — tokenization/windowing single-sourced
+    with the rest of the span family), then ONE partial-agg shuffle
+    keyed on (doc_id, gram) — strictly finer-grained than the
+    cross-doc form's gram key, so skew is bounded by document length
+    rather than corpus-wide gram popularity — and a join back over
+    the same partitioning, then the per-doc gap-islands window.
+    Linear in corpus tokens; no pairwise stage anywhere.
+
+    Persist contract: the gram table stays cached after this returns
+    (it feeds the repeat count AND the position join-back);
+    loop-running callers clearCache between runs, as bench.py does.
+    """
+
+    from rsbsa_etl_spark.params import SPAN_NGRAM_K
+
+    kk = SPAN_NGRAM_K if k is None else k
+    g = (
+        gram_position_rows(docs, text_col, kk)
+        .select("doc_id", "pos", F.md5("raw").alias("gram"))
+        .persist()
     )
-    return (
-        islands.groupBy("doc_id", "span_id")
-        .agg(
-            F.min("pos").alias("span_start"),
-            (F.max("pos") + F.lit(kk - 1)).alias("span_end"),
-        )
-        .select(
-            "doc_id",
-            F.col("span_start").cast("long").alias("span_start"),
-            F.col("span_end").cast("long").alias("span_end"),
-            (F.col("span_end") - F.col("span_start") + 1)
-            .cast("long")
-            .alias("span_tokens"),
-        )
+    rep = (
+        g.groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("n_occ"))
+        .where(F.col("n_occ") >= 2)
+        .select("doc_id", "gram")
     )
+    marked = g.join(rep, ["doc_id", "gram"])
+    return _spans_from_marked(marked, kk)
 
 
 def winnow_fingerprints(

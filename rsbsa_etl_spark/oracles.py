@@ -3912,6 +3912,49 @@ SELECT doc_id,
 FROM sp GROUP BY doc_id, span_id
 """
 
+# within-document repeated spans: grams occurring >= 2 times in the
+# SAME doc + the shared gap-islands merge — mirrors
+# dedup.intra_doc_duplicated_spans
+ORACLES["dedup_spans_intra"] = f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+gl AS (
+  SELECT doc_id,
+         list_transform(range(1, len(toks) - {_SPK} + 2),
+           i -> md5(array_to_string(toks[i:i+{_SPK - 1}], ' '))) AS gs
+  FROM toks WHERE len(toks) >= {_SPK}
+),
+grams AS (
+  SELECT doc_id, unnest(gs) AS gram,
+         generate_subscripts(gs, 1) - 1 AS pos
+  FROM gl
+),
+rep AS (
+  SELECT doc_id, gram FROM (
+    SELECT doc_id, gram, count(*) AS n FROM grams GROUP BY doc_id, gram
+  ) WHERE n >= 2
+),
+marked AS (
+  SELECT g.doc_id, g.pos FROM grams g JOIN rep USING (doc_id, gram)
+),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL
+                OR pos > lag(pos) OVER w + {_SPK}
+              THEN 1 ELSE 0 END AS new_span
+  FROM marked WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+sp AS (
+  SELECT doc_id, pos,
+         sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+  FROM isl
+)
+SELECT doc_id,
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + {_SPK - 1} AS BIGINT) AS span_end,
+       CAST(max(pos) + {_SPK} - min(pos) AS BIGINT) AS span_tokens
+FROM sp GROUP BY doc_id, span_id
+"""
+
 ORACLES["decontam_spans"] = f"""
 WITH toks AS (SELECT doc_id, {TOKS} AS toks FROM documents),
 gl AS (

@@ -64,6 +64,7 @@ SAMPLE_KEYS = [
     "decontam_spans",            # eval-leak posting-list spans
     # round-13 additions
     "decontam_spans_cut",        # eval-leak surgical cut (shared kernel)
+    "dedup_spans_intra",         # within-doc repeated spans
 ]
 
 

@@ -2013,3 +2013,36 @@ def test_strip_markup_cleans_and_decodes(spark):
             "&lt;soon&gt;</p>"
             '<div class="nav">home | about | login</div></body></html>')
     )
+
+
+def test_intra_doc_spans_mark_repeats_not_unique_text(spark):
+    """golden walkthrough for the within-doc span detector: a doc
+    that repeats a k-gram gets exactly the repeated region marked
+    (both occurrences — the cut keeps neither, matching the span
+    family's cut-everything-covered convention); a doc of all-unique
+    grams emits nothing, even though its grams would collide with
+    ANOTHER doc's (that is dedup_spans' job, not this one's)."""
+    from rsbsa_etl_spark import params as Pm
+    from rsbsa_etl_spark.functions.dedup import intra_doc_duplicated_spans
+
+    k = Pm.SPAN_NGRAM_K
+    rep_unit = " ".join(f"w{i}" for i in range(k))         # one k-gram
+    filler = " ".join(f"u{i}" for i in range(k))
+    # doc 1: gram repeated with unique filler between; doc 2 = one
+    # copy of doc 1's vocabulary but no internal repeat; doc 3 has
+    # no k-gram at all (shorter than k tokens)
+    docs = spark.createDataFrame(
+        [
+            (1, f"{rep_unit} {filler} {rep_unit}"),
+            (2, f"{rep_unit} {filler}"),
+            (3, "tiny"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = intra_doc_duplicated_spans(docs).collect()
+    assert {r.doc_id for r in rows} == {1}
+    spans = sorted((r.span_start, r.span_end) for r in rows)
+    # both occurrences of the repeated gram are marked: positions
+    # 0..k-1 and 2k..3k-1 (the filler keeps them from merging)
+    assert spans == [(0, k - 1), (2 * k, 3 * k - 1)]
+    assert all(r.span_tokens == k for r in rows)
