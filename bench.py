@@ -196,6 +196,7 @@ HEADLINE = [
     "context_pack",  # budgeted context assembly after MMR (round 12)
     "decontam_spans",  # span-level eval-leak decontamination (round 12)
     "decontam_spans_cut",  # apply the eval-leak cut (round 13)
+    "decontam_report",  # composed drop/cut/keep decision table (round 13)
     "dsir_weights",
     "dsir_resample",
     "rocchio_classify",

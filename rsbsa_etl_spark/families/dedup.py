@@ -201,6 +201,16 @@ def decontam_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.decontam_fuzzy(load(spark, sf_dir, "documents"))
 
 
+def decontam_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """the decontamination decision table: all four verified arms
+    (n-gram overlap, fuzzy containment, embedding cosine, span leak)
+    composed into one per-training-doc drop/cut/keep verdict — the
+    release-gate action a pipeline actually consumes."""
+    return curation.decontam_report(
+        load(spark, sf_dir, "documents"), load(spark, sf_dir, "embeddings")
+    )
+
+
 def dedup_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rsbsa_etl_spark.functions.curation import priority_dedup
 

@@ -1022,6 +1022,94 @@ def decontam_fuzzy(
     )
 
 
+def decontam_report(
+    docs: DataFrame, emb: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """the decontamination DECISION TABLE — the four verified arms
+    composed into one per-training-doc verdict, which is what a
+    pipeline actually consumes (the arms are signals; the release
+    gate is a per-doc action):
+
+    - n-gram overlap fraction (``decontam_overlap`` — GPT-3/Pile
+      check) with its threshold flag;
+    - fuzzy containment (``decontam_fuzzy`` — near-verbatim eval
+      inclusion surviving small edits), reduced to the per-train-doc
+      max;
+    - embedding max-cosine (``decontam_embedding`` — the semantic
+      leak n-grams cannot see) with its threshold flag;
+    - span-leak total (``decontam_spans`` — how many tokens the
+      surgical cut would remove).
+
+    Verdict: ``drop`` when any DOC-LEVEL flag fires (the document is
+    contaminated as a whole — n-gram fraction, fuzzy containment, or
+    embedding similarity over threshold), else ``cut`` when only
+    local spans leak (keep the document, excise the spans —
+    ``cut_decontam_spans`` performs it), else ``keep``. Universe =
+    every training doc (``doc_id >= P.EVAL_DOC_MAX``), including
+    docs too short to shingle (NULL arm values, flags coalesced
+    false) — absent rows would read as silently-kept docs.
+
+    Scale: each arm is the already-shaped broadcast-eval single
+    scan; the report adds four doc-keyed LEFT joins of arm AGGREGATE
+    outputs (doc-cardinality each, co-partitioned on doc_id) — no
+    new corpus-sized shuffle.
+    """
+    from rsbsa_etl_spark.functions.dedup import decontam_spans
+
+    base = docs.where(F.col("doc_id") >= P.EVAL_DOC_MAX).select("doc_id")
+    ng = decontam_overlap(docs, text_col).select(
+        "doc_id",
+        "hit_frac",
+        F.col("contaminated").alias("c_ngram"),
+    )
+    fz = (
+        decontam_fuzzy(docs, text_col)
+        .groupBy(F.col("train_doc_id").alias("doc_id"))
+        .agg(F.max("containment").alias("max_containment"))
+    )
+    em = decontam_embedding(emb).select(
+        "doc_id", "max_cos", F.col("contaminated").alias("c_emb")
+    )
+    sp = decontam_spans(docs, text_col).groupBy("doc_id").agg(
+        F.sum("span_tokens").cast("long").alias("leaked_span_tokens")
+    )
+    j = (
+        base.join(ng, "doc_id", "left")
+        .join(fz, "doc_id", "left")
+        .join(em, "doc_id", "left")
+        .join(sp, "doc_id", "left")
+        .select(
+            "doc_id",
+            "hit_frac",
+            F.coalesce(F.col("c_ngram"), F.lit(False)).alias(
+                "contaminated_ngram"
+            ),
+            "max_containment",
+            F.col("max_containment").isNotNull().alias(
+                "contaminated_fuzzy"
+            ),
+            "max_cos",
+            F.coalesce(F.col("c_emb"), F.lit(False)).alias(
+                "contaminated_embedding"
+            ),
+            F.coalesce(F.col("leaked_span_tokens"), F.lit(0))
+            .cast("long")
+            .alias("leaked_span_tokens"),
+        )
+    )
+    return j.withColumn(
+        "verdict",
+        F.when(
+            F.col("contaminated_ngram")
+            | F.col("contaminated_fuzzy")
+            | F.col("contaminated_embedding"),
+            F.lit("drop"),
+        )
+        .when(F.col("leaked_span_tokens") > 0, F.lit("cut"))
+        .otherwise(F.lit("keep")),
+    )
+
+
 def _chars_bucket() -> Column:
     """the quasi-identifier length generalization shared by BOTH
     privacy audits — k_anonymity and l_diversity refine the same

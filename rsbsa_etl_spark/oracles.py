@@ -4851,6 +4851,42 @@ FROM kept
 """
 
 
+ORACLES["decontam_report"] = f"""
+WITH ng AS (SELECT * FROM ({ORACLES["decontam_ngram"]}) t),
+fz AS (
+  SELECT train_doc_id AS doc_id, max(containment) AS max_containment
+  FROM ({ORACLES["decontam_fuzzy"]}) t GROUP BY train_doc_id
+),
+em AS (SELECT * FROM ({ORACLES["decontam_embedding"]}) t),
+sp AS (
+  SELECT doc_id, CAST(sum(span_tokens) AS BIGINT) AS leaked
+  FROM ({ORACLES["decontam_spans"]}) t GROUP BY doc_id
+),
+base AS (SELECT doc_id FROM documents WHERE doc_id >= {P.EVAL_DOC_MAX}),
+j AS (
+  SELECT b.doc_id,
+         ng.hit_frac,
+         coalesce(ng.contaminated, FALSE) AS contaminated_ngram,
+         fz.max_containment,
+         fz.max_containment IS NOT NULL AS contaminated_fuzzy,
+         em.max_cos,
+         coalesce(em.contaminated, FALSE) AS contaminated_embedding,
+         coalesce(sp.leaked, 0) AS leaked_span_tokens
+  FROM base b
+  LEFT JOIN ng USING (doc_id)
+  LEFT JOIN fz USING (doc_id)
+  LEFT JOIN em USING (doc_id)
+  LEFT JOIN sp USING (doc_id)
+)
+SELECT j.*,
+       CASE WHEN contaminated_ngram OR contaminated_fuzzy
+                 OR contaminated_embedding THEN 'drop'
+            WHEN leaked_span_tokens > 0 THEN 'cut'
+            ELSE 'keep' END AS verdict
+FROM j
+"""
+
+
 ORACLES["dedup_recall"] = f"""
 WITH t AS (
   SELECT doc_a, doc_b, 1 AS src

@@ -125,6 +125,7 @@ QUERIES: dict[str, QueryFn] = {
     "decontam_embedding": decontam_embedding,
     "decontam_spans": decontam_spans,
     "decontam_spans_cut": decontam_spans_cut,
+    "decontam_report": decontam_report,
     "decontam_fuzzy": decontam_fuzzy,
     "knn_graph": knn_graph,
     "knn_graph_ivf": knn_graph_ivf,

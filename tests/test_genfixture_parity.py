@@ -65,6 +65,7 @@ SAMPLE_KEYS = [
     # round-13 additions
     "decontam_spans_cut",        # eval-leak surgical cut (shared kernel)
     "dedup_spans_intra",         # within-doc repeated spans
+    "decontam_report",           # composed decontam verdicts
 ]
 
 
