@@ -183,6 +183,7 @@ HEADLINE = [
     "state_durations",
     "dedup_spans",
     "dedup_spans_intra",  # within-doc repeated spans (round 13)
+    "dedup_spans_intra_cut",  # apply the within-doc cut (round 13)
     "dedup_embedding_incremental",
     "bpe_train",
     "bpe_segment",

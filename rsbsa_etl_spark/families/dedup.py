@@ -142,6 +142,13 @@ def dedup_spans_intra(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_spans_intra_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """apply the within-doc dedup: cut every intra-doc repeated span
+    and value-check the reassembled text (md5) — detect/cut symmetry
+    for the span family, shared apply_span_cut kernel."""
+    return dedup.cut_intra_doc_spans(load(spark, sf_dir, "documents"))
+
+
 def dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall/precision of banded MinHash-LSH candidates vs the
     exact Jaccard pair truth — the dedup counterpart of

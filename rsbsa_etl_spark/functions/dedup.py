@@ -1425,6 +1425,24 @@ def intra_doc_duplicated_spans(
     return _spans_from_marked(marked, kk)
 
 
+def cut_intra_doc_spans(
+    docs: DataFrame, text_col: str = "text", k: int | None = None
+) -> DataFrame:
+    """APPLY the within-document dedup: remove every intra-doc
+    repeated span ``intra_doc_duplicated_spans`` detects and
+    reassemble the cleaned text (md5 value-checked) — completing the
+    span family's detect/cut symmetry (cross-doc, eval-leak, and
+    intra-doc each have both arms, all through the ONE
+    ``apply_span_cut`` kernel). Note the family's cut-everything-
+    covered convention: both occurrences of a repeated gram are
+    covered, so a pure repeat is removed entirely, not deduplicated
+    to one copy — the boilerplate-loop treatment, matching
+    ``cut_duplicated_spans``' behavior on whole-doc duplicates."""
+    return apply_span_cut(
+        docs, intra_doc_duplicated_spans(docs, text_col, k), text_col
+    )
+
+
 def winnow_fingerprints(
     docs: DataFrame, text_col: str = "text", k: int | None = None,
     w: int | None = None,

@@ -4887,6 +4887,35 @@ FROM j
 """
 
 
+ORACLES["dedup_spans_intra_cut"] = f"""
+WITH spans AS (SELECT * FROM ({ORACLES["dedup_spans_intra"]}) t),
+sp AS (
+  SELECT doc_id,
+         list(struct_pack(s := span_start, e := span_end)) AS sp
+  FROM spans GROUP BY doc_id
+),
+t AS (SELECT doc_id, {TOKS} AS toks FROM documents
+      WHERE text IS NOT NULL),
+j AS (SELECT t.doc_id, t.toks, sp.sp FROM t LEFT JOIN sp USING (doc_id)),
+kept AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CASE WHEN sp IS NULL THEN toks
+              ELSE list_filter(
+                     list_transform(range(1, len(toks) + 1),
+                       i -> CASE WHEN len(list_filter(sp,
+                                    r -> i - 1 >= r.s AND i - 1 <= r.e)) > 0
+                                 THEN NULL ELSE toks[i] END),
+                     x -> x IS NOT NULL)
+         END AS kt
+  FROM j
+)
+SELECT doc_id, n_tokens, CAST(len(kt) AS BIGINT) AS n_kept,
+       md5(coalesce(array_to_string(kt, ' '), '')) AS clean_md5
+FROM kept
+"""
+
+
 ORACLES["dedup_recall"] = f"""
 WITH t AS (
   SELECT doc_a, doc_b, 1 AS src

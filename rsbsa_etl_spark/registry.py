@@ -245,6 +245,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_containment_capped": dedup_containment_capped,
     "dedup_spans": dedup_spans,
     "dedup_spans_intra": dedup_spans_intra,
+    "dedup_spans_intra_cut": dedup_spans_intra_cut,
     "dedup_embedding_incremental": dedup_embedding_incremental,
     "bpe_train": bpe_train,
     "bpe_segment": bpe_segment,
