@@ -90,6 +90,7 @@ SF1_PARITY = [
     ("/tmp/sfgen/zipf1", "dedup_ngram_jaccard"),
     ("/tmp/sfgen/zipf1", "dedup_containment_capped"),
     ("/tmp/sfgen/zipf1", "dedup_spans"),
+    ("/tmp/sfgen/zipf1", "dedup_spans_intra"),
     ("/tmp/sfgen/zipf1", "dedup_recall"),
     ("/tmp/sfgen/zipf1", "fingerprint_winnow"),
     ("/tmp/sfgen/zipf1", "token_gini"),
