@@ -320,6 +320,94 @@ def test_keyhash_guard_fires_on_edit_before_refresh():
     assert stale == ["k_misanchored", "k_missing", "k_narrow_misanchor"]
 
 
+def test_attested_ref_policy_newest_round_is_head():
+    """The round-14 class fix, pinned at the policy level: the NEWEST
+    round present in CORRECTNESS records has, by construction, no
+    ``round N: verdict`` commit at the judge checkpoint (that commit
+    is created AFTER judging) — yet the driver tested the committed
+    tree at hand-off, which IS current HEAD. Three consecutive
+    checkpoints (r11/r12/r13) redded on the fallback round-stamp
+    predicate because the r12 git-aware fix only resolved rounds
+    whose verdict commit already existed."""
+    import sys
+
+    sys.path.insert(0, str(ROOT / "tools"))
+    try:
+        from snapshot_keyhashes import _resolve_attested_ref
+    finally:
+        sys.path.pop(0)
+
+    # verdict commit exists → its parent, regardless of max round
+    assert _resolve_attested_ref(12, "abc123^", 14) == "abc123^"
+    # newest round, no verdict commit → the checkpoint state → HEAD
+    assert _resolve_attested_ref(14, None, 14) == "HEAD"
+    # OLDER round with no verdict commit → genuinely unresolvable
+    assert _resolve_attested_ref(12, None, 14) is None
+
+
+def test_attested_hashes_wires_head_for_untracked_newest_round(monkeypatch):
+    """End-to-end wiring of the checkpoint state through
+    ``attested_hashes``: an untracked newest-round correctness record
+    (max round N, no ``round N: verdict`` commit in history) must
+    hash the tree at HEAD — not return None and fall back to the
+    round-stamp predicate that redded 47 keys at the r13 checkpoint."""
+    import sys
+
+    sys.path.insert(0, str(ROOT / "tools"))
+    try:
+        import snapshot_keyhashes as SK
+    finally:
+        sys.path.pop(0)
+
+    requested = []
+    monkeypatch.setattr(SK, "_driver_commit_parent", lambda rnd: None)
+    monkeypatch.setattr(SK, "_max_round_present", lambda root=None: 99)
+    monkeypatch.setattr(
+        SK, "_hashes_at_ref",
+        lambda ref: requested.append(ref) or {"k": {"hash": "H",
+                                                    "narrow": "N"}},
+    )
+    assert SK.attested_hashes(99) == {"k": {"hash": "H", "narrow": "N"}}
+    assert requested == ["HEAD"]
+    # an older unresolvable round still degrades to None (fallback)
+    assert SK.attested_hashes(98) is None
+
+
+def test_keyhash_guard_tolerates_checkpoint_handoff_after_refactor():
+    """The EXACT r13 checkpoint failure state, simulated: the newest
+    round's driver sweep re-attested keys on the committed tree; an
+    in-round refactor had changed every key's full closure hash
+    (narrow hashes unchanged); KEYHASHES still carries the previous
+    round's stamps. With the attested tree resolved to HEAD (== the
+    current tree at the checkpoint), all such keys must land in the
+    self-healing bucket — NOT stale. The edit-before-refresh hazard
+    (recorded == current != attested) must still trip alongside."""
+    rounds = {"k_refactored": 14, "k_blind": 14}
+    recorded = {
+        # stamped at r13 with the pre-refactor closure hash; narrow
+        # unchanged — exactly the 47-key r13 state
+        "k_refactored": {"round": 13, "narrow": "N:k_refactored",
+                         "hash": "OLD_CLOSURE"},
+        # the real hazard: stamped with the CURRENT hash although the
+        # attested (HEAD) tree disagrees → change tier blinded
+        "k_blind": {"round": 13, "narrow": "N:k_blind",
+                    "hash": "C:k_blind"},
+    }
+    # at the checkpoint, HEAD == the current tree for honestly
+    # committed keys; for k_blind the attested tree disagrees
+    attested = {
+        "k_refactored": {"hash": "C:k_refactored",
+                         "narrow": "N:k_refactored"},
+        "k_blind": {"hash": "ATT", "narrow": "N:k_blind"},
+    }
+    stale = _keyhash_stale_keys(
+        recorded, rounds, set(rounds),
+        lambda k: f"N:{k}", lambda k: f"C:{k}",
+        lambda rnd: attested,
+    )
+    assert stale == ["k_blind"]
+
+
 def test_keyhash_guard_fallback_without_git_history():
     """When the attested tree is unresolvable the predicate degrades
     to the round-stamp form: newer driver row + recorded != current →

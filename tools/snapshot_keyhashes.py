@@ -291,7 +291,39 @@ def _driver_commit_parent(rnd: int) -> str | None:
     return None
 
 
-def _hashes_at_ref(ref: str) -> dict[str, str]:
+def _max_round_present(root: Path = ROOT) -> int:
+    """Largest round number among committed-or-untracked CORRECTNESS
+    records — the round whose verdict commit may not exist yet."""
+    _, rounds = _latest_rows_and_rounds(root)
+    return max(rounds.values(), default=0)
+
+
+def _resolve_attested_ref(rnd: int, parent_ref: str | None,
+                          max_round: int) -> str | None:
+    """Resolution POLICY for the tree a round's driver record tested
+    (round 14, closing the judge-checkpoint class for real — the
+    third consecutive checkpoint red on the staleness guard):
+
+    * the ``round N: verdict`` commit exists → its parent (as before);
+    * no verdict commit AND ``rnd`` is the NEWEST round present →
+      **current HEAD**. The newest round's record is dropped in
+      untracked at the judge checkpoint, BEFORE its verdict commit is
+      created — and the driver tests the committed tree at hand-off
+      by definition, so HEAD is exactly the attested tree. The r12
+      git-aware fix only covered rounds whose verdict commit already
+      existed, which the newest round's never does at the checkpoint;
+      that gap redded 47 honestly-stamped keys in r13.
+    * no verdict commit for an OLDER round → unresolvable (shallow or
+      rewritten history); callers fall back to the round-stamp form.
+    """
+    if parent_ref is not None:
+        return parent_ref
+    if rnd == max_round:
+        return "HEAD"
+    return None
+
+
+def _hashes_at_ref(ref: str) -> dict[str, dict[str, str]]:
     """Extract ``ref``'s tree and run this script there in emit mode.
 
     Cached on disk per resolved commit sha (a commit's tree is
@@ -328,8 +360,15 @@ def attested_hashes(rnd: int) -> dict[str, dict] | None:
     history (shallow/detached checkout). This is the anchor the
     staleness guard compares KEYHASHES entries against: an entry is
     correctly anchored iff it matches the attested tree, regardless
-    of its round stamp."""
-    ref = _driver_commit_parent(rnd)
+    of its round stamp.
+
+    The NEWEST round present resolves to HEAD when its verdict commit
+    is absent (see ``_resolve_attested_ref``) — the judge-checkpoint
+    state, where the record exists untracked but the commit that will
+    carry it hasn't been made yet."""
+    ref = _resolve_attested_ref(
+        rnd, _driver_commit_parent(rnd), _max_round_present()
+    )
     if ref is None:
         return None
     try:
@@ -338,7 +377,7 @@ def attested_hashes(rnd: int) -> dict[str, dict] | None:
         return None
 
 
-def _hashes_at_ref_uncached(ref: str) -> dict[str, str]:
+def _hashes_at_ref_uncached(ref: str) -> dict[str, dict[str, str]]:
     with tempfile.TemporaryDirectory(prefix="keyhash_") as td:
         tar = subprocess.run(
             ["git", "-C", str(ROOT), "archive", ref],
@@ -407,12 +446,14 @@ def main() -> None:
         # is pinned in git (parent of the `round N: verdict` driver
         # commit), so hash THAT tree via the seed path instead of
         # whatever the working tree currently holds; running the
-        # refresh late is now harmless. Working-tree fallback only
-        # when the driver commit is not in history (never the case
-        # once CORRECTNESS_r{N}.json exists — it lands in that very
-        # commit — but kept so a detached/shallow checkout degrades
-        # to the old behavior instead of failing).
-        ref = _driver_commit_parent(latest)
+        # refresh late is now harmless. The newest round's record can
+        # exist BEFORE its verdict commit (untracked hand-off state);
+        # there the policy resolves to HEAD — the committed tree the
+        # driver tested (round 14). Working-tree fallback only for a
+        # detached/shallow checkout where even HEAD is unusable.
+        ref = _resolve_attested_ref(
+            latest, _driver_commit_parent(latest), latest
+        )
         if ref is not None:
             hashes = _hashes_at_ref(ref)
             src = f"the driver-tested tree ({ref})"
