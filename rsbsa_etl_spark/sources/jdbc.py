@@ -8,10 +8,14 @@ table scan fans out across executors, plus pushed-down predicates
 and pruned columns (Catalyst handles both for JDBC —
 ``pushDownPredicate`` defaults true).
 
-No JDBC driver ships in this container, so this module is exercised
-at the option-construction level (unit tests) and documented as the
-production path; every reader built here is a plain DataFrame, so
-the whole operator library composes with it unchanged.
+Executed coverage: the default test suite runs this module against
+embedded Derby (``tests/test_jdbc_derby.py`` — Spark's classpath
+carries the driver): append, partitioned reads, and the staged
+ANSI-MERGE upsert all execute over real connections. The MySQL
+``ON DUPLICATE KEY`` dialect is covered by the flag-gated live
+round-trip (``tests/test_jdbc_live.py``). Every reader built here
+is a plain DataFrame, so the whole operator library composes with
+it unchanged.
 
 Key scale choices (vs the reference):
 
