@@ -116,6 +116,21 @@ def mmr_rerank_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _m(load(spark, sf_dir, "embeddings"))
 
 
+def mmr_rerank_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """the production MMR entry point (r13 verdict item 4): the
+    params-driven POOL auto-dial over the brute and IVF retrieval
+    arms, picking by the measured 200k-vector crossover
+    (``ivf_pool_min_queries``) — batches below it keep the brute
+    pool, at/above it the in-plan IVF pool. Delegation is verbatim
+    and the pick params-deterministic: at the fixture's defaults
+    (|ANN_QUERY_IDS|=5 < crossover 32) the brute arm runs, so the
+    oracle is ``mmr_rerank``'s SQL unchanged; the arm boundary
+    itself is pinned both sides in tests/test_property.py."""
+    from rsbsa_etl_spark.functions.retrieval import mmr_rerank_auto as _m
+
+    return _m(load(spark, sf_dir, "embeddings"))
+
+
 def prf_requery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """the PRF loop's final pass: re-run lexical retrieval with the
     expanded query (original terms weighted PRF_W_ORIG, mined

@@ -403,6 +403,18 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.stratified_sample(load(spark, sf_dir, "documents"))
 
 
+def sample_stratified_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rate-based per-stratum downsampling (the exactly-K sampler's
+    companion — reproducible RATE thinning instead of a quota): each
+    stratum keeps a configured percent by salted md5 bucket of the
+    row id, so membership is a pure function of (salt, id) —
+    re-runnable, engine-portable, and joinable across tables keyed
+    by the same id. Pure column expressions, zero shuffle."""
+    from rsbsa_etl_spark.functions import textstats
+
+    return textstats.stratified_sample(load(spark, sf_dir, "events"))
+
+
 def mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """epoch-capped training-mixture allocation: temperature-α=0.5
     integer weights, proportional shares capped at MIX_MAX_EPOCHS

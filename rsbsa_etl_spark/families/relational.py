@@ -446,13 +446,17 @@ def string_upper_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def string_concat_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F8: composite key build + split (`${table}:${key}`)."""
-    ev = load(spark, sf_dir, "events")
-    ck = F.concat_ws(":", F.col("event_type"), F.col("user_id"))
-    return ev.select(
-        "event_id",
-        ck.alias("composite_key"),
-        F.split(ck, ":").getItem(1).alias("key_part"),
+    """F8: composite key build + split (`${table}:${key}`) — through
+    the library pair (``strings.concat_key`` / ``strings.split_key``),
+    the reference's `${table}:${rsbsa_no}` build and
+    `key.split(':')[idx]` read (etlService.js:620,628)."""
+    from rsbsa_etl_spark.functions.strings import concat_key, split_key
+
+    ev = concat_key(
+        load(spark, sf_dir, "events"), ["event_type", "user_id"]
+    )
+    return split_key(ev, "composite_key", 1, "key_part").select(
+        "event_id", "composite_key", "key_part"
     )
 
 
@@ -477,10 +481,14 @@ def ts_format_tz(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def math_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F5/F10: per-user activity span, decomposed h/m/s."""
+    """F5/F10: per-user activity span (``temporal.epoch_millis`` —
+    the `endTime - startTime` ms diff, index.js:134), decomposed
+    h/m/s."""
+    from rsbsa_etl_spark.functions.temporal import epoch_millis
+
     ev = load(spark, sf_dir, "events")
     span = ev.groupBy("user_id").agg(
-        (F.unix_millis(F.max("ts")) - F.unix_millis(F.min("ts"))).alias("duration_ms")
+        (epoch_millis(F.max("ts")) - epoch_millis(F.min("ts"))).alias("duration_ms")
     )
     return span.select(
         "user_id", "duration_ms", duration_hms(F.col("duration_ms")).alias("duration_hms")
@@ -508,12 +516,23 @@ def text_parse_log(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F11: parse the props JSON column + serialize a struct back."""
-    ev = load(spark, sf_dir, "events")
+    """F11: parse the props JSON column + serialize a struct back,
+    through all three jsonops entry points — scalar pull without a
+    full parse (``json_get``: codegen'd ``get_json_object``),
+    declared-schema struct parse (``parse_props``: ``from_json``, no
+    inference scan), and struct serialization (``to_json_struct``)."""
+    from rsbsa_etl_spark.functions.jsonops import (
+        json_get,
+        parse_props,
+        to_json_struct,
+    )
+
+    ev = parse_props(load(spark, sf_dir, "events"))
     return ev.select(
         "event_id",
-        F.get_json_object("props", "$.k").cast("long").alias("k_val"),
-        F.to_json(F.struct(F.col("event_id"), F.col("event_type"))).alias("j"),
+        json_get(F.col("props"), "k").cast("long").alias("k_val"),
+        F.col("props_struct.k").alias("k_parsed"),
+        to_json_struct("event_id", "event_type").alias("j"),
     )
 
 

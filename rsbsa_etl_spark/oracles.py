@@ -587,6 +587,7 @@ FROM events
 ORACLES["json_roundtrip"] = """
 SELECT event_id,
        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_parsed,
        CAST(to_json({'event_id': event_id, 'event_type': event_type}) AS VARCHAR) AS j
 FROM events
 """
@@ -1666,7 +1667,14 @@ SELECT event_id, user_id, value AS v_click,
 FROM l WHERE ts IS NULL
 """
 
-ORACLES["sample_stratified"] = f"""
+# rate-based per-stratum downsampling (textstats.stratified_sample —
+# the `split_assign` md5 bucket with a per-stratum keep-rate). This
+# was the original `sample_stratified` oracle; when the exactly-K
+# Hamilton form replaced that key in r9 the assignment below
+# silently overwrote this one, orphaning both this SQL and its Spark
+# arm — re-registered in r14 as its own key (the two samplers answer
+# different questions: reproducible RATE thinning vs exact-K quota).
+ORACLES["sample_stratified_rates"] = f"""
 WITH h AS (
   SELECT event_id, event_type,
          {_hexpoly("md5('v1' || '|' || CAST(event_id AS VARCHAR))", 1)} % 100 AS bucket
@@ -4364,6 +4372,12 @@ ORACLES["mmr_rerank"] = _mmr_sql()
 # the distributed-arm key: SAME unroll — the two arms are
 # bit-identical by construction, and the driver gate proves it
 ORACLES["mmr_rerank_dist"] = _mmr_sql()
+# the POOL auto-dial entry point (r13 verdict item 4): delegation is
+# verbatim and params-deterministic — at the registered defaults
+# (|ANN_QUERY_IDS| = 5 < ivf_pool_min_queries(16, 8) = 32) it runs
+# the brute arm, so the oracle IS mmr_rerank's SQL; the crossover
+# boundary is pinned on both sides in tests/test_property.py
+ORACLES["mmr_rerank_auto"] = _mmr_sql()
 
 # the IVF-pool composition (round 12): the SAME unroll over a pool
 # retrieved by the parametrized IVF SQL — relevance requantizes the

@@ -190,6 +190,7 @@ QUERIES: dict[str, QueryFn] = {
     "sample_fixed_n": sample_fixed_n,
     "sample_weighted": sample_weighted,
     "sample_stratified": sample_stratified,
+    "sample_stratified_rates": sample_stratified_rates,
     "mix_epochs": mix_epochs,
     "tokenizer_fertility": tokenizer_fertility,
     "tokenizer_fertility_bpe": tokenizer_fertility_bpe,
@@ -253,6 +254,7 @@ QUERIES: dict[str, QueryFn] = {
     "mmr_rerank": mmr_rerank,
     "mmr_rerank_dist": mmr_rerank_dist,
     "mmr_rerank_ivf": mmr_rerank_ivf,
+    "mmr_rerank_auto": mmr_rerank_auto,
     "prf_requery": prf_requery,
     "context_pack": context_pack,
     "dsir_weights": dsir_weights,
@@ -651,6 +653,20 @@ def _dep_closure(fn) -> dict[str, str]:
                         if a.name == "*":
                             continue
                         val = getattr(m, a.name, None)
+                        if val is None:
+                            # `from rsbsa_etl_spark.functions import
+                            # spatial` style: the name is a SUBMODULE
+                            # not yet imported anywhere, so it isn't
+                            # an attribute of the package object —
+                            # the r14 blind spot that left
+                            # spatial.radius_pairs out of
+                            # join_spatial_grid's closure
+                            try:
+                                val = _importlib.import_module(
+                                    f"{node.module}.{a.name}"
+                                )
+                            except Exception:
+                                pass
                         if isinstance(val, _types.ModuleType):
                             local_mods[a.asname or a.name] = val
                         else:

@@ -529,3 +529,80 @@ def test_family_modules_fully_registered():
     assert orphans == [], (
         f"family wrappers not registered in QUERIES: {orphans}"
     )
+
+
+#: library entry points in ``functions/`` that are deliberately NOT
+#: reachable from any registered key (r14, extending the family
+#: guard per r13 verdict item 4). Every entry needs a reason — an
+#: undocumented addition here is a review flag, not a loophole.
+LIBRARY_ENTRYPOINT_EXEMPTIONS = {
+    # real-codec WAV chunker: output depends on genuine PCM bytes,
+    # legitimately not SQL-portable; the byte-offset chunker
+    # (sample_chunks) is the oracle-checked default and the codec
+    # physics are pinned in tests/test_multimodal.py
+    "rsbsa_etl_spark.functions.multimodal.sample_chunks_wav",
+    # flag-gated REAL decoders behind the sha256-stub defaults —
+    # same rationale: executable only where the codec applies, the
+    # stub arms are the oracle-checked keys
+    "rsbsa_etl_spark.functions.multimodal.decode_wav_meta",
+    "rsbsa_etl_spark.functions.multimodal.decode_bmp_meta",
+    # oracle-side SQL-string builders: they run at oracles.py import
+    # time and their OUTPUT text is inside every oracle string a key
+    # hashes — they are exercised by every DuckDB comparison, just
+    # never from a Spark plan
+    "rsbsa_etl_spark.functions.numeric.sql_round",
+    "rsbsa_etl_spark.functions.numeric.sql_sum_fixed",
+    # documented O(n²)/no-Python REFERENCE arms: each exists as the
+    # equality oracle its scaled sibling is property-tested against
+    # (tests/test_dedup_variants.py, tests/test_property.py); the
+    # scaled siblings are the registered keys
+    "rsbsa_etl_spark.functions.dedup.simhash_pairs",
+    "rsbsa_etl_spark.functions.dedup.shingle_rows_expr",
+    "rsbsa_etl_spark.functions.similarity.cosine_pairs_hof",
+    # bounded-doc column-expression shingler: the library arm of
+    # shingle_rows for per-row (non-exploded) use; its windowing
+    # shares shingle_windows with the registered exploded form and
+    # its oracle mirror is SHINGLES_CTE (oracles.py:54)
+    "rsbsa_etl_spark.functions.dedup.shingles_col",
+}
+
+
+def test_functions_entry_points_reach_the_registry():
+    """No silent registry bypass (r13 verdict item 4): every PUBLIC
+    module-level function in ``rsbsa_etl_spark.functions.*`` must be
+    reachable from some registered key's dependency closure — i.e.
+    the driver's oracle sweep actually exercises it — or sit on the
+    documented exemption list above. Without this, a new library
+    entry point (the r13 ``mmr_rerank_auto`` case) could ship
+    pytest-only, invisible to the correctness gate."""
+    import importlib
+    import inspect
+    import pkgutil
+
+    import rsbsa_etl_spark.functions as FPKG
+    from rsbsa_etl_spark.registry import QUERIES, _dep_closure
+
+    reachable: set[str] = set()
+    for fn in QUERIES.values():
+        reachable.update(_dep_closure(fn))
+
+    orphans = []
+    for info in pkgutil.iter_modules(FPKG.__path__):
+        mod = importlib.import_module(
+            f"rsbsa_etl_spark.functions.{info.name}"
+        )
+        for name, fn in vars(mod).items():
+            if (
+                inspect.isfunction(fn)
+                and fn.__module__ == mod.__name__
+                and not name.startswith("_")
+            ):
+                qual = f"{fn.__module__}.{fn.__qualname__}"
+                if qual in reachable or qual in LIBRARY_ENTRYPOINT_EXEMPTIONS:
+                    continue
+                orphans.append(qual)
+    assert sorted(orphans) == [], (
+        "public functions/ entry points unreachable from every "
+        f"registered key (add a QUERIES key or a documented exemption): "
+        f"{sorted(orphans)}"
+    )

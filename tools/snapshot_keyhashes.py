@@ -158,6 +158,15 @@ def dep_closure(fn) -> dict[str, str]:
                     if a.name == "*":
                         continue
                     val = getattr(m, a.name, None)
+                    if val is None:
+                        # not-yet-imported SUBMODULE (r14 blind-spot
+                        # fix — mirrors registry._dep_closure)
+                        try:
+                            val = importlib.import_module(
+                                f"{node.module}.{a.name}"
+                            )
+                        except Exception:
+                            pass
                     if isinstance(val, types.ModuleType):
                         local_mods[a.asname or a.name] = val
                     else:
@@ -326,9 +335,13 @@ def _resolve_attested_ref(rnd: int, parent_ref: str | None,
 def _hashes_at_ref(ref: str) -> dict[str, dict[str, str]]:
     """Extract ``ref``'s tree and run this script there in emit mode.
 
-    Cached on disk per resolved commit sha (a commit's tree is
-    immutable, so the cache can never go stale): the staleness guard
-    in tests/test_sweep_rotation.py resolves every present round's
+    Cached on disk per (resolved commit sha, HASH-ALGORITHM
+    fingerprint): a commit's tree is immutable, but the algorithm
+    hashing it is not — r14 extended the closure walker (unimported
+    submodules), which silently invalidated every sha-only cache
+    entry, so the algorithm's own source is part of the key and an
+    edit to it auto-invalidates. The staleness guard in
+    tests/test_sweep_rotation.py resolves every present round's
     attested tree on each suite run, and without the cache that is
     ~6 archive+import subprocesses per run."""
     try:
@@ -338,7 +351,14 @@ def _hashes_at_ref(ref: str) -> dict[str, dict[str, str]]:
         ).stdout.strip()
     except subprocess.CalledProcessError:
         sha = None
-    cache = ROOT / ".keyhash_cache" / f"{sha}.json" if sha else None
+    algo = hashlib.sha256(
+        (
+            inspect.getsource(dep_closure)
+            + inspect.getsource(key_code_hash)
+            + inspect.getsource(key_narrow_hash)
+        ).encode()
+    ).hexdigest()[:12]
+    cache = ROOT / ".keyhash_cache" / f"{sha}-{algo}.json" if sha else None
     if cache is not None and cache.exists():
         try:
             return json.loads(cache.read_text())
