@@ -111,6 +111,20 @@ def dedup_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.containment_pairs(docs, candidates=cand)
 
 
+def dedup_containment_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """the measured auto-dial over the two containment arms (r13
+    verdict item 5): price the exact arm's prefix join exactly
+    (V = Σ_s prefix·postings — the join's pre-prune cardinality,
+    from two shingle-keyed aggregations over the ranked table the
+    exact arm reuses), keep full recall while V/doc stays under the
+    measured crossover budget, switch to the capped-LSH arm above
+    it. The pick is integer arithmetic on the data, so the oracle
+    replicates the decision AND the picked arm's rows — the dial
+    itself is value-checked. Both explicit arms stay registered as
+    manual overrides."""
+    return dedup.containment_pairs_auto(load(spark, sf_dir, "documents"))
+
+
 def dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embedding twin of dedup_incremental: the deterministic 20%
     "new batch" (vec_id % 10 >= 8) screened against the 80% corpus —

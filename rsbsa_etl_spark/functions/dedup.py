@@ -583,6 +583,16 @@ def prefix_filter_candidates(
     partial-aggregated, and skew-safe under AQE.
     """
     ranked = _rank_by_rarity(sh, ["doc_id"])
+    return _prefix_join(ranked, threshold, containment)
+
+
+def _prefix_join(
+    ranked: DataFrame, threshold: float, containment: bool
+) -> DataFrame:
+    """the candidate join over an already-ranked shingle table —
+    split out of ``prefix_filter_candidates`` (r14) so the
+    containment auto-dial can price the join from the SAME ranked
+    table it then feeds to this, paying the rank window once."""
     prefix = ranked.where(_prefix_cond(threshold))
     a = prefix.alias("a")
     keep = _keep_cond(threshold, containment)
@@ -1024,6 +1034,7 @@ def containment_pairs(
     text_col: str = "text",
     threshold: float = 0.8,
     candidates: DataFrame | None = None,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """asymmetric near-duplicate detection: containment
     |A∩B| / |A| of distinct shingle sets — catches quote/subset
@@ -1042,7 +1053,8 @@ def containment_pairs(
     undirected intersection count, making the result equal to the
     all-pairs oracle on any data.
     """
-    sets = doc_shingle_sets(docs, text_col).persist()
+    if sets is None:
+        sets = doc_shingle_sets(docs, text_col).persist()
     if candidates is None:
         sh = sets.select("doc_id", F.explode("shingles").alias("shingle"))
         candidates = prefix_filter_candidates(
@@ -1088,6 +1100,78 @@ def containment_pairs(
         "doc_contained",
         "doc_container",
         dec_round(F.col("containment"), 4).alias("containment"),
+    )
+
+
+def containment_pairs_auto(
+    docs: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.8,
+    max_pairs_per_doc: int | None = None,
+) -> DataFrame:
+    """measured auto-dial over the two containment arms (r13 verdict
+    item 5, mirroring ``mmr_rerank_auto``'s pattern): price the exact
+    arm's prefix join BEFORE running it, then pick.
+
+    The statistic is the join's exact pre-prune cardinality
+
+        V = Σ_s prefix_postings(s) × full_postings(s)
+
+    — not an estimate: it is the number of rows the exact arm's
+    prefix ⋈ full equi-join will materialize before the positional/
+    length prunes and the pair distinct. That join is the ONLY
+    superlinear stage (SCALING.md: candidate volume grows with
+    per-shingle posting density², exponent 0.84 and rising on the
+    decade fixture, 25.8 s at sf1 vs the capped dial's 3.3 s), and V
+    prices it from two shingle-keyed partial aggregations over the
+    SAME ranked table the exact arm then consumes — the rank window
+    is paid once, and when the capped arm is picked the wasted work
+    is that aggregation, never a join.
+
+    Pick: exact while ``V ≤ max_pairs_per_doc × n_docs`` (full
+    recall stays the default wherever it is tractable); above it the
+    capped-LSH candidate arm (exact verify, LSH recall). The budget
+    default ``CONTAINMENT_AUTO_MAX_PAIRS_PER_DOC`` sits at the
+    measured wall-clock crossover (SCALING.md r14: V/doc 12.1 →
+    exact wins, 72.6 → capped wins, 955.7 → capped by 15×; the
+    per-doc form is scale-free — it bounds the exact join at
+    `budget` rows/doc, linear in corpus size). V is pure integer
+    arithmetic on
+    distinct-shingle postings, so a SQL oracle replicates the pick
+    bit-identically — the auto key is value-checked END-TO-END
+    including the dial decision, and both explicit arms stay
+    registered as the manual overrides."""
+    from rsbsa_etl_spark.params import CONTAINMENT_AUTO_MAX_PAIRS_PER_DOC
+
+    budget = (
+        CONTAINMENT_AUTO_MAX_PAIRS_PER_DOC
+        if max_pairs_per_doc is None
+        else max_pairs_per_doc
+    )
+    sets = doc_shingle_sets(docs, text_col).persist()
+    sh = sets.select("doc_id", F.explode("shingles").alias("shingle"))
+    ranked = _rank_by_rarity(sh, ["doc_id"])  # persisted inside
+    pc = (
+        ranked.where(_prefix_cond(threshold))
+        .groupBy("shingle")
+        .agg(F.count("*").alias("p"))
+    )
+    fc = ranked.groupBy("shingle").agg(F.count("*").alias("n"))
+    row = (
+        pc.join(fc, "shingle")
+        .agg(F.coalesce(F.sum(F.col("p") * F.col("n")), F.lit(0)).alias("v"))
+        .collect()[0]
+    )
+    n_docs = docs.count()
+    if row["v"] <= budget * n_docs:
+        cand = _prefix_join(ranked, threshold, containment=True)
+        return containment_pairs(
+            docs, text_col, threshold, candidates=cand, sets=sets
+        )
+    ranked.unpersist()
+    cand = minhash_capped_pairs(docs, text_col)
+    return containment_pairs(
+        docs, text_col, threshold, candidates=cand, sets=sets
     )
 
 

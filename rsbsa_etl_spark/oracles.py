@@ -3760,6 +3760,43 @@ SELECT doc_contained, doc_container,
 FROM directed WHERE containment >= 0.8
 """
 
+# the containment AUTO-DIAL (r14): replicate the pick statistic —
+# V = Σ_s prefix_postings(s)·full_postings(s), the exact arm's
+# pre-prune join cardinality, pure integer arithmetic — then CASE
+# between the two arm SQLs verbatim. The ranked/prefix CTE mirrors
+# dedup._rank_by_rarity/_prefix_cond exactly (df-asc, shingle-asc
+# rank within doc; pos ≤ sz − ceil(t·sz − 1e-9) + 1), so the DIAL
+# DECISION is value-checked alongside the picked arm's rows.
+ORACLES["dedup_containment_auto"] = f"""
+WITH {SHINGLES_CTE},
+sr AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+dfr AS (SELECT shingle, count(*) AS df FROM sr GROUP BY shingle),
+ranked AS (
+  SELECT s.doc_id, s.shingle, d.df,
+         row_number() OVER (PARTITION BY s.doc_id
+                            ORDER BY d.df ASC, s.shingle ASC) AS pos,
+         count(*) OVER (PARTITION BY s.doc_id) AS sz
+  FROM sr s JOIN dfr d USING (shingle)
+),
+pc AS (
+  SELECT shingle, count(*) AS p FROM ranked
+  WHERE pos <= sz - ceil(0.8 * sz - 1e-9) + 1
+  GROUP BY shingle
+),
+stat AS (
+  SELECT COALESCE(SUM(pc.p * d.df), 0)
+         <= {P.CONTAINMENT_AUTO_MAX_PAIRS_PER_DOC}
+            * (SELECT count(*) FROM documents) AS take_exact
+  FROM pc JOIN dfr d USING (shingle)
+)
+SELECT * FROM ({{exact}}) e WHERE (SELECT take_exact FROM stat)
+UNION ALL
+SELECT * FROM ({{capped}}) c WHERE NOT (SELECT take_exact FROM stat)
+""".format(
+    exact=ORACLES["dedup_containment"],
+    capped=ORACLES["dedup_containment_capped"],
+)
+
 # hybrid retrieval: lexical (rational-idf overlap) + vector (cosine)
 # arms, each top-HYBRID_ARM_K per query, fused by reciprocal-rank
 # fusion. The lexical score is an order-independent fixed_sum (the

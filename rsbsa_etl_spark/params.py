@@ -70,6 +70,22 @@ MINHASH_MOD = (1 << 61) - 1  # Mersenne prime 2^61-1
 #: fixture's bucket distribution so tests exercise the drop path; a
 #: web-corpus deployment uses O(100-1000).
 MINHASH_BUCKET_CAP = 2
+
+#: containment auto-dial budget: keep the exact (full-recall) prefix
+#: join while its exact pre-prune cardinality V = Σ_s prefix(s)·full(s)
+#: stays ≤ this × n_docs; above it switch to the capped-LSH candidate
+#: arm. Set from the r14 wall-clock crossover measurement (SCALING.md
+#: "containment auto-dial"): V/doc 12.1 → exact wins (2.5 s vs
+#: 3.0 s, sf0.01); 72.6 → capped wins (3.9 s vs 2.5 s, sf0.1);
+#: 955.7 → capped by 15× (57.8 s vs 3.8 s, generated sf1). 40 sits
+#: in the measured gap: the driver gate (sf0.01) keeps the
+#: full-recall exact arm, density from sf0.1 upward takes the dial.
+#: V/doc is scale-free by design — it bounds the exact join at
+#: `budget` rows PER DOC, i.e. linear in corpus size, so a huge
+#: corpus with sparse shingles (zipf1: 50 k docs, V/doc 12.4)
+#: correctly stays exact; the dial guards the superlinear
+#: posting-density blowup, not constant factors.
+CONTAINMENT_AUTO_MAX_PAIRS_PER_DOC = 40
 MINHASH_COEFFS = tuple(
     (
         ((p * 2654435761 + 1) % (1 << 29)) | 1,

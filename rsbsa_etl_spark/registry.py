@@ -244,6 +244,7 @@ QUERIES: dict[str, QueryFn] = {
     "vocab_coverage": vocab_coverage,
     "dedup_containment": dedup_containment,
     "dedup_containment_capped": dedup_containment_capped,
+    "dedup_containment_auto": dedup_containment_auto,
     "dedup_spans": dedup_spans,
     "dedup_spans_intra": dedup_spans_intra,
     "dedup_spans_intra_cut": dedup_spans_intra_cut,

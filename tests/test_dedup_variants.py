@@ -59,3 +59,29 @@ def test_semantic_dedup_invariants(spark):
         for r in rows:
             if r.vec_id == r.exemplar_id:
                 assert r.keep  # exemplar always kept
+
+
+def test_containment_auto_picks_bit_identical_arm(spark):
+    """the r14 containment auto-dial (mirroring the r13 MMR pool
+    auto-dial contract): on EACH side of the budget boundary the
+    auto entry point's rows must be bit-identical to the explicit
+    arm it delegates to — the dial only chooses, never changes
+    results. Budget overrides force both sides on the same corpus;
+    the default budget's data-driven picks at the fixture SFs are
+    oracle-checked by the registered key."""
+    docs = load(spark, SF_DIR, "documents")
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    exact = rows(dedup.containment_pairs(docs))
+    capped = rows(
+        dedup.containment_pairs(
+            docs, candidates=dedup.minhash_capped_pairs(docs)
+        )
+    )
+    # a huge budget keeps the full-recall exact arm
+    assert rows(dedup.containment_pairs_auto(docs, max_pairs_per_doc=1 << 40)) == exact
+    # a zero budget forces the capped-LSH arm
+    assert rows(dedup.containment_pairs_auto(docs, max_pairs_per_doc=0)) == capped
+    assert len(exact) > 0  # non-vacuous fixture
