@@ -2046,3 +2046,48 @@ def test_intra_doc_spans_mark_repeats_not_unique_text(spark):
     # 0..k-1 and 2k..3k-1 (the filler keeps them from merging)
     assert spans == [(0, k - 1), (2 * k, 3 * k - 1)]
     assert all(r.span_tokens == k for r in rows)
+
+
+def test_intra_doc_spans_degenerate_repetition_doc(spark):
+    """adversarial fixture for the intra-doc skew claim (r13 verdict
+    item 7): the detector's shuffle is keyed (doc_id, gram), so its
+    worst case is ONE pathological document — here 1000 repetitions
+    of the same k tokens (~1000·k gram rows landing in k groups of
+    ~1000 occurrences each, all for one doc_id). The contract under
+    that degeneracy: every k-gram window of the loop repeats, so
+    detection must mark the ENTIRE document as one maximal span and
+    the cut must remove essentially the whole text (the family's
+    cut-everything-covered convention — a pure repeat is boilerplate,
+    not content). A unique-text control doc of the same length must
+    survive untouched, proving the blowup stays bounded by the
+    degenerate doc instead of leaking corpus-wide."""
+    import hashlib
+
+    from rsbsa_etl_spark import params as Pm
+    from rsbsa_etl_spark.functions.dedup import (
+        cut_intra_doc_spans,
+        intra_doc_duplicated_spans,
+    )
+
+    k = Pm.SPAN_NGRAM_K
+    reps = 1000
+    unit = " ".join(f"w{i}" for i in range(k))
+    degenerate = " ".join([unit] * reps)          # reps·k tokens
+    control = " ".join(f"u{i}" for i in range(reps * k))  # all unique
+    docs = spark.createDataFrame(
+        [(1, degenerate), (2, control)], "doc_id long, text string"
+    )
+
+    rows = intra_doc_duplicated_spans(docs).collect()
+    assert {r.doc_id for r in rows} == {1}
+    # one maximal span covering every token of the degenerate doc
+    assert [(r.span_start, r.span_end, r.span_tokens) for r in rows] == [
+        (0, reps * k - 1, reps * k)
+    ]
+
+    cut = {r["doc_id"]: r for r in cut_intra_doc_spans(docs).collect()}
+    assert cut[1]["n_tokens"] == reps * k and cut[1]["n_kept"] == 0
+    assert cut[1]["clean_md5"] == hashlib.md5(b"").hexdigest()
+    # the same-length unique doc is untouched, byte-for-byte
+    assert cut[2]["n_kept"] == cut[2]["n_tokens"] == reps * k
+    assert cut[2]["clean_md5"] == hashlib.md5(control.encode()).hexdigest()
