@@ -868,3 +868,19 @@ def stream_join_evicting(spark: SparkSession, sf_dir: str) -> DataFrame:
         delay=f"{P.STREAM_EVICT_DELAY_DAYS} days",
         phase_mod=P.STREAM_EVICT_PHASE_MOD,
     )
+
+# star-import surface (r13 ADVICE): export ONLY this family's own
+# public wrappers — without this, `from families.x import *` in the
+# registry re-binds every helper import (F, P, load, operator
+# modules) into the registry namespace, and a same-named wrapper in
+# two families would silently shadow. Computed, so it cannot drift
+# from the module's actual wrapper set (the registration guard in
+# tests/test_sweep_rotation.py covers the registry side; the
+# collision guard covers cross-family shadowing).
+__all__ = sorted(
+    _n
+    for _n, _f in list(globals().items())
+    if callable(_f)
+    and getattr(_f, "__module__", "") == __name__
+    and not _n.startswith("_")
+)

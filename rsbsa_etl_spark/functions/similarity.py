@@ -417,6 +417,46 @@ def knn_graph(
     )
 
 
+#: the round-9 measured graph-recall@10 curves for ``knn_graph_ivf``
+#: (tools/measure_recall.py — 20k vectors / 141 cells / k=10, both
+#: geometries through the same engine arms with exact ``knn_graph``
+#: as truth; SCALING.md "knn_graph_ivf — recall dial"). "clustered"
+#: is the Zipf-weighted 200-cluster mixture real embedding corpora
+#: look like; "isotropic" is the structureless adversarial floor.
+IVF_GRAPH_RECALL_CURVE: dict[str, tuple[tuple[int, float], ...]] = {
+    "isotropic": ((4, 0.19), (8, 0.30), (16, 0.46), (32, 0.66)),
+    "clustered": ((4, 0.66), (8, 0.78), (16, 0.88), (32, 0.95)),
+}
+
+
+def nprobe_for_recall(
+    target_recall: float, geometry: str = "clustered"
+) -> int:
+    """size ``knn_graph_ivf``'s nprobe from a RECALL TARGET using
+    the stored measured curve (r13 verdict item 8 — the measurement
+    existed, the dial was static): the smallest measured nprobe
+    whose graph recall meets the target, extrapolated past the
+    measured range by the curve's final per-doubling gain. Probe
+    work scales ∝ nprobe, so this is a cost floor, not a tweak —
+    callers pick the geometry that matches their corpus ("clustered"
+    unless the embeddings are known structureless). A returned
+    nprobe approaching the cell count (~√n) means the target is not
+    reachable by probing — use the exact ``knn_graph`` arm instead
+    (probing every cell IS the exact computation with extra steps).
+    """
+    curve = IVF_GRAPH_RECALL_CURVE[geometry]
+    for nprobe, recall in curve:
+        if recall >= target_recall:
+            return nprobe
+    (n_lo, r_lo), (n_hi, r_hi) = curve[-2], curve[-1]
+    gain = r_hi - r_lo  # per doubling, at the measured tail
+    nprobe, recall = n_hi, r_hi
+    while recall < target_recall and gain > 0:
+        nprobe *= 2
+        recall = min(1.0, recall + gain)
+    return nprobe
+
+
 def knn_graph_ivf(
     emb: DataFrame,
     k: int = ANN_TOP_K,
@@ -449,7 +489,10 @@ def knn_graph_ivf(
     to capture — and 0.66/0.78/0.88/0.95 on a Zipf-weighted
     200-cluster mixture, the geometry real embedding corpora have.
     nprobe=8 is the knee of the clustered curve (~0.8 recall); each
-    doubling past it buys ~+0.1 recall for 2× probe work.
+    doubling past it buys ~+0.1 recall for 2× probe work. ``nprobe``
+    is a CALLER-OWNED knob: size it with ``nprobe_for_recall(target,
+    geometry)`` — the stored curve as a function — rather than
+    hand-picking; the default stays the measured knee.
 
     Plan shape: ONE distance pass of the corpus against the
     broadcast centroid array scores every centroid per vector as a

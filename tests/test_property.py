@@ -2091,3 +2091,35 @@ def test_intra_doc_spans_degenerate_repetition_doc(spark):
     # the same-length unique doc is untouched, byte-for-byte
     assert cut[2]["n_kept"] == cut[2]["n_tokens"] == reps * k
     assert cut[2]["clean_md5"] == hashlib.md5(control.encode()).hexdigest()
+
+
+def test_nprobe_for_recall_tracks_the_measured_curve():
+    """the r14 nprobe sizing helper must reproduce the stored r9
+    measurement exactly inside the measured range, extrapolate by
+    the tail's per-doubling gain above it, and be monotone in the
+    target (more recall never costs fewer probes)."""
+    from rsbsa_etl_spark.functions.similarity import (
+        IVF_GRAPH_RECALL_CURVE,
+        nprobe_for_recall,
+    )
+
+    # measured points are exact lookups (smallest nprobe meeting it)
+    for geom, curve in IVF_GRAPH_RECALL_CURVE.items():
+        for nprobe, recall in curve:
+            assert nprobe_for_recall(recall, geom) == nprobe, (geom, nprobe)
+    # the documented knee: ~0.8 clustered → the default 8
+    assert nprobe_for_recall(0.78, "clustered") == 8
+    # between points → the next measured step up
+    assert nprobe_for_recall(0.80, "clustered") == 16
+    # above the measured range → tail-gain doublings (clustered tail
+    # gain 0.07/doubling: 0.95→64:1.0 capped ⇒ 0.97 needs 64)
+    assert nprobe_for_recall(0.97, "clustered") == 64
+    # monotone in the target, both geometries
+    for geom in IVF_GRAPH_RECALL_CURVE:
+        picks = [nprobe_for_recall(t / 100, geom) for t in range(5, 100, 5)]
+        assert picks == sorted(picks), geom
+    # the structureless floor needs far more probes for the same
+    # target — the reason geometry is caller-declared
+    assert nprobe_for_recall(0.6, "isotropic") > nprobe_for_recall(
+        0.6, "clustered"
+    )

@@ -531,6 +531,37 @@ def test_family_modules_fully_registered():
     )
 
 
+def test_family_star_exports_are_wrappers_and_collision_free():
+    """r13 ADVICE item 3: the registry assembles its namespace from
+    ``from families.x import *``, so each family module must export
+    (via ``__all__``) exactly its own public wrappers — nothing
+    re-bound from helper imports — and no wrapper name may appear in
+    two families (the later star import would silently shadow the
+    earlier one, and the registry dict would register the wrong
+    function under both keys)."""
+    import importlib
+    import inspect
+
+    fams = ["relational", "dedup", "ann", "text", "curation",
+            "streaming", "analytics"]
+    owner: dict[str, str] = {}
+    for m in fams:
+        mod = importlib.import_module(f"rsbsa_etl_spark.families.{m}")
+        exported = getattr(mod, "__all__", None)
+        assert exported is not None, f"families.{m} lost its __all__"
+        for name in exported:
+            fn = getattr(mod, name)
+            assert inspect.isfunction(fn) and fn.__module__ == mod.__name__, (
+                f"families.{m}.__all__ exports a non-wrapper: {name}"
+            )
+            assert name not in owner, (
+                f"wrapper name collision: {name} defined in both "
+                f"families.{owner[name]} and families.{m} — the star "
+                "import shadows one of them"
+            )
+            owner[name] = m
+
+
 #: library entry points in ``functions/`` that are deliberately NOT
 #: reachable from any registered key (r14, extending the family
 #: guard per r13 verdict item 4). Every entry needs a reason — an
@@ -564,6 +595,10 @@ LIBRARY_ENTRYPOINT_EXEMPTIONS = {
     # shares shingle_windows with the registered exploded form and
     # its oracle mirror is SHINGLES_CTE (oracles.py:54)
     "rsbsa_etl_spark.functions.dedup.shingles_col",
+    # pure sizing helper over the r9 MEASURED recall curve (no Spark
+    # plan, no DataFrame): turns a caller's recall target into the
+    # knn_graph_ivf nprobe knob; unit-tested in tests/test_property.py
+    "rsbsa_etl_spark.functions.similarity.nprobe_for_recall",
 }
 
 
