@@ -244,6 +244,11 @@ HEADLINE = [
     "ann_index_roundtrip",
     "tokenizer_fertility",
     "text_strip_markup",
+    # round-14 additions: the two measured auto-dials and the revived
+    # rate-based stratified sampler
+    "mmr_rerank_auto",
+    "dedup_containment_auto",
+    "sample_stratified_rates",
 ]
 
 #: ``--sf1-headline`` key set (round 12, r11 verdict item 7): the
