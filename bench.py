@@ -244,11 +244,15 @@ HEADLINE = [
     "ann_index_roundtrip",
     "tokenizer_fertility",
     "text_strip_markup",
-    # round-14 additions: the two measured auto-dials and the revived
-    # rate-based stratified sampler
+    # round-14 additions: the measured auto-dial family (MMR pool,
+    # containment, jaccard, knn-graph), the explicit jaccard capped
+    # arm, and the revived rate-based stratified sampler
     "mmr_rerank_auto",
     "dedup_containment_auto",
     "sample_stratified_rates",
+    "dedup_jaccard_capped",
+    "dedup_jaccard_auto",
+    "knn_graph_auto",
 ]
 
 #: ``--sf1-headline`` key set (round 12, r11 verdict item 7): the

@@ -169,6 +169,16 @@ def knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_graph_ivf(load(spark, sf_dir, "embeddings"))
 
 
+def knn_graph_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """the measured auto-dial over the two kNN-graph arms: one
+    corpus count picks the exact tiled graph at or under the
+    measured crossover budget (full recall where the n² FLOPs are
+    still the cheaper plan) and the IVF arm above it. The count is
+    the only statistic, so the oracle replicates the pick exactly;
+    both explicit arms stay registered as overrides."""
+    return similarity.knn_graph_auto(load(spark, sf_dir, "embeddings"))
+
+
 def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_outliers(load(spark, sf_dir, "embeddings"))
 

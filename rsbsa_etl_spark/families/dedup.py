@@ -58,6 +58,30 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(load(spark, sf_dir, "documents"))
 
 
+def dedup_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """the speed/recall dial on exact Jaccard: capped-MinHash-LSH
+    candidates into the exact |A∩B|/|A∪B| verify — the Jaccard
+    sibling of dedup_containment_capped (exact verify on every
+    candidate, recall = the LSH collision probability, the
+    full-recall prefix arm stays registered). The oracle replicates
+    the SAME deterministic capped candidate set in SQL."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(
+        docs, candidates=dedup.minhash_capped_pairs(docs)
+    )
+
+
+def dedup_jaccard_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """the measured auto-dial over the two Jaccard arms (the exact
+    AllPairs arm carried the suite's worst growth exponent, 1.13 on
+    the dense decade): V = Σ_s C(prefix_postings, 2) — the exact
+    pre-prune cardinality of the prefix self-join — picks exact
+    (recall 1) under the measured budget and the capped-LSH arm
+    above it; the pick is integer arithmetic so the oracle
+    value-checks the dial decision and the picked rows."""
+    return dedup.jaccard_pairs_auto(load(spark, sf_dir, "documents"))
+
+
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_pairs(load(spark, sf_dir, "embeddings"))
 

@@ -818,6 +818,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     threshold: float = JACCARD_THRESHOLD,
     candidates: DataFrame | None = None,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """pairwise Jaccard over distinct k-shingles — EXACT, equal to
     the all-pairs oracle on any data.
@@ -838,7 +839,8 @@ def ngram_jaccard_pairs(
     exploded view of the same persisted arrays, and the verify is
     two pair⋈sets joins + a row-local ``array_intersect``.
     """
-    sets = doc_shingle_sets(docs, text_col).persist()
+    if sets is None:
+        sets = doc_shingle_sets(docs, text_col).persist()
     if candidates is None:
         sh = sets.select("doc_id", F.explode("shingles").alias("shingle"))
         candidates = prefix_filter_candidates(sh, threshold)
@@ -1171,6 +1173,65 @@ def containment_pairs_auto(
     ranked.unpersist()
     cand = minhash_capped_pairs(docs, text_col)
     return containment_pairs(
+        docs, text_col, threshold, candidates=cand, sets=sets
+    )
+
+
+def jaccard_pairs_auto(
+    docs: DataFrame,
+    text_col: str = "text",
+    threshold: float = JACCARD_THRESHOLD,
+    max_pairs_per_doc: int | None = None,
+) -> DataFrame:
+    """the Jaccard sibling of ``containment_pairs_auto`` — the exact
+    AllPairs arm carried the suite's worst measured growth law
+    (exponent 1.13 over the dense decade, SCALING.md r8), and its
+    only superlinear stage is the prefix ⋈ prefix equi-join, whose
+    exact pre-prune cardinality is
+
+        V = Σ_s C(prefix_postings(s), 2)
+
+    (both sides take prefixes under the symmetric Jaccard bound, so
+    the volume is pairs WITHIN each prefix posting list). Same
+    machinery as the containment dial: V comes from one shingle-keyed
+    aggregation over the ranked table the exact arm then consumes;
+    exact (recall 1) while V/doc stays under the measured budget
+    ``JACCARD_AUTO_MAX_PAIRS_PER_DOC``, capped-LSH candidates (exact
+    verify, LSH recall) above it. Integer statistic ⇒ the oracle
+    value-checks the dial decision AND the picked rows."""
+    from rsbsa_etl_spark.params import JACCARD_AUTO_MAX_PAIRS_PER_DOC
+
+    budget = (
+        JACCARD_AUTO_MAX_PAIRS_PER_DOC
+        if max_pairs_per_doc is None
+        else max_pairs_per_doc
+    )
+    sets = doc_shingle_sets(docs, text_col).persist()
+    sh = sets.select("doc_id", F.explode("shingles").alias("shingle"))
+    ranked = _rank_by_rarity(sh, ["doc_id"])  # persisted inside
+    # v2 = Σ p·(p−1) = 2·V — kept doubled so the whole comparison
+    # stays in BIGINT (p·(p−1) is even; dividing in either engine
+    # would detour through doubles)
+    row = (
+        ranked.where(_prefix_cond(threshold))
+        .groupBy("shingle")
+        .agg(F.count("*").alias("p"))
+        .agg(
+            F.coalesce(
+                F.sum(F.col("p") * (F.col("p") - F.lit(1))), F.lit(0)
+            ).alias("v2")
+        )
+        .collect()[0]
+    )
+    n_docs = docs.count()
+    if row["v2"] <= 2 * budget * n_docs:
+        cand = _prefix_join(ranked, threshold, containment=False)
+        return ngram_jaccard_pairs(
+            docs, text_col, threshold, candidates=cand, sets=sets
+        )
+    ranked.unpersist()
+    cand = minhash_capped_pairs(docs, text_col)
+    return ngram_jaccard_pairs(
         docs, text_col, threshold, candidates=cand, sets=sets
     )
 

@@ -417,6 +417,36 @@ def knn_graph(
     )
 
 
+def knn_graph_auto(
+    emb: DataFrame,
+    k: int = ANN_TOP_K,
+    max_vectors: int | None = None,
+) -> DataFrame:
+    """measured auto-dial over the two kNN-graph arms (r14,
+    completing the auto-dial family alongside ``mmr_rerank_auto``
+    and ``containment_pairs_auto``): ONE corpus count, then the
+    exact tiled all-pairs graph while ``n ≤ max_vectors`` and the
+    IVF-bucketed arm above it. The exact arm is O(n²/tiles) FLOPs by
+    definition and the IVF arm O(n^1.5·nprobe); the measured
+    wall-clock crossover on this host sits between 5k and 10k
+    vectors (SCALING.md r14 — exact 1.6 s vs IVF 2.8 s at 5k, 3.3 s
+    vs 3.0 s at 10k, 6.2 s vs 3.7 s at 20k), and the default budget
+    ``KNN_GRAPH_AUTO_MAX_VECTORS`` = 8000 sits in that gap,
+    conservative toward the full-recall arm. The count is the only
+    statistic, so the pick is data-deterministic and a SQL oracle
+    replicates it exactly; both explicit arms stay registered as
+    manual overrides, and ``nprobe_for_recall`` sizes the IVF side's
+    recall knob when the dial fires."""
+    from rsbsa_etl_spark.params import KNN_GRAPH_AUTO_MAX_VECTORS
+
+    budget = (
+        KNN_GRAPH_AUTO_MAX_VECTORS if max_vectors is None else max_vectors
+    )
+    if emb.count() <= budget:
+        return knn_graph(emb, k)
+    return knn_graph_ivf(emb, k)
+
+
 #: the round-9 measured graph-recall@10 curves for ``knn_graph_ivf``
 #: (tools/measure_recall.py — 20k vectors / 141 cells / k=10, both
 #: geometries through the same engine arms with exact ``knn_graph``

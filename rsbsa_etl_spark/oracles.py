@@ -851,6 +851,67 @@ JOIN sizes sb ON sb.doc_id = doc_b
 WHERE n_inter / (sa.sz + sb.sz - n_inter) >= {P.JACCARD_THRESHOLD}
 """
 
+# capped-LSH-prefiltered Jaccard (r14): the SAME deterministic capped
+# MinHash band candidates as dedup_minhash_capped, then the exact
+# |A∩B|/|A∪B| verify restricted to those pairs — the Jaccard sibling
+# of dedup_containment_capped.
+ORACLES["dedup_jaccard_capped"] = f"""
+WITH cand AS (SELECT doc_a, doc_b FROM ({_minhash_sql(cap=P.MINHASH_BUCKET_CAP)}) t),
+{SHINGLES_CTE},
+sr AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sr GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cand c
+  JOIN sr a ON a.doc_id = c.doc_a
+  JOIN sr b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b,
+       {_dec("n_inter / (sa.sz + sb.sz - n_inter)", 4)} AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_inter / (sa.sz + sb.sz - n_inter) >= {P.JACCARD_THRESHOLD}
+"""
+
+# the Jaccard AUTO-DIAL (r14): the symmetric V statistic — both join
+# sides take prefixes under the Jaccard bound, so the pre-prune
+# cardinality is pairs WITHIN each prefix posting list,
+# Σ_s C(p_s, 2), carried doubled (Σ p·(p−1)) so the comparison stays
+# in BIGINT — then CASE between the two arm SQLs verbatim. The
+# ranked/prefix CTE mirrors _rank_by_rarity/_prefix_cond at the
+# Jaccard threshold exactly, so the dial decision is value-checked.
+ORACLES["dedup_jaccard_auto"] = f"""
+WITH {SHINGLES_CTE},
+sr AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+dfr AS (SELECT shingle, count(*) AS df FROM sr GROUP BY shingle),
+ranked AS (
+  SELECT s.doc_id, s.shingle,
+         row_number() OVER (PARTITION BY s.doc_id
+                            ORDER BY d.df ASC, s.shingle ASC) AS pos,
+         count(*) OVER (PARTITION BY s.doc_id) AS sz
+  FROM sr s JOIN dfr d USING (shingle)
+),
+pc AS (
+  SELECT shingle, count(*) AS p FROM ranked
+  WHERE pos <= sz - ceil({P.JACCARD_THRESHOLD} * sz - 1e-9) + 1
+  GROUP BY shingle
+),
+stat AS (
+  SELECT COALESCE(SUM(p * (p - 1)), 0)
+         <= 2 * {P.JACCARD_AUTO_MAX_PAIRS_PER_DOC}
+              * (SELECT count(*) FROM documents) AS take_exact
+  FROM pc
+)
+SELECT * FROM ({{exact}}) e WHERE (SELECT take_exact FROM stat)
+UNION ALL
+SELECT * FROM ({{capped}}) c WHERE NOT (SELECT take_exact FROM stat)
+""".format(
+    exact=ORACLES["dedup_ngram_jaccard"],
+    capped=ORACLES["dedup_jaccard_capped"],
+)
+
 ORACLES["dedup_incremental"] = f"""
 WITH {SHINGLES_CTE},
 exploded AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
@@ -951,6 +1012,21 @@ ranked AS (
 )
 SELECT vec_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= {P.ANN_TOP_K}
+"""
+
+# the kNN-graph AUTO-DIAL (r14): one corpus count picks the exact
+# arm at/under the measured crossover budget, the IVF arm above it;
+# the pick statistic is the table cardinality, so the CASE below is
+# the dial decision replicated bit-exactly, and the picked arm's SQL
+# runs verbatim (both arms emit the identical column set).
+ORACLES["knn_graph_auto"] = f"""
+SELECT * FROM ({ORACLES["knn_graph"]}) e
+WHERE (SELECT count(*) FROM embeddings)
+      <= {P.KNN_GRAPH_AUTO_MAX_VECTORS}
+UNION ALL
+SELECT * FROM ({ORACLES["knn_graph_ivf"]}) a
+WHERE (SELECT count(*) FROM embeddings)
+      > {P.KNN_GRAPH_AUTO_MAX_VECTORS}
 """
 
 # hard negatives over the IVF graph: the knn_graph_ivf coarse

@@ -86,6 +86,26 @@ MINHASH_BUCKET_CAP = 2
 #: correctly stays exact; the dial guards the superlinear
 #: posting-density blowup, not constant factors.
 CONTAINMENT_AUTO_MAX_PAIRS_PER_DOC = 40
+
+#: knn-graph auto-dial budget: keep the exact tiled all-pairs graph
+#: (full recall) while the corpus holds ≤ this many vectors; above
+#: it take the IVF arm (O(n^1.5·nprobe) vs O(n²/tiles)). Set from
+#: the r14 wall-clock crossover (SCALING.md "knn_graph auto-dial"):
+#: exact wins at 2k (1.6 s vs 2.1 s) and 5k (1.6 s vs 2.8 s), loses
+#: at 10k (3.3 s vs 3.0 s) and 20k (6.2 s vs 3.7 s) — 8000 sits in
+#: the gap, conservative toward full recall. The law (n² vs
+#: n^1.5·nprobe) is host-independent; the constant was measured on
+#: local[32] and a cluster deployment should re-measure it.
+KNN_GRAPH_AUTO_MAX_VECTORS = 8000
+
+#: Jaccard auto-dial budget (the symmetric sibling of the
+#: containment budget): keep the exact AllPairs prefix join while
+#: V = Σ_s C(prefix_postings(s), 2) stays ≤ this × n_docs. Measured
+#: r14 (SCALING.md "jaccard auto-dial"): V/doc 1.3 → exact wins
+#: (2.3 s vs 2.9 s); 62.5 → tie (2.57 s vs 2.60 s); 872 → capped by
+#: 12× (47.5 s vs 4.0 s). 150 sits above the measured tie (full
+#: recall is the right pick at equal cost) and far below the blowup.
+JACCARD_AUTO_MAX_PAIRS_PER_DOC = 150
 MINHASH_COEFFS = tuple(
     (
         ((p * 2654435761 + 1) % (1 << 29)) | 1,

@@ -129,6 +129,7 @@ QUERIES: dict[str, QueryFn] = {
     "decontam_fuzzy": decontam_fuzzy,
     "knn_graph": knn_graph,
     "knn_graph_ivf": knn_graph_ivf,
+    "knn_graph_auto": knn_graph_auto,
     "embedding_outliers": embedding_outliers,
     "dedup_embedding": dedup_embedding,
     "dedup_semantic": dedup_semantic,
@@ -245,6 +246,8 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_containment": dedup_containment,
     "dedup_containment_capped": dedup_containment_capped,
     "dedup_containment_auto": dedup_containment_auto,
+    "dedup_jaccard_capped": dedup_jaccard_capped,
+    "dedup_jaccard_auto": dedup_jaccard_auto,
     "dedup_spans": dedup_spans,
     "dedup_spans_intra": dedup_spans_intra,
     "dedup_spans_intra_cut": dedup_spans_intra_cut,

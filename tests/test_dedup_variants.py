@@ -85,3 +85,23 @@ def test_containment_auto_picks_bit_identical_arm(spark):
     # a zero budget forces the capped-LSH arm
     assert rows(dedup.containment_pairs_auto(docs, max_pairs_per_doc=0)) == capped
     assert len(exact) > 0  # non-vacuous fixture
+
+
+def test_jaccard_auto_picks_bit_identical_arm(spark):
+    """r14 Jaccard auto-dial, same contract as the containment dial:
+    budget overrides force each side of the boundary on one corpus
+    and the auto rows must equal the explicit arm exactly."""
+    docs = load(spark, SF_DIR, "documents")
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    exact = rows(dedup.ngram_jaccard_pairs(docs))
+    capped = rows(
+        dedup.ngram_jaccard_pairs(
+            docs, candidates=dedup.minhash_capped_pairs(docs)
+        )
+    )
+    assert rows(dedup.jaccard_pairs_auto(docs, max_pairs_per_doc=1 << 40)) == exact
+    assert rows(dedup.jaccard_pairs_auto(docs, max_pairs_per_doc=0)) == capped
+    assert len(exact) > 0

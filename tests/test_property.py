@@ -2123,3 +2123,25 @@ def test_nprobe_for_recall_tracks_the_measured_curve():
     assert nprobe_for_recall(0.6, "isotropic") > nprobe_for_recall(
         0.6, "clustered"
     )
+
+
+def test_knn_graph_auto_picks_bit_identical_arm(spark):
+    """r14 kNN-graph auto-dial: on each side of the vector-count
+    budget the auto entry point must be bit-identical to the
+    explicit arm it delegates to (the dial chooses, never changes
+    results). Budget overrides force both sides on one corpus; the
+    registered key's default pick is oracle-checked."""
+    from rsbsa_etl_spark.functions import similarity
+    from rsbsa_etl_spark.sources.fixtures import load
+    from tests.conftest import SF_DIR
+
+    emb = load(spark, SF_DIR, "embeddings")
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    exact = rows(similarity.knn_graph(emb))
+    ivf = rows(similarity.knn_graph_ivf(emb))
+    assert rows(similarity.knn_graph_auto(emb, max_vectors=1 << 40)) == exact
+    assert rows(similarity.knn_graph_auto(emb, max_vectors=0)) == ivf
+    assert len(exact) > 0 and exact != ivf  # the dial is a real choice
