@@ -253,6 +253,7 @@ HEADLINE = [
     "dedup_jaccard_capped",
     "dedup_jaccard_auto",
     "knn_graph_auto",
+    "trend_theil_sen_auto",
 ]
 
 #: ``--sf1-headline`` key set (round 12, r11 verdict item 7): the

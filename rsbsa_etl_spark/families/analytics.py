@@ -412,6 +412,19 @@ def trend_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ts(load(spark, sf_dir, "events"))
 
 
+def trend_theil_sen_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """the SKEW auto-dial over the two Theil-Sen arms: the statistic
+    is the max per-user point count (the exact arm's distributed
+    wall IS the hottest user's single C(max_n, 2)-pair task), picks
+    every-pair exact under the measured budget and the deterministic
+    capped sample above it; integer statistic, oracle-replicated."""
+    from rsbsa_etl_spark.operators.analytics import (
+        trend_theil_sen_auto as _ta,
+    )
+
+    return _ta(load(spark, sf_dir, "events"))
+
+
 def seq_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """top event-type trigrams across user journeys — two lag()
     reads over one partitioned window, no per-user collect."""

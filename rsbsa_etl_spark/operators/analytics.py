@@ -2087,18 +2087,66 @@ def trend_theil_sen_capped(events: DataFrame, cap: int = 32) -> DataFrame:
     oracle replays it exactly. On users at or under the cap the two
     keys agree exactly.
     """
+    return _theil_sen(_ts_points_capped(_ts_points(events), cap))
+
+
+def _ts_points_capped(pts: DataFrame, cap: int) -> DataFrame:
+    """deterministic ≤``cap`` hash-min sample per user — split out
+    (r14) so the auto-dial reuses the same arm byte-for-byte."""
     from rsbsa_etl_spark.functions.numeric import salted_pri
 
-    pts = _ts_points(events)
     wk = Window.partitionBy("user_id").orderBy(
         salted_pri("tsen", F.col("event_id")), "event_id"
     )
-    capped = (
+    return (
         pts.withColumn("rn", F.row_number().over(wk))
         .where(F.col("rn") <= cap)
         .drop("rn")
     )
-    return _theil_sen(capped)
+
+
+def trend_theil_sen_auto(
+    events: DataFrame,
+    cap: int = 32,
+    max_points_per_user: int | None = None,
+) -> DataFrame:
+    """the SKEW auto-dial for Theil–Sen (r14, completing the
+    auto-dial family on its skew axis): the exact arm is quadratic
+    PER USER, so its distributed wall is the straggler task of the
+    hottest user — C(max_n, 2) pairs in one partition regardless of
+    cluster size. The statistic is exactly that: the max per-user
+    point count, one cheap partial-agg over the already-filtered
+    point set. Measured on synthesized hot users (SCALING.md r14,
+    1000 baseline users at 67 points each): the exact arm rides flat
+    through max_n = 3 000 (3.7 s) and hits the quadratic wall at
+    10 000 (53 s, one ~50M-pair task) while the capped arm stays
+    ~1 s throughout — the budget default
+    ``THEIL_SEN_AUTO_MAX_POINTS_PER_USER`` = 5000 sits in that gap.
+    Exact (every pair) below the budget; the deterministic ≤cap
+    hash-min sample above it. Integer statistic ⇒ the oracle
+    value-checks the dial decision along with the picked rows."""
+    from rsbsa_etl_spark.params import THEIL_SEN_AUTO_MAX_POINTS_PER_USER
+
+    budget = (
+        THEIL_SEN_AUTO_MAX_POINTS_PER_USER
+        if max_points_per_user is None
+        else max_points_per_user
+    )
+    # no persist: the point set is a narrow projection the explicit
+    # arms also re-read per self-join alias — keeping the picked
+    # arm's plan byte-identical to the explicit key matters more
+    # than caching one cheap scan (the stat pass is one partial-agg
+    # action over it)
+    pts = _ts_points(events)
+    max_n = (
+        pts.groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .agg(F.coalesce(F.max("n"), F.lit(0)).alias("m"))
+        .collect()[0]["m"]
+    )
+    if max_n <= budget:
+        return _theil_sen(pts)
+    return _theil_sen(_ts_points_capped(pts, cap))
 
 
 def _theil_sen(pts: DataFrame) -> DataFrame:

@@ -5684,6 +5684,29 @@ FROM ranked WHERE rn = CAST(ceil(n / 2.0) AS BIGINT)
 """
 
 
+# the Theil–Sen SKEW auto-dial (r14): the statistic is the max
+# per-user point count over the SAME filtered point set both arms
+# consume — the exact arm's straggler task is C(max_n, 2) pairs —
+# then CASE between the two arm SQLs verbatim.
+ORACLES["trend_theil_sen_auto"] = f"""
+WITH stat AS (
+  SELECT COALESCE(MAX(n), 0)
+         <= {P.THEIL_SEN_AUTO_MAX_POINTS_PER_USER} AS take_exact
+  FROM (
+    SELECT user_id, count(*) AS n FROM events
+    WHERE value IS NOT NULL AND ts IS NOT NULL AND user_id IS NOT NULL
+    GROUP BY user_id
+  )
+)
+SELECT * FROM ({{exact}}) e WHERE (SELECT take_exact FROM stat)
+UNION ALL
+SELECT * FROM ({{capped}}) c WHERE NOT (SELECT take_exact FROM stat)
+""".format(
+    exact=ORACLES["trend_theil_sen"],
+    capped=ORACLES["trend_theil_sen_capped"],
+)
+
+
 ORACLES["resample_interpolate"] = f"""
 WITH base AS (
   SELECT user_id, CAST(floor(epoch(ts) / 3600.0) AS BIGINT) AS hr,

@@ -106,6 +106,15 @@ KNN_GRAPH_AUTO_MAX_VECTORS = 8000
 #: 12× (47.5 s vs 4.0 s). 150 sits above the measured tie (full
 #: recall is the right pick at equal cost) and far below the blowup.
 JACCARD_AUTO_MAX_PAIRS_PER_DOC = 150
+
+#: Theil–Sen skew auto-dial budget: keep the exact every-pair arm
+#: while NO user holds more than this many points — the exact arm's
+#: distributed wall is the hottest user's single task, C(max_n, 2)
+#: pairs. Measured r14 (SCALING.md "theil-sen skew auto-dial"):
+#: exact rides flat at max_n 3 000 (3.7 s) and hits the quadratic
+#: wall at 10 000 (53 s, one ~50M-pair task); the capped arm stays
+#: ~1 s throughout. 5000 sits in the measured gap.
+THEIL_SEN_AUTO_MAX_POINTS_PER_USER = 5000
 MINHASH_COEFFS = tuple(
     (
         ((p * 2654435761 + 1) % (1 << 29)) | 1,

@@ -296,6 +296,7 @@ QUERIES: dict[str, QueryFn] = {
     "trend_theil_sen": trend_theil_sen,
     "stream_hll": stream_hll,
     "trend_theil_sen_capped": trend_theil_sen_capped,
+    "trend_theil_sen_auto": trend_theil_sen_auto,
     "resample_interpolate": resample_interpolate,
     "group_percentiles": group_percentiles,
     "join_nearest": join_nearest,

@@ -2145,3 +2145,27 @@ def test_knn_graph_auto_picks_bit_identical_arm(spark):
     assert rows(similarity.knn_graph_auto(emb, max_vectors=1 << 40)) == exact
     assert rows(similarity.knn_graph_auto(emb, max_vectors=0)) == ivf
     assert len(exact) > 0 and exact != ivf  # the dial is a real choice
+
+
+def test_theil_sen_auto_picks_bit_identical_arm(spark):
+    """r14 Theil-Sen SKEW auto-dial: budget overrides force each
+    side on one corpus; the auto rows must equal the explicit arm
+    exactly (the dial chooses, never changes results)."""
+    from rsbsa_etl_spark.operators.analytics import (
+        trend_theil_sen,
+        trend_theil_sen_auto,
+        trend_theil_sen_capped,
+    )
+    from rsbsa_etl_spark.sources.fixtures import load
+    from tests.conftest import SF_DIR
+
+    ev = load(spark, SF_DIR, "events")
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    exact = rows(trend_theil_sen(ev))
+    capped = rows(trend_theil_sen_capped(ev))
+    assert rows(trend_theil_sen_auto(ev, max_points_per_user=1 << 40)) == exact
+    assert rows(trend_theil_sen_auto(ev, max_points_per_user=0)) == capped
+    assert len(exact) > 0 and exact != capped  # the dial is a real choice
