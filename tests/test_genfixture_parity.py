@@ -66,6 +66,18 @@ SAMPLE_KEYS = [
     "decontam_spans_cut",        # eval-leak surgical cut (shared kernel)
     "dedup_spans_intra",         # within-doc repeated spans
     "decontam_report",           # composed decontam verdicts
+    # round-14 additions — the auto-dial family: on an independently
+    # generated dataset the DIAL DECISION itself (a data statistic)
+    # must land the same way in both engines, not just the picked
+    # arm's rows; the generated fixture's different densities and
+    # hash landings exercise exactly that
+    "mmr_rerank_auto",
+    "dedup_containment_auto",
+    "dedup_jaccard_auto",
+    "dedup_jaccard_capped",
+    "knn_graph_auto",
+    "trend_theil_sen_auto",
+    "sample_stratified_rates",
 ]
 
 
