@@ -473,15 +473,29 @@ def nprobe_for_recall(
     nprobe approaching the cell count (~√n) means the target is not
     reachable by probing — use the exact ``knn_graph`` arm instead
     (probing every cell IS the exact computation with extra steps).
+
+    ``target_recall`` is clamped to [0, 1] on entry (recall is a
+    probability; a target above 1.0 is unreachable by definition and
+    previously looped forever — the extrapolated recall saturates at
+    1.0 while the per-doubling gain stays positive). A flat measured
+    tail (zero gain) with the target still unmet raises ``ValueError``
+    instead of returning an nprobe that silently misses the target.
     """
+    target_recall = min(1.0, max(0.0, target_recall))
     curve = IVF_GRAPH_RECALL_CURVE[geometry]
     for nprobe, recall in curve:
         if recall >= target_recall:
             return nprobe
     (n_lo, r_lo), (n_hi, r_hi) = curve[-2], curve[-1]
     gain = r_hi - r_lo  # per doubling, at the measured tail
+    if gain <= 0:
+        raise ValueError(
+            f"recall target {target_recall} unreachable: the measured "
+            f"{geometry!r} curve tops out flat at {r_hi} — use the "
+            "exact knn_graph arm"
+        )
     nprobe, recall = n_hi, r_hi
-    while recall < target_recall and gain > 0:
+    while recall < target_recall:
         nprobe *= 2
         recall = min(1.0, recall + gain)
     return nprobe

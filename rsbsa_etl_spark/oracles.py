@@ -587,7 +587,19 @@ FROM events
 ORACLES["json_roundtrip"] = """
 SELECT event_id,
        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
-       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_parsed,
+       -- k_parsed mirrors Spark's from_json('k BIGINT') STRICT
+       -- semantics, not the fixture: from_json yields NULL when the
+       -- JSON value is a string or non-integer number, so the oracle
+       -- gates the extraction on json_type being a JSON integer
+       -- (BIGINT/UBIGINT) instead of extract_string+CAST coercion —
+       -- the two only coincided because gen_sf emits integer k, and
+       -- a props-format change would have silently redded the key
+       -- (r14 advice item 4). k_val intentionally KEEPS the coercing
+       -- string-extract form: it mirrors get_json_object+CAST, whose
+       -- lax semantics are the point of that entry.
+       CASE WHEN json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
+            THEN CAST(json_extract(props, '$.k') AS BIGINT)
+       END AS k_parsed,
        CAST(to_json({'event_id': event_id, 'event_type': event_type}) AS VARCHAR) AS j
 FROM events
 """

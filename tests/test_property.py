@@ -2123,6 +2123,27 @@ def test_nprobe_for_recall_tracks_the_measured_curve():
     assert nprobe_for_recall(0.6, "isotropic") > nprobe_for_recall(
         0.6, "clustered"
     )
+    # r14 advice item 3: a target above 1.0 previously looped forever
+    # (extrapolated recall saturates at 1.0 while gain stays
+    # positive) — it must clamp to 1.0 and terminate, identically to
+    # asking for perfect recall
+    assert nprobe_for_recall(1.5, "clustered") == nprobe_for_recall(
+        1.0, "clustered"
+    )
+    assert nprobe_for_recall(-0.5, "clustered") == 4  # clamps to 0.0
+    # a flat measured tail with the target unmet must raise, not
+    # return an nprobe that silently misses the target
+    from rsbsa_etl_spark.functions import similarity as _sim
+
+    flat = {"flat": ((4, 0.5), (8, 0.5))}
+    orig = _sim.IVF_GRAPH_RECALL_CURVE
+    _sim.IVF_GRAPH_RECALL_CURVE = flat
+    try:
+        with pytest.raises(ValueError, match="unreachable"):
+            nprobe_for_recall(0.9, "flat")
+        assert nprobe_for_recall(0.5, "flat") == 4  # reachable: fine
+    finally:
+        _sim.IVF_GRAPH_RECALL_CURVE = orig
 
 
 def test_knn_graph_auto_picks_bit_identical_arm(spark):

@@ -343,6 +343,57 @@ def test_attested_ref_policy_newest_round_is_head():
     assert _resolve_attested_ref(14, None, 14) == "HEAD"
     # OLDER round with no verdict commit → genuinely unresolvable
     assert _resolve_attested_ref(12, None, 14) is None
+    # r15 (r14 advice item 1): a record that states the sweep-time
+    # sha anchors the newest round to THAT sha, not HEAD — closing
+    # the sweep→checkpoint commit window where HEAD drifts past the
+    # tree the driver actually tested
+    assert _resolve_attested_ref(15, None, 15, "deadbee") == "deadbee"
+    # ...but the verdict commit, once it exists, still wins (it is
+    # the proven path and, by construction, points at the same tree)
+    assert _resolve_attested_ref(15, "abc123^", 15, "deadbee") == "abc123^"
+    # the sha never leaks into older-round resolution
+    assert _resolve_attested_ref(12, None, 15, "deadbee") is None
+
+
+def test_record_sweep_sha_reads_and_validates(tmp_path):
+    """``_record_sweep_sha`` pulls the top-level ``__sweep_sha__``
+    string out of the round's CORRECTNESS record — and ONLY a
+    hex-sha-shaped string (a malformed value must not become a git
+    ref). String-valued top-level entries are invisible to the key
+    logic (``_latest_rows_and_rounds`` filters on dict values), so
+    the marker cannot masquerade as a query key."""
+    import json
+    import sys
+
+    sys.path.insert(0, str(ROOT / "tools"))
+    try:
+        from snapshot_keyhashes import (
+            _latest_rows_and_rounds,
+            _record_sweep_sha,
+        )
+    finally:
+        sys.path.pop(0)
+
+    rec = {
+        "__sweep_sha__": "ab12cd34ef56",
+        "some_key": {"rows_match": True, "schema_match": True,
+                     "hash_match": True, "err": None},
+    }
+    (tmp_path / "CORRECTNESS_r15.json").write_text(json.dumps(rec))
+    (tmp_path / "CORRECTNESS_r14.json").write_text(json.dumps(
+        {"other_key": {"rows_match": True}}))
+    assert _record_sweep_sha(15, tmp_path) == "ab12cd34ef56"
+    # no sha in the record → None (callers fall back to HEAD)
+    assert _record_sweep_sha(14, tmp_path) is None
+    # no record at all → None
+    assert _record_sweep_sha(13, tmp_path) is None
+    # malformed sha → rejected
+    (tmp_path / "CORRECTNESS_r16.json").write_text(json.dumps(
+        {"__sweep_sha__": "HEAD^{tree}; rm -rf"}))
+    assert _record_sweep_sha(16, tmp_path) is None
+    # the marker never surfaces as a key
+    rows, rounds = _latest_rows_and_rounds(tmp_path)
+    assert "__sweep_sha__" not in rows and "__sweep_sha__" not in rounds
 
 
 def test_attested_hashes_wires_head_for_untracked_newest_round(monkeypatch):
