@@ -254,6 +254,8 @@ HEADLINE = [
     "dedup_jaccard_auto",
     "knn_graph_auto",
     "trend_theil_sen_auto",
+    # round 15
+    "dedup_embedding_auto",
 ]
 
 #: ``--sf1-headline`` key set (round 12, r11 verdict item 7): the

@@ -86,6 +86,21 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_pairs(load(spark, sf_dir, "embeddings"))
 
 
+def dedup_embedding_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """the measured auto-dial over the two embedding-dedup arms (r15
+    — the last quadratic kernel gets the wired-crossover treatment):
+    one corpus count keeps the exact tiled all-pairs cosine join
+    (full recall) under DEDUP_EMBEDDING_AUTO_MAX_VECTORS and takes
+    the linear SemDeDup member→exemplar prune above it, both emitting
+    the same (vec_a < vec_b, cosine) duplicate-pair contract; the
+    pick is integer arithmetic so the oracle value-checks the dial
+    decision and the picked rows. Both explicit arms stay registered
+    as manual overrides."""
+    return similarity.embedding_dedup_auto(
+        load(spark, sf_dir, "embeddings")
+    )
+
+
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style cluster-then-prune embedding dedup: Voronoi
     cells → per-cell exemplar → keep/duplicate flag vs the exemplar.

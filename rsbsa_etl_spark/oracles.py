@@ -1416,6 +1416,26 @@ p AS (
 SELECT vec_a, vec_b, cosine FROM p WHERE cosine >= {P.COSINE_THRESHOLD}
 """
 
+# embedding-dedup auto-dial (r15): the statistic is ONE corpus count
+# (the arms' laws are n²/tiles vs linear — corpus size IS the cost
+# driver), so the SQL replicates the pick exactly, then emits the
+# picked arm's rows in the shared duplicate-pair contract. The
+# semantic arm's pairs are the member→exemplar prune edges
+# (NOT keep ⇒ member ≠ exemplar AND cos ≥ threshold by definition of
+# the keep flag). Defined after dedup_semantic below via .format().
+_DEDUP_EMB_AUTO_TEMPLATE = """
+SELECT vec_a, vec_b, cosine FROM ({exact}) e
+WHERE (SELECT count(*) FROM embeddings)
+      <= {budget}
+UNION ALL
+SELECT least(vec_id, exemplar_id) AS vec_a,
+       greatest(vec_id, exemplar_id) AS vec_b,
+       cos_exemplar AS cosine
+FROM ({semantic}) s
+WHERE NOT keep
+  AND (SELECT count(*) FROM embeddings) > {budget}
+"""
+
 _SEM_D2 = (
     "list_sum(list_transform(range(1, 65),"
     " i -> (a.v[i] - c.vc[i]) * (a.v[i] - c.vc[i])))"
@@ -1468,6 +1488,12 @@ JOIN ex e USING (cid)
 JOIN n a ON a.vec_id = r.vid
 JOIN n b ON b.vec_id = e.exemplar_id
 """
+
+ORACLES["dedup_embedding_auto"] = _DEDUP_EMB_AUTO_TEMPLATE.format(
+    exact=ORACLES["dedup_embedding"],
+    semantic=ORACLES["dedup_semantic"],
+    budget=P.DEDUP_EMBEDDING_AUTO_MAX_VECTORS,
+)
 
 ORACLES["dedup_clusters"] = f"""
 WITH RECURSIVE pairs AS ({_minhash_sql()}),

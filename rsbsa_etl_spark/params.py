@@ -98,6 +98,21 @@ CONTAINMENT_AUTO_MAX_PAIRS_PER_DOC = 40
 #: local[32] and a cluster deployment should re-measure it.
 KNN_GRAPH_AUTO_MAX_VECTORS = 8000
 
+#: embedding-dedup auto-dial budget: keep the exact tiled all-pairs
+#: cosine join (full recall) while the corpus holds ≤ this many
+#: vectors; above it take the SemDeDup cluster-then-prune arm
+#: (linear — no pairwise stage). Set from the r15 wall-clock
+#: crossover (SCALING.md "embedding-dedup auto-dial"): exact wins at
+#: 2k (0.85 s vs 0.93 s) and 5k (0.65 s vs 0.85 s), loses at 10k
+#: (1.20 s vs 0.74 s), 20k (1.53 s vs 0.76 s), and 40k by 11×
+#: (16.0 s vs 1.45 s) — 8000 sits in the measured 5k→10k gap,
+#: conservative toward the full-recall arm, and matches
+#: KNN_GRAPH_AUTO_MAX_VECTORS (same kernel class: the corpus-size
+#: axis on an n²/tiles BLAS join vs a subquadratic alternative).
+#: The law is host-independent; the constant is local[32]-measured
+#: and a cluster deployment re-measures it.
+DEDUP_EMBEDDING_AUTO_MAX_VECTORS = 8000
+
 #: Jaccard auto-dial budget (the symmetric sibling of the
 #: containment budget): keep the exact AllPairs prefix join while
 #: V = Σ_s C(prefix_postings(s), 2) stays ≤ this × n_docs. Measured

@@ -132,6 +132,7 @@ QUERIES: dict[str, QueryFn] = {
     "knn_graph_auto": knn_graph_auto,
     "embedding_outliers": embedding_outliers,
     "dedup_embedding": dedup_embedding,
+    "dedup_embedding_auto": dedup_embedding_auto,
     "dedup_semantic": dedup_semantic,
     "dedup_clusters": dedup_clusters,
     "graph_pagerank": graph_pagerank,
@@ -394,13 +395,16 @@ SCALE_DIALS: dict[str, tuple[str, str]] = {
         "value-checked like the parent graph",
     ),
     "dedup_embedding": (
-        "dedup_semantic",
-        "SemDeDup cluster-then-prune: Voronoi cells -> per-cell "
-        "exemplar flags, LINEAR in the corpus (r9 second decade "
-        "measured the exact all-pairs arm's OUTPUT going quadratic: "
-        "5.0M pairs at 200k isotropic vectors, wall exponent 1.56 "
-        "even with the bounded-chunk kernel); the exact arm is the "
-        "audit/threshold-screen dial",
+        "dedup_embedding_auto",
+        "r15: the measured crossover WIRED (SCALING.md 'embedding-"
+        "dedup auto-dial') — one corpus count keeps the exact "
+        "all-pairs join at n <= 8000 (the measured 5k->10k "
+        "wall-clock gap) and takes the LINEAR SemDeDup "
+        "member->exemplar prune above it (r9 second decade measured "
+        "the exact arm's OUTPUT going quadratic: 5.0M pairs at 200k "
+        "isotropic vectors, wall exponent 1.56 even with the "
+        "bounded-chunk kernel); dedup_semantic stays the per-vector "
+        "keep-flag form of the linear arm",
     ),
 }
 

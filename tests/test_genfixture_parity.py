@@ -78,6 +78,8 @@ SAMPLE_KEYS = [
     "knn_graph_auto",
     "trend_theil_sen_auto",
     "sample_stratified_rates",
+    # round-15 additions
+    "dedup_embedding_auto",      # last quadratic kernel's wired dial
 ]
 
 

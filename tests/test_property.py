@@ -2168,6 +2168,49 @@ def test_knn_graph_auto_picks_bit_identical_arm(spark):
     assert len(exact) > 0 and exact != ivf  # the dial is a real choice
 
 
+def test_embedding_dedup_auto_picks_bit_identical_arm(spark):
+    """r15 embedding-dedup auto-dial (the last quadratic kernel's
+    wired crossover): budget overrides force each side on one corpus;
+    the exact side must be bit-identical to cosine_pairs, and the
+    semantic side must be exactly dedup_semantic's member→exemplar
+    prune edges in the shared (vec_a < vec_b, cosine) pair contract."""
+    from pyspark.sql import functions as SF
+
+    from rsbsa_etl_spark.functions import similarity
+    from rsbsa_etl_spark.sources.fixtures import load
+    from tests.conftest import SF_DIR
+
+    emb = load(spark, SF_DIR, "embeddings")
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    exact = rows(similarity.cosine_pairs(emb))
+    sem_edges = rows(
+        similarity.semantic_dedup(emb)
+        .where(~SF.col("keep"))
+        .select(
+            SF.least("vec_id", "exemplar_id").alias("vec_a"),
+            SF.greatest("vec_id", "exemplar_id").alias("vec_b"),
+            SF.col("cos_exemplar").alias("cosine"),
+        )
+    )
+    auto_exact = similarity.embedding_dedup_auto(emb, max_vectors=1 << 40)
+    auto_sem = similarity.embedding_dedup_auto(emb, max_vectors=0)
+    # the two sides share one column contract (driver-stable schema)
+    assert auto_exact.columns == auto_sem.columns == [
+        "vec_a", "vec_b", "cosine"
+    ]
+    assert rows(auto_exact) == exact
+    assert rows(auto_sem) == sem_edges
+    assert len(exact) > 0 and exact != sem_edges  # a real choice
+    # every semantic-arm edge honors the threshold contract (NOT keep
+    # ⇒ cos ≥ threshold by the keep flag's definition)
+    from rsbsa_etl_spark.params import COSINE_THRESHOLD
+
+    assert all(c >= COSINE_THRESHOLD for _, _, c in sem_edges)
+
+
 def test_theil_sen_auto_picks_bit_identical_arm(spark):
     """r14 Theil-Sen SKEW auto-dial: budget overrides force each
     side on one corpus; the auto rows must equal the explicit arm
