@@ -275,6 +275,25 @@ SF1_HEADLINE = [
     "dedup_containment_capped", "dedup_simhash",
 ]
 
+#: second sf1 key set (r15, r14 verdict item 5): v1 is FROZEN at the
+#: r11 draw for three-point lineage, which means the r12-r15
+#: families (auto-dials, span-intra, decontam_report, prf_requery)
+#: had no decade-up instrument. v2 is drawn from the r14 sf0.1
+#: record: the ten named newest-family keys plus the most expensive
+#: keys not already in v1, and the r15 dedup_embedding_auto so the
+#: newest dial gets a decade line from birth. Benched ALONGSIDE v1
+#: in --sf1-headline mode (one run, both totals; each set keeps its
+#: own lineage field so v1's three-point trend stays intact).
+SF1_HEADLINE_V2 = [
+    "prf_requery", "dedup_containment_auto", "trend_theil_sen_auto",
+    "dedup_jaccard_capped", "dedup_jaccard_auto", "mmr_rerank_auto",
+    "dedup_spans_intra", "knn_graph_auto", "decontam_report",
+    "sample_stratified_rates", "dedup_embedding_auto",
+    "mmr_rerank_ivf", "stream_cdc_apply", "basket_pairs",
+    "context_pack", "term_pmi", "dedup_spans", "dedup_recall",
+    "sync_pipeline_o2m", "group_percentiles",
+]
+
 #: where the sf1 fixture lives / is generated (same generator and
 #: location as SCALING.md's decade measurements and the sf1 parity
 #: tests — tools/gen_sf.py is deterministic at a fixed seed)
@@ -294,6 +313,35 @@ def _ensure_sf1_fixture() -> str:
             check=True, cwd=root,
         )
     return SF1_DIR
+
+
+def _probe_floors(spark, sf_dir: str, best_of: int = 2) -> tuple[float, float]:
+    """One (scan_floor, cpu_floor) sample of the CURRENT host window.
+
+    r15 (r14 verdict item 1): the start-of-run floors cannot see
+    mid-run tenant arrivals — five same-tree r14 runs spread
+    125-171 s from load that landed AFTER calibration. The bench now
+    re-probes every SPARK_GRAFT_FLOOR_EVERY keys and records which
+    probe segment each key ran in, so (a) the record carries its own
+    intra-run drift, and (b) round-over-round comparison can
+    normalize PER KEY against the floor context that key actually
+    experienced. The cpu probe is the axis that tracks external
+    32-thread contention (the r7 observation: tenant load leaves the
+    IO-bound scan floor nearly untouched while stealing a
+    proportional slice of every wide stage)."""
+    f = float("inf")
+    for _ in range(best_of):
+        t0 = time.perf_counter()
+        spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+        f = min(f, time.perf_counter() - t0)
+    c = float("inf")
+    for _ in range(best_of):
+        t0 = time.perf_counter()
+        spark.range(20_000_000).selectExpr(
+            "xxhash64(id) % 1024 AS k", "id AS v"
+        ).groupBy("k").sum("v").count()
+        c = min(c, time.perf_counter() - t0)
+    return round(f, 3), round(c, 3)
 
 
 def main() -> None:
@@ -328,32 +376,15 @@ def main() -> None:
         ),
     )
 
-    # host-noise calibration: the raw warm-scan floor of one fixture
-    # table, best-of-3. Query code never touches this number — it
-    # moves only with the environment (the r4 record was globally
+    # host-noise calibration: warm-scan + cpu floors, best-of-3 at
+    # start of run. Query code never touches these numbers — they
+    # move only with the environment (the r4 record was globally
     # ~1.5x slow purely from a degraded host window), so readers can
-    # normalize cross-round comparisons: ratios should be judged
-    # against the scan_floor ratio of the two records, not 1.0.
-    floor = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
-        floor = min(floor, time.perf_counter() - t0)
-    scan_floor = round(floor, 3)
-    # CPU-side twin of the scan floor: a fixed shuffling aggregate
-    # over generated data (no IO at all). The two floors separate
-    # "disk/page-cache window" from "CPU-contention window" — a
-    # round whose query ratio tracks cpu_floor but not scan_floor is
-    # a busy-host artifact, not an IO regression (observed: +10%
-    # broad query drift with scan_floor unchanged).
-    cfloor = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        spark.range(20_000_000).selectExpr(
-            "xxhash64(id) % 1024 AS k", "id AS v"
-        ).groupBy("k").sum("v").count()
-        cfloor = min(cfloor, time.perf_counter() - t0)
-    cpu_floor = round(cfloor, 3)
+    # normalize cross-round comparisons against the floor ratio of
+    # the two records, not 1.0. Since r15 the floors are ALSO
+    # re-probed mid-run (see _probe_floors): the start-of-run floor
+    # cannot see mid-run tenant arrivals.
+    scan_floor, cpu_floor = _probe_floors(spark, sf_dir, best_of=3)
     # third calibration axis: OS load average BEFORE this run's own
     # work — external tenant load on the shared host steals a roughly
     # proportional slice from every 32-thread stage while leaving the
@@ -362,14 +393,38 @@ def main() -> None:
     # matched a 3.9/32 background load exactly. Recorded so future
     # cross-round comparisons can see all three environment axes.
     load_1m, load_5m, _ = os.getloadavg()
+    probe_every = int(os.environ.get("SPARK_GRAFT_FLOOR_EVERY", "25"))
+    floor_probes: list[dict] = [
+        {"after_n_keys": 0, "scan": scan_floor, "cpu": cpu_floor}
+    ]
+    key_floor_seg: dict[str, int] = {}
+    key_spread: dict[str, float] = {}
     timings: dict[str, float] = {}
-    for name in (SF1_HEADLINE if sf1_mode else HEADLINE):
-        best = float("inf")
+    bench_keys = (
+        SF1_HEADLINE + SF1_HEADLINE_V2 if sf1_mode else HEADLINE
+    )
+    for i, name in enumerate(bench_keys):
+        if probe_every and i and i % probe_every == 0:
+            s, c = _probe_floors(spark, sf_dir)
+            floor_probes.append({"after_n_keys": i, "scan": s, "cpu": c})
+        samples = []
         for _ in range(repeats):
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(min(samples), 3)
+        key_floor_seg[name] = len(floor_probes) - 1
+        if repeats > 2:
+            # repeat-to-repeat spread of THIS key in THIS run — the
+            # within-run sampling noise the best-of-N min rides on.
+            # The FIRST repeat is excluded: it warms the key's own
+            # scan/plan and measures warmup, not noise (at small SFs
+            # it dominates: ~2x the warm repeats).
+            warm = samples[1:]
+            if min(warm) > 0:
+                key_spread[name] = round(
+                    (max(warm) - min(warm)) / min(warm), 3
+                )
         # several operators persist() intermediates (LSH bands, fuzzy
         # variants, PageRank edges); each bench call pins a fresh copy
         # and the accumulation evicts/GC-thrashes later queries —
@@ -377,7 +432,70 @@ def main() -> None:
         # so each is timed against an empty cache.
         spark.catalog.clearCache()
 
-    total = round(sum(timings.values()), 3)
+    # headline floors = the BEST window observed across all probes
+    # (the true floor of this run's environment); intra-run drift =
+    # worst/best probe ratio per axis — the record's own evidence of
+    # mid-run tenant arrivals the start-of-run calibration missed.
+    scan_floor = min(p["scan"] for p in floor_probes)
+    cpu_floor = min(p["cpu"] for p in floor_probes)
+
+    def _med(vals: list) -> float:
+        s = sorted(vals)
+        return s[len(s) // 2]
+
+    floor_drift = {
+        # max/min — the worst window this run saw (a spike detector)
+        "scan": round(max(p["scan"] for p in floor_probes) / scan_floor, 3),
+        "cpu": round(max(p["cpu"] for p in floor_probes) / cpu_floor, 3),
+        # median/min — SUSTAINED elevation (robust to one GC-pause
+        # probe; tenant load that matters holds for minutes and lifts
+        # several consecutive probes, which moves the median)
+        "scan_med": round(
+            _med([p["scan"] for p in floor_probes]) / scan_floor, 3
+        ),
+        "cpu_med": round(
+            _med([p["cpu"] for p in floor_probes]) / cpu_floor, 3
+        ),
+    }
+    spreads = sorted(key_spread.values())
+    dispersion = {
+        "key_spread_median": spreads[len(spreads) // 2] if spreads else None,
+        "key_spread_p90": (
+            spreads[min(len(spreads) - 1, int(len(spreads) * 0.9))]
+            if spreads
+            else None
+        ),
+    }
+    # the record's own error bar on the TOTAL, from the two noise
+    # axes this run itself measured: median per-key warm-repeat
+    # spread (within-run sampling noise) and SUSTAINED intra-run
+    # floor drift (environment moved under the run; the median-based
+    # drift, so one outlier probe cannot blow up the bar). Two
+    # same-tree runs should agree within the sum of their bars
+    # (validated r15, LOCAL_SWEEP_r15.md).
+    error_bar_frac = round(
+        max(
+            dispersion["key_spread_median"] or 0.0,
+            max(floor_drift["scan_med"], floor_drift["cpu_med"]) - 1.0,
+        ),
+        3,
+    )
+
+    # in sf1 mode the headline total stays the FROZEN v1 set (the
+    # three-point lineage metric); v2 gets its own total field so
+    # the newest families' decade trend starts this round without
+    # disturbing v1's comparability.
+    v2_fields: dict = {}
+    if sf1_mode:
+        total = round(sum(timings[k] for k in SF1_HEADLINE), 3)
+        v2_fields = {
+            "sf1_v2_total": round(
+                sum(timings[k] for k in SF1_HEADLINE_V2), 3
+            ),
+            "sf1_v2_n": len(SF1_HEADLINE_V2),
+        }
+    else:
+        total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     sf_val = float(sf) if sf else None
 
@@ -426,6 +544,35 @@ def main() -> None:
                 comparison["common_set_ratio_normalized"] = round(
                     raw / (scan_floor / pf), 3
                 )
+            # r15: per-KEY floor normalization — each key's time is
+            # rescaled by the cpu-floor ratio of the probe segment it
+            # ran in (this run vs the previous record), so a tenant
+            # spike that hit only the middle of one run no longer
+            # smears the whole ratio (the r14 instrument hazard: five
+            # same-tree runs spread 125-171 s). cpu floor is the axis
+            # that tracks external 32-thread contention; requires the
+            # previous record to carry per-key floor context (r15+).
+            prev_probes = prev.get("floor_probes")
+            prev_seg = prev.get("key_floor_seg")
+            if (
+                isinstance(prev_probes, list)
+                and isinstance(prev_seg, dict)
+                and all(p.get("cpu") for p in prev_probes)
+            ):
+                num = den = 0.0
+                for k in common:
+                    if k not in prev_seg or k not in key_floor_seg:
+                        continue
+                    pc = prev_probes[prev_seg[k]]["cpu"]
+                    nc = floor_probes[key_floor_seg[k]]["cpu"]
+                    if not (pc and nc):
+                        continue
+                    num += timings[k] * (pc / nc)
+                    den += prev["queries"][k]
+                if den > 0:
+                    comparison["common_set_ratio_keyfloor_normalized"] = (
+                        round(num / den, 3)
+                    )
 
     with open(full_path, "w") as fh:
         json.dump(
@@ -439,6 +586,13 @@ def main() -> None:
                 "scan_floor_sec": scan_floor,
                 "cpu_floor_sec": cpu_floor,
                 "load_avg_prerun": [round(load_1m, 2), round(load_5m, 2)],
+                "floor_probes": floor_probes,
+                "key_floor_seg": key_floor_seg,
+                "key_spread": key_spread,
+                "floor_drift": floor_drift,
+                "dispersion": dispersion,
+                "error_bar_frac": error_bar_frac,
+                **v2_fields,
                 **comparison,
             },
             fh,
@@ -462,6 +616,9 @@ def main() -> None:
                 "scan_floor_sec": scan_floor,
                 "cpu_floor_sec": cpu_floor,
                 "load_avg_prerun": [round(load_1m, 2), round(load_5m, 2)],
+                "floor_drift": floor_drift,
+                "error_bar_frac": error_bar_frac,
+                **v2_fields,
                 **comparison,
                 "full": os.path.basename(full_path),
             },

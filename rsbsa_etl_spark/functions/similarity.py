@@ -421,6 +421,8 @@ def knn_graph_auto(
     emb: DataFrame,
     k: int = ANN_TOP_K,
     max_vectors: int | None = None,
+    target_recall: float | None = None,
+    geometry: str = "clustered",
 ) -> DataFrame:
     """measured auto-dial over the two kNN-graph arms (r14,
     completing the auto-dial family alongside ``mmr_rerank_auto``
@@ -436,7 +438,18 @@ def knn_graph_auto(
     statistic, so the pick is data-deterministic and a SQL oracle
     replicates it exactly; both explicit arms stay registered as
     manual overrides, and ``nprobe_for_recall`` sizes the IVF side's
-    recall knob when the dial fires."""
+    recall knob when the dial fires.
+
+    ``target_recall`` (r15, r14 verdict item 6): when set, the IVF
+    arm's nprobe is sized by ``nprobe_for_recall(target_recall,
+    geometry)`` — the stored measured curve as a function — instead
+    of the static measured-knee default; the exact arm ignores it
+    (recall is 1 by construction, so any target is met). ``geometry``
+    is caller-declared ("clustered" unless the embeddings are known
+    structureless); a cheap data-driven pick exists as
+    ``detect_geometry`` — one argmin cell-assignment pass whose
+    cell-mass concentration statistic separates the two measured
+    curves (SCALING.md r15)."""
     from rsbsa_etl_spark.params import KNN_GRAPH_AUTO_MAX_VECTORS
 
     budget = (
@@ -444,7 +457,82 @@ def knn_graph_auto(
     )
     if emb.count() <= budget:
         return knn_graph(emb, k)
+    if target_recall is not None:
+        return knn_graph_ivf(
+            emb, k, nprobe=nprobe_for_recall(target_recall, geometry)
+        )
     return knn_graph_ivf(emb, k)
+
+
+#: fixed probe-centroid count for ``detect_geometry`` — corpus-
+#: independent by design: the statistic's null baseline depends only
+#: on (probe count, dim), so fixing the probes keeps the decision
+#: boundary analytic at every corpus size (using the index's own
+#: √n cell count would saturate the test once
+#: sqrt(2·ln(ncells)/dim) exceeds the intra-cluster cosine).
+GEOMETRY_PROBE_CENTROIDS = 128
+
+
+def detect_geometry(emb: DataFrame, n_probes: int | None = None) -> str:
+    """data-driven pick of the recall-curve geometry for
+    ``nprobe_for_recall`` (r15, the stretch half of r14 verdict item
+    6): ONE assignment pass — each vector's cosine to its nearest of
+    ``n_probes`` fixed probe centroids, the same zero-shuffle
+    broadcast argmin fold the IVF build runs — then compare the MEAN
+    assigned cosine against the analytic null: for an isotropic
+    corpus in d dims, cos(v, c) ~ N(0, 1/d) per centroid, so the
+    expected max over m probes is bounded by the EVT constant
+    sqrt(2·ln(m)/d). Clustered corpora exceed the null (most vectors
+    have a probe inside their cluster at intra-cluster cosine ≈ 0.5
+    with gen_sf's tau=1); structureless corpora sit below it.
+    Measured on the recall-curve fixtures (SCALING.md r15 "geometry
+    detection"): isotropic 0.287/0.328/0.340 vs null 0.344/0.393/
+    0.407 at 2k/20k/40k; Zipf-200-cluster 0.427/0.500/0.520 —
+    separated at every scale with the ANALYTIC boundary, no fitted
+    constant. Cost: one corpus scan + one tiny agg — negligible next
+    to the graph build it parameterizes.
+
+    Cell-mass concentration (normalized HHI) was evaluated first and
+    REJECTED: with √n centroids drawn from the corpus, dense regions
+    get proportionally many centroids, so cell masses stay
+    near-uniform on clustered data (measured 1.40 vs 1.01 — no
+    separation). That equalization is exactly why IVF recall is
+    better there; the signal lives in the assigned DISTANCES, not
+    the cell sizes."""
+    import math
+
+    e = with_norm(emb)
+    n = e.count()
+    m = (
+        min(GEOMETRY_PROBE_CENTROIDS, n)
+        if n_probes is None
+        else min(n_probes, n)
+    )
+    cents = e.where(F.col("vec_id") < m).select(
+        F.col("vec_id").alias("cid"),
+        F.col("_vd").alias("vc"),
+        F.col("_norm").alias("nc"),
+    )
+    best = _argmin_cell(F.col("_vd"), F.col("cs"))
+    # probe vectors are excluded from the averaged set: they assign
+    # to THEMSELVES at cosine 1.0, which at small corpora (probes a
+    # visible fraction of n) inflates the mean past the null and
+    # fakes a "clustered" verdict
+    assigned = (
+        e.where(F.col("vec_id") >= m)
+        .join(F.broadcast(_collected_centroids(cents.select("cid", "vc"))))
+        .select("_vd", "_norm", best["cid"].alias("cid"))
+        .join(F.broadcast(cents), "cid")
+        .select(
+            safe_div(
+                dot(F.col("_vd"), F.col("vc")), F.col("_norm") * F.col("nc")
+            ).alias("cos_assigned")
+        )
+    )
+    mean_cos = assigned.agg(F.avg("cos_assigned")).collect()[0][0] or 0.0
+    dim = emb.select(F.size("embedding")).first()[0]
+    null_max = math.sqrt(2.0 * math.log(max(m, 2)) / max(dim, 1))
+    return "clustered" if mean_cos >= null_max else "isotropic"
 
 
 #: the round-9 measured graph-recall@10 curves for ``knn_graph_ivf``

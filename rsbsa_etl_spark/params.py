@@ -61,7 +61,95 @@ SIMHASH_MAX_HAMMING = 2
 #: ANSI (no silent wraparound, no overflow error) and identical in
 #: 64-bit integer SQL.
 MINHASH_PERMS = 16
-MINHASH_BANDS = 4  # 4 rows per band
+
+
+def minhash_geometry(
+    threshold: _Fraction,
+    perms: int,
+    fp_sim: _Fraction,
+    fp_budget: _Fraction,
+) -> tuple[int, int]:
+    """(bands, rows) DERIVED from the threshold — the recall-axis
+    twin of the measured cost dials (r14 verdict item 4): the banded
+    S-curve's miss probability at Jaccard ``t`` is exactly
+    ``(1 - t^rows)^bands``, a rational number when ``t`` is — no
+    measurement needed, the bound is computable in exact integer
+    arithmetic. Enumerate every geometry within the signature-size
+    budget (``bands·rows ≤ perms`` — signature cost is the perms,
+    band count is free re-hashing) and pick the one minimizing the
+    expected miss AT the configured threshold, subject to the
+    precision guard ``P(collide at fp_sim) ≤ fp_budget`` (without
+    it the optimum degenerates to rows=1, which collides on ANY
+    shared shingle — the false-positive axis is what rows buy).
+    Ties break toward fewer rows (cheaper banding). All arithmetic
+    is exact ``Fraction``s, so the pick is reproducible bit-for-bit
+    on any host and the bound recorded in SCALING.md is exact, not
+    a float estimate. Raises when no geometry meets the precision
+    guard inside the budget (raise perms)."""
+    best: tuple[_Fraction, int, int] | None = None
+    for rows in range(1, perms + 1):
+        for bands in range(1, perms // rows + 1):
+            fp = 1 - (1 - fp_sim**rows) ** bands
+            if fp > fp_budget:
+                continue
+            miss = (1 - threshold**rows) ** bands
+            cand = (miss, rows, bands)
+            if best is None or cand < best:
+                best = cand
+    if best is None:
+        raise ValueError(
+            f"no (bands, rows) within {perms} perms meets "
+            f"P(collide @ {fp_sim}) <= {fp_budget}"
+        )
+    return best[2], best[1]
+
+
+def minhash_miss_bound(
+    threshold: _Fraction | None = None,
+    bands: int | None = None,
+    rows: int | None = None,
+) -> _Fraction:
+    """exact S-curve false-negative probability (1 − t^rows)^bands
+    of the configured geometry at the configured threshold — the
+    recall floor 1−bound that ``dedup_recall``'s measurement is
+    checked against (each true pair at Jaccard j collides with
+    probability 1−(1−j^rows)^bands ≥ 1−bound for j ≥ t)."""
+    t = JACCARD_THRESHOLD_FRAC if threshold is None else threshold
+    b = MINHASH_BANDS if bands is None else bands
+    r = (MINHASH_PERMS // MINHASH_BANDS) if rows is None else rows
+    return (1 - t**r) ** b
+
+
+#: the exact-rational form of JACCARD_THRESHOLD (the float is what
+#: the SQL strings embed; the Fraction is what the geometry
+#: derivation computes with — asserted equal below so they can't
+#: drift).
+JACCARD_THRESHOLD_FRAC = _Fraction(3, 5)
+assert float(JACCARD_THRESHOLD_FRAC) == JACCARD_THRESHOLD
+
+#: precision guard for the geometry derivation: a background
+#: (clearly-not-duplicate) pair at Jaccard = threshold/2 may land in
+#: a shared band bucket with probability ≤ 5%. This is the
+#: candidate-volume axis: at 100 TB the candidate count is
+#: n_pairs(j≈fp_sim)·P(collide@fp_sim), and the sub-threshold mass
+#: dominates the pair count, so the guard bounds LSH's output
+#: volume; the bucket cap (below) then guards the residual skew.
+MINHASH_FP_SIM = _Fraction(3, 10)
+MINHASH_FP_BUDGET = _Fraction(1, 20)
+
+#: band geometry — DERIVED, not hard-coded (r15): 4 bands × 4 rows
+#: is the exact-arithmetic optimum for 16 perms at t=3/5 under the
+#: 5%-at-0.3 precision guard (miss bound (544/625)^4 ≈ 0.574 at
+#: exactly-threshold pairs; see SCALING.md "minhash geometry" for
+#: the full feasibility table). The derivation reproducing the
+#: historical constant means every existing key stays bit-stable.
+MINHASH_BANDS, MINHASH_ROWS = minhash_geometry(
+    JACCARD_THRESHOLD_FRAC, MINHASH_PERMS, MINHASH_FP_SIM, MINHASH_FP_BUDGET
+)
+#: the banding code slices the signature into contiguous rows-sized
+#: chunks, so the derived geometry must tile the signature exactly
+assert MINHASH_ROWS == MINHASH_PERMS // MINHASH_BANDS
+
 SHINGLE_K = 3  # word shingles
 MINHASH_MOD = (1 << 61) - 1  # Mersenne prime 2^61-1
 #: skew guard for LSH: band buckets holding more than this many docs

@@ -105,3 +105,65 @@ def test_jaccard_auto_picks_bit_identical_arm(spark):
     assert rows(dedup.jaccard_pairs_auto(docs, max_pairs_per_doc=1 << 40)) == exact
     assert rows(dedup.jaccard_pairs_auto(docs, max_pairs_per_doc=0)) == capped
     assert len(exact) > 0
+
+
+def test_minhash_geometry_derived_and_recall_consistent(spark):
+    """r15 (r14 verdict item 4): the band geometry is DERIVED from
+    the threshold by the exact-rational S-curve optimization — and
+    it reproduces the historical 4×4 constant, so every existing
+    minhash key stays bit-stable. dedup_recall's MEASURED recall is
+    then checked against the geometry's own prediction on the
+    fixture's true-pair jaccard distribution (per-pair collision
+    probability 1−(1−j^rows)^bands) — the recall-axis analogue of
+    the cost dials' measured-crossover validation."""
+    from fractions import Fraction
+
+    from rsbsa_etl_spark import params as P
+    from rsbsa_etl_spark.functions import dedup
+    from rsbsa_etl_spark.sources.fixtures import load
+    from tests.conftest import SF_DIR
+
+    # derived == historical constant; the optimum is the ONLY
+    # feasible geometry at 16 perms whose miss is under 0.6 (r=1..3
+    # fail the 5%-at-0.3 precision guard, r>=5 miss more)
+    assert (P.MINHASH_BANDS, P.MINHASH_ROWS) == (4, 4)
+    assert P.minhash_geometry(
+        P.JACCARD_THRESHOLD_FRAC,
+        P.MINHASH_PERMS,
+        P.MINHASH_FP_SIM,
+        P.MINHASH_FP_BUDGET,
+    ) == (4, 4)
+    bound = P.minhash_miss_bound()
+    assert bound == Fraction(87578116096, 152587890625)  # ≈ 0.574
+    # the derivation is a real function of its inputs: an 8-perm
+    # budget yields a different optimum (2 bands × 4 rows)
+    assert P.minhash_geometry(
+        P.JACCARD_THRESHOLD_FRAC, 8, P.MINHASH_FP_SIM, P.MINHASH_FP_BUDGET
+    ) == (2, 4)
+    # an impossible precision guard raises instead of silently
+    # returning a geometry that can't meet it
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        P.minhash_geometry(
+            P.JACCARD_THRESHOLD_FRAC, 2, P.MINHASH_FP_SIM, Fraction(1, 10**9)
+        )
+
+    docs = load(spark, SF_DIR, "documents")
+    jacs = [
+        row["jaccard"]
+        for row in dedup.ngram_jaccard_pairs(docs).select("jaccard").collect()
+    ]
+    assert jacs, "fixture has no true pairs — the check is vacuous"
+    b, r = P.MINHASH_BANDS, P.MINHASH_ROWS
+    predicted = sum(1.0 - (1.0 - j**r) ** b for j in jacs) / len(jacs)
+    row = dedup.dedup_recall_eval(docs).collect()[0]
+    measured = row["recall"]
+    # the S-curve floor: every true pair has j >= t, so expected
+    # recall >= 1 - miss_bound (slack for sampling + hash
+    # non-ideality: md5-seeded universal hashes are not the ideal
+    # independent permutations the formula assumes)
+    assert measured >= 1.0 - float(bound) - 0.10, (measured, float(bound))
+    # ...and the sharper check: measured tracks the per-pair
+    # prediction on this corpus's actual jaccard distribution
+    assert abs(measured - predicted) <= 0.10, (measured, predicted)

@@ -2168,6 +2168,62 @@ def test_knn_graph_auto_picks_bit_identical_arm(spark):
     assert len(exact) > 0 and exact != ivf  # the dial is a real choice
 
 
+def test_knn_graph_auto_target_recall_sizes_nprobe(spark):
+    """r15 (r14 verdict item 6): a recall target passed to the auto
+    key must flow through nprobe_for_recall into the IVF arm when
+    the dial fires — bit-identical to the explicitly-sized arm —
+    and be ignored by the exact arm (recall 1 by construction)."""
+    from rsbsa_etl_spark.functions import similarity
+    from rsbsa_etl_spark.sources.fixtures import load
+    from tests.conftest import SF_DIR
+
+    emb = load(spark, SF_DIR, "embeddings")
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    # the sizing contract itself (stored-curve lookups)
+    assert similarity.nprobe_for_recall(0.88, "clustered") == 16
+    # dial fired (max_vectors=0) + target → the nprobe-16 IVF arm
+    assert rows(
+        similarity.knn_graph_auto(emb, max_vectors=0, target_recall=0.88)
+    ) == rows(similarity.knn_graph_ivf(emb, nprobe=16))
+    # exact side ignores the target — identical to the plain arm
+    assert rows(
+        similarity.knn_graph_auto(
+            emb, max_vectors=1 << 40, target_recall=0.88
+        )
+    ) == rows(similarity.knn_graph(emb))
+
+
+def test_detect_geometry_separates_the_curves(spark):
+    """r15 geometry detection (the stretch half of item 6): the
+    mean-assigned-cosine statistic vs the analytic EVT null must
+    call the driver fixture's isotropic gaussian corpus 'isotropic'
+    (its mean sits BELOW sqrt(2·ln(m)/64) — probe self-assignments
+    are excluded, which at 500 vectors / 128 probes would otherwise
+    fake a clustered verdict) and a synthetically collapsed
+    5-cluster corpus 'clustered' (every non-probe vector has an
+    exact-duplicate probe: mean cosine 1.0)."""
+    from pyspark.sql import functions as SF
+
+    from rsbsa_etl_spark.functions import similarity
+    from rsbsa_etl_spark.sources.fixtures import load
+    from tests.conftest import SF_DIR
+
+    emb = load(spark, SF_DIR, "embeddings")
+    assert similarity.detect_geometry(emb) == "isotropic"
+    base = emb.where(SF.col("vec_id") < 5).select(
+        SF.col("vec_id").alias("b"), SF.col("embedding").alias("bv")
+    )
+    clustered = (
+        emb.select("vec_id", (SF.col("vec_id") % 5).alias("b"))
+        .join(base, "b")
+        .select("vec_id", SF.col("bv").alias("embedding"))
+    )
+    assert similarity.detect_geometry(clustered) == "clustered"
+
+
 def test_embedding_dedup_auto_picks_bit_identical_arm(spark):
     """r15 embedding-dedup auto-dial (the last quadratic kernel's
     wired crossover): budget overrides force each side on one corpus;
