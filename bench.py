@@ -256,6 +256,7 @@ HEADLINE = [
     "trend_theil_sen_auto",
     # round 15
     "dedup_embedding_auto",
+    "ann_geometry",
 ]
 
 #: ``--sf1-headline`` key set (round 12, r11 verdict item 7): the

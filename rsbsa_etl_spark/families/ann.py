@@ -179,6 +179,19 @@ def knn_graph_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_graph_auto(load(spark, sf_dir, "embeddings"))
 
 
+def ann_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r15: the recall-curve geometry pick as a one-row profiling
+    key — mean cosine to the nearest of 128 fixed probe centroids
+    (probe self-assignments excluded, per-row 1e-6 quantization for
+    order-independent cross-engine aggregation) compared against the
+    analytic EVT isotropic null sqrt(2·ln(m)/d), embedded as the
+    same Python literal in both plans. The verdict feeds
+    ``nprobe_for_recall``'s geometry argument; registering the
+    statistic makes the geometry DECISION oracle-value-checked, the
+    same discipline the cost auto-dials follow."""
+    return similarity.geometry_profile(load(spark, sf_dir, "embeddings"))
+
+
 def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_outliers(load(spark, sf_dir, "embeddings"))
 

@@ -458,6 +458,10 @@ def knn_graph_auto(
     if emb.count() <= budget:
         return knn_graph(emb, k)
     if target_recall is not None:
+        if geometry == "auto":
+            # one extra assignment scan, only on the IVF side and
+            # only when a recall target makes the curve choice matter
+            geometry = detect_geometry(emb)
         return knn_graph_ivf(
             emb, k, nprobe=nprobe_for_recall(target_recall, geometry)
         )
@@ -471,6 +475,82 @@ def knn_graph_auto(
 #: √n cell count would saturate the test once
 #: sqrt(2·ln(ncells)/dim) exceeds the intra-cluster cosine).
 GEOMETRY_PROBE_CENTROIDS = 128
+
+
+def geometry_profile(emb: DataFrame, n_probes: int | None = None) -> DataFrame:
+    """the ``detect_geometry`` statistic as a one-row PROFILING
+    DataFrame — registered as the ``ann_geometry`` key so the
+    geometry decision itself is oracle-value-checked (the r15
+    auto-dial discipline applied to the recall-curve pick):
+    (n_vectors, n_probes, mean_cos_assigned, evt_null, geometry).
+
+    Cross-engine float discipline: each vector's assigned cosine is
+    quantized to a 1e-6 integer BEFORE aggregation (order-independent
+    exact sum — a raw double avg would accumulate in partition order
+    and could flip the 6-dp rounding between engines); the mean is
+    two correctly-rounded IEEE divisions of exact integers, identical
+    in DuckDB. The EVT null sqrt(2·ln(m)/d) is computed once in
+    Python and embedded as the SAME literal in both plans (libm
+    last-bit differences between engines never enter the compare)."""
+    import math
+
+    e = with_norm(emb)
+    n = e.count()
+    m = (
+        min(GEOMETRY_PROBE_CENTROIDS, n)
+        if n_probes is None
+        else min(n_probes, n)
+    )
+    dim = emb.select(F.size("embedding")).first()[0]
+    null6 = (
+        math.floor(
+            math.sqrt(2.0 * math.log(max(m, 2)) / max(dim, 1)) * 1e6 + 0.5
+        )
+        / 1e6
+    )
+    cents = e.where(F.col("vec_id") < m).select(
+        F.col("vec_id").alias("cid"),
+        F.col("_vd").alias("vc"),
+        F.col("_norm").alias("nc"),
+    )
+    best = _argmin_cell(F.col("_vd"), F.col("cs"))
+    # probe vectors are excluded from the averaged set: they assign
+    # to THEMSELVES at cosine 1.0, which at small corpora (probes a
+    # visible fraction of n) inflates the mean past the null and
+    # fakes a "clustered" verdict
+    cos_q = F.floor(
+        safe_div(
+            dot(F.col("_vd"), F.col("vc")), F.col("_norm") * F.col("nc")
+        )
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+    assigned = (
+        e.where(F.col("vec_id") >= m)
+        .join(F.broadcast(_collected_centroids(cents.select("cid", "vc"))))
+        .select("_vd", "_norm", best["cid"].alias("cid"))
+        .join(F.broadcast(cents), "cid")
+        .select(cos_q.alias("cq"))
+    )
+    mean_cos = dec_round(
+        (
+            F.sum("cq").cast("double")
+            / F.count("*").cast("double")
+        )
+        / F.lit(1e6),
+        6,
+    )
+    return assigned.agg(mean_cos.alias("mean_cos_assigned")).select(
+        F.lit(n).cast("long").alias("n_vectors"),
+        F.lit(m).cast("int").alias("n_probes"),
+        "mean_cos_assigned",
+        F.lit(null6).alias("evt_null"),
+        F.when(
+            F.col("mean_cos_assigned") >= F.lit(null6), F.lit("clustered")
+        )
+        .otherwise(F.lit("isotropic"))
+        .alias("geometry"),
+    )
 
 
 def detect_geometry(emb: DataFrame, n_probes: int | None = None) -> str:
@@ -498,41 +578,13 @@ def detect_geometry(emb: DataFrame, n_probes: int | None = None) -> str:
     near-uniform on clustered data (measured 1.40 vs 1.01 — no
     separation). That equalization is exactly why IVF recall is
     better there; the signal lives in the assigned DISTANCES, not
-    the cell sizes."""
-    import math
+    the cell sizes.
 
-    e = with_norm(emb)
-    n = e.count()
-    m = (
-        min(GEOMETRY_PROBE_CENTROIDS, n)
-        if n_probes is None
-        else min(n_probes, n)
-    )
-    cents = e.where(F.col("vec_id") < m).select(
-        F.col("vec_id").alias("cid"),
-        F.col("_vd").alias("vc"),
-        F.col("_norm").alias("nc"),
-    )
-    best = _argmin_cell(F.col("_vd"), F.col("cs"))
-    # probe vectors are excluded from the averaged set: they assign
-    # to THEMSELVES at cosine 1.0, which at small corpora (probes a
-    # visible fraction of n) inflates the mean past the null and
-    # fakes a "clustered" verdict
-    assigned = (
-        e.where(F.col("vec_id") >= m)
-        .join(F.broadcast(_collected_centroids(cents.select("cid", "vc"))))
-        .select("_vd", "_norm", best["cid"].alias("cid"))
-        .join(F.broadcast(cents), "cid")
-        .select(
-            safe_div(
-                dot(F.col("_vd"), F.col("vc")), F.col("_norm") * F.col("nc")
-            ).alias("cos_assigned")
-        )
-    )
-    mean_cos = assigned.agg(F.avg("cos_assigned")).collect()[0][0] or 0.0
-    dim = emb.select(F.size("embedding")).first()[0]
-    null_max = math.sqrt(2.0 * math.log(max(m, 2)) / max(dim, 1))
-    return "clustered" if mean_cos >= null_max else "isotropic"
+    One implementation: this is ``geometry_profile``'s verdict
+    column collected (the profile DataFrame is the registered,
+    oracle-checked ``ann_geometry`` key).
+    """
+    return geometry_profile(emb, n_probes).collect()[0]["geometry"]
 
 
 #: the round-9 measured graph-recall@10 curves for ``knn_graph_ivf``

@@ -1041,6 +1041,55 @@ WHERE (SELECT count(*) FROM embeddings)
       > {P.KNN_GRAPH_AUTO_MAX_VECTORS}
 """
 
+# r15 geometry profile: the recall-curve pick as an oracle-checked
+# one-row statistic. The EVT null sqrt(2·ln(128)/64) is computed once
+# HERE in Python and embedded as the same literal the engine embeds —
+# libm last-bit differences between engines never enter the compare;
+# per-row cosines quantize to 1e-6 BIGINTs before the exact sum
+# (order-independent), and the mean is the identical two-division
+# sequence in both engines.
+_GEO_PROBES = 128
+_GEO_NULL = __import__("math").floor(
+    __import__("math").sqrt(
+        2.0 * __import__("math").log(_GEO_PROBES) / 64.0
+    ) * 1e6 + 0.5
+) / 1e6
+_GEO_D2 = (
+    "list_sum(list_transform(range(1, 65),"
+    " i -> (a.v[i] - c.vc[i]) * (a.v[i] - c.vc[i])))"
+)
+_GEO_DOT = "list_sum(list_transform(range(1, 65), i -> a.v[i] * c.vc[i]))"
+ORACLES["ann_geometry"] = f"""
+WITH {_EMB_CTE.strip()},
+cents AS (SELECT vec_id AS cid, v AS vc, nrm AS nc FROM n
+          WHERE vec_id < {_GEO_PROBES}),
+d AS (
+  SELECT a.vec_id AS vid, c.cid, {_GEO_D2} AS d2,
+         CAST(floor({_GEO_DOT} / (a.nrm * c.nc) * 1000000.0 + 0.5)
+              AS BIGINT) AS cq
+  FROM n a, cents c
+  WHERE a.vec_id >= {_GEO_PROBES}
+),
+assigned AS (
+  SELECT cq FROM (
+    SELECT cq, row_number() OVER (PARTITION BY vid
+                                  ORDER BY d2 ASC, cid ASC) AS rn
+    FROM d) WHERE rn = 1
+),
+agg AS (
+  SELECT floor((CAST(sum(cq) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+               / 1000000.0 * 1000000.0 + 0.5) / 1000000.0 AS mean_cos
+  FROM assigned
+)
+SELECT CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS n_vectors,
+       CAST({_GEO_PROBES} AS INT) AS n_probes,
+       mean_cos AS mean_cos_assigned,
+       CAST({_GEO_NULL!r} AS DOUBLE) AS evt_null,
+       CASE WHEN mean_cos >= {_GEO_NULL!r} THEN 'clustered'
+            ELSE 'isotropic' END AS geometry
+FROM agg
+"""
+
 # hard negatives over the IVF graph: the knn_graph_ivf coarse
 # quantization verbatim, with the different-label mask added to the
 # scored CTE (the graph_triangles_ivf composition pattern — the dial

@@ -130,6 +130,7 @@ QUERIES: dict[str, QueryFn] = {
     "knn_graph": knn_graph,
     "knn_graph_ivf": knn_graph_ivf,
     "knn_graph_auto": knn_graph_auto,
+    "ann_geometry": ann_geometry,
     "embedding_outliers": embedding_outliers,
     "dedup_embedding": dedup_embedding,
     "dedup_embedding_auto": dedup_embedding_auto,

@@ -80,6 +80,7 @@ SAMPLE_KEYS = [
     "sample_stratified_rates",
     # round-15 additions
     "dedup_embedding_auto",      # last quadratic kernel's wired dial
+    "ann_geometry",              # geometry verdict on foreign data
 ]
 
 

@@ -2194,6 +2194,14 @@ def test_knn_graph_auto_target_recall_sizes_nprobe(spark):
             emb, max_vectors=1 << 40, target_recall=0.88
         )
     ) == rows(similarity.knn_graph(emb))
+    # geometry="auto" detects the fixture as isotropic and sizes
+    # from THAT curve (0.6 → nprobe 32 isotropic vs 4 clustered)
+    assert similarity.nprobe_for_recall(0.6, "isotropic") == 32
+    assert rows(
+        similarity.knn_graph_auto(
+            emb, max_vectors=0, target_recall=0.6, geometry="auto"
+        )
+    ) == rows(similarity.knn_graph_ivf(emb, nprobe=32))
 
 
 def test_detect_geometry_separates_the_curves(spark):
