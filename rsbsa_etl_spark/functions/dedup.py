@@ -985,17 +985,23 @@ def pagerank(
     q = F.lit(10.0 ** 12)
     nodes = docs.select(F.col(id_col).alias("node"))
     nn = nodes.agg(F.count("*").alias("n"))
-    # persist the symmetrized edge table: every power iteration joins
-    # against it, and without the cache each round re-runs the whole
-    # candidate-pair pipeline (shingle → signature → band self-join)
-    edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .unionByName(
-            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-        )
-        .persist()
+    # persist the symmetrized edge table WITH each source's degree
+    # attached (r15): every power iteration needs (src, dst, deg),
+    # and the old form re-aggregated deg from the cached edges and
+    # re-joined it EVERY round — 3 extra shuffles + 3 joins across
+    # the loop (guide §2.4: two operations keyed the same way should
+    # share one exchange — here the deg agg and its join collapse
+    # into the one-time cache build). Without the cache each round
+    # would re-run the whole candidate-pair pipeline
+    # (shingle → signature → band self-join).
+    sym = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
-    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    edges = sym.join(
+        sym.groupBy("src").agg(F.count("*").alias("deg")), "src"
+    ).persist()
 
     def quant(col: F.Column) -> F.Column:
         return F.floor(col * q + 0.5) / q
@@ -1007,7 +1013,6 @@ def pagerank(
         r = r.localCheckpoint(eager=True)
         contrib = (
             edges.join(r.withColumnRenamed("node", "src"), "src")
-            .join(deg, "src")
             .select(
                 "dst",
                 F.floor(F.col("r") / F.col("deg") * q + 0.5)

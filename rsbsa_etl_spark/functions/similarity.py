@@ -495,13 +495,19 @@ def geometry_profile(emb: DataFrame, n_probes: int | None = None) -> DataFrame:
     import math
 
     e = with_norm(emb)
-    n = e.count()
+    # one scan for BOTH sizing statistics (n, dim) — these were two
+    # separate driver actions (a count and a first()), i.e. two full
+    # job launches before the profile plan even built (guide §1/§5:
+    # driver-side actions are per-key constant cost)
+    n, dim = emb.agg(
+        F.count("*"), F.first(F.size("embedding"), ignorenulls=True)
+    ).first()
+    n = int(n)
     m = (
         min(GEOMETRY_PROBE_CENTROIDS, n)
         if n_probes is None
         else min(n_probes, n)
     )
-    dim = emb.select(F.size("embedding")).first()[0]
     null6 = (
         math.floor(
             math.sqrt(2.0 * math.log(max(m, 2)) / max(dim, 1)) * 1e6 + 0.5
@@ -513,7 +519,6 @@ def geometry_profile(emb: DataFrame, n_probes: int | None = None) -> DataFrame:
         F.col("_vd").alias("vc"),
         F.col("_norm").alias("nc"),
     )
-    best = _argmin_cell(F.col("_vd"), F.col("cs"))
     # probe vectors are excluded from the averaged set: they assign
     # to THEMSELVES at cosine 1.0, which at small corpora (probes a
     # visible fraction of n) inflates the mean past the null and
@@ -525,12 +530,18 @@ def geometry_profile(emb: DataFrame, n_probes: int | None = None) -> DataFrame:
         * F.lit(1e6)
         + F.lit(0.5)
     ).cast("long")
-    assigned = (
-        e.where(F.col("vec_id") >= m)
-        .join(F.broadcast(_collected_centroids(cents.select("cid", "vc"))))
-        .select("_vd", "_norm", best["cid"].alias("cid"))
-        .join(F.broadcast(cents), "cid")
-        .select(cos_q.alias("cq"))
+    nonprobe = e.where(F.col("vec_id") >= m)
+    if _use_arrow_assign():
+        picked = _assign_cells_arrow(
+            nonprobe.select("_vd", "_norm"), cents.select("cid", "vc"), "_vd"
+        )
+    else:
+        best = _argmin_cell(F.col("_vd"), F.col("cs"))
+        picked = nonprobe.join(
+            F.broadcast(_collected_centroids(cents.select("cid", "vc")))
+        ).select("_vd", "_norm", best["cid"].alias("cid"))
+    assigned = picked.join(F.broadcast(cents), "cid").select(
+        cos_q.alias("cq")
     )
     mean_cos = dec_round(
         (
@@ -721,30 +732,43 @@ def knn_graph_ivf(
     cents = e.where(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("cid"), F.col("_vd").alias("vc")
     )
-    carr = F.broadcast(_collected_centroids(cents))
 
-    # ONE broadcast-fold pass: top-nprobe cell ids per vector as a
-    # pure expression (pos==0 is the argmin member cell — same
-    # (d2, cid) order as _argmin_cell), posexploded to n·nprobe rows.
-    # Members and probers ride the same rows via the is_member flag:
-    # zero pre-shuffle, one scan, no union.
+    # ONE pass scores the top-nprobe cell ids per vector (pos==0 is
+    # the argmin member cell — same (d2, cid) order as
+    # _argmin_cell): the Arrow kernel emits the probe array (r15,
+    # default) or the _top_cells expression fold does (fallback
+    # dial); either way it is posexploded to n·nprobe rows. Members
+    # and probers ride the same rows via the is_member flag: zero
+    # pre-shuffle, one scan, no union.
     lab_cols = ["label"] if diff_label else []
-    probe_cids = _top_cells(F.col("_vd"), F.col("cs"), nprobe)
-    exploded = (
-        e.join(carr)
-        .select(
+    if _use_arrow_assign():
+        probed = _assign_cells_arrow(
+            emb.select("vec_id", "embedding", *lab_cols),
+            cents,
+            "embedding",
+            out_col="probes",
+            nprobe=nprobe,
+        ).select(
+            "vec_id",
+            "embedding",
+            *lab_cols,
+            F.posexplode("probes").alias("pos", "cid"),
+        )
+    else:
+        carr = F.broadcast(_collected_centroids(cents))
+        probe_cids = _top_cells(F.col("_vd"), F.col("cs"), nprobe)
+        probed = e.join(carr).select(
             "vec_id",
             "embedding",
             *lab_cols,
             F.posexplode(probe_cids).alias("pos", "cid"),
         )
-        .select(
-            "vec_id",
-            "embedding",
-            *lab_cols,
-            "cid",
-            (F.col("pos") == 0).alias("is_member"),
-        )
+    exploded = probed.select(
+        "vec_id",
+        "embedding",
+        *lab_cols,
+        "cid",
+        (F.col("pos") == 0).alias("is_member"),
     )
 
     stack, mm = _make_cosine_parts()
@@ -1112,14 +1136,20 @@ def ivf_topk(
         F.col("_vd").alias("vn"),
         F.col("_norm").alias("nn"),
     )
-    # corpus-side assignment is the scale-critical step: the argmin
-    # expression fold attaches cid in the same narrow pass — no
-    # window shuffle, no corpus-sized re-join (the probe side below
-    # keeps the window form; the query set is tiny)
-    best = _argmin_cell(F.col("vn"), F.col("cs"))
-    corpus_cells = corpus.join(
-        F.broadcast(_collected_centroids(cents.select("cid", "vc")))
-    ).select("neighbor_id", "vn", "nn", best["cid"].alias("cid"))
+    # corpus-side assignment is the scale-critical step: the Arrow
+    # kernel (default) or the argmin expression fold (fallback dial)
+    # attaches cid in the same narrow pass — no window shuffle, no
+    # corpus-sized re-join (the probe side below keeps the window
+    # form; the query set is tiny)
+    if _use_arrow_assign():
+        corpus_cells = _assign_cells_arrow(
+            corpus, cents.select("cid", "vc"), "vn"
+        )
+    else:
+        best = _argmin_cell(F.col("vn"), F.col("cs"))
+        corpus_cells = corpus.join(
+            F.broadcast(_collected_centroids(cents.select("cid", "vc")))
+        ).select("neighbor_id", "vn", "nn", best["cid"].alias("cid"))
 
     queries = e.where(F.col("vec_id").isin(list(query_ids))).select(
         F.col("vec_id").alias("query_id"),
@@ -1319,6 +1349,254 @@ def _collected_centroids(cents: DataFrame) -> DataFrame:
     return cents.agg(F.collect_list(F.struct("cid", "vc")).alias("cs"))
 
 
+def _use_arrow_assign() -> bool:
+    """dial for the Arrow assignment kernel (the r15 A/B instrument,
+    kept as a paranoid fallback): ``SPARK_GRAFT_ASSIGN_ARROW=0``
+    restores the in-plan HOF fold. Default ON — the kernel is the
+    measured-faster arm at every SF (OPTIMIZATION_r15.md) and the
+    decision arithmetic is bit-identical by construction."""
+    import os
+
+    return os.environ.get("SPARK_GRAFT_ASSIGN_ARROW", "1") != "0"
+
+
+def _assign_cells_arrow(
+    src: DataFrame,
+    cents: DataFrame,
+    vec_col: str,
+    out_col: str = "cid",
+    nprobe: int | None = None,
+) -> DataFrame:
+    """corpus-side Voronoi assignment as a ``mapInArrow`` NumPy
+    kernel — the vectorized twin of ``_argmin_cell``/``_top_cells``
+    (optimization guide §4.2: hand whole batches to native code
+    instead of evaluating a nested higher-order-function tree, which
+    runs OUTSIDE whole-stage codegen, per interpreted expression node,
+    per row × per centroid × per dimension). Measured r15 at sf0.1:
+    2–20× per assignment stage (OPTIMIZATION_r15.md), growing with
+    the centroid count; the plan stays a narrow map — zero shuffle,
+    exactly like the fold it replaces.
+
+    BIT-IDENTICAL decision arithmetic by construction:
+
+    - d2 accumulates per dimension in ascending index order
+      (``acc = acc + (x_i − c_i)²`` from a 0.0 start — NumPy in-place
+      add over the row axis) — the exact left-to-right IEEE double
+      sequence of the ``zip_with``/``aggregate`` fold and of the
+      DuckDB oracle's ``list_sum``;
+    - only INTEGER ids leave the kernel (the argmin / top-``nprobe``
+      cell ids); no kernel-computed float crosses the boundary, so
+      there is no transport-precision question (Arrow passthrough of
+      kept float columns is bit-exact regardless);
+    - ties and NaN replicate Spark's struct order: centroids are
+      scanned in cid-ascending order with first-win comparisons
+      (``np.argmin`` / stable ``np.argsort`` = the (d2, cid)
+      lexicographic order of ``array_min``/``array_sort``), and NaN
+      d2 is substituted with +inf before ranking (Spark orders NaN
+      above every double; an all-NaN row degrades to the lowest cid
+      under both forms).
+
+    ``cents`` is the (cid, vc) table, collected here — index-sized
+    (≤ thousands of rows), the same relation the broadcast build
+    already materialized on the driver, so the collect changes WHERE
+    the table lands (a closure instead of a broadcast), not how much
+    data moves. ``src`` must already be projected to exactly the
+    columns the caller wants out (plus ``vec_col``) — §4.1 column
+    discipline: everything passed crosses the boundary. The output
+    appends ``out_col`` (long cid, or array<long> of the
+    top-``nprobe`` cells when ``nprobe`` is set).
+
+    Rows whose vector is NULL or whose length differs from the
+    centroid dim emit a NULL assignment. (The fixtures and both
+    generators are uniform-dim with non-null vectors; the in-plan
+    fold's NULL-padded zip_with semantics cannot arise on them —
+    this branch exists so malformed rows degrade to a droppable NULL
+    instead of crashing the kernel.)
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    rows = sorted(
+        ((int(r[0]), [float(x) for x in r[1]]) for r in cents.collect()),
+        key=lambda t: t[0],
+    )
+    cid_arr = np.asarray([t[0] for t in rows], dtype=np.int64)
+    cmat = np.asarray([t[1] for t in rows], dtype=np.float64)
+    n_cents = len(rows)
+    d_cent = int(cmat.shape[1]) if n_cents else 0
+    probe_n = None if nprobe is None else max(0, min(int(nprobe), n_cents))
+
+    out_field = (
+        T.StructField(out_col, T.ArrayType(T.LongType()), True)
+        if nprobe is not None
+        else T.StructField(out_col, T.LongType(), True)
+    )
+    out_schema = T.StructType(list(src.schema.fields) + [out_field])
+
+    def _core(X: "np.ndarray") -> "np.ndarray":
+        # one n×m distance accumulator, filled dimension by dimension
+        # in index order — each (row, centroid) cell sees the exact
+        # fold sequence 0.0 + t0² + t1² + …
+        acc = np.zeros((X.shape[0], n_cents), dtype=np.float64)
+        for i in range(d_cent):
+            t = X[:, i : i + 1] - cmat[:, i]
+            acc += t * t
+        np.copyto(acc, np.inf, where=np.isnan(acc))
+        if probe_n is None:
+            return cid_arr[np.argmin(acc, axis=1)]
+        order = np.argsort(acc, axis=1, kind="stable")[:, :probe_n]
+        return cid_arr[order]
+
+    def assign(batches):
+        for b in batches:
+            n = b.num_rows
+            cols = list(b.columns)
+            names = list(b.schema.names) + [out_col]
+            col = b.column(b.schema.get_field_index(vec_col))
+            lens = np.asarray(col.value_lengths().fill_null(0))
+            valid = np.asarray(col.is_valid())
+            ok = valid & (lens == d_cent) if n else valid
+            flat = np.asarray(col.flatten(), dtype=np.float64)
+            if n and n_cents and ok.all():
+                picked = _core(flat.reshape(n, d_cent))
+                if probe_n is None:
+                    out = pa.array(picked, type=pa.int64())
+                else:
+                    offs = np.arange(0, (n + 1) * probe_n, probe_n)
+                    out = pa.ListArray.from_arrays(
+                        pa.array(offs, type=pa.int32()),
+                        pa.array(picked.ravel(), type=pa.int64()),
+                    )
+            else:
+                # degenerate rows (NULL / ragged vectors): per-row
+                # python build, NULL assignment where not ok
+                starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+                idx = np.nonzero(ok)[0]
+                if len(idx) and n_cents:
+                    X = np.empty((len(idx), d_cent), dtype=np.float64)
+                    for j, i in enumerate(idx):
+                        X[j] = flat[starts[i] : starts[i] + d_cent]
+                    picked = _core(X)
+                vals: list = [None] * n
+                for j, i in enumerate(idx):
+                    if not n_cents:
+                        break
+                    vals[i] = (
+                        int(picked[j])
+                        if probe_n is None
+                        else [int(c) for c in picked[j]]
+                    )
+                out = pa.array(
+                    vals,
+                    type=(
+                        pa.int64()
+                        if probe_n is None
+                        else pa.list_(pa.int64())
+                    ),
+                )
+            yield pa.RecordBatch.from_arrays(cols + [out], names=names)
+
+    return src.mapInArrow(assign, out_schema)
+
+
+def _assign_codes_arrow(
+    subs: DataFrame,
+    seeds: DataFrame,
+    vec_col: str = "sv",
+    sub_col: str = "sub_id",
+    out_col: str = "cid",
+    with_d2: bool = False,
+) -> DataFrame:
+    """per-SUBSPACE codeword assignment as a ``mapInArrow`` NumPy
+    kernel — ``_assign_cells_arrow``'s product-quantization sibling:
+    each input row (…, ``sub_col``, ``vec_col``) ranks against the
+    codebook of ITS OWN subspace. Same bit-identity contract
+    (dimension-ordered d2 accumulation, first-win argmin = (d2, cid)
+    order, NaN→+inf); ``with_d2=True`` additionally emits the
+    winning d2 — a float, but Arrow float64 transport is bit-exact,
+    and the consumer (``embedding_pq``'s recon_err) quantizes it
+    through the same ``fixed_sum`` it always did.
+
+    ``seeds``: (c_sub, cid, cv) rows, collected here (m × codewords
+    rows — codebook-sized, the same relation the broadcast
+    join shipped)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    books: dict[int, tuple] = {}
+    grouped: dict[int, list] = {}
+    for r in seeds.collect():
+        grouped.setdefault(int(r[0]), []).append(
+            (int(r[1]), [float(x) for x in r[2]])
+        )
+    for s, rows in grouped.items():
+        rows.sort(key=lambda t: t[0])
+        books[s] = (
+            np.asarray([t[0] for t in rows], dtype=np.int64),
+            np.asarray([t[1] for t in rows], dtype=np.float64),
+        )
+
+    fields = list(subs.schema.fields) + [
+        T.StructField(out_col, T.LongType(), True)
+    ]
+    if with_d2:
+        fields.append(T.StructField("_d2", T.DoubleType(), True))
+    out_schema = T.StructType(fields)
+
+    def assign(batches):
+        for b in batches:
+            n = b.num_rows
+            names = list(b.schema.names) + [out_col] + (
+                ["_d2"] if with_d2 else []
+            )
+            vcol = b.column(b.schema.get_field_index(vec_col))
+            scol = b.column(b.schema.get_field_index(sub_col))
+            sub_ids = np.asarray(scol.fill_null(-1)).astype(np.int64)
+            lens = np.asarray(vcol.value_lengths().fill_null(0))
+            valid = np.asarray(vcol.is_valid())
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            flat = np.asarray(vcol.flatten(), dtype=np.float64)
+            out_ids = np.zeros(n, dtype=np.int64)
+            out_d2 = np.zeros(n, dtype=np.float64)
+            got = np.zeros(n, dtype=bool)
+            for s, (ids, cmat) in books.items():
+                d = cmat.shape[1]
+                mask = valid & (sub_ids == s) & (lens == d)
+                idx = np.nonzero(mask)[0]
+                if not len(idx):
+                    continue
+                if mask.all():
+                    X = flat.reshape(n, d)
+                else:
+                    X = np.empty((len(idx), d), dtype=np.float64)
+                    for j, i in enumerate(idx):
+                        X[j] = flat[starts[i] : starts[i] + d]
+                acc = np.zeros((X.shape[0], cmat.shape[0]))
+                for i in range(d):
+                    t = X[:, i : i + 1] - cmat[:, i]
+                    acc += t * t
+                # rank on a NaN→inf copy (Spark's NaN-ranks-last),
+                # but emit the RAW winning d2 — the in-plan fold's
+                # exact value, NaN included
+                ranked = np.where(np.isnan(acc), np.inf, acc)
+                best = np.argmin(ranked, axis=1)
+                out_ids[idx] = ids[best]
+                out_d2[idx] = acc[np.arange(len(idx)), best]
+                got[idx] = True
+            arrs = list(b.columns) + [
+                pa.array(out_ids, type=pa.int64(), mask=~got)
+            ]
+            if with_d2:
+                arrs.append(pa.array(out_d2, type=pa.float64(), mask=~got))
+            yield pa.RecordBatch.from_arrays(arrs, names=names)
+
+    return subs.mapInArrow(assign, out_schema)
+
+
 def lsh_multiprobe_topk(
     emb: DataFrame,
     query_ids: Sequence[int] = ANN_QUERY_IDS,
@@ -1407,15 +1685,21 @@ def ivf_assignments(
     of Lloyd's algorithm, shared by ``ivf_topk`` (which inlines the
     same construction for its own probe side) and ``ivf_train``.
 
-    Returns the input rows plus their ``cid``. Centroids broadcast
-    as one collected array row; the argmin is a per-row expression
-    fold (``_argmin_cell``), so the corpus is read once with no
-    shuffle before the caller's next agg.
+    Returns the input rows plus their ``cid``. Centroids are
+    index-sized; the argmin runs as the vectorized Arrow kernel
+    (``_assign_cells_arrow`` — bit-identical decision arithmetic,
+    r15) or, under ``SPARK_GRAFT_ASSIGN_ARROW=0``, as the broadcast
+    per-row expression fold (``_argmin_cell``). Either way the
+    corpus is read once with no shuffle before the caller's next agg.
     """
     e = with_norm(emb)
     cents = e.where(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("cid"), F.col("_vd").alias("vc")
     )
+    if _use_arrow_assign():
+        return _assign_cells_arrow(
+            emb.select("vec_id", "embedding"), cents, "embedding"
+        )
     best = _argmin_cell(F.col("_vd"), F.col("cs"))
     return (
         e.join(F.broadcast(_collected_centroids(cents)))
@@ -1426,10 +1710,14 @@ def ivf_assignments(
 def assign_to_centroids(emb: DataFrame, cvec: DataFrame) -> DataFrame:
     """Voronoi assignment against an arbitrary centroid table
     (cid, vc: array<double>) — the E-step against *trained*
-    centroids, vs ``ivf_assignments``'s iteration-0 seed. Same plan:
-    collected broadcast centroids, per-row argmin expression fold,
-    no shuffle.
+    centroids, vs ``ivf_assignments``'s iteration-0 seed. Same plan
+    as there: Arrow kernel by default, broadcast expression fold
+    under the fallback dial, no shuffle either way.
     """
+    if _use_arrow_assign():
+        return _assign_cells_arrow(
+            emb.select("vec_id", "embedding"), cvec, "embedding"
+        )
     e = with_norm(emb)
     best = _argmin_cell(F.col("_vd"), F.col("cs"))
     return (
@@ -1524,22 +1812,30 @@ def pq_codes(
         F.col("sub_id").alias("c_sub"), F.col("vec_id").alias("cid"),
         F.col("sv").alias("cv"),
     )
-    # per-subspace codebooks collapse to m array rows (one per
-    # sub_id), broadcast-hash-joined; the codeword argmin is the same
-    # shuffle-free expression fold as cell assignment — the former
-    # (vec_id, sub_id) window shuffled corpus×m×k rows
-    seeds_arr = seeds.groupBy("c_sub").agg(
-        F.collect_list(F.struct("cid", F.col("cv").alias("vc"))).alias("cs")
-    )
-    bestc = _argmin_cell(F.col("sv"), F.col("cs"))
-    best = subs.join(
-        F.broadcast(seeds_arr), F.col("sub_id") == F.col("c_sub")
-    ).select(
-        "vec_id",
-        "sub_id",
-        bestc["cid"].alias("cid"),
-        bestc["d2"].alias("d2"),
-    )
+    # per-subspace codeword argmin, shuffle-free either way: the
+    # Arrow kernel (default — codebooks ride the closure) or the
+    # expression fold against broadcast per-sub codebook arrays
+    # (fallback dial); the former (vec_id, sub_id) window shuffled
+    # corpus×m×k rows
+    if _use_arrow_assign():
+        best = _assign_codes_arrow(
+            subs, seeds, with_d2=True
+        ).select("vec_id", "sub_id", "cid", F.col("_d2").alias("d2"))
+    else:
+        seeds_arr = seeds.groupBy("c_sub").agg(
+            F.collect_list(
+                F.struct("cid", F.col("cv").alias("vc"))
+            ).alias("cs")
+        )
+        bestc = _argmin_cell(F.col("sv"), F.col("cs"))
+        best = subs.join(
+            F.broadcast(seeds_arr), F.col("sub_id") == F.col("c_sub")
+        ).select(
+            "vec_id",
+            "sub_id",
+            bestc["cid"].alias("cid"),
+            bestc["d2"].alias("d2"),
+        )
     code_cols = [
         F.max(F.when(F.col("sub_id") == j, F.col("cid"))).alias(f"code{j}")
         for j in range(m)
@@ -1611,12 +1907,18 @@ def ivfpq_topk(
         )
 
     corpus = e.select(F.col("vec_id").alias("neighbor_id"), "v")
-    # corpus cell assignment: shuffle-free argmin fold (the window
-    # form stays only for the tiny nprobe query side below)
-    bestcell = _argmin_cell(F.col("v"), F.col("cs"))
-    cells = corpus.join(
-        F.broadcast(_collected_centroids(cents))
-    ).select("neighbor_id", bestcell["cid"].alias("cid"))
+    # corpus cell assignment: shuffle-free — Arrow kernel (default)
+    # or argmin fold (fallback dial); the window form stays only for
+    # the tiny nprobe query side below
+    if _use_arrow_assign():
+        cells = _assign_cells_arrow(corpus, cents, "v").select(
+            "neighbor_id", "cid"
+        )
+    else:
+        bestcell = _argmin_cell(F.col("v"), F.col("cs"))
+        cells = corpus.join(
+            F.broadcast(_collected_centroids(cents))
+        ).select("neighbor_id", bestcell["cid"].alias("cid"))
 
     slices = F.array(*[F.slice("v", j * sub + 1, sub) for j in range(m)])
     subs = e.select("vec_id", F.posexplode(slices).alias("sub_id", "sv"))
@@ -1624,22 +1926,31 @@ def ivfpq_topk(
         F.col("sub_id").alias("c_sub"), F.col("vec_id").alias("code"),
         F.col("sv").alias("cv"),
     )
-    # codeword assignment: same shuffle-free fold, per-sub codebook
-    # arrays broadcast (the former (vec_id, sub_id) window shuffled
-    # corpus×m×k rows)
-    seeds_arr = seeds.groupBy("c_sub").agg(
-        F.collect_list(
-            F.struct(F.col("code").alias("cid"), F.col("cv").alias("vc"))
-        ).alias("cs")
-    )
-    bestcode = _argmin_cell(F.col("sv"), F.col("cs"))
-    codes = subs.join(
-        F.broadcast(seeds_arr), F.col("sub_id") == F.col("c_sub")
-    ).select(
-        F.col("vec_id").alias("neighbor_id"),
-        "sub_id",
-        bestcode["cid"].alias("code"),
-    )
+    # codeword assignment: same shuffle-free treatment — Arrow
+    # kernel (default, per-sub codebooks in the closure) or the
+    # expression fold over broadcast per-sub codebook arrays
+    # (fallback dial); the former (vec_id, sub_id) window shuffled
+    # corpus×m×k rows
+    if _use_arrow_assign():
+        codes = _assign_codes_arrow(subs, seeds).select(
+            F.col("vec_id").alias("neighbor_id"),
+            "sub_id",
+            F.col("cid").alias("code"),
+        )
+    else:
+        seeds_arr = seeds.groupBy("c_sub").agg(
+            F.collect_list(
+                F.struct(F.col("code").alias("cid"), F.col("cv").alias("vc"))
+            ).alias("cs")
+        )
+        bestcode = _argmin_cell(F.col("sv"), F.col("cs"))
+        codes = subs.join(
+            F.broadcast(seeds_arr), F.col("sub_id") == F.col("c_sub")
+        ).select(
+            F.col("vec_id").alias("neighbor_id"),
+            "sub_id",
+            bestcode["cid"].alias("code"),
+        )
 
     queries = e.where(F.col("vec_id").isin(list(query_ids))).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("vq")
@@ -1725,14 +2036,23 @@ def semantic_dedup(
         F.col("_vd").alias("vc"),
         F.col("_norm").alias("nc"),
     )
-    # cell assignment: shuffle-free argmin fold over the collected
-    # broadcast centroid array (see _argmin_cell); the chosen cell's
-    # centroid vector comes back via a broadcast hash join on cid
-    best = _argmin_cell(F.col("_vd"), F.col("cs"))
+    # cell assignment: shuffle-free — the Arrow kernel (default) or
+    # the argmin fold over collected broadcast centroids (fallback
+    # dial, see _argmin_cell); the chosen cell's centroid vector
+    # comes back via a broadcast hash join on cid either way
+    if _use_arrow_assign():
+        picked = _assign_cells_arrow(
+            e.select("vec_id", "_vd", "_norm"),
+            cents.select("cid", "vc"),
+            "_vd",
+        )
+    else:
+        best = _argmin_cell(F.col("_vd"), F.col("cs"))
+        picked = e.join(
+            F.broadcast(_collected_centroids(cents.select("cid", "vc")))
+        ).select("vec_id", "_vd", "_norm", best["cid"].alias("cid"))
     assigned = (
-        e.join(F.broadcast(_collected_centroids(cents.select("cid", "vc"))))
-        .select("vec_id", "_vd", "_norm", best["cid"].alias("cid"))
-        .join(F.broadcast(cents), "cid")
+        picked.join(F.broadcast(cents), "cid")
         .select(
             "vec_id",
             "_vd",

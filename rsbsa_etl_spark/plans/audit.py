@@ -29,8 +29,8 @@ COUNTER_PATTERNS: dict[str, tuple[str, str]] = {
     "windows": ("windows", "Window "),
     "arrow": (
         "python (Arrow) stages",
-        "MapInPandas|FlatMapGroupsInPandas|FlatMapCoGroupsInPandas"
-        "|ArrowEvalPython",
+        "MapInPandas|MapInArrow|FlatMapGroupsInPandas"
+        "|FlatMapCoGroupsInPandas|ArrowEvalPython",
     ),
     "rowpy": ("row-at-a-time python UDFs", "BatchEvalPython"),
 }

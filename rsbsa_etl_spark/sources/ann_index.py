@@ -42,7 +42,9 @@ from rsbsa_etl_spark.functions.similarity import (
     IVF_CENTROIDS,
     IVF_NPROBE,
     _argmin_cell,
+    _assign_cells_arrow,
     _collected_centroids,
+    _use_arrow_assign,
     dot,
     safe_div,
     with_norm,
@@ -66,13 +68,20 @@ def build_ivf_index(
     cents = e.where(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("cid"), F.col("_vd").alias("vc")
     )
-    best = _argmin_cell(F.col("_vd"), F.col("cs"))
-    members = e.join(F.broadcast(_collected_centroids(cents))).select(
-        "vec_id",
-        "embedding",
-        F.col("_norm").alias("nrm"),
-        best["cid"].alias("cid"),
-    )
+    if _use_arrow_assign():
+        members = _assign_cells_arrow(
+            e.select("vec_id", "embedding", F.col("_norm").alias("nrm")),
+            cents,
+            "embedding",
+        )
+    else:
+        best = _argmin_cell(F.col("_vd"), F.col("cs"))
+        members = e.join(F.broadcast(_collected_centroids(cents))).select(
+            "vec_id",
+            "embedding",
+            F.col("_norm").alias("nrm"),
+            best["cid"].alias("cid"),
+        )
     members.write.mode("overwrite").partitionBy("cid").parquet(
         os.path.join(path, "members")
     )
@@ -102,13 +111,20 @@ def append_to_ivf_index(new_emb: DataFrame, path: str) -> None:
         ),
     )
     e = with_norm(new_emb)
-    best = _argmin_cell(F.col("_vd"), F.col("cs"))
-    members = e.join(F.broadcast(_collected_centroids(cents))).select(
-        "vec_id",
-        "embedding",
-        F.col("_norm").alias("nrm"),
-        best["cid"].alias("cid"),
-    )
+    if _use_arrow_assign():
+        members = _assign_cells_arrow(
+            e.select("vec_id", "embedding", F.col("_norm").alias("nrm")),
+            cents,
+            "embedding",
+        )
+    else:
+        best = _argmin_cell(F.col("_vd"), F.col("cs"))
+        members = e.join(F.broadcast(_collected_centroids(cents))).select(
+            "vec_id",
+            "embedding",
+            F.col("_norm").alias("nrm"),
+            best["cid"].alias("cid"),
+        )
     members.write.mode("append").partitionBy("cid").parquet(
         os.path.join(path, "members")
     )

@@ -137,9 +137,20 @@ def test_asof_join_single_shuffle(spark):
     assert plan.count("Exchange hashpartitioning(user_id") == 1
 
 
-def test_ivf_train_broadcasts_centroids(spark):
-    # assignment joins every vector against the centroid table — the
-    # centroid side must broadcast, never shuffle the corpus for it
+def test_ivf_train_broadcasts_centroids(spark, monkeypatch):
+    # assignment must never shuffle the corpus for the centroid
+    # table. Default (r15): the Arrow kernel carries the collected
+    # centroids in its closure — no join, no exchange, a narrow
+    # MapInArrow stage. Fallback dial: the centroid side broadcasts
+    # onto the corpus as before.
+    plan = _plan(QUERIES["ivf_train"](spark, SF_DIR))
+    assert "MapInArrow" in plan or "ArrowEvalPython" in plan
+    assert "SortMergeJoin" not in plan
+    # the assignment join is gone entirely — the only exchange left
+    # is the M-step's (label, dim) partial-agg shuffle
+    assert "Join" not in plan
+
+    monkeypatch.setenv("SPARK_GRAFT_ASSIGN_ARROW", "0")
     plan = _plan(QUERIES["ivf_train"](spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
