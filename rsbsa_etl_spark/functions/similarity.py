@@ -331,31 +331,52 @@ def knn_graph(
             rb_lab = np.zeros(len(rb), dtype=np.int64)
 
         def topk_rows(sim, src_ids, dst_ids, src_lab, dst_lab):
-            srcs, dsts, sims, slabs, dlabs = [], [], [], [], []
-            for i in range(sim.shape[0]):
-                row = sim[i]
-                # zero-norm embeddings make 0/0 = NaN here; numpy's
-                # lexsort would rank NaN LAST in the block while
-                # Spark's window ORDER BY cosine DESC ranks NaN
-                # FIRST — so mask non-finite sims outright, matching
-                # safe_div's NULL-drops-out semantics and keeping
-                # the block-local vs global orderings identical
-                # (the lossless block-top-k cut argument).
-                mask = (dst_ids != src_ids[i]) & np.isfinite(row)
-                if diff_label:
-                    mask &= dst_lab != src_lab[i]
-                cand_dst = dst_ids[mask]
-                cand_sim = row[mask]
-                if cand_dst.size == 0:
-                    continue
-                order = np.lexsort((cand_dst, -cand_sim))[:k]
-                srcs.extend([src_ids[i]] * len(order))
-                dsts.extend(cand_dst[order])
-                sims.extend(cand_sim[order])
-                if diff_label:
-                    slabs.extend([src_lab[i]] * len(order))
-                    dlabs.extend(dst_lab[mask][order])
-            return srcs, dsts, sims, slabs, dlabs
+            # vectorized block-local top-k (r16, guide §4.2): the old
+            # per-SOURCE-row Python loop ran ~6 numpy calls per row ×
+            # every row of every block; here the whole block sorts in
+            # three C-level ops. Same selection, same order: columns
+            # are pre-sorted by dst asc, so a STABLE row-wise argsort
+            # on -sim keeps ties in dst-ascending order — exactly the
+            # old np.lexsort((dst, -sim)). Masked candidates (self
+            # pairs, non-finite sims — zero-norm 0/0 NaN drops out
+            # like safe_div's NULL — and same-label pairs in the
+            # hard-negative variant) get a +inf key: ranked past
+            # every real candidate and cut by the validity check.
+            if sim.shape[0] == 0 or sim.shape[1] == 0:
+                return [], [], [], [], []
+            ord_d = np.argsort(dst_ids, kind="stable")
+            sim_s = sim[:, ord_d]
+            dst_s = dst_ids[ord_d]
+            bad = ~np.isfinite(sim_s) | (dst_s[None, :] == src_ids[:, None])
+            if diff_label:
+                dlab_s = dst_lab[ord_d]
+                bad |= dlab_s[None, :] == src_lab[:, None]
+            key = np.where(bad, np.inf, -sim_s)
+            kw = min(k, key.shape[1])
+            ord2 = np.argsort(key, axis=1, kind="stable")[:, :kw]
+            kk = np.take_along_axis(key, ord2, axis=1)
+            valid = np.isfinite(kk)
+            ri, ci = np.nonzero(valid)
+            picked = ord2[ri, ci]
+            srcs = src_ids[ri]
+            dsts = dst_s[picked]
+            sims = sim_s[ri, picked]
+            if diff_label:
+                return (
+                    srcs,
+                    dsts,
+                    sims,
+                    src_lab[ri],
+                    dlab_s[picked],
+                )
+            return srcs, dsts, sims, [], []
+
+        def _cat(a, b):
+            if len(b) == 0:
+                return a
+            if len(a) == 0:
+                return b
+            return np.concatenate((np.asarray(a), np.asarray(b)))
 
         if len(la) * len(rb) <= max_elems:
             # small block: one matmul, transpose reused for the
@@ -368,7 +389,7 @@ def knn_graph(
                 r2 = ([], [], [], [], [])
             else:
                 r2 = topk_rows(q.T, rb, la, rb_lab, la_lab)
-            return frame(*(a + b for a, b in zip(r1, r2)))
+            return frame(*(_cat(a, b) for a, b in zip(r1, r2)))
 
         # large block: sweep each direction in bounded row chunks —
         # at a fixed n_tiles the full tile² q matrix grows
@@ -795,28 +816,38 @@ def knn_graph_ivf(
             slab_all = pdf["label"].to_numpy()
             dlab = M["label"].to_numpy()
         srcs, dsts, sims, slabs, dlabs = [], [], [], [], []
+        # columns pre-sorted by neighbor id so the stable row-wise
+        # argsort's ties resolve dst-ascending — the (cosine desc,
+        # neighbor asc) order the old per-row np.lexsort used
+        ord_d = np.argsort(dst, kind="stable")
+        dst_s = dst[ord_d]
+        dlab_s = dlab[ord_d] if diff_label else None
         # chunked sweep: a hot Voronoi cell on clustered corpora can
         # hold far more than √n rows — bound the q block like the
-        # all-pairs tile operators do
+        # all-pairs tile operators do. Inside each chunk the block-
+        # local top-k is fully vectorized (r16, guide §4.2): masked
+        # candidates (self, non-finite — zero-norm NaN drops out like
+        # safe_div's NULL — same-label in the hard-negative variant)
+        # key to +inf and are cut by the validity check.
         step = max(1, max_elems // max(len(dst), 1))
         for lo in range(0, len(src_all), step):
-            q = mm(A[lo : lo + step], na[lo : lo + step], B, nb)
+            q = mm(A[lo : lo + step], na[lo : lo + step], B, nb)[:, ord_d]
             src = src_all[lo : lo + step]
-            for i in range(q.shape[0]):
-                row = q[i]
-                mask = (dst != src[i]) & np.isfinite(row)
-                if diff_label:
-                    mask &= dlab != slab_all[lo + i]
-                cd, cs_ = dst[mask], row[mask]
-                if cd.size == 0:
-                    continue
-                order = np.lexsort((cd, -cs_))[:k]
-                srcs.extend([src[i]] * len(order))
-                dsts.extend(cd[order])
-                sims.extend(cs_[order])
-                if diff_label:
-                    slabs.extend([slab_all[lo + i]] * len(order))
-                    dlabs.extend(dlab[mask][order])
+            bad = ~np.isfinite(q) | (dst_s[None, :] == src[:, None])
+            if diff_label:
+                bad |= dlab_s[None, :] == slab_all[lo : lo + step, None]
+            key = np.where(bad, np.inf, -q)
+            kw = min(k, key.shape[1])
+            ord2 = np.argsort(key, axis=1, kind="stable")[:, :kw]
+            kk = np.take_along_axis(key, ord2, axis=1)
+            ri, ci = np.nonzero(np.isfinite(kk))
+            picked = ord2[ri, ci]
+            srcs.extend(src[ri])
+            dsts.extend(dst_s[picked])
+            sims.extend(q[ri, picked])
+            if diff_label:
+                slabs.extend(slab_all[lo : lo + step][ri])
+                dlabs.extend(dlab_s[picked])
         out = {
             "vec_id": np.array(srcs, dtype=np.int64),
             "neighbor_id": np.array(dsts, dtype=np.int64),
@@ -1043,13 +1074,55 @@ def brute_force_topk(
     emb: DataFrame,
     query_ids: Sequence[int] = ANN_QUERY_IDS,
     k: int = ANN_TOP_K,
+    _qrows: list | None = None,
 ) -> DataFrame:
     """exact top-k cosine neighbors for a fixed query set.
 
     The query side is tiny → broadcast; the corpus is scanned once.
     Ranking uses the rounded similarity with vec_id tiebreak so the
     ordering is reproducible across engines and partitionings.
+
+    Default (r16): the scoring stage is the Arrow batch kernel
+    (``_topk_scores_arrow`` — bit-identical fold arithmetic, batch-
+    local top-k cut, guide §4.2); ``SPARK_GRAFT_SCORE_ARROW=0``
+    restores the broadcast-NLJ + expression-fold arm below.
+    ``_qrows`` lets composed harnesses (ann_eval/ann_recall/ann_mrr)
+    collect the query vectors once and share them across the four
+    index builds.
     """
+    if _use_arrow_score():
+        qrows = (
+            _collect_id_vecs(
+                emb.where(
+                    F.col("vec_id").isin([int(q) for q in query_ids])
+                ),
+                "vec_id",
+                "embedding",
+            )
+            if _qrows is None
+            else _qrows
+        )
+        scored = _topk_scores_arrow(
+            emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+            qrows,
+            "embedding",
+            "neighbor_id",
+            k,
+        )
+        if scored is not None:
+            w = Window.partitionBy("query_id").orderBy(
+                F.col("cosine").desc(), F.col("neighbor_id").asc()
+            )
+            return (
+                scored.withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= k)
+                .select(
+                    "query_id",
+                    "neighbor_id",
+                    dec_round(F.col("cosine"), 4).alias("cosine"),
+                    F.col("rank").cast("int").alias("rank"),
+                )
+            )
     e = with_norm(emb)
     corpus = e.select(
         F.col("vec_id").alias("neighbor_id"),
@@ -1087,6 +1160,7 @@ def ivf_topk(
     k: int = ANN_TOP_K,
     n_centroids: int = IVF_CENTROIDS,
     nprobe: int = IVF_NPROBE,
+    _qrows: list | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: partition the corpus into Voronoi
     cells around centroids, probe only the query's ``nprobe`` nearest
@@ -1105,7 +1179,62 @@ def ivf_topk(
     of the data. All distances are sequential-fold expressions
     (``F.aggregate``), matching DuckDB's ``list_sum`` accumulation
     order bit-for-bit.
+
+    Default (r16): ONE Arrow batch kernel does the corpus cell
+    assignment, the probed-cell candidate restriction (the cid
+    equi-join it replaces), the cosine scoring, and the batch-local
+    top-k — the probe sets are computed driver-side from the
+    collected centroid/query tables with the identical fold
+    arithmetic. ``SPARK_GRAFT_SCORE_ARROW=0`` restores the join +
+    fold arm below (which keeps its own r15 assignment-kernel dial).
     """
+    if _use_arrow_score():
+        qrows = (
+            _collect_id_vecs(
+                emb.where(
+                    F.col("vec_id").isin([int(q) for q in query_ids])
+                ),
+                "vec_id",
+                "embedding",
+            )
+            if _qrows is None
+            else _qrows
+        )
+        crows = _collect_id_vecs(
+            emb.where(F.col("vec_id") < n_centroids), "vec_id", "embedding"
+        )
+        scored = None
+        if crows and _uniform_dim(crows) is not None and all(
+            v is not None for _, v in qrows
+        ):
+            probes = [
+                _py_nearest_cells(v, crows, nprobe) for _, v in qrows
+            ]
+            scored = _topk_scores_arrow(
+                emb.select(
+                    F.col("vec_id").alias("neighbor_id"), "embedding"
+                ),
+                qrows,
+                "embedding",
+                "neighbor_id",
+                k,
+                probes=probes,
+                cents_rows=crows,
+            )
+        if scored is not None:
+            w = Window.partitionBy("query_id").orderBy(
+                F.col("cosine").desc(), F.col("neighbor_id").asc()
+            )
+            return (
+                scored.withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= k)
+                .select(
+                    "query_id",
+                    "neighbor_id",
+                    dec_round(F.col("cosine"), 4).alias("cosine"),
+                    F.col("rank").cast("int").alias("rank"),
+                )
+            )
     e = with_norm(emb)
     cents = e.where(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("cid"),
@@ -1234,6 +1363,7 @@ def lsh_topk(
     emb: DataFrame,
     query_ids: Sequence[int] = ANN_QUERY_IDS,
     k: int = ANN_TOP_K,
+    _qrows: list | None = None,
 ) -> DataFrame:
     """approximate top-k: candidates restricted to the query's
     sign-LSH bucket, then exact cosine rank within the bucket.
@@ -1242,7 +1372,51 @@ def lsh_topk(
     1000× corpus size the probe side still only meets ~1/2^dims of
     the corpus per query, and the bucket column can back a partition
     layout so each query touches a bounded slice.
+
+    Default (r16): the bucket computation AND the in-bucket scoring
+    run inside the Arrow batch kernel (``_topk_scores_arrow`` with
+    the sign-mixing matrix in its broadcast — bit-identical bucket
+    bits and cosines, batch-local top-k); the bucket equi-join +
+    per-pair fold arm below stays under ``SPARK_GRAFT_SCORE_ARROW=0``.
     """
+    if _use_arrow_score():
+        qrows = (
+            _collect_id_vecs(
+                emb.where(
+                    F.col("vec_id").isin([int(q) for q in query_ids])
+                ),
+                "vec_id",
+                "embedding",
+            )
+            if _qrows is None
+            else _qrows
+        )
+        probes = [
+            [_py_sign_bucket(v, LSH_SIGN_DIMS)] for _, v in qrows
+        ]
+        scored = _topk_scores_arrow(
+            emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+            qrows,
+            "embedding",
+            "neighbor_id",
+            k,
+            probes=probes,
+            lsh_bits=LSH_SIGN_DIMS,
+        )
+        if scored is not None:
+            w = Window.partitionBy("query_id").orderBy(
+                F.col("cosine").desc(), F.col("neighbor_id").asc()
+            )
+            return (
+                scored.withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= k)
+                .select(
+                    "query_id",
+                    "neighbor_id",
+                    dec_round(F.col("cosine"), 4).alias("cosine"),
+                    F.col("rank").cast("int").alias("rank"),
+                )
+            )
     e = with_norm(emb).withColumn("bucket", sign_bucket())
     corpus = e.select(
         "bucket",
@@ -1360,6 +1534,500 @@ def _use_arrow_assign() -> bool:
     return os.environ.get("SPARK_GRAFT_ASSIGN_ARROW", "1") != "0"
 
 
+def _use_arrow_score() -> bool:
+    """dial for the r16 Arrow SCORING kernels (brute-force / LSH /
+    IVF cosine top-k, the MMR retrieval pool, the hybrid vector
+    arm): ``SPARK_GRAFT_SCORE_ARROW=0`` restores the in-plan
+    broadcast-join + expression-fold arms. Default ON — guide §4.2
+    applied to the remaining collected-array folds (r15 verdict
+    item 1): the per-pair ``dot``/norm higher-order-function folds
+    evaluate OUTSIDE whole-stage codegen, per interpreted expression
+    node, per row × query × dimension, and the joined rows then drag
+    the full embedding payload through the ranking window's
+    exchange. The kernel scores whole Arrow batches in NumPy with
+    the identical IEEE fold sequence and emits only batch-local
+    top-k candidate rows (a lossless cut under the same total
+    order), so the window shuffles candidates, not the corpus."""
+    import os
+
+    return os.environ.get("SPARK_GRAFT_SCORE_ARROW", "1") != "0"
+
+
+def _fold_dot(a, b) -> float:
+    """driver-side twin of ``dot``: 0.0 + a0·b0 + a1·b1 + … in index
+    order — each op a correctly-rounded IEEE double, identical to
+    the ``zip_with``/``aggregate`` fold and DuckDB's list_sum."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
+def _fold_norm(a) -> float:
+    """driver-side twin of ``with_norm``'s sumsq fold + sqrt."""
+    import math
+
+    acc = 0.0
+    for x in a:
+        acc = acc + x * x
+    return math.sqrt(acc)
+
+
+def _fold_l2sq(a, b) -> float:
+    """driver-side twin of the l2sq fold: acc += (x−y)² in order."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        t = x - y
+        acc = acc + t * t
+    return acc
+
+
+def _collect_id_vecs(df: DataFrame, id_col: str, vec_col: str) -> list:
+    """bounded collect of an (id, vector) side table (query set /
+    centroid table — both index-sized by construction), id-sorted.
+    ONE collect per operator build: callers that feed several
+    kernels (ann_eval's four index scans) collect once and thread
+    the rows down (r15 verdict item 4 — no per-call-site re-collect
+    jobs)."""
+    rows = df.select(id_col, vec_col).collect()
+    return sorted(
+        (
+            int(r[0]),
+            None if r[1] is None else [float(x) for x in r[1]],
+        )
+        for r in rows
+    )
+
+
+def _uniform_dim(vec_rows: list) -> int | None:
+    """the single vector dimensionality of collected (id, vec) rows,
+    or None when any vector is NULL / lengths differ — the signal to
+    fall back to the in-plan fold arm, whose NULL-padded zip_with
+    semantics cover degenerate side tables exactly."""
+    if any(v is None for _, v in vec_rows):
+        return None
+    dims = {len(v) for _, v in vec_rows}
+    if len(dims) != 1:
+        return None
+    return dims.pop()
+
+
+def _py_sign_bucket(vec, dims: int) -> int:
+    """driver-side twin of ``sign_bucket``: bit i = (mixed > 0) with
+    Spark's NaN>0=true, mixed = the left-to-right ±1-weighted fold
+    over the leading ``LSH_MIX_WIDTH`` dims — pure-Python IEEE
+    doubles, so query buckets computed here are bit-equal to the
+    in-plan expression's. A NULL/short vector folds through NULL
+    padding to bucket 0 (every bit's ``when`` falls to otherwise)."""
+    import math
+
+    from rsbsa_etl_spark.params import LSH_MIX_WIDTH, hadamard_sign
+
+    if vec is None or len(vec) < LSH_MIX_WIDTH:
+        return 0
+    head = [float(x) for x in vec[:LSH_MIX_WIDTH]]
+    b = 0
+    for i in range(dims):
+        acc = 0.0
+        for j in range(LSH_MIX_WIDTH):
+            acc = acc + head[j] * float(hadamard_sign(i + 1, j))
+        if acc > 0 or math.isnan(acc):
+            b |= 1 << i
+    return b
+
+
+def _py_nearest_cells(qvec, cents_rows: list, nprobe: int) -> list:
+    """driver-side twin of the query-side ``nearest_cells`` window:
+    top-``nprobe`` cell ids by (d2 asc, cid asc), d2 = the exact
+    sequential l2² fold, NaN ranked last (Spark sorts NaN above
+    every double)."""
+    import math
+
+    scored = []
+    for cid, cv in cents_rows:
+        d2 = _fold_l2sq(qvec, cv)
+        scored.append((1 if math.isnan(d2) else 0, d2, cid))
+    scored.sort()
+    return [c for _, _, c in scored[:nprobe]]
+
+
+def _topk_scores_arrow(
+    src: DataFrame,
+    qrows: list,
+    vec_col: str,
+    id_col: str,
+    k: int,
+    out_col: str = "cosine",
+    scale: int = 6,
+    fixed_long: bool = False,
+    drop_null: bool = False,
+    exclude_self: bool = True,
+    keep_vec: bool = False,
+    probes: list | None = None,
+    cents_rows: list | None = None,
+    lsh_bits: int | None = None,
+) -> DataFrame | None:
+    """batch-local cosine top-k against a collected query set — the
+    ``mapInArrow`` NumPy twin of the broadcast-NLJ + ``dot``-fold
+    scoring stage shared by ``brute_force_topk`` / ``lsh_topk`` /
+    ``lsh_multiprobe_topk`` / ``ivf_topk`` / ``_mmr_pool`` /
+    ``_hybrid_parts`` (guide §4.2). Emits, per Arrow batch and per
+    query, the top-``k`` scored candidate rows plus (unless
+    ``drop_null``) the first ``k`` NULL-score rows — a LOSSLESS cut:
+    the downstream ranking window's total order is (score desc,
+    id asc) with NULLs last, and a per-query global top-k is a
+    subset of the union of batch-local top-k under the same order.
+
+    BIT-IDENTICAL value arithmetic by construction (the
+    ``_assign_cells_arrow`` contract extended to scores):
+
+    - dot and sumsq accumulate per dimension in ascending index
+      order from 0.0 (NumPy in-place add over the row axis) — the
+      exact IEEE sequence of the ``zip_with``/``aggregate`` folds;
+    - the emitted score replicates ``dec_round``/1e-6 fixed-point
+      exactly INCLUDING Spark's floor(double)→LONG cast semantics
+      (NaN→0, ±inf→±Long.MAX/MIN) — so a NaN cosine surfaces as the
+      same 0.0 / 0 the in-plan expression produces;
+    - ``safe_div``: a zero denominator emits a NULL score (the row
+      is kept and ranks last, like the fold arm), never a NaN;
+    - candidate restriction modes replicate the join they replace:
+      ``probes`` + ``cents_rows`` = the IVF cid equi-join (rows
+      whose argmin cell — first-win (d2, cid), NaN→+inf — is probed
+      by the query); ``probes`` + ``lsh_bits`` = the sign-LSH bucket
+      equi-join (bucket bits from the identical per-dimension mixing
+      fold, Spark's NaN>0=true included); ``probes=None`` = the
+      brute-force ``query_id != neighbor_id`` NLJ.
+
+    Returns None when the collected side tables are degenerate
+    (empty / NULL vectors / ragged dims) — callers fall back to the
+    in-plan fold arm, which defines semantics there. Rows whose
+    vector is NULL or of a different dimensionality score NULL
+    (brute/LSH; the fold arm's NULL-padded zip_with) or drop (IVF;
+    the NULL-cid inner join), exactly like the arms they replace.
+
+    The collected matrices ship as ONE Spark broadcast variable
+    (r15 verdict item 4) — per-executor, not per-task-closure.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    if not qrows:
+        return None
+    d = _uniform_dim(qrows)
+    if d is None or d == 0:
+        return None
+    qids_np = np.asarray([q[0] for q in qrows], dtype=np.int64)
+    Q = np.asarray([q[1] for q in qrows], dtype=np.float64)
+    # query norms: the same per-dimension fold, vectorized over the
+    # (tiny) query axis
+    qacc = np.zeros(len(qrows), dtype=np.float64)
+    for i in range(d):
+        t = Q[:, i]
+        qacc += t * t
+    qn = np.sqrt(qacc)
+
+    cid_arr = cmat = None
+    if cents_rows is not None:
+        cd = _uniform_dim(cents_rows)
+        if cd is None or cd != d or not cents_rows:
+            return None
+        cid_arr = np.asarray([c[0] for c in cents_rows], dtype=np.int64)
+        cmat = np.asarray([c[1] for c in cents_rows], dtype=np.float64)
+
+    S = None
+    if lsh_bits is not None:
+        from rsbsa_etl_spark.params import LSH_MIX_WIDTH, hadamard_sign
+
+        if d < LSH_MIX_WIDTH:
+            return None  # fold arm defines the NULL-padded semantics
+        S = np.asarray(
+            [
+                [float(hadamard_sign(i + 1, j)) for j in range(LSH_MIX_WIDTH)]
+                for i in range(lsh_bits)
+            ],
+            dtype=np.float64,
+        )
+
+    probes_np = (
+        None
+        if probes is None
+        else [np.asarray(sorted(p), dtype=np.int64) for p in probes]
+    )
+
+    bc = src.sparkSession.sparkContext.broadcast(
+        {
+            "qids": qids_np,
+            "Q": Q,
+            "qn": qn,
+            "cids": cid_arr,
+            "cmat": cmat,
+            "S": S,
+            "probes": probes_np,
+        }
+    )
+
+    score_t = T.LongType() if fixed_long else T.DoubleType()
+    fields = [
+        T.StructField("query_id", T.LongType(), False),
+        T.StructField(id_col, T.LongType(), True),
+        T.StructField(out_col, score_t, True),
+    ]
+    if keep_vec:
+        fields += [
+            T.StructField("vd", T.ArrayType(T.DoubleType()), True),
+            T.StructField("nd", T.DoubleType(), True),
+        ]
+    out_schema = T.StructType(fields)
+    kk = int(k)
+    want_vec = keep_vec
+    emit_null = not drop_null
+    excl = exclude_self
+    vname, iname, oname = vec_col, id_col, out_col
+    as_long = fixed_long
+    qscale = float(10**scale)
+    LMAX = np.iinfo(np.int64).max
+    LMIN = np.iinfo(np.int64).min
+
+    def _floor_long(v):
+        # Java (long) cast of math.floor(double): NaN→0, ±inf and
+        # out-of-range saturate to Long.MAX/MIN — Spark's FLOOR
+        out = np.zeros(v.shape, dtype=np.int64)
+        fin = np.isfinite(v)
+        big = fin & (v >= 9.223372036854776e18)
+        small = fin & (v <= -9.223372036854776e18)
+        mid = fin & ~big & ~small
+        out[mid] = v[mid].astype(np.int64)
+        out[big | (v == np.inf)] = LMAX
+        out[small | (v == -np.inf)] = LMIN
+        return out
+
+    def score(batches):
+        env = bc.value
+        Q_, qids_, qn_ = env["Q"], env["qids"], env["qn"]
+        cmat_, cids_ = env["cmat"], env["cids"]
+        S_, probes_ = env["S"], env["probes"]
+        m = len(qids_)
+
+        def out_batch(oq, oi, os, onull, ovd, ond):
+            arrs = [
+                pa.array(oq, type=pa.int64()),
+                pa.array(oi, type=pa.int64()),
+                pa.array(
+                    os,
+                    type=pa.int64() if as_long else pa.float64(),
+                    mask=onull,
+                ),
+            ]
+            names = ["query_id", iname, oname]
+            if want_vec:
+                names += ["vd", "nd"]
+                nrows = len(oq)
+                offs = np.arange(0, (nrows + 1) * d, d, dtype=np.int32)
+                flatv = (
+                    np.concatenate(ovd)
+                    if ovd
+                    else np.array([], dtype=np.float64)
+                )
+                arrs.append(
+                    pa.ListArray.from_arrays(
+                        pa.array(offs, type=pa.int32()),
+                        pa.array(flatv, type=pa.float64()),
+                    )
+                )
+                arrs.append(
+                    pa.array(
+                        np.concatenate(ond)
+                        if ond
+                        else np.array([], dtype=np.float64),
+                        type=pa.float64(),
+                    )
+                )
+            return pa.RecordBatch.from_arrays(arrs, names=names)
+
+        for batch in batches:
+            n = batch.num_rows
+            icol = batch.column(batch.schema.get_field_index(iname))
+            vcol = batch.column(batch.schema.get_field_index(vname))
+            if n == 0 or m == 0:
+                yield out_batch(
+                    np.array([], dtype=np.int64),
+                    np.array([], dtype=np.int64),
+                    np.array([], dtype=np.int64)
+                    if as_long
+                    else np.array([], dtype=np.float64),
+                    np.array([], dtype=bool),
+                    [],
+                    [],
+                )
+                continue
+            id_ok = np.asarray(icol.is_valid())
+            ids = np.asarray(icol.fill_null(LMIN)).astype(np.int64)
+            lens = np.asarray(vcol.value_lengths().fill_null(0))
+            vva = np.asarray(vcol.is_valid())
+            ok = id_ok & vva & (lens == d)
+            flat = np.asarray(vcol.flatten(), dtype=np.float64)
+            okidx = np.nonzero(ok)[0]
+            if ok.all():
+                X = flat.reshape(n, d)
+            elif len(okidx):
+                starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+                X = flat[starts[okidx][:, None] + np.arange(d)]
+            else:
+                X = np.empty((0, d), dtype=np.float64)
+            # per-dimension folds: dot (ok rows × queries) and sumsq
+            num = np.zeros((X.shape[0], m), dtype=np.float64)
+            sacc = np.zeros(X.shape[0], dtype=np.float64)
+            for i in range(d):
+                xi = X[:, i]
+                num += np.multiply.outer(xi, Q_[:, i])
+                sacc += xi * xi
+            nrm = np.sqrt(sacc)
+            den = np.multiply.outer(nrm, qn_)
+            zero_den = den == 0
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sim = num / den
+            rounded = _floor_long(sim * qscale + 0.5)
+            if as_long:
+                sc = rounded
+            else:
+                sc = rounded.astype(np.float64) / qscale
+
+            # candidate-restriction key per row (bucket / cell)
+            key_ok = None
+            key_all = None
+            if S_ is not None:
+                nbits = S_.shape[0]
+                width = S_.shape[1]
+                # uniform ok rows: vectorized per-dimension mixing
+                buck_ok = np.zeros(X.shape[0], dtype=np.int64)
+                for bi in range(nbits):
+                    acc = np.zeros(X.shape[0], dtype=np.float64)
+                    for j in range(width):
+                        acc += X[:, j] * S_[bi, j]
+                    bit = (acc > 0) | np.isnan(acc)
+                    buck_ok |= bit.astype(np.int64) << bi
+                # ragged rows: bucket from the available prefix
+                # (fold-arm NULL-padding → bit 0 when len < width)
+                key_all = np.zeros(n, dtype=np.int64)
+                key_all[okidx] = buck_ok
+                ragged = np.nonzero(id_ok & vva & (lens != d))[0]
+                if len(ragged):
+                    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+                    for ri in ragged:
+                        L = int(lens[ri])
+                        if L < width:
+                            continue  # NULL-padded fold → bucket 0
+                        v = flat[starts[ri] : starts[ri] + width]
+                        b = 0
+                        for bi in range(nbits):
+                            acc = 0.0
+                            for j in range(width):
+                                acc = acc + v[j] * S_[bi, j]
+                            if acc > 0 or np.isnan(acc):
+                                b |= 1 << bi
+                        key_all[ri] = b
+            elif cmat_ is not None:
+                # argmin cell over ok rows, slab-capped accumulator
+                nc = cmat_.shape[0]
+                picked = np.empty(X.shape[0], dtype=np.int64)
+                slab = max(1, (1 << 22) // max(nc, 1))
+                for lo in range(0, X.shape[0], slab):
+                    Xs = X[lo : lo + slab]
+                    acc = np.zeros((Xs.shape[0], nc), dtype=np.float64)
+                    for i in range(d):
+                        t = Xs[:, i : i + 1] - cmat_[:, i]
+                        acc += t * t
+                    np.copyto(acc, np.inf, where=np.isnan(acc))
+                    picked[lo : lo + slab] = cids_[np.argmin(acc, axis=1)]
+                key_ok = picked
+
+            oq, oi, os_, onull, ovd, ond = [], [], [], [], [], []
+            for j in range(m):
+                if probes_ is None:
+                    cand_ok = np.ones(X.shape[0], dtype=bool)
+                    cand_null_extra = (
+                        np.nonzero(id_ok & ~ok)[0] if emit_null else []
+                    )
+                elif key_ok is not None:  # IVF: not-ok rows dropped
+                    cand_ok = np.isin(key_ok, probes_[j])
+                    cand_null_extra = []
+                else:  # LSH: bucket computed for every row
+                    cand_ok = np.isin(key_all[okidx], probes_[j])
+                    cand_null_extra = (
+                        np.nonzero(
+                            id_ok & ~ok & np.isin(key_all, probes_[j])
+                        )[0]
+                        if emit_null
+                        else []
+                    )
+                if excl:
+                    cand_ok &= ids[okidx] != qids_[j]
+                valid = cand_ok & ~zero_den[:, j]
+                vidx = np.nonzero(valid)[0]
+                if len(vidx):
+                    vids = ids[okidx][vidx]
+                    vsc = sc[vidx, j]
+                    order = np.lexsort((vids, -vsc))[:kk]
+                    sel = vidx[order]
+                    take = len(order)
+                    oq.append(np.full(take, qids_[j], dtype=np.int64))
+                    oi.append(ids[okidx][sel])
+                    os_.append(sc[sel, j])
+                    onull.append(np.zeros(take, dtype=bool))
+                    if want_vec:
+                        ovd.extend(X[sel])
+                        ond.append(nrm[sel])
+                if emit_null:
+                    # NULL-score rows: zero-denominator ok rows plus
+                    # (brute/LSH) ragged/NULL-vector rows — ranked
+                    # last, id-asc, first k kept
+                    znull = np.nonzero(cand_ok & zero_den[:, j])[0]
+                    nids = ids[okidx][znull]
+                    extra = np.asarray(cand_null_extra, dtype=np.int64)
+                    if excl and len(extra):
+                        extra = extra[ids[extra] != qids_[j]]
+                    allnull = np.concatenate((nids, ids[extra])) if len(
+                        extra
+                    ) else nids
+                    if len(allnull):
+                        allnull = np.sort(allnull)[:kk]
+                        take = len(allnull)
+                        oq.append(np.full(take, qids_[j], dtype=np.int64))
+                        oi.append(allnull)
+                        os_.append(
+                            np.zeros(take, dtype=np.int64)
+                            if as_long
+                            else np.zeros(take, dtype=np.float64)
+                        )
+                        onull.append(np.ones(take, dtype=bool))
+                        if want_vec:
+                            # unreachable: keep_vec callers drop_null
+                            ovd.extend(
+                                np.zeros((take, d), dtype=np.float64)
+                            )
+                            ond.append(np.zeros(take, dtype=np.float64))
+            yield out_batch(
+                np.concatenate(oq) if oq else np.array([], dtype=np.int64),
+                np.concatenate(oi) if oi else np.array([], dtype=np.int64),
+                np.concatenate(os_)
+                if os_
+                else (
+                    np.array([], dtype=np.int64)
+                    if as_long
+                    else np.array([], dtype=np.float64)
+                ),
+                np.concatenate(onull)
+                if onull
+                else np.array([], dtype=bool),
+                ovd,
+                ond,
+            )
+
+    return src.mapInArrow(score, out_schema)
+
+
 def _assign_cells_arrow(
     src: DataFrame,
     cents: DataFrame,
@@ -1427,6 +2095,11 @@ def _assign_cells_arrow(
     n_cents = len(rows)
     d_cent = int(cmat.shape[1]) if n_cents else 0
     probe_n = None if nprobe is None else max(0, min(int(nprobe), n_cents))
+    # centroids ship as ONE Spark broadcast variable — per executor,
+    # not per pickled task closure (r15 verdict item 4: at scale-out
+    # task counts an embedded n_cents×d float64 matrix multiplies
+    # into every task binary; a broadcast moves it once per worker)
+    bc_cents = src.sparkSession.sparkContext.broadcast((cid_arr, cmat))
 
     out_field = (
         T.StructField(out_col, T.ArrayType(T.LongType()), True)
@@ -1436,18 +2109,36 @@ def _assign_cells_arrow(
     out_schema = T.StructType(list(src.schema.fields) + [out_field])
 
     def _core(X: "np.ndarray") -> "np.ndarray":
-        # one n×m distance accumulator, filled dimension by dimension
+        # n×m distance accumulators, filled dimension by dimension
         # in index order — each (row, centroid) cell sees the exact
-        # fold sequence 0.0 + t0² + t1² + …
-        acc = np.zeros((X.shape[0], n_cents), dtype=np.float64)
-        for i in range(d_cent):
-            t = X[:, i : i + 1] - cmat[:, i]
-            acc += t * t
-        np.copyto(acc, np.inf, where=np.isnan(acc))
-        if probe_n is None:
-            return cid_arr[np.argmin(acc, axis=1)]
-        order = np.argsort(acc, axis=1, kind="stable")[:, :probe_n]
-        return cid_arr[order]
+        # fold sequence 0.0 + t0² + t1² + … Rows are processed in
+        # bounded slabs (r15 verdict item 8): the accumulator is
+        # rows × n_cents float64, so an uncapped 10k-row Arrow batch
+        # against thousands of centroids would hold hundreds of MB
+        # per Python worker × every concurrent task; the 4M-element
+        # slab caps it at ~32 MB regardless of batch or codebook
+        # size, with per-cell arithmetic unchanged.
+        cid_a, cm = bc_cents.value
+        out_shape = (
+            (X.shape[0],) if probe_n is None else (X.shape[0], probe_n)
+        )
+        out = np.empty(out_shape, dtype=np.int64)
+        slab = max(1, (1 << 22) // max(n_cents, 1))
+        for lo in range(0, X.shape[0], slab):
+            Xs = X[lo : lo + slab]
+            acc = np.zeros((Xs.shape[0], n_cents), dtype=np.float64)
+            for i in range(d_cent):
+                t = Xs[:, i : i + 1] - cm[:, i]
+                acc += t * t
+            np.copyto(acc, np.inf, where=np.isnan(acc))
+            if probe_n is None:
+                out[lo : lo + slab] = cid_a[np.argmin(acc, axis=1)]
+            else:
+                order = np.argsort(acc, axis=1, kind="stable")[
+                    :, :probe_n
+                ]
+                out[lo : lo + slab] = cid_a[order]
+        return out
 
     def assign(batches):
         for b in batches:
@@ -1539,6 +2230,9 @@ def _assign_codes_arrow(
             np.asarray([t[0] for t in rows], dtype=np.int64),
             np.asarray([t[1] for t in rows], dtype=np.float64),
         )
+    # codebooks ride a Spark broadcast, not the task closure (r15
+    # verdict item 4 — same reasoning as _assign_cells_arrow)
+    bc_books = subs.sparkSession.sparkContext.broadcast(books)
 
     fields = list(subs.schema.fields) + [
         T.StructField(out_col, T.LongType(), True)
@@ -1563,7 +2257,7 @@ def _assign_codes_arrow(
             out_ids = np.zeros(n, dtype=np.int64)
             out_d2 = np.zeros(n, dtype=np.float64)
             got = np.zeros(n, dtype=bool)
-            for s, (ids, cmat) in books.items():
+            for s, (ids, cmat) in bc_books.value.items():
                 d = cmat.shape[1]
                 mask = valid & (sub_ids == s) & (lens == d)
                 idx = np.nonzero(mask)[0]
@@ -1572,9 +2266,12 @@ def _assign_codes_arrow(
                 if mask.all():
                     X = flat.reshape(n, d)
                 else:
-                    X = np.empty((len(idx), d), dtype=np.float64)
-                    for j, i in enumerate(idx):
-                        X[j] = flat[starts[i] : starts[i] + d]
+                    # vectorized gather (r15 advice item 3): the
+                    # mask.all() fast path is unreachable for m>1
+                    # because posexplode interleaves sub_ids within
+                    # every batch — a per-row Python slice loop here
+                    # undercut the kernel's vectorization
+                    X = flat[starts[idx][:, None] + np.arange(d)]
                 acc = np.zeros((X.shape[0], cmat.shape[0]))
                 for i in range(d):
                     t = X[:, i : i + 1] - cmat[:, i]
@@ -1603,6 +2300,7 @@ def lsh_multiprobe_topk(
     k: int = ANN_TOP_K,
     dims: int = LSH_SIGN_DIMS,
     max_hamming: int | None = None,
+    _qrows: list | None = None,
 ) -> DataFrame:
     """multi-probe sign-LSH: each query searches every bucket within
     Hamming distance ``max_hamming`` of its own — the standard
@@ -1637,6 +2335,49 @@ def lsh_multiprobe_topk(
         for r in range(1, h + 1)
         for bits in combinations(range(dims), r)
     ]
+    # default (r16): buckets + in-bucket scoring in the Arrow batch
+    # kernel — the probe fan-out becomes each query's bucket-ID SET
+    # in the kernel broadcast (masks XOR the query's own bucket);
+    # the probe-exploded equi-join arm stays under the dial
+    if _use_arrow_score():
+        qrows = (
+            _collect_id_vecs(
+                emb.where(
+                    F.col("vec_id").isin([int(q) for q in query_ids])
+                ),
+                "vec_id",
+                "embedding",
+            )
+            if _qrows is None
+            else _qrows
+        )
+        probes = [
+            [_py_sign_bucket(v, dims) ^ m for m in masks]
+            for _, v in qrows
+        ]
+        scored = _topk_scores_arrow(
+            emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+            qrows,
+            "embedding",
+            "neighbor_id",
+            k,
+            probes=probes,
+            lsh_bits=dims,
+        )
+        if scored is not None:
+            w = Window.partitionBy("query_id").orderBy(
+                F.col("cosine").desc(), F.col("neighbor_id").asc()
+            )
+            return (
+                scored.withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= k)
+                .select(
+                    "query_id",
+                    "neighbor_id",
+                    dec_round(F.col("cosine"), 4).alias("cosine"),
+                    F.col("rank").cast("int").alias("rank"),
+                )
+            )
     e = with_norm(emb).withColumn("bucket", sign_bucket(dims=dims))
     corpus = e.select(
         "bucket",
@@ -1775,6 +2516,142 @@ def quantize_int8(embeddings: DataFrame) -> DataFrame:
     )
 
 
+def _pq_codes_arrow(
+    src: DataFrame,
+    seeds_rows: list,
+    m: int,
+    sub: int,
+) -> DataFrame | None:
+    """single-pass product-quantization codes + reconstruction error
+    as ONE ``mapInArrow`` kernel (r16, guide §2.4/§4.2): the explode
+    → per-sub assignment → regroup pipeline shipped corpus×m rows
+    through the Python boundary and paid a corpus-sized groupBy
+    exchange to reassemble them; here each vector's ``m`` codes and
+    its quantized error come out of the same batch, zero shuffle.
+
+    Bit-identical arithmetic: per-sub d2 is the dimension-ordered
+    fold; argmin is first-win over cid-sorted codebooks (the (d2,
+    cid) order) on a NaN→+inf ranked copy with the RAW winning d2
+    kept; recon_err replicates ``fixed_sum(d2, 6)`` exactly —
+    per-sub floor(d2·1e6 + 0.5) under Java's (long) cast (NaN→0),
+    summed as int64, one final double division.
+
+    ``seeds_rows``: collected (vec_id, vector) codeword seeds; the
+    per-sub codebooks are sliced driver-side and ship as one Spark
+    broadcast. Returns None on degenerate seeds (NULL / short
+    vectors) — the explode pipeline defines semantics there. Corpus
+    rows whose vector is NULL or shorter than a subspace's span get
+    NULL for that code (the fold's NULL-slice semantics); recon_err
+    sums the valid subspaces only (SQL SUM skips NULLs) and is NULL
+    when none are valid.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    dims_needed = m * sub
+    if not seeds_rows or any(
+        v is None or len(v) < dims_needed for _, v in seeds_rows
+    ):
+        return None
+    books = []
+    for j in range(m):
+        rows = sorted(
+            (cid, v[j * sub : (j + 1) * sub]) for cid, v in seeds_rows
+        )
+        books.append(
+            (
+                np.asarray([c for c, _ in rows], dtype=np.int64),
+                np.asarray([s for _, s in rows], dtype=np.float64),
+            )
+        )
+    bc = src.sparkSession.sparkContext.broadcast(books)
+
+    fields = [T.StructField("vec_id", T.LongType(), True)]
+    fields += [
+        T.StructField(f"code{j}", T.LongType(), True) for j in range(m)
+    ]
+    fields.append(T.StructField("recon_err", T.DoubleType(), True))
+    out_schema = T.StructType(fields)
+    LMAX = np.iinfo(np.int64).max
+    LMIN = np.iinfo(np.int64).min
+
+    def _floor_long(v):
+        out = np.zeros(v.shape, dtype=np.int64)
+        fin = np.isfinite(v)
+        big = fin & (v >= 9.223372036854776e18)
+        small = fin & (v <= -9.223372036854776e18)
+        mid = fin & ~big & ~small
+        out[mid] = v[mid].astype(np.int64)
+        out[big | (v == np.inf)] = LMAX
+        out[small | (v == -np.inf)] = LMIN
+        return out
+
+    def encode(batches):
+        books_ = bc.value
+        for b in batches:
+            n = b.num_rows
+            icol = b.column(b.schema.get_field_index("vec_id"))
+            vcol = b.column(b.schema.get_field_index("embedding"))
+            lens = np.asarray(vcol.value_lengths().fill_null(0))
+            vva = np.asarray(vcol.is_valid())
+            flat = np.asarray(vcol.flatten(), dtype=np.float64)
+            code_cols = [
+                np.zeros(n, dtype=np.int64) for _ in range(m)
+            ]
+            code_ok = [np.zeros(n, dtype=bool) for _ in range(m)]
+            err_acc = np.zeros(n, dtype=np.int64)
+            any_ok = np.zeros(n, dtype=bool)
+            uniform = bool(n) and bool(vva.all()) and len(set(lens)) == 1
+            L = int(lens[0]) if uniform else 0
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            for j, (ids_j, cm_j) in enumerate(books_):
+                ok_j = vva & (lens >= (j + 1) * sub)
+                idx = np.nonzero(ok_j)[0]
+                if not len(idx):
+                    continue
+                if uniform and L >= (j + 1) * sub:
+                    X = flat.reshape(n, L)[:, j * sub : (j + 1) * sub]
+                    idx = np.arange(n)
+                else:
+                    X = flat[
+                        (starts[idx] + j * sub)[:, None] + np.arange(sub)
+                    ]
+                acc = np.zeros((X.shape[0], cm_j.shape[0]))
+                for i in range(sub):
+                    t = X[:, i : i + 1] - cm_j[:, i]
+                    acc += t * t
+                ranked = np.where(np.isnan(acc), np.inf, acc)
+                best = np.argmin(ranked, axis=1)
+                code_cols[j][idx] = ids_j[best]
+                code_ok[j][idx] = True
+                err_acc[idx] += _floor_long(
+                    acc[np.arange(len(idx)), best] * 1e6 + 0.5
+                )
+                any_ok[idx] = True
+            arrs = [icol]
+            names = ["vec_id"] + [f"code{j}" for j in range(m)] + [
+                "recon_err"
+            ]
+            for j in range(m):
+                arrs.append(
+                    pa.array(
+                        code_cols[j], type=pa.int64(), mask=~code_ok[j]
+                    )
+                )
+            arrs.append(
+                pa.array(
+                    err_acc.astype(np.float64) / 1e6,
+                    type=pa.float64(),
+                    mask=~any_ok,
+                )
+            )
+            yield pa.RecordBatch.from_arrays(arrs, names=names)
+
+    return src.mapInArrow(encode, out_schema)
+
+
 def pq_codes(
     emb: DataFrame,
     m: int = PQ_SUBSPACES,
@@ -1802,8 +2679,24 @@ def pq_codes(
     Determinism: distances are double folds in fixed element order;
     the regrouped error re-quantizes each subspace distance to a
     long before summing (order-independent); ties in the argmin
-    break on codeword id."""
+    break on codeword id.
+
+    Default (r16): the whole explode → assign → regroup pipeline
+    runs as ONE batch kernel (``_pq_codes_arrow``) — codes and the
+    quantized error per vector from a single narrow pass, zero
+    shuffle before the output ordering. ``SPARK_GRAFT_SCORE_ARROW=0``
+    restores the exploded pipeline below (which keeps its own r15
+    per-sub assignment dial)."""
     sub = dims // m
+    if _use_arrow_score():
+        seeds_rows = _collect_id_vecs(
+            emb.where(F.col("vec_id") < k), "vec_id", "embedding"
+        )
+        out = _pq_codes_arrow(
+            emb.select("vec_id", "embedding"), seeds_rows, m, sub
+        )
+        if out is not None:
+            return out.orderBy("vec_id")
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     e = emb.select("vec_id", v.alias("v"))
     slices = F.array(*[F.slice("v", j * sub + 1, sub) for j in range(m)])
@@ -1847,6 +2740,216 @@ def pq_codes(
     )
 
 
+def _ivfpq_scores_arrow(
+    src: DataFrame,
+    side_rows: list,
+    qrows: list,
+    n_centroids: int,
+    codewords: int,
+    nprobe: int,
+    m: int,
+    sub: int,
+    k: int,
+) -> DataFrame | None:
+    """the whole IVF-PQ candidate + ADC pipeline as ONE batch kernel
+    (r16, guide §2.4/§4.2): cell assignment, per-sub code
+    assignment, probed-cell candidate restriction, and the ADC
+    fixed-point fold — the exploded-codes shuffle join
+    (cand ⋈ codes ⋈ dtab → groupBy) disappears; the ranking window
+    receives batch-local top-k rows only.
+
+    Driver-side: probe sets via the exact l2² fold + (d2, cid)
+    order; the per-(query, sub, codeword) distance table is
+    pre-quantized with Java's floor→long cast (NaN→0), so the
+    kernel's ADC is a pure int64 gather-sum — exactly
+    ``fixed_sum(qd2, 6)`` over the joined rows. Returns None on
+    degenerate side tables (the fold arm defines semantics there);
+    corpus rows of deviant dimensionality drop, matching the
+    NULL-cid inner join of the assignment arm."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    if not qrows or any(v is None for _, v in qrows):
+        return None
+    d = _uniform_dim(qrows)
+    cents_rows = [(i, v) for i, v in side_rows if i < n_centroids]
+    seed_rows = [(i, v) for i, v in side_rows if i < codewords]
+    if (
+        d is None
+        or d < m * sub
+        or not cents_rows
+        or not seed_rows
+        or _uniform_dim(cents_rows) != d
+        or _uniform_dim(seed_rows) != d
+    ):
+        return None
+    qids = [q for q, _ in qrows]
+    probes = [
+        np.asarray(
+            sorted(_py_nearest_cells(v, cents_rows, nprobe)), dtype=np.int64
+        )
+        for _, v in qrows
+    ]
+    cid_arr = np.asarray([c for c, _ in cents_rows], dtype=np.int64)
+    cmat = np.asarray([v for _, v in cents_rows], dtype=np.float64)
+    books = []
+    for j in range(m):
+        rows = sorted(
+            (cid, v[j * sub : (j + 1) * sub]) for cid, v in seed_rows
+        )
+        books.append(np.asarray([s for _, s in rows], dtype=np.float64))
+
+    def _py_floor_long(x: float) -> int:
+        t = x * 1e6 + 0.5
+        if math.isnan(t):
+            return 0
+        if t == math.inf:
+            return 2**63 - 1
+        if t == -math.inf:
+            return -(2**63)
+        f = math.floor(t)
+        return max(-(2**63), min(2**63 - 1, f))
+
+    # pre-quantized ADC table: (query, sub, codeword-position) int64
+    qd2q = np.zeros((len(qrows), m, len(seed_rows)), dtype=np.int64)
+    for qi, (_, qv) in enumerate(qrows):
+        for j in range(m):
+            qs = qv[j * sub : (j + 1) * sub]
+            for p in range(books[j].shape[0]):
+                qd2q[qi, j, p] = _py_floor_long(
+                    _fold_l2sq(qs, books[j][p])
+                )
+
+    bc = src.sparkSession.sparkContext.broadcast(
+        {
+            "qids": np.asarray(qids, dtype=np.int64),
+            "probes": probes,
+            "cids": cid_arr,
+            "cmat": cmat,
+            "books": books,
+            "qd2q": qd2q,
+        }
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType(), False),
+            T.StructField("neighbor_id", T.LongType(), True),
+            T.StructField("approx_d2", T.DoubleType(), True),
+        ]
+    )
+    kk = int(k)
+    mm_ = m
+    sub_ = sub
+    dd = d
+
+    def score(batches):
+        env = bc.value
+        qids_, probes_ = env["qids"], env["probes"]
+        cids_, cmat_, books_, qd2q_ = (
+            env["cids"],
+            env["cmat"],
+            env["books"],
+            env["qd2q"],
+        )
+        nq = len(qids_)
+        for b in batches:
+            n = b.num_rows
+            icol = b.column(b.schema.get_field_index("neighbor_id"))
+            vcol = b.column(b.schema.get_field_index("embedding"))
+            oq, oi, os_ = [], [], []
+            if n:
+                id_ok = np.asarray(icol.is_valid())
+                ids = np.asarray(icol.fill_null(0)).astype(np.int64)
+                lens = np.asarray(vcol.value_lengths().fill_null(0))
+                vva = np.asarray(vcol.is_valid())
+                ok = id_ok & vva & (lens == dd)
+                flat = np.asarray(vcol.flatten(), dtype=np.float64)
+                okidx = np.nonzero(ok)[0]
+                if ok.all():
+                    X = flat.reshape(n, dd)
+                elif len(okidx):
+                    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+                    X = flat[starts[okidx][:, None] + np.arange(dd)]
+                else:
+                    X = np.empty((0, dd), dtype=np.float64)
+                nok = X.shape[0]
+                oids = ids[okidx]
+                # cell assignment (slab-capped fold)
+                cell = np.empty(nok, dtype=np.int64)
+                slab = max(1, (1 << 22) // max(cmat_.shape[0], 1))
+                for lo in range(0, nok, slab):
+                    Xs = X[lo : lo + slab]
+                    acc = np.zeros(
+                        (Xs.shape[0], cmat_.shape[0]), dtype=np.float64
+                    )
+                    for i in range(dd):
+                        t = Xs[:, i : i + 1] - cmat_[:, i]
+                        acc += t * t
+                    np.copyto(acc, np.inf, where=np.isnan(acc))
+                    cell[lo : lo + slab] = cids_[np.argmin(acc, axis=1)]
+                # per-sub code POSITIONS (first-win argmin = (d2,cid)
+                # order over the cid-sorted books)
+                pos = np.empty((mm_, nok), dtype=np.int64)
+                for j in range(mm_):
+                    cmj = books_[j]
+                    Xs = X[:, j * sub_ : (j + 1) * sub_]
+                    accj = np.zeros(
+                        (nok, cmj.shape[0]), dtype=np.float64
+                    )
+                    for i in range(sub_):
+                        t = Xs[:, i : i + 1] - cmj[:, i]
+                        accj += t * t
+                    np.copyto(accj, np.inf, where=np.isnan(accj))
+                    pos[j] = np.argmin(accj, axis=1)
+                for qi in range(nq):
+                    cand = np.isin(cell, probes_[qi]) & (
+                        oids != qids_[qi]
+                    )
+                    cix = np.nonzero(cand)[0]
+                    if not len(cix):
+                        continue
+                    adc = np.zeros(len(cix), dtype=np.int64)
+                    for j in range(mm_):
+                        adc += qd2q_[qi, j][pos[j][cix]]
+                    order = np.lexsort((oids[cix], adc))[:kk]
+                    sel = cix[order]
+                    take = len(order)
+                    oq.append(
+                        np.full(take, qids_[qi], dtype=np.int64)
+                    )
+                    oi.append(oids[sel])
+                    os_.append(adc[order].astype(np.float64) / 1e6)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(
+                        np.concatenate(oq)
+                        if oq
+                        else np.array([], dtype=np.int64),
+                        type=pa.int64(),
+                    ),
+                    pa.array(
+                        np.concatenate(oi)
+                        if oi
+                        else np.array([], dtype=np.int64),
+                        type=pa.int64(),
+                    ),
+                    pa.array(
+                        np.concatenate(os_)
+                        if os_
+                        else np.array([], dtype=np.float64),
+                        type=pa.float64(),
+                    ),
+                ],
+                names=["query_id", "neighbor_id", "approx_d2"],
+            )
+
+    return src.mapInArrow(score, out_schema)
+
+
 def ivfpq_topk(
     emb: DataFrame,
     query_ids: Sequence[int] = ANN_QUERY_IDS,
@@ -1879,8 +2982,50 @@ def ivfpq_topk(
     (first n vectors by vec_id); every distance is a sequential
     double fold matching DuckDB ``list_sum``; ADC re-quantizes each
     subspace distance to a long before summing; all ranks tie-break
-    on id."""
+    on id.
+
+    Default (r16): the whole pipeline — cell assignment, codes,
+    probed-candidate restriction, ADC — runs as ONE batch kernel
+    (``_ivfpq_scores_arrow``); only the final per-query ranking
+    window stays in-plan. ``SPARK_GRAFT_SCORE_ARROW=0`` restores
+    the join pipeline below (with its own r15 assignment dials)."""
     sub = dims // m
+    if _use_arrow_score():
+        side_rows = _collect_id_vecs(
+            emb.where(F.col("vec_id") < max(n_centroids, codewords)),
+            "vec_id",
+            "embedding",
+        )
+        qrows = _collect_id_vecs(
+            emb.where(F.col("vec_id").isin([int(q) for q in query_ids])),
+            "vec_id",
+            "embedding",
+        )
+        scored = _ivfpq_scores_arrow(
+            emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+            side_rows,
+            qrows,
+            n_centroids,
+            codewords,
+            nprobe,
+            m,
+            sub,
+            k,
+        )
+        if scored is not None:
+            wr = Window.partitionBy("query_id").orderBy(
+                F.col("approx_d2").asc(), F.col("neighbor_id").asc()
+            )
+            return (
+                scored.withColumn("rank", F.row_number().over(wr))
+                .where(F.col("rank") <= k)
+                .select(
+                    "query_id",
+                    "neighbor_id",
+                    dec_round(F.col("approx_d2"), 4).alias("approx_d2"),
+                    F.col("rank").cast("int").alias("rank"),
+                )
+            )
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     e = emb.select("vec_id", v.alias("v"))
 
@@ -2159,32 +3304,44 @@ def ann_recall(
     corpus — each already scale-shaped — then joins and aggregation
     over query×k rows, which is negligible at any corpus size.
     """
+    # ONE query-vector collect shared by all four index builds (r16
+    # — the Arrow scoring kernels take the collected rows; without
+    # threading, each build would run its own bounded collect job)
+    qrows = (
+        _collect_id_vecs(
+            emb.where(F.col("vec_id").isin([int(q) for q in query_ids])),
+            "vec_id",
+            "embedding",
+        )
+        if _use_arrow_score()
+        else None
+    )
     # persisted AND eagerly materialized: the exact ranking feeds all
     # three hit joins plus the query base — lazily, branches within
     # one action can race the cache and rebuild the brute-force scan
     # up to 4× (r8 advisor); the count() makes single-build structural
     exact = (
-        brute_force_topk(emb, query_ids, k)
+        brute_force_topk(emb, query_ids, k, _qrows=qrows)
         .select("query_id", "neighbor_id")
         .persist()
     )
     exact.count()
     hits_lsh = (
-        lsh_topk(emb, query_ids, k)
+        lsh_topk(emb, query_ids, k, _qrows=qrows)
         .select("query_id", "neighbor_id")
         .join(exact, ["query_id", "neighbor_id"])
         .groupBy("query_id")
         .agg(F.count("*").alias("n_lsh"))
     )
     hits_mp = (
-        lsh_multiprobe_topk(emb, query_ids, k)
+        lsh_multiprobe_topk(emb, query_ids, k, _qrows=qrows)
         .select("query_id", "neighbor_id")
         .join(exact, ["query_id", "neighbor_id"])
         .groupBy("query_id")
         .agg(F.count("*").alias("n_mp"))
     )
     hits_ivf = (
-        ivf_topk(emb, query_ids, k)
+        ivf_topk(emb, query_ids, k, _qrows=qrows)
         .select("query_id", "neighbor_id")
         .join(exact, ["query_id", "neighbor_id"])
         .groupBy("query_id")
@@ -2241,8 +3398,17 @@ def ann_eval(
     data. Sweep harnesses (bench.py, verify_key) clear the session
     cache per key, so the persist does not outlive its invocation.
     """
+    qrows = (
+        _collect_id_vecs(
+            emb.where(F.col("vec_id").isin([int(q) for q in query_ids])),
+            "vec_id",
+            "embedding",
+        )
+        if _use_arrow_score()
+        else None
+    )
     exact = (
-        brute_force_topk(emb, query_ids, k)
+        brute_force_topk(emb, query_ids, k, _qrows=qrows)
         .select("query_id", "neighbor_id", "rank")
         .persist()
     )
@@ -2295,9 +3461,14 @@ def ann_eval(
         )
 
     return (
-        one(lsh_topk(emb, query_ids, k), "lsh")
-        .unionByName(one(lsh_multiprobe_topk(emb, query_ids, k), "lsh_mp"))
-        .unionByName(one(ivf_topk(emb, query_ids, k), "ivf"))
+        one(lsh_topk(emb, query_ids, k, _qrows=qrows), "lsh")
+        .unionByName(
+            one(
+                lsh_multiprobe_topk(emb, query_ids, k, _qrows=qrows),
+                "lsh_mp",
+            )
+        )
+        .unionByName(one(ivf_topk(emb, query_ids, k, _qrows=qrows), "ivf"))
     )
 
 
@@ -2406,8 +3577,17 @@ def ann_mrr(
     ann_recall contract); each join is query-set-sized. Index scans
     are the already-scale-shaped ann plans.
     """
+    qrows = (
+        _collect_id_vecs(
+            emb.where(F.col("vec_id").isin([int(q) for q in query_ids])),
+            "vec_id",
+            "embedding",
+        )
+        if _use_arrow_score()
+        else None
+    )
     top1 = (
-        brute_force_topk(emb, query_ids, k)
+        brute_force_topk(emb, query_ids, k, _qrows=qrows)
         .where(F.col("rank") == 1)
         .select("query_id", "neighbor_id")
         .persist()
@@ -2432,9 +3612,14 @@ def ann_mrr(
         )
 
     out = (
-        one(lsh_topk(emb, query_ids, k), "lsh")
-        .unionByName(one(lsh_multiprobe_topk(emb, query_ids, k), "lsh_mp"))
-        .unionByName(one(ivf_topk(emb, query_ids, k), "ivf"))
+        one(lsh_topk(emb, query_ids, k, _qrows=qrows), "lsh")
+        .unionByName(
+            one(
+                lsh_multiprobe_topk(emb, query_ids, k, _qrows=qrows),
+                "lsh_mp",
+            )
+        )
+        .unionByName(one(ivf_topk(emb, query_ids, k, _qrows=qrows), "ivf"))
     )
     return out.select(
         "system",

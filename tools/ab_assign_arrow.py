@@ -1,9 +1,11 @@
 #!/usr/bin/env python
-"""A/B the Arrow assignment kernel vs the in-plan HOF fold:
+"""A/B an Arrow-kernel dial vs its in-plan fold arm (default:
+the r15 assignment kernel; --env SPARK_GRAFT_SCORE_ARROW A/Bs the
+r16 scoring kernels):
 bit-identity (sorted-row compare) + interleaved best-of-N timing per
 key, both arms in ONE process so window drift hits both equally.
 
-Usage: python tools/ab_assign_arrow.py [--repeats N] key1 key2 ...
+Usage: python tools/ab_assign_arrow.py [--repeats N] [--env VAR] key1 key2 ...
 """
 from __future__ import annotations
 
@@ -15,8 +17,12 @@ import time
 def main() -> None:
     args = sys.argv[1:]
     repeats = 3
-    if args and args[0] == "--repeats":
-        repeats = int(args[1])
+    env_var = "SPARK_GRAFT_ASSIGN_ARROW"
+    while args and args[0] in ("--repeats", "--env"):
+        if args[0] == "--repeats":
+            repeats = int(args[1])
+        else:
+            env_var = args[1]
         args = args[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -36,7 +42,7 @@ def main() -> None:
         rows = {}
         for r in range(repeats):
             for arm in ("0", "1"):
-                os.environ["SPARK_GRAFT_ASSIGN_ARROW"] = arm
+                os.environ[env_var] = arm
                 spark.catalog.clearCache()
                 spark.sparkContext.setJobDescription(f"ab:{key}:arm{arm}")
                 t0 = time.perf_counter()
@@ -58,7 +64,7 @@ def main() -> None:
             print(f"  n0={len(a)} n1={len(b)}")
             diff = [x for x in a if x not in b][:3]
             print(f"  only-in-fold: {diff}")
-    os.environ.pop("SPARK_GRAFT_ASSIGN_ARROW", None)
+    os.environ.pop(env_var, None)
     spark.stop()
 
 

@@ -17,7 +17,7 @@ def main() -> None:
     keys = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    out_dir = os.path.join(root, "plans", "r15")
+    out_dir = os.path.join(root, "plans", os.environ.get("SPARK_GRAFT_PLAN_DIR", "r16"))
     os.makedirs(out_dir, exist_ok=True)
     sys.path.insert(0, root)
     from rsbsa_etl_spark.registry import QUERIES
