@@ -561,6 +561,20 @@ def main() -> None:
                 and all(p.get("cpu") for p in prev_probes)
             ):
                 num = den = 0.0
+                # r16 (r15 verdict item 7): the per-KEY keyfloor-
+                # normalized ratio and a noise-robust status label,
+                # emitted by the bench itself so round-over-round
+                # improved/flat/regressed calls stop being computed
+                # on raw seconds out of a drifting window. The label
+                # band is each key's own measured warm-repeat spread
+                # (both runs', when the previous record carries one)
+                # with a 10% floor — a key is only "improved" or
+                # "regressed" when its floor-normalized movement
+                # exceeds what the two records themselves measured
+                # as sampling noise.
+                per_key_ratio: dict[str, float] = {}
+                per_key_status: dict[str, str] = {}
+                prev_spread = prev.get("key_spread") or {}
                 for k in common:
                     if k not in prev_seg or k not in key_floor_seg:
                         continue
@@ -570,9 +584,30 @@ def main() -> None:
                         continue
                     num += timings[k] * (pc / nc)
                     den += prev["queries"][k]
+                    if prev["queries"][k] > 0:
+                        r = (timings[k] * (pc / nc)) / prev["queries"][k]
+                        per_key_ratio[k] = round(r, 3)
+                        band = max(
+                            0.10,
+                            float(key_spread.get(k, 0.0)),
+                            float(prev_spread.get(k, 0.0)),
+                        )
+                        per_key_status[k] = (
+                            "improved"
+                            if r <= 1.0 - band
+                            else ("regressed" if r >= 1.0 + band else "flat")
+                        )
                 if den > 0:
                     comparison["common_set_ratio_keyfloor_normalized"] = (
                         round(num / den, 3)
+                    )
+                    comparison["per_key_normalized_ratio"] = per_key_ratio
+                    comparison["per_key_status"] = per_key_status
+                    comparison["n_improved_normalized"] = sum(
+                        1 for s in per_key_status.values() if s == "improved"
+                    )
+                    comparison["n_regressed_normalized"] = sum(
+                        1 for s in per_key_status.values() if s == "regressed"
                     )
 
     with open(full_path, "w") as fh:
@@ -601,7 +636,13 @@ def main() -> None:
         )
 
     # Final stdout line stays compact (slowest 10 only) so the tail
-    # capture can always parse it.
+    # capture can always parse it; the per-key normalized maps stay
+    # in the file record.
+    slim_comparison = {
+        k: v
+        for k, v in comparison.items()
+        if k not in ("per_key_normalized_ratio", "per_key_status")
+    }
     slowest = dict(
         sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
     )
@@ -620,7 +661,7 @@ def main() -> None:
                 "floor_drift": floor_drift,
                 "error_bar_frac": error_bar_frac,
                 **v2_fields,
-                **comparison,
+                **slim_comparison,
                 "full": os.path.basename(full_path),
             },
             separators=(",", ":"),

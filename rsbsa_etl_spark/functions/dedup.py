@@ -592,18 +592,33 @@ def _prefix_join(
     """the candidate join over an already-ranked shingle table —
     split out of ``prefix_filter_candidates`` (r14) so the
     containment auto-dial can price the join from the SAME ranked
-    table it then feeds to this, paying the rank window once."""
-    prefix = ranked.where(_prefix_cond(threshold))
+    table it then feeds to this, paying the rank window once.
+
+    r16 (guide §2.3 — shuffle/broadcast fewer bytes): the equi-join
+    key is ``xxhash64(shingle)``, 8 bytes, instead of the shingle
+    STRING — the broadcast build side and every join-key hash/compare
+    stop touching string bytes; the string stays only in the ranked
+    table's window pipeline, which needs it for the deterministic
+    tie-break order. LOSSLESS: a 64-bit collision can only ADD a
+    candidate pair (every consumer verifies candidates with the
+    pair-local exact ``array_intersect`` threshold), never drop one —
+    equal strings always hash equal, so the prefix-filter lemma's
+    superset guarantee is unchanged."""
+    keep_cols = [c for c in ranked.columns if c != "shingle"]
+    slim = ranked.select(
+        F.xxhash64("shingle").alias("sh"), *keep_cols
+    )
+    prefix = slim.where(_prefix_cond(threshold))
     a = prefix.alias("a")
     keep = _keep_cond(threshold, containment)
     if containment:
-        right = ranked.alias("b")
+        right = slim.alias("b")
         pair_filter = (F.col("a.doc_id") != F.col("b.doc_id")) & keep
         flip = F.col("a.doc_id") < F.col("b.doc_id")
         out = (
             a.join(
                 right,
-                (F.col("a.shingle") == F.col("b.shingle")) & pair_filter,
+                (F.col("a.sh") == F.col("b.sh")) & pair_filter,
             )
             .select(
                 F.least("a.doc_id", "b.doc_id").alias("doc_a"),
@@ -617,7 +632,7 @@ def _prefix_join(
         out = (
             a.join(
                 right,
-                (F.col("a.shingle") == F.col("b.shingle"))
+                (F.col("a.sh") == F.col("b.sh"))
                 & (F.col("a.doc_id") < F.col("b.doc_id"))
                 & keep,
             )
@@ -751,15 +766,21 @@ def prefix_filter_candidates_bipartite(
         sh_right.select("doc_id", "shingle").withColumn("side", F.lit("R"))
     )
     ranked = _rank_by_rarity(union, ["side", "doc_id"])
+    # same 8-byte hash join key as the unary form (r16, §2.3) — a
+    # collision can only add a candidate for the exact verify to drop
+    slim = ranked.select(
+        F.xxhash64("shingle").alias("sh"),
+        *[c for c in ranked.columns if c != "shingle"],
+    )
     is_prefix = _prefix_cond(threshold)
-    a = ranked.where((F.col("side") == "L") & is_prefix).alias("a")
+    a = slim.where((F.col("side") == "L") & is_prefix).alias("a")
     if containment:
-        b = ranked.where(F.col("side") == "R").alias("b")
+        b = slim.where(F.col("side") == "R").alias("b")
     else:
-        b = ranked.where((F.col("side") == "R") & is_prefix).alias("b")
+        b = slim.where((F.col("side") == "R") & is_prefix).alias("b")
     keep = _keep_cond(threshold, containment)
     return (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & keep)
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & keep)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
@@ -959,6 +980,7 @@ def pagerank(
     pairs: DataFrame,
     id_col: str = "doc_id",
     n_iters: int = 3,
+    checkpoint_every: int = 8,
 ) -> DataFrame:
     """PageRank over the undirected candidate-pair graph — the
     importance-scoring companion of ``dedup_clusters`` (same edge
@@ -1009,8 +1031,19 @@ def pagerank(
     r = nodes.join(F.broadcast(nn)).select(
         "node", quant(F.lit(1.0) / F.col("n")).alias("r")
     )
-    for _ in range(n_iters):
-        r = r.localCheckpoint(eager=True)
+    for i in range(n_iters):
+        # lineage cut every ``checkpoint_every`` rounds, not every
+        # round (r16): each eager localCheckpoint is a separate
+        # serialized driver job — at the default 3 iterations that
+        # was 3 blocking jobs before the caller's action even
+        # started, while a 3-round join/agg chain is far below the
+        # plan depth where Catalyst re-analysis hurts (the
+        # dedup_clusters blowup started an order of magnitude
+        # deeper). Long power-iteration runs still get the cut;
+        # ``checkpoint_every=1`` restores the old per-round arm
+        # (the A/B dial for the r16 measurement).
+        if i and i % checkpoint_every == 0:
+            r = r.localCheckpoint(eager=True)
         contrib = (
             edges.join(r.withColumnRenamed("node", "src"), "src")
             .select(

@@ -45,6 +45,15 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # parallelismFirst stays at its TRUE default (r16, measured):
+        # sizing post-shuffle partitions purely by bytes
+        # (parallelismFirst=false + 64m advisory — guide §2.2's
+        # recommendation for byte-bound shuffles) coalesced every
+        # small fixture shuffle to ONE task and serialized the
+        # compute-dense Python stages behind it (trend_theil_sen
+        # 2.1→4.0 s, ivf_train3 1.5→4.2 s at sf0.1): AQE's coalescing
+        # is blind to downstream CPU per row, and this engine's heavy
+        # stages are grouped Arrow kernels where bytes ≪ compute.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

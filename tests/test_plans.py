@@ -142,7 +142,10 @@ def test_ivf_train_broadcasts_centroids(spark, monkeypatch):
     # table. Default (r15): the Arrow kernel carries the collected
     # centroids in its closure — no join, no exchange, a narrow
     # MapInArrow stage. Fallback dial: the centroid side broadcasts
-    # onto the corpus as before.
+    # onto the corpus as before. Both arms PINNED (r15 advice item
+    # 4): an ambient SPARK_GRAFT_ASSIGN_ARROW=0 in the environment
+    # must not flip the first half.
+    monkeypatch.setenv("SPARK_GRAFT_ASSIGN_ARROW", "1")
     plan = _plan(QUERIES["ivf_train"](spark, SF_DIR))
     assert "MapInArrow" in plan or "ArrowEvalPython" in plan
     assert "SortMergeJoin" not in plan
@@ -154,6 +157,62 @@ def test_ivf_train_broadcasts_centroids(spark, monkeypatch):
     plan = _plan(QUERIES["ivf_train"](spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_ann_scoring_is_arrow_kernel(spark, monkeypatch):
+    """r16: the ANN scoring stage (brute force / LSH / IVF / IVF-PQ)
+    must run as the MapInArrow batch kernel with NO join operator of
+    any kind — the corpus is one narrow scan feeding the kernel and
+    the per-query ranking window; the fallback dial restores the
+    broadcast-join + fold arm. Both arms pinned against ambient env."""
+    monkeypatch.setenv("SPARK_GRAFT_SCORE_ARROW", "1")
+    for key in ("ann_bruteforce", "ann_lsh", "ann_lsh_multiprobe",
+                "ann_ivf", "ann_ivfpq"):
+        plan = _plan(QUERIES[key](spark, SF_DIR))
+        assert "MapInArrow" in plan, key
+        assert "Join" not in plan, key
+        assert "BatchEvalPython" not in plan, key
+
+    monkeypatch.setenv("SPARK_GRAFT_SCORE_ARROW", "0")
+    plan = _plan(QUERIES["ann_bruteforce"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan
+    plan = _plan(QUERIES["ann_lsh"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pq_encode_single_pass(spark, monkeypatch):
+    """r16: PQ encode must be ONE MapInArrow pass — no explode of
+    the corpus into per-sub rows, no regroup aggregate; the only
+    exchange left is the output ordering's range partitioning."""
+    monkeypatch.setenv("SPARK_GRAFT_SCORE_ARROW", "1")
+    plan = _plan(QUERIES["embedding_pq"](spark, SF_DIR))
+    assert "MapInArrow" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "Generate" not in plan  # the posexplode is gone
+
+
+def test_score_kernel_dial_row_equality(spark, monkeypatch):
+    """r16: the Arrow scoring kernel and the in-plan fold arm must
+    agree ROW-FOR-ROW, including the degenerate classes the kernel
+    special-cases: a zero-norm vector (safe_div NULL — kept and
+    ranked last) and self-pair exclusion."""
+    from rsbsa_etl_spark.functions.similarity import brute_force_topk
+
+    rows = [
+        (i, [float((i * 7 + j * 3) % 11 - 5) for j in range(8)])
+        for i in range(30)
+    ]
+    rows.append((30, [0.0] * 8))  # zero-norm: NULL cosine everywhere
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {}
+    for arm in ("1", "0"):
+        monkeypatch.setenv("SPARK_GRAFT_SCORE_ARROW", arm)
+        got[arm] = sorted(
+            tuple(r) for r in brute_force_topk(emb, (0, 1, 30), k=5).collect()
+        )
+    assert got["1"] == got["0"]
+    # the zero-norm query returns NULL-cosine rows (ranked by id)
+    assert any(q == 30 and c is None for q, _, c, _ in got["1"])
 
 
 def test_lm_score_partial_aggregates(spark):
