@@ -720,10 +720,18 @@ def ivf_train3(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = _ec(assigned.select(F.col("cid").alias("label"), "embedding"))
         return out.select(F.col("label").alias("cid"), "dim", "centroid")
 
+    from rsbsa_etl_spark.functions.similarity import _use_arrow_assign
+
     emb = load(spark, sf_dir, "embeddings")
     cents = mstep(ivf_assignments(emb))
     for _ in range(2):  # iterations 2..3
-        cents = cents.localCheckpoint(eager=True)
+        # the Arrow assignment kernel COLLECTS cvec at build time —
+        # the collected matrix becomes a broadcast, which IS the
+        # lineage cut, so the eager per-round localCheckpoint was a
+        # second, redundant job per round (r16). The fold arm keeps
+        # no such collect, so it keeps the explicit cut.
+        if not _use_arrow_assign():
+            cents = cents.localCheckpoint(eager=True)
         cvec = cents.groupBy("cid").agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("dim", "centroid"))),
