@@ -950,9 +950,19 @@ def curation_pipeline(docs: DataFrame, text_col: str = "text") -> DataFrame:
     from rsbsa_etl_spark.functions.dedup import normalized_text
     from rsbsa_etl_spark.functions.textstats import quality_score
 
-    kept = quality_score(docs, text_col, keep=("source", text_col)).where(
-        F.col("quality") >= 0.75
-    )
+    qs = quality_score(docs, text_col, keep=("source", text_col))
+    # pushdown barrier (guide §4.4, built-in-expression analog of
+    # asNondeterministic): PushPredicateThroughNonJoin substitutes a
+    # filtered alias with its whole expression tree, so the quality
+    # gate below would otherwise evaluate the ~30-regex feature tree
+    # TWICE per row — once in the pushed Filter, once in the Project
+    # (measured: 0.74 s one eval vs 2.27 s with the pushed filter at
+    # sf0.1). shuffle() on a 1-element array is the identity in value
+    # but non-deterministic to the optimizer, which pins the Filter
+    # ABOVE the projection: one evaluation, same rows, same hash.
+    kept = qs.withColumn(
+        "quality", F.shuffle(F.array(F.col("quality")))[0]
+    ).where(F.col("quality") >= 0.75)
     hashed = kept.withColumn(
         "content_md5", F.md5(normalized_text(F.col(text_col)))
     )

@@ -1191,18 +1191,25 @@ def containment_pairs_auto(
     sets = doc_shingle_sets(docs, text_col).persist()
     sh = sets.select("doc_id", F.explode("shingles").alias("shingle"))
     ranked = _rank_by_rarity(sh, ["doc_id"])  # persisted inside
-    pc = (
-        ranked.where(_prefix_cond(threshold))
-        .groupBy("shingle")
-        .agg(F.count("*").alias("p"))
-    )
-    fc = ranked.groupBy("shingle").agg(F.count("*").alias("n"))
+    # one conditional aggregation instead of pc ⋈ fc: per shingle,
+    # n = postings and p = prefix postings counted in the SAME
+    # groupBy (a shingle with p=0 contributes p·n=0, exactly what
+    # the old inner join dropped), and n_docs rides the same collect
+    # as a single-row crossJoin — ONE eager job where there were
+    # two, and one pass over `ranked` where there were two (r16 §2.4)
     row = (
-        pc.join(fc, "shingle")
+        ranked.groupBy("shingle")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(_prefix_cond(threshold), F.lit(1)).otherwise(F.lit(0))
+            ).alias("p"),
+        )
         .agg(F.coalesce(F.sum(F.col("p") * F.col("n")), F.lit(0)).alias("v"))
+        .crossJoin(docs.agg(F.count("*").alias("n_docs")))
         .collect()[0]
     )
-    n_docs = docs.count()
+    n_docs = row["n_docs"]
     if row["v"] <= budget * n_docs:
         cand = _prefix_join(ranked, threshold, containment=True)
         return containment_pairs(
@@ -1259,9 +1266,11 @@ def jaccard_pairs_auto(
                 F.sum(F.col("p") * (F.col("p") - F.lit(1))), F.lit(0)
             ).alias("v2")
         )
+        # n_docs rides the same collect (one eager job, not two — r16)
+        .crossJoin(docs.agg(F.count("*").alias("n_docs")))
         .collect()[0]
     )
-    n_docs = docs.count()
+    n_docs = row["n_docs"]
     if row["v2"] <= 2 * budget * n_docs:
         cand = _prefix_join(ranked, threshold, containment=False)
         return ngram_jaccard_pairs(

@@ -419,7 +419,9 @@ def merge_cdc_batch(
         b = spark.read.parquet(state).unionByName(b.select(*cols))
     else:
         b = b.select(*cols)
-    fold(b).write.mode("overwrite").parquet(f"{base}/state_new")
+    # per-user state rows are few — single state file per batch
+    # (guide §6; the next micro-batch re-reads this directory)
+    fold(b).coalesce(1).write.mode("overwrite").parquet(f"{base}/state_new")
     with open(f"{base}/state_new/_last_batch_id", "w") as fh:
         fh.write(str(batch_id))
     swap_state_dir(base)
@@ -544,7 +546,10 @@ def hll_stream_replay(events: DataFrame) -> DataFrame:
         merged = regs.groupBy("event_type", "bucket").agg(
             F.max("reg").alias("reg")
         )
-        merged.write.mode("overwrite").parquet(f"{base}/state_new")
+        # state is groups × 64 rows — one file per micro-batch, not
+        # one per shuffle partition (guide §6: the NEXT batch re-reads
+        # this directory, so tiny-file fan-out is paid twice)
+        merged.coalesce(1).write.mode("overwrite").parquet(f"{base}/state_new")
         swap_state_dir(base)
 
     q = (
