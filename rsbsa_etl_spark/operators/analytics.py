@@ -1853,10 +1853,19 @@ def source_overlap_kmv(
             )
         )
 
-    # per-pair union bottom-k over ≤ 2k rows — corpus-independent
+    # per-pair union bottom-k over ≤ 2k rows — corpus-independent.
+    # The pair→sketch attach is an EQUI-join on source (each pair
+    # exploded to its two member rows): the previous OR-condition
+    # join ((source=a)|(source=b)) has no equi-key, so the planner
+    # could only BroadcastNestedLoopJoin pairs × the whole sketch
+    # table — sources²·k·sources comparisons vs a hash probe per
+    # sketch row (guide §3.1). Row multiset is identical: a sketch
+    # row matched a pair iff its source is one of the two members.
     u = (
-        pairs.select("a", "b")
-        .join(skt, (F.col("source") == F.col("a")) | (F.col("source") == F.col("b")))
+        pairs.select(
+            "a", "b", F.explode(F.array("a", "b")).alias("source")
+        )
+        .join(skt, "source")
         .groupBy("a", "b", "h")
         .agg(
             F.max((F.col("source") == F.col("a")).cast("int")).alias("in_a"),
