@@ -710,7 +710,14 @@ def term_pmi(
         .orderBy(F.col("df").desc(), F.col("term").asc())
         .limit(vocab_k)
     )
-    tv = terms.join(F.broadcast(vocab), "term")
+    # persisted: the quadratic pair stage reads tv through TWO
+    # aliases and exchange reuse does not bridge them — without the
+    # cache the corpus explode+distinct+vocab-semi-join subtree runs
+    # once per alias (measured bench-style at sf0.1: 1.58 s → 1.03 s
+    # with the cache, cold first-build 6.7 s → 3.4 s). Bounded:
+    # ≤ docs × vocab_k rows, disk-spillable, dropped with the
+    # session/bench clearCache like every other intra-query persist.
+    tv = terms.join(F.broadcast(vocab), "term").persist()
     a, b = tv.alias("a"), tv.alias("b")
     pair_docs = (
         a.join(
