@@ -2060,9 +2060,15 @@ def _assign_cells_arrow(
       scanned in cid-ascending order with first-win comparisons
       (``np.argmin`` / stable ``np.argsort`` = the (d2, cid)
       lexicographic order of ``array_min``/``array_sort``), and NaN
-      d2 is substituted with +inf before ranking (Spark orders NaN
-      above every double; an all-NaN row degrades to the lowest cid
-      under both forms).
+      d2 is substituted with +inf before ranking (an all-NaN row
+      degrades to the lowest cid under both forms).  One corner
+      NARROWS the bit-identity claim to finite/non-overflowing
+      inputs (r15 advice): Spark orders +inf strictly BELOW NaN, so
+      a row whose d2s contain both a genuine +inf (overflowed
+      squares, |x| ≳ 1e154) and a NaN ties them here and first-win
+      may pick the NaN centroid the fold would rank last.  Unreachable
+      on any fixture/generator (finite, unit-scale vectors); kept
+      out of the hot argmin on purpose.
 
     ``cents`` is the (cid, vc) table, collected here — index-sized
     (≤ thousands of rows), the same relation the broadcast build
@@ -2212,7 +2218,16 @@ def _assign_codes_arrow(
 
     ``seeds``: (c_sub, cid, cv) rows, collected here (m × codewords
     rows — codebook-sized, the same relation the broadcast
-    join shipped)."""
+    join shipped).
+
+    Degenerate-input contract (r15 advice, documented divergence):
+    a row whose ``sub_col`` has NO codebook entry (or whose vector
+    length differs from that codebook's dim) emits a NULL ``cid``
+    here, where the in-plan fold arm's inner join on sub_id == c_sub
+    DROPS the row entirely.  Every registered consumer builds the
+    codebook from the same corpus it encodes, so absent sub_ids
+    cannot arise there; callers feeding foreign codebooks must
+    filter NULL cids if they want the join semantics."""
     import numpy as np
     import pyarrow as pa
 
